@@ -1,0 +1,54 @@
+package graft.embed
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Query/corpus text embedding (reference R16, `embed.py:88-89` /
+  * `backend/api.py:154-160` — Voyage API calls).
+  *
+  * The build is zero-egress, so the default implementation is a
+  * deterministic local feature-hashing embedder: tokenize, hash each token
+  * to a (dimension, sign) via md5, accumulate term frequency, L2-normalize.
+  * A real client (Voyage-like) can implement the same trait; batch size 16
+  * mirrors the reference (`embed.py:29-32`).
+  */
+trait Embedder {
+  def dim: Int
+  def embed(text: String): Array[Double]
+  def embedBatch(texts: Seq[String]): Seq[Array[Double]] = texts.map(embed)
+}
+
+/** Feature-hashing embedder. Pure function of (text, dim): stable across
+  * JVMs and sessions — required because query vectors are interpolated into
+  * the DuckDB oracle SQL as literals and must never drift.
+  */
+final class HashingEmbedder(val dim: Int) extends Embedder {
+  private def tokenize(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  private def md5Long(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    // first 8 bytes big-endian
+    d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+
+  def embed(text: String): Array[Double] = {
+    val v = new Array[Double](dim)
+    tokenize(text).foreach { t =>
+      val h = md5Long(t)
+      val idx = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
+      val sign = if (((h >>> 62) & 1L) == 0L) 1.0 else -1.0
+      v(idx) += sign
+    }
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+}
+
+object Embedder {
+  /** Testdata embedding dimension (FIXTURES.md §1); the reference uses 1024
+    * (`README.md:24`) — dimension is a parameter everywhere.
+    */
+  val TestdataDim = 64
+  val default: Embedder = new HashingEmbedder(TestdataDim)
+}

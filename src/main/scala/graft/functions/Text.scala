@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Frozen tokenizer + token-hash used by every text operator (BM25, dedup,
+  * fingerprinting). Spark and the DuckDB oracle must tokenize identically,
+  * so the regex is fixed here and mirrored in [[sqlTokens]].
+  *
+  * Tokenization ≈ lucene.standard for this corpus (reference `indexes.py:84`
+  * declares the `title` full-text field; testdata `documents.text` is a
+  * lowercase keyword bag): lowercase, split on runs of non-alphanumerics,
+  * drop empties.
+  */
+object Text {
+  /** Split regex — identical string passed to Spark `split` and DuckDB
+    * `string_split_regex`. */
+  val SplitRe = "[^a-z0-9]+"
+
+  /** tokens(text): array<string> of non-empty lowercase tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), SplitRe), t => t =!= lit(""))
+
+  /** DuckDB rendition of [[tokens]] for oracle SQL (an expression producing
+    * a VARCHAR[]; typically fed to unnest). */
+  def sqlTokens(textExpr: String): String =
+    s"list_filter(string_split_regex(lower($textExpr), '$SplitRe'), t -> t <> '')"
+
+  /** A 60-bit integer hash of a string: first 15 hex chars of md5, as a
+    * BIGINT. md5 is the one hash both Spark and DuckDB expose with identical
+    * output, and 15 hex digits (60 bits) always fits signed 64-bit.
+    * DuckDB rendition: [[sqlHash60]].
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendition of [[hash60]] — DuckDB lacks conv(); use md5_number_lower
+    * ( = little-endian uint64 of the md5 lower half)? No: to stay exactly
+    * aligned with Spark's hex-prefix semantics we parse the hex prefix:
+    * 15 hex chars via a manual fold is painful in SQL, but DuckDB CAN cast
+    * hex literals: ('0x' || prefix)::BIGINT works (hex string → int cast).
+    */
+  def sqlHash60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+}

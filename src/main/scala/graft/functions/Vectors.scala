@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity math as Column expressions over `array<double>`.
+  *
+  * Built from SQL higher-order functions (`zip_with`/`aggregate`) so the
+  * whole computation stays inside Catalyst (no UDF, no serialization) and is
+  * expressible 1:1 in the DuckDB oracle (`list_cosine_similarity` etc.).
+  *
+  * Semantics replicate the reference's `$vectorSearch` similarity choices —
+  * cosine | dotProduct | euclidean (reference `indexes.py:28-31`) — and the
+  * public Atlas score normalization (reference `backend/api.py:197` exposes
+  * `vectorSearchScore`): cosine/dot → (1+s)/2, euclidean → 1/(1+d), so all
+  * scores land in [0,1].
+  */
+object Vectors {
+
+  /** Σ aᵢ·bᵢ via a sequential left fold — same evaluation order DuckDB uses,
+    * which keeps floating-point results bit-comparable after rounding. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+
+  /** Atlas-normalized similarity score in [0,1] (reference R8 semantics). */
+  def score(metric: String, a: Column, b: Column): Column = metric match {
+    case "cosine"     => (lit(1.0) + cosine(a, b)) / lit(2.0)
+    case "dotProduct" => (lit(1.0) + dot(a, b)) / lit(2.0)
+    case "euclidean"  => lit(1.0) / (lit(1.0) + euclidean(a, b))
+    case other        => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  /** A double[] as a Column literal (query vectors are driver-side values). */
+  def vecLit(v: Array[Double]): Column = array(v.map(lit): _*)
+
+  /** The same vector as a DuckDB SQL literal for oracle queries. */
+  def vecSql(v: Array[Double]): String =
+    v.map(d => f"$d%.17g").mkString("[", ", ", "]::DOUBLE[]")
+}
