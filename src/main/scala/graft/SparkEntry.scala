@@ -1,8 +1,10 @@
 package graft
 
+import graft.api.FoodFinder
 import graft.embed.Embedder
+import graft.etl.Flatten
 import graft.functions.Vectors
-import graft.search.VectorSearch
+import graft.search.{TextSearch, VectorSearch}
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,9 +27,21 @@ object SparkEntry {
     Embedder.default.embed("nuggets para desayuno")
   private val flagshipQueryVecSql: String = Vectors.vecSql(flagshipQueryVec)
 
+  /** Fixed full-text query — terms from the corpus vocabulary. */
+  private val flagshipQueryText = "fast table scan merge"
+
+  /** Searchable view of the testdata corpus: documents ⋈ embeddings. */
+  private def searchTable(spark: SparkSession, dir: String): FoodFinder.SearchTable = {
+    val d = Tables.documents(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    FoodFinder.SearchTable(
+      d.join(e, d("doc_id") === e("vec_id")).drop("vec_id"),
+      idCol = "doc_id", embCol = "embedding", textCol = "text")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    qVectorKnn(spark, "/root/testdata/sf0.001")
+    qHybrid(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- queries
 
@@ -63,15 +77,109 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** R10/R11 BM25 relevance ranking (the `$search` stage). */
+  private def qBm25(spark: SparkSession, dir: String): DataFrame =
+    TextSearch
+      .fullTextSearch(Tables.documents(spark, dir), "doc_id", "text", flagshipQueryText, k = 10)
+      .withColumnRenamed("id", "doc_id")
+
+  /** R10+R14 fulltext mode with post-filter placement (`$search` → `$match`
+    * → `$limit`, `backend/api.py:255-280`). */
+  private def qFulltextPostfilter(spark: SparkSession, dir: String): DataFrame =
+    FoodFinder
+      .fulltext(searchTable(spark, dir), flagshipQueryText, k = 10,
+        filter = Some(col("lang") === "en"))
+      .withColumnRenamed("id", "doc_id")
+
+  /** R12/R13/R14 hybrid `$scoreFusion`: sigmoid-normalized 10·vector+text,
+    * vector branch pre-filtered, fused result post-filtered, flattened
+    * scoreDetails columns. */
+  private def qHybrid(spark: SparkSession, dir: String): DataFrame =
+    FoodFinder
+      .hybrid(searchTable(spark, dir), flagshipQueryVec, flagshipQueryText, k = 5,
+        filter = Some(col("lang") === "en"))
+      .withColumnRenamed("id", "doc_id")
+
+  /** R1 unwind/flatten: nested (collect_list) → exploded back flat —
+    * the catalog→product_detail ETL exercised on orders⋈lineitem. */
+  private def qFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_custkey")
+      .agg(collect_list(struct(col("l_linenumber"), col("l_partkey"), col("l_quantity"))).as("items"))
+    Flatten.unwind(nested, "items", "item")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("item.l_linenumber").as("l_linenumber"),
+        col("item.l_partkey").as("l_partkey"),
+        col("item.l_quantity").as("l_quantity"))
+      // testdata l_linenumber is NOT unique within an order — sort on every
+      // column so the dump is deterministically ordered for the hash compare
+      .orderBy("o_orderkey", "l_linenumber", "l_partkey", "l_quantity", "o_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
+    "q_bm25" -> ((s, dir) => qBm25(s, dir)),
+    "q_fulltext_postfilter" -> ((s, dir) => qFulltextPostfilter(s, dir)),
+    "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
+    "q_flatten" -> ((s, dir) => qFlatten(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
 
+  /** documents ⋈ embeddings as a DuckDB table expression (the searchable
+    * corpus — at sf0.1 embeddings ⊂ documents, so the join shrinks it). */
+  private val corpusSql =
+    "(SELECT d.*, e.embedding FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)"
+
+  private val bm25DocsCtes =
+    TextSearch.oracleCtes("documents", "doc_id", "text", flagshipQueryText)
+  private val bm25CorpusCtes =
+    TextSearch.oracleCtes(corpusSql, "doc_id", "text", flagshipQueryText)
+
+  /** Pre-filtered vector branch of the hybrid oracle (top-5 by rounded
+    * Atlas-normalized cosine, tie-break id). */
+  private val vecBranchCte =
+    s"""vecb AS (
+       |  SELECT c.doc_id AS id,
+       |         round((1.0 + list_cosine_similarity(c.embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS vec_raw
+       |  FROM $corpusSql c WHERE c.lang = 'en'
+       |  ORDER BY vec_raw DESC, id ASC LIMIT 5
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH $bm25DocsCtes
+         |SELECT id AS doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_fulltext_postfilter" ->
+      s"""WITH $bm25CorpusCtes
+         |SELECT b.id AS doc_id, b.score FROM bm25 b
+         |JOIN documents d ON b.id = d.doc_id
+         |WHERE d.lang = 'en'
+         |ORDER BY b.score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_hybrid" ->
+      s"""WITH $bm25CorpusCtes, $vecBranchCte,
+         |fused AS (
+         |  SELECT coalesce(v.id, b.id) AS doc_id,
+         |         round(10.0 * coalesce(1.0 / (1.0 + exp(-v.vec_raw)), 0.0)
+         |               + coalesce(1.0 / (1.0 + exp(-b.score)), 0.0), 6) AS score,
+         |         round(1.0 / (1.0 + exp(-v.vec_raw)), 6) AS vec_norm,
+         |         v.vec_raw AS vec_raw,
+         |         round(1.0 / (1.0 + exp(-b.score)), 6) AS txt_norm,
+         |         b.score AS txt_raw
+         |  FROM vecb v FULL OUTER JOIN bm25 b ON v.id = b.id
+         |)
+         |SELECT f.doc_id, f.score, f.vec_norm, f.vec_raw, f.txt_norm, f.txt_raw
+         |FROM fused f JOIN documents d ON f.doc_id = d.doc_id
+         |WHERE d.lang = 'en'
+         |ORDER BY f.score DESC, f.doc_id ASC LIMIT 5""".stripMargin,
+    "q_flatten" ->
+      """SELECT o.o_orderkey, o.o_custkey, l.l_linenumber, l.l_partkey, l.l_quantity
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o.o_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity, o.o_custkey""".stripMargin,
     "q_vector_knn" ->
       s"""WITH scored AS (
          |  SELECT e.vec_id, d.text,

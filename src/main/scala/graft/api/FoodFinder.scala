@@ -1,0 +1,85 @@
+package graft.api
+
+import graft.search.{ScoreFusion, TextSearch, VectorSearch}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's three search modes end-to-end — the parity façade over
+  * `POST /api/search` (`backend/api.py:98-291`).
+  *
+  * Mode semantics (filter PLACEMENT differs per mode — SURVEY §4.1, the one
+  * hand-rolled "optimization" in the reference that is actually semantics):
+  *
+  *   - vector  : filter BEFORE top-k (inside `$vectorSearch`) → always
+  *               min(k, matching) rows;
+  *   - hybrid  : vector branch pre-filtered AND fused result post-filtered
+  *               (same predicate both places, `backend/api.py:178-180` +
+  *               `238-239`); text branch never filtered; may return < k;
+  *   - fulltext: post-filter after ranking (`backend/api.py:265-266`);
+  *               may return < k.
+  *
+  * Generic over table shape: the reference hard-codes
+  * `product_detail(_id, emb_description, title, …)`; here any DataFrame
+  * with a unique id, a vector column and a text column works.
+  */
+object FoodFinder {
+  val Modes = Set("vector", "hybrid", "fulltext")
+  val DefaultLimit = 5
+
+  /** A searchable table: `df` must expose unique `idCol`, an
+    * `array<double>` `embCol` and a string `textCol`. */
+  final case class SearchTable(df: DataFrame, idCol: String, embCol: String, textCol: String)
+
+  /** R18 request validation: mode whitelist, required args, limit clamp
+    * (`backend/api.py:100-137`). Returns the clamped limit. */
+  def validate(mode: String, description: Option[String], title: Option[String],
+      limit: Int): Int = {
+    require(Modes.contains(mode), s"mode must be one of $Modes, got '$mode'")
+    if (mode == "vector" || mode == "hybrid")
+      require(description.exists(_.trim.nonEmpty), s"'description' is required for $mode search")
+    if (mode == "hybrid" || mode == "fulltext")
+      require(title.exists(_.trim.nonEmpty), s"'title' is required for $mode search")
+    VectorSearch.clampLimit(limit)
+  }
+
+  /** Vector mode: pre-filter → exact top-k → (id, score). */
+  def vector(tbl: SearchTable, queryVec: Array[Double], k: Int,
+      filter: Option[Column] = None, metric: String = "cosine"): DataFrame =
+    VectorSearch.knn(tbl.df, tbl.idCol, tbl.embCol, queryVec, k, metric, filter)
+      .select(col(tbl.idCol).as("id"), col("score"))
+
+  /** Fulltext mode: rank all matches → post-filter → limit → (id, score).
+    * The post-filter predicate is evaluated against `tbl.df` columns via a
+    * join back on id (the reference's `$match` sees the full document). */
+  def fulltext(tbl: SearchTable, queryText: String, k: Int,
+      filter: Option[Column] = None): DataFrame = {
+    val ranked = TextSearch.fullTextSearch(tbl.df, tbl.idCol, tbl.textCol, queryText)
+    postFilterLimit(tbl, ranked, filter, k)
+  }
+
+  /** Hybrid mode: sigmoid-fused vector(pre-filtered, top-k) + fulltext(all),
+    * post-filter, limit. Returns (id, score, vec_norm, vec_raw, txt_norm,
+    * txt_raw) — the flattened scoreDetails (R13). */
+  def hybrid(tbl: SearchTable, queryVec: Array[Double], queryText: String, k: Int,
+      filter: Option[Column] = None, metric: String = "cosine"): DataFrame = {
+    val vecBranch = vector(tbl, queryVec, k, filter, metric)
+    val txtBranch = TextSearch.fullTextSearch(tbl.df, tbl.idCol, tbl.textCol, queryText)
+    postFilterLimit(tbl, ScoreFusion.fuse(vecBranch, txtBranch), filter, k)
+  }
+
+  /** `$match` after ranking + trailing `$limit` — order preserved exactly
+    * (a filter must NOT be pushed below the fusion/ranking, and Catalyst
+    * won't: the join keeps it above). */
+  private def postFilterLimit(tbl: SearchTable, ranked: DataFrame,
+      filter: Option[Column], k: Int): DataFrame = {
+    val filtered = filter match {
+      case None => ranked
+      case Some(pred) =>
+        // semi-join against the ids that survive the predicate; broadcast
+        // the ranked side (≤ matched docs) at scale, not the base table
+        val surviving = tbl.df.where(pred).select(col(tbl.idCol).as("id"))
+        ranked.join(surviving, "id")
+    }
+    filtered.orderBy(col("score").desc, col("id").asc).limit(k)
+  }
+}

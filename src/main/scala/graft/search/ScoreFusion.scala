@@ -1,0 +1,63 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hybrid score fusion — the Spark rendition of the reference's
+  * `$scoreFusion` stage (`backend/api.py:203-254`).
+  *
+  * Semantics (pinned from the reference, SURVEY R12/R13):
+  *   - two input pipelines: `searchOne` = vector top-k (pre-filtered),
+  *     `searchTwo` = full-text matches (never pre-filtered, no limit);
+  *   - each pipeline's raw score is normalized with a sigmoid
+  *     1/(1+e^−x) (`normalization: "sigmoid"`);
+  *   - per-document combination `10·searchOne + searchTwo`
+  *     (`combination.expression`, weights from `backend/api.py:224-232`);
+  *   - a document present in only one pipeline contributes nothing for the
+  *     missing one (NOT sigmoid(0)=0.5) — full-outer join + coalesce(…, 0);
+  *   - `scoreDetails` exposes the combined value plus per-pipeline
+  *     normalized and raw scores (R13) — flattened here into plain columns
+  *     (vec_norm, vec_raw, txt_norm, txt_raw) so results stay
+  *     hash-comparable.
+  *
+  * Scale shape: both inputs are already tiny (a top-k and the postings of a
+  * handful of query terms), so the full-outer join broadcasts; nothing here
+  * touches the base table except the final payload re-attach, which is a
+  * broadcast semi-join of ≤ k ids against the (partition-pruned) scan.
+  */
+object ScoreFusion {
+  val ScoreDecimals = 6
+
+  def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+
+  /** SQL rendition for oracle queries. */
+  def sigmoidSql(expr: String): String = s"1.0 / (1.0 + exp(-($expr)))"
+
+  /** @param vec searchOne results: (id, score) — raw vector scores
+    * @param txt searchTwo results: (id, score) — raw BM25 scores
+    * @return (id, score, vec_norm, vec_raw, txt_norm, txt_raw) ranked
+    *         score DESC, id ASC (not yet limited — the reference's trailing
+    *         `$limit` and post-fusion `$match` are applied by the caller,
+    *         placement matters: SURVEY §4.1).
+    */
+  def fuse(
+      vec: DataFrame,
+      txt: DataFrame,
+      vecWeight: Double = 10.0,
+      txtWeight: Double = 1.0): DataFrame = {
+    val v = vec.select(col("id").as("vid"), col("score").as("vec_raw"))
+    val t = txt.select(col("id").as("tid"), col("score").as("txt_raw"))
+    v.join(t, v("vid") === t("tid"), "full_outer")
+      .select(
+        coalesce(col("vid"), col("tid")).as("id"),
+        round(
+          lit(vecWeight) * coalesce(sigmoid(col("vec_raw")), lit(0.0)) +
+            lit(txtWeight) * coalesce(sigmoid(col("txt_raw")), lit(0.0)),
+          ScoreDecimals).as("score"),
+        round(sigmoid(col("vec_raw")), ScoreDecimals).as("vec_norm"),
+        col("vec_raw"),
+        round(sigmoid(col("txt_raw")), ScoreDecimals).as("txt_norm"),
+        col("txt_raw"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.search
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text search — the Spark rendition of the reference's
+  * `$search.text` stage (`backend/api.py:256-263`), whose Lucene index is
+  * declared in `indexes.py:73-88` (field `title`, dynamic:false).
+  *
+  * The Lucene inverted index becomes two side tables (reference S6):
+  *
+  *   - `postings(id, term, tf, dl)` — per (document, term) frequency with
+  *     the document length denormalized in, so scoring needs no second join;
+  *   - `termDf(term, df)` — document frequency per term;
+  *
+  * plus two scalars (`numDocs`, `avgdl`) fixed at index-build time.
+  *
+  * Scale shape: the index build is one explode + two hash aggregations
+  * (map-side partial combine applies to both). At 100 TB the postings table
+  * is written bucketed/partitioned by `term` so a query's
+  * `WHERE term IN (...)` prunes to the touched buckets; `termDf` is tiny
+  * (vocabulary-sized) and always broadcast. A query then scans only the
+  * postings of its 3–10 terms — no full-corpus pass — and the final
+  * `ORDER BY score LIMIT k` is a TakeOrderedAndProject.
+  *
+  * Scoring (documented semantics, frozen — SURVEY §7.4 risk 1):
+  * classic BM25 with Lucene's idf,
+  *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *   contrib(t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * with k1 = 1.2, b = 0.75 (Lucene defaults). Query terms are distinct.
+  */
+object TextSearch {
+  val K1 = 1.2
+  val B = 0.75
+  val ScoreDecimals = 6
+
+  /** Inverted-index side tables (reference S6 DDL → batch build job). */
+  final case class Bm25Index(postings: DataFrame, termDf: DataFrame, numDocs: Long, avgdl: Double)
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val toks = docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val postings = tf.join(dl, "id")
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // numDocs counts docs with ≥1 token == docs that can ever match;
+    // avgdl over the same set (exact integer ratio, oracle-reproducible).
+    val statsRow = dl.agg(count(lit(1)), avg(col("dl"))).head()
+    val n = statsRow.getLong(0)
+    Bm25Index(postings, termDf, n, if (n == 0) 0.0 else statsRow.getDouble(1))
+  }
+
+  def queryTerms(queryText: String): Seq[String] =
+    queryText.toLowerCase.split(Text.SplitRe).filter(_.nonEmpty).distinct.toSeq
+
+  /** Relevance-ranked matches: (id, score), score DESC, id ASC, top k.
+    * `k = Int.MaxValue` = unlimited (the reference's `$search` stage has no
+    * internal limit — trailing `$limit` is a separate stage). */
+  def search(index: Bm25Index, queryText: String, k: Int = Int.MaxValue): DataFrame = {
+    val terms = queryTerms(queryText)
+    if (terms.isEmpty)
+      return index.postings.select(col("id"), lit(0.0).as("score")).where(lit(false))
+    val matched = index.postings
+      .where(col("term").isin(terms: _*))
+      .join(broadcast(index.termDf.where(col("term").isin(terms: _*))), "term")
+    val idf = log(lit(1.0) + (lit(index.numDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(index.avgdl)))
+    val scored = matched
+      .withColumn("contrib", contrib)
+      .groupBy("id")
+      .agg(round(sum(col("contrib")), ScoreDecimals).as("score"))
+    val ranked = scored.orderBy(col("score").desc, col("id").asc)
+    if (k == Int.MaxValue) ranked else ranked.limit(k)
+  }
+
+  /** End-to-end convenience: build + search over a raw document table. */
+  def fullTextSearch(docs: DataFrame, idCol: String, textCol: String,
+      queryText: String, k: Int = Int.MaxValue): DataFrame =
+    search(buildIndex(docs, idCol, textCol), queryText, k)
+
+  /** DuckDB CTE block for the same computation (shares the frozen tokenizer
+    * and constants), ending in a `bm25(id, score)` relation — unranked, so
+    * callers compose post-filters / fusion / limits around it exactly like
+    * the Spark side does. Paste after `WITH `. */
+  def oracleCtes(docsTable: String, idExpr: String, textExpr: String,
+      queryText: String): String = {
+    val terms = queryTerms(queryText).map(t => s"'$t'").mkString(", ")
+    s"""toks AS (
+       |  SELECT $idExpr AS id, unnest(${Text.sqlTokens(textExpr)}) AS term FROM $docsTable
+       |), tf AS (
+       |  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT id, count(*) AS dl FROM toks GROUP BY 1
+       |), bstats AS (
+       |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+       |), df AS (
+       |  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+       |), contrib AS (
+       |  SELECT tf.id,
+       |         ln(1.0 + (bstats.n - df.df + 0.5) / (df.df + 0.5))
+       |           * (tf.tf * ${K1 + 1.0}) / (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / bstats.avgdl)) AS c
+       |  FROM tf JOIN df USING (term) JOIN dl USING (id) CROSS JOIN bstats
+       |  WHERE tf.term IN ($terms)
+       |), bm25 AS (
+       |  SELECT id, round(sum(c), $ScoreDecimals) AS score FROM contrib GROUP BY 1
+       |)""".stripMargin
+  }
+}
