@@ -5,6 +5,7 @@ import graft.embed.Embedder
 import graft.etl.Flatten
 import graft.functions.Vectors
 import graft.search.{TextSearch, VectorSearch}
+import graft.text.TextAnalysis
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -117,6 +118,31 @@ object SparkEntry {
       .orderBy("o_orderkey", "l_linenumber", "l_partkey", "l_quantity", "o_custkey")
   }
 
+  /** North-star text analysis: whitespace + BPE-ish token counts and the
+    * frozen quality heuristic, per document. */
+  private def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** North-star language-ID: marker-ratio argmax per document. */
+  private def qLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.langScore(col("text"), "en").as("en_score"))
+      .orderBy("doc_id")
+
+  /** North-star document fingerprint: min/max shingle-hash sketch. */
+  private def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .select(col("doc_id"), col("fp.fp_min").as("fp_min"), col("fp.fp_max").as("fp_max"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -125,6 +151,9 @@ object SparkEntry {
     "q_fulltext_postfilter" -> ((s, dir) => qFulltextPostfilter(s, dir)),
     "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
     "q_flatten" -> ((s, dir) => qFlatten(s, dir)),
+    "q_text_stats" -> ((s, dir) => qTextStats(s, dir)),
+    "q_langid" -> ((s, dir) => qLangId(s, dir)),
+    "q_fingerprint" -> ((s, dir) => qFingerprint(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -191,6 +220,22 @@ object SparkEntry {
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
     "q_distinct_sort" ->
       "SELECT DISTINCT source FROM documents WHERE source IS NOT NULL ORDER BY source",
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |       ${TextAnalysis.sqlWsTokenCount("text")} AS ws_tokens,
+         |       ${TextAnalysis.sqlBpeTokenCount("text")} AS bpe_tokens,
+         |       ${TextAnalysis.sqlQualityScore("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      s"""SELECT doc_id,
+         |       ${TextAnalysis.sqlLangId("text")} AS lang_pred,
+         |       ${TextAnalysis.sqlLangScore("text", "en")} AS en_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |       ${TextAnalysis.sqlFingerprintMin("text")} AS fp_min,
+         |       ${TextAnalysis.sqlFingerprintMax("text")} AS fp_max
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,184 @@
+package graft.text
+
+import graft.functions.Text
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star additions — SURVEY §2.4 note, §7.2 step 10): token counting,
+  * quality scoring, language identification, document fingerprinting.
+  *
+  * Every operator is a pure Column expression over the shared frozen
+  * tokenizer ([[graft.functions.Text]]): no UDFs, fully inside whole-stage
+  * codegen, trivially data-parallel — at 100 TB each executor computes its
+  * partition's columns with zero shuffle (these are all narrow maps). Each
+  * operator has a DuckDB SQL rendition for the oracle.
+  *
+  * All heuristics are FROZEN and documented here; correctness = the SQL
+  * oracle computes the identical number, not agreement with any external
+  * language model (SURVEY §7.4 risk 1 applies to heuristics too).
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------ token counts
+
+  /** Whitespace token count — `split` on runs of whitespace. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= lit("")))
+
+  def sqlWsTokenCount(expr: String): String =
+    s"len(list_filter(string_split_regex($expr, '\\s+'), t -> t <> ''))"
+
+  /** BPE-ish sub-word token count: word pieces of ≤ [[MaxPiece]] chars.
+    * A word of L alphanumeric chars costs ceil(L / MaxPiece) tokens
+    * (approximating byte-pair merges capping piece length), punctuation runs
+    * cost 1 token each. Deterministic, closed-form — the point is a
+    * scale-cheap corpus token budget, not tokenizer parity.
+    */
+  val MaxPiece = 4
+
+  def bpeTokenCount(text: Column): Column = {
+    val words = Text.tokens(text)
+    val wordCost = aggregate(words, lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / lit(MaxPiece.toDouble)).cast("long"))
+    // punctuation runs: tokens of the complement alphabet
+    val punct = size(filter(split(lower(text), "[a-z0-9\\s]+"), t => t =!= lit("")))
+    wordCost + punct.cast("long")
+  }
+
+  def sqlBpeTokenCount(expr: String): String = {
+    val words = Text.sqlTokens(expr)
+    s"""(coalesce(list_sum(list_transform($words, w -> ceil(length(w) / ${MaxPiece}.0)::BIGINT)), 0)
+       | + len(list_filter(string_split_regex(lower($expr), '[a-z0-9\\s]+'), t -> t <> '')))""".stripMargin.replace("\n", "")
+  }
+
+  // ---------------------------------------------------------- quality score
+
+  /** Frozen quality heuristic over [0,1] (higher = better training text):
+    *
+    *   q = 0.3·lengthScore + 0.3·(1 − stopRatio) + 0.2·alphaRatio + 0.2·diversity
+    *
+    *   - lengthScore = min(1, tokens/50)         (reward non-trivial length)
+    *   - stopRatio   = stopword tokens / tokens   (penalize boilerplate)
+    *   - alphaRatio  = [a-z0-9 ] chars / chars    (penalize punctuation soup)
+    *   - diversity   = distinct tokens / tokens   (penalize repetition)
+    *
+    * Rounded to 6 decimals (shared with every scored operator).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def qualityScore(text: Column): Column = {
+    val toks = Text.tokens(text)
+    val n = size(toks).cast("double")
+    val stopRatio = when(n === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isInCollection(Stopwords))).cast("double") / n)
+    val lengthScore = least(lit(1.0), n / lit(50.0))
+    val alphaRatio = when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") /
+        length(text).cast("double"))
+    val diversity = when(n === 0, lit(0.0)).otherwise(
+      size(array_distinct(toks)).cast("double") / n)
+    round(lit(0.3) * lengthScore + lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.2) * alphaRatio + lit(0.2) * diversity, 6)
+  }
+
+  def sqlQualityScore(expr: String): String = {
+    val toks = Text.sqlTokens(expr)
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""round(
+       |  0.3 * least(1.0, len($toks) / 50.0)
+       |  + 0.3 * (1.0 - CASE WHEN len($toks) = 0 THEN 0.0
+       |      ELSE len(list_filter($toks, t -> t IN ($stops)))::DOUBLE / len($toks) END)
+       |  + 0.2 * CASE WHEN length($expr) = 0 THEN 0.0
+       |      ELSE length(regexp_replace(lower($expr), '[^a-z0-9 ]', '', 'g'))::DOUBLE / length($expr) END
+       |  + 0.2 * CASE WHEN len($toks) = 0 THEN 0.0
+       |      ELSE len(list_distinct($toks))::DOUBLE / len($toks) END, 6)""".stripMargin
+  }
+
+  // ----------------------------------------------------------- language ID
+
+  /** Marker-word sets per language (tiny frozen stopword lists). Score(lang)
+    * = marker tokens / total tokens; winner = argmax, ties broken by
+    * language code ascending; no tokens → "und".
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to", "in", "it"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "de", "que", "para", "un"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "de", "que", "un", "une", "pour"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "ren", "you", "wo"),
+  )
+
+  /** Per-language marker ratio, rounded to 6 decimals. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    val toks = Text.tokens(text)
+    val n = size(toks).cast("double")
+    round(when(n === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isInCollection(markers))).cast("double") / n), 6)
+  }
+
+  /** Predicted language code: argmax marker ratio, tie-break code ASC. */
+  def langId(text: Column): Column = {
+    // fold over (score, code) pairs keeping the max; seed with ("und", 0)
+    val scored = LangMarkers.map { case (code, _) => (code, langScore(text, code)) }
+    scored.foldLeft(struct(lit(0.0).as("s"), lit("und").as("c"))) {
+      case (best, (code, s)) =>
+        when(s > best.getField("s"), struct(s.as("s"), lit(code).as("c"))).otherwise(best)
+    }.getField("c")
+  }
+
+  def sqlLangScore(expr: String, lang: String): String = {
+    val markers = LangMarkers.toMap.apply(lang).map(s => s"'$s'").mkString(", ")
+    val toks = Text.sqlTokens(expr)
+    s"""round(CASE WHEN len($toks) = 0 THEN 0.0
+       | ELSE len(list_filter($toks, t -> t IN ($markers)))::DOUBLE / len($toks) END, 6)""".stripMargin.replace("\n", "")
+  }
+
+  def sqlLangId(expr: String): String =
+    // same fold, strictly-greater keeps first (= code ASC) on ties
+    LangMarkers.foldLeft("struct_pack(s := 0.0, c := 'und')") { case (best, (code, _)) =>
+      val s = sqlLangScore(expr, code)
+      s"""(CASE WHEN $s > ($best).s THEN struct_pack(s := $s, c := '$code') ELSE $best END)"""
+    } + ".c"
+
+  // --------------------------------------------------------- fingerprinting
+
+  /** Rolling-hash document fingerprint: min/max 60-bit hash over the
+    * document's [[ShingleSize]]-token shingles (a 2-value winnowing sketch).
+    * Identical content → identical fingerprint regardless of row order or
+    * partitioning; used both as a cheap identity and as the dedup prefilter.
+    */
+  val ShingleSize = 3
+
+  /** array<string> of k-token shingles (tokens joined by single spaces).
+    * Documents shorter than k tokens get one shingle = all tokens. */
+  def shingles(text: Column, k: Int = ShingleSize): Column = {
+    val toks = Text.tokens(text)
+    val n = size(toks)
+    val idx = sequence(lit(1), greatest(n - lit(k - 1), lit(1)))
+    when(n === 0, array().cast("array<string>")).otherwise(
+      array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  def sqlShingles(expr: String, k: Int = ShingleSize): String = {
+    val toks = Text.sqlTokens(expr)
+    // DuckDB list comprehension over generate_series; slice via list[i:i+k-1]
+    s"""(CASE WHEN len($toks) = 0 THEN []::VARCHAR[]
+       | ELSE list_distinct([array_to_string(list_slice($toks, i, i + ${k - 1}), ' ')
+       |   for i in generate_series(1, greatest(len($toks) - ${k - 1}, 1))]) END)""".stripMargin.replace("\n", "")
+  }
+
+  /** (minHash, maxHash) fingerprint struct of the shingle set. */
+  def fingerprint(text: Column): Column = {
+    val hashes = transform(shingles(text), s => Text.hash60(s))
+    struct(
+      array_min(hashes).as("fp_min"),
+      array_max(hashes).as("fp_max"))
+  }
+
+  def sqlFingerprintMin(expr: String): String =
+    s"list_min(list_transform(${sqlShingles(expr)}, s -> ${Text.sqlHash60("s")}))"
+  def sqlFingerprintMax(expr: String): String =
+    s"list_max(list_transform(${sqlShingles(expr)}, s -> ${Text.sqlHash60("s")}))"
+}
