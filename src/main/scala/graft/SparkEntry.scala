@@ -1,6 +1,7 @@
 package graft
 
 import graft.api.FoodFinder
+import graft.dedup.Dedup
 import graft.embed.Embedder
 import graft.etl.Flatten
 import graft.functions.Vectors
@@ -143,6 +144,40 @@ object SparkEntry {
       .select(col("doc_id"), col("fp.fp_min").as("fp_min"), col("fp.fp_max").as("fp_max"))
       .orderBy("doc_id")
 
+  // Dedup family thresholds (frozen; tuned on sf0.01 so outputs are
+  // non-empty but selective — 25 true near-dup pairs exist there).
+  private val JaccardThr = 0.5
+  private val SimhashMaxDist = 1
+  private val CosineThr = 0.45
+
+  /** North-star exact dedup: keep-decision per doc (hash-groupBy). */
+  private def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** North-star exact n-gram-Jaccard near-dup pairs. */
+  private def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThr)
+      .orderBy("id1", "id2")
+
+  /** North-star MinHash+LSH near-dup pairs (banded candidates, exact
+    * Jaccard verify). */
+  private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThr)
+      .orderBy("id1", "id2")
+
+  /** North-star SimHash near-dup pairs (pigeonhole-chunk candidates). */
+  private def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text"), SimhashMaxDist)
+      .orderBy("id1", "id2")
+
+  /** North-star embedding-cosine near-dup pairs over the embeddings table. */
+  private def qNeardupCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr)
+      .orderBy("id1", "id2")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -154,6 +189,11 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) => qTextStats(s, dir)),
     "q_langid" -> ((s, dir) => qLangId(s, dir)),
     "q_fingerprint" -> ((s, dir) => qFingerprint(s, dir)),
+    "q_dedup_exact" -> ((s, dir) => qDedupExact(s, dir)),
+    "q_dedup_jaccard" -> ((s, dir) => qDedupJaccard(s, dir)),
+    "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
+    "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
+    "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -236,6 +276,25 @@ object SparkEntry {
          |       ${TextAnalysis.sqlFingerprintMin("text")} AS fp_min,
          |       ${TextAnalysis.sqlFingerprintMax("text")} AS fp_max
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      s"""SELECT h.id AS doc_id, h.text_hash, g.group_n, h.id = g.keep_id AS keep
+         |FROM (SELECT doc_id AS id, md5(text) AS text_hash FROM documents) h
+         |JOIN (SELECT text_hash, count(*) AS group_n, min(id) AS keep_id
+         |      FROM (SELECT doc_id AS id, md5(text) AS text_hash FROM documents)
+         |      GROUP BY 1) g USING (text_hash)
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      (Dedup.sqlJaccardPairs("documents", "doc_id", "text", JaccardThr) +
+        "\nORDER BY id1, id2"),
+    "q_dedup_minhash" ->
+      (Dedup.sqlMinhashPairs("documents", "doc_id", "text", JaccardThr) +
+        "\nORDER BY id1, id2"),
+    "q_dedup_simhash" ->
+      (Dedup.sqlSimhashPairs("documents", "doc_id", "text", SimhashMaxDist) +
+        "\nORDER BY id1, id2"),
+    "q_neardup_cosine" ->
+      (Dedup.sqlCosinePairs("embeddings", "vec_id", "embedding", CosineThr) +
+        "\nORDER BY id1, id2"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,

@@ -1,0 +1,293 @@
+package graft.dedup
+
+import graft.functions.{Text, Vectors}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (north-star additions): exact, n-gram Jaccard, MinHash+LSH, SimHash and
+  * embedding-cosine near-duplicate detection.
+  *
+  * Scale design (the point of each variant):
+  *
+  *   - [[exact]] — one hash-groupBy; the canonical-keeper choice (min id) is
+  *     a map-side-combinable `min` agg. Linear, one shuffle on the text hash.
+  *   - [[jaccardPairs]] — EXACT pairwise Jaccard via a shingle-postings
+  *     self-join. Correct but the join on shingle is quadratic in the
+  *     per-shingle posting lists; it is the small-scale oracle baseline and
+  *     the verifier behind LSH candidates.
+  *   - [[minhashCandidates]]/[[minhashPairs]] — the 100 TB path: constant-size
+  *     (16-hash) signature per doc, candidates only where an LSH band
+  *     collides (4 bands × 4 rows). Shuffle volume ∝ docs × bands, never
+  *     pairs. Verified against exact Jaccard afterwards, so precision = 1 and
+  *     only recall depends on banding.
+  *   - [[simhash]]/[[simhashPairs]] — 32-bit fingerprints; near-dup =
+  *     Hamming distance ≤ d. Candidate pairs via the pigeonhole chunk trick
+  *     (split into d+1 chunks; any pair within distance d shares ≥1 exact
+  *     chunk) — equality joins only, no cross product, same results as brute
+  *     force.
+  *   - [[cosinePairs]] — brute self-join for oracle-checkable exactness; the
+  *     scale path for embeddings is IVF bucketing ([[graft.index.Ivf]]) or
+  *     sign-LSH over the same banding machinery.
+  *
+  * All hashes derive from the shared [[Text.hash60]] so the DuckDB oracle
+  * reproduces every bit.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup decision per row: (id, text_hash, group_n, keep) where
+    * keep ⇔ id is the minimum id of its identical-text group. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"), md5(col(textCol)).as("text_hash"))
+    val groups = hashed.groupBy("text_hash")
+      .agg(count(lit(1)).as("group_n"), min(col("id")).as("keep_id"))
+    hashed.join(groups, "text_hash")
+      .select(col("id"), col("text_hash"), col("group_n"),
+        (col("id") === col("keep_id")).as("keep"))
+  }
+
+  def sqlExact(docsTable: String, idExpr: String, textExpr: String): String =
+    s"""WITH hashed AS (
+       |  SELECT $idExpr AS id, md5($textExpr) AS text_hash FROM $docsTable
+       |), groups AS (
+       |  SELECT text_hash, count(*) AS group_n, min(id) AS keep_id
+       |  FROM hashed GROUP BY 1
+       |)
+       |SELECT h.id, h.text_hash, g.group_n, h.id = g.keep_id AS keep
+       |FROM hashed h JOIN groups g USING (text_hash)""".stripMargin
+
+  // ---------------------------------------------------- shingles / Jaccard
+
+  /** Distinct-shingle postings: (id, shingle-hash). The base relation for
+    * Jaccard and MinHash. */
+  def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = TextAnalysis.ShingleSize): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+      .select(col("id"), Text.hash60(col("sh")).as("h"))
+
+  private def sqlShinglePostings(docsTable: String, idExpr: String, textExpr: String): String =
+    s"""SELECT id, ${Text.sqlHash60("sh")} AS h FROM (
+       |  SELECT $idExpr AS id, unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
+       |  FROM $docsTable)""".stripMargin
+
+  /** Exact n-gram-Jaccard near-dup pairs: (id1, id2, jaccard) with
+    * jaccard ≥ threshold, id1 < id2, rounded to 6 decimals. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val p = shinglePostings(docs, idCol, textCol)
+    val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = p.select(col("id").as("id1"), col("h"))
+    val b = p.select(col("id").as("id2"), col("h"))
+    val inter = a.join(b, "h").where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    val s1 = sizes.select(col("id").as("id1"), col("sz").as("sz1"))
+    val s2 = sizes.select(col("id").as("id2"), col("sz").as("sz2"))
+    inter.join(s1, "id1").join(s2, "id2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  def sqlJaccardPairs(docsTable: String, idExpr: String, textExpr: String,
+      threshold: Double): String =
+    s"""WITH p AS (${sqlShinglePostings(docsTable, idExpr, textExpr)}),
+       |sizes AS (SELECT id, count(*) AS sz FROM p GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+       |  FROM p a JOIN p b ON a.h = b.h AND a.id < b.id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id1, id2,
+       |       round(inter::DOUBLE / (s1.sz + s2.sz - inter), 6) AS jaccard
+       |FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+       |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 6) >= $threshold""".stripMargin
+
+  // ------------------------------------------------------------ MinHash+LSH
+
+  /** 16 affine hash functions h_i(x) = (a_i·x + b_i) mod P over the 31-bit
+    * reduction of the shingle hash. P = 2³¹−1 (prime); products stay well
+    * inside 63 bits so Spark and DuckDB BIGINT arithmetic agree exactly. */
+  val MinhashP: Long = 2147483647L
+  val MinhashA: Seq[Long] = Seq(
+    1103515245L, 1234567891L, 766245317L, 913647891L,
+    1676943009L, 515245103L, 894567121L, 103654297L,
+    1794967291L, 632145987L, 1402345877L, 789123457L,
+    198765433L, 1567891234L, 456789123L, 987654321L)
+  val MinhashB: Seq[Long] = Seq(
+    12345L, 67891L, 24680L, 13579L, 86420L, 97531L, 11111L, 22222L,
+    33333L, 44444L, 55555L, 66666L, 77777L, 88888L, 99999L, 10101L)
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** MinHash signature per doc: (id, sig_0 … sig_15). Docs with no shingles
+    * are dropped (no signature ⇒ never a candidate — matches Atlas-style
+    * "no tokens, no match" semantics). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = shinglePostings(docs, idCol, textCol)
+      .withColumn("h31", pmod(col("h"), lit(MinhashP)))
+    val aggs = (0 until NumHashes).map { i =>
+      min(pmod(lit(MinhashA(i)) * col("h31") + lit(MinhashB(i)), lit(MinhashP)))
+        .as(s"sig_$i")
+    }
+    p.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing ≥1 of the 4 bands (bands = 4
+    * consecutive signature slots hashed together). (id1, id2) distinct. */
+  def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val banded = (0 until Bands).map { b =>
+      val slots = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"sig_$i").cast("string"))
+      sigs.select(col("id"),
+        lit(b).as("band"),
+        md5(concat_ws(":", slots: _*)).as("bkey"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("id").as("id1"), col("band"), col("bkey"))
+    val r = banded.select(col("id").as("id2"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey")).where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** LSH candidates verified with exact Jaccard ≥ threshold:
+    * (id1, id2, jaccard). Precision 1; recall governed by banding. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val cands = minhashCandidates(minhashSignatures(docs, idCol, textCol))
+    jaccardPairs(docs, idCol, textCol, threshold)
+      .join(cands, Seq("id1", "id2"))
+      .select("id1", "id2", "jaccard")
+  }
+
+  def sqlMinhashPairs(docsTable: String, idExpr: String, textExpr: String,
+      threshold: Double): String = {
+    val sigExprs = (0 until NumHashes).map { i =>
+      s"min((${MinhashA(i)} * h31 + ${MinhashB(i)}) % $MinhashP) AS sig_$i"
+    }.mkString(",\n         ")
+    val bandRows = (0 until Bands).map { b =>
+      val slots = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"sig_$i::VARCHAR").mkString(" || ':' || ")
+      s"SELECT id, $b AS band, md5($slots) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH p AS (${sqlShinglePostings(docsTable, idExpr, textExpr)}),
+       |p31 AS (SELECT id, ((h % $MinhashP) + $MinhashP) % $MinhashP AS h31 FROM p),
+       |sigs AS (
+       |  SELECT id,
+       |         $sigExprs
+       |  FROM p31 GROUP BY id
+       |), banded AS (
+       |  $bandRows
+       |), cands AS (
+       |  SELECT DISTINCT l.id AS id1, r.id AS id2
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+       |  WHERE l.id < r.id
+       |), jacc AS (${sqlJaccardPairs(docsTable, idExpr, textExpr, threshold)})
+       |SELECT id1, id2, jaccard
+       |FROM jacc JOIN cands USING (id1, id2)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash per doc from term-frequency-weighted token hashes:
+    * bit j set ⇔ Σ_terms tf·(2·bit_j(hash60(term))−1) > 0. (id, simhash). */
+  val SimhashBits = 32
+
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", Text.hash60(col("term")))
+    val bitStructs = (0 until SimhashBits).map { j =>
+      struct(lit(j).as("j"),
+        (col("tf") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))).as("c"))
+    }
+    val perBit = toks.select(col("id"), explode(array(bitStructs: _*)).as("bc"))
+      .select(col("id"), col("bc.j").as("j"), col("bc.c").as("c"))
+      .groupBy("id", "j").agg(sum(col("c")).as("s"))
+    perBit
+      .withColumn("bit",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+      .groupBy("id").agg(sum(col("bit")).as("simhash"))
+  }
+
+  def sqlSimhash(docsTable: String, idExpr: String, textExpr: String): String =
+    s"""SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+       |FROM (
+       |  SELECT id, j, sum(c) AS s FROM (
+       |    SELECT id, u.j AS j, tf * (((h >> u.j) & 1) * 2 - 1) AS c
+       |    FROM (
+       |      SELECT id, term, count(*) AS tf, ${Text.sqlHash60("term")} AS h
+       |      FROM (SELECT $idExpr AS id, unnest(${Text.sqlTokens(textExpr)}) AS term FROM $docsTable)
+       |      GROUP BY id, term
+       |    ), (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j) u
+       |  ) GROUP BY id, j
+       |) GROUP BY id""".stripMargin
+
+  /** Near-dup pairs by Hamming distance ≤ maxDist: (id1, id2, dist).
+    *
+    * Candidates via pigeonhole chunking: the 32 bits split into maxDist+1
+    * contiguous chunks; any pair within distance maxDist agrees exactly on
+    * ≥1 chunk, so an equality join per chunk finds every such pair — no
+    * cross product, shuffle ∝ docs × chunks. Exact-verify keeps dist ≤ d.
+    */
+  def simhashPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val base = SimhashBits / chunks
+    val extra = SimhashBits % chunks
+    // chunk c covers [off, off+len): first `extra` chunks get base+1 bits
+    val bounds = (0 until chunks).map { c =>
+      val off = c * base + math.min(c, extra)
+      val len = base + (if (c < extra) 1 else 0)
+      (c, off, len)
+    }
+    val banded = bounds.map { case (c, off, len) =>
+      val mask = (1L << len) - 1L
+      sigs.select(col("id"), col("simhash"), lit(c).as("chunk"),
+        shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("ckey"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("id").as("id1"), col("simhash").as("sh1"), col("chunk"), col("ckey"))
+    val r = banded.select(col("id").as("id2"), col("simhash").as("sh2"), col("chunk"), col("ckey"))
+    l.join(r, Seq("chunk", "ckey")).where(col("id1") < col("id2"))
+      .withColumn("x", col("sh1").bitwiseXOR(col("sh2")))
+      .select(col("id1"), col("id2"), expr("bit_count(x)").cast("long").as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Oracle rendition: brute-force pairs (provably identical output to the
+    * chunked join: pigeonhole guarantees every dist ≤ d pair collides). */
+  def sqlSimhashPairs(docsTable: String, idExpr: String, textExpr: String,
+      maxDist: Int): String =
+    s"""WITH sh AS (${sqlSimhash(docsTable, idExpr, textExpr)})
+       |SELECT a.id AS id1, b.id AS id2, bit_count(xor(a.simhash, b.simhash)) AS dist
+       |FROM sh a JOIN sh b ON a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+
+  // ------------------------------------------------------- cosine near-dup
+
+  /** Embedding-cosine near-dup pairs: (id1, id2, sim) with rounded cosine ≥
+    * threshold, id1 < id2. Brute self-join — the oracle baseline; at scale
+    * route candidates through IVF buckets or sign-LSH instead. */
+  def cosinePairs(embs: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val a = embs.select(col(idCol).as("id1"), col(embCol).as("v1"))
+    val b = embs.select(col(idCol).as("id2"), col(embCol).as("v2"))
+    a.crossJoin(b).where(col("id1") < col("id2"))
+      .withColumn("sim", round(Vectors.cosine(col("v1"), col("v2")), 6))
+      .where(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+
+  def sqlCosinePairs(embsTable: String, idExpr: String, embExpr: String,
+      threshold: Double): String =
+    s"""SELECT a.$idExpr AS id1, b.$idExpr AS id2,
+       |       round(list_cosine_similarity(a.$embExpr::DOUBLE[], b.$embExpr::DOUBLE[]), 6) AS sim
+       |FROM $embsTable a JOIN $embsTable b ON a.$idExpr < b.$idExpr
+       |WHERE round(list_cosine_similarity(a.$embExpr::DOUBLE[], b.$embExpr::DOUBLE[]), 6) >= $threshold""".stripMargin
+}
