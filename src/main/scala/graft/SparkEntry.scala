@@ -5,6 +5,7 @@ import graft.dedup.Dedup
 import graft.embed.Embedder
 import graft.etl.Flatten
 import graft.functions.Vectors
+import graft.index.Ivf
 import graft.search.{TextSearch, VectorSearch}
 import graft.text.TextAnalysis
 import graft.util.Tables
@@ -178,6 +179,17 @@ object SparkEntry {
     Dedup.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr)
       .orderBy("id1", "id2")
 
+  /** S5/R7/R9 IVF ANN in its oracle-checkable exhaustive mode: probe depth
+    * ≥ N degenerates to exact top-k (recall 1), so the DuckDB exact-kNN SQL
+    * is a valid oracle; sub-exhaustive recall is unit-tested (IvfSpec). */
+  private def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val index = Ivf.build(e, "vec_id", "embedding")
+    Ivf.ann(index, e, "vec_id", "embedding", flagshipQueryVec,
+        k = 10, numCandidates = Int.MaxValue)
+      .select("vec_id", "score")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -194,6 +206,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
+    "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -276,6 +289,14 @@ object SparkEntry {
          |       ${TextAnalysis.sqlFingerprintMin("text")} AS fp_min,
          |       ${TextAnalysis.sqlFingerprintMax("text")} AS fp_max
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT h.id AS doc_id, h.text_hash, g.group_n, h.id = g.keep_id AS keep
          |FROM (SELECT doc_id AS id, md5(text) AS text_hash FROM documents) h

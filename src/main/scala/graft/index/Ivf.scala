@@ -1,0 +1,103 @@
+package graft.index
+
+import graft.functions.Vectors
+import graft.search.VectorSearch
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index — the Spark
+  * rendition of the reference's vector index DDL + ANN probe
+  * (`indexes.py:54-71` declares the Atlas index; `backend/api.py:168-180`
+  * probes it with `numCandidates` as the recall knob — SURVEY S5/R7/R9).
+  *
+  * Build (offline batch job, like `indexes.py`): k-means over the embedding
+  * column (`spark.ml.clustering.KMeans`, pinned seed); persist
+  *
+  *   - `assignments(id, cluster)` — row-per-vector, co-partitioned with the
+  *     base table on id (at scale: written bucketed by cluster so a probe
+  *     prunes file groups);
+  *   - `centroids` + per-cluster sizes — k × dim doubles, driver-side
+  *     (k ≈ √N keeps this a few MB even at 10⁹ vectors).
+  *
+  * Probe (query time): rank clusters by centroid distance to the query
+  * (driver-side arithmetic on the tiny centroid table, tie-break cluster id
+  * ASC), take clusters until the candidate pool ≥ numCandidates, scan ONLY
+  * those clusters' members, exact re-rank with [[VectorSearch.knn]].
+  * `numCandidates ≥ N` probes every cluster and degenerates to exact search
+  * (recall 1) — that is the oracle-checkable mode (SURVEY §5: IVF recall is
+  * unit-tested, not hash-compared).
+  *
+  * At 100 TB: the probe reads `numCandidates/N` of the data instead of all
+  * of it; the scan is partition-pruned by the cluster bucketing; the re-rank
+  * is a per-partition heap + k-row driver merge (TakeOrderedAndProject) —
+  * no shuffle of the candidate set.
+  */
+object Ivf {
+
+  /** @param assignments (id, cluster) mapping
+    * @param centroids   cluster id → centroid vector (driver-side)
+    * @param sizes       cluster id → member count (driver-side)
+    */
+  final case class IvfIndex(
+      assignments: DataFrame,
+      centroids: Map[Int, Array[Double]],
+      sizes: Map[Int, Long])
+
+  /** Batch index build. k defaults to ⌈√N⌉ (classic IVF sizing: probe cost
+    * balances centroid scan vs cluster scan). */
+  def build(embs: DataFrame, idCol: String, embCol: String,
+      numClusters: Int = 0, seed: Long = 42L): IvfIndex = {
+    val n = embs.count()
+    val k = if (numClusters > 0) numClusters
+      else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val feats = embs.select(col(idCol).as("id"),
+      array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(feats)
+    val assignments = model.transform(feats).select(col("id"), col("cluster"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> c.toArray }.toMap
+    val sizes = assignments.groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    IvfIndex(assignments, centroids, sizes)
+  }
+
+  /** Clusters to probe for `queryVec`, nearest-centroid first, until the
+    * cumulative member count reaches numCandidates. */
+  def probeSet(index: IvfIndex, queryVec: Array[Double], numCandidates: Int): Seq[Int] = {
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - queryVec(i); s += d * d; i += 1 }
+      s
+    }
+    val ranked = index.centroids.toSeq
+      .map { case (cid, c) => (dist2(c), cid) }
+      .sortBy { case (d, cid) => (d, cid) }
+    var pool = 0L
+    val picked = Seq.newBuilder[Int]
+    val it = ranked.iterator
+    while (pool < numCandidates && it.hasNext) {
+      val (_, cid) = it.next()
+      picked += cid
+      pool += index.sizes.getOrElse(cid, 0L)
+    }
+    picked.result()
+  }
+
+  /** ANN top-k: probe → candidate scan → exact re-rank. Same contract as
+    * [[VectorSearch.knn]] plus the index and the `numCandidates` knob. */
+  def ann(index: IvfIndex, table: DataFrame, idCol: String, embCol: String,
+      queryVec: Array[Double], k: Int, numCandidates: Int,
+      metric: String = "cosine", preFilter: Option[Column] = None): DataFrame = {
+    val probe = probeSet(index, queryVec, numCandidates)
+    val members = index.assignments
+      .where(col("cluster").isin(probe: _*))
+      .select(col("id").as("__ivf_id"))
+    val candidates = table.join(
+      broadcast(members), table(idCol) === col("__ivf_id")).drop("__ivf_id")
+    VectorSearch.knn(candidates, idCol, embCol, queryVec, k, metric, preFilter)
+  }
+}
