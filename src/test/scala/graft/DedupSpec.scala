@@ -1,0 +1,75 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup-family semantics: exact groups, Jaccard math, MinHash recall vs
+  * the exact baseline, SimHash chunk-join completeness. */
+class DedupSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the fast brown fox jumps over the lazy dog"),
+    (2L, "the fast brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text about spark engines"),
+    (4L, "the fast brown fox jumps over the lazy dog"), // exact dup of 1
+  ).toDF("id", "text")
+
+  test("exact dedup keeps the min id per identical-text group") {
+    val got = Dedup.exact(docs, "id", "text")
+      .select("id", "group_n", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set((1L, 2L, true), (4L, 2L, false), (2L, 1L, true), (3L, 1L, true)))
+  }
+
+  test("jaccard pairs: hand-computed shingle overlap") {
+    // docs 1 & 4 identical → jaccard 1.0; docs 1 & 2 each have 7 distinct
+    // 3-shingles and share all but the last → intersection 6, union 8 → 0.75
+    val got = Dedup.jaccardPairs(docs, "id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 4L)) === 1.0)
+    assert(got((1L, 2L)) === 0.75)
+    assert(got((2L, 4L)) === got((1L, 2L))) // 4 is a copy of 1
+    assert(got.size === 3)
+  }
+
+  test("minhash LSH finds the full exact-Jaccard pair set on sf0.001 (recall 1 here)") {
+    val d = Tables.documents(spark, Sf0001)
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(d, "doc_id", "text", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    assert(lsh === exact)
+  }
+
+  test("simhash chunked candidate join equals brute-force pairs") {
+    val d = Tables.documents(spark, Sf0001)
+    val sigs = Dedup.simhash(d, "doc_id", "text").cache()
+    val chunked = Dedup.simhashPairs(sigs, 2)
+      .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+    // brute force over the same signatures
+    val a = sigs.select(col("id").as("id1"), col("simhash").as("s1"))
+    val b = sigs.select(col("id").as("id2"), col("simhash").as("s2"))
+    val brute = a.crossJoin(b).where(col("id1") < col("id2"))
+      .withColumn("x", col("s1").bitwiseXOR(col("s2")))
+      .select(col("id1"), col("id2"), expr("bit_count(x)").cast("long").as("dist"))
+      .where(col("dist") <= 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(chunked === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("cosine near-dup pairs: identical vector pair detected, threshold respected") {
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)),
+    ).toDF("id", "emb")
+    val got = Dedup.cosinePairs(e, "id", "emb", 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.embed.{Embedder, HashingEmbedder}
+import graft.functions.{Text, Vectors}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity math, tokenizer, and embedder invariants (SURVEY §5 unit
+  * plan: similarity vs hand-computed values; cosine symmetry/bounds).
+  * Property-style cases use a seeded Random (scalatestplus bridge is not in
+  * the offline cache, so no ScalaCheck forAll). */
+class FunctionsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def eval1(a: Seq[Double], b: Seq[Double],
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double =
+    Seq((a, b)).toDF("a", "b").select(f(col("a"), col("b")).as("r"))
+      .head().getDouble(0)
+
+  test("dot product matches hand-computed value") {
+    assert(eval1(Seq(1.0, 2.0, 3.0), Seq(4.0, -5.0, 6.0), Vectors.dot) === 12.0)
+  }
+
+  test("cosine of identical vectors is 1, opposite is -1, orthogonal is 0") {
+    assert(math.abs(eval1(Seq(1.0, 2.0), Seq(1.0, 2.0), Vectors.cosine) - 1.0) < 1e-12)
+    assert(math.abs(eval1(Seq(1.0, 2.0), Seq(-1.0, -2.0), Vectors.cosine) + 1.0) < 1e-12)
+    assert(math.abs(eval1(Seq(1.0, 0.0), Seq(0.0, 3.0), Vectors.cosine)) < 1e-12)
+  }
+
+  test("euclidean matches hand-computed value") {
+    assert(eval1(Seq(0.0, 3.0), Seq(4.0, 0.0), Vectors.euclidean) === 5.0)
+  }
+
+  test("atlas score normalization lands in [0,1] per metric") {
+    val v = Seq(0.3, -0.7, 0.5)
+    val w = Seq(-0.2, 0.9, 0.1)
+    for (m <- Seq("cosine", "dotProduct", "euclidean")) {
+      val s = eval1(v, w, (a, b) => Vectors.score(m, a, b))
+      assert(s >= 0.0 && s <= 1.0, s"$m score $s out of [0,1]")
+    }
+  }
+
+  test("cosine symmetry and bounds (property, seeded)") {
+    val rnd = new scala.util.Random(42)
+    // evaluate all samples in one Spark job
+    val samples = Seq.fill(25)(
+      (Seq.fill(8)(rnd.nextDouble() * 2 - 1), Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val rows = samples.toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("ab"),
+        Vectors.cosine(col("b"), col("a")).as("ba"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("tokenizer lowercases, splits on non-alphanumerics, drops empties") {
+    val got = Seq("Fast, FAST sort!! 2x").toDF("t")
+      .select(Text.tokens(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("fast", "fast", "sort", "2x"))
+  }
+
+  test("hash60 is non-negative and stable") {
+    val got = Seq("fast key order", "fast key order").toDF("t")
+      .select(Text.hash60(col("t"))).collect().map(_.getLong(0))
+    assert(got(0) === got(1) && got(0) >= 0L)
+  }
+
+  test("hashing embedder: deterministic, unit-norm, fixed dim") {
+    val e = new HashingEmbedder(Embedder.TestdataDim)
+    val v1 = e.embed("nuggets para desayuno")
+    val v2 = e.embed("nuggets para desayuno")
+    assert(v1.toSeq === v2.toSeq)
+    assert(v1.length === 64)
+    assert(math.abs(math.sqrt(v1.map(x => x * x).sum) - 1.0) < 1e-12)
+    assert(e.embed("").forall(_ === 0.0))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.api.FoodFinder
+import graft.search.{ScoreFusion, TextSearch, VectorSearch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector top-k, BM25 on a hand-computed toy corpus, score fusion, and
+  * filter-placement semantics (SURVEY §5 unit plan + FIXTURES.md
+  * invariants). */
+class SearchSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // 4 unit-ish vectors on the plane: ids ordered so ties are observable
+  private def vecs = Seq(
+    (1L, Seq(1.0, 0.0), "en"),
+    (2L, Seq(0.8, 0.6), "en"),
+    (3L, Seq(0.0, 1.0), "de"),
+    (4L, Seq(-1.0, 0.0), "en"),
+  ).toDF("id", "emb", "lang")
+
+  test("knn: pre-filter returns exactly min(k, matching) rows; ranked desc") {
+    val q = Array(1.0, 0.0)
+    val all = VectorSearch.knn(vecs, "id", "emb", q, k = 10)
+    assert(all.count() === 4)
+    val got = all.select("id").as[Long].collect()
+    assert(got === Seq(1L, 2L, 3L, 4L)) // cos: 1, .8, 0, -1
+    val filtered = VectorSearch.knn(vecs, "id", "emb", q, k = 10,
+      preFilter = Some(col("lang") === "de"))
+    assert(filtered.count() === 1) // min(k, matching)
+    val scores = all.select("score").as[Double].collect()
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("knn: top-k is a prefix of the full ranking (property)") {
+    val q = Array(0.3, 0.7)
+    val full = VectorSearch.knn(vecs, "id", "emb", q, k = 10).select("id").as[Long].collect()
+    for (k <- 1 to 4) {
+      val topk = VectorSearch.knn(vecs, "id", "emb", q, k).select("id").as[Long].collect()
+      assert(topk.toSeq === full.take(k).toSeq, s"k=$k")
+    }
+  }
+
+  // 3-doc toy corpus, hand-computed BM25 (k1=1.2, b=0.75, Lucene idf)
+  private def toyDocs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry date"),
+  ).toDF("id", "text")
+
+  test("bm25 matches hand-computed scores on the toy corpus") {
+    // N=3, dl = (3,2,2), avgdl = 7/3; df(apple)=1, df(cherry)=2
+    val idfApple = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    val idfCherry = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def contrib(idf: Double, tf: Double, dl: Double): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (7.0 / 3.0)))
+    val exp = Map(
+      1L -> contrib(idfApple, 2, 3),  // apple×2 in d1
+      2L -> contrib(idfCherry, 1, 2), // cherry in d2
+      3L -> contrib(idfCherry, 1, 2), // cherry in d3
+    ).map { case (k, v) => k -> math.rint(v * 1e6) / 1e6 }
+    val got = TextSearch.fullTextSearch(toyDocs, "id", "text", "apple cherry")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === exp)
+    // d2 and d3 tie exactly → id ASC ordering between them
+    val ranked = TextSearch.fullTextSearch(toyDocs, "id", "text", "apple cherry")
+      .select("id").as[Long].collect()
+    assert(ranked === Seq(1L, 2L, 3L))
+  }
+
+  test("bm25: empty query and unknown terms return no rows") {
+    assert(TextSearch.fullTextSearch(toyDocs, "id", "text", "—").count() === 0)
+    assert(TextSearch.fullTextSearch(toyDocs, "id", "text", "zzz").count() === 0)
+  }
+
+  test("fusion: missing side contributes 0, not sigmoid(0)") {
+    val vec = Seq((1L, 2.0)).toDF("id", "score")
+    val txt = Seq((2L, 3.0)).toDF("id", "score")
+    val got = ScoreFusion.fuse(vec, txt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(math.abs(got(1L) - math.rint(10 * sig(2.0) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got(2L) - math.rint(sig(3.0) * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("fusion: document in both pipelines gets weighted sum; monotone in each input") {
+    val vec = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "score")
+    val txt = Seq((1L, 0.5), (2L, 0.5)).toDF("id", "score")
+    val got = ScoreFusion.fuse(vec, txt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) > got(1L)) // higher vec raw → higher fused
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(math.abs(got(1L) - math.rint((10 * sig(1.0) + sig(0.5)) * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("mode validation mirrors the reference's request checks") {
+    assertThrows[IllegalArgumentException](FoodFinder.validate("bogus", None, None, 5))
+    assertThrows[IllegalArgumentException](FoodFinder.validate("vector", None, None, 5))
+    assertThrows[IllegalArgumentException](FoodFinder.validate("fulltext", Some("x"), None, 5))
+    assert(FoodFinder.validate("vector", Some("q"), None, 100) === 25) // clamp
+    assert(FoodFinder.validate("hybrid", Some("q"), Some("t"), 0) === 1)
+    assert(FoodFinder.validate("fulltext", None, Some("t"), 5) === 5)
+  }
+
+  test("post-filter placement can return fewer than k rows (hybrid/fulltext)") {
+    val docs = Seq(
+      (1L, "apple banana apple", Seq(1.0, 0.0), "en"),
+      (2L, "banana cherry", Seq(0.8, 0.6), "de"),
+      (3L, "cherry date", Seq(0.0, 1.0), "de"),
+    ).toDF("id", "text", "emb", "lang")
+    val tbl = FoodFinder.SearchTable(docs, "id", "emb", "text")
+    // all 3 match the text query terms' docs? query 'cherry' matches d2,d3;
+    // post-filter lang='en' removes both → 0 rows despite k=5
+    val got = FoodFinder.fulltext(tbl, "cherry", k = 5, filter = Some(col("lang") === "en"))
+    assert(got.count() === 0)
+    // vector mode pre-filters: k=5 over lang='en' → exactly 1 row
+    val gotV = FoodFinder.vector(tbl, Array(1.0, 0.0), k = 5, filter = Some(col("lang") === "en"))
+    assert(gotV.count() === 1)
+  }
+}
