@@ -6,6 +6,7 @@ import graft.embed.Embedder
 import graft.etl.Flatten
 import graft.functions.Vectors
 import graft.index.Ivf
+import graft.multimodal.Multimodal
 import graft.search.{TextSearch, VectorSearch}
 import graft.text.TextAnalysis
 import graft.util.Tables
@@ -190,6 +191,16 @@ object SparkEntry {
       .select("vec_id", "score")
   }
 
+  /** North-star multimodal plumbing: binary payload column → batched
+    * partition-local decode (stubbed codec) → byte-level features. The
+    * oracle recomputes the same features character-wise (the corpus is
+    * pure ASCII, so chars ≡ bytes). */
+  private def qMultimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(
+        Multimodal.assetsFromDocuments(Tables.documents(spark, dir), "doc_id", "text"))
+      .toDF()
+      .orderBy("asset_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -207,6 +218,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
+    "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -297,6 +309,19 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_multimodal" ->
+      """WITH chars AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS cs
+        |  FROM documents
+        |)
+        |SELECT doc_id AS asset_id,
+        |       len(cs)::BIGINT AS n_bytes,
+        |       coalesce(round(list_avg(cs), 6), 0.0) AS mean_byte,
+        |       len(list_filter(cs, c -> c // 64 = 0))::BIGINT AS h0,
+        |       len(list_filter(cs, c -> c // 64 = 1))::BIGINT AS h1,
+        |       len(list_filter(cs, c -> c // 64 = 2))::BIGINT AS h2,
+        |       len(list_filter(cs, c -> c // 64 = 3))::BIGINT AS h3
+        |FROM chars ORDER BY asset_id""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT h.id AS doc_id, h.text_hash, g.group_n, h.id = g.keep_id AS keep
          |FROM (SELECT doc_id AS id, md5(text) AS text_hash FROM documents) h
