@@ -8,6 +8,7 @@ import graft.functions.Vectors
 import graft.index.Ivf
 import graft.multimodal.Multimodal
 import graft.search.{TextSearch, VectorSearch}
+import graft.streaming.EventStreams
 import graft.text.TextAnalysis
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -201,6 +202,18 @@ object SparkEntry {
       .toDF()
       .orderBy("asset_id")
 
+  /** Streaming-capable tumbling-window aggregation, exercised in batch mode
+    * for the oracle (the same plan runs under readStream — StreamingSpec). */
+  private def qWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.windowedCounts(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization via built-in session_window (streaming-capable);
+    * oracle is the lag/cumsum SQL rendition. */
+  private def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionAgg(Tables.events(spark, dir))
+      .orderBy("user_id", "session_start")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -219,6 +232,8 @@ object SparkEntry {
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
+    "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
+    "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -309,6 +324,14 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_window_agg" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      (EventStreams.sqlSessionAgg(
+        "(SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events)") +
+        "\nORDER BY user_id, session_start"),
     "q_multimodal" ->
       """WITH chars AS (
         |  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS cs

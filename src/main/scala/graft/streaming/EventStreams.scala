@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` table shape
+  * (north-star addition — the reference has nothing streaming, SURVEY §2.4;
+  * the `events` fixture is reserved exactly for this).
+  *
+  * Design: every transform is declared once and runs in BOTH batch and
+  * streaming mode (the Spark-first way — same DataFrame program, Catalyst
+  * plans it incrementally under `readStream`). Batch mode is what the
+  * DuckDB oracle checks (q_window_agg / q_sessionize); streaming mode —
+  * watermarks, late-data drop, incremental state — is spec-tested with
+  * `MemoryStream`.
+  *
+  * Scale shape: tumbling-window counts are a streaming hash aggregation
+  * keyed on (window, type) — state size ∝ active windows × types, constant
+  * per event. Sessionization state is one struct per active user; the
+  * event-time timeout bounds it. Both shuffle once on their grouping key.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Internal per-user open-session state ([[sessionizeStateful]]); public
+    * because the state encoder's generated code instantiates it. */
+  final case class SessionState(startMs: Long, endMs: Long, n: Long, total: Double)
+
+  /** Tumbling-window counts/sums per event type. In streaming mode the
+    * watermark bounds state and drops data later than `lateness`. */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessions via the built-in `session_window` — one declaration,
+    * batch or streaming. session_start/end are the observed event extremes
+    * (min/max ts), not the padded window bounds, so the batch result is
+    * plain-SQL-reproducible. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+
+  /** Equivalent batch-only sessionization via analytic functions (lag +
+    * running sum of gap-breaks) — the cross-check for [[sessionAgg]] and the
+    * shape of the DuckDB oracle. */
+  def sessionAggBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // microsecond precision — the native resolution of Spark timestamps,
+    // mirrored by epoch_us in the oracle SQL
+    val gapUs = gapMinutes * 60L * 1000000L
+    // `>=` matches session_window's merge rule exactly: windows are
+    // [ts, ts+gap) half-open, so a diff of exactly `gap` does NOT merge.
+    // First row: lag is null → comparison null → otherwise(0); the cumsum
+    // still starts that user's first session at index 0.
+    val newSession = when(
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) >= gapUs, 1
+    ).otherwise(lit(0))
+    events
+      .withColumn("brk", newSession)
+      .withColumn("sess", sum(col("brk")).over(byUser))
+      .groupBy("user_id", "sess")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+  }
+
+  def sqlSessionAgg(eventsTable: String, gapMinutes: Int = 30): String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${gapMinutes * 60L * 1000000L}
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM $eventsTable
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, ts, value,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                        ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM marked
+       |)
+       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |       count(*) AS n_events, round(sum(value), 4) AS total_value
+       |FROM numbered GROUP BY user_id, sess""".stripMargin
+
+  /** Custom-state sessionization (`flatMapGroupsWithState`, event-time
+    * timeout): emits a [[Session]] when the watermark passes the session's
+    * end + gap. Demonstrates arbitrary stateful processing where
+    * session_window's merge semantics don't fit (e.g. per-session caps,
+    * value-dependent gaps). */
+  def sessionizeStateful(events: Dataset[Event], gapMinutes: Int = 30,
+      lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def fn(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total))
+      } else {
+        val evs = it.toSeq
+        val closed = Seq.newBuilder[Session]
+        // merge sorted events into (possibly) the existing open session,
+        // closing it whenever a gap exceeds gapMs
+        var cur = state.getOption.orNull
+        evs.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case null =>
+              cur = SessionState(t, t, 1L, e.value)
+            case s if t - s.endMs > gapMs =>
+              closed += Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
+              cur = SessionState(t, t, 1L, e.value)
+            case s =>
+              cur = SessionState(s.startMs, math.max(s.endMs, t), s.n + 1, s.total + e.value)
+          }
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.endMs + gapMs)
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

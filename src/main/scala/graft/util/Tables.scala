@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -22,6 +23,18 @@ object Tables {
     df.withColumn("embedding", df.col("embedding").cast("array<double>"))
   }
 
+  /** events with `ts` normalized to a microsecond TimestampType.
+    *
+    * The fixture stores TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp; `nanosAsLong` reads it as Long nanos, and the
+    * truncating `div 1000` matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+    * exactly, so oracle SQL must wrap events.ts in `ts::TIMESTAMP`. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
@@ -29,5 +42,4 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
 }

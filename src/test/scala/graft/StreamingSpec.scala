@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import graft.util.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics: incremental windowed aggregation, watermark
+  * late-data drop, custom-state sessionization, and batch/streaming parity
+  * of the same declared transform. */
+class StreamingSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+  private def tsAt(hour: Int, minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  test("windowedCounts: identical results in batch and streaming (complete) mode") {
+    val events = Seq(
+      Event(1, tsAt(10, 5), 1, "click", 1.0),
+      Event(2, tsAt(10, 40), 1, "click", 2.0),
+      Event(3, tsAt(11, 10), 2, "view", 3.0),
+    )
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    val mem = MemoryStream[Event](spark)
+    mem.addData(events: _*)
+    val q = EventStreams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wc").orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(batch.map(_(2)) === Seq(2L, 1L)) // 10:00 click ×2, 11:00 view ×1
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the lateness bound (append mode)") {
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.windowedCounts(mem.toDF(), windowDur = "10 minutes",
+        lateness = "5 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(8), 1, "click", 1.0))
+      q.processAllAvailable() // watermark → 10:03
+      mem.addData(Event(3, ts(30), 1, "click", 1.0)) // watermark → 10:25; closes ≤10:20
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(1), 1, "click", 99.0)) // late: 10:01 < watermark
+      q.processAllAvailable()
+      mem.addData(Event(5, ts(59), 1, "click", 1.0)) // advance watermark past 10:40
+      q.processAllAvailable()
+      val rows = spark.table("late")
+        .select("window_start", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      // the 10:00 window must NOT contain the late event's 99.0
+      assert(rows.contains((ts(0), 2L, 2.0)))
+      assert(rows.exists(_._1 == ts(30)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits sessions after the event-time timeout") {
+    val mem = MemoryStream[Event](spark)
+    val sessions = EventStreams.sessionizeStateful(mem.toDS(), gapMinutes = 10,
+      lateness = "1 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "view", 2.0))
+      q.processAllAvailable()
+      // push watermark far past session end + gap → timeout fires
+      mem.addData(Event(3, ts(59), 8, "click", 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, tsAt(12, 30), 8, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess").as[EventStreams.Session].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value))
+      assert(got.contains((7L, ts(0), ts(5), 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session_window agg equals the analytic-function batch sessionization on events fixture") {
+    val ev = Tables.events(spark, Sf0001)
+    val a = EventStreams.sessionAgg(ev)
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    val b = EventStreams.sessionAggBatch(ev)
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}
