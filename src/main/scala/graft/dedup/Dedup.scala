@@ -77,8 +77,13 @@ object Dedup {
   /** Exact n-gram-Jaccard near-dup pairs: (id1, id2, jaccard) with
     * jaccard ≥ threshold, id1 < id2, rounded to 6 decimals. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val p = shinglePostings(docs, idCol, textCol)
+      threshold: Double): DataFrame =
+    jaccardFromPostings(shinglePostings(docs, idCol, textCol), threshold)
+
+  /** Jaccard pairs over an existing (id, h) postings relation — lets
+    * [[minhashPairs]] reuse one cached postings scan for both signature
+    * build and verification. */
+  def jaccardFromPostings(p: DataFrame, threshold: Double): DataFrame = {
     val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = p.select(col("id").as("id1"), col("h"))
     val b = p.select(col("id").as("id2"), col("h"))
@@ -129,14 +134,16 @@ object Dedup {
   /** MinHash signature per doc: (id, sig_0 … sig_15). Docs with no shingles
     * are dropped (no signature ⇒ never a candidate — matches Atlas-style
     * "no tokens, no match" semantics). */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val p = shinglePostings(docs, idCol, textCol)
-      .withColumn("h31", pmod(col("h"), lit(MinhashP)))
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    signaturesFromPostings(shinglePostings(docs, idCol, textCol))
+
+  def signaturesFromPostings(p: DataFrame): DataFrame = {
+    val p31 = p.withColumn("h31", pmod(col("h"), lit(MinhashP)))
     val aggs = (0 until NumHashes).map { i =>
       min(pmod(lit(MinhashA(i)) * col("h31") + lit(MinhashB(i)), lit(MinhashP)))
         .as(s"sig_$i")
     }
-    p.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    p31.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing ≥1 of the 4 bands (bands = 4
@@ -159,8 +166,10 @@ object Dedup {
     * (id1, id2, jaccard). Precision 1; recall governed by banding. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val cands = minhashCandidates(minhashSignatures(docs, idCol, textCol))
-    jaccardPairs(docs, idCol, textCol, threshold)
+    // one shingle scan feeds both the signature build and the verify join
+    val p = shinglePostings(docs, idCol, textCol).cache()
+    val cands = minhashCandidates(signaturesFromPostings(p))
+    jaccardFromPostings(p, threshold)
       .join(cands, Seq("id1", "id2"))
       .select("id1", "id2", "jaccard")
   }
@@ -203,17 +212,18 @@ object Dedup {
         explode(Text.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("h", Text.hash60(col("term")))
-    val bitStructs = (0 until SimhashBits).map { j =>
-      struct(lit(j).as("j"),
-        (col("tf") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))).as("c"))
+    // one wide aggregation — 32 map-side-combinable sums per doc — instead
+    // of exploding 32 rows per (doc, term): shuffle volume stays ∝ terms,
+    // not terms × bits
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(col("tf") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+        .as(s"s_$j")
     }
-    val perBit = toks.select(col("id"), explode(array(bitStructs: _*)).as("bc"))
-      .select(col("id"), col("bc.j").as("j"), col("bc.c").as("c"))
-      .groupBy("id", "j").agg(sum(col("c")).as("s"))
-    perBit
-      .withColumn("bit",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-      .groupBy("id").agg(sum(col("bit")).as("simhash"))
+    val sums = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val hashVal = (0 until SimhashBits).map { j =>
+      when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("id"), hashVal.as("simhash"))
   }
 
   def sqlSimhash(docsTable: String, idExpr: String, textExpr: String): String =
@@ -276,10 +286,15 @@ object Dedup {
     * route candidates through IVF buckets or sign-LSH instead. */
   def cosinePairs(embs: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
-    val a = embs.select(col(idCol).as("id1"), col(embCol).as("v1"))
-    val b = embs.select(col(idCol).as("id2"), col(embCol).as("v2"))
+    // hoist the norms out of the O(N²) pair loop: each side's ‖v‖ is
+    // computed once per row, the per-pair work is a single codegen'd dot
+    val withNorm = embs.select(col(idCol).as("id"), col(embCol).as("v"),
+      Vectors.l2norm(col(embCol)).as("nrm"))
+    val a = withNorm.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1"))
+    val b = withNorm.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2"))
     a.crossJoin(b).where(col("id1") < col("id2"))
-      .withColumn("sim", round(Vectors.cosine(col("v1"), col("v2")), 6))
+      .withColumn("sim",
+        round(Vectors.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6))
       .where(col("sim") >= threshold)
       .select("id1", "id2", "sim")
   }

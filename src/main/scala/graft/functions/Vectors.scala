@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.graftshim.VectorExpressions.{DotProduct, SquaredDistance}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
 
 /** Vector similarity math as Column expressions over `array<double>`.
   *
@@ -17,19 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Σ aᵢ·bᵢ via a sequential left fold — same evaluation order DuckDB uses,
+  /** Σ aᵢ·bᵢ — a codegen'd Catalyst expression ([[VectorExpressions]]);
+    * left-to-right accumulation, the same evaluation order DuckDB uses,
     * which keeps floating-point results bit-comparable after rounding. */
   def dot(a: Column, b: Column): Column =
+    GraftShim.column(DotProduct(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** The interpreted higher-order-function rendition of [[dot]] — kept as
+    * the cross-check for the codegen path (FunctionsSpec asserts equality). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
   def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    sqrt(GraftShim.column(SquaredDistance(GraftShim.expression(a), GraftShim.expression(b))))
 
   /** Atlas-normalized similarity score in [0,1] (reference R8 semantics). */
   def score(metric: String, a: Column, b: Column): Column = metric match {

@@ -55,6 +55,18 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("codegen dot/sqdist match the interpreted HOF rendition bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val samples = Seq.fill(50)(
+      (Seq.fill(64)(rnd.nextDouble() * 2 - 1), Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val rows = samples.toDF("a", "b")
+      .select(
+        Vectors.dot(col("a"), col("b")).as("cg"),
+        Vectors.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("tokenizer lowercases, splits on non-alphanumerics, drops empties") {
     val got = Seq("Fast, FAST sort!! 2x").toDF("t")
       .select(Text.tokens(col("t"))).head().getSeq[String](0)
