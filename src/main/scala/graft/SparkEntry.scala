@@ -2,7 +2,7 @@ package graft
 
 import graft.api.FoodFinder
 import graft.dedup.Dedup
-import graft.embed.Embedder
+import graft.embed.{EmbedJob, Embedder}
 import graft.etl.Flatten
 import graft.functions.Vectors
 import graft.index.Ivf
@@ -214,6 +214,14 @@ object SparkEntry {
     EventStreams.sessionAgg(Tables.events(spark, dir))
       .orderBy("user_id", "session_start")
 
+  /** R16 corpus embedding as relational ops (sparse output) — the
+    * oracle-checkable shape of the embed ETL; the batched mapPartitions
+    * shape is parity-tested in EmbedSpec. */
+  private def qEmbedCorpus(spark: SparkSession, dir: String): DataFrame =
+    EmbedJob.embedRelational(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "dim")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -234,6 +242,7 @@ object SparkEntry {
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
+    "q_embed_corpus" -> ((s, dir) => qEmbedCorpus(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -324,6 +333,10 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_embed_corpus" ->
+      (EmbedJob.sqlEmbedRelational("documents", "doc_id", "text")
+        .replace("SELECT r.id, r.dim", "SELECT r.id AS doc_id, r.dim") +
+        "\nORDER BY doc_id, dim"),
     "q_window_agg" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 4) AS total_value

@@ -12,7 +12,7 @@ import java.security.MessageDigest
   * A real client (Voyage-like) can implement the same trait; batch size 16
   * mirrors the reference (`embed.py:29-32`).
   */
-trait Embedder {
+trait Embedder extends Serializable {
   def dim: Int
   def embed(text: String): Array[Double]
   def embedBatch(texts: Seq[String]): Seq[Array[Double]] = texts.map(embed)
@@ -50,5 +50,7 @@ object Embedder {
     * (`README.md:24`) — dimension is a parameter everywhere.
     */
   val TestdataDim = 64
+  /** Batch size of the reference's embedding requests (`embed.py:29-32`). */
+  val BatchSize = 16
   val default: Embedder = new HashingEmbedder(TestdataDim)
 }
