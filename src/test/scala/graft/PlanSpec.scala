@@ -1,0 +1,62 @@
+package graft
+
+import graft.embed.Embedder
+import graft.search.VectorSearch
+import graft.util.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100 TB design contract
+  * (SURVEY §4.3): top-k must not global-sort, filters and projections must
+  * reach the parquet scan, small side of the payload re-attach must
+  * broadcast. These are what keep the operators viable at 1000 executors,
+  * so they are pinned as tests, not left to chance. */
+class PlanSpec extends AnyFunSuite with SparkTest {
+
+  private val query = Embedder.default.embed("nuggets para desayuno")
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("vector top-k plans as TakeOrderedAndProject (per-partition heap, no global sort)") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val plan = planString(
+      VectorSearch.knn(e, "vec_id", "embedding", query, k = 5))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), "top-k must not range-shuffle the data")
+  }
+
+  test("pre-filter is pushed down to the parquet scan") {
+    val d = Tables.documents(spark, Sf0001)
+    val plan = planString(d.where(col("lang") === "en").select("doc_id"))
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"expected lang pushdown in:\n$plan")
+  }
+
+  test("column pruning reaches the scan: 2-column projection reads 2 columns") {
+    val d = Tables.documents(spark, Sf0001)
+    val plan = planString(d.select("doc_id", "lang"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"))
+    assert(!readSchema.contains("text"), s"text must be pruned from scan: $readSchema")
+  }
+
+  test("hybrid search re-attaches payload via broadcast join (no shuffle of the base table)") {
+    val plan = planString(SparkEntry.entry(spark))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join in the hybrid plan:\n$plan")
+  }
+
+  test("codegen'd similarity stays inside WholeStageCodegen") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val scored = e.select(graft.functions.Vectors.score("cosine",
+      col("embedding"), graft.functions.Vectors.vecLit(query)).as("s"))
+    val plan = planString(scored)
+    // the `*(n)` operator prefix marks WholeStageCodegen participation;
+    // the scoring Project must carry it (and the query-vector norm is
+    // already constant-folded to a literal by Catalyst)
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")),
+      s"expected the graft_dot Project inside a codegen stage:\n$plan")
+  }
+}
