@@ -222,6 +222,29 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "dim")
 
+  /** JSON scalar extraction over events.props ('{"k": 87}') — the
+    * semi-structured column path at scale (codegen'd get_json_object; no
+    * UDF, pushdown-friendly). */
+  private def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** TPC-H Q3-shaped join + agg + top-k: broadcastable dims, single
+    * shuffle on the agg key, TakeOrderedAndProject finish. */
+  private def qJoinTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -243,6 +266,8 @@ object SparkEntry {
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
     "q_embed_corpus" -> ((s, dir) => qEmbedCorpus(s, dir)),
+    "q_json_extract" -> ((s, dir) => qJsonExtract(s, dir)),
+    "q_join_topk" -> ((s, dir) => qJoinTopk(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -333,6 +358,20 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_json_extract" ->
+      """SELECT (props->>'$.k')::BIGINT AS k, count(*) AS n
+        |FROM events WHERE (props->>'$.k') IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_topk" ->
+      """SELECT o.o_orderkey,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q_embed_corpus" ->
       (EmbedJob.sqlEmbedRelational("documents", "doc_id", "text")
         .replace("SELECT r.id, r.dim", "SELECT r.id AS doc_id, r.dim") +
