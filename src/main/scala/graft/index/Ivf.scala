@@ -87,6 +87,17 @@ object Ivf {
     picked.result()
   }
 
+  /** Transparent ANN: register this index for the Catalyst rewrite rule
+    * ([[org.apache.spark.sql.graftshim.IvfRewrite]]) — every subsequent
+    * EXACT `orderBy(score.desc).limit(k)` over `tablePath` is narrowed to
+    * an IVF probe by the optimizer, no query change needed. */
+  def registerForRewrite(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      index: IvfIndex, idCol: String, numCandidates: Int): Unit = {
+    org.apache.spark.sql.graftshim.IvfRewrite.install(spark)
+    org.apache.spark.sql.graftshim.IvfRewrite.register(
+      tablePath, index.assignments, index.centroids, index.sizes, idCol, numCandidates)
+  }
+
   /** ANN top-k: probe → candidate scan → exact re-rank. Same contract as
     * [[VectorSearch.knn]] plus the index and the `numCandidates` knob. */
   def ann(index: IvfIndex, table: DataFrame, idCol: String, embCol: String,

@@ -1,0 +1,193 @@
+package org.apache.spark.sql.graftshim
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, Literal, SortOrder, Descending}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LocalLimit, GlobalLimit, LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graftshim.VectorExpressions.DotProduct
+
+/** Logical-plan rewrite: exact vector top-k → IVF probe (SURVEY §4.2's
+  * "optional perf-only custom piece (b)").
+  *
+  * A user registers an IVF index for a parquet table ([[IvfRewrite.register]])
+  * and keeps writing the EXACT query — `orderBy(score.desc).limit(k)` with
+  * the score built on [[VectorExpressions.DotProduct]] (what
+  * `graft.search.VectorSearch.knn` emits). When the optimizer sees
+  *
+  *   GlobalLimit k → LocalLimit k → Sort(score containing
+  *     graft_dot(embCol, queryVecLiteral) DESC) → … → scan(registered path)
+  *
+  * it narrows the scan with a LEFT-SEMI join against the index's
+  * assignments, restricted to the clusters nearest the (plan-extracted)
+  * query vector — candidate pool ≥ the registered numCandidates. The sort
+  * and limit stay in place, so results re-rank exactly over the probed
+  * candidates: this trades recall (governed by numCandidates) for scan
+  * volume, exactly like the reference's `$vectorSearch` ANN probe
+  * (`backend/api.py:168-180`).
+  *
+  * Install per-session with [[IvfRewrite.install]] (experimental
+  * optimizations) or cluster-wide via
+  * `spark.sql.extensions=org.apache.spark.sql.graftshim.GraftSparkExtensions`.
+  */
+object IvfRewrite {
+
+  /** Marker alias for the injected member-id column; also the idempotency
+    * guard (a plan that already contains it is not rewritten again). */
+  val MemberCol = "__ivf_member_id"
+
+  final case class Registered(
+      assignments: DataFrame,
+      centroids: Map[Int, Array[Double]],
+      sizes: Map[Int, Long],
+      idCol: String,
+      numCandidates: Int)
+
+  /** parquet-path → registered index (session-global, driver-side). */
+  private val registry = TrieMap.empty[String, Registered]
+
+  def register(path: String, assignments: DataFrame,
+      centroids: Map[Int, Array[Double]], sizes: Map[Int, Long],
+      idCol: String, numCandidates: Int): Unit =
+    registry.put(normalize(path),
+      Registered(assignments, centroids, sizes, idCol, numCandidates))
+
+  def unregister(path: String): Unit = registry.remove(normalize(path))
+  def clear(): Unit = registry.clear()
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  /** Add the rule to this session's experimental optimizations (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[IvfRewriteRule]))
+      spark.experimental.extraOptimizations = existing :+ new IvfRewriteRule
+  }
+
+  /** Nearest-centroid probe (same ranking as [[graft.index.Ivf.probeSet]]). */
+  private[graftshim] def probeSet(r: Registered, queryVec: Array[Double]): Seq[Int] = {
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - queryVec(i); s += d * d; i += 1 }
+      s
+    }
+    val ranked = r.centroids.toSeq.map { case (cid, c) => (dist2(c), cid) }
+      .sortBy { case (d, cid) => (d, cid) }
+    var pool = 0L
+    val picked = Seq.newBuilder[Int]
+    val it = ranked.iterator
+    while (pool < r.numCandidates && it.hasNext) {
+      val (_, cid) = it.next()
+      picked += cid
+      pool += r.sizes.getOrElse(cid, 0L)
+    }
+    picked.result()
+  }
+
+  private[graftshim] def lookup(plan: LogicalPlan): Option[(LogicalRelation, Registered)] =
+    plan.collectFirst {
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+          if fs.location.rootPaths.nonEmpty &&
+            registry.contains(normalize(fs.location.rootPaths.head.toString)) =>
+        (lr, registry(normalize(fs.location.rootPaths.head.toString)))
+    }
+}
+
+/** The optimizer rule (see [[IvfRewrite]]). Runs post-main-optimizer, so
+  * the query vector literal is already constant-folded. */
+class IvfRewriteRule extends Rule[LogicalPlan] {
+  import IvfRewrite._
+
+  /** Sort keys reference Project aliases (`…orderBy(col("score").desc)`),
+    * so expand attributes through the subtree's Alias definitions until
+    * the underlying expression tree is visible. */
+  private def expand(e: Expression, aliases: Map[Long, Expression], depth: Int = 0): Expression =
+    if (depth > 8) e
+    else e.transformUp {
+      case ar: AttributeReference if aliases.contains(ar.exprId.id) =>
+        expand(aliases(ar.exprId.id), aliases, depth + 1)
+    }
+
+  private def aliasMap(plan: LogicalPlan): Map[Long, Expression] =
+    plan.collect { case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      p.projectList.collect { case a: Alias => a.exprId.id -> a.child }
+    }.flatten.toMap
+
+  private def queryVecOf(order: Seq[SortOrder],
+      aliases: Map[Long, Expression]): Option[(Expression, Array[Double])] =
+    order.headOption.filter(_.direction == Descending)
+      .flatMap(o => expand(o.child, aliases).collectFirst {
+        // dot(embCol, queryLiteral) — dot(emb, emb) has no Literal side
+        case DotProduct(a, Literal(v: ArrayData, _)) if a.references.nonEmpty =>
+          (a, v.toDoubleArray)
+        case DotProduct(Literal(v: ArrayData, _), a) if a.references.nonEmpty =>
+          (a, v.toDoubleArray)
+      })
+
+  private def alreadyRewritten(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case j: Join if j.right.output.exists(_.name == MemberCol) => j
+    }.nonEmpty
+
+  /** The Sort feeding a limit may be separated from it by pushed-down
+    * Projects (e.g. a trailing `.select(...)` collapses into the plan) —
+    * peel them and rebuild around the rewritten Sort. */
+  private def peelToSort(p: LogicalPlan): Option[(Sort, LogicalPlan => LogicalPlan)] = p match {
+    case s @ Sort(_, true, _, _) => Some((s, identity))
+    case proj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      peelToSort(proj.child).map { case (s, rebuild) =>
+        (s, (inner: LogicalPlan) => proj.withNewChildren(Seq(rebuild(inner))))
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case gl @ GlobalLimit(_, ll: LocalLimit) if peelToSort(ll.child).nonEmpty =>
+      val (sort, rebuild) = peelToSort(ll.child).get
+      val (order, child) = (sort.order, sort.child)
+      val aliases = aliasMap(child)
+      val rewritten = for {
+        (embExpr, qvec) <- queryVecOf(order, aliases)
+        if !alreadyRewritten(child)
+        (relation, reg) <- lookup(child)
+        // the scored column must trace back to the registered relation
+        if expand(embExpr, aliases).references.exists(relation.outputSet.contains)
+        idAttr <- relation.output.find(_.name == reg.idCol)
+      } yield {
+        val probe = probeSet(reg, qvec)
+        val memberPlan = {
+          import org.apache.spark.sql.functions.col
+          reg.assignments
+            .where(col("cluster").isin(probe: _*))
+            .select(col("id").as(MemberCol))
+            .queryExecution.analyzed
+        }
+        val memberAttr = memberPlan.output.head
+        val narrowedChild = child.transformUp {
+          case lr: LogicalRelation if lr eq relation =>
+            // the member subtree may share relation exprIds with the left
+            // side (in-memory index built from the same scan) — re-alias
+            // the conflict like the analyzer does for self-joins, or the
+            // semi join silently stops restricting
+            org.apache.spark.sql.catalyst.analysis.DeduplicateRelations(
+              Join(lr, memberPlan, LeftSemi,
+                Some(EqualTo(idAttr, memberAttr)), JoinHint.NONE))
+        }
+        gl.withNewChildren(Seq(
+          ll.withNewChildren(Seq(
+            rebuild(sort.copy(child = narrowedChild))))))
+      }
+      rewritten.getOrElse(gl)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => new IvfRewriteRule)
+}
