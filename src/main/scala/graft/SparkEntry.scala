@@ -7,6 +7,7 @@ import graft.etl.Flatten
 import graft.functions.Vectors
 import graft.index.Ivf
 import graft.multimodal.Multimodal
+import graft.pipeline.Curation
 import graft.search.{TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.TextAnalysis
@@ -245,6 +246,20 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** North-star keyword extraction: per-doc top-3 terms by tf-idf with
+    * partition-local window ranking. */
+  private def qTopTerms(spark: SparkSession, dir: String): DataFrame =
+    Curation.topTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "rank")
+
+  /** North-star sequence packing: greedy per-source packing into 512-token
+    * training sequences. */
+  private def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(Tables.documents(spark, dir), "source", "doc_id", "text", 512)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("group", "doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -268,6 +283,8 @@ object SparkEntry {
     "q_embed_corpus" -> ((s, dir) => qEmbedCorpus(s, dir)),
     "q_json_extract" -> ((s, dir) => qJsonExtract(s, dir)),
     "q_join_topk" -> ((s, dir) => qJoinTopk(s, dir)),
+    "q_top_terms" -> ((s, dir) => qTopTerms(s, dir)),
+    "q_pack_sequences" -> ((s, dir) => qPackSequences(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -358,6 +375,16 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_top_terms" ->
+      (Curation.sqlTopTerms("documents", "doc_id", "text", 3)
+        .replace("SELECT id, term, tfidf, rank FROM ranked",
+          "SELECT id AS doc_id, term, tfidf, rank FROM ranked") +
+        "\nORDER BY doc_id, rank"),
+    "q_pack_sequences" ->
+      (Curation.sqlPackSequences("documents", "source", "doc_id", "text", 512)
+        .replace("SELECT \"group\", id, n_tokens,\n       (cum_excl",
+          "SELECT \"group\", id AS doc_id, n_tokens,\n       (cum_excl") +
+        "\nORDER BY \"group\", doc_id"),
     "q_json_extract" ->
       """SELECT (props->>'$.k')::BIGINT AS k, count(*) AS n
         |FROM events WHERE (props->>'$.k') IS NOT NULL

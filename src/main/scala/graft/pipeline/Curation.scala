@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.functions.Text
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (north-star additions): per-document
+  * keyword extraction and sequence packing — the window-function family of
+  * the engine.
+  *
+  * Scale shape: both operators partition their analytic windows by a real
+  * key (document id / source shard), so the sort inside each window is
+  * partition-local after one hash shuffle — no global single-partition
+  * window (the classic `Window.orderBy`-without-partition scaling trap).
+  */
+object Curation {
+
+  /** Top-k terms per document by tf-idf (idf = ln(N/df), the plain
+    * variant), deterministic tie-break (tfidf DESC, term ASC):
+    * (id, term, tfidf, rank ≤ k). */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val df = toks.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    toks.join(broadcast(df), "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id", "term", "tfidf", "rank")
+  }
+
+  def sqlTopTerms(docsTable: String, idExpr: String, textExpr: String, k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT $idExpr AS id, unnest(${Text.sqlTokens(textExpr)}) AS term FROM $docsTable
+       |), tf AS (
+       |  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), n AS (SELECT count(DISTINCT $idExpr)::DOUBLE AS n FROM $docsTable),
+       |df AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.id, tf.term,
+       |         round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |), ranked AS (
+       |  SELECT id, term, tfidf,
+       |         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT id, term, tfidf, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Greedy sequential sequence packing for LLM training batches: within
+    * each `groupCol` shard, documents (ordered by id) are appended to the
+    * current sequence until the token budget is crossed; a document is
+    * never split — it belongs to the sequence its first token lands in
+    * (exclusive running sum ÷ budget).
+    * Output: (group, id, n_tokens, seq_id, seq_offset). */
+  def packSequences(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, tokenBudget: Int): DataFrame = {
+    val w = Window.partitionBy(col("group")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(groupCol).as("group"), col(idCol).as("id"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_excl", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("group"), col("id"), col("n_tokens"),
+        floor(col("cum_excl") / tokenBudget).as("seq_id"),
+        pmod(col("cum_excl"), lit(tokenBudget.toLong)).as("seq_offset"))
+  }
+
+  def sqlPackSequences(docsTable: String, groupExpr: String, idExpr: String,
+      textExpr: String, tokenBudget: Int): String =
+    s"""WITH sized AS (
+       |  SELECT $groupExpr AS "group", $idExpr AS id,
+       |         ${TextAnalysis.sqlWsTokenCount(textExpr)}::BIGINT AS n_tokens
+       |  FROM $docsTable
+       |), packed AS (
+       |  SELECT "group", id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY "group" ORDER BY id
+       |                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
+       |  FROM sized
+       |)
+       |SELECT "group", id, n_tokens,
+       |       (cum_excl // $tokenBudget)::BIGINT AS seq_id,
+       |       (cum_excl % $tokenBudget)::BIGINT AS seq_offset
+       |FROM packed""".stripMargin
+}
