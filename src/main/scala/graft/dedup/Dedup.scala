@@ -65,8 +65,11 @@ object Dedup {
     * Jaccard and MinHash. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
       k: Int = TextAnalysis.ShingleSize): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+    docs
+      // stage tokens as a column so the shingle lambda references an
+      // attribute instead of re-tokenizing per position (O(n²) otherwise)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as("sh"))
       .select(col("id"), Text.hash60(col("sh")).as("h"))
 
   private def sqlShinglePostings(docsTable: String, idExpr: String, textExpr: String): String =

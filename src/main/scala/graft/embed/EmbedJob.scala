@@ -71,16 +71,18 @@ object EmbedJob {
     require(dim == 64, "relational embedder is specialized to dim=64 (low 6 bits of the hash)")
     val toks = docs.select(col(idCol).as("id"),
       explode(Text.tokens(col(textCol))).as("term"))
-    // unsigned 64-bit hash in a signed Long (bit-identical to md5Long)
-    val h = conv(substring(md5(col("term")), 1, 16), 16, 10).cast("decimal(20,0)")
+    // the needed bits of the unsigned 64-bit hash (= md5Long) read straight
+    // from the hex chars — cheap long arithmetic, no decimal(20,0):
+    // hex chars 15-16 = low byte → & 63 = dim; hex char 1 = bits 63..60 →
+    // >> 2 & 1 = bit 62 = sign
+    val md5hex = md5(col("term"))
     val raw = toks
-      .withColumn("hdec", h)
-      // low 6 bits and bit 62 work on the decimal via mod/div (the value
-      // exceeds signed-long range only in the top bit, untouched here)
-      .withColumn("dim", pmod(col("hdec"), lit(64)).cast("int"))
+      .withColumn("md5hex", md5hex)
+      .withColumn("dim",
+        conv(substring(col("md5hex"), 15, 2), 16, 10).cast("long").bitwiseAND(lit(63L)).cast("int"))
       .withColumn("sign",
-        when(pmod(floor(col("hdec") / lit(4611686018427387904L)), lit(2)) === 0, 1.0)
-          .otherwise(-1.0))
+        when(shiftright(conv(substring(col("md5hex"), 1, 1), 16, 10).cast("long"), 2)
+          .bitwiseAND(lit(1L)) === 0L, 1.0).otherwise(-1.0))
       .groupBy("id", "dim").agg(sum(col("sign")).as("raw"))
     val norms = raw.groupBy("id").agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
     raw.join(norms, "id")

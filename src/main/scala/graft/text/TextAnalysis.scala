@@ -152,9 +152,18 @@ object TextAnalysis {
   val ShingleSize = 3
 
   /** array<string> of k-token shingles (tokens joined by single spaces).
-    * Documents shorter than k tokens get one shingle = all tokens. */
-  def shingles(text: Column, k: Int = ShingleSize): Column = {
-    val toks = Text.tokens(text)
+    * Documents shorter than k tokens get one shingle = all tokens.
+    *
+    * NOTE for hot paths: the `text` expression is inlined into the
+    * transform lambda and re-evaluated per position (higher-order lambdas
+    * are interpreted) — O(tokens²) per row when `text` is raw text. Stage
+    * tokenization first and call [[shinglesFromTokens]] on the materialized
+    * column instead. */
+  def shingles(text: Column, k: Int = ShingleSize): Column =
+    shinglesFromTokens(Text.tokens(text), k)
+
+  /** [[shingles]] over an already-computed token array column. */
+  def shinglesFromTokens(toks: Column, k: Int = ShingleSize): Column = {
     val n = size(toks)
     val idx = sequence(lit(1), greatest(n - lit(k - 1), lit(1)))
     when(n === 0, array().cast("array<string>")).otherwise(
