@@ -54,7 +54,7 @@ object Ivf {
       else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
     val feats = embs.select(col(idCol).as("id"),
       array_to_vector(col(embCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(feats)
     val assignments = model.transform(feats).select(col("id"), col("cluster"))
