@@ -260,6 +260,15 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("group", "doc_id")
 
+  /** North-star deterministic stratified sampling (corpus rebalancing):
+    * downsample en to 20%, upweight-keep zh at 80%, others 50%. */
+  private val SampleRates = Map("en" -> 200, "zh" -> 800)
+  private val SampleDefault = 500
+  private def qSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(Tables.documents(spark, dir), "lang", "doc_id",
+        SampleRates, SampleDefault)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -285,6 +294,7 @@ object SparkEntry {
     "q_join_topk" -> ((s, dir) => qJoinTopk(s, dir)),
     "q_top_terms" -> ((s, dir) => qTopTerms(s, dir)),
     "q_pack_sequences" -> ((s, dir) => qPackSequences(s, dir)),
+    "q_sample_stratified" -> ((s, dir) => qSampleStratified(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -375,6 +385,9 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_sample_stratified" ->
+      (Curation.sqlStratifiedSample("documents", "lang", "doc_id",
+        SampleRates, SampleDefault) + "\nORDER BY doc_id"),
     "q_top_terms" ->
       (Curation.sqlTopTerms("documents", "doc_id", "text", 3)
         .replace("SELECT id, term, tfidf, rank FROM ranked",

@@ -67,6 +67,20 @@ object FoodFinder {
     postFilterLimit(tbl, ScoreFusion.fuse(vecBranch, txtBranch), filter, k)
   }
 
+  /** R15 result sanitization (`backend/api.py:53-81`): ids as strings,
+    * scores as doubles, the whole row as a plain-JSON column — the shape
+    * the reference's API layer emits. */
+  def sanitize(results: DataFrame): DataFrame = {
+    val cols = results.columns.map {
+      case "id" => col("id").cast("string").as("id")
+      case c if c == "score" || c.endsWith("_norm") || c.endsWith("_raw") =>
+        col(c).cast("double").as(c)
+      case c => col(c)
+    }
+    val projected = results.select(cols.toIndexedSeq: _*)
+    projected.withColumn("json", to_json(struct(projected.columns.map(col).toIndexedSeq: _*)))
+  }
+
   /** `$match` after ranking + trailing `$limit` — order preserved exactly
     * (a filter must NOT be pushed below the fusion/ranking, and Catalyst
     * won't: the join keeps it above). */

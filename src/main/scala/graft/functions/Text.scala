@@ -42,4 +42,13 @@ object Text {
     */
   def sqlHash60(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Driver-side evaluation of [[hash60]] (same md5-hex-prefix semantics) —
+    * for planning-time decisions like index-bucket pruning. */
+  def hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 }

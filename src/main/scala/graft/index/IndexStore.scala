@@ -24,13 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  val TermBuckets = 64
-
   // ------------------------------------------------------------------ BM25
 
   def saveBm25(index: Bm25Index, path: String): Unit = {
+    import graft.functions.Text
     index.postings
-      .withColumn("bucket", pmod(hash(col("term")), lit(TermBuckets)))
+      .withColumn("bucket", pmod(Text.hash60(col("term")), lit(TextSearch.TermBuckets.toLong)))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$path/postings")
     index.termDf.write.mode(SaveMode.Overwrite).parquet(s"$path/term_df")
@@ -43,7 +42,8 @@ object IndexStore {
   def loadBm25(spark: SparkSession, path: String): Bm25Index = {
     val stats = spark.read.parquet(s"$path/stats").head()
     Bm25Index(
-      spark.read.parquet(s"$path/postings").drop("bucket"),
+      // keep the bucket partition column: TextSearch.search prunes on it
+      spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/term_df"),
       stats.getLong(0), stats.getDouble(1))
   }

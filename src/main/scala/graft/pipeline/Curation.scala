@@ -54,6 +54,29 @@ object Curation {
        |)
        |SELECT id, term, tfidf, rank FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** Deterministic stratified sampling for corpus rebalancing: a row
+    * survives iff hash60(id) mod 1000 < permille(stratum). Reproducible
+    * across runs/partitionings (pure function of the id — no RNG, no
+    * `sample()` seed sensitivity), exact-SQL-expressible, and the sample
+    * is stable under corpus growth (adding rows never evicts old ones).
+    * Rates per stratum value, with a default for unlisted strata. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      permille: Map[String, Int], defaultPermille: Int): DataFrame = {
+    val rate = permille.foldLeft(lit(defaultPermille)) { case (acc, (value, p)) =>
+      when(col(stratumCol) === value, lit(p)).otherwise(acc)
+    }
+    df.where(pmod(Text.hash60(col(idCol).cast("string")), lit(1000L)) < rate)
+  }
+
+  def sqlStratifiedSample(docsTable: String, stratumExpr: String, idExpr: String,
+      permille: Map[String, Int], defaultPermille: Int): String = {
+    val cases = permille.toSeq.sortBy(_._1)
+      .map { case (v, p) => s"WHEN $stratumExpr = '$v' THEN $p" }.mkString(" ")
+    s"""SELECT * FROM $docsTable
+       |WHERE ${Text.sqlHash60(s"($idExpr)::VARCHAR")} % 1000
+       |      < (CASE $cases ELSE $defaultPermille END)""".stripMargin
+  }
+
   /** Greedy sequential sequence packing for LLM training batches: within
     * each `groupCol` shard, documents (ordered by id) are appended to the
     * current sequence until the token budget is crossed; a document is

@@ -35,6 +35,13 @@ object TextSearch {
   val B = 0.75
   val ScoreDecimals = 6
 
+  /** Bucket count of the persisted postings layout (IndexStore); bucket =
+    * pmod(hash60(term), TermBuckets), computable on the driver for pruning. */
+  val TermBuckets = 64
+
+  def termBucket(term: String): Long =
+    math.floorMod(Text.hash60Local(term), TermBuckets.toLong)
+
   /** Inverted-index side tables (reference S6 DDL → batch build job). */
   final case class Bm25Index(postings: DataFrame, termDf: DataFrame, numDocs: Long, avgdl: Double)
 
@@ -61,7 +68,13 @@ object TextSearch {
     val terms = queryTerms(queryText)
     if (terms.isEmpty)
       return index.postings.select(col("id"), lit(0.0).as("score")).where(lit(false))
-    val matched = index.postings
+    // a persisted index exposes the bucket partition column — pruning it
+    // driver-side turns the postings scan into only the touched buckets
+    val postings =
+      if (index.postings.columns.contains("bucket"))
+        index.postings.where(col("bucket").isin(terms.map(termBucket): _*)).drop("bucket")
+      else index.postings
+    val matched = postings
       .where(col("term").isin(terms: _*))
       .join(broadcast(index.termDf.where(col("term").isin(terms: _*))), "term")
     val idf = log(lit(1.0) + (lit(index.numDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

@@ -30,6 +30,11 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     // S7 --replace: a second create over the same path must not fail or dup
     IndexStore.saveBm25(built, dir)
     assert(IndexStore.loadBm25(spark, dir).postings.count() === built.postings.count())
+    // persisted-index search prunes postings partitions by term bucket
+    val pruned = TextSearch.search(loaded, "fast table scan merge", 10)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"expected bucket partition pruning in:\n$plan")
   }
 
   test("ivf save/load round-trip preserves ann results and probe pruning") {

@@ -102,6 +102,14 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(FoodFinder.validate("fulltext", None, Some("t"), 5) === 5)
   }
 
+  test("sanitize: string ids, double scores, plain-JSON row (R15)") {
+    val res = Seq((1L, 0.75)).toDF("id", "score")
+    val got = FoodFinder.sanitize(res).head()
+    assert(got.getString(0) === "1")
+    assert(got.getDouble(1) === 0.75)
+    assert(got.getString(2) === """{"id":"1","score":0.75}""")
+  }
+
   test("post-filter placement can return fewer than k rows (hybrid/fulltext)") {
     val docs = Seq(
       (1L, "apple banana apple", Seq(1.0, 0.0), "en"),
