@@ -50,10 +50,14 @@ object FoodFinder {
 
   /** Fulltext mode: rank all matches → post-filter → limit → (id, score).
     * The post-filter predicate is evaluated against `tbl.df` columns via a
-    * join back on id (the reference's `$match` sees the full document). */
+    * join back on id (the reference's `$match` sees the full document).
+    * Pass a prebuilt `index` (the reference's offline DDL lifecycle,
+    * `indexes.py`) to avoid rebuilding corpus statistics per query. */
   def fulltext(tbl: SearchTable, queryText: String, k: Int,
-      filter: Option[Column] = None): DataFrame = {
-    val ranked = TextSearch.fullTextSearch(tbl.df, tbl.idCol, tbl.textCol, queryText)
+      filter: Option[Column] = None,
+      index: Option[TextSearch.Bm25Index] = None): DataFrame = {
+    val ranked = TextSearch.search(
+      index.getOrElse(TextSearch.buildIndex(tbl.df, tbl.idCol, tbl.textCol)), queryText)
     postFilterLimit(tbl, ranked, filter, k)
   }
 
@@ -61,9 +65,11 @@ object FoodFinder {
     * post-filter, limit. Returns (id, score, vec_norm, vec_raw, txt_norm,
     * txt_raw) — the flattened scoreDetails (R13). */
   def hybrid(tbl: SearchTable, queryVec: Array[Double], queryText: String, k: Int,
-      filter: Option[Column] = None, metric: String = "cosine"): DataFrame = {
+      filter: Option[Column] = None, metric: String = "cosine",
+      index: Option[TextSearch.Bm25Index] = None): DataFrame = {
     val vecBranch = vector(tbl, queryVec, k, filter, metric)
-    val txtBranch = TextSearch.fullTextSearch(tbl.df, tbl.idCol, tbl.textCol, queryText)
+    val txtBranch = TextSearch.search(
+      index.getOrElse(TextSearch.buildIndex(tbl.df, tbl.idCol, tbl.textCol)), queryText)
     postFilterLimit(tbl, ScoreFusion.fuse(vecBranch, txtBranch), filter, k)
   }
 
