@@ -454,9 +454,9 @@ object SparkEntry {
         |FROM chars ORDER BY asset_id""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT h.id AS doc_id, h.text_hash, g.group_n, h.id = g.keep_id AS keep
-         |FROM (SELECT doc_id AS id, md5(text) AS text_hash FROM documents) h
+         |FROM (SELECT doc_id AS id, coalesce(md5(text), '__null__') AS text_hash FROM documents) h
          |JOIN (SELECT text_hash, count(*) AS group_n, min(id) AS keep_id
-         |      FROM (SELECT doc_id AS id, md5(text) AS text_hash FROM documents)
+         |      FROM (SELECT doc_id AS id, coalesce(md5(text), '__null__') AS text_hash FROM documents)
          |      GROUP BY 1) g USING (text_hash)
          |ORDER BY doc_id""".stripMargin,
     "q_dedup_jaccard" ->

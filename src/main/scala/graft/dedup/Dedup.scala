@@ -41,7 +41,10 @@ object Dedup {
   /** Exact dedup decision per row: (id, text_hash, group_n, keep) where
     * keep ⇔ id is the minimum id of its identical-text group. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"), md5(col(textCol)).as("text_hash"))
+    // null texts form their own duplicate group — without the sentinel the
+    // null hash never equi-joins and those rows silently vanish
+    val hashed = docs.select(col(idCol).as("id"),
+      coalesce(md5(col(textCol)), lit("__null__")).as("text_hash"))
     val groups = hashed.groupBy("text_hash")
       .agg(count(lit(1)).as("group_n"), min(col("id")).as("keep_id"))
     hashed.join(groups, "text_hash")
@@ -51,7 +54,7 @@ object Dedup {
 
   def sqlExact(docsTable: String, idExpr: String, textExpr: String): String =
     s"""WITH hashed AS (
-       |  SELECT $idExpr AS id, md5($textExpr) AS text_hash FROM $docsTable
+       |  SELECT $idExpr AS id, coalesce(md5($textExpr), '__null__') AS text_hash FROM $docsTable
        |), groups AS (
        |  SELECT text_hash, count(*) AS group_n, min(id) AS keep_id
        |  FROM hashed GROUP BY 1

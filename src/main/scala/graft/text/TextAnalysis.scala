@@ -162,18 +162,21 @@ object TextAnalysis {
   def shingles(text: Column, k: Int = ShingleSize): Column =
     shinglesFromTokens(Text.tokens(text), k)
 
-  /** [[shingles]] over an already-computed token array column. */
+  /** [[shingles]] over an already-computed token array column. NULL input
+    * → empty (a null-text doc has no shingles — without the explicit guard
+    * the null would leak through `greatest(null−k,1)=1` + concat_ws's
+    * null-skipping into a bogus "" shingle). */
   def shinglesFromTokens(toks: Column, k: Int = ShingleSize): Column = {
     val n = size(toks)
     val idx = sequence(lit(1), greatest(n - lit(k - 1), lit(1)))
-    when(n === 0, array().cast("array<string>")).otherwise(
+    when(toks.isNull || n === 0, array().cast("array<string>")).otherwise(
       array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
   def sqlShingles(expr: String, k: Int = ShingleSize): String = {
     val toks = Text.sqlTokens(expr)
     // DuckDB list comprehension over generate_series; slice via list[i:i+k-1]
-    s"""(CASE WHEN len($toks) = 0 THEN []::VARCHAR[]
+    s"""(CASE WHEN $toks IS NULL OR len($toks) = 0 THEN []::VARCHAR[]
        | ELSE list_distinct([array_to_string(list_slice($toks, i, i + ${k - 1}), ' ')
        |   for i in generate_series(1, greatest(len($toks) - ${k - 1}, 1))]) END)""".stripMargin.replace("\n", "")
   }
