@@ -197,13 +197,22 @@ object SparkEntry {
     Dedup.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr)
       .orderBy("id1", "id2")
 
+  /** The IVF index, built once per (session, sfDir) — offline DDL
+    * lifecycle, same as [[corpusBm25]]. */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Ivf.IvfIndex]
+  private def corpusIvf(spark: SparkSession, dir: String): Ivf.IvfIndex =
+    ivfCache.getOrElseUpdate((spark, dir), {
+      val idx = Ivf.build(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      idx.copy(assignments = idx.assignments.cache())
+    })
+
   /** S5/R7/R9 IVF ANN in its oracle-checkable exhaustive mode: probe depth
     * ≥ N degenerates to exact top-k (recall 1), so the DuckDB exact-kNN SQL
     * is a valid oracle; sub-exhaustive recall is unit-tested (IvfSpec). */
   private def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val index = Ivf.build(e, "vec_id", "embedding")
-    Ivf.ann(index, e, "vec_id", "embedding", flagshipQueryVec,
+    Ivf.ann(corpusIvf(spark, dir), e, "vec_id", "embedding", flagshipQueryVec,
         k = 10, numCandidates = Int.MaxValue)
       .select("vec_id", "score")
   }
@@ -284,6 +293,28 @@ object SparkEntry {
         SampleRates, SampleDefault)
       .orderBy("doc_id")
 
+  /** Rollup aggregation (subtotals + grand total) — multi-level agg class.
+    * Spark `rollup` ≡ SQL GROUPING SETS with the same null markers. */
+  private def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Set operations: customers in BUILDING except those with an open order,
+    * intersected/unioned shapes folded into one output via a tag column. */
+  private def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val hasOpen = Tables.orders(spark, dir)
+      .where(col("o_orderstatus") === "O").select(col("o_custkey").as("c_custkey"))
+    val exceptSet = building.exceptAll(hasOpen.distinct()).distinct()
+      .withColumn("tag", lit("building_no_open"))
+    val intersectSet = building.intersect(hasOpen)
+      .withColumn("tag", lit("building_open"))
+    exceptSet.unionByName(intersectSet).orderBy("tag", "c_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -310,6 +341,8 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) => qTopTerms(s, dir)),
     "q_pack_sequences" -> ((s, dir) => qPackSequences(s, dir)),
     "q_sample_stratified" -> ((s, dir) => qSampleStratified(s, dir)),
+    "q_rollup" -> ((s, dir) => qRollup(s, dir)),
+    "q_setops" -> ((s, dir) => qSetOps(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -400,6 +433,26 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_setops" ->
+      """WITH building AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), has_open AS (
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        |), ex AS (
+        |  SELECT DISTINCT c_custkey, 'building_no_open' AS tag FROM (
+        |    SELECT c_custkey FROM building EXCEPT ALL SELECT DISTINCT c_custkey FROM has_open)
+        |), inter AS (
+        |  SELECT c_custkey, 'building_open' AS tag FROM (
+        |    SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM has_open)
+        |)
+        |SELECT * FROM ex UNION ALL SELECT * FROM inter
+        |ORDER BY tag, c_custkey""".stripMargin,
     "q_sample_stratified" ->
       (Curation.sqlStratifiedSample("documents", "lang", "doc_id",
         SampleRates, SampleDefault) + "\nORDER BY doc_id"),
