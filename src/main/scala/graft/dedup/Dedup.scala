@@ -305,6 +305,55 @@ object Dedup {
       .select("id1", "id2", "sim")
   }
 
+  /** Sign-LSH (random-hyperplane) candidate generation for cosine near-dup
+    * — the 100 TB path: each vector gets a [[SignLshBits]]-bit sketch
+    * (sign of the dot with deterministic pseudo-random hyperplanes),
+    * banded like MinHash; pairs colliding on ≥1 band are exact-verified.
+    * Precision 1 by construction; recall grows with bands and threshold
+    * (P[bit agree] = 1 − θ/π). Shuffle volume ∝ vectors × bands — never
+    * the pair count.
+    *
+    * Hyperplanes are a pure function of (seed, bit, dim) via the shared
+    * 60-bit hash, so executors regenerate them without broadcast.
+    */
+  val SignLshBits = 16
+  val SignLshBands = 4
+  val SignLshRows = 4
+
+  /** Deterministic hyperplane component h[bit][d] ∈ {−1, +1}. */
+  private def hyperplaneSign(seed: Long, bit: Int, d: Int): Double = {
+    val h = Text.hash60Local(s"$seed:$bit:$d")
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  def cosinePairsLsh(embs: DataFrame, idCol: String, embCol: String,
+      threshold: Double, dim: Int, seed: Long = 42L): DataFrame = {
+    // 16 sketch bits: sign of Σ_d v[d]·±1 — expressed as codegen-friendly
+    // element_at sums (dim is small and fixed per table)
+    val bitCols = (0 until SignLshBits).map { bit =>
+      val dotExpr = (0 until dim).map { d =>
+        element_at(col("v"), d + 1) * lit(hyperplaneSign(seed, bit, d))
+      }.reduce(_ + _)
+      when(dotExpr >= 0, lit(1)).otherwise(lit(0)).as(s"b_$bit")
+    }
+    val sketched = embs.select(
+      col(idCol).as("id"), col(embCol).as("v"),
+      Vectors.l2norm(col(embCol)).as("nrm")).select(
+      (Seq(col("id"), col("v"), col("nrm")) ++ bitCols): _*)
+    val banded = (0 until SignLshBands).map { b =>
+      val slots = (b * SignLshRows until (b + 1) * SignLshRows).map(i => col(s"b_$i").cast("string"))
+      sketched.select(col("id"), col("v"), col("nrm"),
+        lit(b).as("band"), concat_ws(":", slots: _*).as("bkey"))
+    }.reduce(_ union _)
+    val l = banded.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1"), col("band"), col("bkey"))
+    val r = banded.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(Vectors.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+      .distinct()
+  }
+
   def sqlCosinePairs(embsTable: String, idExpr: String, embExpr: String,
       threshold: Double): String =
     s"""SELECT a.$idExpr AS id1, b.$idExpr AS id2,

@@ -62,6 +62,22 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(brute.nonEmpty)
   }
 
+  test("sign-LSH cosine candidates: precision 1 vs brute force, high recall at high threshold") {
+    val e = Tables.embeddings(spark, Sf0001)
+    // low absolute threshold on this corpus (max pairwise cosine ≈ 0.51):
+    // compare against brute force at 0.4
+    val brute = Dedup.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.cosinePairsLsh(e, "vec_id", "embedding", 0.4, dim = 64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), "every LSH pair must be a true pair (exact verify)")
+    assert(brute.nonEmpty)
+    // at cos 0.4 (θ≈66°) a 4-bit band agrees with p≈(1−θ/π)^4≈0.15;
+    // 4 bands ⇒ pair recall ≈ 0.48 — assert a conservative floor
+    assert(lsh.size.toDouble / brute.size >= 0.2,
+      s"recall ${lsh.size}/${brute.size} below floor")
+  }
+
   test("cosine near-dup pairs: identical vector pair detected, threshold respected") {
     val e = Seq(
       (1L, Seq(1.0, 0.0, 0.0)),
