@@ -161,7 +161,7 @@ object Dedup {
       sigs.select(col("id"),
         lit(b).as("band"),
         md5(concat_ws(":", slots: _*)).as("bkey"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
     val l = banded.select(col("id").as("id1"), col("band"), col("bkey"))
     val r = banded.select(col("id").as("id2"), col("band"), col("bkey"))
     l.join(r, Seq("band", "bkey")).where(col("id1") < col("id2"))
@@ -266,7 +266,7 @@ object Dedup {
       val mask = (1L << len) - 1L
       sigs.select(col("id"), col("simhash"), lit(c).as("chunk"),
         shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("ckey"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
     val l = banded.select(col("id").as("id1"), col("simhash").as("sh1"), col("chunk"), col("ckey"))
     val r = banded.select(col("id").as("id2"), col("simhash").as("sh2"), col("chunk"), col("ckey"))
     l.join(r, Seq("chunk", "ckey")).where(col("id1") < col("id2"))

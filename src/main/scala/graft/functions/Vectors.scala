@@ -7,9 +7,11 @@ import org.apache.spark.sql.graftshim.GraftShim
 
 /** Vector similarity math as Column expressions over `array<double>`.
   *
-  * Built from SQL higher-order functions (`zip_with`/`aggregate`) so the
-  * whole computation stays inside Catalyst (no UDF, no serialization) and is
-  * expressible 1:1 in the DuckDB oracle (`list_cosine_similarity` etc.).
+  * The hot primitives (dot, squared distance) are codegen'd Catalyst
+  * expressions ([[org.apache.spark.sql.graftshim.VectorExpressions]]);
+  * everything stays inside Catalyst (no UDF, no serialization) and is
+  * expressible 1:1 in the DuckDB oracle (`list_cosine_similarity` etc.)
+  * because the accumulation order is the same sequential left-to-right.
   *
   * Semantics replicate the reference's `$vectorSearch` similarity choices —
   * cosine | dotProduct | euclidean (reference `indexes.py:28-31`) — and the
