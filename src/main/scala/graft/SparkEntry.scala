@@ -315,6 +315,27 @@ object SparkEntry {
     exceptSet.unionByName(intersectSet).orderBy("tag", "c_custkey")
   }
 
+  /** Per-label vector centroid as pure relational ops (posexplode → avg by
+    * (label, dim)) — the IVF-centroid computation shape, fully
+    * oracle-checkable, map-side combinable at any scale. */
+  private def qLabelCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("x")), 6).as("centroid"))
+      .orderBy("label", "dim")
+
+  /** Pivot: event counts per user-id decile × event_type (wide table
+    * construction; oracle spells the same cells as CASE sums). */
+  private def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("decile", pmod(col("user_id"), lit(10L)))
+      .groupBy("decile")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("decile")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -343,6 +364,8 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) => qSampleStratified(s, dir)),
     "q_rollup" -> ((s, dir) => qRollup(s, dir)),
     "q_setops" -> ((s, dir) => qSetOps(s, dir)),
+    "q_label_centroid" -> ((s, dir) => qLabelCentroid(s, dir)),
+    "q_pivot" -> ((s, dir) => qPivot(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -433,6 +456,18 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_label_centroid" ->
+      """SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid
+        |FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 10 AS decile,
+        |       count(*) FILTER (event_type = 'click') AS "click",
+        |       count(*) FILTER (event_type = 'error') AS "error",
+        |       count(*) FILTER (event_type = 'purchase') AS "purchase",
+        |       count(*) FILTER (event_type = 'signup') AS "signup",
+        |       count(*) FILTER (event_type = 'view') AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n

@@ -175,8 +175,22 @@ object Dedup {
     // one shingle scan feeds both the signature build and the verify join
     val p = shinglePostings(docs, idCol, textCol).cache()
     val cands = minhashCandidates(signaturesFromPostings(p))
-    jaccardFromPostings(p, threshold)
-      .join(cands, Seq("id1", "id2"))
+    // verify ONLY candidate pairs (the point of LSH): intersections are
+    // computed by routing id1's postings through the candidate list and
+    // matching them against id2's postings — work ∝ candidates × shingles
+    // per doc, never the all-pairs shingle self-join
+    val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = p.select(col("id").as("id1"), col("h"))
+    val b = p.select(col("id").as("id2"), col("h"))
+    val inter = cands.join(a, "id1").join(b, Seq("id2", "h"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    val s1 = sizes.select(col("id").as("id1"), col("sz").as("sz1"))
+    val s2 = sizes.select(col("id").as("id2"), col("sz").as("sz2"))
+    inter.join(s1, "id1").join(s2, "id2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
 
