@@ -336,6 +336,19 @@ object SparkEntry {
       .na.fill(0L)
       .orderBy("decile")
 
+  /** Approximate sketches: HLL++ distinct users and t-digest-style value
+    * quantiles per event type. Sketch internals are engine-specific, so no
+    * SQL oracle — the driver records the (deterministic) row/shape check;
+    * accuracy bounds are asserted in SketchSpec against exact values. */
+  private def qSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
+      .orderBy("event_type")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -366,6 +379,7 @@ object SparkEntry {
     "q_setops" -> ((s, dir) => qSetOps(s, dir)),
     "q_label_centroid" -> ((s, dir) => qLabelCentroid(s, dir)),
     "q_pivot" -> ((s, dir) => qPivot(s, dir)),
+    "q_sketches" -> ((s, dir) => qSketches(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
