@@ -67,6 +67,27 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("vectorSum Aggregator equals the relational posexplode path") {
+    import graft.functions.VectorAgg
+    import graft.util.Tables
+    val e = Tables.embeddings(spark, Sf0001)
+    val viaUdaf = e.groupBy("label")
+      .agg(VectorAgg.vectorSumCol(col("embedding")).as("vsum"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val viaRelational = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(sum(col("x")).as("s"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    viaUdaf.foreach { case (label, vs) =>
+      vs.zip(viaRelational(label)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"label=$label")
+      }
+    }
+  }
+
   test("tokenizer lowercases, splits on non-alphanumerics, drops empties") {
     val got = Seq("Fast, FAST sort!! 2x").toDF("t")
       .select(Text.tokens(col("t"))).head().getSeq[String](0)
