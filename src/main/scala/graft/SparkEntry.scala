@@ -349,6 +349,16 @@ object SparkEntry {
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
       .orderBy("event_type")
 
+  /** North-star: near-dup by TEXT-derived embeddings — the embed ETL's
+    * sparse output fed straight into the relational cosine self-join
+    * (embedding near-dup without any array column). */
+  private val TextCosineThr = 0.95
+  private def qNeardupTextCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosinePairsSparse(
+        EmbedJob.embedRelational(Tables.documents(spark, dir), "doc_id", "text"),
+        TextCosineThr)
+      .orderBy("id1", "id2")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
@@ -380,6 +390,7 @@ object SparkEntry {
     "q_label_centroid" -> ((s, dir) => qLabelCentroid(s, dir)),
     "q_pivot" -> ((s, dir) => qPivot(s, dir)),
     "q_sketches" -> ((s, dir) => qSketches(s, dir)),
+    "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -572,6 +583,10 @@ object SparkEntry {
         "\nORDER BY id1, id2"),
     "q_neardup_cosine" ->
       (Dedup.sqlCosinePairs("embeddings", "vec_id", "embedding", CosineThr) +
+        "\nORDER BY id1, id2"),
+    "q_neardup_text_cosine" ->
+      (Dedup.sqlCosinePairsSparse(
+        EmbedJob.sqlEmbedRelational("documents", "doc_id", "text"), TextCosineThr) +
         "\nORDER BY id1, id2"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -368,6 +368,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Cosine near-dup over a SPARSE (id, dim, val) embedding relation
+    * (e.g. [[graft.embed.EmbedJob.embedRelational]]'s output, already
+    * L2-normalized): pairwise dot = join on dim + sum of products — pairs
+    * only materialize where vectors share a nonzero dimension. The fully
+    * relational formulation: no arrays, map-side combinable, and the join
+    * key (dim) bounds the candidate space the way an inverted index does.
+    * (id1, id2, sim) with rounded sim ≥ threshold. */
+  def cosinePairsSparse(sparse: DataFrame, threshold: Double): DataFrame = {
+    val a = sparse.select(col("id").as("id1"), col("dim"), col("val").as("v1"))
+    val b = sparse.select(col("id").as("id2"), col("dim"), col("val").as("v2"))
+    a.join(b, "dim").where(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(round(sum(col("v1") * col("v2")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  def sqlCosinePairsSparse(sparseSql: String, threshold: Double): String =
+    s"""WITH sparse AS ($sparseSql),
+       |pairs AS (
+       |  SELECT a.id AS id1, b.id AS id2, round(sum(a.val * b.val), 6) AS sim
+       |  FROM sparse a JOIN sparse b ON a.dim = b.dim AND a.id < b.id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id1, id2, sim FROM pairs WHERE sim >= $threshold""".stripMargin
+
   def sqlCosinePairs(embsTable: String, idExpr: String, embExpr: String,
       threshold: Double): String =
     s"""SELECT a.$idExpr AS id1, b.$idExpr AS id2,
