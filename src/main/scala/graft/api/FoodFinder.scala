@@ -27,8 +27,11 @@ object FoodFinder {
   val DefaultLimit = 5
 
   /** A searchable table: `df` must expose unique `idCol`, an
-    * `array<double>` `embCol` and a string `textCol`. */
-  final case class SearchTable(df: DataFrame, idCol: String, embCol: String, textCol: String)
+    * `array<double>` `embCol` and a string `textCol`. Declare `dim` to get
+    * the reference's index behavior of rejecting mismatched query vectors
+    * up front (Atlas errors on dimension mismatch — SURVEY §7.4 risk 7). */
+  final case class SearchTable(df: DataFrame, idCol: String, embCol: String,
+      textCol: String, dim: Option[Int] = None)
 
   /** R18 request validation: mode whitelist, required args, limit clamp
     * (`backend/api.py:100-137`). Returns the clamped limit. */
@@ -44,9 +47,12 @@ object FoodFinder {
 
   /** Vector mode: pre-filter → exact top-k → (id, score). */
   def vector(tbl: SearchTable, queryVec: Array[Double], k: Int,
-      filter: Option[Column] = None, metric: String = "cosine"): DataFrame =
+      filter: Option[Column] = None, metric: String = "cosine"): DataFrame = {
+    tbl.dim.foreach(d => require(queryVec.length == d,
+      s"query vector dimension ${queryVec.length} != index dimension $d"))
     VectorSearch.knn(tbl.df, tbl.idCol, tbl.embCol, queryVec, k, metric, filter)
       .select(col(tbl.idCol).as("id"), col("score"))
+  }
 
   /** Fulltext mode: rank all matches → post-filter → limit → (id, score).
     * The post-filter predicate is evaluated against `tbl.df` columns via a

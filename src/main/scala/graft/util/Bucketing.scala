@@ -14,13 +14,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  def writeBucketed(df: DataFrame, buckets: Int, keyCol: String, table: String): Unit =
+  def writeBucketed(df: DataFrame, buckets: Int, keyCol: String, table: String): Unit = {
+    val spark = df.sparkSession
+    // an in-memory catalog forgets tables across JVMs while the warehouse
+    // dir survives — drop both the entry and any orphaned location, or
+    // saveAsTable fails with LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

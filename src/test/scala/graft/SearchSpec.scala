@@ -102,6 +102,14 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(FoodFinder.validate("fulltext", None, Some("t"), 5) === 5)
   }
 
+  test("declared index dimension rejects mismatched query vectors") {
+    val docs = Seq((1L, "x", Seq(1.0, 0.0))).toDF("id", "text", "emb")
+    val tbl = FoodFinder.SearchTable(docs, "id", "emb", "text", dim = Some(2))
+    assertThrows[IllegalArgumentException](
+      FoodFinder.vector(tbl, Array(1.0, 0.0, 0.0), k = 1))
+    assert(FoodFinder.vector(tbl, Array(1.0, 0.0), k = 1).count() === 1)
+  }
+
   test("sanitize: string ids, double scores, plain-JSON row (R15)") {
     val res = Seq((1L, 0.75)).toDF("id", "score")
     val got = FoodFinder.sanitize(res).head()
