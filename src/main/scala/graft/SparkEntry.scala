@@ -349,15 +349,18 @@ object SparkEntry {
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
       .orderBy("event_type")
 
-  /** North-star: near-dup by TEXT-derived embeddings — the embed ETL's
-    * sparse output fed straight into the relational cosine self-join
-    * (embedding near-dup without any array column). */
+  /** North-star: near-dup by TEXT-derived embeddings — MinHash-LSH
+    * candidates verified by cosine over the embed ETL's sparse output
+    * (the composed scale pipeline: sketch → candidates → verify). */
   private val TextCosineThr = 0.95
-  private def qNeardupTextCosine(spark: SparkSession, dir: String): DataFrame =
+  private def qNeardupTextCosine(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashSignatures(d, "doc_id", "text"))
     Dedup.cosinePairsSparse(
-        EmbedJob.embedRelational(Tables.documents(spark, dir), "doc_id", "text"),
-        TextCosineThr)
+        EmbedJob.embedRelational(d, "doc_id", "text"), cands, TextCosineThr)
       .orderBy("id1", "id2")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
@@ -586,7 +589,9 @@ object SparkEntry {
         "\nORDER BY id1, id2"),
     "q_neardup_text_cosine" ->
       (Dedup.sqlCosinePairsSparse(
-        EmbedJob.sqlEmbedRelational("documents", "doc_id", "text"), TextCosineThr) +
+        EmbedJob.sqlEmbedRelational("documents", "doc_id", "text"),
+        Dedup.sqlMinhashCandidateCtes("documents", "doc_id", "text"),
+        TextCosineThr) +
         "\nORDER BY id1, id2"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -194,8 +194,10 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  def sqlMinhashPairs(docsTable: String, idExpr: String, textExpr: String,
-      threshold: Double): String = {
+  /** CTE chain `p → p31 → sigs → banded → cands` (paste after `WITH `) —
+    * ends in `cands(id1, id2)`, the distinct LSH candidate pairs. Shared
+    * by the Jaccard-verified and cosine-verified oracle renditions. */
+  def sqlMinhashCandidateCtes(docsTable: String, idExpr: String, textExpr: String): String = {
     val sigExprs = (0 until NumHashes).map { i =>
       s"min((${MinhashA(i)} * h31 + ${MinhashB(i)}) % $MinhashP) AS sig_$i"
     }.mkString(",\n         ")
@@ -204,7 +206,7 @@ object Dedup {
         .map(i => s"sig_$i::VARCHAR").mkString(" || ':' || ")
       s"SELECT id, $b AS band, md5($slots) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH p AS (${sqlShinglePostings(docsTable, idExpr, textExpr)}),
+    s"""p AS (${sqlShinglePostings(docsTable, idExpr, textExpr)}),
        |p31 AS (SELECT id, ((h % $MinhashP) + $MinhashP) % $MinhashP AS h31 FROM p),
        |sigs AS (
        |  SELECT id,
@@ -216,10 +218,15 @@ object Dedup {
        |  SELECT DISTINCT l.id AS id1, r.id AS id2
        |  FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
        |  WHERE l.id < r.id
-       |), jacc AS (${sqlJaccardPairs(docsTable, idExpr, textExpr, threshold)})
+       |)""".stripMargin
+  }
+
+  def sqlMinhashPairs(docsTable: String, idExpr: String, textExpr: String,
+      threshold: Double): String =
+    s"""WITH ${sqlMinhashCandidateCtes(docsTable, idExpr, textExpr)},
+       |jacc AS (${sqlJaccardPairs(docsTable, idExpr, textExpr, threshold)})
        |SELECT id1, id2, jaccard
        |FROM jacc JOIN cands USING (id1, id2)""".stripMargin
-  }
 
   // ---------------------------------------------------------------- SimHash
 
@@ -368,27 +375,33 @@ object Dedup {
       .distinct()
   }
 
-  /** Cosine near-dup over a SPARSE (id, dim, val) embedding relation
-    * (e.g. [[graft.embed.EmbedJob.embedRelational]]'s output, already
-    * L2-normalized): pairwise dot = join on dim + sum of products — pairs
-    * only materialize where vectors share a nonzero dimension. The fully
-    * relational formulation: no arrays, map-side combinable, and the join
-    * key (dim) bounds the candidate space the way an inverted index does.
-    * (id1, id2, sim) with rounded sim ≥ threshold. */
-  def cosinePairsSparse(sparse: DataFrame, threshold: Double): DataFrame = {
+  /** Cosine-verified near-dup over a SPARSE (id, dim, val) embedding
+    * relation (e.g. [[graft.embed.EmbedJob.embedRelational]]'s output,
+    * already L2-normalized), restricted to a candidate pair set: pairwise
+    * dot = route id1's components through the candidates and match id2's
+    * on dim. Work ∝ candidates × dims — NEVER an all-pairs join (a dense
+    * 64-dim space joined on dim alone degenerates to ~all pairs: measured
+    * 135 s vs 2 s at sf0.1). Candidates come from any LSH stage — e.g.
+    * [[minhashCandidates]] over the same text. */
+  def cosinePairsSparse(sparse: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
     val a = sparse.select(col("id").as("id1"), col("dim"), col("val").as("v1"))
     val b = sparse.select(col("id").as("id2"), col("dim"), col("val").as("v2"))
-    a.join(b, "dim").where(col("id1") < col("id2"))
+    cands.join(a, "id1").join(b, Seq("id2", "dim"))
       .groupBy("id1", "id2")
       .agg(round(sum(col("v1") * col("v2")), 6).as("sim"))
       .where(col("sim") >= threshold)
   }
 
-  def sqlCosinePairsSparse(sparseSql: String, threshold: Double): String =
-    s"""WITH sparse AS ($sparseSql),
+  /** Oracle rendition; `candsCtes` must end in `cands(id1, id2)` (e.g.
+    * [[sqlMinhashCandidateCtes]]). */
+  def sqlCosinePairsSparse(sparseSql: String, candsCtes: String, threshold: Double): String =
+    s"""WITH $candsCtes,
+       |sparse AS ($sparseSql),
        |pairs AS (
-       |  SELECT a.id AS id1, b.id AS id2, round(sum(a.val * b.val), 6) AS sim
-       |  FROM sparse a JOIN sparse b ON a.dim = b.dim AND a.id < b.id
+       |  SELECT c.id1, c.id2, round(sum(a.val * b.val), 6) AS sim
+       |  FROM cands c
+       |  JOIN sparse a ON a.id = c.id1
+       |  JOIN sparse b ON b.id = c.id2 AND b.dim = a.dim
        |  GROUP BY 1, 2
        |)
        |SELECT id1, id2, sim FROM pairs WHERE sim >= $threshold""".stripMargin
