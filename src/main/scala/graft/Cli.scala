@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
 
-  private def session(): SparkSession = {
+  /** (session, ownsIt) — commands must only stop sessions they created
+    * (a host JVM, e.g. the test suite, may already own one). */
+  private def session(): (SparkSession, Boolean) = {
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -29,7 +32,7 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    (s, preexisting.isEmpty)
   }
 
   private def flag(args: Array[String], name: String): Option[String] = {
@@ -39,14 +42,14 @@ object Cli {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "flatten" :: in :: out :: _ =>
-      val spark = session()
+      val (spark, owns) = session()
       Flatten.productDetail(spark.read.parquet(in))
         .write.mode("overwrite").parquet(out)
       println(s"[flatten] $in -> $out")
-      spark.stop()
+      if (owns) spark.stop()
 
     case "embed" :: in :: textCol :: out :: rest =>
-      val spark = session()
+      val (spark, owns) = session()
       val df = spark.read.parquet(in)
       val embedded = flag(rest.toArray, "--skip-existing") match {
         case Some(embCol) => EmbedJob.embedMissing(df, textCol, embCol)
@@ -55,10 +58,10 @@ object Cli {
       }
       embedded.write.mode("overwrite").parquet(out)
       println(s"[embed] $in ($textCol) -> $out")
-      spark.stop()
+      if (owns) spark.stop()
 
     case "index" :: in :: idCol :: valueCol :: out :: rest =>
-      val spark = session()
+      val (spark, owns) = session()
       val df = spark.read.parquet(in)
       flag(rest.toArray, "--type").getOrElse("vector") match {
         case "vector" =>
@@ -70,10 +73,10 @@ object Cli {
           println(s"[index] fulltext (BM25) on $valueCol -> $out")
         case other => sys.error(s"unknown index type $other")
       }
-      spark.stop()
+      if (owns) spark.stop()
 
     case "search" :: in :: mode :: query :: rest =>
-      val spark = session()
+      val (spark, owns) = session()
       val k = FoodFinder.validate(mode,
         description = Some(query), title = Some(query),
         limit = rest.headOption.flatMap(h => scala.util.Try(h.toInt).toOption).getOrElse(5))
@@ -96,7 +99,7 @@ object Cli {
       }
       FoodFinder.sanitize(results).select("json").collect()
         .foreach(r => println(r.getString(0)))
-      spark.stop()
+      if (owns) spark.stop()
 
     case _ =>
       System.err.println(

@@ -186,8 +186,17 @@ class IvfRewriteRule extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the IVF rewrite rule plus the
+  * graft SQL functions. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => new IvfRewriteRule)
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          VectorExpressions.getClass.getCanonicalName, name),
+        builder))
+    }
+  }
 }
