@@ -42,6 +42,25 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     ))
   }
 
+  test("salted two-phase aggregation equals direct aggregation (skew path)") {
+    import graft.util.{Skew, Tables}
+    val ev = Tables.events(spark, Sf0001)
+    val direct = ev.groupBy("event_type")
+      .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Skew.saltedSumCount(ev, "event_type", "value", col("event_id"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (s, n)) =>
+      assert(n === direct(k)._2)
+      assert(math.abs(s - direct(k)._1) < 1e-6)
+    }
+    // phase-1 spreads each key across multiple reducers
+    val plan = Skew.saltedSumCount(ev, "event_type", "value", col("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "partial agg must group by the salt")
+  }
+
   test("packSequences window is partitioned (no single global sort partition)") {
     val docs = Seq(("s1", 1L, "a"), ("s2", 2L, "b")).toDF("source", "id", "text")
     val plan = Curation.packSequences(docs, "source", "id", "text", 512)
