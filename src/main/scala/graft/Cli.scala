@@ -84,6 +84,9 @@ object Cli {
       val preds = Seq(
         flag(restArr, "--available").map(v => col("product.available") === v.toBoolean),
         flag(restArr, "--max-price").map(v => col("product.price.amount") < v.toDouble),
+        // min-price is gte and exists only in the CLI dialect
+        // (reference local-test.py:32-36,99-102 — SURVEY R6)
+        flag(restArr, "--min-price").map(v => col("product.price.amount") >= v.toDouble),
         flag(restArr, "--restaurant").map(v => col("restaurantName") === v),
       ).flatten
       val filter = preds.reduceOption(_ && _)
@@ -107,7 +110,7 @@ object Cli {
           |  flatten <catalog.parquet> <outDir>
           |  embed   <detail.parquet> <textCol> <outDir> [--skip-existing embCol]
           |  index   <detail.parquet> <idCol> <col> <outDir> [--type vector|fulltext]
-          |  search  <detail.parquet> <mode> <query> [k] [--available b] [--max-price x] [--restaurant s]""".stripMargin)
+          |  search  <detail.parquet> <mode> <query> [k] [--available b] [--max-price x] [--min-price x] [--restaurant s]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -76,6 +76,14 @@ object SparkEntry {
       .select("vec_id", "text", "score")
   }
 
+  /** R7/R8 with the euclidean metric (the third index similarity choice,
+    * `indexes.py:28-31`) — score = 1/(1+distance). */
+  private def qVectorKnnEuclidean(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch
+      .knn(Tables.embeddings(spark, dir), "vec_id", "embedding", flagshipQueryVec,
+        k = 5, metric = "euclidean")
+      .select("vec_id", "score")
+
   /** R2 distinct + sort (the /api/restaurants pipeline,
     * `backend/api.py:87-94`) over documents.source. */
   private def qDistinctSort(spark: SparkSession, dir: String): DataFrame =
@@ -364,6 +372,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
+    "q_vector_knn_euclidean" -> ((s, dir) => qVectorKnnEuclidean(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
     "q_bm25" -> ((s, dir) => qBm25(s, dir)),
@@ -457,6 +466,14 @@ object SparkEntry {
          |  WHERE d.lang = 'en'
          |)
          |SELECT vec_id, text, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_vector_knn_euclidean" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round(1.0 / (1.0 + list_distance(embedding::DOUBLE[], $flagshipQueryVecSql)), 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
     "q_distinct_sort" ->
       "SELECT DISTINCT source FROM documents WHERE source IS NOT NULL ORDER BY source",
