@@ -84,6 +84,13 @@ object SparkEntry {
         k = 5, metric = "euclidean")
       .select("vec_id", "score")
 
+  /** R7/R8 with the dotProduct metric — score = (1+dot)/2. */
+  private def qVectorKnnDot(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch
+      .knn(Tables.embeddings(spark, dir), "vec_id", "embedding", flagshipQueryVec,
+        k = 5, metric = "dotProduct")
+      .select("vec_id", "score")
+
   /** R2 distinct + sort (the /api/restaurants pipeline,
     * `backend/api.py:87-94`) over documents.source. */
   private def qDistinctSort(spark: SparkSession, dir: String): DataFrame =
@@ -373,6 +380,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_vector_knn_euclidean" -> ((s, dir) => qVectorKnnEuclidean(s, dir)),
+    "q_vector_knn_dot" -> ((s, dir) => qVectorKnnDot(s, dir)),
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
     "q_bm25" -> ((s, dir) => qBm25(s, dir)),
@@ -466,6 +474,14 @@ object SparkEntry {
          |  WHERE d.lang = 'en'
          |)
          |SELECT vec_id, text, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "q_vector_knn_dot" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_dot_product(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin,
     "q_vector_knn_euclidean" ->
       s"""WITH scored AS (
