@@ -84,6 +84,39 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("parquet sink + checkpoint: windows survive a query restart exactly once") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("stream-out").toString
+    val mem = MemoryStream[Event](spark)
+    def start() = EventStreams.windowedCounts(mem.toDF(), windowDur = "10 minutes",
+        lateness = "1 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
+      q1.processAllAvailable()
+      mem.addData(Event(3, ts(20), 1, "view", 1.0)) // closes the 10:00 window
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start() // same checkpoint: resumes, must not re-emit 10:00
+    try {
+      mem.addData(Event(4, ts(45), 1, "click", 3.0)) // closes the 10:20 window
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(out)
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // the 10:00 click window appears exactly once despite the restart
+    assert(rows.count(r => r._1 == ts(0) && r._2 == "click") === 1)
+    assert(rows.contains((ts(0), "click", 2L, 3.0)))
+    assert(rows.contains((ts(20), "view", 1L, 1.0)))
+  }
+
   test("session_window agg equals the analytic-function batch sessionization on events fixture") {
     val ev = Tables.events(spark, Sf0001)
     val a = EventStreams.sessionAgg(ev)
