@@ -242,6 +242,19 @@ object SparkEntry {
       .toDF()
       .orderBy("asset_id")
 
+  /** North-star RAG chunking: 200-char windows with 40-char overlap. */
+  private def qChunk(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(Tables.documents(spark, dir), "doc_id", "text",
+        chunkChars = 200, overlap = 40)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_idx")
+
+  /** North-star text cleaning: scrub + normalize with frozen regexes. */
+  private def qCleanText(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Curation.cleanText(col("text")).as("clean_text"))
+      .orderBy("doc_id")
+
   /** Streaming-capable tumbling-window aggregation, exercised in batch mode
     * for the oracle (the same plan runs under readStream — StreamingSpec). */
   private def qWindowAgg(spark: SparkSession, dir: String): DataFrame =
@@ -411,6 +424,8 @@ object SparkEntry {
     "q_pivot" -> ((s, dir) => qPivot(s, dir)),
     "q_sketches" -> ((s, dir) => qSketches(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
+    "q_chunk" -> ((s, dir) => qChunk(s, dir)),
+    "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -549,6 +564,13 @@ object SparkEntry {
         |)
         |SELECT * FROM ex UNION ALL SELECT * FROM inter
         |ORDER BY tag, c_custkey""".stripMargin,
+    "q_chunk" ->
+      (Curation.sqlChunkDocuments("documents", "doc_id", "text", 200, 40)
+        .replace("SELECT id, i AS chunk_idx", "SELECT id AS doc_id, i AS chunk_idx") +
+        "\nORDER BY doc_id, chunk_idx"),
+    "q_clean_text" ->
+      s"""SELECT doc_id, ${Curation.sqlCleanText("text")} AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_stratified" ->
       (Curation.sqlStratifiedSample("documents", "lang", "doc_id",
         SampleRates, SampleDefault) + "\nORDER BY doc_id"),

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.Text
 import graft.text.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,59 @@ object Curation {
        |  FROM scored
        |)
        |SELECT id, term, tfidf, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** RAG-style document chunking: fixed character windows with overlap.
+    * Chunk i covers [i·stride, i·stride + chunkChars), stride = chunkChars
+    * − overlap; the last window starts before the text ends (no empty
+    * chunks); docs shorter than one chunk yield exactly one. A narrow
+    * per-row explode — zero shuffle, linear at any corpus size.
+    * Output: (id, chunk_idx, chunk_text, chunk_chars). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, overlap: Int): DataFrame = {
+    require(chunkChars > overlap && overlap >= 0, "need chunkChars > overlap >= 0")
+    val stride = chunkChars - overlap
+    val n = length(col(textCol))
+    val numChunks = greatest(ceil((n - lit(overlap)).cast("double") / stride).cast("int"), lit(1))
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"),
+        explode(sequence(lit(0), numChunks - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        col("__t").substr(col("chunk_idx") * stride + 1, lit(chunkChars)).as("chunk_text"))
+      .withColumn("chunk_chars", length(col("chunk_text")))
+  }
+
+  def sqlChunkDocuments(docsTable: String, idExpr: String, textExpr: String,
+      chunkChars: Int, overlap: Int): String = {
+    val stride = chunkChars - overlap
+    s"""SELECT id, i AS chunk_idx,
+       |       substr(t, i * $stride + 1, $chunkChars) AS chunk_text,
+       |       length(substr(t, i * $stride + 1, $chunkChars)) AS chunk_chars
+       |FROM (SELECT $idExpr AS id, $textExpr AS t FROM $docsTable)
+       |CROSS JOIN generate_series(0, 9999) AS g(i)
+       |WHERE i < greatest(ceil((length(t) - $overlap)::DOUBLE / $stride)::INT, 1)""".stripMargin
+  }
+
+  /** Training-text cleaning: lowercase, scrub URL-ish and email-ish spans
+    * to a placeholder, strip non [a-z0-9 .,!?] chars, collapse whitespace,
+    * trim. Frozen regexes, shared with the oracle. */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  def cleanText(text: Column): Column = {
+    val lowered = lower(text)
+    val scrubbed = regexp_replace(regexp_replace(lowered, UrlRe, "<url>"), EmailRe, "<email>")
+    val stripped = regexp_replace(scrubbed, "[^a-z0-9 .,!?<>]", " ")
+    trim(regexp_replace(stripped, "\\s+", " "))
+  }
+
+  def sqlCleanText(expr: String): String =
+    s"""trim(regexp_replace(
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(lower($expr), '$UrlRe', '<url>', 'g'),
+       |      '$EmailRe', '<email>', 'g'),
+       |    '[^a-z0-9 .,!?<>]', ' ', 'g'),
+       |  '\\s+', ' ', 'g'))""".stripMargin.replace("\n", "")
 
   /** Deterministic stratified sampling for corpus rebalancing: a row
     * survives iff hash60(id) mod 1000 < permille(stratum). Reproducible
