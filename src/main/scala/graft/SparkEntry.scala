@@ -7,6 +7,7 @@ import graft.etl.Flatten
 import graft.functions.Vectors
 import graft.index.Ivf
 import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
 import graft.pipeline.Curation
 import graft.search.{TextSearch, VectorSearch}
 import graft.streaming.EventStreams
@@ -255,6 +256,20 @@ object SparkEntry {
       .select(col("doc_id"), Curation.cleanText(col("text")).as("clean_text"))
       .orderBy("doc_id")
 
+  /** As-of join: each purchase event attributed to the user's latest
+    * preceding (or simultaneous) click — union+window formulation, one
+    * shuffle, no range-join pair explosion. */
+  private def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value"))
+    AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "click_ts", "click_id", Seq("value"))
+      .orderBy("event_id")
+  }
+
   /** Streaming-capable tumbling-window aggregation, exercised in batch mode
     * for the oracle (the same plan runs under readStream — StreamingSpec). */
   private def qWindowAgg(spark: SparkSession, dir: String): DataFrame =
@@ -426,6 +441,7 @@ object SparkEntry {
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
+    "q_asof_join" -> ((s, dir) => qAsofJoin(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -564,6 +580,24 @@ object SparkEntry {
         |)
         |SELECT * FROM ex UNION ALL SELECT * FROM inter
         |ORDER BY tag, c_custkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts::TIMESTAMP AS click_ts, event_id AS click_id, value
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       latest.click_ts AS asof_click_ts,
+        |       latest.click_id AS asof_click_id,
+        |       latest.value AS asof_value
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT * FROM c
+        |  WHERE c.user_id = p.user_id AND c.click_ts <= p.ts
+        |  ORDER BY c.click_ts DESC, c.click_id DESC LIMIT 1
+        |) latest ON true
+        |ORDER BY p.event_id""".stripMargin,
     "q_chunk" ->
       (Curation.sqlChunkDocuments("documents", "doc_id", "text", 200, 40)
         .replace("SELECT id, i AS chunk_idx", "SELECT id AS doc_id, i AS chunk_idx") +
