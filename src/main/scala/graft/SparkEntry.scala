@@ -7,7 +7,7 @@ import graft.etl.Flatten
 import graft.functions.Vectors
 import graft.index.Ivf
 import graft.multimodal.Multimodal
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.pipeline.Curation
 import graft.search.{TextSearch, VectorSearch}
 import graft.streaming.EventStreams
@@ -270,6 +270,13 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Banded interval range join: same-user event pairs within 60 s. */
+  private def qRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    RangeJoin.pairsWithin(Tables.events(spark, dir), "user_id", "event_id", "ts",
+        widthUs = 60L * 1000000L)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("id1", "id2")
+
   /** Streaming-capable tumbling-window aggregation, exercised in batch mode
     * for the oracle (the same plan runs under readStream — StreamingSpec). */
   private def qWindowAgg(spark: SparkSession, dir: String): DataFrame =
@@ -442,6 +449,7 @@ object SparkEntry {
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
     "q_asof_join" -> ((s, dir) => qAsofJoin(s, dir)),
+    "q_range_join" -> ((s, dir) => qRangeJoin(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -580,6 +588,13 @@ object SparkEntry {
         |)
         |SELECT * FROM ex UNION ALL SELECT * FROM inter
         |ORDER BY tag, c_custkey""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+        |       epoch_us(b.ts::TIMESTAMP) - epoch_us(a.ts::TIMESTAMP) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) <= 60000000
+        |ORDER BY id1, id2""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
