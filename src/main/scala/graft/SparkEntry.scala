@@ -208,6 +208,14 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text"), SimhashMaxDist)
       .orderBy("id1", "id2")
 
+  /** North-star dedup clustering: connected components over the
+    * near-dup pair graph (pairs → clusters; keep = min id). */
+  private def qDedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.components(
+        Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThr))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** North-star embedding-cosine near-dup pairs over the embeddings table. */
   private def qNeardupCosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr)
@@ -450,6 +458,7 @@ object SparkEntry {
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
     "q_asof_join" -> ((s, dir) => qAsofJoin(s, dir)),
     "q_range_join" -> ((s, dir) => qRangeJoin(s, dir)),
+    "q_dedup_components" -> ((s, dir) => qDedupComponents(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -682,6 +691,12 @@ object SparkEntry {
     "q_dedup_jaccard" ->
       (Dedup.sqlJaccardPairs("documents", "doc_id", "text", JaccardThr) +
         "\nORDER BY id1, id2"),
+    "q_dedup_components" ->
+      (Dedup.sqlComponents(
+        Dedup.sqlJaccardPairs("documents", "doc_id", "text", JaccardThr))
+        .replace("SELECT id, min(comp) AS comp FROM walk GROUP BY id",
+          "SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id") +
+        "\nORDER BY doc_id"),
     "q_dedup_minhash" ->
       (Dedup.sqlMinhashPairs("documents", "doc_id", "text", JaccardThr) +
         "\nORDER BY id1, id2"),

@@ -306,6 +306,60 @@ object Dedup {
        |FROM sh a JOIN sh b ON a.id < b.id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
 
+  // ------------------------------------------------- duplicate components
+
+  /** Connected components over an undirected near-dup pair list — the step
+    * that turns pairwise matches into dedup CLUSTERS (keep min id per
+    * component, drop the rest). Iterative min-label propagation to a
+    * fixpoint: each round every node takes the min of its own and its
+    * neighbors' labels — converges in O(component diameter) rounds, each
+    * round one join + one map-side-combinable min agg. Near-dup components
+    * have tiny diameters (dup clusters are dense), so 3–5 rounds suffice
+    * at any corpus size; `maxIter` caps pathological chains.
+    * Output: (id, component = min reachable id), nodes that appear in
+    * ≥1 pair only. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .cache()
+      val changed = updated
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .where(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Oracle rendition: recursive transitive closure, min label per node.
+    * `pairsSql` must produce (id1, id2). */
+  def sqlComponents(pairsSql: String): String =
+    s"""WITH RECURSIVE prs AS ($pairsSql),
+       |edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM prs
+       |  UNION SELECT id2 AS a, id1 AS b FROM prs
+       |),
+       |walk(id, comp) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id
+       |)
+       |SELECT id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin
+
   // ------------------------------------------------------- cosine near-dup
 
   /** Embedding-cosine near-dup pairs: (id1, id2, sim) with rounded cosine ≥

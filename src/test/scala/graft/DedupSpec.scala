@@ -78,6 +78,18 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       s"recall ${lsh.size}/${brute.size} below floor")
   }
 
+  test("connected components: chains merge transitively, components stay separate") {
+    // chain 1-2-3 (transitive near-dups), separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain still converges (diameter > 1 iteration)
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got2 = Dedup.components(chain).collect().map(r => r.getLong(1)).distinct
+    assert(got2 === Array(1L))
+  }
+
   test("cosine near-dup pairs: identical vector pair detected, threshold respected") {
     val e = Seq(
       (1L, Seq(1.0, 0.0, 0.0)),
