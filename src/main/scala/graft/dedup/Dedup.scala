@@ -319,11 +319,15 @@ object Dedup {
     * Output: (id, component = min reachable id), nodes that appear in
     * ≥1 pair only. */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache): each round references the previous
+    // labels twice, so an un-truncated logical plan doubles per iteration
+    // and planning cost explodes — checkpointing resets the lineage to the
+    // materialized result (the standard iterative-algorithm pattern).
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).cache()
+      .withColumn("comp", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -333,11 +337,10 @@ object Dedup {
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint()
       val changed = updated
         .join(labels.select(col("id"), col("comp").as("old")), "id")
         .where(col("comp") =!= col("old")).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       i += 1
