@@ -337,7 +337,7 @@ object Dedup {
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the convergence count materializes it
       val changed = updated
         .join(labels.select(col("id"), col("comp").as("old")), "id")
         .where(col("comp") =!= col("old")).count()
