@@ -4,10 +4,10 @@ import graft.api.FoodFinder
 import graft.dedup.Dedup
 import graft.embed.{EmbedJob, Embedder}
 import graft.etl.Flatten
-import graft.functions.Vectors
+import graft.functions.{Text, Vectors}
 import graft.index.Ivf
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.Curation
 import graft.search.{TextSearch, VectorSearch}
 import graft.streaming.EventStreams
@@ -161,7 +161,9 @@ object SparkEntry {
       col("doc_id"),
       TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
       TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
+      // integer ppm score (not the rounded DOUBLE) so the driver's hash
+      // compare is immune to last-ULP double representation differences
+      TextAnalysis.qualityPpm(col("text")).as("quality_ppm"))
       .orderBy("doc_id")
 
   /** North-star language-ID: marker-ratio argmax per document. */
@@ -394,18 +396,23 @@ object SparkEntry {
       .na.fill(0L)
       .orderBy("decile")
 
-  /** Approximate sketches: HLL++ distinct users and t-digest-style value
-    * quantiles per event type. Sketch internals are engine-specific, so no
-    * SQL oracle — the driver records the (deterministic) row/shape check;
-    * accuracy bounds are asserted in SketchSpec against exact values. */
-  private def qSketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
+  /** Deterministic sketches with a real oracle: KMV distinct-user estimate
+    * (bounded-state custom Aggregator — every map task ships ≤ k longs to
+    * the shuffle) and exact discrete p50/p95 value quantiles per event type.
+    * HLL++/t-digest stay available as the engine surface
+    * (`approx_count_distinct`/`percentile_approx`, accuracy-tested in
+    * SketchSpec) but can never hash-match an external engine; KMV's estimate
+    * is a closed-form function of the k smallest md5-derived hashes, so
+    * DuckDB computes the identical number. */
+  private def qSketches(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val kmv = Sketches.kmvDistinct(
+      ev, "event_type", Text.hash60(col("user_id").cast("string")), Sketches.DefaultK, "kmv_users")
+    val qq = Sketches.quantilesDisc(ev, "event_type", "value", Seq(50, 95))
+    kmv.join(qq, "event_type")
+      .select("event_type", "kmv_users", "p50", "p95")
       .orderBy("event_type")
+  }
 
   /** North-star: near-dup by TEXT-derived embeddings — MinHash-LSH
     * candidates verified by cosine over the embed ETL's sparse output
@@ -545,8 +552,17 @@ object SparkEntry {
       s"""SELECT doc_id,
          |       ${TextAnalysis.sqlWsTokenCount("text")} AS ws_tokens,
          |       ${TextAnalysis.sqlBpeTokenCount("text")} AS bpe_tokens,
-         |       ${TextAnalysis.sqlQualityScore("text")} AS quality
+         |       ${TextAnalysis.sqlQualityPpm("text")} AS quality_ppm
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sketches" ->
+      s"""WITH kmv AS (
+         |${Sketches.sqlKmvDistinctSelect("events", "event_type", Text.sqlHash60("user_id::VARCHAR"), Sketches.DefaultK, "kmv_users")}
+         |), qq AS (
+         |${Sketches.sqlQuantilesDiscSelect("events", "event_type", "value", Seq(50, 95))}
+         |)
+         |SELECT kmv.event_type, kmv_users, p50, p95
+         |FROM kmv JOIN qq USING (event_type)
+         |ORDER BY event_type""".stripMargin,
     "q_langid" ->
       s"""SELECT doc_id,
          |       ${TextAnalysis.sqlLangId("text")} AS lang_pred,

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+
+/** Deterministic distributed sketches (SURVEY §2.4 north-star; VERDICT r1
+  * next-step 2): a KMV (k-minimum-values) distinct estimator and exact
+  * discrete quantiles. Unlike HLL++/t-digest (whose merge internals are
+  * engine-specific and can never hash-match an external oracle), both of
+  * these compute a deterministic, engine-independent number: KMV's estimate
+  * is a closed-form function of the k smallest 60-bit hashes, and the
+  * discrete quantile is a value copied verbatim from the data. Each has a
+  * DuckDB SQL rendition for the correctness gate.
+  *
+  * Scale notes (100 TB):
+  *   - [[KmvAgg]] is a bounded-state `Aggregator`: every map task contributes
+  *     at most k longs to the shuffle regardless of input size, and merges
+  *     are O(k) — the same partial-aggregation shape as HLL++, unlike exact
+  *     `countDistinct` whose shuffle carries every distinct key.
+  *   - exact quantiles inherently need a per-group sort; the window below is
+  *     partitioned by the group key (no global sort). For cases where an
+  *     approximation suffices at scale, `percentile_approx` remains the
+  *     cheaper path (kept unit-tested in SketchSpec).
+  */
+object Sketches {
+
+  val DefaultK = 64
+
+  /** 2^60 — hash60 values are uniform in [0, 2^60); exactly representable
+    * as a double (and written as the same literal in the SQL rendition so
+    * the IEEE division matches bit-for-bit). */
+  val TwoPow60: Double = 1152921504606846976.0
+
+  /** Estimate from the sorted k-minimum hash set: fewer than k distinct
+    * hashes means we saw the whole set (exact count); otherwise the classic
+    * KMV estimator (k−1)·2^60 / h_k. */
+  private[operators] def estimate(mins: Array[Long], k: Int): Long =
+    if (mins.length < k) mins.length.toLong
+    else math.floor((k - 1).toDouble * TwoPow60 / mins(k - 1).toDouble).toLong
+
+  /** Bounded-state KMV aggregator over 60-bit hashes. State: the sorted
+    * array of the ≤ k smallest DISTINCT hashes seen so far. */
+  class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Long] {
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // already tracked
+      else {
+        val ins = -pos - 1
+        if (b.length < k) {
+          val out = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+          out
+        } else if (ins < k) { // displaces the current max
+          val out = new Array[Long](k)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+          out
+        } else b
+      }
+    }
+
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      // sorted-merge distinct, keep the k smallest
+      val out = new Array[Long](math.min(b1.length + b2.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < b1.length || j < b2.length)) {
+        val take =
+          if (i >= b1.length) { val v = b2(j); j += 1; v }
+          else if (j >= b2.length) { val v = b1(i); i += 1; v }
+          else if (b1(i) < b2(j)) { val v = b1(i); i += 1; v }
+          else if (b1(i) > b2(j)) { val v = b2(j); j += 1; v }
+          else { val v = b1(i); i += 1; j += 1; v }
+        out(n) = take; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    def finish(r: Array[Long]): Long = estimate(r, k)
+
+    def bufferEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder = Encoders.scalaLong
+  }
+
+  /** KMV distinct estimate per group over a 60-bit hash column. Null hashes
+    * are excluded (countDistinct semantics). */
+  def kmvDistinct(df: DataFrame, groupCol: String, hashCol: Column, k: Int = DefaultK,
+                  out: String = "kmv_distinct"): DataFrame = {
+    val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+    df.select(col(groupCol), hashCol.as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(groupCol)
+      .agg(kmv(col("h")).as(out))
+  }
+
+  /** Reference formulation of [[kmvDistinct]] via window rank over distinct
+    * hashes — provably the same number (spec-asserted), but its shuffle
+    * carries every distinct hash; test/oracle shape only. */
+  def kmvDistinctWindowed(df: DataFrame, groupCol: String, hashCol: Column, k: Int = DefaultK,
+                          out: String = "kmv_distinct"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("h")
+    df.select(col(groupCol), hashCol.as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("m"), max("h").as("hk"))
+      .select(col(groupCol),
+        when(col("m") < k, col("m"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(TwoPow60) / col("hk").cast("double")).cast("long"))
+          .as(out))
+  }
+
+  /** DuckDB rendition of [[kmvDistinct]]: a scalar subquery-free CTE body.
+    * `hashExpr` must be the SQL rendition of the same hash fed to the Spark
+    * side (see [[graft.functions.Text.sqlHash60]]). Returns (cteSql, colName)
+    * pieces for composition; simplest use is [[sqlKmvDistinctSelect]]. */
+  def sqlKmvDistinctSelect(table: String, groupCol: String, hashExpr: String,
+                           k: Int = DefaultK, out: String = "kmv_distinct"): String =
+    s"""SELECT $groupCol,
+       |       CASE WHEN count(*) < $k THEN count(*)
+       |            ELSE floor(${k - 1}::DOUBLE * 1152921504606846976.0 / max(h)::DOUBLE)::BIGINT
+       |       END AS $out
+       |FROM (
+       |  SELECT $groupCol, h, row_number() OVER (PARTITION BY $groupCol ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT $groupCol, $hashExpr AS h FROM $table WHERE $hashExpr IS NOT NULL)
+       |) WHERE rn <= $k GROUP BY $groupCol""".stripMargin
+
+  /** Exact discrete quantiles per group: for each p (in percent), the value
+    * at 1-based rank ceil(p·n/100) of the group's values sorted ascending —
+    * a value copied verbatim from the data (no interpolation arithmetic →
+    * nothing for two engines to disagree about). Nulls excluded. The rank
+    * is computed in exact integer arithmetic: (p·n + 99) div 100. */
+  def quantilesDisc(df: DataFrame, groupCol: String, valueCol: String,
+                    percents: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(valueCol)
+    val cw = Window.partitionBy(groupCol)
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+    // ceil(p*cnt/100) as exact integers: (p*cnt + 99) / 100 floored; the
+    // double division is exact (operands < 2^53)
+    def idx(p: Int): Column =
+      floor((lit(p.toLong) * col("cnt") + lit(99L)).cast("double") / lit(100.0)).cast("long")
+    val aggs = percents.map(p => max(when(col("rn") === idx(p), col(valueCol))).as(s"p$p"))
+    ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB rendition of [[quantilesDisc]]. */
+  def sqlQuantilesDiscSelect(table: String, groupCol: String, valueExpr: String,
+                             percents: Seq[Int]): String = {
+    val aggs = percents.map(p =>
+      s"max(CASE WHEN rn = ($p * cnt + 99) // 100 THEN v END) AS p$p").mkString(",\n       ")
+    s"""SELECT $groupCol,
+       |       $aggs
+       |FROM (
+       |  SELECT $groupCol, $valueExpr AS v,
+       |         row_number() OVER (PARTITION BY $groupCol ORDER BY $valueExpr) AS rn,
+       |         count(*) OVER (PARTITION BY $groupCol) AS cnt
+       |  FROM $table WHERE $valueExpr IS NOT NULL
+       |) GROUP BY $groupCol""".stripMargin
+  }
+}

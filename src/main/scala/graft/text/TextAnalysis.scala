@@ -95,6 +95,57 @@ object TextAnalysis {
        |      ELSE len(list_distinct($toks))::DOUBLE / len($toks) END, 6)""".stripMargin
   }
 
+  /** Integer parts-per-million rendition of [[qualityScore]] — the same
+    * frozen heuristic scaled by 1e6 and computed entirely in BIGINT
+    * arithmetic with a single IEEE-754 double division at the end:
+    *
+    *   ppm = floor((6000·min(n,50)·n·c + 300000·(n−s)·c + 200000·a·n
+    *                + 200000·d·c) / (n·c))
+    *
+    * where n = tokens, s = stopword tokens, d = distinct tokens,
+    * a = [a-z0-9 ] chars, c = chars. Spark and DuckDB build the identical
+    * integer numerator/denominator, and IEEE division of identical operands
+    * is bit-identical across engines — so the hash compare is immune to the
+    * rounded-DOUBLE last-ULP noise that [[qualityScore]] is exposed to.
+    */
+  def qualityPpm(text: Column): Column = {
+    val toks = Text.tokens(text)
+    val n = size(toks).cast("long")
+    val s = size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
+    val d = size(array_distinct(toks)).cast("long")
+    val a = length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("long")
+    val c = length(text).cast("long")
+    val num = lit(6000L) * least(n, lit(50L)) * n * c +
+      lit(300000L) * (n - s) * c +
+      lit(200000L) * a * n +
+      lit(200000L) * d * c
+    when(n === 0 && c === 0, lit(300000L))
+      .when(n === 0,
+        lit(300000L) + floor(lit(200000L).cast("double") * a.cast("double") / c.cast("double")).cast("long"))
+      .otherwise(floor(num.cast("double") / (n * c).cast("double")).cast("long"))
+  }
+
+  /** DuckDB rendition of [[qualityPpm]] — byte-identical formula shape. */
+  def sqlQualityPpm(expr: String): String = {
+    val toks = Text.sqlTokens(expr)
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    val n = s"len($toks)::BIGINT"
+    val st = s"len(list_filter($toks, t -> t IN ($stops)))::BIGINT"
+    val d = s"len(list_distinct($toks))::BIGINT"
+    val a = s"length(regexp_replace(lower($expr), '[^a-z0-9 ]', '', 'g'))::BIGINT"
+    val c = s"length($expr)::BIGINT"
+    s"""(CASE
+       |  WHEN $n = 0 AND $c = 0 THEN 300000
+       |  WHEN $n = 0 THEN 300000 + floor(200000::DOUBLE * ($a)::DOUBLE / ($c)::DOUBLE)::BIGINT
+       |  ELSE floor(
+       |    (6000 * least($n, 50) * $n * $c
+       |     + 300000 * ($n - $st) * $c
+       |     + 200000 * $a * $n
+       |     + 200000 * $d * $c)::DOUBLE
+       |    / (($n) * ($c))::DOUBLE)::BIGINT
+       |END)::BIGINT""".stripMargin
+  }
+
   // ----------------------------------------------------------- language ID
 
   /** Marker-word sets per language (tiny frozen stopword lists). Score(lang)

@@ -29,6 +29,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(diverse >= 0.0 && diverse <= 1.0 && repetitive >= 0.0)
   }
 
+  test("qualityPpm tracks qualityScore within 1 ppm (floor vs round) on real docs") {
+    val docs = graft.util.Tables.documents(spark, Sf0001).limit(200)
+    val both = docs.select(
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.qualityPpm(col("text")).as("ppm")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val q = r.getDouble(0); val ppm = r.getLong(1)
+      assert(math.abs(q * 1e6 - ppm) <= 1.0, s"q=$q ppm=$ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // edge cases: empty text and whitespace-only (n=0, c>0)
+    assert(one("", TextAnalysis.qualityPpm).getLong(0) === 300000L)
+    assert(one("   ", TextAnalysis.qualityPpm).getLong(0) === 300000L + 200000L)
+  }
+
   test("langId picks the marker-dominant language; 'und' when no tokens") {
     assert(one("el la es de que para un los", TextAnalysis.langId).getString(0) === "es")
     assert(one("the and is of to in it", TextAnalysis.langId).getString(0) === "en")
