@@ -63,6 +63,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     qHybrid(spark, "/root/testdata/sf0.001")
 
+  /** Build (and cache-materialize) the session's index DDL artifacts — the
+    * reference's offline lifecycle (`indexes.py` runs once before serving).
+    * Bench calls this outside the timed window so index-backed queries
+    * measure the probe, not the build. */
+  def warmIndexes(spark: SparkSession, dir: String): Unit = {
+    val bm = corpusBm25(spark, dir)
+    bm.postings.count(); bm.termDf.count()
+    corpusIvf(spark, dir).assignments.count()
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** R7/R8/R5 exact filtered vector top-k (SURVEY §7.1 minimum slice):
@@ -186,6 +196,8 @@ object SparkEntry {
   private val JaccardThr = 0.5
   private val SimhashMaxDist = 1
   private val CosineThr = 0.45
+  /** Embedding dimensionality of the testdata embeddings table. */
+  private val EmbDim = 64
 
   /** North-star exact dedup: keep-decision per doc (hash-groupBy). */
   private def qDedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -218,9 +230,13 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  /** North-star embedding-cosine near-dup pairs over the embeddings table. */
+  /** North-star embedding-cosine near-dup pairs over the embeddings table.
+    * Declared via the sign-LSH candidate path (bucketed band join + exact
+    * per-pair verify — no CartesianProduct in the plan); the brute
+    * [[Dedup.cosinePairs]] stays as the oracle baseline ([[Dedup.sqlCosinePairs]]
+    * SQL, equality asserted in DedupSpec). */
   private def qNeardupCosine(spark: SparkSession, dir: String): DataFrame =
-    Dedup.cosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr)
+    Dedup.cosinePairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr, EmbDim)
       .orderBy("id1", "id2")
 
   /** The IVF index, built once per (session, sfDir) — offline DDL
@@ -241,6 +257,32 @@ object SparkEntry {
     Ivf.ann(corpusIvf(spark, dir), e, "vec_id", "embedding", flagshipQueryVec,
         k = 10, numCandidates = Int.MaxValue)
       .select("vec_id", "score")
+  }
+
+  /** The flagship Spark-native piece oracle-checked end-to-end: register
+    * the IVF index for the embeddings parquet path, write the PLAIN exact
+    * top-k query, and let the Catalyst rule
+    * ([[org.apache.spark.sql.graftshim.IvfRewriteRule]]) narrow the scan
+    * through the index's member semi-join. Exhaustive probe depth keeps the
+    * exact-kNN SQL a valid oracle (recall 1). The rewritten plan is forced
+    * and self-checked while registered, materialized (localCheckpoint), and
+    * the registration is removed so no other query's plan is touched. */
+  private def qAnnIvfRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/embeddings.parquet"
+    Ivf.registerForRewrite(spark, path, corpusIvf(spark, dir), "vec_id",
+      numCandidates = Int.MaxValue)
+    try {
+      val res = VectorSearch
+        .knn(Tables.embeddings(spark, dir), "vec_id", "embedding",
+          flagshipQueryVec, k = 10)
+        .select("vec_id", "score")
+      val optimized = res.queryExecution.optimizedPlan.toString
+      require(optimized.contains(org.apache.spark.sql.graftshim.IvfRewrite.MemberCol),
+        s"IVF rewrite did not fire for $path:\n$optimized")
+      // materialize under the rewritten plan: a later write/count builds a
+      // fresh QueryExecution, which would re-optimize after unregistration
+      res.localCheckpoint()
+    } finally org.apache.spark.sql.graftshim.IvfRewrite.unregister(path)
   }
 
   /** North-star multimodal plumbing: binary payload column → batched
@@ -446,6 +488,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
+    "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
@@ -574,6 +617,14 @@ object SparkEntry {
          |       ${TextAnalysis.sqlFingerprintMax("text")} AS fp_max
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ann_ivf" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivf_rewrite" ->
       s"""WITH scored AS (
          |  SELECT vec_id,
          |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score

@@ -2,7 +2,7 @@ package graft.dedup
 
 import graft.functions.{Text, Vectors}
 import graft.text.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -334,17 +334,24 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
         .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nbr_min"))
+      // the new labels carry their change flag, so convergence is a cheap
+      // scan-agg over the just-materialized checkpoint instead of a second
+      // join against the previous labels — one shuffling job per round
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .localCheckpoint(false) // lazy: the convergence count materializes it
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (col("nbr_min") < col("comp")).as("chg"))
+        .localCheckpoint()
       val changed = updated
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .where(col("comp") =!= col("old")).count()
-      labels = updated
+        .agg(sum(when(col("chg"), 1L).otherwise(0L))).head().getLong(0)
+      labels = updated.select("id", "comp")
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIter rounds — component diameter " +
+          "exceeds the cap; raise maxIter for pathological chain-shaped graphs")
     labels
   }
 
@@ -384,19 +391,32 @@ object Dedup {
   }
 
   /** Sign-LSH (random-hyperplane) candidate generation for cosine near-dup
-    * — the 100 TB path: each vector gets a [[SignLshBits]]-bit sketch
+    * — the scale-structured path: each vector gets a bands·rows-bit sketch
     * (sign of the dot with deterministic pseudo-random hyperplanes),
-    * banded like MinHash; pairs colliding on ≥1 band are exact-verified.
-    * Precision 1 by construction; recall grows with bands and threshold
-    * (P[bit agree] = 1 − θ/π). Shuffle volume ∝ vectors × bands — never
-    * the pair count.
+    * banded like MinHash; DISTINCT pairs colliding on ≥1 band are
+    * exact-verified once each. Precision 1 by construction; recall grows
+    * with bands and threshold (P[bit agree] = 1 − θ_angle/π).
+    *
+    * Honest scale note: the pruning power depends on the gap between the
+    * bit-agreement probability at the threshold vs the bulk of the pair
+    * distribution. At a tight threshold (sim ≥ 0.8, agreement p ≥ 0.80 vs
+    * bulk ~0.53) banding discards almost everything (pruning measured in
+    * DedupSpec). At the loose θ=0.45 the declared query uses (p = 0.65),
+    * the gap is thin and candidates approach all pairs — the join SHAPE is
+    * still bucketed (no CartesianProduct; shuffle ∝ vectors × bands for
+    * sketching, then ∝ candidates for verify, never more than the brute
+    * pair count) but a loose-threshold dense similarity join is inherently
+    * near-quadratic in verify work; no blocking scheme beats that without
+    * losing recall. 16 bands × 2 rows holds empirical recall 1 at θ=0.45
+    * on the test corpora (asserted vs brute in DedupSpec) with a
+    * per-pair miss bound of (1−0.42)^16 ≈ 1.6e-4 at the threshold.
     *
     * Hyperplanes are a pure function of (seed, bit, dim) via the shared
     * 60-bit hash, so executors regenerate them without broadcast.
     */
-  val SignLshBits = 16
-  val SignLshBands = 4
-  val SignLshRows = 4
+  val SignLshBands = 16
+  val SignLshRows = 2
+  val SignLshBits = SignLshBands * SignLshRows
 
   /** Deterministic hyperplane component h[bit][d] ∈ {−1, +1}. */
   private def hyperplaneSign(seed: Long, bit: Int, d: Int): Double = {
@@ -405,31 +425,48 @@ object Dedup {
   }
 
   def cosinePairsLsh(embs: DataFrame, idCol: String, embCol: String,
-      threshold: Double, dim: Int, seed: Long = 42L): DataFrame = {
-    // 16 sketch bits: sign of Σ_d v[d]·±1 — expressed as codegen-friendly
-    // element_at sums (dim is small and fixed per table)
-    val bitCols = (0 until SignLshBits).map { bit =>
+      threshold: Double, dim: Int, seed: Long = 42L,
+      bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
+    // bands·rows sketch bits (≤ 62, packed into one long): sign of
+    // Σ_d v[d]·±1 — codegen-friendly element_at sums (dim is small and
+    // fixed per table), computed ONCE per vector
+    val nBits = bands * rows
+    require(nBits <= 62, s"sketch bits $nBits exceed one long")
+    val bitExprs = (0 until nBits).map { bit =>
       val dotExpr = (0 until dim).map { d =>
         element_at(col("v"), d + 1) * lit(hyperplaneSign(seed, bit, d))
       }.reduce(_ + _)
-      when(dotExpr >= 0, lit(1)).otherwise(lit(0)).as(s"b_$bit")
+      when(dotExpr >= 0, lit(1L << bit)).otherwise(lit(0L))
     }
-    val sketched = embs.select(
-      col(idCol).as("id"), col(embCol).as("v"),
-      Vectors.l2norm(col(embCol)).as("nrm")).select(
-      (Seq(col("id"), col("v"), col("nrm")) ++ bitCols): _*)
-    val banded = (0 until SignLshBands).map { b =>
-      val slots = (b * SignLshRows until (b + 1) * SignLshRows).map(i => col(s"b_$i").cast("string"))
-      sketched.select(col("id"), col("v"), col("nrm"),
-        lit(b).as("band"), concat_ws(":", slots: _*).as("bkey"))
-    }.reduce(_ union _)
-    val l = banded.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1"), col("band"), col("bkey"))
-    val r = banded.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2"), col("band"), col("bkey"))
-    l.join(r, Seq("band", "bkey")).where(col("id1") < col("id2"))
+    val bandMasks = (0 until bands).map(b => ((1L << rows) - 1) << (b * rows))
+    val withV = embs.select(col(idCol).as("id"), col(embCol).as("v"),
+      Vectors.l2norm(col(embCol)).as("nrm"))
+    // one narrow explode replicates each (id, sketch) once per band —
+    // candidate enumeration carries only (id, band, bkey, sk), never vectors
+    val banded = withV
+      .select(col("id"), bitExprs.reduce(_ + _).as("sk"))
+      .select(col("id"), col("sk"),
+        posexplode(array(bandMasks.map(m =>
+          col("sk").bitwiseAND(lit(m))): _*)).as(Seq("band", "bkey")))
+    val l = banded.select(col("id").as("id1"), col("band"), col("bkey"), col("sk").as("sk1"))
+    val r = banded.select(col("id").as("id2"), col("band"), col("bkey"), col("sk").as("sk2"))
+    // dedup WITHOUT a distinct shuffle: a colliding pair is emitted only by
+    // the FIRST band on which the sketches agree — a pure codegen filter on
+    // the packed sketches (the join guarantees agreement on `band`, so
+    // firstAgree ≤ band and exactly one band survives per pair)
+    def agree(b: Int): Column =
+      col("sk1").bitwiseXOR(col("sk2")).bitwiseAND(lit(bandMasks(b))) === 0
+    val firstAgree = (0 until bands).foldRight(lit(-1): Column)(
+      (b, acc) => when(agree(b), lit(b)).otherwise(acc))
+    val cands = l.join(r, Seq("band", "bkey"))
+      .where(col("id1") < col("id2") && col("band") === firstAgree)
+      .select("id1", "id2")
+    val a = withV.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1"))
+    val b = withV.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2"))
+    cands.join(a, "id1").join(b, "id2")
       .select(col("id1"), col("id2"),
         round(Vectors.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6).as("sim"))
       .where(col("sim") >= threshold)
-      .distinct()
   }
 
   /** Cosine-verified near-dup over a SPARSE (id, dim, val) embedding

@@ -104,6 +104,12 @@ object Ivf {
       queryVec: Array[Double], k: Int, numCandidates: Int,
       metric: String = "cosine", preFilter: Option[Column] = None): DataFrame = {
     val probe = probeSet(index, queryVec, numCandidates)
+    // exhaustive probe (numCandidates ≥ N covers every cluster) would
+    // broadcast EVERY id through the member semi-join just to select the
+    // whole table — skip the join entirely and run the exact scan
+    val probedMembers = probe.map(index.sizes.getOrElse(_, 0L)).sum
+    if (probedMembers == index.sizes.values.sum)
+      return VectorSearch.knn(table, idCol, embCol, queryVec, k, metric, preFilter)
     val members = index.assignments
       .where(col("cluster").isin(probe: _*))
       .select(col("id").as("__ivf_id"))

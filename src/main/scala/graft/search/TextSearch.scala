@@ -61,9 +61,14 @@ object TextSearch {
   def queryTerms(queryText: String): Seq[String] =
     queryText.toLowerCase.split(Text.SplitRe).filter(_.nonEmpty).distinct.toSeq
 
-  /** Relevance-ranked matches: (id, score), score DESC, id ASC, top k.
+  /** Scored matches (id, score). With a finite `k`: ranked score DESC,
+    * id ASC, top k (a TakeOrderedAndProject — no full sort). With
     * `k = Int.MaxValue` = unlimited (the reference's `$search` stage has no
-    * internal limit — trailing `$limit` is a separate stage). */
+    * internal limit — trailing `$limit` is a separate stage) the relation
+    * comes back UNRANKED: every caller of the unlimited form re-ranks after
+    * post-filtering/fusion anyway ([[graft.api.FoodFinder]],
+    * [[ScoreFusion.fuse]]), so an internal global sort would be a dead
+    * Sort+Exchange in the plan. */
   def search(index: Bm25Index, queryText: String, k: Int = Int.MaxValue): DataFrame = {
     val terms = queryTerms(queryText)
     if (terms.isEmpty)
@@ -84,8 +89,8 @@ object TextSearch {
       .withColumn("contrib", contrib)
       .groupBy("id")
       .agg(round(sum(col("contrib")), ScoreDecimals).as("score"))
-    val ranked = scored.orderBy(col("score").desc, col("id").asc)
-    if (k == Int.MaxValue) ranked else ranked.limit(k)
+    if (k == Int.MaxValue) scored
+    else scored.orderBy(col("score").desc, col("id").asc).limit(k)
   }
 
   /** End-to-end convenience: build + search over a raw document table. */

@@ -62,20 +62,38 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(brute.nonEmpty)
   }
 
-  test("sign-LSH cosine candidates: precision 1 vs brute force, high recall at high threshold") {
+  test("sign-LSH cosine pairs equal brute force at the declared banding; no CartesianProduct") {
     val e = Tables.embeddings(spark, Sf0001)
-    // low absolute threshold on this corpus (max pairwise cosine ≈ 0.51):
-    // compare against brute force at 0.4
+    // the declared q_neardup_cosine config: 16 bands × 2 rows at θ=0.4
+    // (this corpus's max pairwise cosine ≈ 0.51) must reproduce brute
+    // exactly — precision 1 by exact verify, recall 1 by banding margin
     val brute = Dedup.cosinePairs(e, "vec_id", "embedding", 0.4)
-      .select("id1", "id2").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.cosinePairsLsh(e, "vec_id", "embedding", 0.4, dim = 64)
-      .select("id1", "id2").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(brute), "every LSH pair must be a true pair (exact verify)")
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect().toSet
+    val lshDf = Dedup.cosinePairsLsh(e, "vec_id", "embedding", 0.4, dim = 64)
+    val lsh = lshDf.select("id1", "id2", "sim").as[(Long, Long, Double)].collect().toSet
     assert(brute.nonEmpty)
-    // at cos 0.4 (θ≈66°) a 4-bit band agrees with p≈(1−θ/π)^4≈0.15;
-    // 4 bands ⇒ pair recall ≈ 0.48 — assert a conservative floor
-    assert(lsh.size.toDouble / brute.size >= 0.2,
-      s"recall ${lsh.size}/${brute.size} below floor")
+    assert(lsh === brute)
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH path must not be all-pairs")
+  }
+
+  test("sign-LSH prunes hard at a tight threshold (injected near-dups)") {
+    // 400 near-orthogonal base vectors + 5 injected noisy copies: at
+    // θ=0.8 only the copies qualify, and banding discards the bulk
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Double] = Seq.fill(64)(rnd.nextGaussian())
+    val base = (1L to 400L).map(i => (i, vec()))
+    val dups = (1L to 5L).map { i =>
+      val v = base((i * 7).toInt)._2
+      (1000L + i, v.map(x => x + rnd.nextGaussian() * 0.05))
+    }
+    val e = (base ++ dups).toDF("id", "emb")
+    val got = Dedup.cosinePairsLsh(e, "id", "emb", 0.8, dim = 64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val brute = Dedup.cosinePairs(e, "id", "emb", 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(brute.size >= 5, s"expected the injected dups, got ${brute.size}")
   }
 
   test("connected components: chains merge transitively, components stay separate") {

@@ -48,6 +48,18 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected a broadcast join in the hybrid plan:\n$plan")
   }
 
+  test("fulltext/hybrid rank exactly once: a single Sort in the plan") {
+    val d = Tables.documents(spark, Sf0001)
+    // embCol is unused by fulltext mode
+    val tbl = graft.api.FoodFinder.SearchTable(d, "doc_id", "text", "text")
+    val plan = planString(graft.api.FoodFinder.fulltext(
+      tbl, "fast table scan merge", k = 10))
+    val sorts = plan.linesIterator.count(l => l.contains("Sort ") && !l.contains("SortAggregate"))
+    assert(sorts <= 1, s"expected at most one Sort (the final ranking), got $sorts in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject") || sorts == 1,
+      s"final ranking missing in:\n$plan")
+  }
+
   test("codegen'd similarity stays inside WholeStageCodegen") {
     val e = Tables.embeddings(spark, Sf0001)
     val scored = e.select(graft.functions.Vectors.score("cosine",

@@ -62,8 +62,9 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     val got = TextSearch.fullTextSearch(toyDocs, "id", "text", "apple cherry")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got === exp)
-    // d2 and d3 tie exactly → id ASC ordering between them
-    val ranked = TextSearch.fullTextSearch(toyDocs, "id", "text", "apple cherry")
+    // ranked form (finite k): d2 and d3 tie exactly → id ASC between them;
+    // the unlimited form above is contractually UNRANKED (callers re-rank)
+    val ranked = TextSearch.fullTextSearch(toyDocs, "id", "text", "apple cherry", k = 3)
       .select("id").as[Long].collect()
     assert(ranked === Seq(1L, 2L, 3L))
   }
