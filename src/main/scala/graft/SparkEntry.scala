@@ -230,6 +230,30 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** The composed training-data dedup pipeline (SCALE.md finding 1): exact
+    * dedup first (cheap hash-groupBy removes identical texts), THEN
+    * MinHash+LSH near-dup over the survivors, THEN connected components —
+    * one row per surviving doc with its cluster representative and the
+    * final keep decision. Composing this way shrinks the expensive
+    * candidate/verify stage's input by the exact-dup mass — at 100 TB the
+    * exact pass is the first thing a curation run does. */
+  private def qDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // survivors of the exact pass; NOT cached — at scale you re-read the
+    // (column-pruned, pushed-down) parquet scan rather than pin the corpus
+    val survivors = docs.join(
+      Dedup.exact(docs, "doc_id", "text").where(col("keep"))
+        .select(col("id").as("doc_id")),
+      "doc_id")
+    val pairs = Dedup.minhashPairs(survivors, "doc_id", "text", JaccardThr)
+    val comps = Dedup.components(pairs).withColumnRenamed("id", "doc_id")
+    survivors.select("doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("keep", col("doc_id") === col("comp"))
+      .orderBy("doc_id")
+  }
+
   /** North-star embedding-cosine near-dup pairs over the embeddings table.
     * Declared via the sign-LSH candidate path (bucketed band join + exact
     * per-pair verify — no CartesianProduct in the plan); the brute
@@ -509,6 +533,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => qAsofJoin(s, dir)),
     "q_range_join" -> ((s, dir) => qRangeJoin(s, dir)),
     "q_dedup_components" -> ((s, dir) => qDedupComponents(s, dir)),
+    "q_dedup_pipeline" -> ((s, dir) => qDedupPipeline(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -770,6 +795,22 @@ object SparkEntry {
     "q_dedup_simhash" ->
       (Dedup.sqlSimhashPairs("documents", "doc_id", "text", SimhashMaxDist) +
         "\nORDER BY id1, id2"),
+    "q_dedup_pipeline" -> {
+      // the exact-pass survivors as a reusable table expression
+      val survivorsSql =
+        """(SELECT d.doc_id, d.text FROM documents d JOIN (
+          |   SELECT coalesce(md5(text), '__null__') AS th, min(doc_id) AS keep_id
+          |   FROM documents GROUP BY 1) g ON d.doc_id = g.keep_id)""".stripMargin
+      s"""WITH comps AS (
+         |${Dedup.sqlComponents(
+             Dedup.sqlMinhashPairs(survivorsSql, "doc_id", "text", JaccardThr))}
+         |)
+         |SELECT s.doc_id,
+         |       coalesce(c.comp, s.doc_id) AS comp,
+         |       s.doc_id = coalesce(c.comp, s.doc_id) AS keep
+         |FROM $survivorsSql s LEFT JOIN comps c ON s.doc_id = c.id
+         |ORDER BY s.doc_id""".stripMargin
+    },
     "q_neardup_cosine" ->
       (Dedup.sqlCosinePairs("embeddings", "vec_id", "embedding", CosineThr) +
         "\nORDER BY id1, id2"),

@@ -69,14 +69,20 @@ object FoodFinder {
 
   /** Hybrid mode: sigmoid-fused vector(pre-filtered, top-k) + fulltext(all),
     * post-filter, limit. Returns (id, score, vec_norm, vec_raw, txt_norm,
-    * txt_raw) — the flattened scoreDetails (R13). */
+    * txt_raw) — the flattened scoreDetails (R13). With
+    * `nestedDetails = true` a `scoreDetails` struct column in the
+    * reference's exact nested shape is appended
+    * ([[ScoreFusion.nestScoreDetails]]); flattened columns stay for
+    * hash-comparable oracles. */
   def hybrid(tbl: SearchTable, queryVec: Array[Double], queryText: String, k: Int,
       filter: Option[Column] = None, metric: String = "cosine",
-      index: Option[TextSearch.Bm25Index] = None): DataFrame = {
+      index: Option[TextSearch.Bm25Index] = None,
+      nestedDetails: Boolean = false): DataFrame = {
     val vecBranch = vector(tbl, queryVec, k, filter, metric)
     val txtBranch = TextSearch.search(
       index.getOrElse(TextSearch.buildIndex(tbl.df, tbl.idCol, tbl.textCol)), queryText)
-    postFilterLimit(tbl, ScoreFusion.fuse(vecBranch, txtBranch), filter, k)
+    val fused = postFilterLimit(tbl, ScoreFusion.fuse(vecBranch, txtBranch), filter, k)
+    if (nestedDetails) ScoreFusion.nestScoreDetails(fused) else fused
   }
 
   /** R15 result sanitization (`backend/api.py:53-81`): ids as strings,

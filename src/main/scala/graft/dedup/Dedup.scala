@@ -342,8 +342,11 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           (col("nbr_min") < col("comp")).as("chg"))
         .localCheckpoint()
-      val changed = updated
-        .agg(sum(when(col("chg"), 1L).otherwise(0L))).head().getLong(0)
+      val changed = {
+        // sum over an empty label set (no pairs at all) is null, not 0
+        val r = updated.agg(sum(when(col("chg"), 1L).otherwise(0L))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
       labels = updated.select("id", "comp")
       converged = changed == 0
       i += 1

@@ -64,7 +64,10 @@ object Multimodal {
   /** Feature extraction over decoded bytes: length, mean value, and a 4-bin
     * value histogram (bins = byte >> 6 over unsigned bytes). */
   def extractFeatures(a: Asset): ImageFeatures = {
-    val px = decodeImageStub(a.payload, a.meta)
+    // null payload (e.g. a null source text) decodes as empty, mirroring how
+    // the text operators treat null text — never an NPE mid-pipeline
+    val raw = if (a.payload == null) Array.emptyByteArray else a.payload
+    val px = decodeImageStub(raw, a.meta)
     val hist = new Array[Long](4)
     var sum = 0L
     var i = 0

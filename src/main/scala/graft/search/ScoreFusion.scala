@@ -60,4 +60,29 @@ object ScoreFusion {
         col("txt_raw"))
       .orderBy(col("score").desc, col("id").asc)
   }
+
+  /** R13 full shape parity: re-nest the flattened detail columns into the
+    * reference's `scoreDetails` struct —
+    * `{value, details: [{inputPipelineName, value, inputPipelineRawScore}]}`
+    * (`backend/api.py:233` sets `scoreDetails: True`; the consumer contract
+    * is `frontend/static/js/main.js:104-151`: `details` is an array holding
+    * one entry per pipeline the document scored in, looked up by
+    * `inputPipelineName` ∈ {searchOne, searchTwo}). A document absent from a
+    * pipeline gets no entry for it (same as the server: absent ≠ raw 0).
+    * Pure projection — no shuffle, composes after [[fuse]] or after the
+    * caller's post-filter/limit. */
+  def nestScoreDetails(fused: DataFrame): DataFrame = {
+    def detail(name: String, norm: Column, raw: Column): Column =
+      when(raw.isNotNull,
+        struct(lit(name).as("inputPipelineName"), norm.as("value"),
+          raw.as("inputPipelineRawScore")))
+    fused.withColumn("scoreDetails",
+      struct(
+        col("score").as("value"),
+        filter(
+          array(
+            detail("searchOne", col("vec_norm"), col("vec_raw")),
+            detail("searchTwo", col("txt_norm"), col("txt_raw"))),
+          _.isNotNull).as("details")))
+  }
 }

@@ -126,7 +126,9 @@ object EventStreams {
           cur match {
             case null =>
               cur = SessionState(t, t, 1L, e.value)
-            case s if t - s.endMs > gapMs =>
+            // `>=` matches session_window / sessionAggBatch: the window is
+            // half-open [ts, ts+gap), so a gap of exactly gapMs splits
+            case s if t - s.endMs >= gapMs =>
               closed += Session(userId, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
               cur = SessionState(t, t, 1L, e.value)
             case s =>

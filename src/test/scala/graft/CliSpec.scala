@@ -14,12 +14,20 @@ class CliSpec extends AnyFunSuite with SparkTest {
 
   test("flatten → embed → index → search pipeline through the CLI") {
     val base = Files.createTempDirectory("cli").toString
+    // the FULL §1.2 catalog shape: weekday availability with nested time
+    // periods, per-product areas, optional sizes (p11 only) and
+    // isPromoFlex (p12 only) — exercising flatten over every nesting level
     val catalogs = Seq(
       Catalog("c1", "Desayuno", "PE", "LIMA", Seq(
         Product("p11", "11111", "Nuggets Box", "nuggets de pollo para el desayuno",
-          Price(7.5, "S/7,50"), available = true, combo = false),
+          Price(7.5, "S/7,50"), available = true, combo = false,
+          areas = Seq("MOP", "AUT"), sizes = Some(Seq(Size("s1", "MED"), Size("s2", "GDE")))),
         Product("p12", "11112", "Big Combo", "hamburguesa doble con papas",
-          Price(12.0, "S/12,00"), available = true, combo = true),
+          Price(12.0, "S/12,00"), available = true, combo = true,
+          areas = Seq("MOP"), isPromoFlex = Some(true)),
+      ), availability = Seq(
+        Availability("MONDAY", Seq(TimePeriod("08:00", "12:00"), TimePeriod("18:00", "22:00"))),
+        Availability("TUESDAY", Seq(TimePeriod("08:00", "12:00"))),
       )),
     ).toDF()
     catalogs.write.parquet(s"$base/catalog")
@@ -28,6 +36,20 @@ class CliSpec extends AnyFunSuite with SparkTest {
     val detail = spark.read.parquet(s"$base/detail")
     assert(detail.count() === 2)
     assert(detail.columns.contains("catalogId"))
+    // parent nested fields are copied verbatim (transform-seed.py:72-76):
+    // the availability array-of-structs-of-arrays survives per product row
+    val avail = detail.select(explode(col("availability")).as("a"))
+      .select(col("a.dayOfWeek"), size(col("a.timePeriods")).as("np"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(avail === Map("MONDAY" -> 2, "TUESDAY" -> 1))
+    // optional product sub-fields keep their per-row presence
+    val p11 = detail.where(col("_id") === "p11").head()
+    val p12 = detail.where(col("_id") === "p12").head()
+    assert(p11.getAs[org.apache.spark.sql.Row]("product")
+      .getAs[Seq[org.apache.spark.sql.Row]]("sizes").map(_.getString(1)) === Seq("MED", "GDE"))
+    assert(p12.getAs[org.apache.spark.sql.Row]("product").isNullAt(
+      p12.getAs[org.apache.spark.sql.Row]("product").fieldIndex("sizes")))
+    assert(p12.getAs[org.apache.spark.sql.Row]("product").getAs[Boolean]("isPromoFlex"))
 
     // the reference embeds product.description; surface it as a column first
     detail.withColumn("description", col("product.description"))

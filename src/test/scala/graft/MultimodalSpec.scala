@@ -31,6 +31,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert((f.h0, f.h1, f.h2, f.h3) === ((1L, 3L, 0L, 0L)))
     val empty = Multimodal.extractFeatures(Asset(8L, "image", Array.emptyByteArray, meta))
     assert(empty.n_bytes === 0L && empty.mean_byte === 0.0)
+    // null payload (null source text) behaves exactly like empty — no NPE
+    val nul = Multimodal.extractFeatures(Asset(9L, "image", null, meta))
+    assert(nul.n_bytes === 0L && nul.mean_byte === 0.0)
+    assert((nul.h0, nul.h1, nul.h2, nul.h3) === ((0L, 0L, 0L, 0L)))
   }
 
   test("decode stage batches per partition at DecodeBatchSize and is exhaustive") {

@@ -13,11 +13,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * runs exactly these calls.
   */
 object ReferenceParitySpec {
+  // the full catalog shape of SURVEY §1.2 (seed.py:62-173): nested
+  // availability periods, optional sizes (~60% of products) and
+  // isPromoFlex (~40%) — defaults keep the minimal fixtures terse
+  case class TimePeriod(startTime: String, endTime: String)
+  case class Availability(dayOfWeek: String, timePeriods: Seq[TimePeriod])
+  case class Size(id: String, code: String)
   case class Price(amount: Double, formatted: String)
   case class Product(_id: String, id: String, name: String, description: String,
-      price: Price, available: Boolean, combo: Boolean)
+      price: Price, available: Boolean, combo: Boolean,
+      areas: Seq[String] = Nil, sizes: Option[Seq[Size]] = None,
+      isPromoFlex: Option[Boolean] = None)
   case class Catalog(_id: String, title: String, countryCode: String,
-      restaurantName: String, products: Seq[Product])
+      restaurantName: String, products: Seq[Product],
+      availability: Seq[Availability] = Nil)
 }
 
 class ReferenceParitySpec extends AnyFunSuite with SparkTest {

@@ -119,6 +119,41 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(got.getString(2) === """{"id":"1","score":0.75}""")
   }
 
+  test("nested scoreDetails struct matches the reference shape and the flattened columns") {
+    val docs = Seq(
+      (1L, "apple banana apple", Seq(1.0, 0.0)),
+      (2L, "banana cherry", Seq(0.8, 0.6)),
+      (3L, "cherry date", Seq(0.0, 1.0)),
+    ).toDF("id", "text", "emb")
+    val tbl = FoodFinder.SearchTable(docs, "id", "emb", "text")
+    val got = FoodFinder.hybrid(tbl, Array(1.0, 0.0), "cherry", k = 5,
+      nestedDetails = true)
+    // shape: scoreDetails STRUCT<value, details ARRAY<STRUCT<
+    //   inputPipelineName, value, inputPipelineRawScore>>> — the contract
+    // frontend/static/js/main.js:104-151 consumes
+    val sd = got.schema("scoreDetails").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sd.fieldNames.toSeq === Seq("value", "details"))
+    val det = sd("details").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(det.fieldNames.toSeq === Seq("inputPipelineName", "value", "inputPipelineRawScore"))
+    // values agree with the flattened columns, per pipeline membership
+    got.select("id", "score", "vec_norm", "vec_raw", "txt_norm", "txt_raw",
+        "scoreDetails.value", "scoreDetails.details").collect().foreach { r =>
+      assert(r.getDouble(6) === r.getDouble(1), "struct value = fused score")
+      val details = r.getSeq[org.apache.spark.sql.Row](7)
+        .map(d => d.getString(0) -> (d.getDouble(1), d.getDouble(2))).toMap
+      if (!r.isNullAt(3)) assert(details("searchOne") === ((r.getDouble(2), r.getDouble(3))))
+      else assert(!details.contains("searchOne"))
+      if (!r.isNullAt(5)) assert(details("searchTwo") === ((r.getDouble(4), r.getDouble(5))))
+      else assert(!details.contains("searchTwo"))
+      assert(details.nonEmpty)
+    }
+    // every doc matching only one pipeline yields exactly one detail entry
+    val vecOnly = got.where(col("txt_raw").isNull)
+      .select(size(col("scoreDetails.details"))).as[Int].collect()
+    assert(vecOnly.forall(_ === 1))
+  }
+
   test("post-filter placement can return fewer than k rows (hybrid/fulltext)") {
     val docs = Seq(
       (1L, "apple banana apple", Seq(1.0, 0.0), "en"),

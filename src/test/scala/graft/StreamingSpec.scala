@@ -84,6 +84,37 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("stateful sessionization splits at a gap of exactly `gap` (half-open boundary)") {
+    // session_window / sessionAggBatch treat windows as [ts, ts+gap): an
+    // event exactly gapMinutes after the previous one starts a NEW session.
+    // The stateful variant must agree.
+    val mem = MemoryStream[Event](spark)
+    val sessions = EventStreams.sessionizeStateful(mem.toDS(), gapMinutes = 10,
+      lateness = "1 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sessb")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, tsAt(13, 0), 7, "click", 5.0)) // timeout both
+      q.processAllAvailable()
+      mem.addData(Event(4, tsAt(15, 0), 9, "click", 0.0)) // flush
+      q.processAllAvailable()
+      val got = spark.table("sessb").as[EventStreams.Session].collect()
+        .map(s => (s.session_start, s.session_end, s.n_events)).toSet
+      // two single-event sessions, NOT one merged [10:00,10:10] session
+      assert(got.contains((ts(0), ts(0), 1L)))
+      assert(got.contains((ts(10), ts(10), 1L)))
+      // parity with the batch analytic formulation on the same 3 events
+      val batch = EventStreams.sessionAggBatch(Seq(
+          Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "view", 2.0),
+          Event(3, tsAt(13, 0), 7, "click", 5.0)).toDF(), gapMinutes = 10)
+        .select("session_start", "session_end", "n_events")
+        .as[(Timestamp, Timestamp, Long)].collect().toSet
+      assert(batch.contains((ts(0), ts(0), 1L)) && batch.contains((ts(10), ts(10), 1L)))
+    } finally q.stop()
+  }
+
   test("parquet sink + checkpoint: windows survive a query restart exactly once") {
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("stream-out").toString
