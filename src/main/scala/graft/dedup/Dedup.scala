@@ -4,6 +4,7 @@ import graft.functions.{Text, Vectors}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{GraftShim, VectorExpressions}
 
 /** Deduplication operators for large-scale training-data pipelines
   * (north-star additions): exact, n-gram Jaccard, MinHash+LSH, SimHash and
@@ -334,14 +335,15 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
         .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nbr_min"))
-      // the new labels carry their change flag, so convergence is a cheap
-      // scan-agg over the just-materialized checkpoint instead of a second
-      // join against the previous labels — one shuffling job per round
+      // the new labels carry their change flag, so convergence is a scan-agg
+      // over the checkpoint instead of a second join against the previous
+      // labels; the checkpoint is LAZY so that agg is the round's ONLY job —
+      // it materializes every partition, truncating lineage as a side effect
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
           (col("nbr_min") < col("comp")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = {
         // sum over an empty label set (no pairs at all) is null, not 0
         val r = updated.agg(sum(when(col("chg"), 1L).otherwise(0L))).head()
@@ -431,23 +433,22 @@ object Dedup {
       threshold: Double, dim: Int, seed: Long = 42L,
       bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
     // bands·rows sketch bits (≤ 62, packed into one long): sign of
-    // Σ_d v[d]·±1 — codegen-friendly element_at sums (dim is small and
-    // fixed per table), computed ONCE per vector
+    // Σ_d v[d]·±1, computed ONCE per vector by a single codegen'd
+    // expression node ([[VectorExpressions.SignSketch]] — the unrolled
+    // per-bit expression tree cost ~10 s of driver-side Catalyst work
+    // per query at 32×64 terms)
     val nBits = bands * rows
     require(nBits <= 62, s"sketch bits $nBits exceed one long")
-    val bitExprs = (0 until nBits).map { bit =>
-      val dotExpr = (0 until dim).map { d =>
-        element_at(col("v"), d + 1) * lit(hyperplaneSign(seed, bit, d))
-      }.reduce(_ + _)
-      when(dotExpr >= 0, lit(1L << bit)).otherwise(lit(0L))
-    }
+    val planes = Array.tabulate(nBits * dim)(i => hyperplaneSign(seed, i / dim, i % dim))
+    def sketch(v: Column): Column =
+      GraftShim.column(VectorExpressions.SignSketch(GraftShim.expression(v), planes, nBits, dim))
     val bandMasks = (0 until bands).map(b => ((1L << rows) - 1) << (b * rows))
     val withV = embs.select(col(idCol).as("id"), col(embCol).as("v"),
       Vectors.l2norm(col(embCol)).as("nrm"))
     // one narrow explode replicates each (id, sketch) once per band —
     // candidate enumeration carries only (id, band, bkey, sk), never vectors
     val banded = withV
-      .select(col("id"), bitExprs.reduce(_ + _).as("sk"))
+      .select(col("id"), sketch(col("v")).as("sk"))
       .select(col("id"), col("sk"),
         posexplode(array(bandMasks.map(m =>
           col("sk").bitwiseAND(lit(m))): _*)).as(Seq("band", "bkey")))
