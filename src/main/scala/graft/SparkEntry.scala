@@ -8,7 +8,7 @@ import graft.functions.{Text, Vectors}
 import graft.index.Ivf
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
-import graft.pipeline.Curation
+import graft.pipeline.{Contamination, Curation}
 import graft.search.{TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.TextAnalysis
@@ -252,6 +252,40 @@ object SparkEntry {
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
       .withColumn("keep", col("doc_id") === col("comp"))
       .orderBy("doc_id")
+  }
+
+  /** North-star deterministic corpus split: 80/10/10 train/val/test as a
+    * pure hash of the doc id (stable under growth — eval membership never
+    * changes as data arrives). Zero shuffle. */
+  private def qSplit(spark: SparkSession, dir: String): DataFrame =
+    Curation.splitCorpus(Tables.documents(spark, dir), "doc_id", 800, 100)
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** North-star benchmark decontamination: per-training-doc n-gram overlap
+    * against a (broadcast) eval set — here the deterministic 5% slice
+    * doc_id ≡ 0 (mod 20) stands in for the benchmark corpus. */
+  private def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    Contamination.ngramOverlap(
+        d.where(pmod(col("doc_id"), lit(20L)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(20L)) === 0),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** North-star exact-vector dedup: identical embeddings collapse to the
+    * min id. The corpus is unioned with a shifted-id copy of itself so the
+    * query demonstrates the collapse (every vector has exactly one replica
+    * — the SCALE.md clone-clique shape the exact-first pass removes). */
+  private def qDedupVectors(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val doubled = e.union(
+      e.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+    Dedup.exactVectors(doubled, "vec_id", "embedding")
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
   }
 
   /** North-star embedding-cosine near-dup pairs over the embeddings table.
@@ -534,6 +568,9 @@ object SparkEntry {
     "q_range_join" -> ((s, dir) => qRangeJoin(s, dir)),
     "q_dedup_components" -> ((s, dir) => qDedupComponents(s, dir)),
     "q_dedup_pipeline" -> ((s, dir) => qDedupPipeline(s, dir)),
+    "q_split" -> ((s, dir) => qSplit(s, dir)),
+    "q_contamination" -> ((s, dir) => qContamination(s, dir)),
+    "q_dedup_vectors" -> ((s, dir) => qDedupVectors(s, dir)),
   )
 
   // ----------------------------------------------------------------- oracle
@@ -795,6 +832,24 @@ object SparkEntry {
     "q_dedup_simhash" ->
       (Dedup.sqlSimhashPairs("documents", "doc_id", "text", SimhashMaxDist) +
         "\nORDER BY id1, id2"),
+    "q_split" ->
+      (Curation.sqlSplitCorpus("documents", "doc_id", 800, 100)
+        .replace("SELECT *,", "SELECT doc_id,") +
+        "\nORDER BY doc_id"),
+    "q_contamination" ->
+      s"""SELECT id AS doc_id, n_shingles, n_contaminated, contamination_ratio, contaminated
+         |FROM (${Contamination.sqlNgramOverlap(
+                  "(SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0)",
+                  "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)",
+                  "doc_id", "text")})
+         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_vectors" ->
+      s"""SELECT id AS vec_id, group_n, keep
+         |FROM (${Dedup.sqlExactVectors(
+                  "(SELECT vec_id, embedding FROM embeddings UNION ALL " +
+                    "SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings)",
+                  "vec_id", "embedding")})
+         |ORDER BY vec_id""".stripMargin,
     "q_dedup_pipeline" -> {
       // the exact-pass survivors as a reusable table expression
       val survivorsSql =

@@ -53,6 +53,29 @@ object Dedup {
         (col("id") === col("keep_id")).as("keep"))
   }
 
+  /** Exact dedup over an embedding column: identical vectors collapse to
+    * the min id — the embedding-side rendition of [[exact]] and the first
+    * pass of any vector near-dup pipeline (SCALE.md finding 1: replica
+    * cliques make candidate-verify quadratic; one hash-groupBy on the
+    * vector bytes removes them linearly). Grouping directly on the
+    * array<double> column hash-shuffles the fixed-width vector once.
+    * Output: (id, group_n, keep). */
+  def exactVectors(embs: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val groups = embs.groupBy(col(embCol).as("__v"))
+      .agg(count(lit(1)).as("group_n"), min(col(idCol)).as("keep_id"))
+    embs.join(groups, embs(embCol) === groups("__v"))
+      .select(col(idCol).as("id"), col("group_n"),
+        (col(idCol) === col("keep_id")).as("keep"))
+  }
+
+  def sqlExactVectors(embsTable: String, idExpr: String, embExpr: String): String =
+    s"""WITH groups AS (
+       |  SELECT $embExpr AS v, count(*) AS group_n, min($idExpr) AS keep_id
+       |  FROM $embsTable GROUP BY 1
+       |)
+       |SELECT e.$idExpr AS id, g.group_n, e.$idExpr = g.keep_id AS keep
+       |FROM $embsTable e JOIN groups g ON e.$embExpr = g.v""".stripMargin
+
   def sqlExact(docsTable: String, idExpr: String, textExpr: String): String =
     s"""WITH hashed AS (
        |  SELECT $idExpr AS id, coalesce(md5($textExpr), '__null__') AS text_hash FROM $docsTable

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import graft.dedup.Dedup
+import graft.functions.Text
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection (north-star addition): flag training
+  * documents whose n-gram shingles overlap an evaluation set — the standard
+  * decontamination pass every LLM training pipeline runs before training
+  * (n-gram collision against held-out benchmarks).
+  *
+  * Scale shape: the eval set is always tiny relative to the training corpus
+  * (benchmarks are KBs–MBs vs 100 TB), so its DISTINCT shingle-hash set is
+  * collected into a broadcast hash join — the training side streams through
+  * one narrow scan + explode with NO shuffle of training data; the only
+  * aggregation is the per-doc count, map-side combinable on the id the
+  * postings were exploded from (Spark keeps it partition-local).
+  *
+  * Shingles are [[TextAnalysis.ShingleSize]]-token n-grams hashed with the
+  * shared [[Text.hash60]], so the DuckDB oracle reproduces every bit.
+  */
+object Contamination {
+
+  /** Per-training-doc contamination stats against `eval`:
+    * (id, n_shingles, n_contaminated, contamination_ratio, contaminated).
+    * Docs shorter than one shingle carry a single whole-text shingle (the
+    * [[TextAnalysis.shinglesFromTokens]] contract); docs with NO shingles
+    * (null/empty text) still get a row: n_shingles = 0, ratio 0.0,
+    * contaminated = false.
+    *
+    * A shingle counts as contaminated if it appears anywhere in the eval
+    * set; ratio = contaminated distinct shingles / distinct shingles. */
+  def ngramOverlap(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val trainP = Dedup.shinglePostings(train, idCol, textCol).distinct()
+    val evalShingles = Dedup.shinglePostings(eval, idCol, textCol)
+      .select("h").distinct()
+    val perDoc = trainP
+      .join(broadcast(evalShingles.withColumn("hit", lit(1))), Seq("h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+    // docs too short to shingle still get a (clean) row
+    train.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        when(col("n_shingles") > 0,
+          round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Oracle rendition; `trainTable`/`evalTable` may be table names or
+    * parenthesized subqueries producing ($idExpr, $textExpr). */
+  def sqlNgramOverlap(trainTable: String, evalTable: String,
+      idExpr: String, textExpr: String): String =
+    s"""WITH train_p AS (
+       |  SELECT DISTINCT id, ${Text.sqlHash60("sh")} AS h FROM (
+       |    SELECT $idExpr AS id, unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
+       |    FROM $trainTable)
+       |), eval_s AS (
+       |  SELECT DISTINCT ${Text.sqlHash60("sh")} AS h FROM (
+       |    SELECT unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
+       |    FROM $evalTable)
+       |), per_doc AS (
+       |  SELECT t.id, count(*) AS n_shingles,
+       |         sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+       |  FROM train_p t LEFT JOIN eval_s e USING (h)
+       |  GROUP BY 1
+       |)
+       |SELECT b.id,
+       |       coalesce(p.n_shingles, 0) AS n_shingles,
+       |       coalesce(p.n_contaminated, 0) AS n_contaminated,
+       |       CASE WHEN coalesce(p.n_shingles, 0) > 0
+       |            THEN round(coalesce(p.n_contaminated, 0)::DOUBLE / p.n_shingles, 6)
+       |            ELSE 0.0 END AS contamination_ratio,
+       |       coalesce(p.n_contaminated, 0) > 0 AS contaminated
+       |FROM (SELECT $idExpr AS id FROM $trainTable) b
+       |LEFT JOIN per_doc p USING (id)""".stripMargin
+}

@@ -130,6 +130,35 @@ object Curation {
        |      < (CASE $cases ELSE $defaultPermille END)""".stripMargin
   }
 
+  /** Deterministic train/val/test corpus split: bucket = hash60(id ∥ salt)
+    * mod 1000; [0, trainPermille) → train, [trainPermille,
+    * trainPermille+valPermille) → val, rest → test. Same reproducibility
+    * contract as [[stratifiedSample]]: a pure function of the id — stable
+    * across runs, partitionings and corpus growth (a document never
+    * changes split when new data arrives — the property that keeps eval
+    * sets uncontaminated over time). Zero shuffle: one codegen'd
+    * projection. Output: input columns + (bucket, split). */
+  def splitCorpus(df: DataFrame, idCol: String, trainPermille: Int,
+      valPermille: Int, salt: String = "graft-split"): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000, "permilles must fit in 1000")
+    val bucket = pmod(Text.hash60(concat(col(idCol).cast("string"), lit(":" + salt))), lit(1000L))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
+
+  def sqlSplitCorpus(docsTable: String, idExpr: String, trainPermille: Int,
+      valPermille: Int, salt: String = "graft-split"): String =
+    s"""SELECT *,
+       |       ${Text.sqlHash60(s"(($idExpr)::VARCHAR || ':$salt')")} % 1000 AS bucket,
+       |       CASE WHEN ${Text.sqlHash60(s"(($idExpr)::VARCHAR || ':$salt')")} % 1000 < $trainPermille THEN 'train'
+       |            WHEN ${Text.sqlHash60(s"(($idExpr)::VARCHAR || ':$salt')")} % 1000 < ${trainPermille + valPermille} THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM $docsTable""".stripMargin
+
   /** Greedy sequential sequence packing for LLM training batches: within
     * each `groupCol` shard, documents (ordered by id) are appended to the
     * current sequence until the token budget is crossed; a document is

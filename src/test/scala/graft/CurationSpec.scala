@@ -42,6 +42,57 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     ))
   }
 
+  test("splitCorpus: deterministic, exhaustive, stable under corpus growth") {
+    val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val split = Curation.splitCorpus(docs, "id", 800, 100)
+    val byId = split.select("id", "split").as[(Long, String)].collect().toMap
+    // exhaustive partition of the corpus
+    assert(byId.size === 1000)
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    // ~80/10/10 with hash noise
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 160)
+    assert(counts("test") > 50 && counts("test") < 160)
+    // growth stability: the first 500 docs keep their split when 500 more
+    // arrive (no RNG/partition sensitivity — eval sets stay frozen)
+    val small = Curation.splitCorpus(docs.where(col("id") <= 500), "id", 800, 100)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, s) => byId(id) == s })
+    // different salt → different (still deterministic) assignment
+    val resalted = Curation.splitCorpus(docs, "id", 800, 100, salt = "other")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(resalted != byId)
+  }
+
+  test("contamination: hand-built overlap, short docs clean, eval side broadcast") {
+    import graft.pipeline.Contamination
+    // shingle size 3: t1 shares its full shingle set with e1; t2 shares
+    // one 3-gram window; t3 disjoint; t4 shorter than one shingle (gets
+    // the single whole-text shingle); t5 null text (no shingles at all)
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three nine ten"),
+      (3L, "totally unrelated words here"),
+      (4L, "too short"),
+      (5L, null: String),
+    ).toDF("id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "zero one two three"),
+    ).toDF("id", "text")
+    val got = Contamination.ngramOverlap(train, eval, "id", "text")
+    val rows = got.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(rows(1L) === ((2L, 2L, true)))  // both shingles contaminated
+    assert(rows(2L) === ((3L, 1L, true)))  // 'one two three' only
+    assert(rows(3L) === ((2L, 0L, false)))
+    assert(rows(4L) === ((1L, 0L, false))) // whole-text shingle, clean
+    assert(rows(5L) === ((0L, 0L, false))) // null text → no shingles, clean row
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast:\n$plan")
+  }
+
   test("salted two-phase aggregation equals direct aggregation (skew path)") {
     import graft.util.{Skew, Tables}
     val ev = Tables.events(spark, Sf0001)

@@ -24,6 +24,20 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got === Set((1L, 2L, true), (4L, 2L, false), (2L, 1L, true), (3L, 1L, true)))
   }
 
+  test("exactVectors: identical embeddings collapse to the min id") {
+    val e = Seq(
+      (10L, Seq(1.0, 2.0)),
+      (3L, Seq(1.0, 2.0)),   // dup of 10, smaller id wins
+      (7L, Seq(1.0, 2.0001)), // near but NOT identical
+      (8L, Seq(5.0, 5.0)),
+    ).toDF("id", "emb")
+    val got = Dedup.exactVectors(e, "id", "emb")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      10L -> ((2L, false)), 3L -> ((2L, true)),
+      7L -> ((1L, true)), 8L -> ((1L, true))))
+  }
+
   test("jaccard pairs: hand-computed shingle overlap") {
     // docs 1 & 4 identical → jaccard 1.0; docs 1 & 2 each have 7 distinct
     // 3-shingles and share all but the last → intersection 6, union 8 → 0.75
