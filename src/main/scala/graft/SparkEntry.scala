@@ -254,6 +254,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Quality-filter gate thresholds for q_quality_filter. */
+  private val QfMinTokens = 5
+  private val QfMaxTokens = 500
+  private val QfMinQualityPpm = 650000L
+  private val QfLangs = Seq("en", "es")
+
+  /** North-star composed curation gate: token window + quality floor +
+    * language whitelist, first failing rule = drop reason. */
+  private def qQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Curation.qualityFilter(Tables.documents(spark, dir), "doc_id", "text",
+        QfMinTokens, QfMaxTokens, QfMinQualityPpm, QfLangs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** North-star deterministic corpus split: 80/10/10 train/val/test as a
     * pure hash of the doc id (stable under growth — eval membership never
     * changes as data arrives). Zero shuffle. */
@@ -568,6 +582,7 @@ object SparkEntry {
     "q_range_join" -> ((s, dir) => qRangeJoin(s, dir)),
     "q_dedup_components" -> ((s, dir) => qDedupComponents(s, dir)),
     "q_dedup_pipeline" -> ((s, dir) => qDedupPipeline(s, dir)),
+    "q_quality_filter" -> ((s, dir) => qQualityFilter(s, dir)),
     "q_split" -> ((s, dir) => qSplit(s, dir)),
     "q_contamination" -> ((s, dir) => qContamination(s, dir)),
     "q_dedup_vectors" -> ((s, dir) => qDedupVectors(s, dir)),
@@ -832,6 +847,11 @@ object SparkEntry {
     "q_dedup_simhash" ->
       (Dedup.sqlSimhashPairs("documents", "doc_id", "text", SimhashMaxDist) +
         "\nORDER BY id1, id2"),
+    "q_quality_filter" ->
+      s"""SELECT id AS doc_id, n_tokens, quality_ppm, lang, drop_reason, keep
+         |FROM (${Curation.sqlQualityFilter("documents", "doc_id", "text",
+                  QfMinTokens, QfMaxTokens, QfMinQualityPpm, QfLangs)})
+         |ORDER BY doc_id""".stripMargin,
     "q_split" ->
       (Curation.sqlSplitCorpus("documents", "doc_id", 800, 100)
         .replace("SELECT *,", "SELECT doc_id,") +

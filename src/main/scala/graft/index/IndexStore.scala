@@ -35,9 +35,72 @@ object IndexStore {
     index.termDf.write.mode(SaveMode.Overwrite).parquet(s"$path/term_df")
     val spark = index.postings.sparkSession
     import spark.implicits._
-    Seq((index.numDocs, index.avgdl)).toDF("num_docs", "avgdl")
+    // total_dl keeps avgdl exactly mergeable across incremental appends
+    // (dl are integers, so double sums are order-independent and
+    // num_docs·avgdl reconstructs exactly); last_batch is the replay guard
+    // for the streaming upsert path
+    Seq((index.numDocs, index.avgdl, totalDl(index), -1L))
+      .toDF("num_docs", "avgdl", "total_dl", "last_batch")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
+
+  /** Exact Σ dl over the indexed docs (dl is denormalized per posting row). */
+  private def totalDl(index: Bm25Index): Double = {
+    val r = index.postings.select("id", "dl").distinct()
+      .agg(sum(col("dl"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble
+  }
+
+  /** Apply one micro-batch of NEW documents (R17 skip-existing contract:
+    * ids must not already be indexed — updates are a drop/recreate, S7) to
+    * a persisted BM25 index: append the batch's postings to the bucketed
+    * layout, merge the vocabulary-sized `term_df`, and roll the corpus
+    * stats forward. Work ∝ batch size + vocabulary — the 100 TB postings
+    * table is never rescanned. `batchId` makes replays idempotent
+    * (foreachBatch retries re-deliver a batch; a batch ≤ `last_batch` is
+    * skipped). Stats/termDf merges localCheckpoint before overwriting so
+    * the read-then-overwrite of the same path is safe. */
+  def appendBatchBm25(batch: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Unit = {
+    import graft.functions.Text
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val stats = spark.read.parquet(s"$path/stats").head()
+    if (batchId <= stats.getAs[Long]("last_batch")) return
+    val delta = TextSearch.buildIndex(batch, idCol, textCol)
+    if (delta.numDocs > 0) {
+      delta.postings
+        .withColumn("bucket", pmod(Text.hash60(col("term")), lit(TextSearch.TermBuckets.toLong)))
+        .write.mode(SaveMode.Append).partitionBy("bucket")
+        .parquet(s"$path/postings")
+      val mergedDf = spark.read.parquet(s"$path/term_df")
+        .union(delta.termDf)
+        .groupBy("term").agg(sum(col("df")).as("df"))
+        .localCheckpoint()
+      mergedDf.write.mode(SaveMode.Overwrite).parquet(s"$path/term_df")
+    }
+    val newDocs = stats.getAs[Long]("num_docs") + delta.numDocs
+    val newTotal = stats.getAs[Double]("total_dl") + totalDl(delta)
+    Seq((newDocs, if (newDocs == 0) 0.0 else newTotal / newDocs, newTotal, batchId))
+      .toDF("num_docs", "avgdl", "total_dl", "last_batch")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  /** Streaming index upkeep: incoming documents (append-only stream) keep
+    * the persisted BM25 index current via `foreachBatch` — the streaming
+    * rendition of the reference's offline `indexes.py` lifecycle. Searches
+    * [[loadBm25]] a fresh snapshot per query, so each completed batch is
+    * immediately visible. */
+  def streamIntoBm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchBm25(b, idCol, textCol, path, id)
+      }
+      .start()
 
   def loadBm25(spark: SparkSession, path: String): Bm25Index = {
     val stats = spark.read.parquet(s"$path/stats").head()

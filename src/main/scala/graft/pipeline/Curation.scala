@@ -159,6 +159,56 @@ object Curation {
        |            ELSE 'test' END AS split
        |FROM $docsTable""".stripMargin
 
+  /** The composed curation gate every training pipeline runs per document:
+    * token-length window, quality floor ([[TextAnalysis.qualityPpm]] — the
+    * integer ppm score, hash-stable), language whitelist
+    * ([[TextAnalysis.langId]]). First failing rule names the drop reason
+    * (checked in a fixed order so the reason is deterministic); empty
+    * reason = kept. One codegen'd projection, zero shuffle, linear at any
+    * corpus size. Output: (id, n_tokens, quality_ppm, lang, drop_reason,
+    * keep). */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, maxTokens: Int, minQualityPpm: Long,
+      langs: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val reason = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("n_tokens") > maxTokens, "too_long")
+      .when(col("quality_ppm") < minQualityPpm, "low_quality")
+      .when(!col("lang").isInCollection(langs), "wrong_lang")
+      .otherwise("")
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.wsTokenCount(t).cast("long").as("n_tokens"),
+        TextAnalysis.qualityPpm(t).as("quality_ppm"),
+        TextAnalysis.langId(t).as("lang"))
+      .withColumn("drop_reason", reason)
+      .withColumn("keep", col("drop_reason") === "")
+  }
+
+  def sqlQualityFilter(docsTable: String, idExpr: String, textExpr: String,
+      minTokens: Int, maxTokens: Int, minQualityPpm: Long,
+      langs: Seq[String]): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT $idExpr AS id,
+       |         ${TextAnalysis.sqlWsTokenCount(textExpr)}::BIGINT AS n_tokens,
+       |         ${TextAnalysis.sqlQualityPpm(textExpr)} AS quality_ppm,
+       |         ${TextAnalysis.sqlLangId(textExpr)} AS lang
+       |  FROM $docsTable
+       |)
+       |SELECT id, n_tokens, quality_ppm, lang,
+       |       CASE WHEN n_tokens < $minTokens THEN 'too_short'
+       |            WHEN n_tokens > $maxTokens THEN 'too_long'
+       |            WHEN quality_ppm < $minQualityPpm THEN 'low_quality'
+       |            WHEN lang NOT IN ($langList) THEN 'wrong_lang'
+       |            ELSE '' END AS drop_reason,
+       |       CASE WHEN n_tokens < $minTokens THEN false
+       |            WHEN n_tokens > $maxTokens THEN false
+       |            WHEN quality_ppm < $minQualityPpm THEN false
+       |            WHEN lang NOT IN ($langList) THEN false
+       |            ELSE true END AS keep
+       |FROM scored""".stripMargin
+  }
+
   /** Greedy sequential sequence packing for LLM training batches: within
     * each `groupCol` shard, documents (ordered by id) are appended to the
     * current sequence until the token budget is crossed; a document is

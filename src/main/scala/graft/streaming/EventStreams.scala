@@ -99,6 +99,22 @@ object EventStreams {
        |       count(*) AS n_events, round(sum(value), 4) AS total_value
        |FROM numbered GROUP BY user_id, sess""".stripMargin
 
+  /** Streaming exact dedup with BOUNDED state (the streaming rendition of
+    * [[graft.dedup.Dedup.exact]]'s keep-first semantics): the first event
+    * per key wins; duplicates arriving within the watermark horizon are
+    * dropped, and per-key state older than the watermark is evicted — state
+    * size ∝ keys per watermark window, not corpus size. In batch mode the
+    * same call degenerates to `dropDuplicates` (whole-input dedup, no
+    * horizon). Use the watermarked form for at-least-once ingest pipelines
+    * where replays land close to the original in event time. */
+  def dedupEvents(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+      lateness: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else
+      events.dropDuplicates(keyCols)
+
   /** Custom-state sessionization (`flatMapGroupsWithState`, event-time
     * timeout): emits a [[Session]] when the watermark passes the session's
     * end + gap. Demonstrates arbitrary stateful processing where

@@ -37,6 +37,38 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       s"expected bucket partition pruning in:\n$plan")
   }
 
+  test("streaming incremental BM25 equals a full rebuild over the final corpus") {
+    val dir = Files.createTempDirectory("bm25inc").toString
+    val ckpt = Files.createTempDirectory("bm25ckpt").toString
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").cache()
+    val half1 = docs.where($"doc_id" % 2 === 0)
+    val half2 = docs.where($"doc_id" % 2 === 1).as[(Long, String)].collect()
+    // offline DDL on the first half…
+    IndexStore.saveBm25(TextSearch.buildIndex(half1, "doc_id", "text"), dir)
+    // …then the second half arrives as a stream, split across two batches
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = IndexStore.streamIntoBm25(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, ckpt)
+    try {
+      val (b1, b2) = half2.splitAt(half2.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val inc = IndexStore.loadBm25(spark, dir)
+    val full = TextSearch.buildIndex(docs, "doc_id", "text")
+    assert(inc.numDocs === full.numDocs)
+    assert(inc.avgdl === full.avgdl)
+    val a = TextSearch.search(inc, "fast table scan merge", 10)
+      .as[(Long, Double)].collect().toSeq
+    val b = TextSearch.search(full, "fast table scan merge", 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(a === b)
+    // replaying an already-applied batch id is a no-op (foreachBatch retry)
+    val before = inc.postings.count()
+    IndexStore.appendBatchBm25(half1.limit(5), "doc_id", "text", dir, batchId = 0L)
+    assert(IndexStore.loadBm25(spark, dir).postings.count() === before)
+  }
+
   test("ivf save/load round-trip preserves ann results and probe pruning") {
     val dir = Files.createTempDirectory("ivfidx").toString
     val embs = Tables.embeddings(spark, Sf0001)

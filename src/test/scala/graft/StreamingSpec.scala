@@ -84,6 +84,31 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming dedup: first event per id wins, replays within watermark dropped") {
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.dedupEvents(mem.toDF(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 99.0), // same id, same batch
+        Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(3), 1, "click", 77.0)) // replay, next batch
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(50), 3, "click", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup").as[Event].collect()
+      assert(got.map(_.event_id).sorted.toSeq === Seq(1L, 2L, 3L))
+      // the FIRST arrival's payload survives
+      assert(got.find(_.event_id == 1L).get.value === 1.0)
+    } finally q.stop()
+    // batch mode: same call degenerates to whole-input dropDuplicates
+    val batch = EventStreams.dedupEvents(Seq(
+      Event(9, ts(0), 1, "click", 1.0), Event(9, ts(30), 1, "click", 2.0)).toDF())
+    assert(batch.count() === 1)
+  }
+
   test("stateful sessionization splits at a gap of exactly `gap` (half-open boundary)") {
     // session_window / sessionAggBatch treat windows as [ts, ts+gap): an
     // event exactly gapMinutes after the previous one starts a NEW session.
