@@ -254,6 +254,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** TPC-H Q5-shape multi-table star join: revenue per nation for one
+    * region, with the classic local-supplier condition (customer and
+    * supplier in the same nation). Scale shape: region/nation/supplier are
+    * dimension tables — explicitly broadcast, so the only shuffles are the
+    * two fact-fact equi-joins (orders ⋈ customer survives as a shuffle on
+    * custkey, lineitem ⋈ orders on orderkey) and the final tiny
+    * per-nation aggregation (map-side combined). */
+  private def qRegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg.where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("n_name")
+  }
+
   /** Quality-filter gate thresholds for q_quality_filter. */
   private val QfMinTokens = 5
   private val QfMaxTokens = 500
@@ -582,6 +608,7 @@ object SparkEntry {
     "q_range_join" -> ((s, dir) => qRangeJoin(s, dir)),
     "q_dedup_components" -> ((s, dir) => qDedupComponents(s, dir)),
     "q_dedup_pipeline" -> ((s, dir) => qDedupPipeline(s, dir)),
+    "q_region_revenue" -> ((s, dir) => qRegionRevenue(s, dir)),
     "q_quality_filter" -> ((s, dir) => qQualityFilter(s, dir)),
     "q_split" -> ((s, dir) => qSplit(s, dir)),
     "q_contamination" -> ((s, dir) => qContamination(s, dir)),
@@ -847,6 +874,16 @@ object SparkEntry {
     "q_dedup_simhash" ->
       (Dedup.sqlSimhashPairs("documents", "doc_id", "text", SimhashMaxDist) +
         "\nORDER BY id1, id2"),
+    "q_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_quality_filter" ->
       s"""SELECT id AS doc_id, n_tokens, quality_ppm, lang, drop_reason, keep
          |FROM (${Curation.sqlQualityFilter("documents", "doc_id", "text",

@@ -343,37 +343,46 @@ object Dedup {
     * Output: (id, component = min reachable id), nodes that appear in
     * ≥1 pair only. */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (not cache): each round references the previous
-    // labels twice, so an un-truncated logical plan doubles per iteration
-    // and planning cost explodes — checkpointing resets the lineage to the
-    // materialized result (the standard iterative-algorithm pattern).
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // localCheckpoint (not cache): an un-truncated logical plan doubles per
+    // iteration and planning cost explodes — checkpointing resets the
+    // lineage to the materialized result (the standard iterative pattern).
+    //
+    // Self-loops fold the own-label term into the neighbor minimum, so one
+    // round is ONE join + ONE min-agg (the older formulation needed a
+    // second join against the previous labels to re-attach own comps).
+    // Convergence: Σcomp is strictly decreasing until the fixpoint (labels
+    // only ever decrease), so comparing one DECIMAL sum per round replaces
+    // any old-vs-new comparison — the round's single action, which also
+    // materializes the lazy checkpoint.
+    // materialize the (possibly expensive) pair computation ONCE before the
+    // union fan-out — each union branch re-references its logical subtree,
+    // so an un-checkpointed 3-way union would re-run the whole near-dup
+    // join three times
+    val base = pairs.select(col("id1").as("a"), col("id2").as("b")).localCheckpoint()
+    val sym = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    val edges = sym.union(sym.select(col("a"), col("a").as("b")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
-    var converged = false
+    // decimal(38,0): Σ of 2^63-scale labels over arbitrarily many nodes
+    var prevSum = {
+      val r = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var converged = prevSum.signum() == 0 && labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
+      val updated = edges
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nbr_min"))
-      // the new labels carry their change flag, so convergence is a scan-agg
-      // over the checkpoint instead of a second join against the previous
-      // labels; the checkpoint is LAZY so that agg is the round's ONLY job —
-      // it materializes every partition, truncating lineage as a side effect
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          (col("nbr_min") < col("comp")).as("chg"))
+        .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("comp"))
         .localCheckpoint(false)
-      val changed = {
-        // sum over an empty label set (no pairs at all) is null, not 0
-        val r = updated.agg(sum(when(col("chg"), 1L).otherwise(0L))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
+      val newSum = {
+        val r = updated.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
       }
-      labels = updated.select("id", "comp")
-      converged = changed == 0
+      labels = updated
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     if (!converged)

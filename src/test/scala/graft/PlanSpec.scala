@@ -60,6 +60,17 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"final ranking missing in:\n$plan")
   }
 
+  test("star join broadcasts every dimension; facts shuffle at most twice") {
+    val plan = planString(SparkEntry.queries("q_region_revenue")(spark, Sf0001))
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3,
+      s"region/nation/supplier must broadcast (got $broadcasts):\n$plan")
+    val shuffleJoins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffleJoins <= 2,
+      s"only the two fact-fact joins may shuffle (got $shuffleJoins):\n$plan")
+  }
+
   test("codegen'd similarity stays inside WholeStageCodegen") {
     val e = Tables.embeddings(spark, Sf0001)
     val scored = e.select(graft.functions.Vectors.score("cosine",
