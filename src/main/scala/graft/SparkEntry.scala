@@ -254,6 +254,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** North-star int8-quantized similarity scan: corpus vectors quantized to
+    * int8 (4–8× smaller store at 100 TB), scored against the quantized
+    * flagship query by EXACT integer dot products (≤ 127²·64 ≈ 10⁶, exactly
+    * representable everywhere) rescaled by the two float scales — so the
+    * result is bit-reproducible and oracle-checkable, unlike typical float
+    * ANN shortcuts. Exact-rerank recall is spec-tested (FunctionsSpec). */
+  private def qQuantKnn(spark: SparkSession, dir: String): DataFrame = {
+    val qScale = flagshipQueryVec.map(math.abs).max / 127.0
+    val qInts = flagshipQueryVec.map(x =>
+      if (qScale == 0) 0 else math.floor(x / qScale + 0.5).toInt)
+    val qLit = array(qInts.map(i => lit(i)).toIndexedSeq: _*)
+    Tables.embeddings(spark, dir)
+      .withColumn("scale", Vectors.quantizeScale(col("embedding")))
+      .withColumn("q", Vectors.quantizeInt8(col("embedding"), col("scale")))
+      .withColumn("qdot", Vectors.dotInt(col("q"), qLit))
+      .select(col("vec_id"),
+        round(col("qdot").cast("double") * col("scale") * lit(qScale), 6).as("qscore"))
+      .orderBy(col("qscore").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** TPC-H Q5-shape multi-table star join: revenue per nation for one
     * region, with the classic local-supplier condition (customer and
     * supplier in the same nation). Scale shape: region/nation/supplier are
@@ -608,6 +629,7 @@ object SparkEntry {
     "q_range_join" -> ((s, dir) => qRangeJoin(s, dir)),
     "q_dedup_components" -> ((s, dir) => qDedupComponents(s, dir)),
     "q_dedup_pipeline" -> ((s, dir) => qDedupPipeline(s, dir)),
+    "q_quant_knn" -> ((s, dir) => qQuantKnn(s, dir)),
     "q_region_revenue" -> ((s, dir) => qRegionRevenue(s, dir)),
     "q_quality_filter" -> ((s, dir) => qQualityFilter(s, dir)),
     "q_split" -> ((s, dir) => qSplit(s, dir)),
@@ -874,6 +896,28 @@ object SparkEntry {
     "q_dedup_simhash" ->
       (Dedup.sqlSimhashPairs("documents", "doc_id", "text", SimhashMaxDist) +
         "\nORDER BY id1, id2"),
+    "q_quant_knn" -> {
+      val qScale = flagshipQueryVec.map(math.abs).max / 127.0
+      val qInts = flagshipQueryVec.map(x =>
+        if (qScale == 0) 0 else math.floor(x / qScale + 0.5).toInt)
+      val qIntsSql = qInts.mkString("[", ", ", "]::DOUBLE[]")
+      val qScaleSql = f"$qScale%.17g"
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+         |         embedding::DOUBLE[] AS v
+         |  FROM embeddings
+         |), qq AS (
+         |  SELECT vec_id, scale,
+         |         list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+         |           ELSE floor(x / scale + 0.5) END) AS q
+         |  FROM qz
+         |)
+         |SELECT vec_id,
+         |       round(list_inner_product(q, $qIntsSql) * scale * $qScaleSql, 6) AS qscore
+         |FROM qq
+         |ORDER BY qscore DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
     "q_region_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
         |FROM lineitem

@@ -48,6 +48,35 @@ object Vectors {
     case other        => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 
+  // ------------------------------------------------------- int8 quantization
+
+  /** Symmetric per-vector int8 quantization — the standard 4–8× footprint
+    * reduction for embedding stores at 100 TB scale (quantized candidate
+    * scoring + exact re-rank of the shortlist). scale = max|vᵢ|/127;
+    * qᵢ = floor(vᵢ/scale + 0.5) ∈ [−127, 127] (explicit half-up floor — the
+    * one rounding rule Spark and DuckDB express identically; `round()`
+    * half-even vs half-up differs between engines). An all-zero vector
+    * quantizes to zeros with scale 0. */
+  def quantizeScale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / lit(127.0)
+
+  /** array<int> of quantized components given the vector and its scale. */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(x / scale + lit(0.5)).cast("int")))
+
+  /** Reconstruction: qᵢ·scale. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Integer dot product of two quantized vectors (exact BIGINT math —
+    * bit-reproducible everywhere); the approximate similarity is
+    * qdot·scaleA·scaleB. */
+  def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   /** A double[] as a Column literal (query vectors are driver-side values). */
   def vecLit(v: Array[Double]): Column = array(v.map(lit): _*)
 

@@ -88,6 +88,45 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("int8 quantization: bounds, reconstruction error, exact-rerank recall") {
+    val e = graft.util.Tables.embeddings(spark, Sf0001)
+      .withColumn("scale", Vectors.quantizeScale(col("embedding")))
+      .withColumn("q", Vectors.quantizeInt8(col("embedding"), col("scale")))
+    // every component in [-127, 127]; reconstruction within scale/2
+    val stats = e.select(
+        array_max(transform(col("q"), abs(_))).as("qmax"),
+        array_max(
+          zip_with(Vectors.dequantize(col("q"), col("scale")), col("embedding"),
+            (d, x) => abs(d - x))).as("maxerr"),
+        col("scale"))
+      .collect()
+    assert(stats.forall(_.getInt(0) <= 127))
+    stats.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) / 2 + 1e-12,
+        s"reconstruction error ${r.getDouble(1)} above scale/2 ${r.getDouble(2) / 2}")
+    }
+    // quantized top-10 agrees with exact cosine top-10 on this corpus
+    // (int8 on unit-ish 64-dim vectors: relative error ~0.4%, far below
+    // the corpus's score gaps)
+    val exact = graft.search.VectorSearch.knn(
+        graft.util.Tables.embeddings(spark, Sf0001), "vec_id", "embedding",
+        Array.tabulate(64)(i => math.sin(i + 1)), 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val qv = Array.tabulate(64)(i => math.sin(i + 1))
+    val qScale = qv.map(math.abs).max / 127.0
+    val qInts = qv.map(x => math.floor(x / qScale + 0.5).toInt)
+    val approx = e
+      .withColumn("qdot", Vectors.dotInt(col("q"), array(qInts.map(lit).toIndexedSeq: _*)))
+      // quantized score ∝ cosine numerator rescaled; same norm denominator
+      .withColumn("qscore",
+        col("qdot").cast("double") * col("scale") /
+          Vectors.l2norm(col("embedding")))
+      .orderBy(col("qscore").desc, col("vec_id").asc)
+      .limit(10).select("vec_id").as[Long].collect().toSeq
+    assert(approx.toSet.intersect(exact.toSet).size >= 8,
+      s"quantized recall too low: $approx vs $exact")
+  }
+
   test("tokenizer lowercases, splits on non-alphanumerics, drops empties") {
     val got = Seq("Fast, FAST sort!! 2x").toDF("t")
       .select(Text.tokens(col("t"))).head().getSeq[String](0)
