@@ -205,7 +205,15 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  /** North-star exact n-gram-Jaccard near-dup pairs. */
+  /** North-star exact n-gram-Jaccard near-dup pairs.
+    *
+    * ORACLE-BASELINE, not the scale path: the all-pairs shingle-postings
+    * self-join is quadratic in per-shingle posting-list length (hot shingles
+    * dominate at corpus scale). It is declared so the gate pins the exact
+    * semantics; production dedup routes through [[qDedupMinhash]] /
+    * [[qDedupComponents]] / [[qDedupPipeline]], whose LSH candidates are
+    * verified against THIS definition in DedupSpec. Don't benchmark this
+    * operator as the dedup path. */
   private def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThr)
       .orderBy("id1", "id2")
@@ -223,10 +231,15 @@ object SparkEntry {
       .orderBy("id1", "id2")
 
   /** North-star dedup clustering: connected components over the
-    * near-dup pair graph (pairs → clusters; keep = min id). */
+    * near-dup pair graph (pairs → clusters; keep = min id). The pair source
+    * is the scale path — MinHash+LSH banded candidates with exact verify —
+    * NOT the all-pairs jaccardPairs baseline (whose shingle-postings
+    * self-join is quadratic per hot shingle); both produce identical pairs
+    * at the declared threshold (recall asserted in DedupSpec), and the
+    * oracle verifies components over the same LSH pair CTE. */
   private def qDedupComponents(spark: SparkSession, dir: String): DataFrame =
     Dedup.components(
-        Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThr))
+        Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThr))
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
@@ -759,7 +772,7 @@ object SparkEntry {
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_label_centroid" ->
-      """SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid
+      """SELECT label, (i - 1)::INTEGER AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid
         |FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_pivot" ->
@@ -817,7 +830,8 @@ object SparkEntry {
         |ORDER BY p.event_id""".stripMargin,
     "q_chunk" ->
       (Curation.sqlChunkDocuments("documents", "doc_id", "text", 200, 40)
-        .replace("SELECT id, i AS chunk_idx", "SELECT id AS doc_id, i AS chunk_idx") +
+        .replace("SELECT id, i::INTEGER AS chunk_idx",
+          "SELECT id AS doc_id, i::INTEGER AS chunk_idx") +
         "\nORDER BY doc_id, chunk_idx"),
     "q_clean_text" ->
       s"""SELECT doc_id, ${Curation.sqlCleanText("text")} AS clean_text
@@ -886,7 +900,7 @@ object SparkEntry {
         "\nORDER BY id1, id2"),
     "q_dedup_components" ->
       (Dedup.sqlComponents(
-        Dedup.sqlJaccardPairs("documents", "doc_id", "text", JaccardThr))
+        Dedup.sqlMinhashPairs("documents", "doc_id", "text", JaccardThr))
         .replace("SELECT id, min(comp) AS comp FROM walk GROUP BY id",
           "SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id") +
         "\nORDER BY doc_id"),

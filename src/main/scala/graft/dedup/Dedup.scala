@@ -326,7 +326,8 @@ object Dedup {
   def sqlSimhashPairs(docsTable: String, idExpr: String, textExpr: String,
       maxDist: Int): String =
     s"""WITH sh AS (${sqlSimhash(docsTable, idExpr, textExpr)})
-       |SELECT a.id AS id1, b.id AS id2, bit_count(xor(a.simhash, b.simhash)) AS dist
+       |SELECT a.id AS id1, b.id AS id2,
+       |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
        |FROM sh a JOIN sh b ON a.id < b.id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
 
@@ -410,8 +411,12 @@ object Dedup {
   // ------------------------------------------------------- cosine near-dup
 
   /** Embedding-cosine near-dup pairs: (id1, id2, sim) with rounded cosine ≥
-    * threshold, id1 < id2. Brute self-join — the oracle baseline; at scale
-    * route candidates through IVF buckets or sign-LSH instead. */
+    * threshold, id1 < id2.
+    *
+    * ORACLE-BASELINE, not the scale path: brute O(N²) crossJoin, used only
+    * by specs and DuckDB oracles to pin exact semantics. Production near-dup
+    * routes through [[cosinePairsLsh]] (bucketed sign-LSH candidates, exact
+    * verify) — do not benchmark or deploy this operator at corpus scale. */
   def cosinePairs(embs: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
     // hoist the norms out of the O(N²) pair loop: each side's ‖v‖ is

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the eval set is always tiny relative to the training corpus
   * (benchmarks are KBs–MBs vs 100 TB), so its DISTINCT shingle-hash set is
-  * collected into a broadcast hash join — the training side streams through
-  * one narrow scan + explode with NO shuffle of training data; the only
-  * aggregation is the per-doc count, map-side combinable on the id the
-  * postings were exploded from (Spark keeps it partition-local).
+  * collected into a broadcast hash join — the training side pays exactly ONE
+  * shuffle: the `distinct()` over its exploded (id, shingle-hash) postings
+  * (needed for the distinct-shingle ratio semantics). The join itself is
+  * broadcast (no shuffle of training data for it), and the per-doc count is
+  * map-side combinable on the id the postings were exploded from.
   *
   * Shingles are [[TextAnalysis.ShingleSize]]-token n-grams hashed with the
   * shared [[Text.hash60]], so the DuckDB oracle reproduces every bit.
@@ -69,13 +70,14 @@ object Contamination {
        |    FROM $evalTable)
        |), per_doc AS (
        |  SELECT t.id, count(*) AS n_shingles,
-       |         sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated
+       |         -- ::BIGINT: DuckDB sum(INTEGER) widens to HUGEINT; Spark emits long
+       |         sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
        |  FROM train_p t LEFT JOIN eval_s e USING (h)
        |  GROUP BY 1
        |)
        |SELECT b.id,
-       |       coalesce(p.n_shingles, 0) AS n_shingles,
-       |       coalesce(p.n_contaminated, 0) AS n_contaminated,
+       |       coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+       |       coalesce(p.n_contaminated, 0)::BIGINT AS n_contaminated,
        |       CASE WHEN coalesce(p.n_shingles, 0) > 0
        |            THEN round(coalesce(p.n_contaminated, 0)::DOUBLE / p.n_shingles, 6)
        |            ELSE 0.0 END AS contamination_ratio,

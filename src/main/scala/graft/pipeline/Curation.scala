@@ -28,7 +28,13 @@ object Curation {
     val df = toks.groupBy("term").agg(countDistinct(col("id")).as("df"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tfidf").desc, col("term").asc)
-    toks.join(broadcast(df), "term")
+    // No broadcast hint on the term→df table: at corpus scale the
+    // vocabulary (typos, hashes, code tokens) is GB-sized and heavy-tailed —
+    // forcing a broadcast would blow the driver/executor broadcast limit.
+    // A shuffle join on `term` co-partitions with the tf aggregation that
+    // produced `toks` (same key), and AQE is free to locally convert to
+    // broadcast when the measured df side is actually small.
+    toks.join(df, "term")
       .withColumn("tfidf",
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .withColumn("rank", row_number().over(w))
@@ -49,7 +55,7 @@ object Curation {
        |  FROM tf JOIN df USING (term) CROSS JOIN n
        |), ranked AS (
        |  SELECT id, term, tfidf,
-       |         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank
+       |         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC)::INTEGER AS rank
        |  FROM scored
        |)
        |SELECT id, term, tfidf, rank FROM ranked WHERE rank <= $k""".stripMargin
@@ -77,9 +83,9 @@ object Curation {
   def sqlChunkDocuments(docsTable: String, idExpr: String, textExpr: String,
       chunkChars: Int, overlap: Int): String = {
     val stride = chunkChars - overlap
-    s"""SELECT id, i AS chunk_idx,
+    s"""SELECT id, i::INTEGER AS chunk_idx,
        |       substr(t, i * $stride + 1, $chunkChars) AS chunk_text,
-       |       length(substr(t, i * $stride + 1, $chunkChars)) AS chunk_chars
+       |       length(substr(t, i * $stride + 1, $chunkChars))::INTEGER AS chunk_chars
        |FROM (SELECT $idExpr AS id, $textExpr AS t FROM $docsTable)
        |CROSS JOIN generate_series(0, 9999) AS g(i)
        |WHERE i < greatest(ceil((length(t) - $overlap)::DOUBLE / $stride)::INT, 1)""".stripMargin

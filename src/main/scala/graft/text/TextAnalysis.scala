@@ -48,8 +48,10 @@ object TextAnalysis {
 
   def sqlBpeTokenCount(expr: String): String = {
     val words = Text.sqlTokens(expr)
+    // NOTE: DuckDB's list_sum over a BIGINT list widens to HUGEINT (int128);
+    // the outer ::BIGINT pins the oracle column to Spark's long.
     s"""(coalesce(list_sum(list_transform($words, w -> ceil(length(w) / ${MaxPiece}.0)::BIGINT)), 0)
-       | + len(list_filter(string_split_regex(lower($expr), '[a-z0-9\\s]+'), t -> t <> '')))""".stripMargin.replace("\n", "")
+       | + len(list_filter(string_split_regex(lower($expr), '[a-z0-9\\s]+'), t -> t <> '')))::BIGINT""".stripMargin.replace("\n", "")
   }
 
   // ---------------------------------------------------------- quality score

@@ -5,8 +5,10 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the same
-testdata parquet tables, and compares: schema (column names sorted), row
-count, and exact cell values after sorting columns by name and rows by value.
+testdata parquet tables, and compares: schema (column names sorted), column
+TYPES (the driver's hash is type-sensitive — DuckDB HUGEINT vs Spark BIGINT
+is a fail even when values match), row count, and exact cell values after
+sorting columns by name and rows by value.
 """
 import json, math, sys
 from pathlib import Path
@@ -47,12 +49,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
-        got_cols = [d[0] for d in got.description]
+        got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+        got_cols, got_types_l = got.columns, [str(t) for t in got.types]
         got_rows = got.fetchall()
         try:
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
+            exp = con.sql(sql)
+            exp_cols, exp_types_l = exp.columns, [str(t) for t in exp.types]
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
@@ -60,6 +62,18 @@ def main(sf_dir, out_dir):
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: schema {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # Type gate: the driver hashes (type, value) so a HUGEINT oracle
+        # column vs a BIGINT spark column fails even with identical values.
+        # (cursor.description is too coarse — all numerics read 'NUMBER' —
+        # hence con.sql relations, whose .types carry the DuckDB logical type.)
+        got_types = dict(zip(got_cols, got_types_l))
+        exp_types = dict(zip(exp_cols, exp_types_l))
+        type_diffs = [f"{c}: spark={got_types[c]} oracle={exp_types[c]}"
+                      for c in got_types if got_types[c] != exp_types[c]]
+        if type_diffs:
+            print(f"FAIL {name}: column type mismatch — " + "; ".join(type_diffs))
             n_fail += 1
             continue
         g, x = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
