@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.embed.{EmbedJob, Embedder}
 import graft.etl.Flatten
 import graft.functions.{Text, Vectors}
-import graft.index.Ivf
+import graft.index.{IndexStore, Ivf}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
@@ -71,6 +71,7 @@ object SparkEntry {
     val bm = corpusBm25(spark, dir)
     bm.postings.count(); bm.termDf.count()
     corpusIvf(spark, dir).assignments.count()
+    corpusSignLsh(spark, dir).count()
   }
 
   // ---------------------------------------------------------------- queries
@@ -371,6 +372,34 @@ object SparkEntry {
     Dedup.cosinePairsLsh(Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr, EmbDim)
       .orderBy("id1", "id2")
 
+  /** The persisted sign-LSH near-dup index, written once per (session,
+    * sfDir) — the same offline DDL lifecycle as [[corpusBm25]]/[[corpusIvf]],
+    * but DISK-backed via [[IndexStore.saveSignLsh]]: the declared query's
+    * plan scans the band-partitioned sketch parquet, proving the dedup run
+    * needs the vector table only for the final per-candidate verify. */
+  private val signLshBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusSignLsh(spark: SparkSession, dir: String): DataFrame = {
+    val path = signLshBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_signlsh_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      IndexStore.saveSignLsh(
+        Dedup.signLshSketches(Tables.embeddings(spark, dir), "vec_id", "embedding", EmbDim), p)
+      p
+    })
+    IndexStore.loadSignLsh(spark, path)
+  }
+
+  /** Index-backed near-dup: same pairs as [[qNeardupCosine]], but the
+    * candidates come from the PERSISTED sketch table — the 100 TB dedup
+    * story end-to-end (sketch once offline; every dedup run reads the
+    * ~32·bands-bytes-per-vector index, touches vectors only to verify). */
+  private def qNeardupCosineIdx(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cosineVerify(
+        Dedup.signLshCandidates(corpusSignLsh(spark, dir)),
+        Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr)
+      .orderBy("id1", "id2")
+
   /** The IVF index, built once per (session, sfDir) — offline DDL
     * lifecycle, same as [[corpusBm25]]. */
   private val ivfCache =
@@ -619,6 +648,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
+    "q_neardup_cosine_idx" -> ((s, dir) => qNeardupCosineIdx(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
     "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
@@ -982,6 +1012,12 @@ object SparkEntry {
          |ORDER BY s.doc_id""".stripMargin
     },
     "q_neardup_cosine" ->
+      (Dedup.sqlCosinePairs("embeddings", "vec_id", "embedding", CosineThr) +
+        "\nORDER BY id1, id2"),
+    // the index-backed variant returns the same pairs (banding recall 1 at
+    // the declared threshold, asserted vs brute in DedupSpec) — the brute
+    // kNN SQL stays the oracle for both
+    "q_neardup_cosine_idx" ->
       (Dedup.sqlCosinePairs("embeddings", "vec_id", "embedding", CosineThr) +
         "\nORDER BY id1, id2"),
     "q_neardup_text_cosine" ->

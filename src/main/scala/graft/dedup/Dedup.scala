@@ -335,15 +335,18 @@ object Dedup {
 
   /** Connected components over an undirected near-dup pair list — the step
     * that turns pairwise matches into dedup CLUSTERS (keep min id per
-    * component, drop the rest). Iterative min-label propagation to a
-    * fixpoint: each round every node takes the min of its own and its
-    * neighbors' labels — converges in O(component diameter) rounds, each
-    * round one join + one map-side-combinable min agg. Near-dup components
-    * have tiny diameters (dup clusters are dense), so 3–5 rounds suffice
-    * at any corpus size; `maxIter` caps pathological chains.
+    * component, drop the rest). Iterative min-label propagation WITH
+    * POINTER DOUBLING to a fixpoint: each round every node takes the min
+    * of its neighbors' labels (one hop), then shortcuts through its own
+    * label (`comp ← comp(comp)`), so label distance covered doubles per
+    * round — rounds grow with log(diameter), not diameter, and a
+    * chain-shaped near-dup run of length 10⁶ converges in ~20 rounds
+    * instead of 10⁶ (real corpora DO produce long chains: boilerplate
+    * families where each doc matches only its nearest revisions). Each
+    * round is two equi-joins + one map-side-combinable min agg.
     * Output: (id, component = min reachable id), nodes that appear in
     * ≥1 pair only. */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // localCheckpoint (not cache): an un-truncated logical plan doubles per
     // iteration and planning cost explodes — checkpointing resets the
     // lineage to the materialized result (the standard iterative pattern).
@@ -373,9 +376,17 @@ object Dedup {
     var converged = prevSum.signum() == 0 && labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val updated = edges
+      // hop: min over neighbour labels (self-loop folds own label in)
+      val hopped = edges
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
         .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("comp"))
+      // pointer doubling: shortcut through the label's own label —
+      // comp(comp(id)) ≤ comp(id) always (labels are node ids with
+      // self-loops, so every label is itself a keyed node), which is what
+      // turns O(diameter) propagation into O(log diameter)
+      val updated = hopped
+        .join(hopped.select(col("id").as("comp"), col("comp").as("cc")), "comp")
+        .select(col("id"), col("cc").as("comp"))
         .localCheckpoint(false)
       val newSum = {
         val r = updated.agg(sum(col("comp").cast("decimal(38,0)"))).head()
@@ -389,7 +400,8 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"components did not converge in $maxIter rounds — component diameter " +
-          "exceeds the cap; raise maxIter for pathological chain-shaped graphs")
+          "exceeds 2^$maxIter; raise maxIter (pointer doubling needs " +
+          "log2(diameter) rounds)")
     labels
   }
 
@@ -466,48 +478,73 @@ object Dedup {
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
 
-  def cosinePairsLsh(embs: DataFrame, idCol: String, embCol: String,
-      threshold: Double, dim: Int, seed: Long = 42L,
+  /** Banded sign-LSH sketch table: (id, sk, band, bkey) — one row per
+    * (vector, band). The persistable index artifact
+    * ([[graft.index.IndexStore.saveSignLsh]] writes it partitioned by
+    * `band`): bands·rows sketch bits (≤ 62, packed into one long) are the
+    * sign of Σ_d v[d]·±1, computed ONCE per vector by a single codegen'd
+    * expression node ([[VectorExpressions.SignSketch]] — the unrolled
+    * per-bit expression tree cost ~10 s of driver-side Catalyst work per
+    * query at 32×64 terms); one narrow posexplode replicates each
+    * (id, sketch) once per band. Carries only ids and packed longs, never
+    * vectors — at corpus scale the index is ~32 bytes × bands per vector. */
+  def signLshSketches(embs: DataFrame, idCol: String, embCol: String,
+      dim: Int, seed: Long = 42L,
       bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
-    // bands·rows sketch bits (≤ 62, packed into one long): sign of
-    // Σ_d v[d]·±1, computed ONCE per vector by a single codegen'd
-    // expression node ([[VectorExpressions.SignSketch]] — the unrolled
-    // per-bit expression tree cost ~10 s of driver-side Catalyst work
-    // per query at 32×64 terms)
     val nBits = bands * rows
     require(nBits <= 62, s"sketch bits $nBits exceed one long")
     val planes = Array.tabulate(nBits * dim)(i => hyperplaneSign(seed, i / dim, i % dim))
     def sketch(v: Column): Column =
       GraftShim.column(VectorExpressions.SignSketch(GraftShim.expression(v), planes, nBits, dim))
     val bandMasks = (0 until bands).map(b => ((1L << rows) - 1) << (b * rows))
-    val withV = embs.select(col(idCol).as("id"), col(embCol).as("v"),
-      Vectors.l2norm(col(embCol)).as("nrm"))
-    // one narrow explode replicates each (id, sketch) once per band —
-    // candidate enumeration carries only (id, band, bkey, sk), never vectors
-    val banded = withV
-      .select(col("id"), sketch(col("v")).as("sk"))
+    embs
+      .select(col(idCol).as("id"), sketch(col(embCol)).as("sk"))
       .select(col("id"), col("sk"),
         posexplode(array(bandMasks.map(m =>
           col("sk").bitwiseAND(lit(m))): _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Candidate pairs from a banded sketch table ([[signLshSketches]] shape,
+    * fresh or loaded from a persisted index): docs colliding on ≥1 band,
+    * emitted exactly once. Dedup WITHOUT a distinct shuffle: a colliding
+    * pair is emitted only by the FIRST band on which the sketches agree —
+    * a pure codegen filter on the packed sketches (the join guarantees
+    * agreement on `band`, so firstAgree ≤ band and exactly one band
+    * survives per pair). */
+  def signLshCandidates(banded: DataFrame,
+      bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
+    val bandMasks = (0 until bands).map(b => ((1L << rows) - 1) << (b * rows))
     val l = banded.select(col("id").as("id1"), col("band"), col("bkey"), col("sk").as("sk1"))
     val r = banded.select(col("id").as("id2"), col("band"), col("bkey"), col("sk").as("sk2"))
-    // dedup WITHOUT a distinct shuffle: a colliding pair is emitted only by
-    // the FIRST band on which the sketches agree — a pure codegen filter on
-    // the packed sketches (the join guarantees agreement on `band`, so
-    // firstAgree ≤ band and exactly one band survives per pair)
     def agree(b: Int): Column =
       col("sk1").bitwiseXOR(col("sk2")).bitwiseAND(lit(bandMasks(b))) === 0
     val firstAgree = (0 until bands).foldRight(lit(-1): Column)(
       (b, acc) => when(agree(b), lit(b)).otherwise(acc))
-    val cands = l.join(r, Seq("band", "bkey"))
+    l.join(r, Seq("band", "bkey"))
       .where(col("id1") < col("id2") && col("band") === firstAgree)
       .select("id1", "id2")
+  }
+
+  /** Exact-verify a candidate pair set against the dense vectors:
+    * (id1, id2, sim ≥ threshold). Work ∝ candidates. */
+  def cosineVerify(cands: DataFrame, embs: DataFrame, idCol: String,
+      embCol: String, threshold: Double): DataFrame = {
+    val withV = embs.select(col(idCol).as("id"), col(embCol).as("v"),
+      Vectors.l2norm(col(embCol)).as("nrm"))
     val a = withV.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1"))
     val b = withV.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("nrm2"))
     cands.join(a, "id1").join(b, "id2")
       .select(col("id1"), col("id2"),
         round(Vectors.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6).as("sim"))
       .where(col("sim") >= threshold)
+  }
+
+  def cosinePairsLsh(embs: DataFrame, idCol: String, embCol: String,
+      threshold: Double, dim: Int, seed: Long = 42L,
+      bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
+    val banded = signLshSketches(embs, idCol, embCol, dim, seed, bands, rows)
+    cosineVerify(signLshCandidates(banded, bands, rows),
+      embs, idCol, embCol, threshold)
   }
 
   /** Cosine-verified near-dup over a SPARSE (id, dim, val) embedding

@@ -45,6 +45,51 @@ final class HashingEmbedder(val dim: Int) extends Embedder {
   }
 }
 
+/** A batch embedding call failed after every retry. The reference surfaces
+  * embed failure as an explicit API error (`backend/api.py:161-162` returns
+  * 500 with the failure message) rather than dropping rows — this is the
+  * engine-side rendition: the exception propagates out of the Spark task,
+  * failing the job loudly instead of silently producing a partial corpus. */
+final class EmbedFailedException(val attempts: Int, cause: Throwable)
+  extends RuntimeException(
+    s"embedding batch failed after $attempts attempt(s): ${cause.getMessage}", cause)
+
+/** Failure contract for external embedding services (the Voyage-shaped HTTP
+  * boundary, `embed.py:88-89`): retry each `embedBatch` up to `maxAttempts`
+  * times (transient network errors), validate the response shape (one vector
+  * per input text, each of `dim`), and throw [[EmbedFailedException]] when
+  * attempts are exhausted — never return fewer/garbled vectors.
+  *
+  * Serializable wrapper so it rides inside `mapPartitions` tasks; retries
+  * are therefore PER BATCH, partition-local, exactly where the RPC happens.
+  */
+final class RetryingEmbedder(inner: Embedder, maxAttempts: Int = 3)
+    extends Embedder {
+  require(maxAttempts >= 1, "maxAttempts must be >= 1")
+  def dim: Int = inner.dim
+  def embed(text: String): Array[Double] = embedBatch(Seq(text)).head
+  override def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try {
+        val out = inner.embedBatch(texts)
+        if (out.length != texts.length)
+          throw new IllegalStateException(
+            s"embedder returned ${out.length} vectors for ${texts.length} texts")
+        out.find(_.length != dim).foreach(v =>
+          throw new IllegalStateException(
+            s"embedder returned a ${v.length}-dim vector, expected $dim"))
+        return out
+      } catch {
+        case e: Throwable => last = e
+      }
+    }
+    throw new EmbedFailedException(maxAttempts, last)
+  }
+}
+
 object Embedder {
   /** Testdata embedding dimension (FIXTURES.md §1); the reference uses 1024
     * (`README.md:24`) — dimension is a parameter everywhere.

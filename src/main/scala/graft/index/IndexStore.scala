@@ -25,23 +25,52 @@ import org.apache.spark.sql.functions._
 object IndexStore {
 
   // ------------------------------------------------------------------ BM25
+  //
+  // On-disk layout — three tables, each partitioned by `batch` (base build
+  // = batch -1, streaming micro-batches = their foreachBatch id):
+  //
+  //   postings/batch=N/bucket=M/   (id, term, tf, dl)    — per-batch postings
+  //   term_df/batch=N/             (term, df)            — per-batch df DELTA
+  //   stats/batch=N/               (num_docs, total_dl)  — per-batch scalars
+  //
+  // The stats partition is written LAST and doubles as the COMMIT MARKER:
+  // loadBm25 reads the committed batch set from `stats` and partition-prunes
+  // postings/term_df to exactly those batches, so a reader never observes a
+  // half-applied batch. A foreachBatch replay dynamically OVERWRITES its own
+  // three partitions (never appends), so a retry after a crash at ANY point
+  // mid-commit converges to the same state — no duplicated (id, term) rows,
+  // no double-counted df (the flaw in the append-based v1 layout).
+  //
+  // Reads stay cheap: term_df is vocabulary-sized × committed batches and
+  // merged with one groupBy at load; postings keep bucket-pruning (`term IN`
+  // probes touch only their term-hash buckets). [[compactBm25]] folds all
+  // committed batches back into a single base partition so file counts and
+  // the term_df merge stay bounded under long-running streams.
 
-  def saveBm25(index: Bm25Index, path: String): Unit = {
+  def saveBm25(index: Bm25Index, path: String): Unit =
+    writeBase(index, path)
+
+  /** Write `index` as a fresh base (single batch = -1) under `path`,
+    * replacing whatever was there (S7 `--replace` semantics). */
+  private def writeBase(index: Bm25Index, path: String): Unit = {
     import graft.functions.Text
     index.postings
+      .withColumn("batch", lit(-1L))
       .withColumn("bucket", pmod(Text.hash60(col("term")), lit(TextSearch.TermBuckets.toLong)))
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
       .parquet(s"$path/postings")
-    index.termDf.write.mode(SaveMode.Overwrite).parquet(s"$path/term_df")
+    index.termDf.withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$path/term_df")
     val spark = index.postings.sparkSession
     import spark.implicits._
-    // total_dl keeps avgdl exactly mergeable across incremental appends
-    // (dl are integers, so double sums are order-independent and
-    // num_docs·avgdl reconstructs exactly); last_batch is the replay guard
-    // for the streaming upsert path
-    Seq((index.numDocs, index.avgdl, totalDl(index), -1L))
-      .toDF("num_docs", "avgdl", "total_dl", "last_batch")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    // total_dl keeps avgdl exactly mergeable across batches (dl are
+    // integers, so double sums are order-independent and total/num
+    // reconstructs avgdl exactly); written last = commit marker
+    Seq((index.numDocs, totalDl(index), -1L))
+      .toDF("num_docs", "total_dl", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$path/stats")
   }
 
   /** Exact Σ dl over the indexed docs (dl is denormalized per posting row). */
@@ -51,39 +80,49 @@ object IndexStore {
     if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble
   }
 
+  /** Committed batch ids = batches whose stats commit-marker exists.
+    * (`batch` comes back as the partition-inferred INT — cast to long.) */
+  private def committedBatches(spark: SparkSession, path: String): Seq[Long] =
+    spark.read.parquet(s"$path/stats")
+      .select(col("batch").cast("long")).collect().map(_.getLong(0)).toSeq
+
   /** Apply one micro-batch of NEW documents (R17 skip-existing contract:
     * ids must not already be indexed — updates are a drop/recreate, S7) to
-    * a persisted BM25 index: append the batch's postings to the bucketed
-    * layout, merge the vocabulary-sized `term_df`, and roll the corpus
-    * stats forward. Work ∝ batch size + vocabulary — the 100 TB postings
-    * table is never rescanned. `batchId` makes replays idempotent
-    * (foreachBatch retries re-deliver a batch; a batch ≤ `last_batch` is
-    * skipped). Stats/termDf merges localCheckpoint before overwriting so
-    * the read-then-overwrite of the same path is safe. */
+    * a persisted BM25 index. Work ∝ batch size — the 100 TB postings table
+    * is never rescanned, and unlike the v1 append layout not even term_df
+    * is rewritten (the batch writes its own df delta partition; deltas
+    * merge at load / compaction).
+    *
+    * Idempotent at every crash point: all three writes dynamically
+    * overwrite THIS batch's partitions only, and the stats marker commits
+    * last — a foreachBatch retry of a committed batch is a no-op, a retry
+    * of a half-written batch simply rewrites the same partitions. */
   def appendBatchBm25(batch: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, path: String, batchId: Long): Unit = {
     import graft.functions.Text
     val spark = batch.sparkSession
     import spark.implicits._
-    val stats = spark.read.parquet(s"$path/stats").head()
-    if (batchId <= stats.getAs[Long]("last_batch")) return
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, path).contains(batchId)) return
     val delta = TextSearch.buildIndex(batch, idCol, textCol)
-    if (delta.numDocs > 0) {
-      delta.postings
-        .withColumn("bucket", pmod(Text.hash60(col("term")), lit(TextSearch.TermBuckets.toLong)))
-        .write.mode(SaveMode.Append).partitionBy("bucket")
-        .parquet(s"$path/postings")
-      val mergedDf = spark.read.parquet(s"$path/term_df")
-        .union(delta.termDf)
-        .groupBy("term").agg(sum(col("df")).as("df"))
-        .localCheckpoint()
-      mergedDf.write.mode(SaveMode.Overwrite).parquet(s"$path/term_df")
-    }
-    val newDocs = stats.getAs[Long]("num_docs") + delta.numDocs
-    val newTotal = stats.getAs[Double]("total_dl") + totalDl(delta)
-    Seq((newDocs, if (newDocs == 0) 0.0 else newTotal / newDocs, newTotal, batchId))
-      .toDF("num_docs", "avgdl", "total_dl", "last_batch")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    delta.postings
+      .withColumn("batch", lit(batchId))
+      .withColumn("bucket", pmod(Text.hash60(col("term")), lit(TextSearch.TermBuckets.toLong)))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "bucket")
+      .parquet(s"$path/postings")
+    delta.termDf.withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/term_df")
+    Seq((delta.numDocs, totalDl(delta), batchId))
+      .toDF("num_docs", "total_dl", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/stats")
   }
 
   /** Streaming index upkeep: incoming documents (append-only stream) keep
@@ -102,13 +141,25 @@ object IndexStore {
       }
       .start()
 
+  /** Consistent snapshot at the latest commit marker: only committed
+    * batches are visible (partition-pruned `batch IN (...)`), so loading
+    * concurrently with an in-flight appendBatchBm25 is safe. */
   def loadBm25(spark: SparkSession, path: String): Bm25Index = {
-    val stats = spark.read.parquet(s"$path/stats").head()
-    Bm25Index(
-      // keep the bucket partition column: TextSearch.search prunes on it
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/term_df"),
-      stats.getLong(0), stats.getDouble(1))
+    val stats = spark.read.parquet(s"$path/stats")
+      .withColumn("batch", col("batch").cast("long")).collect()
+    val batches = stats.map(_.getAs[Long]("batch"))
+    val numDocs = stats.map(_.getAs[Long]("num_docs")).sum
+    val totalDl = stats.map(_.getAs[Double]("total_dl")).sum
+    // cast-then-isin on the partition column still partition-prunes (any
+    // deterministic predicate over partition attributes does)
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("batch").cast("long").isin(batches: _*)).drop("batch")
+    val termDf = spark.read.parquet(s"$path/term_df")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    // keep the bucket partition column: TextSearch.search prunes on it
+    Bm25Index(postings, termDf, numDocs,
+      if (numDocs == 0) 0.0 else totalDl / numDocs)
   }
 
   /** Build-and-persist in one step (the `indexes.py` CLI shape). */
@@ -118,6 +169,48 @@ object IndexStore {
     saveBm25(idx, path)
     loadBm25(docs.sparkSession, path)
   }
+
+  /** Fold every committed batch back into a single base partition —
+    * the maintenance job that keeps file counts and the load-time term_df
+    * merge bounded under a long-running stream (thousands of micro-batch
+    * partitions otherwise accumulate).
+    *
+    * Stages the merged snapshot into `path/.compact` (reading the live
+    * tables, which stay untouched), then swaps directories. The swap is the
+    * reference's `--replace` operational contract (`indexes.py:108-116`):
+    * run it in the index's offline maintenance window, not concurrently
+    * with readers. Post-condition: one batch=-1 partition per table,
+    * identical search results. */
+  def compactBm25(spark: SparkSession, path: String): Unit = {
+    val snapshot = loadBm25(spark, path)
+    val staged = s"$path/.compact"
+    writeBase(snapshot, staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq("postings", "term_df", "stats")) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
+        new org.apache.hadoop.fs.Path(s"$path/$d"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  // -------------------------------------------------------------- sign-LSH
+
+  /** Persist a banded sign-LSH sketch table
+    * ([[graft.dedup.Dedup.signLshSketches]] shape: id, sk, band, bkey) as a
+    * near-dup index, partitioned by `band`: the candidate self-join
+    * processes one band at a time, so each side of the join scans exactly
+    * one partition — and none of the vector data. At corpus scale this is
+    * the difference between re-sketching 100 TB of vectors per dedup run
+    * and reading a ~32·bands-bytes-per-vector side table. Overwrite = S7
+    * `--replace`. */
+  def saveSignLsh(banded: org.apache.spark.sql.DataFrame, path: String): Unit =
+    banded.write.mode(SaveMode.Overwrite).partitionBy("band")
+      .parquet(s"$path/sketches")
+
+  def loadSignLsh(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$path/sketches")
 
   // ------------------------------------------------------------------- IVF
 
@@ -130,13 +223,21 @@ object IndexStore {
       .map { case (cid, c) => (cid, c.toSeq, index.sizes.getOrElse(cid, 0L)) }
       .toDF("cluster", "centroid", "size")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    // DDL-time contract (reference `indexes.py:28-31,64`): similarity and
+    // numDimensions are properties of the INDEX, persisted with it and
+    // enforced at probe time (Ivf.ann throws on mismatch, like Atlas).
+    Seq((index.metric, index.dim))
+      .toDF("metric", "dim")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
   def loadIvf(spark: SparkSession, path: String): Ivf.IvfIndex = {
     val meta = spark.read.parquet(s"$path/centroids").collect()
+    val ddl = spark.read.parquet(s"$path/meta").head()
     Ivf.IvfIndex(
       spark.read.parquet(s"$path/assignments"),
       meta.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap,
-      meta.map(r => r.getInt(0) -> r.getLong(2)).toMap)
+      meta.map(r => r.getInt(0) -> r.getLong(2)).toMap,
+      ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"))
   }
 }

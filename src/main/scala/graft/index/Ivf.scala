@@ -39,16 +39,30 @@ object Ivf {
   /** @param assignments (id, cluster) mapping
     * @param centroids   cluster id → centroid vector (driver-side)
     * @param sizes       cluster id → member count (driver-side)
+    * @param metric      similarity fixed at DDL time (`indexes.py:28-31`
+    *                    pins Atlas `similarity` in the index definition;
+    *                    probes with another metric are rejected, not
+    *                    silently rescored)
+    * @param dim         vector dimensionality fixed at DDL time
+    *                    (`indexes.py:64` `numDimensions`; Atlas errors on
+    *                    mismatched query vectors)
     */
   final case class IvfIndex(
       assignments: DataFrame,
       centroids: Map[Int, Array[Double]],
-      sizes: Map[Int, Long])
+      sizes: Map[Int, Long],
+      metric: String = "cosine",
+      dim: Int = -1)
 
   /** Batch index build. k defaults to ⌈√N⌉ (classic IVF sizing: probe cost
-    * balances centroid scan vs cluster scan). */
+    * balances centroid scan vs cluster scan). `metric` is baked into the
+    * index like Atlas `similarity`; `dim` is derived from the fitted
+    * centroids. */
   def build(embs: DataFrame, idCol: String, embCol: String,
-      numClusters: Int = 0, seed: Long = 42L): IvfIndex = {
+      numClusters: Int = 0, seed: Long = 42L,
+      metric: String = "cosine"): IvfIndex = {
+    require(VectorSearch.Metrics.contains(metric),
+      s"metric must be one of ${VectorSearch.Metrics}, got '$metric'")
     val n = embs.count()
     val k = if (numClusters > 0) numClusters
       else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -62,7 +76,8 @@ object Ivf {
       .map { case (c, i) => i -> c.toArray }.toMap
     val sizes = assignments.groupBy("cluster").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    IvfIndex(assignments, centroids, sizes)
+    val dim = model.clusterCenters.headOption.map(_.size).getOrElse(0)
+    IvfIndex(assignments, centroids, sizes, metric, dim)
   }
 
   /** Clusters to probe for `queryVec`, nearest-centroid first, until the
@@ -99,10 +114,20 @@ object Ivf {
   }
 
   /** ANN top-k: probe → candidate scan → exact re-rank. Same contract as
-    * [[VectorSearch.knn]] plus the index and the `numCandidates` knob. */
+    * [[VectorSearch.knn]] plus the index and the `numCandidates` knob.
+    *
+    * Enforces the DDL-time index contract the way Atlas does: a probe whose
+    * metric differs from the one the index was built with, or whose query
+    * vector dimensionality differs from the indexed vectors', throws instead
+    * of returning silently-wrong scores (`indexes.py:28-31,64`). */
   def ann(index: IvfIndex, table: DataFrame, idCol: String, embCol: String,
       queryVec: Array[Double], k: Int, numCandidates: Int,
       metric: String = "cosine", preFilter: Option[Column] = None): DataFrame = {
+    require(metric == index.metric,
+      s"index was created with similarity '${index.metric}'; a '$metric' probe " +
+        "must use a matching index (rebuild with Ivf.build(..., metric = ...))")
+    require(index.dim < 0 || queryVec.length == index.dim,
+      s"query vector dimension ${queryVec.length} != index numDimensions ${index.dim}")
     val probe = probeSet(index, queryVec, numCandidates)
     // exhaustive probe (numCandidates ≥ N covers every cluster) would
     // broadcast EVERY id through the member semi-join just to select the

@@ -31,6 +31,10 @@ object VectorSearch {
 
   val ScoreDecimals = 6
 
+  /** The three Atlas similarities an index can be declared with
+    * (`indexes.py:28-31`). */
+  val Metrics: Set[String] = Set("cosine", "dotProduct", "euclidean")
+
   /** @param df        table holding the vectors
     * @param idCol     unique id column name (tie-breaker)
     * @param embCol    `array<double>` vector column name

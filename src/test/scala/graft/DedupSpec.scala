@@ -120,6 +120,12 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id1", "id2")
     val got2 = Dedup.components(chain).collect().map(r => r.getLong(1)).distinct
     assert(got2 === Array(1L))
+    // pointer doubling: a 200-node chain (diameter 199) inside 10 rounds —
+    // one-hop propagation would need ~199; 2^10 = 1024 covers it
+    val long = (1L until 200L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got3 = Dedup.components(long, maxIter = 10)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got3 === Array(1L))
   }
 
   test("cosine near-dup pairs: identical vector pair detected, threshold respected") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.embed.{EmbedJob, Embedder}
+import graft.embed.{EmbedFailedException, EmbedJob, Embedder, RetryingEmbedder}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -36,6 +36,53 @@ class EmbedSpec extends AnyFunSuite with SparkTest {
         val got = sparse.getOrElse((r.getLong(0), d), 0.0)
         assert(got === expected, s"id=${r.getLong(0)} dim=$d")
       }
+    }
+  }
+
+  test("embedder failure contract: transient errors retry, exhaustion fails the job") {
+    // transient: first two calls throw, third succeeds → retry absorbs it
+    class Flaky(failures: Int) extends Embedder {
+      private var calls = 0
+      def dim: Int = Embedder.TestdataDim
+      def embed(text: String): Array[Double] = embedBatch(Seq(text)).head
+      override def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+        calls += 1
+        if (calls <= failures) throw new RuntimeException(s"503 from upstream (call $calls)")
+        texts.map(Embedder.default.embed)
+      }
+    }
+    val retried = EmbedJob.embedBatched(
+        docs.repartition(1), "text", new RetryingEmbedder(new Flaky(2), maxAttempts = 3))
+      .select("id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(retried(1L) === Embedder.default.embed("nuggets para desayuno").toSeq)
+
+    // exhaustion: the reference's API maps embed failure to an explicit 500
+    // (backend/api.py:161-162) — here the typed exception fails the Spark
+    // job rather than silently dropping the batch
+    val direct = intercept[EmbedFailedException] {
+      new RetryingEmbedder(new Flaky(99), maxAttempts = 2).embedBatch(Seq("x"))
+    }
+    assert(direct.attempts === 2)
+    val jobFailure = intercept[org.apache.spark.SparkException] {
+      EmbedJob.embedBatched(
+        docs.repartition(1), "text", new RetryingEmbedder(new Flaky(99), maxAttempts = 2))
+        .count()
+    }
+    val chain = Iterator.iterate[Throwable](jobFailure)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("failed after 2 attempt"), chain)
+
+    // a service returning the wrong vector count / dim is a failure too,
+    // never a silent partial result
+    class WrongShape extends Embedder {
+      def dim: Int = Embedder.TestdataDim
+      def embed(text: String): Array[Double] = new Array[Double](dim)
+      override def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+        texts.drop(1).map(_ => new Array[Double](dim))
+    }
+    intercept[EmbedFailedException] {
+      new RetryingEmbedder(new WrongShape, maxAttempts = 1).embedBatch(Seq("a", "b"))
     }
   }
 

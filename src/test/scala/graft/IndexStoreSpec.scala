@@ -31,9 +31,10 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     IndexStore.saveBm25(built, dir)
     assert(IndexStore.loadBm25(spark, dir).postings.count() === built.postings.count())
     // persisted-index search prunes postings partitions by term bucket
+    // (and by committed batch — both are partition columns now)
     val pruned = TextSearch.search(loaded, "fast table scan merge", 10)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [bucket"),
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*bucket.*"),
       s"expected bucket partition pruning in:\n$plan")
   }
 
@@ -69,6 +70,81 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(IndexStore.loadBm25(spark, dir).postings.count() === before)
   }
 
+  test("bm25 batch replay is idempotent at every crash point; compaction bounds files") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("bm25atomic").toString
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").cache()
+    val base = docs.where($"doc_id" % 3 === 0)
+    val b0 = docs.where($"doc_id" % 3 === 1)
+    val b1 = docs.where($"doc_id" % 3 === 2)
+    IndexStore.saveBm25(TextSearch.buildIndex(base, "doc_id", "text"), dir)
+
+    // crash-point simulation: batch 0's postings land but the stats commit
+    // marker never does (the exact window the v1 append layout corrupted)
+    import graft.functions.Text
+    TextSearch.buildIndex(b0, "doc_id", "text").postings
+      .withColumn("batch", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("bucket", org.apache.spark.sql.functions.pmod(
+        Text.hash60(col("term")),
+        org.apache.spark.sql.functions.lit(TextSearch.TermBuckets.toLong)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "bucket").parquet(s"$dir/postings")
+    // a reader between crash and retry sees ONLY committed batches
+    assert(IndexStore.loadBm25(spark, dir).numDocs ===
+      TextSearch.buildIndex(base, "doc_id", "text").numDocs)
+    // the foreachBatch retry re-delivers batch 0: overwrite, not append
+    IndexStore.appendBatchBm25(b0, "doc_id", "text", dir, batchId = 0L)
+    IndexStore.appendBatchBm25(b1, "doc_id", "text", dir, batchId = 1L)
+    // a full replay of a committed batch is a no-op
+    IndexStore.appendBatchBm25(b0, "doc_id", "text", dir, batchId = 0L)
+
+    val full = TextSearch.buildIndex(docs, "doc_id", "text")
+    def results(idx: TextSearch.Bm25Index) =
+      TextSearch.search(idx, "fast table scan merge", 10)
+        .as[(Long, Double)].collect().toSeq
+    val inc = IndexStore.loadBm25(spark, dir)
+    assert(inc.numDocs === full.numDocs)
+    assert(inc.avgdl === full.avgdl)
+    assert(inc.postings.count() === full.postings.count())
+    assert(results(inc) === results(full))
+
+    // compaction folds the 3 batch partitions into one base: same results,
+    // bounded batch count regardless of how many micro-batches streamed in
+    IndexStore.compactBm25(spark, dir)
+    val compacted = IndexStore.loadBm25(spark, dir)
+    assert(results(compacted) === results(full))
+    assert(compacted.numDocs === full.numDocs && compacted.avgdl === full.avgdl)
+    val batchDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs.toSeq === Seq("batch=-1"))
+  }
+
+  test("persisted sign-LSH sketch index: probe equals in-query LSH, plan scans the index") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("signlsh").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+    IndexStore.saveSignLsh(
+      Dedup.signLshSketches(embs, "vec_id", "embedding", dim = 64), dir)
+    val probe = Dedup.cosineVerify(
+      Dedup.signLshCandidates(IndexStore.loadSignLsh(spark, dir)),
+      embs, "vec_id", "embedding", threshold = 0.45)
+    val fresh = Dedup.cosinePairsLsh(embs, "vec_id", "embedding", 0.45, dim = 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(rows(probe) === rows(fresh))
+    // the candidate stage reads the band-partitioned sketch parquet (one
+    // partition per band side of the self-join) and never cross-joins
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("sketches"), s"expected index scan in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross product in:\n$plan")
+    // band partition pruning is available to a single-band read
+    val one = IndexStore.loadSignLsh(spark, dir).where(col("band") === 0)
+    assert(one.queryExecution.executedPlan.toString
+      .matches("(?s).*PartitionFilters: \\[[^\\]]*band.*"))
+  }
+
   test("ivf save/load round-trip preserves ann results and probe pruning") {
     val dir = Files.createTempDirectory("ivfidx").toString
     val embs = Tables.embeddings(spark, Sf0001)
@@ -87,5 +163,33 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(cluster"),
       s"expected cluster partition filter in:\n$plan")
+  }
+
+  test("ivf DDL metadata (metric, dim) round-trips and is enforced at probe") {
+    val dir = Files.createTempDirectory("ivfmeta").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+    val built = Ivf.build(embs, "vec_id", "embedding", metric = "dotProduct")
+    assert(built.metric === "dotProduct")
+    assert(built.dim === 64)
+    IndexStore.saveIvf(built, dir)
+    val loaded = IndexStore.loadIvf(spark, dir)
+    assert(loaded.metric === built.metric && loaded.dim === built.dim)
+    // Atlas parity (indexes.py:28-31,64): a probe with a similarity other
+    // than the one declared at DDL time, or a query vector of the wrong
+    // dimensionality, is an error — not a silent rescore
+    intercept[IllegalArgumentException] {
+      Ivf.ann(loaded, embs, "vec_id", "embedding", query, 10, 200, metric = "cosine")
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.ann(loaded, embs, "vec_id", "embedding", query.take(16), 10, 200,
+        metric = "dotProduct")
+    }
+    // the declared metric + dim probe works
+    assert(Ivf.ann(loaded, embs, "vec_id", "embedding", query, 10, 200,
+      metric = "dotProduct").count() === 10)
+    // an unknown similarity is rejected at DDL time, like Atlas
+    intercept[IllegalArgumentException] {
+      Ivf.build(embs, "vec_id", "embedding", metric = "manhattan")
+    }
   }
 }
