@@ -11,7 +11,7 @@ import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
 import graft.search.{TextSearch, VectorSearch}
 import graft.streaming.EventStreams
-import graft.text.TextAnalysis
+import graft.text.{CorpusAnalysis, TextAnalysis}
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -176,6 +176,18 @@ object SparkEntry {
       // compare is immune to last-ULP double representation differences
       TextAnalysis.qualityPpm(col("text")).as("quality_ppm"))
       .orderBy("doc_id")
+
+  /** North-star Gopher-family repetition statistics per document: most
+    * frequent bigram's token-mass, duplicated-trigram fraction, longest
+    * same-token run — the repetition gates a curation run thresholds on. */
+  private def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    CorpusAnalysis.repetitionStats(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("id")
+
+  /** North-star corpus vocabulary/Zipf statistics (one row): vocab size,
+    * hapax count, token-mass share of the 100-term head. */
+  private def qVocabStats(spark: SparkSession, dir: String): DataFrame =
+    CorpusAnalysis.vocabStats(Tables.documents(spark, dir), "text")
 
   /** North-star language-ID: marker-ratio argmax per document. */
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
@@ -641,6 +653,8 @@ object SparkEntry {
     "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
     "q_flatten" -> ((s, dir) => qFlatten(s, dir)),
     "q_text_stats" -> ((s, dir) => qTextStats(s, dir)),
+    "q_repetition" -> ((s, dir) => qRepetition(s, dir)),
+    "q_vocab_stats" -> ((s, dir) => qVocabStats(s, dir)),
     "q_langid" -> ((s, dir) => qLangId(s, dir)),
     "q_fingerprint" -> ((s, dir) => qFingerprint(s, dir)),
     "q_dedup_exact" -> ((s, dir) => qDedupExact(s, dir)),
@@ -766,6 +780,11 @@ object SparkEntry {
          |       ${TextAnalysis.sqlBpeTokenCount("text")} AS bpe_tokens,
          |       ${TextAnalysis.sqlQualityPpm("text")} AS quality_ppm
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      (CorpusAnalysis.sqlRepetitionStats("documents", "doc_id", "text") +
+        "\nORDER BY id"),
+    "q_vocab_stats" ->
+      CorpusAnalysis.sqlVocabStats("documents", "text"),
     "q_sketches" ->
       s"""WITH kmv AS (
          |${Sketches.sqlKmvDistinctSelect("events", "event_type", Text.sqlHash60("user_id::VARCHAR"), Sketches.DefaultK, "kmv_users")}

@@ -1,0 +1,181 @@
+package graft.text
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-analytics operators for training-data curation (north-star
+  * additions): Gopher-family per-document repetition statistics and
+  * corpus-level vocabulary/Zipf statistics — the two standard read-outs a
+  * curation run computes before setting its filter thresholds.
+  *
+  * Scale shape: repetition stats explode each document's tokens once and
+  * aggregate/window PARTITIONED BY doc id — one hash shuffle on id, work ∝
+  * corpus tokens, no cross-document joins. Vocabulary stats are one
+  * vocabulary-sized groupBy (map-side combined) plus a driver-tiny top-k.
+  * Both linear at 100 TB.
+  *
+  * Frozen semantics (shared tokenizer [[Text.tokens]], mirrored in the
+  * DuckDB oracle renditions):
+  *
+  *   - `top_bigram_frac`  — fraction of token positions covered by the most
+  *     frequent token bigram: 2·max_bigram_count / n_tokens (the Gopher
+  *     "fraction of characters in most common 2-gram" rule, re-based to
+  *     tokens for a token-bag corpus). 0.0 when n_tokens < 2.
+  *   - `dup_trigram_frac` — fraction of trigram positions whose trigram
+  *     occurs more than once in the document (Gopher "fraction of
+  *     characters in duplicated 3-grams", token-based). 0.0 when
+  *     n_tokens < 3.
+  *   - `max_run`          — length of the longest run of one token repeated
+  *     consecutively (catches `aaaa…` spam the n-gram fractions dilute).
+  *     0 for empty docs.
+  *
+  * Fractions are single integer divisions rounded to 6 decimals — both
+  * engines compute the identical double (the ULP-safety argument of
+  * `contamination_ratio`).
+  */
+object CorpusAnalysis {
+
+  /** Per-document repetition statistics:
+    * (id, n_tokens, top_bigram_frac, dup_trigram_frac, max_run). Every
+    * input doc gets a row (null/empty text → zeros). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "term")))
+    // greatest(…, 0): size(null array) is -1 in Spark — null text = 0 tokens
+    val nTok = docs.select(col(idCol).as("id"),
+      greatest(size(Text.tokens(col(textCol))), lit(0)).cast("long").as("n_tokens"))
+
+    // bigram/trigram at each position via lead() over the doc's token order
+    val wPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val grams = toks
+      .withColumn("t1", lead(col("term"), 1).over(wPos))
+      .withColumn("t2", lead(col("term"), 2).over(wPos))
+
+    val topBigram = grams.where(col("t1").isNotNull)
+      .groupBy("id", "term", "t1").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(max(col("cnt")).as("max_bg"))
+
+    // \u0001 separator (= the oracle's chr(1)): tokens are [a-z0-9]+ so
+    // the key is unambiguous (("ab","c") must not collide with ("a","bc"))
+    val dupTrigram = grams.where(col("t2").isNotNull)
+      .select(col("id"), concat_ws("\u0001", col("term"), col("t1"), col("t2")).as("tg"))
+      .groupBy("id", "tg").agg(count(lit(1)).as("cnt"))
+      .groupBy("id").agg(
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_pos"),
+        sum(col("cnt")).as("all_pos"))
+
+    // run-length: pos − row_number within (id, term) is constant per
+    // consecutive run — the standard gaps-and-islands grouping
+    val wTerm = Window.partitionBy(col("id"), col("term")).orderBy(col("pos"))
+    val maxRun = toks
+      .withColumn("grp", col("pos") - row_number().over(wTerm))
+      .groupBy("id", "term", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("id").agg(max(col("run")).as("max_run"))
+
+    nTok
+      .join(topBigram, Seq("id"), "left")
+      .join(dupTrigram, Seq("id"), "left")
+      .join(maxRun, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        when(col("n_tokens") >= 2,
+          round(lit(2.0) * col("max_bg") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        when(col("n_tokens") >= 3,
+          round(col("dup_pos").cast("double") / col("all_pos"), 6))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
+  def sqlRepetitionStats(docsTable: String, idExpr: String, textExpr: String): String =
+    s"""WITH base AS (
+       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS toks FROM $docsTable
+       |), toks AS (
+       |  -- parallel unnests zip positionally in DuckDB (lateral
+       |  -- generate_series over a column is not supported)
+       |  SELECT id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+       |  FROM base
+       |), grams AS (
+       |  SELECT id, pos, term,
+       |         lead(term, 1) OVER (PARTITION BY id ORDER BY pos) AS t1,
+       |         lead(term, 2) OVER (PARTITION BY id ORDER BY pos) AS t2
+       |  FROM toks
+       |), top_bg AS (
+       |  SELECT id, max(cnt) AS max_bg FROM (
+       |    SELECT id, term, t1, count(*) AS cnt FROM grams
+       |    WHERE t1 IS NOT NULL GROUP BY 1, 2, 3)
+       |  GROUP BY 1
+       |), dup_tg AS (
+       |  SELECT id,
+       |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_pos,
+       |         sum(cnt)::BIGINT AS all_pos
+       |  FROM (
+       |    SELECT id, term || chr(1) || t1 || chr(1) || t2 AS tg, count(*) AS cnt
+       |    FROM grams WHERE t2 IS NOT NULL GROUP BY 1, 2)
+       |  GROUP BY 1
+       |), runs AS (
+       |  SELECT id, max(run) AS max_run FROM (
+       |    SELECT id, term, grp, count(*) AS run FROM (
+       |      SELECT id, term, pos,
+       |             pos - row_number() OVER (PARTITION BY id, term ORDER BY pos) AS grp
+       |      FROM toks)
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY 1
+       |), sized AS (
+       |  SELECT id, coalesce(len(toks), 0)::BIGINT AS n_tokens FROM base
+       |)
+       |SELECT s.id, s.n_tokens,
+       |       CASE WHEN s.n_tokens >= 2
+       |            THEN round(2.0 * b.max_bg / s.n_tokens, 6)
+       |            ELSE 0.0 END AS top_bigram_frac,
+       |       CASE WHEN s.n_tokens >= 3
+       |            THEN round(t.dup_pos::DOUBLE / t.all_pos, 6)
+       |            ELSE 0.0 END AS dup_trigram_frac,
+       |       coalesce(r.max_run, 0)::BIGINT AS max_run
+       |FROM sized s
+       |LEFT JOIN top_bg b USING (id)
+       |LEFT JOIN dup_tg t USING (id)
+       |LEFT JOIN runs r USING (id)""".stripMargin
+
+  /** Corpus-level vocabulary statistics, one row:
+    * (total_tokens, vocab_size, hapax_count, top100_coverage) —
+    * hapaxes are terms occurring exactly once; `top100_coverage` is the
+    * token-mass fraction of the 100 most frequent terms (count DESC, term
+    * ASC tie-break — deterministic), the Zipf head weight that tells a
+    * curation run how boilerplate-heavy a source is. */
+  def vocabStats(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    val counts = docs
+      .select(explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_count"))
+    // head mass via orderBy+limit = TakeOrderedAndProject over the
+    // vocabulary table (per-partition heap, k-row merge) — NOT a global
+    // rank window (which would single-partition the vocabulary)
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(topK)
+      .agg(sum(col("cnt")).as("top_mass"))
+    totals.crossJoin(top)
+      .select(col("total_tokens"), col("vocab_size"), col("hapax_count"),
+        round(col("top_mass").cast("double") / col("total_tokens"), 6)
+          .as("top100_coverage"))
+  }
+
+  def sqlVocabStats(docsTable: String, textExpr: String, topK: Int = 100): String =
+    s"""WITH counts AS (
+       |  SELECT term, count(*) AS cnt
+       |  FROM (SELECT unnest(${Text.sqlTokens(textExpr)}) AS term FROM $docsTable)
+       |  GROUP BY 1
+       |), ranked AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+       |  FROM counts
+       |)
+       |SELECT sum(cnt)::BIGINT AS total_tokens,
+       |       count(*)::BIGINT AS vocab_size,
+       |       sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count,
+       |       round(sum(CASE WHEN rk <= $topK THEN cnt ELSE 0 END)::DOUBLE
+       |             / sum(cnt), 6) AS top100_coverage
+       |FROM ranked""".stripMargin
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.text.CorpusAnalysis
+import graft.util.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the Gopher-family repetition stats and the
+  * corpus vocabulary stats (frozen semantics in [[CorpusAnalysis]]). */
+class CorpusAnalysisSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("repetition stats: bigram mass, duplicated trigrams, longest run") {
+    val docs = Seq(
+      // "a b a b a b": 6 tokens; bigrams ab×3, ba×2 → top=3 → 2*3/6 = 1.0;
+      // trigrams aba×2, bab×2 → all 4 positions duplicated → 1.0; runs all 1
+      (1L, "a b a b a b"),
+      // "x x x x y": top bigram xx×3 → 2*3/5 = 1.2 is impossible — overlap
+      // counting is intentional (Gopher counts occurrences, not disjoint
+      // covers) → round(6/5) = 1.2; trigrams xxx×2 dup, xxy×1 → 2/3;
+      // run of x = 4
+      (2L, "x x x x y"),
+      // all-distinct: no repetition anywhere
+      (3L, "one two three four"),
+      // single token: too short for any n-gram stat
+      (4L, "solo"),
+      // empty + null → zero row, not a dropped doc
+      (5L, ""),
+      (6L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((6L, 1.0, 1.0, 1L)))
+    assert(got(2L) === ((5L, 1.2, 0.666667, 4L)))
+    assert(got(3L) === ((4L, 0.5, 0.0, 1L)))
+    assert(got(4L) === ((1L, 0.0, 0.0, 1L)))
+    assert(got(5L) === ((0L, 0.0, 0.0, 0L)))
+    assert(got(6L) === ((0L, 0.0, 0.0, 0L)))
+  }
+
+  test("vocab stats: totals, hapaxes, head coverage with deterministic top-k") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b d"),
+    ).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=1, d=1 → total 9, vocab 4, hapax 2;
+    // top-2 head (count desc, term asc) = {a, b} → 7/9
+    val r = CorpusAnalysis.vocabStats(docs, "text", topK = 2).head()
+    assert(r.getLong(0) === 9L)
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 2L)
+    assert(r.getDouble(3) === math.rint(7.0 / 9.0 * 1e6) / 1e6)
+  }
+
+  test("vocab stats head selection plans as TakeOrderedAndProject (no global sort)") {
+    val docs = Tables.documents(spark, Sf0001)
+    val plan = CorpusAnalysis.vocabStats(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan in:\n$plan")
+  }
+}
