@@ -231,6 +231,27 @@ object SparkEntry {
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text", JaccardThr)
       .orderBy("id1", "id2")
 
+  /** Source trust ranking for cross-source dedup (lower = preferred;
+    * unlisted sources rank 10): the curated sources win ties against the
+    * crawl-like tail. */
+  private val SourcePriority = Map("src3" -> 0, "src7" -> 1)
+
+  /** North-star cross-source exact dedup: identical texts keep the copy
+    * from the most trusted source ((priority, id) argmin per group), not
+    * the smallest id — the keep rule real multi-source curation uses. */
+  private def qDedupPriority(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactWithPriority(Tables.documents(spark, dir), "doc_id", "text",
+        "source", SourcePriority, defaultPriority = 10)
+      .orderBy("id")
+
+  /** North-star per-label diversity sample: the 20 vectors farthest from
+    * their label centroid — geometric spread selection for training-mix
+    * construction. */
+  private def qDiversitySample(spark: SparkSession, dir: String): DataFrame =
+    Curation.diversitySample(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", "label", k = 20)
+      .orderBy("label", "rank")
+
   /** North-star MinHash+LSH near-dup pairs (banded candidates, exact
     * Jaccard verify). */
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -658,6 +679,8 @@ object SparkEntry {
     "q_langid" -> ((s, dir) => qLangId(s, dir)),
     "q_fingerprint" -> ((s, dir) => qFingerprint(s, dir)),
     "q_dedup_exact" -> ((s, dir) => qDedupExact(s, dir)),
+    "q_dedup_priority" -> ((s, dir) => qDedupPriority(s, dir)),
+    "q_diversity_sample" -> ((s, dir) => qDiversitySample(s, dir)),
     "q_dedup_jaccard" -> ((s, dir) => qDedupJaccard(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
@@ -944,6 +967,14 @@ object SparkEntry {
          |      FROM (SELECT doc_id AS id, coalesce(md5(text), '__null__') AS text_hash FROM documents)
          |      GROUP BY 1) g USING (text_hash)
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_priority" ->
+      (Dedup.sqlExactWithPriority("documents", "doc_id", "text", "source",
+        SourcePriority, defaultPriority = 10) +
+        "\nORDER BY id"),
+    "q_diversity_sample" ->
+      (Curation.sqlDiversitySample("embeddings", "vec_id", "embedding",
+        "label", k = 20) +
+        "\nORDER BY label, rank"),
     "q_dedup_jaccard" ->
       (Dedup.sqlJaccardPairs("documents", "doc_id", "text", JaccardThr) +
         "\nORDER BY id1, id2"),

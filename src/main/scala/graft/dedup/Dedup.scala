@@ -76,6 +76,54 @@ object Dedup {
        |SELECT e.$idExpr AS id, g.group_n, e.$idExpr = g.keep_id AS keep
        |FROM $embsTable e JOIN groups g ON e.$embExpr = g.v""".stripMargin
 
+  /** Exact dedup with SOURCE PRIORITY — the cross-source rendition of
+    * [[exact]]: when the same text appears in several sources (a page
+    * crawled by two pipelines, a wiki dump + a web snapshot), a curation
+    * run keeps the copy from the most trusted source, not the one with the
+    * smallest id. keep_id = the group member minimizing (priority(source),
+    * id) — rank from `priority` (lower = preferred, unlisted sources get
+    * `defaultPriority`), id as the deterministic tie-break within a rank.
+    * Same scale shape as [[exact]]: one hash-groupBy (min of a packed
+    * (rank, id) struct — still map-side combinable), one equi-join back.
+    * Output: (id, source, group_n, keep_id, keep). */
+  def exactWithPriority(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, priority: Map[String, Int],
+      defaultPriority: Int): DataFrame = {
+    val rank = priority.foldLeft(lit(defaultPriority)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    val hashed = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+      coalesce(md5(col(textCol)), lit("__null__")).as("text_hash"),
+      rank.as("rk"))
+    val groups = hashed.groupBy("text_hash")
+      .agg(count(lit(1)).as("group_n"),
+        min(struct(col("rk"), col("id"))).as("best"))
+    hashed.join(groups, "text_hash")
+      .select(col("id"), col("source"), col("group_n"),
+        col("best.id").as("keep_id"),
+        (col("id") === col("best.id")).as("keep"))
+  }
+
+  def sqlExactWithPriority(docsTable: String, idExpr: String, textExpr: String,
+      sourceExpr: String, priority: Map[String, Int],
+      defaultPriority: Int): String = {
+    val cases = priority.toSeq.sortBy(_._1)
+      .map { case (s, p) => s"WHEN $sourceExpr = '$s' THEN $p" }.mkString(" ")
+    s"""WITH hashed AS (
+       |  SELECT $idExpr AS id, $sourceExpr AS source,
+       |         coalesce(md5($textExpr), '__null__') AS text_hash,
+       |         (CASE $cases ELSE $defaultPriority END) AS rk
+       |  FROM $docsTable
+       |), groups AS (
+       |  SELECT text_hash, count(*) AS group_n,
+       |         min({'rk': rk, 'id': id}) AS best
+       |  FROM hashed GROUP BY 1
+       |)
+       |SELECT h.id, h.source, g.group_n,
+       |       g.best.id AS keep_id, h.id = g.best.id AS keep
+       |FROM hashed h JOIN groups g USING (text_hash)""".stripMargin
+  }
+
   def sqlExact(docsTable: String, idExpr: String, textExpr: String): String =
     s"""WITH hashed AS (
        |  SELECT $idExpr AS id, coalesce(md5($textExpr), '__null__') AS text_hash FROM $docsTable

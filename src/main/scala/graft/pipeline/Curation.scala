@@ -165,6 +165,58 @@ object Curation {
        |            ELSE 'test' END AS split
        |FROM $docsTable""".stripMargin
 
+  /** Per-label diversity sampling for training-mix construction: within
+    * each label, keep the k vectors FARTHEST from the label centroid
+    * (farthest-first = the spread/edge examples; rank 1 = farthest;
+    * dist DESC, id ASC tie-break). The coreset-flavored counterpart of
+    * [[stratifiedSample]]: rates pick how MUCH of each stratum, this picks
+    * WHICH examples carry the most geometric diversity.
+    *
+    * Scale shape: centroids via posexplode + avg by (label, dim) — the
+    * [[graft.SparkEntry]] q_label_centroid shape, map-side combinable;
+    * distances via one equi-join on (label, dim) over the exploded
+    * components (work ∝ vectors × dims); the rank window partitions by
+    * label. Centroids are ROUNDED to 6 decimals before the distance so
+    * both engines feed bit-identical c into Σ(x−c)² (avg over doubles is
+    * summation-order-sensitive at the last ULP).
+    * Output: (label, id, dist, rank ≤ k). */
+  def diversitySample(embs: DataFrame, idCol: String, embCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val comps = embs.select(col(labelCol).as("label"), col(idCol).as("id"),
+      posexplode(col(embCol)).as(Seq("dim", "x")))
+    val cents = comps.groupBy("label", "dim")
+      .agg(round(avg(col("x")), 6).as("c"))
+    val dists = comps.join(cents, Seq("label", "dim"))
+      .groupBy("label", "id")
+      .agg(round(sqrt(sum(pow(col("x") - col("c"), lit(2)))), 6).as("dist"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("id").asc)
+    dists.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("label", "id", "dist", "rank")
+  }
+
+  def sqlDiversitySample(embsTable: String, idExpr: String, embExpr: String,
+      labelExpr: String, k: Int): String =
+    s"""WITH comps AS (
+       |  SELECT $labelExpr AS label, $idExpr AS id,
+       |         unnest(range(len($embExpr))) AS dim,
+       |         unnest($embExpr::DOUBLE[]) AS x
+       |  FROM $embsTable
+       |), cents AS (
+       |  SELECT label, dim, round(avg(x), 6) AS c FROM comps GROUP BY 1, 2
+       |), dists AS (
+       |  SELECT label, id, round(sqrt(sum(pow(x - c, 2))), 6) AS dist
+       |  FROM comps JOIN cents USING (label, dim)
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT label, id, dist,
+       |         row_number() OVER (PARTITION BY label
+       |                            ORDER BY dist DESC, id ASC)::INTEGER AS rank
+       |  FROM dists
+       |)
+       |SELECT label, id, dist, rank FROM ranked WHERE rank <= $k""".stripMargin
+
   /** The composed curation gate every training pipeline runs per document:
     * token-length window, quality floor ([[TextAnalysis.qualityPpm]] — the
     * integer ppm score, hash-stable), language whitelist

@@ -112,6 +112,41 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("__salt"), "partial agg must group by the salt")
   }
 
+  test("diversitySample: farthest-from-centroid per label, deterministic ranks") {
+    // label 0: centroid of (0,0),(4,0),(0,4) is (4/3, 4/3); farthest is the
+    // most off-center corner — all three dists distinct, ranks stable.
+    // label 1: a lone vector is its own centroid → dist 0, rank 1.
+    val embs = Seq(
+      (1L, Seq(0.0, 0.0), 0), (2L, Seq(4.0, 0.0), 0), (3L, Seq(0.0, 4.0), 0),
+      (9L, Seq(7.0, 7.0), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Curation.diversitySample(embs, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // c = (1.333333, 1.333333): dist(1)=1.885618; dist(2)=2.981424 = dist(3)
+    // → tie broken by id: rank1=2, rank2=3; k=2 drops vector 1
+    assert(got === Map((0, 1) -> 2L, (0, 2) -> 3L, (1, 1) -> 9L))
+  }
+
+  test("exactWithPriority keeps the trusted source's copy, id breaks rank ties") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "same text", "web"),   // rank 9 (default)
+      (2L, "same text", "wiki"),  // rank 0 → keeper despite larger id
+      (3L, "same text", "web"),
+      (4L, "other", "web"),       // singleton keeps itself
+      (5L, "tied", "web"), (6L, "tied", "web"), // same rank → min id keeps
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.exactWithPriority(docs, "doc_id", "text", "source",
+        Map("wiki" -> 0), defaultPriority = 9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((3L, 2L, false)))
+    assert(got(2L) === ((3L, 2L, true)))
+    assert(got(3L) === ((3L, 2L, false)))
+    assert(got(4L) === ((1L, 4L, true)))
+    assert(got(5L) === ((2L, 5L, true)))
+    assert(got(6L) === ((2L, 5L, false)))
+  }
+
   test("packSequences window is partitioned (no single global sort partition)") {
     val docs = Seq(("s1", 1L, "a"), ("s2", 2L, "b")).toDF("source", "id", "text")
     val plan = Curation.packSequences(docs, "source", "id", "text", 512)
