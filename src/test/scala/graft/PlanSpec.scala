@@ -71,6 +71,18 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"only the two fact-fact joins may shuffle (got $shuffleJoins):\n$plan")
   }
 
+  test("topTerms never force-broadcasts the vocabulary (term->df) table") {
+    // at corpus scale the vocabulary is GB-sized and heavy-tailed: the df
+    // side must be a shuffle join on `term` (or whatever AQE locally
+    // decides), never a planner-forced broadcast of the full term table —
+    // so the logical plan must carry no ResolvedHint from our code
+    val docs = Tables.documents(spark, Sf0001)
+    val q = graft.pipeline.Curation.topTerms(docs, "doc_id", "text", 3)
+    val logical = q.queryExecution.analyzed.toString
+    assert(!logical.contains("UnresolvedHint") && !logical.contains("ResolvedHint"),
+      s"no broadcast hint may be planted on the df table:\n$logical")
+  }
+
   test("codegen'd similarity stays inside WholeStageCodegen") {
     val e = Tables.embeddings(spark, Sf0001)
     val scored = e.select(graft.functions.Vectors.score("cosine",
