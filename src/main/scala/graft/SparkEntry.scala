@@ -252,6 +252,16 @@ object SparkEntry {
         "embedding", "label", k = 20)
       .orderBy("label", "rank")
 
+  /** North-star batch kNN join: top-3 neighbors for each of the first 50
+    * vectors — the batch-retrieval shape (broadcast query batch, corpus
+    * scored partition-locally, per-query window top-k). */
+  private def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    VectorSearch.knnJoin(e.where(col("vec_id") < 50), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** North-star MinHash+LSH near-dup pairs (banded candidates, exact
     * Jaccard verify). */
   private def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -681,6 +691,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => qDedupExact(s, dir)),
     "q_dedup_priority" -> ((s, dir) => qDedupPriority(s, dir)),
     "q_diversity_sample" -> ((s, dir) => qDiversitySample(s, dir)),
+    "q_knn_join" -> ((s, dir) => qKnnJoin(s, dir)),
     "q_dedup_jaccard" -> ((s, dir) => qDedupJaccard(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
@@ -975,6 +986,10 @@ object SparkEntry {
       (Curation.sqlDiversitySample("embeddings", "vec_id", "embedding",
         "label", k = 20) +
         "\nORDER BY label, rank"),
+    "q_knn_join" ->
+      (VectorSearch.sqlKnnJoin("embeddings", "vec_id", "embedding",
+        "vec_id < 50", k = 3) +
+        "\nORDER BY query_id, rank"),
     "q_dedup_jaccard" ->
       (Dedup.sqlJaccardPairs("documents", "doc_id", "text", JaccardThr) +
         "\nORDER BY id1, id2"),

@@ -60,6 +60,64 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Batch kNN JOIN: top-k corpus neighbors for EVERY query row — the
+    * batch-retrieval shape (a RAG pipeline resolving a batch of queries,
+    * or semantic dedup seeding) that generalizes [[knn]]'s single
+    * driver-side query vector to a query TABLE.
+    *
+    * Scale shape: the query side is broadcast (a batch of queries is
+    * small by definition — thousands of rows against a 100 TB corpus),
+    * so scoring is a BroadcastNestedLoopJoin: each corpus partition
+    * scores its rows against the in-memory query batch, work ∝
+    * |corpus| × |queries|, zero shuffle of the corpus. The per-query
+    * top-k is a window partitioned by query id over the scored rows —
+    * one shuffle of |corpus| × |queries| SCORED PAIRS pruned to
+    * candidates… which at full width is the honest cost of exact batch
+    * kNN; route the corpus side through [[graft.index.Ivf]] probes first
+    * when approximate recall is acceptable.
+    *
+    * Scores are raw cosine (dot/(‖a‖·‖b‖)) rounded to 6 decimals before
+    * ranking (ties broken by neighbor id ASC) so the DuckDB oracle's
+    * boundary agrees. Self-pairs (query_id = nbr_id) are excluded.
+    * Output: (query_id, nbr_id, sim, rank ≤ k). */
+  def knnJoin(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"),
+      col(qEmbCol).as("__qv"),
+      Vectors.l2norm(col(qEmbCol)).as("__qn")))
+    val c = corpus.select(col(cIdCol).as("nbr_id"), col(cEmbCol).as("__cv"),
+      Vectors.l2norm(col(cEmbCol)).as("__cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    c.crossJoin(q)
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("sim",
+        round(Vectors.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), ScoreDecimals))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nbr_id", "sim", "rank")
+  }
+
+  def sqlKnnJoin(corpusTable: String, idExpr: String, embExpr: String,
+      queryPredicate: String, k: Int): String =
+    s"""WITH q AS (
+       |  SELECT $idExpr AS query_id, $embExpr AS qv FROM $corpusTable
+       |  WHERE $queryPredicate
+       |), scored AS (
+       |  SELECT q.query_id, e.$idExpr AS nbr_id,
+       |         round(list_cosine_similarity(q.qv::DOUBLE[], e.$embExpr::DOUBLE[]), $ScoreDecimals) AS sim
+       |  FROM q, $corpusTable e
+       |  WHERE e.$idExpr <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, nbr_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, nbr_id ASC)::INTEGER AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, nbr_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+
   /** Reference request clamp: limit ∈ [1, 25], default 5
     * (`backend/api.py:116-119`). */
   def clampLimit(k: Int): Int = math.max(1, math.min(k, 25))

@@ -48,6 +48,24 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     (3L, "cherry date"),
   ).toDF("id", "text")
 
+  test("knnJoin: per-query top-k, self-pairs excluded, query batch broadcast") {
+    // cos(1,2)=0.8, cos(1,3)=0, cos(1,4)=-1; cos(2,3)=0.6, cos(2,4)=-0.8
+    val got = VectorSearch.knnJoin(
+        vecs.where($"id" < 3), vecs, "id", "emb", "id", "emb", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got === Map(
+      (1L, 1) -> ((2L, 0.8)), (1L, 2) -> ((3L, 0.0)),
+      (2L, 1) -> ((1L, 0.8)), (2L, 2) -> ((3L, 0.6))))
+    // the corpus side must not shuffle for scoring: the query batch is the
+    // broadcast side of a nested-loop join
+    val plan = VectorSearch.knnJoin(
+        vecs.where($"id" < 3), vecs, "id", "emb", "id", "emb", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NL join for the scoring pass in:\n$plan")
+  }
+
   test("bm25 matches hand-computed scores on the toy corpus") {
     // N=3, dl = (3,2,2), avgdl = 7/3; df(apple)=1, df(cherry)=2
     val idfApple = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
