@@ -298,13 +298,14 @@ object SparkEntry {
     val docs = Tables.documents(spark, dir)
     // survivors of the exact pass; NOT cached — at scale you re-read the
     // (column-pruned, pushed-down) parquet scan rather than pin the corpus
-    val survivors = docs.join(
-      Dedup.exact(docs, "doc_id", "text").where(col("keep"))
-        .select(col("id").as("doc_id")),
-      "doc_id")
+    val keepers = Dedup.exact(docs, "doc_id", "text").where(col("keep"))
+      .select(col("id").as("doc_id"))
+    val survivors = docs.join(keepers, "doc_id")
     val pairs = Dedup.minhashPairs(survivors, "doc_id", "text", JaccardThr)
     val comps = Dedup.components(pairs).withColumnRenamed("id", "doc_id")
-    survivors.select("doc_id")
+    // the final row set is exactly the keepers — no need to re-run the
+    // docs⋈keepers join just to project doc_id back out of it
+    keepers
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
       .withColumn("keep", col("doc_id") === col("comp"))
