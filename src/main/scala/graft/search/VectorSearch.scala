@@ -60,6 +60,29 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Bounded-state per-group top-k: keeps the k best (score DESC, id ASC)
+    * pairs seen so far — ≤ k entries per map task reach the shuffle
+    * (partial aggregation applies to custom Aggregators), vs a window's
+    * full |group| rows. The [[graft.operators.Sketches.KmvAgg]] pattern
+    * applied to ranking. */
+  class TopKByScore(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      if (b.lengthCompare(k) >= 0 && !better(x, b.last)) b
+      else ((b :+ x).sortWith(better)).take(k)
+    def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (b1 ++ b2).sortWith(better).take(k)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** Batch kNN JOIN: top-k corpus neighbors for EVERY query row — the
     * batch-retrieval shape (a RAG pipeline resolving a batch of queries,
     * or semantic dedup seeding) that generalizes [[knn]]'s single
@@ -70,11 +93,11 @@ object VectorSearch {
     * so scoring is a BroadcastNestedLoopJoin: each corpus partition
     * scores its rows against the in-memory query batch, work ∝
     * |corpus| × |queries|, zero shuffle of the corpus. The per-query
-    * top-k is a window partitioned by query id over the scored rows —
-    * one shuffle of |corpus| × |queries| SCORED PAIRS pruned to
-    * candidates… which at full width is the honest cost of exact batch
-    * kNN; route the corpus side through [[graft.index.Ivf]] probes first
-    * when approximate recall is acceptable.
+    * top-k is the bounded-state [[TopKByScore]] aggregator, so the ONLY
+    * shuffle carries ≤ k rows per (map task, query) — never the
+    * |corpus| × |queries| scored pairs a rank window would ship. Route
+    * the corpus side through [[graft.index.Ivf]] probes first when
+    * approximate recall is acceptable.
     *
     * Scores are raw cosine (dot/(‖a‖·‖b‖)) rounded to 6 decimals before
     * ranking (ties broken by neighbor id ASC) so the DuckDB oracle's
@@ -83,21 +106,23 @@ object VectorSearch {
   def knnJoin(queries: DataFrame, corpus: DataFrame,
       qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Encoders
     val q = broadcast(queries.select(col(qIdCol).as("query_id"),
       col(qEmbCol).as("__qv"),
       Vectors.l2norm(col(qEmbCol)).as("__qn")))
     val c = corpus.select(col(cIdCol).as("nbr_id"), col(cEmbCol).as("__cv"),
       Vectors.l2norm(col(cEmbCol)).as("__cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val topk = udaf(new TopKByScore(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
     c.crossJoin(q)
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("sim",
         round(Vectors.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), ScoreDecimals))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "nbr_id", "sim", "rank")
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("nbr_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry._2").as("nbr_id"),
+        col("entry._1").as("sim"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   def sqlKnnJoin(corpusTable: String, idExpr: String, embExpr: String,

@@ -64,6 +64,32 @@ class SearchSpec extends AnyFunSuite with SparkTest {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast NL join for the scoring pass in:\n$plan")
+    // ...and the top-k must be the bounded-state aggregator with a partial
+    // (map-side) phase, so the shuffle carries <= k rows per task per query
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial"),
+      s"expected partial ObjectHashAggregate top-k in:\n$plan")
+  }
+
+  test("knnJoin bounded top-k equals the rank-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.util.Tables.embeddings(spark, Sf0001)
+    val agg = VectorSearch.knnJoin(e.where($"vec_id" < 20), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val q = broadcast(e.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .where($"query_id" < 20))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"nbr_id".asc)
+    val win = e.select($"vec_id".as("nbr_id"), $"embedding".as("cv"))
+      .crossJoin(q).where($"query_id" =!= $"nbr_id")
+      .withColumn("sim", round(
+        graft.functions.Vectors.dot($"qv", $"cv") /
+          (graft.functions.Vectors.l2norm($"qv") * graft.functions.Vectors.l2norm($"cv")), 6))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 5)
+      .select($"query_id", $"nbr_id", $"sim", $"rank".cast("int"))
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(agg === win)
   }
 
   test("bm25 matches hand-computed scores on the toy corpus") {
