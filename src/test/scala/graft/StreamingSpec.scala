@@ -41,6 +41,33 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("curation gate runs unchanged on a document stream (batch/stream parity)") {
+    // qualityFilter is a pure projection (zero aggregation state), so the
+    // SAME declaration drives readStream→writeStream ingestion gating —
+    // the streaming corpus-intake shape: gate on arrival, append the kept
+    // rows. Parity: streamed output ≡ batch output on identical input.
+    import graft.pipeline.Curation
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").limit(200)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Curation.qualityFilter(df, "doc_id", "text",
+        minTokens = 10, maxTokens = 400, minQualityPpm = 300000L,
+        langs = Seq("en", "de", "fr"))
+    val batch = gate(docs).orderBy("id").collect().map(_.toSeq).toSeq
+    val rows = docs.as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = gate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gated").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("gated").orderBy("id").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the lateness bound (append mode)") {
     val mem = MemoryStream[Event](spark)
     val q = EventStreams.windowedCounts(mem.toDF(), windowDur = "10 minutes",
