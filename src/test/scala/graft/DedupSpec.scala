@@ -128,6 +128,35 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got3 === Array(1L))
   }
 
+  test("connected components match a union-find reference on random graphs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(40)
+      val edges = (1 to n).map(_ =>
+        (1L + rnd.nextInt(n).toLong, 1L + rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        // reference: plain union-find with min-label extraction
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map(v => v -> find(v)).toMap
+        val got = Dedup.components(edges.toDF("id1", "id2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"trial $trial: n=$n edges=$edges")
+      }
+    }
+  }
+
   test("cosine near-dup pairs: identical vector pair detected, threshold respected") {
     val e = Seq(
       (1L, Seq(1.0, 0.0, 0.0)),

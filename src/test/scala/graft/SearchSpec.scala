@@ -70,6 +70,23 @@ class SearchSpec extends AnyFunSuite with SparkTest {
       s"expected partial ObjectHashAggregate top-k in:\n$plan")
   }
 
+  test("TopKByScore: random reduce/merge orders equal sort-truth (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val agg = new VectorSearch.TopKByScore(5)
+    for (trial <- 1 to 20) {
+      // duplicate scores force the id tie-break; duplicate ids are fine
+      val xs = Seq.fill(3 + rnd.nextInt(40))(
+        (rnd.nextInt(6).toDouble / 2.0, rnd.nextInt(30).toLong))
+      val truth = xs.sortBy { case (s, id) => (-s, id) }.take(5)
+      // arbitrary partitioning into buffers, reduced then merged pairwise
+      val parts = xs.grouped(1 + rnd.nextInt(7)).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === truth, s"trial $trial: $xs")
+    }
+  }
+
   test("knnJoin bounded top-k equals the rank-window formulation") {
     import org.apache.spark.sql.expressions.Window
     val e = graft.util.Tables.embeddings(spark, Sf0001)
