@@ -381,6 +381,62 @@ object SparkEntry {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** The composed corpus-INTAKE pipeline — the four gates every LLM
+    * training corpus passes, in production order, as ONE declared query
+    * emitting a per-document decision ledger:
+    *
+    *   1. quality gate ([[Curation.qualityFilter]]);
+    *   2. exact dedup among the quality survivors ([[Dedup.exact]]);
+    *   3. benchmark decontamination of the dedup survivors
+    *      ([[Contamination.ngramOverlap]] vs the held-out eval slice);
+    *   4. train/val/test split ([[Curation.splitCorpus]] — hash-stable,
+    *      assigned to every doc so the ledger is re-runnable).
+    *
+    * Ordering carries the 100 TB economics: each stage only pays for the
+    * previous stage's survivors (dedup never hashes dropped docs;
+    * decontamination never shingles duplicates), exactly like
+    * [[qDedupPipeline]]'s exact-first finding. `keep_dedup`/`contaminated`
+    * are false for docs that never reached their stage; `final_keep` is
+    * the conjunction the corpus build acts on. */
+  private def qIntakePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.where(pmod(col("doc_id"), lit(20L)) =!= 0)
+    val eval = docs.where(pmod(col("doc_id"), lit(20L)) === 0)
+    // each stage's ledger (doc_id + flag — a few bytes per doc) is
+    // localCheckpoint-materialized: later stages and the final ledger join
+    // all reference it, and without truncation Catalyst would re-run the
+    // whole upstream cascade once per referencing branch (measured 4×
+    // on the quality gate alone). This is the in-session rendition of what
+    // a production intake run does anyway — persist each gate's verdict.
+    val gate = Curation.qualityFilter(train, "doc_id", "text",
+        QfMinTokens, QfMaxTokens, QfMinQualityPpm, QfLangs)
+      .select(col("id").as("doc_id"), col("keep").as("keep_quality"))
+      .localCheckpoint()
+    val kept = train.join(gate.where(col("keep_quality")).select("doc_id"), "doc_id")
+    val dedup = Dedup.exact(kept, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("keep").as("keep_dedup"))
+      .localCheckpoint()
+    val survivors = kept.join(dedup.where(col("keep_dedup")).select("doc_id"), "doc_id")
+    val contam = Contamination.ngramOverlap(survivors, eval, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("contaminated"))
+      .localCheckpoint()
+    val splits = Curation.splitCorpus(train.select("doc_id"), "doc_id", 800, 100)
+      .select("doc_id", "split")
+    train.select("doc_id")
+      .join(gate, Seq("doc_id"), "left")
+      .join(dedup, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(splits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("keep_quality"),
+        coalesce(col("keep_dedup"), lit(false)).as("keep_dedup"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("split"),
+        (col("keep_quality") && coalesce(col("keep_dedup"), lit(false)) &&
+          !coalesce(col("contaminated"), lit(false))).as("final_keep"))
+      .orderBy("doc_id")
+  }
+
   /** North-star benchmark decontamination: per-training-doc n-gram overlap
     * against a (broadcast) eval set — here the deterministic 5% slice
     * doc_id ≡ 0 (mod 20) stands in for the benchmark corpus. */
@@ -726,6 +782,7 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) => qQualityFilter(s, dir)),
     "q_split" -> ((s, dir) => qSplit(s, dir)),
     "q_contamination" -> ((s, dir) => qContamination(s, dir)),
+    "q_intake_pipeline" -> ((s, dir) => qIntakePipeline(s, dir)),
     "q_dedup_vectors" -> ((s, dir) => qDedupVectors(s, dir)),
   )
 
@@ -1054,6 +1111,42 @@ object SparkEntry {
                   "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)",
                   "doc_id", "text")})
          |ORDER BY doc_id""".stripMargin,
+    "q_intake_pipeline" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+         |gate AS (
+         |  SELECT id AS doc_id, keep AS keep_quality
+         |  FROM (${Curation.sqlQualityFilter("train", "doc_id", "text",
+                    QfMinTokens, QfMaxTokens, QfMinQualityPpm, QfLangs)})
+         |), kept AS (
+         |  SELECT t.doc_id, t.text FROM train t
+         |  JOIN gate g ON t.doc_id = g.doc_id AND g.keep_quality
+         |), dedup AS (
+         |  SELECT id AS doc_id, keep AS keep_dedup
+         |  FROM (${Dedup.sqlExact("kept", "doc_id", "text")})
+         |), surv AS (
+         |  SELECT k.doc_id, k.text FROM kept k
+         |  JOIN dedup d ON k.doc_id = d.doc_id AND d.keep_dedup
+         |), contam AS (
+         |  SELECT id AS doc_id, contaminated
+         |  FROM (${Contamination.sqlNgramOverlap("surv",
+                    "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)",
+                    "doc_id", "text")})
+         |), splits AS (
+         |  SELECT doc_id, split
+         |  FROM (${Curation.sqlSplitCorpus("train", "doc_id", 800, 100)})
+         |)
+         |SELECT t.doc_id, g.keep_quality,
+         |       coalesce(d.keep_dedup, false) AS keep_dedup,
+         |       coalesce(c.contaminated, false) AS contaminated,
+         |       s.split,
+         |       (g.keep_quality AND coalesce(d.keep_dedup, false)
+         |        AND NOT coalesce(c.contaminated, false)) AS final_keep
+         |FROM train t
+         |JOIN gate g USING (doc_id)
+         |LEFT JOIN dedup d USING (doc_id)
+         |LEFT JOIN contam c USING (doc_id)
+         |JOIN splits s USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "q_dedup_vectors" ->
       s"""SELECT id AS vec_id, group_n, keep
          |FROM (${Dedup.sqlExactVectors(

@@ -228,16 +228,20 @@ object Curation {
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, maxTokens: Int, minQualityPpm: Long,
       langs: Seq[String]): DataFrame = {
-    val t = col(textCol)
     val reason = when(col("n_tokens") < minTokens, "too_short")
       .when(col("n_tokens") > maxTokens, "too_long")
       .when(col("quality_ppm") < minQualityPpm, "low_quality")
       .when(!col("lang").isInCollection(langs), "wrong_lang")
       .otherwise("")
-    docs.select(col(idCol).as("id"),
-        TextAnalysis.wsTokenCount(t).cast("long").as("n_tokens"),
-        TextAnalysis.qualityPpm(t).as("quality_ppm"),
-        TextAnalysis.langId(t).as("lang"))
+    // tokenize ONCE per row: quality_ppm + langId share the frozen token
+    // array (an attribute reference, so the regex split runs once instead
+    // of per-metric — the lambda subtrees are not CSE'd by codegen)
+    docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__toks", graft.functions.Text.tokens(col("__text")))
+      .select(col("id"),
+        TextAnalysis.wsTokenCount(col("__text")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityPpmFromTokens(col("__text"), col("__toks")).as("quality_ppm"),
+        TextAnalysis.langIdFromTokens(col("__toks")).as("lang"))
       .withColumn("drop_reason", reason)
       .withColumn("keep", col("drop_reason") === "")
   }
