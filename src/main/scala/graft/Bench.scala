@@ -24,7 +24,13 @@ object Bench {
     SparkEntry.warmIndexes(spark, sfDir)
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // toRdd.count(): force FULL materialization of every output column.
+      // A plain df.count() lets Catalyst prune all columns (and drop
+      // sorts), so projection-heavy queries would measure ~0 regardless
+      // of their real cost — the honest number is the one a consumer
+      // writing the result would pay. (Methodology change in round 3:
+      // totals are not comparable to r1/r2 for projection-only queries.)
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -168,13 +168,18 @@ object SparkEntry {
   /** North-star text analysis: whitespace + BPE-ish token counts and the
     * frozen quality heuristic, per document. */
   private def qTextStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
-      TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
-      // integer ppm score (not the rounded DOUBLE) so the driver's hash
-      // compare is immune to last-ULP double representation differences
-      TextAnalysis.qualityPpm(col("text")).as("quality_ppm"))
+    // stage the token array once (an attribute): the per-metric
+    // filter/aggregate lambdas are not CSE'd, so inline tokenization
+    // would re-run the regex split per metric
+    Tables.documents(spark, dir)
+      .withColumn("__toks", Text.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCountFromTokens(col("text"), col("__toks")).as("bpe_tokens"),
+        // integer ppm score (not the rounded DOUBLE) so the driver's hash
+        // compare is immune to last-ULP double representation differences
+        TextAnalysis.qualityPpmFromTokens(col("text"), col("__toks")).as("quality_ppm"))
       .orderBy("doc_id")
 
   /** North-star Gopher-family repetition statistics per document: most
@@ -191,16 +196,21 @@ object SparkEntry {
 
   /** North-star language-ID: marker-ratio argmax per document. */
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      TextAnalysis.langId(col("text")).as("lang_pred"),
-      TextAnalysis.langScore(col("text"), "en").as("en_score"))
+    Tables.documents(spark, dir)
+      .withColumn("__toks", Text.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        TextAnalysis.langIdFromTokens(col("__toks")).as("lang_pred"),
+        TextAnalysis.langScoreFromTokens(col("__toks"), "en").as("en_score"))
       .orderBy("doc_id")
 
-  /** North-star document fingerprint: min/max shingle-hash sketch. */
+  /** North-star document fingerprint: min/max shingle-hash sketch.
+    * Tokenization staged — inlined, the shingle transform re-evaluates
+    * the split per position (O(tokens²), measured 9.6 s vs ~1 s). */
   private def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("__toks", Text.tokens(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprintFromTokens(col("__toks")))
       .select(col("doc_id"), col("fp.fp_min").as("fp_min"), col("fp.fp_max").as("fp_max"))
       .orderBy("doc_id")
 

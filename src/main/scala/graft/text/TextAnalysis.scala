@@ -37,8 +37,12 @@ object TextAnalysis {
     */
   val MaxPiece = 4
 
-  def bpeTokenCount(text: Column): Column = {
-    val words = Text.tokens(text)
+  def bpeTokenCount(text: Column): Column =
+    bpeTokenCountFromTokens(text, Text.tokens(text))
+
+  /** [[bpeTokenCount]] over a pre-tokenized array column (hot-path form,
+    * see [[qualityPpmFromTokens]]). */
+  def bpeTokenCountFromTokens(text: Column, words: Column): Column = {
     val wordCost = aggregate(words, lit(0L),
       (acc, w) => acc + ceil(length(w).cast("double") / lit(MaxPiece.toDouble)).cast("long"))
     // punctuation runs: tokens of the complement alphabet
@@ -251,9 +255,17 @@ object TextAnalysis {
        |   for i in generate_series(1, greatest(len($toks) - ${k - 1}, 1))]) END)""".stripMargin.replace("\n", "")
   }
 
-  /** (minHash, maxHash) fingerprint struct of the shingle set. */
-  def fingerprint(text: Column): Column = {
-    val hashes = transform(shingles(text), s => Text.hash60(s))
+  /** (minHash, maxHash) fingerprint struct of the shingle set.
+    * Hot paths: stage tokenization and use [[fingerprintFromTokens]]
+    * (see the [[shingles]] NOTE — inlined text re-evaluates per
+    * position, O(tokens²) regex splits per row; measured 9.6 s vs 1-2 s
+    * on the 50k-doc bench corpus). */
+  def fingerprint(text: Column): Column =
+    fingerprintFromTokens(Text.tokens(text))
+
+  /** [[fingerprint]] over a pre-tokenized array column. */
+  def fingerprintFromTokens(toks: Column): Column = {
+    val hashes = transform(shinglesFromTokens(toks), s => Text.hash60(s))
     struct(
       array_min(hashes).as("fp_min"),
       array_max(hashes).as("fp_max"))
