@@ -22,7 +22,9 @@ object Bench {
     // once, not per query) — build the session-cached BM25 + IVF indexes
     // outside the timed window so index-backed queries measure the PROBE
     SparkEntry.warmIndexes(spark, sfDir)
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // toRdd.count(): force FULL materialization of every output column.
       // A plain df.count() lets Catalyst prune all columns (and drop
@@ -30,16 +32,23 @@ object Bench {
       // of their real cost — the honest number is the one a consumer
       // writing the result would pay. (Methodology change in round 3:
       // totals are not comparable to r1/r2 for projection-only queries.)
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
+        case e: Throwable =>
+          // a swallowed failure would bench as ~0 s and read as a speedup —
+          // record it loudly instead
+          failed += name
+          System.err.println(s"BENCH FAIL $name: ${e.toString.take(300)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to iters).map(_ => timeOnce(fn)).min
+      name -> (1 to iters).map(_ => timeOnce(name, fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

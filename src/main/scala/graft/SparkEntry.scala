@@ -173,13 +173,14 @@ object SparkEntry {
     // would re-run the regex split per metric
     Tables.documents(spark, dir)
       .withColumn("__toks", Text.tokens(col("text")))
+      .withColumn("__stats", TextAnalysis.gateStats(col("__toks")))
       .select(
         col("doc_id"),
         TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
         TextAnalysis.bpeTokenCountFromTokens(col("text"), col("__toks")).as("bpe_tokens"),
         // integer ppm score (not the rounded DOUBLE) so the driver's hash
         // compare is immune to last-ULP double representation differences
-        TextAnalysis.qualityPpmFromTokens(col("text"), col("__toks")).as("quality_ppm"))
+        TextAnalysis.qualityPpmFromGateStats(col("text"), col("__stats")).as("quality_ppm"))
       .orderBy("doc_id")
 
   /** North-star Gopher-family repetition statistics per document: most
@@ -197,11 +198,11 @@ object SparkEntry {
   /** North-star language-ID: marker-ratio argmax per document. */
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("__toks", Text.tokens(col("text")))
+      .withColumn("__stats", TextAnalysis.gateStats(Text.tokens(col("text"))))
       .select(
         col("doc_id"),
-        TextAnalysis.langIdFromTokens(col("__toks")).as("lang_pred"),
-        TextAnalysis.langScoreFromTokens(col("__toks"), "en").as("en_score"))
+        TextAnalysis.langIdFromGateStats(col("__stats")).as("lang_pred"),
+        TextAnalysis.langScoreFromGateStats(col("__stats"), "en").as("en_score"))
       .orderBy("doc_id")
 
   /** North-star document fingerprint: min/max shingle-hash sketch.

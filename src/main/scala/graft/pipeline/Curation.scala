@@ -233,15 +233,18 @@ object Curation {
       .when(col("quality_ppm") < minQualityPpm, "low_quality")
       .when(!col("lang").isInCollection(langs), "wrong_lang")
       .otherwise("")
-    // tokenize ONCE per row: quality_ppm + langId share the frozen token
-    // array (an attribute reference, so the regex split runs once instead
-    // of per-metric — the lambda subtrees are not CSE'd by codegen)
+    // tokenize ONCE per row, then count every metric's token sets in ONE
+    // generated pass (TokenSetStats): both stages are attributes, so
+    // nothing is re-evaluated per metric — the HOF filter/argmax
+    // formulation re-walked the array per metric through the lambda
+    // interpreter
     docs.select(col(idCol).as("id"), col(textCol).as("__text"))
       .withColumn("__toks", graft.functions.Text.tokens(col("__text")))
+      .withColumn("__stats", TextAnalysis.gateStats(col("__toks")))
       .select(col("id"),
         TextAnalysis.wsTokenCount(col("__text")).cast("long").as("n_tokens"),
-        TextAnalysis.qualityPpmFromTokens(col("__text"), col("__toks")).as("quality_ppm"),
-        TextAnalysis.langIdFromTokens(col("__toks")).as("lang"))
+        TextAnalysis.qualityPpmFromGateStats(col("__text"), col("__stats")).as("quality_ppm"),
+        TextAnalysis.langIdFromGateStats(col("__stats")).as("lang"))
       .withColumn("drop_reason", reason)
       .withColumn("keep", col("drop_reason") === "")
   }

@@ -117,6 +117,54 @@ object TextAnalysis {
   def qualityPpm(text: Column): Column =
     qualityPpmFromTokens(text, Text.tokens(text))
 
+  /** One-pass token statistics via the codegen'd
+    * [[org.apache.spark.sql.graftshim.TextExpressions.TokenSetStats]]:
+    * `gateStats(toks)` = [n, distinct, stopwords, de, en, es, fr, zh]
+    * counts in a single generated loop. Stage it as a COLUMN
+    * (`withColumn`) and feed the attribute to the `FromGateStats`
+    * variants — expression trees that reference a stats SUBTREE several
+    * times (the langId argmax fold most of all) duplicate its evaluation,
+    * which codegen CSE does not reliably eliminate; an attribute
+    * reference is always evaluated once. */
+  // lazy: LangMarkers is declared further down the object body and vals
+  // initialize in declaration order
+  lazy val GateSets: Seq[Seq[String]] = Stopwords +: LangMarkers.map(_._2)
+
+  def gateStats(toks: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      org.apache.spark.sql.graftshim.TextExpressions.TokenSetStats(
+        org.apache.spark.sql.graftshim.GraftShim.expression(toks), GateSets))
+
+  /** [[qualityPpm]] from a staged [[gateStats]] attribute (hot path). */
+  def qualityPpmFromGateStats(text: Column, st: Column): Column =
+    qualityPpmFromParts(text, st.getItem(0), st.getItem(2), st.getItem(1))
+
+  /** [[langScore]] from a staged [[gateStats]] attribute. */
+  def langScoreFromGateStats(st: Column, lang: String): Column = {
+    val idx = LangMarkers.indexWhere(_._1 == lang)
+    require(idx >= 0, s"unknown language '$lang'")
+    scoreFromStats(st, 3 + idx)
+  }
+
+  /** [[langId]] from a staged [[gateStats]] attribute: the marker counts
+    * were produced by one pass; the argmax fold only touches attribute
+    * getItems. */
+  def langIdFromGateStats(st: Column): Column = {
+    val scored = LangMarkers.zipWithIndex.map { case ((code, _), i) =>
+      (code, scoreFromStats(st, 3 + i))
+    }
+    scored.foldLeft(struct(lit(0.0).as("s"), lit("und").as("c"))) {
+      case (best, (code, s)) =>
+        when(s > best.getField("s"), struct(s.as("s"), lit(code).as("c"))).otherwise(best)
+    }.getField("c")
+  }
+
+  private def scoreFromStats(st: Column, slot: Int): Column = {
+    val n = st.getItem(0).cast("double")
+    round(when(n === 0, lit(0.0)).otherwise(
+      st.getItem(slot).cast("double") / n), 6)
+  }
+
   /** [[qualityPpm]] over a pre-tokenized array column. Composite operators
     * that need several token-derived metrics per row (e.g.
     * [[graft.pipeline.Curation.qualityFilter]]) materialize the token
@@ -124,10 +172,18 @@ object TextAnalysis {
     * trees defeat codegen common-subexpression elimination, so the inline
     * form re-runs the regex split per metric (~13 splits/row across the
     * quality gate — measured 5.8 s vs ~1 s at 47k docs). */
-  def qualityPpmFromTokens(text: Column, toks: Column): Column = {
-    val n = size(toks).cast("long")
-    val s = size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
-    val d = size(array_distinct(toks)).cast("long")
+  def qualityPpmFromTokens(text: Column, toks: Column): Column =
+    qualityPpmFromParts(text,
+      size(toks).cast("long"),
+      size(filter(toks, t => t.isInCollection(Stopwords))).cast("long"),
+      size(array_distinct(toks)).cast("long"))
+
+  /** The frozen ppm formula over already-computed counts. */
+  private def qualityPpmFromParts(text: Column, n0: Column, s0: Column,
+      d0: Column): Column = {
+    val n = n0
+    val s = s0
+    val d = d0
     val a = length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("long")
     val c = length(text).cast("long")
     val num = lit(6000L) * least(n, lit(50L)) * n * c +
@@ -180,7 +236,8 @@ object TextAnalysis {
     langScoreFromTokens(Text.tokens(text), lang)
 
   /** [[langScore]] over a pre-tokenized array (see
-    * [[qualityPpmFromTokens]] for why composites pre-tokenize). */
+    * [[qualityPpmFromTokens]] for why composites pre-tokenize; hot paths
+    * stage [[gateStats]] and use [[langScoreFromGateStats]]). */
   def langScoreFromTokens(toks: Column, lang: String): Column = {
     val markers = LangMarkers.toMap.apply(lang)
     val n = size(toks).cast("double")
@@ -192,7 +249,8 @@ object TextAnalysis {
   def langId(text: Column): Column =
     langIdFromTokens(Text.tokens(text))
 
-  /** [[langId]] over a pre-tokenized array. */
+  /** [[langId]] over a pre-tokenized array (hot paths stage [[gateStats]]
+    * and use [[langIdFromGateStats]]). */
   def langIdFromTokens(toks: Column): Column = {
     // fold over (score, code) pairs keeping the max; seed with ("und", 0)
     val scored = LangMarkers.map { case (code, _) => (code, langScoreFromTokens(toks, code)) }
