@@ -52,6 +52,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(one("!!!", TextAnalysis.langId).getString(0) === "und")
   }
 
+  test("staged gateStats path equals the HOF formulation on real docs and edges") {
+    import graft.functions.Text
+    // the codegen'd one-pass TokenSetStats must be observationally
+    // identical to the interpreted filter/array_distinct formulation —
+    // quality_ppm, langId, and en-score compared row by row
+    val docs = graft.util.Tables.documents(spark, Sf0001).limit(300)
+      .select(col("doc_id"), col("text"))
+      .union(Seq(
+        (900001L, ""), (900002L, "   "), (900003L, null.asInstanceOf[String]),
+        (900004L, "the the the der die das"), (900005L, "!!!"),
+      ).toDF("doc_id", "text"))
+    val staged = docs
+      .withColumn("__stats", TextAnalysis.gateStats(Text.tokens(col("text"))))
+      .select(col("doc_id"),
+        TextAnalysis.qualityPpmFromGateStats(col("text"), col("__stats")).as("ppm"),
+        TextAnalysis.langIdFromGateStats(col("__stats")).as("lang"),
+        TextAnalysis.langScoreFromGateStats(col("__stats"), "en").as("en"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val hof = docs.select(col("doc_id"),
+        TextAnalysis.qualityPpm(col("text")).as("ppm"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.langScore(col("text"), "en").as("en"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(staged === hof)
+  }
+
   test("shingles: k-grams with short-document fallback") {
     val got = one("a b c d", t => TextAnalysis.shingles(t)).getSeq[String](0)
     assert(got === Seq("a b c", "b c d"))
