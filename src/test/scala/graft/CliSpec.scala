@@ -78,5 +78,11 @@ class CliSpec extends AnyFunSuite with SparkTest {
         "graft_sqdist(array(0.0D, 3.0D), array(4.0D, 0.0D)) AS s").head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 25.0)
+    // gate stats from pure SQL: [n, distinct, stopwords, de, en, es, fr, zh]
+    // over "the the fox": n=3, distinct=2, stop=2 ("the"×2), en=2, others 0
+    val st = spark.sql(
+      "SELECT graft_gate_stats(array('the', 'the', 'fox')) AS st").head()
+      .getSeq[Long](0)
+    assert(st === Seq(3L, 2L, 2L, 0L, 2L, 0L, 0L, 0L))
   }
 }
