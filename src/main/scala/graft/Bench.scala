@@ -5,10 +5,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Sandbox contention can inflate a single timing several-fold (the r2
-    // artifact overstated the real total 2.1×): time each query `iters`
-    // times and report the per-query MINIMUM — the standard noise-robust
-    // estimator for a deterministic workload on a shared machine.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    // artifact overstated the real total 2.1×, r3 1.6×): time each query
+    // `iters` times and report the per-query MINIMUM — the standard
+    // noise-robust estimator for a deterministic workload on a shared
+    // machine. The full per-iteration arrays and the machine load average
+    // are ALSO emitted so a reader can see when even the minima are suspect
+    // (high load + wildly spread iterations = contended run).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,14 +46,19 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to iters).map(_ => timeOnce(name, fn)).min
+    val perIter = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to iters).map(_ => timeOnce(name, fn))
     }
+    val results = perIter.map { case (name, ts) => name -> ts.min }
+    val loadEnd = osBean.getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val itersJson = perIter.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$itersJson,"iters_n":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

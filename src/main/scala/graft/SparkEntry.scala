@@ -72,6 +72,7 @@ object SparkEntry {
     bm.postings.count(); bm.termDf.count()
     corpusIvf(spark, dir).assignments.count()
     corpusSignLsh(spark, dir).count()
+    corpusBm25Disk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -270,6 +271,22 @@ object SparkEntry {
     val e = Tables.embeddings(spark, dir)
     VectorSearch.knnJoin(e.where(col("vec_id") < 50), e,
         "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The batch kNN join ANN-ROUTED through the IVF index
+    * ([[Ivf.knnJoin]]) — the batch rendition of the reference's
+    * `numCandidates` probe (`backend/api.py:168-180`): each query row gets
+    * its own driver-side cluster probe, the (query, cluster) probe pairs are
+    * broadcast, and the corpus fans out only to the queries probing its
+    * cluster. Exhaustive probe depth degenerates to the exact
+    * [[VectorSearch.knnJoin]] result (recall 1), so the same exact-kNN SQL
+    * is a valid oracle; sub-exhaustive recall is IvfSpec-tested. */
+  private def qKnnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ivf.knnJoin(corpusIvf(spark, dir), e.where(col("vec_id") < 50), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        numCandidates = Int.MaxValue)
       .orderBy("query_id", "rank")
   }
 
@@ -500,6 +517,35 @@ object SparkEntry {
     })
     IndexStore.loadSignLsh(spark, path)
   }
+
+  /** The DISK-persisted BM25 index, written once per (session, sfDir) via
+    * [[IndexStore.saveBm25]] — same offline DDL lifecycle as [[corpusBm25]],
+    * but the declared query's plan scans the bucket-partitioned postings
+    * parquet: `TextSearch.search` prunes `bucket IN (touched term buckets)`
+    * driver-side, so at 100 TB a 4-term query reads ≤ 4/64ths of the
+    * postings files instead of the whole table (PartitionFilters pinned in
+    * PlanSpec). */
+  private val bm25DiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusBm25Disk(spark: SparkSession, dir: String): TextSearch.Bm25Index = {
+    val path = bm25DiskBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bm25_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      IndexStore.saveBm25(
+        TextSearch.buildIndex(Tables.documents(spark, dir), "doc_id", "text"), p)
+      p
+    })
+    IndexStore.loadBm25(spark, path)
+  }
+
+  /** Index-backed BM25: same ranking as [[qBm25]], but served from the
+    * PERSISTED on-disk index — the end-to-end text analogue of
+    * [[qNeardupCosineIdx]]: build once offline, then every query reads only
+    * its terms' postings buckets (bucket partition pruning), never the
+    * corpus and never the full postings table. */
+  private def qBm25Idx(spark: SparkSession, dir: String): DataFrame =
+    TextSearch.search(corpusBm25Disk(spark, dir), flagshipQueryText, k = 10)
+      .withColumnRenamed("id", "doc_id")
 
   /** Index-backed near-dup: same pairs as [[qNeardupCosine]], but the
     * candidates come from the PERSISTED sketch table — the 100 TB dedup
@@ -760,6 +806,8 @@ object SparkEntry {
     "q_dedup_priority" -> ((s, dir) => qDedupPriority(s, dir)),
     "q_diversity_sample" -> ((s, dir) => qDiversitySample(s, dir)),
     "q_knn_join" -> ((s, dir) => qKnnJoin(s, dir)),
+    "q_knn_join_ivf" -> ((s, dir) => qKnnJoinIvf(s, dir)),
+    "q_bm25_idx" -> ((s, dir) => qBm25Idx(s, dir)),
     "q_dedup_jaccard" -> ((s, dir) => qDedupJaccard(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
@@ -1059,6 +1107,18 @@ object SparkEntry {
       (VectorSearch.sqlKnnJoin("embeddings", "vec_id", "embedding",
         "vec_id < 50", k = 3) +
         "\nORDER BY query_id, rank"),
+    // exhaustive probe depth makes the IVF-routed join exact (recall 1),
+    // so the same exact-kNN SQL is the oracle
+    "q_knn_join_ivf" ->
+      (VectorSearch.sqlKnnJoin("embeddings", "vec_id", "embedding",
+        "vec_id < 50", k = 3) +
+        "\nORDER BY query_id, rank"),
+    // the persisted index serves the identical ranking as the in-memory
+    // build (IndexStoreSpec asserts layout round-trip equality)
+    "q_bm25_idx" ->
+      s"""WITH $bm25DocsCtes
+         |SELECT id AS doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_dedup_jaccard" ->
       (Dedup.sqlJaccardPairs("documents", "doc_id", "text", JaccardThr) +
         "\nORDER BY id1, id2"),

@@ -152,11 +152,34 @@ object Dedup {
        |  SELECT $idExpr AS id, unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
        |  FROM $docsTable)""".stripMargin
 
+  /** Input bound for [[jaccardPairs]] — this operator is the labeled
+    * QUADRATIC oracle baseline (the shingle-postings self-join blows up on a
+    * hot shingle at corpus scale; see the q_dedup_jaccard scaladoc in
+    * SparkEntry), so pointing it at a large corpus is always a mistake:
+    * [[minhashPairs]] computes the same pairs at the declared thresholds
+    * with banded candidates. 100k docs keeps every validation fixture in
+    * bounds while fencing anything corpus-sized. */
+  val JaccardMaxDocs = 100000
+
   /** Exact n-gram-Jaccard near-dup pairs: (id1, id2, jaccard) with
-    * jaccard ≥ threshold, id1 < id2, rounded to 6 decimals. */
+    * jaccard ≥ threshold, id1 < id2, rounded to 6 decimals.
+    *
+    * Fails LOUDLY (the repo's scale-misuse standard — cf.
+    * [[components]] non-convergence) above [[JaccardMaxDocs]] input docs
+    * unless `force = true`: this is the oracle baseline, not the dedup
+    * path. The `limit(n+1).count()` probe stops the scan early instead of
+    * counting the whole relation. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame =
+      threshold: Double, force: Boolean = false): DataFrame = {
+    if (!force) {
+      val n = docs.limit(JaccardMaxDocs + 1).count()
+      require(n <= JaccardMaxDocs,
+        s"jaccardPairs: input has > $JaccardMaxDocs docs; this is the " +
+          "quadratic oracle baseline — use minhashPairs (banded candidates, " +
+          "exact verify) for corpus-scale near-dup, or pass force = true")
+    }
     jaccardFromPostings(shinglePostings(docs, idCol, textCol), threshold)
+  }
 
   /** Jaccard pairs over an existing (id, h) postings relation — lets
     * [[minhashPairs]] reuse one cached postings scan for both signature

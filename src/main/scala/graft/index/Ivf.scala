@@ -142,4 +142,68 @@ object Ivf {
       broadcast(members), table(idCol) === col("__ivf_id")).drop("__ivf_id")
     VectorSearch.knn(candidates, idCol, embCol, queryVec, k, metric, preFilter)
   }
+
+  /** Batch ANN kNN JOIN — [[VectorSearch.knnJoin]] with the corpus side
+    * routed through PER-QUERY IVF cluster probes: the batch rendition of the
+    * reference's `numCandidates` probe (`backend/api.py:168-180` probes
+    * `numCandidates` candidates per request; here every row of the query
+    * batch gets its own probe set against the same index).
+    *
+    * Scale shape: probing is driver-side arithmetic over the tiny centroid
+    * table (bounded batch × k centroids — [[VectorSearch.requireBoundedBatch]]
+    * makes an unbounded batch fail loudly instead of OOMing the driver). The
+    * resulting (query_id, cluster) probe-pair table is broadcast, so the
+    * corpus flows through ONCE: restrict the assignments to the union of
+    * probed clusters (the [[IndexStore]] layout is cluster-partitioned, so
+    * this `cluster IN (...)` partition-prunes the assignments scan), attach
+    * the cluster to each surviving corpus row, then a broadcast join on
+    * `cluster` fans each corpus row out to exactly the queries probing its
+    * cluster. Candidate work is Σ_q (probed cluster mass) instead of
+    * |corpus| × |queries|, and the only corpus-sized shuffle is the
+    * corpus ⋈ assignments id join (co-partitioned away at scale by writing
+    * assignments bucketed with the base table). Per-query top-k stays the
+    * bounded-state [[VectorSearch.rankCandidates]] aggregation (≤ k rows per
+    * map task per query reach the shuffle).
+    *
+    * `numCandidates ≥ N` probes every cluster and degenerates to the exact
+    * [[VectorSearch.knnJoin]] result (recall 1) — the oracle-checkable mode
+    * (`q_knn_join_ivf` hash-matches the exact-kNN SQL); sub-exhaustive
+    * recall is asserted in IvfSpec. Scores are cosine, matching
+    * [[VectorSearch.knnJoin]]; the index must have been built with the
+    * cosine similarity (enforced like [[ann]]'s metric contract).
+    *
+    * Output: (query_id, nbr_id, sim, rank ≤ k); ids must be integral
+    * (they ride the bounded-state aggregator as longs). */
+  def knnJoin(index: IvfIndex, queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
+      k: Int, numCandidates: Int): DataFrame = {
+    require(index.metric == "cosine",
+      s"knnJoin scores cosine; index was created with similarity '${index.metric}' " +
+        "(rebuild with Ivf.build(..., metric = \"cosine\"))")
+    VectorSearch.requireBoundedBatch(queries, "Ivf.knnJoin")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
+      .collect()
+    val probePairs = qRows.toSeq.flatMap { r =>
+      val qv = r.getSeq[Double](1).toArray
+      require(index.dim < 0 || qv.length == index.dim,
+        s"query vector dimension ${qv.length} != index numDimensions ${index.dim}")
+      probeSet(index, qv, numCandidates).map(cid => (r.getLong(0), cid))
+    }
+    val probedClusters = probePairs.map(_._2).distinct
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qEmbCol).as("__qv"), Vectors.l2norm(col(qEmbCol)).as("__qn")))
+    val c = corpus.select(col(cIdCol).cast("long").as("nbr_id"),
+      col(cEmbCol).as("__cv"), Vectors.l2norm(col(cEmbCol)).as("__cn"))
+    val members = index.assignments
+      .where(col("cluster").isin(probedClusters: _*))
+      .select(col("id").cast("long").as("nbr_id"), col("cluster"))
+    val routed = c
+      .join(members, "nbr_id")
+      .join(broadcast(probePairs.toDF("query_id", "cluster")), "cluster")
+      .join(q, "query_id")
+    VectorSearch.rankCandidates(routed, k)
+  }
 }

@@ -83,38 +83,42 @@ object VectorSearch {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
-  /** Batch kNN JOIN: top-k corpus neighbors for EVERY query row — the
-    * batch-retrieval shape (a RAG pipeline resolving a batch of queries,
-    * or semantic dedup seeding) that generalizes [[knn]]'s single
-    * driver-side query vector to a query TABLE.
+  /** Hard cap on the query-batch side of a kNN join. The batch is
+    * broadcast (and, on the IVF-routed path, collected for driver-side
+    * cluster probing), so an unbounded "batch" is a driver/executor-memory
+    * blow-up, not a planned degradation — a caller with more queries than
+    * this is doing all-pairs similarity and should use the sign-LSH path
+    * ([[graft.dedup.Dedup.cosinePairsLsh]]), which shuffles instead of
+    * broadcasting. 64k rows × 1 KiB-ish embedding ≈ tens of MB broadcast —
+    * the conventional broadcast-join comfort zone. */
+  val MaxQueryBatch = 65536
+
+  /** Fail LOUDLY (the repo's standard for scale misuse — cf.
+    * `Dedup.components` non-convergence) when the query side exceeds
+    * [[MaxQueryBatch]]. `limit(n+1).count()` stops the probe scan early
+    * instead of counting the full relation. */
+  private[graft] def requireBoundedBatch(queries: DataFrame, caller: String): Unit = {
+    val n = queries.limit(MaxQueryBatch + 1).count()
+    require(n <= MaxQueryBatch,
+      s"$caller: query batch has > $MaxQueryBatch rows; a batch this large " +
+        "would be broadcast/collected. Use the LSH all-pairs path " +
+        "(Dedup.cosinePairsLsh) for corpus-vs-corpus similarity instead.")
+  }
+
+  /** Shared tail of the batch kNN joins: candidate (query, corpus) pairs —
+    * however they were routed — with query/corpus vectors and norms
+    * attached → cosine score → bounded-state per-query top-k.
     *
-    * Scale shape: the query side is broadcast (a batch of queries is
-    * small by definition — thousands of rows against a 100 TB corpus),
-    * so scoring is a BroadcastNestedLoopJoin: each corpus partition
-    * scores its rows against the in-memory query batch, work ∝
-    * |corpus| × |queries|, zero shuffle of the corpus. The per-query
-    * top-k is the bounded-state [[TopKByScore]] aggregator, so the ONLY
-    * shuffle carries ≤ k rows per (map task, query) — never the
-    * |corpus| × |queries| scored pairs a rank window would ship. Route
-    * the corpus side through [[graft.index.Ivf]] probes first when
-    * approximate recall is acceptable.
-    *
-    * Scores are raw cosine (dot/(‖a‖·‖b‖)) rounded to 6 decimals before
-    * ranking (ties broken by neighbor id ASC) so the DuckDB oracle's
-    * boundary agrees. Self-pairs (query_id = nbr_id) are excluded.
-    * Output: (query_id, nbr_id, sim, rank ≤ k). */
-  def knnJoin(queries: DataFrame, corpus: DataFrame,
-      qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
-      k: Int): DataFrame = {
+    * Input columns: query_id, nbr_id, __qv, __qn, __cv, __cn. The ONLY
+    * shuffle is the [[TopKByScore]] partial aggregation (≤ k rows per map
+    * task per query) — never the scored pairs a rank window would ship.
+    * Self-pairs are excluded; sim is rounded to 6 decimals before ranking
+    * (tie-break nbr_id ASC) so the DuckDB oracle's boundary agrees. */
+  private[graft] def rankCandidates(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val q = broadcast(queries.select(col(qIdCol).as("query_id"),
-      col(qEmbCol).as("__qv"),
-      Vectors.l2norm(col(qEmbCol)).as("__qn")))
-    val c = corpus.select(col(cIdCol).as("nbr_id"), col(cEmbCol).as("__cv"),
-      Vectors.l2norm(col(cEmbCol)).as("__cn"))
     val topk = udaf(new TopKByScore(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
-    c.crossJoin(q)
+    pairs
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("sim",
         round(Vectors.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), ScoreDecimals))
@@ -123,6 +127,36 @@ object VectorSearch {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("query_id"), col("entry._2").as("nbr_id"),
         col("entry._1").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Batch kNN JOIN: top-k corpus neighbors for EVERY query row — the
+    * batch-retrieval shape (a RAG pipeline resolving a batch of queries,
+    * or semantic dedup seeding) that generalizes [[knn]]'s single
+    * driver-side query vector to a query TABLE.
+    *
+    * Scale shape: the query side is broadcast (a batch of queries is
+    * small by definition — thousands of rows against a 100 TB corpus;
+    * enforced by [[requireBoundedBatch]]), so scoring is a
+    * BroadcastNestedLoopJoin: each corpus partition scores its rows
+    * against the in-memory query batch, work ∝ |corpus| × |queries|,
+    * zero shuffle of the corpus. The per-query top-k is
+    * [[rankCandidates]]'s bounded-state aggregation. This is the EXACT
+    * path; [[graft.index.Ivf.knnJoin]] routes the corpus side through
+    * per-query IVF cluster probes when approximate recall is acceptable
+    * (the batch rendition of the reference's `numCandidates` probe,
+    * `backend/api.py:168-180`).
+    *
+    * Output: (query_id, nbr_id, sim, rank ≤ k). */
+  def knnJoin(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
+      k: Int): DataFrame = {
+    requireBoundedBatch(queries, "knnJoin")
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"),
+      col(qEmbCol).as("__qv"),
+      Vectors.l2norm(col(qEmbCol)).as("__qn")))
+    val c = corpus.select(col(cIdCol).as("nbr_id"), col(cEmbCol).as("__cv"),
+      Vectors.l2norm(col(cEmbCol)).as("__cn"))
+    rankCandidates(c.crossJoin(q), k)
   }
 
   def sqlKnnJoin(corpusTable: String, idExpr: String, embExpr: String,

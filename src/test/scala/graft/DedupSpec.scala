@@ -49,6 +49,20 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got.size === 3)
   }
 
+  test("jaccardPairs refuses corpus-sized input unless forced (quadratic baseline fence)") {
+    val big = spark.range(Dedup.JaccardMaxDocs + 1L)
+      .select(col("id"), concat(lit("doc text number "), col("id")).as("text"))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(big, "id", "text", 0.5)
+    }
+    assert(ex.getMessage.contains("minhashPairs"),
+      "the failure must point at the banded-candidates alternative")
+    // force = true is the documented escape hatch (plan builds; not executed
+    // — actually running the quadratic join on 100k rows is the point of
+    // the fence)
+    Dedup.jaccardPairs(big, "id", "text", 0.5, force = true)
+  }
+
   test("minhash LSH finds the full exact-Jaccard pair set on sf0.001 (recall 1 here)") {
     val d = Tables.documents(spark, Sf0001)
     val exact = Dedup.jaccardPairs(d, "doc_id", "text", 0.5)

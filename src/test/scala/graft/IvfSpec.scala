@@ -36,6 +36,72 @@ class IvfSpec extends AnyFunSuite with SparkTest {
     assert(big.startsWith(small))
   }
 
+  test("IVF-routed batch kNN join at exhaustive depth equals the exact knnJoin") {
+    import org.apache.spark.sql.functions.col
+    val queries = embs.where(col("vec_id") < 20)
+    val exact = VectorSearch.knnJoin(queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val routed = Ivf.knnJoin(index, queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        numCandidates = Int.MaxValue)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(routed === exact)
+  }
+
+  test("IVF-routed batch kNN join: sub-exhaustive probe keeps recall, scans a fraction") {
+    import org.apache.spark.sql.functions.col
+    val queries = embs.where(col("vec_id") < 20)
+    val nCand = VectorSearch.numCandidatesCli(3) // max(k*5, 200) = 200 of 500
+    val exactPairs = VectorSearch.knnJoin(queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val routedPairs = Ivf.knnJoin(index, queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        numCandidates = nCand)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exactPairs & routedPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.7, s"recall $recall")
+    // and the probe really does restrict the candidate set: every query's
+    // probe set must be a strict subset of the clusters
+    val probe = Ivf.probeSet(index, query, nCand)
+    assert(probe.size < index.centroids.size)
+  }
+
+  test("knnJoin (exact and IVF-routed) refuses an unbounded query batch, loudly") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val big = spark.range(VectorSearch.MaxQueryBatch + 1)
+      .select(col("id"), array(lit(1.0), lit(0.0)).as("emb"))
+    val small = spark.range(4)
+      .select(col("id"), array(lit(1.0), lit(0.0)).as("emb"))
+    val e1 = intercept[IllegalArgumentException] {
+      VectorSearch.knnJoin(big, small, "id", "emb", "id", "emb", k = 1)
+    }
+    assert(e1.getMessage.contains("cosinePairsLsh"),
+      "the failure must point at the all-pairs LSH alternative")
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.knnJoin(index, big, small, "id", "emb", "id", "emb",
+        k = 1, numCandidates = 10)
+    }
+    assert(e2.getMessage.contains("Ivf.knnJoin"))
+  }
+
+  test("IVF-routed knnJoin enforces the index metric and dimension contract") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val queries = embs.where(col("vec_id") < 3)
+    val dot = index.copy(metric = "dotProduct")
+    assert(intercept[IllegalArgumentException] {
+      Ivf.knnJoin(dot, queries, embs, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, numCandidates = 10)
+    }.getMessage.contains("cosine"))
+    val wrongDim = spark.range(2)
+      .select(col("id"), array(lit(1.0), lit(0.0)).as("emb"))
+    assert(intercept[IllegalArgumentException] {
+      Ivf.knnJoin(index, wrongDim, embs, "id", "emb",
+        "vec_id", "embedding", k = 3, numCandidates = 10)
+    }.getMessage.contains("numDimensions"))
+  }
+
   test("sub-exhaustive probe recall@10 >= 0.7 while scanning a fraction") {
     val exact = VectorSearch.knn(embs, "vec_id", "embedding", query, k = 10)
       .select("vec_id").as[Long].collect().toSet

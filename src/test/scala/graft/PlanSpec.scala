@@ -83,6 +83,19 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"no broadcast hint may be planted on the df table:\n$logical")
   }
 
+  test("persisted BM25 query partition-prunes postings to the touched term buckets") {
+    // the on-disk text-index story end-to-end: a query's plan must show
+    // PartitionFilters on `bucket` (term-hash buckets, TextSearch.termBucket)
+    // — at 100 TB this is a ≤ terms/64ths scan of the postings table, never
+    // a full pass
+    val plan = planString(SparkEntry.queries("q_bm25_idx")(spark, Sf0001))
+    val postingsScan = plan.linesIterator
+      .find(l => l.contains("postings") && l.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(postingsScan.matches(".*PartitionFilters: \\[[^\\]]*bucket[^\\]]* IN .*"),
+      s"expected bucket IN (...) partition pruning on the postings scan:\n$plan")
+  }
+
   test("codegen'd similarity stays inside WholeStageCodegen") {
     val e = Tables.embeddings(spark, Sf0001)
     val scored = e.select(graft.functions.Vectors.score("cosine",
