@@ -27,11 +27,22 @@ object FoodFinder {
   val DefaultLimit = 5
 
   /** A searchable table: `df` must expose unique `idCol`, an
-    * `array<double>` `embCol` and a string `textCol`. Declare `dim` to get
-    * the reference's index behavior of rejecting mismatched query vectors
-    * up front (Atlas errors on dimension mismatch — SURVEY §7.4 risk 7). */
+    * `array<double>` `embCol` and a string `textCol`.
+    *
+    * Dimensionality is ENFORCED by default: Atlas always knows its index's
+    * `numDimensions` (`indexes.py:64`) and errors on mismatched query
+    * vectors, so every vector-consuming mode validates against
+    * [[resolvedDim]] — the declared `dim` if given, else the length of the
+    * first non-null vector, derived once per table (a `limit(1)` scan, not
+    * a full pass). `dim` stays an Option only so construction is free;
+    * there is no opt-out of the check itself (SURVEY §7.4 risk 7). */
   final case class SearchTable(df: DataFrame, idCol: String, embCol: String,
-      textCol: String, dim: Option[Int] = None)
+      textCol: String, dim: Option[Int] = None) {
+    lazy val resolvedDim: Option[Int] = dim.orElse(
+      df.where(col(embCol).isNotNull)
+        .select(size(col(embCol)).as("d"))
+        .limit(1).collect().headOption.map(_.getInt(0)))
+  }
 
   /** R18 request validation: mode whitelist, required args, limit clamp
     * (`backend/api.py:100-137`). Returns the clamped limit. */
@@ -48,7 +59,7 @@ object FoodFinder {
   /** Vector mode: pre-filter → exact top-k → (id, score). */
   def vector(tbl: SearchTable, queryVec: Array[Double], k: Int,
       filter: Option[Column] = None, metric: String = "cosine"): DataFrame = {
-    tbl.dim.foreach(d => require(queryVec.length == d,
+    tbl.resolvedDim.foreach(d => require(queryVec.length == d,
       s"query vector dimension ${queryVec.length} != index dimension $d"))
     VectorSearch.knn(tbl.df, tbl.idCol, tbl.embCol, queryVec, k, metric, filter)
       .select(col(tbl.idCol).as("id"), col("score"))

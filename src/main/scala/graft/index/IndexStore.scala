@@ -80,10 +80,11 @@ object IndexStore {
     if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble
   }
 
-  /** Committed batch ids = batches whose stats commit-marker exists.
-    * (`batch` comes back as the partition-inferred INT — cast to long.) */
-  private def committedBatches(spark: SparkSession, path: String): Seq[Long] =
-    spark.read.parquet(s"$path/stats")
+  /** Committed batch ids = batches whose commit-marker partition exists in
+    * `markerDir` (BM25's `stats`, sign-LSH's `commits`). (`batch` comes
+    * back as the partition-inferred INT — cast to long.) */
+  private def committedBatches(spark: SparkSession, markerDir: String): Seq[Long] =
+    spark.read.parquet(markerDir)
       .select(col("batch").cast("long")).collect().map(_.getLong(0)).toSeq
 
   /** Apply one micro-batch of NEW documents (R17 skip-existing contract:
@@ -103,7 +104,7 @@ object IndexStore {
     val spark = batch.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, path).contains(batchId)) return
+    if (committedBatches(spark, s"$path/stats").contains(batchId)) return
     val delta = TextSearch.buildIndex(batch, idCol, textCol)
     delta.postings
       .withColumn("batch", lit(batchId))
@@ -196,21 +197,102 @@ object IndexStore {
   }
 
   // -------------------------------------------------------------- sign-LSH
+  //
+  // On-disk layout mirrors the BM25 batch layout — two tables, each
+  // partitioned by `batch` (base build = batch -1, streaming micro-batches
+  // = their foreachBatch id):
+  //
+  //   sketches/batch=N/band=M/  (id, sk, bkey)  — per-batch banded sketches
+  //   commits/batch=N/          (ok)            — written last = COMMIT MARKER
+  //
+  // Same crash contract as appendBatchBm25: a batch dynamically OVERWRITES
+  // its own partitions and the marker commits last, so a foreachBatch retry
+  // at ANY crash point converges (no duplicated sketch rows) and a reader
+  // loading mid-commit sees only committed batches. This keeps the near-dup
+  // index current under a document stream — new vectors are sketched as
+  // they arrive (work ∝ batch), never by re-sketching the corpus.
 
   /** Persist a banded sign-LSH sketch table
     * ([[graft.dedup.Dedup.signLshSketches]] shape: id, sk, band, bkey) as a
-    * near-dup index, partitioned by `band`: the candidate self-join
+    * near-dup index, partitioned by (batch, band): the candidate self-join
     * processes one band at a time, so each side of the join scans exactly
-    * one partition — and none of the vector data. At corpus scale this is
-    * the difference between re-sketching 100 TB of vectors per dedup run
-    * and reading a ~32·bands-bytes-per-vector side table. Overwrite = S7
-    * `--replace`. */
-  def saveSignLsh(banded: org.apache.spark.sql.DataFrame, path: String): Unit =
-    banded.write.mode(SaveMode.Overwrite).partitionBy("band")
+    * one band's partitions — and none of the vector data. At corpus scale
+    * this is the difference between re-sketching 100 TB of vectors per
+    * dedup run and reading a ~32·bands-bytes-per-vector side table.
+    * Overwrite = S7 `--replace` (replaces ALL batches). */
+  def saveSignLsh(banded: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "band")
       .parquet(s"$path/sketches")
+    Seq((1, -1L)).toDF("ok", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$path/commits")
+  }
 
-  def loadSignLsh(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+  /** Sketch one micro-batch of NEW vectors (R17 skip-existing contract:
+    * append-only stream, updates are drop/recreate) into a persisted
+    * sign-LSH index. Work ∝ batch size; idempotent at every crash point
+    * (see the layout comment above). */
+  def appendBatchSignLsh(batch: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, dim: Int, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/commits").contains(batchId)) return
+    graft.dedup.Dedup.signLshSketches(batch, idCol, embCol, dim)
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "band")
+      .parquet(s"$path/sketches")
+    Seq((1, batchId)).toDF("ok", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/commits")
+  }
+
+  /** Streaming index upkeep for the near-dup sketch table — the sign-LSH
+    * twin of [[streamIntoBm25]]: incoming vectors keep the persisted index
+    * current via `foreachBatch`; each completed batch is immediately
+    * visible to the next [[loadSignLsh]]. */
+  def streamIntoSignLsh(embs: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, dim: Int, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchSignLsh(b, idCol, embCol, dim, path, id)
+      }
+      .start()
+
+  /** Consistent snapshot at the latest commit markers (same contract as
+    * [[loadBm25]]); the returned relation has the [[saveSignLsh]] input
+    * shape (id, sk, band, bkey) with band partition pruning available. */
+  def loadSignLsh(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val batches = committedBatches(spark, s"$path/commits")
     spark.read.parquet(s"$path/sketches")
+      .where(col("batch").cast("long").isin(batches: _*)).drop("batch")
+  }
+
+  /** Fold every committed sketch batch back into a single base partition —
+    * same maintenance contract (and offline-window caveat) as
+    * [[compactBm25]]. */
+  def compactSignLsh(spark: SparkSession, path: String): Unit = {
+    val staged = s"$path/.compact"
+    saveSignLsh(loadSignLsh(spark, path), staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq("sketches", "commits")) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
+        new org.apache.hadoop.fs.Path(s"$path/$d"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
 
   // ------------------------------------------------------------------- IVF
 

@@ -309,4 +309,76 @@ object Curation {
        |       (cum_excl // $tokenBudget)::BIGINT AS seq_id,
        |       (cum_excl % $tokenBudget)::BIGINT AS seq_offset
        |FROM packed""".stripMargin
+
+  /** Durable corpus-intake ledger — the production rendition of
+    * SparkEntry's `q_intake_pipeline` (quality gate → exact dedup among the
+    * quality survivors → benchmark decontamination of the dedup survivors →
+    * hash-stable split), with each gate's verdict PERSISTED as parquet under
+    * `path/{quality,dedup,contam,splits}` instead of in-session
+    * `localCheckpoint`s.
+    *
+    * Restartable at every crash point, IndexStore-style: a gate directory's
+    * `_SUCCESS` marker (written last by the Hadoop commit protocol) is the
+    * commit record — a run that died mid-gate rewrites that gate wholesale
+    * (Overwrite over a markerless dir) and SKIPS every gate already
+    * committed, so a retry resumes from the crash instead of recomputing
+    * the cascade. The persisted verdicts double as the audit trail a
+    * production intake keeps anyway (why was doc X dropped, and at which
+    * gate?). Each downstream gate reads its predecessor's parquet, so the
+    * in-session multi-branch re-execution problem the localCheckpoints
+    * solved disappears by construction.
+    *
+    * Returns the same per-document decision ledger as `q_intake_pipeline`:
+    * (id, keep_quality, keep_dedup, contaminated, split, final_keep). */
+  def intakeLedger(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, path: String, minTokens: Int, maxTokens: Int,
+      minQualityPpm: Long, langs: Seq[String],
+      trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    import graft.dedup.Dedup
+    val spark = docs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def gate(sub: String)(compute: => DataFrame): DataFrame = {
+      val dir = s"$path/$sub"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+        compute.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val quality = gate("quality") {
+      qualityFilter(docs, idCol, textCol, minTokens, maxTokens,
+          minQualityPpm, langs)
+        .select(col("id"), col("keep").as("keep_quality"))
+    }
+    val kept = docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(quality.where(col("keep_quality")).select("id"), "id")
+    val dedup = gate("dedup") {
+      Dedup.exact(kept, "id", "__text")
+        .select(col("id"), col("keep").as("keep_dedup"))
+    }
+    val survivors = kept.join(
+      dedup.where(col("keep_dedup")).select("id"), "id")
+    val contam = gate("contam") {
+      Contamination.ngramOverlap(survivors,
+          evalDocs.select(col(idCol).as("id"), col(textCol).as("__text")),
+          "id", "__text")
+        .select(col("id"), col("contaminated"))
+    }
+    val splits = gate("splits") {
+      splitCorpus(docs.select(col(idCol).as("id")), "id",
+          trainPermille, valPermille)
+        .select("id", "split")
+    }
+    docs.select(col(idCol).as("id"))
+      .join(quality, Seq("id"), "left")
+      .join(dedup, Seq("id"), "left")
+      .join(contam, Seq("id"), "left")
+      .join(splits, Seq("id"), "left")
+      .select(col("id"),
+        col("keep_quality"),
+        coalesce(col("keep_dedup"), lit(false)).as("keep_dedup"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("split"),
+        (col("keep_quality") && coalesce(col("keep_dedup"), lit(false)) &&
+          !coalesce(col("contaminated"), lit(false))).as("final_keep"))
+  }
 }

@@ -154,4 +154,69 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("hashpartitioning(group"),
       s"window must hash-partition by group, not sort globally:\n$plan")
   }
+
+  test("intakeLedger: durable gates resume from the crash point, same ledger") {
+    import graft.dedup.Dedup
+    import graft.pipeline.Contamination
+    import graft.util.Tables
+    val docs = Tables.documents(spark, Sf0001)
+      .where($"doc_id" % 20 =!= 0).cache()
+    val eval = Tables.documents(spark, Sf0001).where($"doc_id" % 20 === 0)
+    def run(path: String) =
+      Curation.intakeLedger(docs, eval, "doc_id", "text", path,
+        minTokens = 5, maxTokens = 500, minQualityPpm = 650000L,
+        langs = Seq("en", "es"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().toSeq
+
+    // fresh run: ledger semantics equal the same gates composed in-memory
+    val d1 = java.nio.file.Files.createTempDirectory("intake1").toString
+    val fresh = rows(run(d1))
+    val gateQ = Curation.qualityFilter(docs, "doc_id", "text", 5, 500, 650000L,
+        Seq("en", "es")).select($"id", $"keep".as("keep_quality"))
+    val kept = docs.select($"doc_id".as("id"), $"text")
+      .join(gateQ.where($"keep_quality").select("id"), "id")
+    val gateD = Dedup.exact(kept, "id", "text")
+      .select($"id", $"keep".as("keep_dedup"))
+    val surv = kept.join(gateD.where($"keep_dedup").select("id"), "id")
+    val gateC = Contamination.ngramOverlap(surv,
+        eval.select($"doc_id".as("id"), $"text"), "id", "text")
+      .select($"id", $"contaminated")
+    val expected = rows(docs.select($"doc_id".as("id"))
+      .join(gateQ, Seq("id"), "left")
+      .join(gateD, Seq("id"), "left")
+      .join(gateC, Seq("id"), "left")
+      .join(Curation.splitCorpus(docs.select($"doc_id".as("id")), "id", 800, 100)
+        .select("id", "split"), Seq("id"), "left")
+      .select($"id", $"keep_quality",
+        coalesce($"keep_dedup", lit(false)).as("keep_dedup"),
+        coalesce($"contaminated", lit(false)).as("contaminated"),
+        $"split",
+        ($"keep_quality" && coalesce($"keep_dedup", lit(false)) &&
+          !coalesce($"contaminated", lit(false))).as("final_keep")))
+    assert(fresh === expected)
+
+    // crash simulation: dedup gate died mid-write (no _SUCCESS marker),
+    // contam/splits never ran — the retry must rewrite dedup, run the
+    // missing gates, and NOT recompute the committed quality gate
+    val d2 = java.nio.file.Files.createTempDirectory("intake2").toString
+    run(d2).collect()
+    val fs = java.nio.file.Paths.get(d2)
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    java.nio.file.Files.delete(fs.resolve("dedup/_SUCCESS"))
+    rmrf(fs.resolve("contam"))
+    rmrf(fs.resolve("splits"))
+    val qualityMarkerMtime =
+      java.nio.file.Files.getLastModifiedTime(fs.resolve("quality/_SUCCESS"))
+    val resumed = rows(run(d2))
+    assert(resumed === fresh)
+    assert(java.nio.file.Files.getLastModifiedTime(fs.resolve("quality/_SUCCESS"))
+      === qualityMarkerMtime, "a committed gate must not be recomputed")
+  }
 }

@@ -145,6 +145,49 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       .matches("(?s).*PartitionFilters: \\[[^\\]]*band.*"))
   }
 
+  test("sign-LSH batch appends: crash-replay idempotent, equals full rebuild, compacts") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("signlshinc").toString
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding").cache()
+    val base = embs.where($"vec_id" % 3 === 0)
+    val b0 = embs.where($"vec_id" % 3 === 1)
+    val b1 = embs.where($"vec_id" % 3 === 2)
+    IndexStore.saveSignLsh(
+      Dedup.signLshSketches(base, "vec_id", "embedding", dim = 64), dir)
+
+    // crash-point simulation: batch 0's sketches land but the commit
+    // marker never does — a reader must see ONLY the committed base
+    Dedup.signLshSketches(b0, "vec_id", "embedding", dim = 64)
+      .withColumn("batch", lit(0L))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "band").parquet(s"$dir/sketches")
+    assert(IndexStore.loadSignLsh(spark, dir).select("id").distinct().count()
+      === base.count())
+
+    // the foreachBatch retry re-delivers batch 0 (overwrite, not append),
+    // then batch 1 arrives; a replay of a committed batch is a no-op
+    IndexStore.appendBatchSignLsh(b0, "vec_id", "embedding", 64, dir, batchId = 0L)
+    IndexStore.appendBatchSignLsh(b1, "vec_id", "embedding", 64, dir, batchId = 1L)
+    IndexStore.appendBatchSignLsh(b0, "vec_id", "embedding", 64, dir, batchId = 0L)
+
+    def pairs(banded: org.apache.spark.sql.DataFrame) =
+      Dedup.cosineVerify(Dedup.signLshCandidates(banded),
+          embs, "vec_id", "embedding", threshold = 0.45)
+        .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val fresh = pairs(Dedup.signLshSketches(embs, "vec_id", "embedding", 64))
+    assert(pairs(IndexStore.loadSignLsh(spark, dir)) === fresh)
+
+    // compaction folds the 3 batches into one base partition, same pairs
+    IndexStore.compactSignLsh(spark, dir)
+    assert(pairs(IndexStore.loadSignLsh(spark, dir)) === fresh)
+    val batchDirs = new java.io.File(s"$dir/sketches").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs.toSeq === Seq("batch=-1"))
+  }
+
   test("ivf save/load round-trip preserves ann results and probe pruning") {
     val dir = Files.createTempDirectory("ivfidx").toString
     val embs = Tables.embeddings(spark, Sf0001)

@@ -172,6 +172,26 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(FoodFinder.vector(tbl, Array(1.0, 0.0), k = 1).count() === 1)
   }
 
+  test("dimension is enforced WITHOUT opt-in: derived from the data, every vector mode") {
+    // Atlas always knows numDimensions (indexes.py:64) — a table with no
+    // declared dim must still reject a mismatched query vector, in both
+    // vector-consuming modes (fulltext takes no query vector)
+    val docs = Seq(
+      (1L, "apple banana", Seq(1.0, 0.0)),
+      (2L, "banana cherry", Seq(0.8, 0.6)),
+    ).toDF("id", "text", "emb")
+    val tbl = FoodFinder.SearchTable(docs, "id", "emb", "text") // no dim
+    assert(tbl.resolvedDim === Some(2))
+    val bad = Array(1.0, 0.0, 0.0)
+    assert(intercept[IllegalArgumentException](
+      FoodFinder.vector(tbl, bad, k = 1)).getMessage.contains("dimension"))
+    assert(intercept[IllegalArgumentException](
+      FoodFinder.hybrid(tbl, bad, "banana", k = 1)).getMessage.contains("dimension"))
+    // matched vectors still work in both modes
+    assert(FoodFinder.vector(tbl, Array(1.0, 0.0), k = 1).count() === 1)
+    assert(FoodFinder.hybrid(tbl, Array(1.0, 0.0), "banana", k = 2).count() === 2)
+  }
+
   test("sanitize: string ids, double scores, plain-JSON row (R15)") {
     val res = Seq((1L, 0.75)).toDF("id", "score")
     val got = FoodFinder.sanitize(res).head()
