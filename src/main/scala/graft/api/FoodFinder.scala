@@ -32,17 +32,41 @@ object FoodFinder {
     * Dimensionality is ENFORCED by default: Atlas always knows its index's
     * `numDimensions` (`indexes.py:64`) and errors on mismatched query
     * vectors, so every vector-consuming mode validates against
-    * [[resolvedDim]] — the declared `dim` if given, else the length of the
-    * first non-null vector, derived once per table (a `limit(1)` scan, not
-    * a full pass). `dim` stays an Option only so construction is free;
-    * there is no opt-out of the check itself (SURVEY §7.4 risk 7). */
+    * [[resolvedDim]] — the declared `dim` if given, else derived once per
+    * table from a [[DimSampleRows]]-row sample (a bounded scan, not a full
+    * pass; the lazy Spark job runs on first vector-mode use). Derivation
+    * ASSUMES homogeneous vector lengths — the invariant every indexed table
+    * honors by construction (`indexes.py:64` bakes one numDimensions into
+    * the index) — and asserts it on the sample (min(size) == max(size)),
+    * so a mixed-dim table fails loudly instead of enforcing whichever
+    * length an arbitrary first row happened to have (partition-order
+    * nondeterminism). Heterogeneity hiding beyond the sample is the
+    * caller's contract to keep: declare `dim` explicitly to skip
+    * derivation. `dim` stays an Option only so construction is free; there
+    * is no opt-out of the check itself (SURVEY §7.4 risk 7). */
   final case class SearchTable(df: DataFrame, idCol: String, embCol: String,
       textCol: String, dim: Option[Int] = None) {
-    lazy val resolvedDim: Option[Int] = dim.orElse(
-      df.where(col(embCol).isNotNull)
-        .select(size(col(embCol)).as("d"))
-        .limit(1).collect().headOption.map(_.getInt(0)))
+    lazy val resolvedDim: Option[Int] = dim.orElse {
+      val r = df.where(col(embCol).isNotNull)
+        .limit(FoodFinder.DimSampleRows)
+        .agg(min(size(col(embCol))).as("lo"), max(size(col(embCol))).as("hi"))
+        .collect().headOption.filter(!_.isNullAt(0))
+      r.map { row =>
+        val (lo, hi) = (row.getInt(0), row.getInt(1))
+        require(lo == hi,
+          s"embedding column '$embCol' has heterogeneous dimensions " +
+            s"($lo..$hi within a ${FoodFinder.DimSampleRows}-row sample); " +
+            "an index has exactly one numDimensions — fix the table or " +
+            "declare SearchTable(dim = ...) explicitly")
+        lo
+      }
+    }
   }
+
+  /** Rows sampled when deriving [[SearchTable.resolvedDim]]: enough to
+    * catch mixed-dim tables in practice, bounded so the derivation job
+    * never scans a 100 TB corpus. */
+  val DimSampleRows = 10000
 
   /** R18 request validation: mode whitelist, required args, limit clamp
     * (`backend/api.py:100-137`). Returns the clamped limit. */

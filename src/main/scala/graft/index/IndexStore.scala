@@ -82,10 +82,19 @@ object IndexStore {
 
   /** Committed batch ids = batches whose commit-marker partition exists in
     * `markerDir` (BM25's `stats`, sign-LSH's `commits`). (`batch` comes
-    * back as the partition-inferred INT — cast to long.) */
-  private def committedBatches(spark: SparkSession, markerDir: String): Seq[Long] =
-    spark.read.parquet(markerDir)
+    * back as the partition-inferred INT — cast to long.)
+    *
+    * A missing marker directory is an EMPTY committed set, not an error:
+    * a stream may start on a fresh index path with no prior `save*` base
+    * (batch 0 then bootstraps the layout — the appendBatch writers create
+    * every directory themselves). */
+  private def committedBatches(spark: SparkSession, markerDir: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(markerDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(markerDir))) Seq.empty
+    else spark.read.parquet(markerDir)
       .select(col("batch").cast("long")).collect().map(_.getLong(0)).toSeq
+  }
 
   /** Apply one micro-batch of NEW documents (R17 skip-existing contract:
     * ids must not already be indexed — updates are a drop/recreate, S7) to

@@ -168,9 +168,22 @@ object Ivf {
     * `numCandidates ≥ N` probes every cluster and degenerates to the exact
     * [[VectorSearch.knnJoin]] result (recall 1) — the oracle-checkable mode
     * (`q_knn_join_ivf` hash-matches the exact-kNN SQL); sub-exhaustive
-    * recall is asserted in IvfSpec. Scores are cosine, matching
-    * [[VectorSearch.knnJoin]]; the index must have been built with the
-    * cosine similarity (enforced like [[ann]]'s metric contract).
+    * recall is asserted in IvfSpec. When every query's probe covers every
+    * cluster, the assignments join is SKIPPED entirely (same short-circuit
+    * as [[ann]]): the exact [[VectorSearch.knnJoin]] runs directly, so no
+    * |queries| × |clusters| probe-pair table is built and the degenerate
+    * contract holds for ANY corpus, indexed or not. Scores are cosine,
+    * matching [[VectorSearch.knnJoin]]; the index must have been built with
+    * the cosine similarity (enforced like [[ann]]'s metric contract).
+    *
+    * Index-coverage contract (sub-exhaustive probes only): the router is
+    * the assignments table, so corpus rows whose id is NOT in
+    * `index.assignments` are invisible to a probe — exactly Atlas's
+    * semantics, where a document missing from the vector index can never
+    * surface from `$vectorSearch`. Keep the index current with
+    * [[IndexStore.appendBatchIvf]]-style upkeep; coverage is NOT verified
+    * per query because that check is itself a corpus-sized join — as
+    * expensive as the routing it would guard.
     *
     * Output: (query_id, nbr_id, sim, rank ≤ k); ids must be integral
     * (they ride the bounded-state aggregator as longs). */
@@ -183,6 +196,23 @@ object Ivf {
     VectorSearch.requireBoundedBatch(queries, "Ivf.knnJoin")
     val spark = queries.sparkSession
     import spark.implicits._
+    // exhaustive short-circuit, decided BEFORE collecting the batch: when
+    // numCandidates covers the whole indexed mass, probeSet picks every
+    // cluster for every query (its stop condition is mass-based and
+    // order-independent), so routing would only rebuild the corpus — run
+    // the exact join directly instead
+    if (numCandidates >= index.sizes.values.sum) {
+      if (index.dim >= 0) {
+        // the DDL dim contract still applies on the exact path (one scan
+        // of the bounded batch, not the corpus)
+        val bad = queries.where(size(col(qEmbCol)) =!= index.dim).limit(1)
+          .select(size(col(qEmbCol))).collect()
+        require(bad.isEmpty,
+          s"query vector dimension ${bad.head.getInt(0)} != index numDimensions ${index.dim}")
+      }
+      return VectorSearch.knnJoin(queries, corpus,
+        qIdCol, qEmbCol, cIdCol, cEmbCol, k)
+    }
     val qRows = queries
       .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
       .collect()

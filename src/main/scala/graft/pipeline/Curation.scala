@@ -328,6 +328,21 @@ object Curation {
     * in-session multi-branch re-execution problem the localCheckpoints
     * solved disappears by construction.
     *
+    * A gate is only trusted as committed when its stored RUN FINGERPRINT
+    * matches this invocation's: the fingerprint (written to
+    * `_GRAFT_FINGERPRINT` after the gate's `_SUCCESS`) hashes the
+    * canonicalized logical plans of `docs`/`evalDocs` plus every threshold
+    * parameter, so resuming the same path with different inputs or config
+    * FAILS LOUDLY instead of silently serving stale verdicts (the repo's
+    * misuse standard). Plan-level fingerprinting is metadata-only — no extra
+    * corpus scan — and catches changed source paths/schemas/filters and
+    * changed parameters; it deliberately does NOT catch files mutated
+    * in-place under an identical source path (parquet inputs are immutable
+    * in the intake contract, as everywhere else in [[graft.index.IndexStore]]).
+    * A gate with `_SUCCESS` but no fingerprint (crash between the two
+    * writes, or a pre-fingerprint layout) is treated as uncommitted and
+    * recomputed wholesale — safe, because gates are Overwrite.
+    *
     * Returns the same per-document decision ledger as `q_intake_pipeline`:
     * (id, keep_quality, keep_dedup, contaminated, split, final_keep). */
   def intakeLedger(docs: DataFrame, evalDocs: DataFrame, idCol: String,
@@ -335,13 +350,40 @@ object Curation {
       minQualityPpm: Long, langs: Seq[String],
       trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
     import graft.dedup.Dedup
+    import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val runFp = {
+      val material = Seq(
+        docs.queryExecution.analyzed.canonicalized.toString,
+        evalDocs.queryExecution.analyzed.canonicalized.toString,
+        idCol, textCol, minTokens, maxTokens, minQualityPpm,
+        langs.mkString(","), trainPermille, valPermille).mkString(" ")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(material.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def readSmall(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
     def gate(sub: String)(compute: => DataFrame): DataFrame = {
       val dir = s"$path/$sub"
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+      val fpPath = new Path(s"$dir/_GRAFT_FINGERPRINT")
+      val committed = fs.exists(new Path(s"$dir/_SUCCESS")) && fs.exists(fpPath)
+      if (committed) {
+        val stored = readSmall(fpPath)
+        if (stored != runFp) throw new IllegalStateException(
+          s"intakeLedger gate '$sub' at $dir was committed by a run with " +
+            s"different inputs/parameters (stored fingerprint $stored != " +
+            s"this run's $runFp). Refusing to serve stale verdicts — use a " +
+            "fresh path, or delete the gate directories to recompute.")
+      } else {
         compute.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+        val out = fs.create(fpPath, true)
+        try out.write((runFp + "\n").getBytes("UTF-8")) finally out.close()
+      }
       spark.read.parquet(dir)
     }
     val quality = gate("quality") {

@@ -219,4 +219,37 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(java.nio.file.Files.getLastModifiedTime(fs.resolve("quality/_SUCCESS"))
       === qualityMarkerMtime, "a committed gate must not be recomputed")
   }
+
+  test("intakeLedger refuses to resume a path committed with different params/inputs") {
+    import graft.util.Tables
+    val docs = Tables.documents(spark, Sf0001).where($"doc_id" % 20 =!= 0)
+    val eval = Tables.documents(spark, Sf0001).where($"doc_id" % 20 === 0)
+    val path = java.nio.file.Files.createTempDirectory("intakefp").toString
+    Curation.intakeLedger(docs, eval, "doc_id", "text", path,
+      minTokens = 5, maxTokens = 500, minQualityPpm = 650000L,
+      langs = Seq("en", "es")).collect()
+
+    // changed threshold → stale gates must not be served
+    val exParams = intercept[IllegalStateException] {
+      Curation.intakeLedger(docs, eval, "doc_id", "text", path,
+        minTokens = 10, maxTokens = 500, minQualityPpm = 650000L,
+        langs = Seq("en", "es")).collect()
+    }
+    assert(exParams.getMessage.contains("different inputs/parameters"))
+
+    // changed input relation (different filter → different canonical plan)
+    val exInput = intercept[IllegalStateException] {
+      Curation.intakeLedger(
+        Tables.documents(spark, Sf0001).where($"doc_id" % 10 =!= 0),
+        eval, "doc_id", "text", path,
+        minTokens = 5, maxTokens = 500, minQualityPpm = 650000L,
+        langs = Seq("en", "es")).collect()
+    }
+    assert(exInput.getMessage.contains("different inputs/parameters"))
+
+    // identical rerun still resumes cleanly
+    assert(Curation.intakeLedger(docs, eval, "doc_id", "text", path,
+      minTokens = 5, maxTokens = 500, minQualityPpm = 650000L,
+      langs = Seq("en", "es")).count() > 0)
+  }
 }

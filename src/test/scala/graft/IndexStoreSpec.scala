@@ -188,6 +188,38 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(batchDirs.toSeq === Seq("batch=-1"))
   }
 
+  test("batch appends bootstrap a FRESH index path (no prior save* base)") {
+    import graft.dedup.Dedup
+    // BM25: a stream's first micro-batch onto an empty path must succeed
+    val bm25Dir = Files.createTempDirectory("bm25boot").toString + "/idx"
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").cache()
+    val half1 = docs.where($"doc_id" % 2 === 0)
+    val half2 = docs.where($"doc_id" % 2 === 1)
+    IndexStore.appendBatchBm25(half1, "doc_id", "text", bm25Dir, batchId = 0L)
+    IndexStore.appendBatchBm25(half2, "doc_id", "text", bm25Dir, batchId = 1L)
+    val inc = IndexStore.loadBm25(spark, bm25Dir)
+    val full = TextSearch.buildIndex(docs, "doc_id", "text")
+    assert(inc.numDocs === full.numDocs && inc.avgdl === full.avgdl)
+    assert(TextSearch.search(inc, "fast table scan merge", 10)
+        .as[(Long, Double)].collect().toSeq ===
+      TextSearch.search(full, "fast table scan merge", 10)
+        .as[(Long, Double)].collect().toSeq)
+
+    // sign-LSH twin: first sketch batch onto an empty path
+    val lshDir = Files.createTempDirectory("lshboot").toString + "/idx"
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding").cache()
+    IndexStore.appendBatchSignLsh(embs.where($"vec_id" % 2 === 0),
+      "vec_id", "embedding", 64, lshDir, batchId = 0L)
+    IndexStore.appendBatchSignLsh(embs.where($"vec_id" % 2 === 1),
+      "vec_id", "embedding", 64, lshDir, batchId = 1L)
+    def pairs(banded: org.apache.spark.sql.DataFrame) =
+      Dedup.cosineVerify(Dedup.signLshCandidates(banded),
+          embs, "vec_id", "embedding", threshold = 0.45)
+        .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs(IndexStore.loadSignLsh(spark, lshDir)) ===
+      pairs(Dedup.signLshSketches(embs, "vec_id", "embedding", 64)))
+  }
+
   test("ivf save/load round-trip preserves ann results and probe pruning") {
     val dir = Files.createTempDirectory("ivfidx").toString
     val embs = Tables.embeddings(spark, Sf0001)

@@ -192,6 +192,22 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(FoodFinder.hybrid(tbl, Array(1.0, 0.0), "banana", k = 2).count() === 2)
   }
 
+  test("heterogeneous embedding dims fail loudly at derivation, not arbitrarily") {
+    // a mixed-dim table has no single numDimensions: deriving one from
+    // whichever row comes first would make enforcement partition-order
+    // dependent — the derivation itself must throw instead
+    val docs = Seq(
+      (1L, "apple", Seq(1.0, 0.0)),
+      (2L, "banana", Seq(0.8, 0.6, 0.1)),
+    ).toDF("id", "text", "emb")
+    val tbl = FoodFinder.SearchTable(docs, "id", "emb", "text")
+    val ex = intercept[IllegalArgumentException](tbl.resolvedDim)
+    assert(ex.getMessage.contains("heterogeneous"))
+    // an explicitly declared dim bypasses derivation (caller's contract)
+    val declared = FoodFinder.SearchTable(docs, "id", "emb", "text", dim = Some(2))
+    assert(declared.resolvedDim === Some(2))
+  }
+
   test("sanitize: string ids, double scores, plain-JSON row (R15)") {
     val res = Seq((1L, 0.75)).toDF("id", "score")
     val got = FoodFinder.sanitize(res).head()
