@@ -189,7 +189,7 @@ object Ivf {
     * (they ride the bounded-state aggregator as longs). */
   def knnJoin(index: IvfIndex, queries: DataFrame, corpus: DataFrame,
       qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
-      k: Int, numCandidates: Int): DataFrame = {
+      k: Int, numCandidates: Int, forceRoute: Boolean = false): DataFrame = {
     require(index.metric == "cosine",
       s"knnJoin scores cosine; index was created with similarity '${index.metric}' " +
         "(rebuild with Ivf.build(..., metric = \"cosine\"))")
@@ -200,8 +200,14 @@ object Ivf {
     // numCandidates covers the whole indexed mass, probeSet picks every
     // cluster for every query (its stop condition is mass-based and
     // order-independent), so routing would only rebuild the corpus — run
-    // the exact join directly instead
-    if (numCandidates >= index.sizes.values.sum) {
+    // the exact join directly instead. `forceRoute = true` opts OUT of the
+    // short-circuit: the VERIFICATION mode (q_knn_join_ivf) that runs the
+    // full routed plan — probe pairs, assignments join, fan-out — at a
+    // depth where its output is provably the exact result; exactness then
+    // additionally needs corpus ids ⊆ assignments ids (see the coverage
+    // contract above), which holds trivially when the corpus IS the
+    // indexed table.
+    if (!forceRoute && numCandidates >= index.sizes.values.sum) {
       if (index.dim >= 0) {
         // the DDL dim contract still applies on the exact path (one scan
         // of the bounded batch, not the corpus)

@@ -56,6 +56,70 @@ object Contamination {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** [[ngramOverlap]] with a BLOOM-FILTER prefilter on the eval shingle
+    * set — identical output (the oracle is the same SQL), different scale
+    * envelope.
+    *
+    * The exact path broadcasts the eval set's distinct shingle hashes as a
+    * hash-join relation (~16 B/key + table overhead); fine while the eval
+    * set is benchmark-sized. When the "eval" side grows to e.g. an entire
+    * held-out split — hundreds of millions of shingles — the hash relation
+    * outgrows broadcast, and the left join degrades to shuffling the FULL
+    * exploded training postings. This variant keeps the training side
+    * shuffle-free at any eval size that still fits a bloom:
+    *
+    *   1. n_shingles: a map-side-combinable groupBy of the postings — the
+    *      only full-corpus pass that shuffles anything, and it ships one
+    *      (id, count) partial per map task;
+    *   2. candidates: postings filtered by a driver-built bloom over the
+    *      eval hashes (~1.2 bytes/item at the default 1% fpp — 100× denser
+    *      than a hash relation; [[BloomFilterMightContain]] is the
+    *      codegen'd probe Spark's own runtime row-level filtering uses);
+    *   3. exact verify: only the bloom SURVIVORS (true hits + ~fpp of the
+    *      postings) join against the eval hashes — small enough to shuffle
+    *      both sides, no broadcast requirement — removing every false
+    *      positive, which is what keeps the result hash-identical to
+    *      [[ngramOverlap]].
+    *
+    * The postings are computed twice (once per branch) — deliberate: at
+    * corpus scale, re-scanning source parquet is cheaper than caching a
+    * corpus-sized exploded relation, and branch 2's scan carries the bloom
+    * filter straight into the scan's codegen stage. */
+  def ngramOverlapBloom(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.GraftShim
+    import org.apache.spark.sql.types.BinaryType
+    val trainP = Dedup.shinglePostings(train, idCol, textCol).distinct()
+    val evalShingles = Dedup.shinglePostings(eval, idCol, textCol)
+      .select("h").distinct()
+    val nEval = evalShingles.count()
+    val bloomBytes = {
+      val bf = evalShingles.stat.bloomFilter("h", math.max(nEval, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftShim.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      GraftShim.expression(col("h"))))
+    val counts = trainP.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val hits = trainP.where(mightContain)
+      .join(evalShingles, Seq("h")) // exact verify: false positives drop here
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    train.select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        when(col("n_shingles") > 0,
+          round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
   /** Oracle rendition; `trainTable`/`evalTable` may be table names or
     * parenthesized subqueries producing ($idExpr, $textExpr). */
   def sqlNgramOverlap(trainTable: String, evalTable: String,

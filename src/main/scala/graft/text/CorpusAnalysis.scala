@@ -163,6 +163,73 @@ object CorpusAnalysis {
           .as("top100_coverage"))
   }
 
+  /** CROSS-document duplicate-n-gram profile: for each document, the
+    * fraction of its distinct [[TextAnalysis.ShingleSize]]-token shingles
+    * that also occur in at least one OTHER document —
+    * (id, n_shingles, n_duplicated, dup_ratio). The shingle-granular
+    * rendition of exact-substring dedup profiling (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * profiles corpora by how much of each document is text repeated
+    * elsewhere): [[repetitionStats]] reads WITHIN a document, this reads
+    * ACROSS the corpus, and its `dup_ratio` is the per-doc signal a
+    * curation run thresholds to drop boilerplate-heavy documents that
+    * near-dup pair detection (which needs high whole-doc similarity) never
+    * pairs up.
+    *
+    * Scale shape: postings explode once; doc frequency is a
+    * map-side-combined groupBy on the shingle hash; the postings↔frequency
+    * join is hash-partitioned on that same key, so it reuses the groupBy's
+    * shuffle layout; the per-doc roll-up combines map-side on id. Work and
+    * shuffles are all linear in corpus tokens — no self-join, no pairs, no
+    * quadratic hot-shingle blow-up (a shingle shared by a million docs
+    * contributes one count row here, vs 10^12 pairs in a postings
+    * self-join). Linear at 100 TB where pairwise dedup needs LSH.
+    *
+    * Docs with no shingles (null/empty text) get a clean row:
+    * (0, 0, 0.0) — the [[graft.pipeline.Contamination.ngramOverlap]]
+    * contract. */
+  def dupNgramProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.dedup.Dedup
+    val postings = Dedup.shinglePostings(docs, idCol, textCol).distinct()
+    val docFreq = postings.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    val perDoc = postings.join(docFreq, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_duplicated"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_duplicated"), lit(0L)).as("n_duplicated"))
+      .withColumn("dup_ratio",
+        when(col("n_shingles") > 0,
+          round(col("n_duplicated").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  def sqlDupNgramProfile(docsTable: String, idExpr: String, textExpr: String): String =
+    s"""WITH postings AS (
+       |  SELECT DISTINCT id, ${Text.sqlHash60("sh")} AS h FROM (
+       |    SELECT $idExpr AS id, unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
+       |    FROM $docsTable)
+       |), doc_freq AS (
+       |  SELECT h, count(*) AS ndocs FROM postings GROUP BY 1
+       |), per_doc AS (
+       |  SELECT p.id, count(*) AS n_shingles,
+       |         -- ::BIGINT: DuckDB sum(INTEGER) widens to HUGEINT; Spark emits long
+       |         sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_duplicated
+       |  FROM postings p JOIN doc_freq f USING (h)
+       |  GROUP BY 1
+       |)
+       |SELECT b.id,
+       |       coalesce(d.n_shingles, 0)::BIGINT AS n_shingles,
+       |       coalesce(d.n_duplicated, 0)::BIGINT AS n_duplicated,
+       |       CASE WHEN coalesce(d.n_shingles, 0) > 0
+       |            THEN round(d.n_duplicated::DOUBLE / d.n_shingles, 6)
+       |            ELSE 0.0 END AS dup_ratio
+       |FROM (SELECT $idExpr AS id FROM $docsTable) b
+       |LEFT JOIN per_doc d USING (id)""".stripMargin
+
   def sqlVocabStats(docsTable: String, textExpr: String, topK: Int = 100): String =
     s"""WITH counts AS (
        |  SELECT term, count(*) AS cnt

@@ -58,4 +58,32 @@ class CorpusAnalysisSpec extends AnyFunSuite with SparkTest {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan in:\n$plan")
   }
+
+  test("dupNgramProfile: hand-built cross-doc shares, edge rows clean, no self-join") {
+    // shingle size 3: docs 1 and 2 share exactly the 'one two three'
+    // window; doc 3 repeats doc 1 verbatim (all shingles duplicated);
+    // doc 4 is disjoint; doc 5 too short (whole-text shingle, unique);
+    // doc 6 null text → zero-shingle clean row
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "zero one two three"),
+      (3L, "one two three four"),
+      (4L, "totally different words here"),
+      (5L, "too short"),
+      (6L, null: String),
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalysis.dupNgramProfile(docs, "doc_id", "text")
+    val rows = got.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1L) === ((2L, 2L, 1.0)))      // both shingles shared (with 2 and 3)
+    assert(rows(2L) === ((2L, 1L, 0.5)))      // 'one two three' only
+    assert(rows(3L) === ((2L, 2L, 1.0)))
+    assert(rows(4L) === ((2L, 0L, 0.0)))
+    assert(rows(5L) === ((1L, 0L, 0.0)))
+    assert(rows(6L) === ((0L, 0L, 0.0)))
+    // the plan is aggregation+join shaped — no postings self-join pairs,
+    // no cartesian product (the quadratic trap this operator exists to avoid)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross product:\n$plan")
+  }
 }

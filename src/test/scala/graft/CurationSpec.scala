@@ -93,6 +93,26 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       s"eval shingle set must broadcast:\n$plan")
   }
 
+  test("bloom-prefiltered contamination equals the exact path bit-for-bit") {
+    import graft.pipeline.Contamination
+    import graft.util.Tables
+    val d = Tables.documents(spark, Sf0001)
+    val train = d.where($"doc_id" % 20 =!= 0)
+    val eval = d.where($"doc_id" % 20 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("id").collect().toSeq
+    val exact = rows(Contamination.ngramOverlap(train, eval, "doc_id", "text"))
+    // default fpp, and an absurdly high fpp that guarantees bloom false
+    // positives — the exact verify join must remove every one of them
+    assert(rows(Contamination.ngramOverlapBloom(train, eval, "doc_id", "text")) === exact)
+    assert(rows(Contamination.ngramOverlapBloom(train, eval, "doc_id", "text",
+      fpp = 0.5)) === exact)
+    // the short-doc/null-text edge rows keep the exact path's contract too
+    val toyTrain = Seq((1L, "too short"), (2L, null: String)).toDF("id", "text")
+    val toyEval = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    assert(rows(Contamination.ngramOverlapBloom(toyTrain, toyEval, "id", "text")) ===
+      rows(Contamination.ngramOverlap(toyTrain, toyEval, "id", "text")))
+  }
+
   test("salted two-phase aggregation equals direct aggregation (skew path)") {
     import graft.util.{Skew, Tables}
     val ev = Tables.events(spark, Sf0001)

@@ -42,11 +42,25 @@ class IvfSpec extends AnyFunSuite with SparkTest {
     val exact = VectorSearch.knnJoin(queries, embs,
         "vec_id", "embedding", "vec_id", "embedding", k = 3)
       .orderBy("query_id", "rank").collect().toSeq
-    val routed = Ivf.knnJoin(index, queries, embs,
+    // default exhaustive call SHORT-CIRCUITS: no probe pairs, no
+    // assignments join — the plan is the exact join's plan
+    val routedDf = Ivf.knnJoin(index, queries, embs,
         "vec_id", "embedding", "vec_id", "embedding", k = 3,
         numCandidates = Int.MaxValue)
-      .orderBy("query_id", "rank").collect().toSeq
-    assert(routed === exact)
+      .orderBy("query_id", "rank")
+    assert(!routedDf.queryExecution.optimizedPlan.toString.contains("cluster"),
+      "exhaustive depth must skip the assignments routing entirely")
+    assert(routedDf.collect().toSeq === exact)
+    // forceRoute (the verification mode) runs the FULL routed plan at the
+    // same depth — assignments join and all — and still returns the exact
+    // result (corpus == indexed table, so coverage holds)
+    val forced = Ivf.knnJoin(index, queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        numCandidates = Int.MaxValue, forceRoute = true)
+      .orderBy("query_id", "rank")
+    assert(forced.queryExecution.optimizedPlan.toString.contains("cluster"),
+      "forceRoute must keep the assignments routing in the plan")
+    assert(forced.collect().toSeq === exact)
   }
 
   test("IVF-routed batch kNN join: sub-exhaustive probe keeps recall, scans a fraction") {

@@ -96,6 +96,19 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected bucket IN (...) partition pruning on the postings scan:\n$plan")
   }
 
+  test("persisted IVF probe partition-prunes assignments to the probed clusters") {
+    // the on-disk inverted-file story end-to-end: a sub-exhaustive probe's
+    // plan must show PartitionFilters on `cluster` for the assignments
+    // parquet — at 100 TB a probe reads the probed clusters' directories,
+    // never the whole assignments table
+    val plan = planString(SparkEntry.queries("q_ann_ivf_idx")(spark, Sf0001))
+    val assignScan = plan.linesIterator
+      .find(l => l.contains("assignments") && l.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(assignScan.matches(".*PartitionFilters: \\[[^\\]]*cluster[^\\]]* IN(SET)? .*"),
+      s"expected cluster IN (...) partition pruning on the assignments scan:\n$plan")
+  }
+
   test("codegen'd similarity stays inside WholeStageCodegen") {
     val e = Tables.embeddings(spark, Sf0001)
     val scored = e.select(graft.functions.Vectors.score("cosine",
