@@ -304,15 +304,37 @@ object IndexStore {
   }
 
   // ------------------------------------------------------------------- IVF
+  //
+  // On-disk layout follows the BM25/sign-LSH batch pattern — per batch
+  // (base build = -1, streaming micro-batches = their foreachBatch id):
+  //
+  //   assignments/batch=N/cluster=M/  (id)              — per-batch members
+  //   sizes/batch=N/                  (cluster, size)   — per-batch size
+  //                                     DELTA, written last = COMMIT MARKER
+  //   centroids/                      (cluster, centroid) — train-time only
+  //   meta/                           (metric, dim)       — DDL contract
+  //
+  // Same crash contract as the other two: a batch dynamically OVERWRITES
+  // its own partitions and the sizes marker commits last, so a foreachBatch
+  // retry at any crash point converges and a concurrent reader sees only
+  // committed batches. One asymmetry is inherent: an IVF append ASSIGNS to
+  // the trained centroids (new vectors join their nearest cell — the
+  // standard IVF insert), so a saveIvf base is a REQUIRED bootstrap; there
+  // is no meaningful empty-path first batch (appendBatchIvf fails loudly
+  // without centroids). Centroid drift under sustained appends is handled
+  // the way every IVF deployment handles it: periodic offline re-train
+  // (Ivf.build + saveIvf), not incremental centroid updates.
 
   def saveIvf(index: Ivf.IvfIndex, path: String): Unit = {
-    index.assignments.write.mode(SaveMode.Overwrite).partitionBy("cluster")
-      .parquet(s"$path/assignments")
     val spark = index.assignments.sparkSession
     import spark.implicits._
+    index.assignments
+      .withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "cluster")
+      .parquet(s"$path/assignments")
     index.centroids.toSeq
-      .map { case (cid, c) => (cid, c.toSeq, index.sizes.getOrElse(cid, 0L)) }
-      .toDF("cluster", "centroid", "size")
+      .map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cluster", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
     // DDL-time contract (reference `indexes.py:28-31,64`): similarity and
     // numDimensions are properties of the INDEX, persisted with it and
@@ -320,15 +342,98 @@ object IndexStore {
     Seq((index.metric, index.dim))
       .toDF("metric", "dim")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    index.sizes.toSeq.map { case (cid, n) => (cid, n, -1L) }
+      .toDF("cluster", "size", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$path/sizes")
   }
 
+  /** Assign one micro-batch of NEW vectors (R17 skip-existing contract) to
+    * their nearest trained centroid and append them to a persisted IVF
+    * index. Work ∝ batch × numClusters (the standard IVF insert cost) —
+    * the corpus-sized assignments table is never rescanned. Idempotent at
+    * every crash point (layout comment above). */
+  def appendBatchIvf(batch: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")),
+      s"no trained IVF base at $path — appendBatchIvf assigns to existing " +
+        "centroids; bootstrap with Ivf.build + IndexStore.saveIvf first")
+    if (committedBatches(spark, s"$path/sizes").contains(batchId)) return
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+    val assigned = Ivf.assignToNearest(
+        batch.select(col(idCol).as("id"), col(embCol).as("__emb")),
+        "__emb", centroids, dim)
+      .select(col("id"), col("cluster"))
+    assigned
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cluster")
+      .parquet(s"$path/assignments")
+    assigned.groupBy("cluster").agg(count(lit(1)).as("size"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/sizes")
+  }
+
+  /** Streaming index upkeep for the vector index — the IVF member of the
+    * [[streamIntoBm25]]/[[streamIntoSignLsh]] family: incoming vectors are
+    * assigned to their nearest cell as they arrive; each completed batch is
+    * immediately visible to the next [[loadIvf]]. */
+  def streamIntoIvf(embs: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchIvf(b, idCol, embCol, path, id)
+      }
+      .start()
+
+  /** Consistent snapshot at the latest commit markers (same contract as
+    * [[loadBm25]]): only committed batches' assignments are visible, and
+    * cluster sizes are the merged per-batch deltas — so probe-depth math
+    * (`probeSet`'s mass accumulation) counts appended vectors too. */
   def loadIvf(spark: SparkSession, path: String): Ivf.IvfIndex = {
-    val meta = spark.read.parquet(s"$path/centroids").collect()
+    val batches = committedBatches(spark, s"$path/sizes")
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val sizes = spark.read.parquet(s"$path/sizes")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .groupBy("cluster").agg(sum(col("size")).as("size")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ddl = spark.read.parquet(s"$path/meta").head()
     Ivf.IvfIndex(
-      spark.read.parquet(s"$path/assignments"),
-      meta.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap,
-      meta.map(r => r.getInt(0) -> r.getLong(2)).toMap,
+      spark.read.parquet(s"$path/assignments")
+        .where(col("batch").cast("long").isin(batches: _*)).drop("batch"),
+      centroids, sizes,
       ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"))
+  }
+
+  /** Fold every committed batch back into a single base partition — same
+    * maintenance contract (and offline-window caveat) as [[compactBm25]].
+    * Folding does NOT re-train centroids; that is a fresh `Ivf.build`. */
+  def compactIvf(spark: SparkSession, path: String): Unit = {
+    val snapshot = loadIvf(spark, path)
+    val staged = s"$path/.compact"
+    saveIvf(snapshot, staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq("assignments", "centroids", "meta", "sizes")) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
+        new org.apache.hadoop.fs.Path(s"$path/$d"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
   }
 }

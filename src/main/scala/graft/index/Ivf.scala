@@ -80,6 +80,37 @@ object Ivf {
     IvfIndex(assignments, centroids, sizes, metric, dim)
   }
 
+  /** Assign each row's vector to its nearest trained centroid (squared-L2,
+    * the same geometry KMeans assigned the base members with): adds an
+    * integer `cluster` column. The batch-side half of the incremental
+    * index upkeep ([[IndexStore.appendBatchIvf]]) — work ∝ rows ×
+    * numClusters × dim, centroids ride a broadcast variable.
+    *
+    * A Scala UDF is the right tool here (repo-wide "functions, not UDFs"
+    * notwithstanding): the argmin over k centroid arrays has no built-in
+    * rendition short of exploding rows × k pairs through a join, and this
+    * runs on micro-BATCHES, never on the corpus. */
+  def assignToNearest(df: DataFrame, embCol: String,
+      centroids: Map[Int, Array[Double]], dim: Int): DataFrame = {
+    require(centroids.nonEmpty, "cannot assign against zero centroids")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids.toArray.sortBy(_._1))
+    val assign = udf { (v: Seq[Double]) =>
+      require(dim < 0 || v.length == dim,
+        s"vector dimension ${v.length} != index numDimensions $dim")
+      val arr = v.toArray
+      var bestId = bc.value.head._1
+      var bestD = Double.MaxValue
+      for ((cid, c) <- bc.value) {
+        var s = 0.0; var i = 0
+        while (i < c.length) { val d = c(i) - arr(i); s += d * d; i += 1 }
+        if (s < bestD || (s == bestD && cid < bestId)) { bestD = s; bestId = cid }
+      }
+      bestId
+    }
+    df.withColumn("cluster", assign(col(embCol).cast("array<double>")))
+  }
+
   /** Clusters to probe for `queryVec`, nearest-centroid first, until the
     * cumulative member count reaches numCandidates. */
   def probeSet(index: IvfIndex, queryVec: Array[Double], numCandidates: Int): Seq[Int] = {

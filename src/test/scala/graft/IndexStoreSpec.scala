@@ -234,10 +234,72 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       .select("vec_id").as[Long].collect().toSeq
     assert(a === b)
     // partition pruning: reading one cluster must scan only its directory
+    // (batch is the outer partition column now, so it appears first)
     val one = loaded.assignments.where(org.apache.spark.sql.functions.col("cluster") === 0)
     val plan = one.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(cluster"),
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*\\(cluster[^\\]]* = 0\\).*"),
       s"expected cluster partition filter in:\n$plan")
+  }
+
+  test("ivf batch appends: nearest-cell assignment, crash-replay idempotent, compacts") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ivfinc").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").cache()
+    val base = embs.where($"vec_id" % 3 === 0)
+    val b0 = embs.where($"vec_id" % 3 === 1)
+    val b1 = embs.where($"vec_id" % 3 === 2)
+
+    // append before any base must fail loudly — assignment needs centroids
+    val ex = intercept[IllegalArgumentException] {
+      IndexStore.appendBatchIvf(b0, "vec_id", "embedding",
+        Files.createTempDirectory("ivfboot").toString + "/idx", 0L)
+    }
+    assert(ex.getMessage.contains("no trained IVF base"))
+
+    val built = Ivf.build(base, "vec_id", "embedding")
+    IndexStore.saveIvf(built, dir)
+    IndexStore.appendBatchIvf(b0, "vec_id", "embedding", dir, batchId = 0L)
+    IndexStore.appendBatchIvf(b1, "vec_id", "embedding", dir, batchId = 1L)
+    // replay of a committed batch is a no-op
+    IndexStore.appendBatchIvf(b0, "vec_id", "embedding", dir, batchId = 0L)
+
+    val inc = IndexStore.loadIvf(spark, dir)
+    // every vector indexed exactly once; sizes are the merged deltas and
+    // agree with the assignment table (probe-mass math counts appends)
+    assert(inc.assignments.count() === embs.count())
+    assert(inc.assignments.select("id").distinct().count() === embs.count())
+    assert(inc.sizes.values.sum === embs.count())
+    val fromTable = inc.assignments.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(inc.sizes === fromTable)
+    // appended members went to their NEAREST trained centroid
+    val appended = inc.assignments
+      .join(b0.union(b1), col("id") === col("vec_id"))
+      .select("vec_id", "cluster", "embedding")
+      .collect()
+    appended.foreach { r =>
+      val v = r.getSeq[Double](2).toArray
+      val nearest = built.centroids.minBy { case (cid, c) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }._1
+      assert(r.getInt(1) === nearest,
+        s"vec ${r.getLong(0)} assigned ${r.getInt(1)}, nearest is $nearest")
+    }
+    // exhaustive ann over the appended index finds appended vectors
+    val query = b0.limit(1).select("embedding").head().getSeq[Double](0).toArray
+    val top = Ivf.ann(inc, embs, "vec_id", "embedding", query, 1, Int.MaxValue)
+      .select("vec_id").head().getLong(0)
+    assert(b0.where($"vec_id" === top).count() === 1)
+
+    // compaction folds the 3 batches into one base partition, same answers
+    IndexStore.compactIvf(spark, dir)
+    val compacted = IndexStore.loadIvf(spark, dir)
+    assert(compacted.sizes === inc.sizes)
+    assert(compacted.assignments.count() === embs.count())
+    val batchDirs = new java.io.File(s"$dir/assignments").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs.toSeq === Seq("batch=-1"))
   }
 
   test("ivf DDL metadata (metric, dim) round-trips and is enforced at probe") {
