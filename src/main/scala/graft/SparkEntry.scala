@@ -224,6 +224,18 @@ object SparkEntry {
     PiiScrub.scrub(augmented, "doc_id", "text").orderBy("id")
   }
 
+  /** Per-source corpus statistics through the SKEW-SAFE salted aggregation
+    * ([[graft.util.Skew.saltedSumCount]]): phase 1 spreads each source over
+    * 16 salted sub-groups, phase 2 merges 16 partials per source — the
+    * plan a 100 TB corpus with one dominant source (the usual web-crawl
+    * shape) needs, declared at the gate because the salted result is
+    * provably identical to the direct groupBy (the oracle IS the direct
+    * SQL). */
+  private def qSourceStats(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Skew.saltedSumCount(
+        Tables.documents(spark, dir), "source", "n_chars", col("doc_id"))
+      .orderBy("source")
+
   /** North-star language-ID: marker-ratio argmax per document. */
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -906,6 +918,7 @@ object SparkEntry {
     "q_vocab_stats" -> ((s, dir) => qVocabStats(s, dir)),
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
     "q_pii_scrub" -> ((s, dir) => qPiiScrub(s, dir)),
+    "q_source_stats" -> ((s, dir) => qSourceStats(s, dir)),
     "q_langid" -> ((s, dir) => qLangId(s, dir)),
     "q_fingerprint" -> ((s, dir) => qFingerprint(s, dir)),
     "q_dedup_exact" -> ((s, dir) => qDedupExact(s, dir)),
@@ -1047,6 +1060,11 @@ object SparkEntry {
     "q_dup_ngram_profile" ->
       (CorpusAnalysis.sqlDupNgramProfile("documents", "doc_id", "text") +
         "\nORDER BY id"),
+    // direct groupBy SQL: the salted two-phase plan must produce the
+    // identical relation (that equivalence is the operator's contract)
+    "q_source_stats" ->
+      """SELECT source, sum(n_chars)::BIGINT AS sum_n_chars, count(*)::BIGINT AS n
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // NB: single-line subquery — sqlScrub stripMargins its interpolated
     // template, which would eat a leading `||`'s first pipe
     "q_pii_scrub" ->

@@ -618,6 +618,71 @@ object Dedup {
       embs, idCol, embCol, threshold)
   }
 
+  /** Hard cap on the per-cluster member count [[semanticPairs]] accepts:
+    * within-cluster scoring is all-pairs by design (size²/2 dots per
+    * cluster), so one runaway cluster is a quadratic blow-up exactly like
+    * a hot shingle in [[jaccardPairs]]. 16k members ≈ 134M pairs per
+    * cluster — heavy but partition-parallel; anything larger means the
+    * index was built with too few clusters for this corpus (rebuild with
+    * a larger k — SemDeDup runs with clusters of ~10³-10⁴ members). */
+  val SemanticMaxClusterSize = 16384L
+
+  /** SemDeDup-style cluster-scoped semantic near-dup pairs (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): restrict pairwise cosine comparison to vectors that
+    * share an IVF cell, where semantic duplicates concentrate —
+    * (id1 < id2, sim ≥ threshold), same output shape as [[cosinePairs]].
+    * Compose with [[components]] + keep-min for the dedup decision, exactly
+    * like the LSH pair sources.
+    *
+    * This is the LOW-threshold complement to the sign-LSH path: banding
+    * prunes well only when the threshold's bit-agreement probability sits
+    * far above the bulk pair distribution (see [[signLshCandidates]]'s
+    * honest scale note), so "semantic" dedup at sim ≈ 0.5-0.7 — where LSH
+    * candidates approach all pairs — scopes by cluster instead and pays
+    * Σ_c size_c²/2 dots, a ~1/numClusters fraction of the brute quadratic
+    * when the index is built at the usual k ≈ √N.
+    *
+    * Approximate BY DESIGN: cross-cluster pairs are unreported (that loss
+    * is SemDeDup's documented trade), and the cluster geometry comes from
+    * KMeans — not SQL-reproducible, so this operator is spec-verified
+    * (DedupSpec: single-cluster degenerate equals [[cosinePairs]] exactly;
+    * multi-cluster pairs are a subset with identical sims and measured
+    * recall) rather than oracle-gated; the oracle-gated near-dup paths
+    * remain [[cosinePairsLsh]] / [[minhashPairs]].
+    *
+    * Scale shape: embeddings ⋈ assignments on id (co-partitioned away at
+    * scale by writing assignments bucketed with the base table), then a
+    * single-key equi-self-join on `cluster` — shuffle-partitioned by
+    * cluster, partition-local pair generation, no CartesianProduct. The
+    * per-cluster guard is driver-side arithmetic over the index's size
+    * map; `force = true` is the documented escape hatch. */
+  def semanticPairs(index: graft.index.Ivf.IvfIndex, embs: DataFrame,
+      idCol: String, embCol: String, threshold: Double,
+      force: Boolean = false): DataFrame = {
+    if (!force) {
+      val (hotCluster, hotSize) =
+        if (index.sizes.isEmpty) (-1, 0L) else index.sizes.maxBy(_._2)
+      require(hotSize <= SemanticMaxClusterSize,
+        s"cluster $hotCluster has $hotSize members (> $SemanticMaxClusterSize): " +
+          "within-cluster scoring is quadratic per cluster — rebuild the index " +
+          "with more clusters, or pass force = true")
+    }
+    val m = embs
+      .select(col(idCol).as("id"), col(embCol).as("v"),
+        Vectors.l2norm(col(embCol)).as("nrm"))
+      .join(index.assignments.select(col("id"), col("cluster")), "id")
+    val a = m.select(col("cluster"), col("id").as("id1"),
+      col("v").as("v1"), col("nrm").as("nrm1"))
+    val b = m.select(col("cluster"), col("id").as("id2"),
+      col("v").as("v2"), col("nrm").as("nrm2"))
+    a.join(b, Seq("cluster")).where(col("id1") < col("id2"))
+      .withColumn("sim",
+        round(Vectors.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6))
+      .where(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+
   /** Cosine-verified near-dup over a SPARSE (id, dim, val) embedding
     * relation (e.g. [[graft.embed.EmbedJob.embedRelational]]'s output,
     * already L2-normalized), restricted to a candidate pair set: pairwise

@@ -181,4 +181,41 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("semanticPairs: single-cluster degenerate equals brute pairs; clusters scope") {
+    import graft.index.Ivf
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val n = embs.count()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val brute = pairs(Dedup.cosinePairs(embs, "vec_id", "embedding", 0.45))
+
+    // degenerate single-cluster index: all pairs share the cell, so the
+    // cluster-scoped join must reproduce the brute result exactly
+    val oneCell = Ivf.IvfIndex(
+      embs.select(col("vec_id").as("id"), lit(0).as("cluster")),
+      Map(0 -> Array.fill(64)(0.0)), Map(0 -> n), "cosine", 64)
+    assert(pairs(Dedup.semanticPairs(oneCell, embs, "vec_id", "embedding", 0.45))
+      === brute)
+
+    // real multi-cluster index: a SUBSET of brute pairs with identical
+    // sims (cross-cluster pairs are the documented loss), nonempty at
+    // this threshold, via a cluster equi-join (never a cartesian product)
+    val idx = Ivf.build(embs, "vec_id", "embedding")
+    val semDf = Dedup.semanticPairs(idx, embs, "vec_id", "embedding", 0.45)
+    assert(!semDf.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val sem = pairs(semDf)
+    assert(sem.nonEmpty)
+    assert(sem.toSet.subsetOf(brute.toSet),
+      "cluster-scoped pairs must be brute pairs (same rounded sims)")
+
+    // runaway-cluster guard: loud failure, force overrides
+    val hot = oneCell.copy(sizes = Map(0 -> (Dedup.SemanticMaxClusterSize + 1)))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.semanticPairs(hot, embs, "vec_id", "embedding", 0.45)
+    }
+    assert(ex.getMessage.contains("quadratic"))
+    assert(pairs(Dedup.semanticPairs(hot, embs, "vec_id", "embedding", 0.45,
+      force = true)) === brute)
+  }
 }
