@@ -150,6 +150,17 @@ object SparkEntry {
         index = Some(corpusBm25(spark, dir)))
       .withColumnRenamed("id", "doc_id")
 
+  /** Hybrid with RANK fusion (`$rankFusion`, the rank-based sibling of the
+    * reference's `$scoreFusion`): identical branches and filter placement
+    * as q_hybrid, combination = Σ 1/(60 + rank_p) over the pipelines that
+    * returned the doc. */
+  private def qHybridRrf(spark: SparkSession, dir: String): DataFrame =
+    FoodFinder
+      .hybridRankFusion(searchTable(spark, dir), flagshipQueryVec, flagshipQueryText,
+        k = 5, filter = Some(col("lang") === "en"),
+        index = Some(corpusBm25(spark, dir)))
+      .withColumnRenamed("id", "doc_id")
+
   /** R1 unwind/flatten: nested (collect_list) → exploded back flat —
     * the catalog→product_detail ETL exercised on orders⋈lineitem. */
   private def qFlatten(spark: SparkSession, dir: String): DataFrame = {
@@ -912,6 +923,7 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => qBm25(s, dir)),
     "q_fulltext_postfilter" -> ((s, dir) => qFulltextPostfilter(s, dir)),
     "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
+    "q_hybrid_rrf" -> ((s, dir) => qHybridRrf(s, dir)),
     "q_flatten" -> ((s, dir) => qFlatten(s, dir)),
     "q_text_stats" -> ((s, dir) => qTextStats(s, dir)),
     "q_repetition" -> ((s, dir) => qRepetition(s, dir)),
@@ -1013,6 +1025,25 @@ object SparkEntry {
          |)
          |SELECT f.doc_id, f.score, f.vec_norm, f.vec_raw, f.txt_norm, f.txt_raw
          |FROM fused f JOIN documents d ON f.doc_id = d.doc_id
+         |WHERE d.lang = 'en'
+         |ORDER BY f.score DESC, f.doc_id ASC LIMIT 5""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH $bm25CorpusCtes, $vecBranchCte,
+         |vrank AS (
+         |  SELECT id, row_number() OVER (ORDER BY vec_raw DESC, id ASC)::INTEGER AS vec_rank
+         |  FROM vecb
+         |), trank AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC)::INTEGER AS txt_rank
+         |  FROM bm25
+         |), fusedr AS (
+         |  SELECT coalesce(v.id, t.id) AS doc_id,
+         |         round(coalesce(1.0 / (60 + v.vec_rank), 0.0)
+         |               + coalesce(1.0 / (60 + t.txt_rank), 0.0), 6) AS score,
+         |         v.vec_rank, t.txt_rank
+         |  FROM vrank v FULL OUTER JOIN trank t ON v.id = t.id
+         |)
+         |SELECT f.doc_id, f.score, f.vec_rank, f.txt_rank
+         |FROM fusedr f JOIN documents d ON f.doc_id = d.doc_id
          |WHERE d.lang = 'en'
          |ORDER BY f.score DESC, f.doc_id ASC LIMIT 5""".stripMargin,
     "q_flatten" ->

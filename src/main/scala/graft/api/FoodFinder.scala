@@ -120,6 +120,20 @@ object FoodFinder {
     if (nestedDetails) ScoreFusion.nestScoreDetails(fused) else fused
   }
 
+  /** Hybrid mode with RANK fusion ([[ScoreFusion.rrf]]) instead of score
+    * fusion — the `$rankFusion` rendition of [[hybrid]]: same branch
+    * construction (pre-filtered vector top-k + unfiltered full-text), same
+    * post-filter + trailing-limit placement (SURVEY §4.1), only the
+    * combination rule differs. Returns (id, score, vec_rank, txt_rank). */
+  def hybridRankFusion(tbl: SearchTable, queryVec: Array[Double], queryText: String, k: Int,
+      filter: Option[Column] = None, metric: String = "cosine",
+      index: Option[TextSearch.Bm25Index] = None): DataFrame = {
+    val vecBranch = vector(tbl, queryVec, k, filter, metric)
+    val txtBranch = TextSearch.search(
+      index.getOrElse(TextSearch.buildIndex(tbl.df, tbl.idCol, tbl.textCol)), queryText)
+    postFilterLimit(tbl, ScoreFusion.rrf(vecBranch, txtBranch), filter, k)
+  }
+
   /** R15 result sanitization (`backend/api.py:53-81`): ids as strings,
     * scores as doubles, the whole row as a plain-JSON column — the shape
     * the reference's API layer emits. */

@@ -61,6 +61,55 @@ object ScoreFusion {
       .orderBy(col("score").desc, col("id").asc)
   }
 
+  /** Reciprocal-rank fusion — the rank-based sibling of [[fuse]]. Atlas
+    * ships this as `$rankFusion` alongside the `$scoreFusion` the reference
+    * pins (`backend/api.py:208`); the two stages share the same two-pipeline
+    * hybrid contract, so a reference user switching their pipeline spec from
+    * score- to rank-normalization lands here with the same inputs.
+    *
+    * Semantics: each pipeline's results are ranked 1..n by
+    * (score DESC, id ASC); a document contributes `w_p / (k0 + rank_p)` per
+    * pipeline it appears in and NOTHING for a pipeline that missed it (the
+    * same absent ≠ zero-score rule as [[fuse]]'s coalesce). k0 = 60 is the
+    * constant from the original RRF paper (Cormack/Clarke/Buettcher 2009)
+    * and Atlas's default; weights default to 1 like `$rankFusion`'s
+    * `combination.weights`.
+    *
+    * Rank assignment is a single-partition `row_number` window — deliberate
+    * and bounded, not an accident: both inputs are ALREADY reduced relations
+    * (a top-k and the postings of a handful of query terms — the same
+    * boundedness argument that lets [[fuse]] broadcast its outer join), so
+    * the window sorts thousands of rows, never the corpus. Rank semantics
+    * are inherently global per pipeline; a partitioned window would change
+    * the answer, not just the plan.
+    *
+    * @return (id, score, vec_rank, txt_rank) ranked score DESC, id ASC —
+    *         rank columns are null for the pipeline that missed the doc
+    *         (the rank-fusion rendition of R13's per-pipeline details). */
+  def rrf(
+      vec: DataFrame,
+      txt: DataFrame,
+      k0: Int = 60,
+      vecWeight: Double = 1.0,
+      txtWeight: Double = 1.0): DataFrame = {
+    require(k0 > 0, s"rrf constant k0 must be positive, got $k0")
+    val byScore = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id").asc)
+    val v = vec.select(col("id").as("vid"),
+      row_number().over(byScore).as("vec_rank"))
+    val t = txt.select(col("id").as("tid"),
+      row_number().over(byScore).as("txt_rank"))
+    v.join(t, v("vid") === t("tid"), "full_outer")
+      .select(
+        coalesce(col("vid"), col("tid")).as("id"),
+        round(
+          lit(vecWeight) * coalesce(lit(1.0) / (lit(k0) + col("vec_rank")), lit(0.0)) +
+            lit(txtWeight) * coalesce(lit(1.0) / (lit(k0) + col("txt_rank")), lit(0.0)),
+          ScoreDecimals).as("score"),
+        col("vec_rank"), col("txt_rank"))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   /** R13 full shape parity: re-nest the flattened detail columns into the
     * reference's `scoreDetails` struct —
     * `{value, details: [{inputPipelineName, value, inputPipelineRawScore}]}`

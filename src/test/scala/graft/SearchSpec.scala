@@ -155,6 +155,29 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(got(1L) - math.rint((10 * sig(1.0) + sig(0.5)) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("rrf: reciprocal ranks sum; a missing pipeline contributes 0, rank ties break on id") {
+    // vec ranks: id 3 (score .9) → 1, id 1 (.5) → 2, id 2 (.5, tie → id ASC) → 3
+    val vec = Seq((1L, 0.5), (2L, 0.5), (3L, 0.9)).toDF("id", "score")
+    // txt ranks: id 2 → 1, id 4 → 2 (id 4 absent from vec)
+    val txt = Seq((2L, 7.0), (4L, 1.0)).toDF("id", "score")
+    val got = ScoreFusion.rrf(vec, txt)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(3L) === ((r6(1.0 / 61), Some(1), None)))
+    assert(got(1L) === ((r6(1.0 / 62), Some(2), None)))
+    assert(got(2L) === ((r6(1.0 / 63 + 1.0 / 61), Some(3), Some(1))))
+    assert(got(4L) === ((r6(1.0 / 62), None, Some(2))))
+  }
+
+  test("rrf: pipeline weights scale each pipeline's contribution") {
+    val vec = Seq((1L, 1.0)).toDF("id", "score")
+    val txt = Seq((1L, 1.0)).toDF("id", "score")
+    val got = ScoreFusion.rrf(vec, txt, vecWeight = 10.0, txtWeight = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - math.rint((10.0 / 61 + 2.0 / 61) * 1e6) / 1e6) < 1e-9)
+  }
+
   test("mode validation mirrors the reference's request checks") {
     assertThrows[IllegalArgumentException](FoodFinder.validate("bogus", None, None, 5))
     assertThrows[IllegalArgumentException](FoodFinder.validate("vector", None, None, 5))
