@@ -11,7 +11,7 @@ import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
 import graft.search.{TextSearch, VectorSearch}
 import graft.streaming.EventStreams
-import graft.text.{CorpusAnalysis, PiiScrub, TextAnalysis}
+import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
 import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -207,6 +207,15 @@ object SparkEntry {
     * hapax count, token-mass share of the 100-term head. */
   private def qVocabStats(spark: SparkSession, dir: String): DataFrame =
     CorpusAnalysis.vocabStats(Tables.documents(spark, dir), "text")
+
+  /** North-star LM-perplexity quality scoring (CCNet-shape): corpus
+    * self-perplexity under an add-one bigram LM — outlier docs (unusual
+    * token sequences) surface with high ppl. Train-on-A/score-B is the same
+    * operator with a different train corpus (LanguageModelSpec). */
+  private def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    LanguageModel.selfScore(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
 
   /** North-star cross-document duplicate-n-gram profile: per document, the
     * share of its distinct shingles repeated elsewhere in the corpus — the
@@ -928,6 +937,7 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) => qTextStats(s, dir)),
     "q_repetition" -> ((s, dir) => qRepetition(s, dir)),
     "q_vocab_stats" -> ((s, dir) => qVocabStats(s, dir)),
+    "q_lm_score" -> ((s, dir) => qLmScore(s, dir)),
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
     "q_pii_scrub" -> ((s, dir) => qPiiScrub(s, dir)),
     "q_source_stats" -> ((s, dir) => qSourceStats(s, dir)),
@@ -1088,6 +1098,10 @@ object SparkEntry {
         "\nORDER BY id"),
     "q_vocab_stats" ->
       CorpusAnalysis.sqlVocabStats("documents", "text"),
+    "q_lm_score" ->
+      s"""WITH ${LanguageModel.sqlSelfScoreCtes("documents", "doc_id", "text")}
+         |SELECT id AS doc_id, lm_nlp, ppl, n_bigrams
+         |FROM lmscore ORDER BY doc_id""".stripMargin,
     "q_dup_ngram_profile" ->
       (CorpusAnalysis.sqlDupNgramProfile("documents", "doc_id", "text") +
         "\nORDER BY id"),
