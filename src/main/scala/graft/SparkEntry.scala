@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.embed.{EmbedJob, Embedder}
 import graft.etl.Flatten
 import graft.functions.{Text, Vectors}
-import graft.index.{IndexStore, Ivf}
+import graft.index.{IndexStore, Ivf, Pq}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
@@ -692,6 +692,46 @@ object SparkEntry {
       .select("vec_id", "score")
   }
 
+  /** The PQ index, built once per (session, sfDir) — offline DDL lifecycle,
+    * same as [[corpusIvf]]. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Pq.PqIndex]
+  private def corpusPq(spark: SparkSession, dir: String): Pq.PqIndex =
+    pqCache.getOrElseUpdate((spark, dir), {
+      val idx = Pq.build(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      idx.copy(codes = idx.codes.cache())
+    })
+
+  /** Product-quantized ANN in its oracle-checkable mode: the full
+    * ADC→candidates→exact-re-rank plan (`forceRerank = true`, the
+    * [[qKnnJoinIvf]] verification pattern) at exhaustive overfetch, where
+    * the candidate set is the whole corpus and the re-rank IS the exact
+    * search — so the exact-kNN SQL stays a valid oracle while the ADC scan,
+    * the top-overfetch, and the candidate semi-join all execute.
+    * Sub-exhaustive recall and the 32× compression story are PqSpec-tested
+    * (codebook geometry is not SQL-reproducible). */
+  private def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Pq.ann(corpusPq(spark, dir), e, "vec_id", "embedding", flagshipQueryVec,
+        k = 10, overfetch = Int.MaxValue, forceRerank = true)
+      .select("vec_id", "score")
+  }
+
+  /** IVF-PQ composed ANN (the Faiss `IndexIVFPQ` architecture: cluster
+    * probe picks WHICH rows, ADC codes score them WITHOUT touching float
+    * vectors, exact re-rank reads full vectors for survivors only) in its
+    * oracle-checkable forced-exhaustive mode — probe covers every cluster
+    * and overfetch covers every member, so the composed plan's output is
+    * provably the exact top-k while the member join, ADC scan, and
+    * candidate semi-join all execute. */
+  private def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Pq.annIvf(corpusIvf(spark, dir), corpusPq(spark, dir), e,
+        "vec_id", "embedding", flagshipQueryVec, k = 10,
+        numCandidates = Int.MaxValue, overfetch = Int.MaxValue, forceRerank = true)
+      .select("vec_id", "score")
+  }
+
   /** Index-backed IVF ANN: same top-k as [[qAnnIvf]], but probed against
     * the PERSISTED on-disk index at SUB-exhaustive depth — the vector twin
     * of [[qBm25Idx]]: the plan scans only the probed clusters' partitions of
@@ -955,6 +995,8 @@ object SparkEntry {
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
     "q_neardup_cosine_idx" -> ((s, dir) => qNeardupCosineIdx(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
+    "q_ann_pq" -> ((s, dir) => qAnnPq(s, dir)),
+    "q_ann_ivfpq" -> ((s, dir) => qAnnIvfPq(s, dir)),
     "q_ann_ivf_idx" -> ((s, dir) => qAnnIvfIdx(s, dir)),
     "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
@@ -1139,6 +1181,22 @@ object SparkEntry {
          |       ${TextAnalysis.sqlFingerprintMax("text")} AS fp_max
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ann_ivf" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_pq" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivfpq" ->
       s"""WITH scored AS (
          |  SELECT vec_id,
          |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score

@@ -436,4 +436,41 @@ object IndexStore {
     }
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
   }
+
+  // -------------------------------------------------------------------- PQ
+  //
+  // On-disk layout (no partitioning on codes: an ADC probe scans the WHOLE
+  // codes table by design — it is the 32×-compressed stand-in for the
+  // vector column, ~m bytes/vector; narrowing which rows get scanned is
+  // [[Ivf]]'s job, composable via Pq.ann's candidate routing):
+  //
+  //   codes/      (id, codes array<int>[m])
+  //   codebooks/  (subspace, code, centroid array<double>[dim/m])
+  //   meta/       (metric, dim, n)  — DDL contract, written LAST (marker)
+
+  def savePq(index: Pq.PqIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    index.codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) } }
+      .toSeq.toDF("subspace", "code", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    Seq((index.metric, index.dim, index.n)).toDF("metric", "dim", "n")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  def loadPq(spark: SparkSession, path: String): Pq.PqIndex = {
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = Array.tabulate(m) { j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+    val ddl = spark.read.parquet(s"$path/meta").head()
+    Pq.PqIndex(
+      spark.read.parquet(s"$path/codes"),
+      codebooks,
+      ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"), ddl.getAs[Long]("n"))
+  }
 }
