@@ -732,6 +732,47 @@ object SparkEntry {
       .select("vec_id", "score")
   }
 
+  /** The DISK-persisted PQ index, written once per (session, sfDir) via
+    * [[IndexStore.savePq]] — the compressed-vector twin of [[corpusIvfDisk]]:
+    * probes against it scan the m-byte codes parquet (the 32×-compressed
+    * stand-in for the vector column), touching float vectors only for the
+    * overfetch re-rank. */
+  private val pqDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusPqDisk(spark: SparkSession, dir: String): Pq.PqIndex = {
+    val path = pqDiskBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_pq_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      IndexStore.savePq(corpusPq(spark, dir), p)
+      p
+    })
+    IndexStore.loadPq(spark, path)
+  }
+
+  /** Index-backed PQ ANN: same top-k as [[qAnnPq]], but ADC-scanned against
+    * the PERSISTED on-disk codes at SUB-exhaustive overfetch — the
+    * compressed twin of [[qAnnIvfIdx]]: the candidate scan reads only the
+    * m-int codes column from disk (never the float vectors), and the exact
+    * re-rank reads full vectors for the overfetch survivors only. Same
+    * self-verified oracle contract: routed == exact is required on every
+    * run, so the exact-kNN SQL stays a valid oracle by checked invariant. */
+  private def qAnnPqIdx(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val idx = corpusPqDisk(spark, dir)
+    // ADC top-half must contain the true top-10 for the re-rank to recover
+    // them — holds with margin on the synthetic corpora (PqSpec pins recall
+    // at far shallower depth); the require below makes drift loud.
+    val routed = Pq.ann(idx, e, "vec_id", "embedding", flagshipQueryVec,
+        k = 10, overfetch = math.max(100, (idx.n / 2).toInt))
+      .select("vec_id", "score")
+    val exact = VectorSearch.knn(e, "vec_id", "embedding", flagshipQueryVec, k = 10)
+      .select("vec_id", "score")
+    require(routed.collect().toSeq == exact.collect().toSeq,
+      "sub-exhaustive PQ overfetch lost recall on this corpus — " +
+        "raise overfetch (the exact-kNN oracle would not match)")
+    routed
+  }
+
   /** Index-backed IVF ANN: same top-k as [[qAnnIvf]], but probed against
     * the PERSISTED on-disk index at SUB-exhaustive depth — the vector twin
     * of [[qBm25Idx]]: the plan scans only the probed clusters' partitions of
@@ -996,6 +1037,7 @@ object SparkEntry {
     "q_neardup_cosine_idx" -> ((s, dir) => qNeardupCosineIdx(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
     "q_ann_pq" -> ((s, dir) => qAnnPq(s, dir)),
+    "q_ann_pq_idx" -> ((s, dir) => qAnnPqIdx(s, dir)),
     "q_ann_ivfpq" -> ((s, dir) => qAnnIvfPq(s, dir)),
     "q_ann_ivf_idx" -> ((s, dir) => qAnnIvfIdx(s, dir)),
     "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
@@ -1189,6 +1231,16 @@ object SparkEntry {
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_pq" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // valid at the sub-exhaustive overfetch because the query self-verifies
+    // routed == exact on every run (see qAnnPqIdx scaladoc)
+    "q_ann_pq_idx" ->
       s"""WITH scored AS (
          |  SELECT vec_id,
          |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score

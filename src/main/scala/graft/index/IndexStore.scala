@@ -439,38 +439,133 @@ object IndexStore {
 
   // -------------------------------------------------------------------- PQ
   //
-  // On-disk layout (no partitioning on codes: an ADC probe scans the WHOLE
-  // codes table by design — it is the 32×-compressed stand-in for the
-  // vector column, ~m bytes/vector; narrowing which rows get scanned is
-  // [[Ivf]]'s job, composable via Pq.ann's candidate routing):
+  // On-disk layout — the BM25/sign-LSH/IVF batch pattern (base build = -1,
+  // streaming micro-batches = their foreachBatch id). No content
+  // partitioning on codes: an ADC probe scans the WHOLE codes table by
+  // design — it is the 32×-compressed stand-in for the vector column,
+  // ~m bytes/vector; narrowing which rows get scanned is [[Ivf]]'s job,
+  // composable via Pq.annIvf's candidate routing.
   //
-  //   codes/      (id, codes array<int>[m])
-  //   codebooks/  (subspace, code, centroid array<double>[dim/m])
-  //   meta/       (metric, dim, n)  — DDL contract, written LAST (marker)
+  //   codes/batch=N/  (id, codes array<int>[m]) — per-batch encoded rows
+  //   counts/batch=N/ (n)                       — per-batch row-count DELTA,
+  //                                               written last = COMMIT MARKER
+  //   codebooks/      (subspace, code, centroid array<double>[dim/m])
+  //                                             — train-time only
+  //   meta/           (metric, dim)             — DDL contract
+  //
+  // Same crash contract as the other three: a batch dynamically OVERWRITES
+  // its own partitions and the counts marker commits last, so a
+  // foreachBatch retry at any crash point converges and a concurrent
+  // reader sees only committed batches. Like IVF (and unlike BM25), the
+  // trained base is a REQUIRED bootstrap: an append ENCODES against the
+  // frozen codebooks (the standard PQ insert), so there is no meaningful
+  // empty-path first batch. Codebook drift under sustained appends is the
+  // offline re-train's job (Pq.build + savePq), mirroring Faiss practice.
 
   def savePq(index: Pq.PqIndex, path: String): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
-    index.codes.write.mode(SaveMode.Overwrite).parquet(s"$path/codes")
+    index.codes
+      .withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(s"$path/codes")
     index.codebooks.zipWithIndex
       .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) } }
       .toSeq.toDF("subspace", "code", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
-    Seq((index.metric, index.dim, index.n)).toDF("metric", "dim", "n")
+    // DDL-time contract (reference `indexes.py:28-31,64`): similarity and
+    // numDimensions are properties of the INDEX, enforced at probe time.
+    Seq((index.metric, index.dim)).toDF("metric", "dim")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    Seq((index.n, -1L)).toDF("n", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(s"$path/counts")
   }
 
-  def loadPq(spark: SparkSession, path: String): Pq.PqIndex = {
+  private def loadPqCodebooks(spark: SparkSession, path: String)
+      : Array[Array[Array[Double]]] = {
     val cbRows = spark.read.parquet(s"$path/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = cbRows.map(_._1).max + 1
-    val codebooks = Array.tabulate(m) { j =>
-      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3)
-    }
+    Array.tabulate(m) { j => cbRows.filter(_._1 == j).sortBy(_._2).map(_._3) }
+  }
+
+  /** Encode one micro-batch of NEW vectors (R17 skip-existing contract)
+    * against the persisted frozen codebooks and append the codes. Work ∝
+    * batch × m × ksub × dsub (the standard PQ insert cost) — the
+    * corpus-sized codes table is never rescanned. Idempotent at every
+    * crash point (layout comment above). */
+  def appendBatchPq(batch: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebooks")),
+      s"no trained PQ base at $path — appendBatchPq encodes against " +
+        "existing codebooks; bootstrap with Pq.build + IndexStore.savePq first")
+    if (committedBatches(spark, s"$path/counts").contains(batchId)) return
+    val codebooks = loadPqCodebooks(spark, path)
+    val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+    val encoded = Pq.encode(batch, idCol, embCol, codebooks, dim)
+    encoded
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/codes")
+    Seq((encoded.count(), batchId)).toDF("n", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/counts")
+  }
+
+  /** Streaming index upkeep for the compressed-vector index — the PQ member
+    * of the [[streamIntoBm25]]/[[streamIntoSignLsh]]/[[streamIntoIvf]]
+    * family: incoming vectors are encoded as they arrive; each completed
+    * batch is immediately visible to the next [[loadPq]]. */
+  def streamIntoPq(embs: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchPq(b, idCol, embCol, path, id)
+      }
+      .start()
+
+  /** Consistent snapshot at the latest commit markers (the [[loadBm25]]
+    * contract): only committed batches' codes are visible, and `n` is the
+    * merged per-batch delta — so exhaustive-overfetch short-circuit math
+    * stays correct as the index grows. */
+  def loadPq(spark: SparkSession, path: String): Pq.PqIndex = {
+    val batches = committedBatches(spark, s"$path/counts")
+    val n = spark.read.parquet(s"$path/counts")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n"))).head().getLong(0)
     val ddl = spark.read.parquet(s"$path/meta").head()
     Pq.PqIndex(
-      spark.read.parquet(s"$path/codes"),
-      codebooks,
-      ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"), ddl.getAs[Long]("n"))
+      spark.read.parquet(s"$path/codes")
+        .where(col("batch").cast("long").isin(batches: _*)).drop("batch"),
+      loadPqCodebooks(spark, path),
+      ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"), n)
+  }
+
+  /** Fold every committed batch back into a single base partition — same
+    * maintenance contract (and offline-window caveat) as [[compactBm25]].
+    * Folding does NOT re-train codebooks; that is a fresh `Pq.build`. */
+  def compactPq(spark: SparkSession, path: String): Unit = {
+    val snapshot = loadPq(spark, path)
+    val staged = s"$path/.compact"
+    savePq(snapshot, staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq("codes", "codebooks", "meta", "counts")) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
+        new org.apache.hadoop.fs.Path(s"$path/$d"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
   }
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.embed.Embedder
-import graft.index.{IndexStore, Ivf}
+import graft.index.{IndexStore, Ivf, Pq}
 import graft.search.{TextSearch, VectorSearch}
 import graft.util.Tables
 import org.scalatest.funsuite.AnyFunSuite
@@ -328,5 +328,76 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException] {
       Ivf.build(embs, "vec_id", "embedding", metric = "manhattan")
     }
+  }
+
+  test("pq save/load round-trip; batch appends encode against frozen codebooks, " +
+      "replay-idempotent, compacts") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("pqidx").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").cache()
+    val base = embs.where($"vec_id" % 3 === 0)
+    val b0 = embs.where($"vec_id" % 3 === 1)
+    val b1 = embs.where($"vec_id" % 3 === 2)
+
+    // append before any base must fail loudly — encoding needs codebooks
+    val ex = intercept[IllegalArgumentException] {
+      IndexStore.appendBatchPq(b0, "vec_id", "embedding",
+        Files.createTempDirectory("pqboot").toString + "/idx", 0L)
+    }
+    assert(ex.getMessage.contains("no trained PQ base"))
+
+    val built = Pq.build(base, "vec_id", "embedding")
+    IndexStore.savePq(built, dir)
+    val loaded = IndexStore.loadPq(spark, dir)
+    // DDL + geometry round-trip
+    assert(loaded.metric === built.metric && loaded.dim === built.dim)
+    assert(loaded.m === built.m && loaded.ksub === built.ksub && loaded.n === built.n)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      built.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // identical ann through the full ADC→re-rank plan
+    def top(idx: Pq.PqIndex, table: org.apache.spark.sql.DataFrame) =
+      Pq.ann(idx, table, "vec_id", "embedding", query, 10,
+          overfetch = Int.MaxValue, forceRerank = true)
+        .select("vec_id").as[Long].collect().toSeq
+    assert(top(loaded, base) === top(built, base))
+
+    IndexStore.appendBatchPq(b0, "vec_id", "embedding", dir, batchId = 0L)
+    IndexStore.appendBatchPq(b1, "vec_id", "embedding", dir, batchId = 1L)
+    // replay of a committed batch is a no-op
+    IndexStore.appendBatchPq(b0, "vec_id", "embedding", dir, batchId = 0L)
+
+    val inc = IndexStore.loadPq(spark, dir)
+    // every vector encoded exactly once; n is the merged per-batch delta
+    assert(inc.codes.count() === embs.count())
+    assert(inc.codes.select("id").distinct().count() === embs.count())
+    assert(inc.n === embs.count())
+    // appended codes are exactly an encode against the FROZEN base codebooks
+    val appended = inc.codes
+      .join(b0.union(b1).select(col("vec_id")), col("id") === col("vec_id"))
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val direct = Pq.encode(b0.union(b1), "vec_id", "embedding",
+        built.codebooks, built.dim)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(appended === direct)
+    // exhaustive ann over the appended index finds appended vectors
+    val q2 = b0.limit(1).select("embedding").head().getSeq[Double](0).toArray
+    val best = Pq.ann(inc, embs, "vec_id", "embedding", q2, 1,
+        overfetch = Int.MaxValue, forceRerank = true)
+      .select("vec_id").head().getLong(0)
+    assert(b0.where($"vec_id" === best).count() === 1)
+
+    // compaction folds the 3 batches into one base partition, same answers
+    // (capture pre-compaction results first: inc's file listing goes stale
+    // the moment compaction rewrites the layout)
+    val incTop = top(inc, embs)
+    IndexStore.compactPq(spark, dir)
+    val compacted = IndexStore.loadPq(spark, dir)
+    assert(compacted.n === inc.n)
+    assert(compacted.codes.count() === embs.count())
+    assert(top(compacted, embs) === incTop)
+    val batchDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs.toSeq === Seq("batch=-1"))
   }
 }
