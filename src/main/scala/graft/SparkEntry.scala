@@ -9,7 +9,7 @@ import graft.index.{IndexStore, Ivf, Pq}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
-import graft.search.{TextSearch, VectorSearch}
+import graft.search.{ScoreFusion, TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
 import graft.util.Tables
@@ -634,6 +634,42 @@ object SparkEntry {
     TextSearch.search(corpusBm25Disk(spark, dir), flagshipQueryText, k = 10)
       .withColumnRenamed("id", "doc_id")
 
+  /** Batch BM25 retrieval (the full-text twin of [[qKnnJoin]]): every ~97th
+    * document's first 8 tokens become a query; one job resolves the whole
+    * batch to per-query top-10 against the PERSISTED index, with the scan
+    * statically pruned to the batch's touched term-hash buckets. */
+  private def qBm25Join(spark: SparkSession, dir: String): DataFrame = {
+    val queries = Tables.documents(spark, dir)
+      .where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries, "query_id", "qtext", k = 10)
+  }
+
+  /** Batch HYBRID retrieval — the full composition a retrieval-dataset
+    * builder runs at 100 TB: one query batch resolved through BOTH
+    * pipelines (sparse-vector cosine via [[VectorSearch.sparseKnnJoin]]
+    * over the relational embedder's output, and BM25 via
+    * [[TextSearch.bm25Join]]), fused per query with reciprocal-rank
+    * fusion ([[ScoreFusion.rrfJoin]]). Each query string feeds both
+    * pipelines, like the reference's single-query hybrid ([[qHybrid]])
+    * lifted to a query TABLE. */
+  private def qHybridJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs
+      .where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val txt = TextSearch.bm25Join(corpusBm25(spark, dir), queries,
+      "query_id", "qtext", k = 10)
+    val vec = VectorSearch.sparseKnnJoin(
+      EmbedJob.embedRelational(queries, "query_id", "qtext"),
+      EmbedJob.embedRelational(docs, "doc_id", "text"), k = 10)
+    ScoreFusion.rrfJoin(vec, txt, k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** Index-backed near-dup: same pairs as [[qNeardupCosine]], but the
     * candidates come from the PERSISTED sketch table — the 100 TB dedup
     * story end-to-end (sketch once offline; every dedup run reads the
@@ -1030,6 +1066,8 @@ object SparkEntry {
     "q_knn_join" -> ((s, dir) => qKnnJoin(s, dir)),
     "q_knn_join_ivf" -> ((s, dir) => qKnnJoinIvf(s, dir)),
     "q_bm25_idx" -> ((s, dir) => qBm25Idx(s, dir)),
+    "q_bm25_join" -> ((s, dir) => qBm25Join(s, dir)),
+    "q_hybrid_join" -> ((s, dir) => qHybridJoin(s, dir)),
     "q_dedup_jaccard" -> ((s, dir) => qDedupJaccard(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
@@ -1078,6 +1116,13 @@ object SparkEntry {
     * corpus — at sf0.1 embeddings ⊂ documents, so the join shrinks it). */
   private val corpusSql =
     "(SELECT d.*, e.embedding FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)"
+
+  /** The batch-retrieval query set shared by q_bm25_join / q_hybrid_join:
+    * every ~97th document's first 8 tokens as the query string. */
+  private val batchQueriesRel =
+    s"""SELECT doc_id AS query_id,
+       |       array_to_string(list_slice(${Text.sqlTokens("text")}, 1, 8), ' ') AS qtext
+       |FROM documents WHERE doc_id % 97 = 0""".stripMargin
 
   private val bm25DocsCtes =
     TextSearch.oracleCtes("documents", "doc_id", "text", flagshipQueryText)
@@ -1422,6 +1467,45 @@ object SparkEntry {
       s"""WITH $bm25DocsCtes
          |SELECT id AS doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_bm25_join" ->
+      (TextSearch.sqlBm25Join("documents", "doc_id", "text",
+        batchQueriesRel, k = 10) +
+        "\nORDER BY query_id, rank"),
+    // both pipelines' ranks recomputed relationally, fused with the same
+    // rounded RRF arithmetic; absent pipeline → no contribution (coalesce)
+    "q_hybrid_join" ->
+      s"""WITH txtj AS (
+         |${TextSearch.sqlBm25Join("documents", "doc_id", "text", batchQueriesRel, 10)}
+         |), cemb AS (
+         |${EmbedJob.sqlEmbedRelational("documents", "doc_id", "text")}
+         |), qemb AS (
+         |${EmbedJob.sqlEmbedRelational(s"($batchQueriesRel) qq", "query_id", "qtext")}
+         |), vecscored AS (
+         |  SELECT q.id AS query_id, c.id AS id, round(sum(q.val * c.val), 6) AS sim
+         |  FROM qemb q JOIN cemb c ON q.dim = c.dim GROUP BY 1, 2
+         |), vecranked AS (
+         |  SELECT query_id, id, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, id ASC)::INTEGER AS rank
+         |  FROM vecscored
+         |), vecj AS (
+         |  SELECT * FROM vecranked WHERE rank <= 10
+         |), fused AS (
+         |  SELECT coalesce(v.query_id, t.query_id) AS query_id,
+         |         coalesce(v.id, t.id) AS id,
+         |         round(coalesce(1.0 / (60 + v.rank), 0) + coalesce(1.0 / (60 + t.rank), 0), 6) AS score,
+         |         v.rank AS vec_rank, t.rank AS txt_rank
+         |  FROM vecj v FULL OUTER JOIN txtj t
+         |    ON v.query_id = t.query_id AND v.id = t.id
+         |), final AS (
+         |  SELECT query_id, id AS doc_id, score, vec_rank, txt_rank,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, id ASC)::INTEGER AS rank
+         |  FROM fused
+         |)
+         |SELECT query_id, doc_id, score, vec_rank, txt_rank, rank
+         |FROM final WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "q_dedup_jaccard" ->
       (Dedup.sqlJaccardPairs("documents", "doc_id", "text", JaccardThr) +
         "\nORDER BY id1, id2"),

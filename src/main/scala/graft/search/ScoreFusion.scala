@@ -110,6 +110,52 @@ object ScoreFusion {
       .orderBy(col("score").desc, col("id").asc)
   }
 
+  /** Per-query reciprocal-rank fusion — [[rrf]] lifted to BATCH retrieval:
+    * fuses the outputs of two batch joins ([[VectorSearch.knnJoin]] /
+    * [[VectorSearch.sparseKnnJoin]] and [[TextSearch.bm25Join]]), which
+    * already carry per-query ranks, into one hybrid top-k per query.
+    *
+    * Inputs are (query_id, id, rank) relations (extra columns ignored).
+    * A (query, doc) pair contributes `w_p / (k0 + rank_p)` per pipeline
+    * that returned it and NOTHING for a pipeline that missed it ([[rrf]]'s
+    * absent ≠ zero-score rule).
+    *
+    * Scale shape: both inputs are already per-query top-k relations
+    * (≤ k·|batch| rows), so the full-outer join and the final re-rank
+    * window are bounded by the batch, never the corpus; the window
+    * partitions by query_id — a real key with ≤ 2k rows per group, not a
+    * global sort.
+    *
+    * Output: (query_id, id, score, vec_rank, txt_rank, rank ≤ k) ranked
+    * per query by score DESC, id ASC. */
+  def rrfJoin(
+      vec: DataFrame,
+      txt: DataFrame,
+      k: Int,
+      k0: Int = 60,
+      vecWeight: Double = 1.0,
+      txtWeight: Double = 1.0): DataFrame = {
+    require(k0 > 0, s"rrf constant k0 must be positive, got $k0")
+    val v = vec.select(col("query_id").as("vqid"), col("id").as("vid"),
+      col("rank").as("vec_rank"))
+    val t = txt.select(col("query_id").as("tqid"), col("id").as("tid"),
+      col("rank").as("txt_rank"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    v.join(t, col("vqid") === col("tqid") && col("vid") === col("tid"), "full_outer")
+      .select(
+        coalesce(col("vqid"), col("tqid")).as("query_id"),
+        coalesce(col("vid"), col("tid")).as("id"),
+        round(
+          lit(vecWeight) * coalesce(lit(1.0) / (lit(k0) + col("vec_rank")), lit(0.0)) +
+            lit(txtWeight) * coalesce(lit(1.0) / (lit(k0) + col("txt_rank")), lit(0.0)),
+          ScoreDecimals).as("score"),
+        col("vec_rank"), col("txt_rank"))
+      .withColumn("rank", row_number().over(byQuery).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** R13 full shape parity: re-nest the flattened detail columns into the
     * reference's `scoreDetails` struct —
     * `{value, details: [{inputPipelineName, value, inputPipelineRawScore}]}`

@@ -98,6 +98,99 @@ object TextSearch {
       queryText: String, k: Int = Int.MaxValue): DataFrame =
     search(buildIndex(docs, idCol, textCol), queryText, k)
 
+  /** Batch BM25 JOIN: top-k matches for EVERY query row — the full-text
+    * twin of [[VectorSearch.knnJoin]] (batch retrieval: a RAG pipeline
+    * resolving a batch of text queries against a 100 TB corpus in one job,
+    * instead of |batch| driver-side [[search]] calls each paying its own
+    * scan).
+    *
+    * Scale shape: query texts are tokenized into a (query_id, term)
+    * relation — bounded by [[VectorSearch.requireBoundedBatch]], so it
+    * BROADCASTS — and the postings table joins it on `term`: each postings
+    * partition emits only rows whose term some query mentions, work ∝
+    * matched postings, zero shuffle of the corpus-sized postings side. On a
+    * persisted index the touched term-hash buckets are collected from the
+    * (bounded) batch first, so the scan statically prunes to those bucket
+    * directories — the batch rendition of [[search]]'s driver-side `isin`
+    * pruning. Per-query scoring is one (query_id, id) hash aggregation
+    * (map-side combinable sum) and the per-query top-k is
+    * [[VectorSearch.TopKByScore]]'s bounded-state aggregation — ≤ k rows
+    * per map task per query reach the shuffle, never a rank window's full
+    * match list.
+    *
+    * Query terms are DISTINCT per query (the [[search]]/[[queryTerms]]
+    * contract). Scores round to [[ScoreDecimals]] before ranking
+    * (tie-break id ASC) so the DuckDB oracle's boundary agrees.
+    *
+    * Output: (query_id, id, score, rank ≤ k). */
+  def bm25Join(index: Bm25Index, queries: DataFrame,
+      qIdCol: String, qTextCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    VectorSearch.requireBoundedBatch(queries, "bm25Join")
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(Text.tokens(col(qTextCol)))).as("term"))
+    val postings =
+      if (index.postings.columns.contains("bucket")) {
+        val touched = qterms
+          .select(pmod(Text.hash60(col("term")), lit(TermBuckets.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0))
+        index.postings.where(col("bucket").isin(touched: _*)).drop("bucket")
+      } else index.postings
+    val matched = postings
+      .join(broadcast(qterms), "term")
+      .join(broadcast(index.termDf), "term")
+    val idf = log(lit(1.0) + (lit(index.numDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(index.avgdl)))
+    val scored = matched
+      .withColumn("contrib", contrib)
+      .groupBy("query_id", "id")
+      .agg(round(sum(col("contrib")), ScoreDecimals).as("score"))
+    val topk = udaf(new VectorSearch.TopKByScore(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry._2").as("id"),
+        col("entry._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** DuckDB rendition of [[bm25Join]]: `queriesRel` must be a relation
+    * exposing (query_id, qtext). Composes the [[oracleCtes]] statistics with
+    * a per-query term list and a per-query rank window. */
+  def sqlBm25Join(docsTable: String, idExpr: String, textExpr: String,
+      queriesRel: String, k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT $idExpr AS id, unnest(${Text.sqlTokens(textExpr)}) AS term FROM $docsTable
+       |), tf AS (
+       |  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT id, count(*) AS dl FROM toks GROUP BY 1
+       |), bstats AS (
+       |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+       |), df AS (
+       |  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+       |), q AS ($queriesRel
+       |), qterm AS (
+       |  SELECT DISTINCT query_id, unnest(${Text.sqlTokens("qtext")}) AS term FROM q
+       |), contrib AS (
+       |  SELECT qterm.query_id, tf.id,
+       |         ln(1.0 + (bstats.n - df.df + 0.5) / (df.df + 0.5))
+       |           * (tf.tf * ${K1 + 1.0}) / (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl / bstats.avgdl)) AS c
+       |  FROM tf JOIN qterm USING (term) JOIN df USING (term) JOIN dl USING (id)
+       |  CROSS JOIN bstats
+       |), scored AS (
+       |  SELECT query_id, id, round(sum(c), $ScoreDecimals) AS score
+       |  FROM contrib GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, id ASC)::INTEGER AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, id, score, rank FROM ranked WHERE rank <= $k""".stripMargin
+
   /** DuckDB CTE block for the same computation (shares the frozen tokenizer
     * and constants), ending in a `bm25(id, score)` relation — unranked, so
     * callers compose post-filters / fusion / limits around it exactly like

@@ -159,6 +159,40 @@ object VectorSearch {
     rankCandidates(c.crossJoin(q), k)
   }
 
+  /** Batch kNN JOIN over SPARSE vectors — the retrieval shape for learned
+    * sparse embeddings (SPLADE-style) and the relational embedder's
+    * (id, dim, val) output ([[graft.embed.EmbedJob.embedRelational]]):
+    * scoring is a plain equi-join on `dim` plus one map-side-combinable
+    * (query_id, id) aggregation — no dense arrays materialized, work ∝
+    * matched (dim, dim) postings like a text index, NOT |corpus| × |queries|
+    * × dim. The bounded query side broadcasts ([[requireBoundedBatch]]);
+    * the corpus side never shuffles before the bounded-state top-k
+    * ([[TopKByScore]], ≤ k rows per map task per query).
+    *
+    * Scores are raw dot products (= cosine when both sides are
+    * unit-normalized, the embedder's contract), rounded to
+    * [[ScoreDecimals]] before ranking, tie-break id ASC.
+    *
+    * Output: (query_id, id, sim, rank ≤ k). */
+  def sparseKnnJoin(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    requireBoundedBatch(queries.select("id").distinct(), "sparseKnnJoin")
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("dim").as("__qd"), col("val").as("__qval")))
+    val scored = corpus
+      .join(q, col("dim") === col("__qd"))
+      .groupBy("query_id", "id")
+      .agg(round(sum(col("val") * col("__qval")), ScoreDecimals).as("sim"))
+    val topk = udaf(new TopKByScore(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    scored
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry._2").as("id"),
+        col("entry._1").as("sim"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   def sqlKnnJoin(corpusTable: String, idExpr: String, embExpr: String,
       queryPredicate: String, k: Int): String =
     s"""WITH q AS (

@@ -135,6 +135,86 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(TextSearch.fullTextSearch(toyDocs, "id", "text", "zzz").count() === 0)
   }
 
+  test("bm25Join: per-query results equal per-query search; empty/unknown " +
+      "queries vanish; oversized batch fails loudly") {
+    val docs = graft.util.Tables.documents(spark, Sf0001)
+    val index = TextSearch.buildIndex(docs, "doc_id", "text")
+    val queryTexts = Seq(
+      10L -> "fast table scan merge",
+      11L -> "nuggets breakfast",
+      12L -> "",      // no tokens → no output rows
+      13L -> "zzzzz") // no matching terms → no output rows
+    val queries = queryTexts.toDF("query_id", "qtext")
+    val got = TextSearch.bm25Join(index, queries, "query_id", "qtext", k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val expect = queryTexts.flatMap { case (qid, text) =>
+      TextSearch.search(index, text, k = 5)
+        .as[(Long, Double)].collect().toSeq.zipWithIndex
+        .map { case ((id, score), i) => (qid, id, score, i + 1) }
+    }
+    assert(got === expect)
+    assert(!got.exists(r => r._1 == 12L || r._1 == 13L))
+    // scale-misuse guard: the batch side is broadcast, so it must be bounded
+    val big = spark.range(VectorSearch.MaxQueryBatch + 1L)
+      .select($"id".as("query_id"), lit("apple").as("qtext"))
+    val ex = intercept[IllegalArgumentException] {
+      TextSearch.bm25Join(index, big, "query_id", "qtext", k = 5)
+    }
+    assert(ex.getMessage.contains("bm25Join"))
+  }
+
+  test("sparseKnnJoin: dot products equal dense arithmetic; per-query top-k; " +
+      "oversized batch fails loudly") {
+    // two queries over a 3-doc sparse corpus (unit-norm not required for
+    // the dot-product contract)
+    val corpus = Seq(
+      (1L, 0, 0.6), (1L, 1, 0.8),
+      (2L, 0, 1.0),
+      (3L, 1, 1.0)).toDF("id", "dim", "val")
+    val queries = Seq(
+      (10L, 0, 1.0),
+      (11L, 0, 0.6), (11L, 1, 0.8)).toDF("id", "dim", "val")
+    val got = VectorSearch.sparseKnnJoin(queries, corpus, k = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // q10 = e0: best doc2 (1.0), then doc1 (0.6); doc3 shares no dim
+    // q11 = (.6,.8): doc1 = 1.0, doc3 = 0.8, doc2 = 0.6 → top-2
+    assert(got === Seq(
+      (10L, 2L, 1.0, 1), (10L, 1L, 0.6, 2),
+      (11L, 1L, 1.0, 1), (11L, 3L, 0.8, 2)))
+    val big = spark.range(VectorSearch.MaxQueryBatch + 1L)
+      .select($"id", lit(0).as("dim"), lit(1.0).as("val"))
+    val ex = intercept[IllegalArgumentException] {
+      VectorSearch.sparseKnnJoin(big, corpus, k = 2)
+    }
+    assert(ex.getMessage.contains("sparseKnnJoin"))
+  }
+
+  test("rrfJoin: per-query reciprocal ranks sum, absent pipeline contributes 0, " +
+      "re-rank bounded by k") {
+    val vec = Seq((1L, 100L, 1), (1L, 101L, 2), (2L, 200L, 1))
+      .toDF("query_id", "id", "rank")
+    val txt = Seq((1L, 101L, 1), (1L, 102L, 2), (2L, 200L, 1))
+      .toDF("query_id", "id", "rank")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = ScoreFusion.rrfJoin(vec, txt, k = 2)
+      .orderBy("query_id", "rank")
+      .select("query_id", "id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // q1: 101 in both (1/62 + 1/61), 100 vec-only (1/61), 102 txt-only
+    // (1/62) → top-2 = 101, 100; q2: 200 in both pipelines at rank 1
+    assert(got === Seq(
+      (1L, 101L, r6(1.0 / 62 + 1.0 / 61), 1),
+      (1L, 100L, r6(1.0 / 61), 2),
+      (2L, 200L, r6(2.0 / 61), 1)))
+    // weights scale per-pipeline contributions
+    val weighted = ScoreFusion.rrfJoin(vec, txt, k = 3, vecWeight = 2.0)
+      .where($"query_id" === 1L && $"id" === 100L)
+      .select("score").as[Double].head()
+    assert(weighted === r6(2.0 / 61))
+  }
+
   test("fusion: missing side contributes 0, not sigmoid(0)") {
     val vec = Seq((1L, 2.0)).toDF("id", "score")
     val txt = Seq((2L, 3.0)).toDF("id", "score")
