@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through verbatim. The default
+// LoggedOutput prefixes every stdout line with "[info] ", which breaks
+// any consumer that json.loads() a line of Bench's output — the metric
+// contract line must reach the terminal byte-identical to what Bench
+// printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

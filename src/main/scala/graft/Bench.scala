@@ -51,14 +51,24 @@ object Bench {
     }
     val results = perIter.map { case (name, ts) => name -> ts.min }
     val loadEnd = osBean.getSystemLoadAverage
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Full per-iteration arrays + load averages go out FIRST, on their own
+    // labeled line: the harness that collects this output keeps only the
+    // last ~2KB, so the big diagnostic blob must never sit between the
+    // contract line and end-of-output (r3/r4 shipped with the contract
+    // line truncated mid-array and unparseable for exactly that reason).
     val itersJson = perIter.map { case (k, ts) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    println(s"""BENCH_DETAIL {"iters":$itersJson,"iters_n":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+    // The contract line: ONE compact JSON line, last thing on stdout.
+    // 3-decimal seconds keep 65 queries under the 2KB capture window.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$itersJson,"iters_n":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,6 +74,9 @@ object SparkEntry {
     corpusSignLsh(spark, dir).count()
     corpusBm25Disk(spark, dir)
     corpusIvfDisk(spark, dir)
+    corpusPq(spark, dir).codes.count()
+    corpusPqDisk(spark, dir)
+    corpusSparseEmb(spark, dir).count()
   }
 
   // ---------------------------------------------------------------- queries
@@ -654,17 +657,27 @@ object SparkEntry {
     * fusion ([[ScoreFusion.rrfJoin]]). Each query string feeds both
     * pipelines, like the reference's single-query hybrid ([[qHybrid]])
     * lifted to a query TABLE. */
+  /** The corpus's sparse self-embedding, computed once per (session, sfDir)
+    * — in production this is the embed job's PRECOMPUTED output
+    * ([[qEmbedCorpus]] is that job); a batch-retrieval run reads it, it
+    * does not re-embed 100 TB per query batch. */
+  private val sparseEmbCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def corpusSparseEmb(spark: SparkSession, dir: String): DataFrame =
+    sparseEmbCache.getOrElseUpdate((spark, dir),
+      EmbedJob.embedRelational(
+        Tables.documents(spark, dir), "doc_id", "text").cache())
+
   private def qHybridJoin(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val queries = docs
+    val queries = Tables.documents(spark, dir)
       .where(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
-    val txt = TextSearch.bm25Join(corpusBm25(spark, dir), queries,
+    val txt = TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries,
       "query_id", "qtext", k = 10)
     val vec = VectorSearch.sparseKnnJoin(
       EmbedJob.embedRelational(queries, "query_id", "qtext"),
-      EmbedJob.embedRelational(docs, "doc_id", "text"), k = 10)
+      corpusSparseEmb(spark, dir), k = 10)
     ScoreFusion.rrfJoin(vec, txt, k = 5)
       .withColumnRenamed("id", "doc_id")
       .orderBy("query_id", "rank")
