@@ -9,7 +9,7 @@ import graft.index.{IndexStore, Ivf, Pq}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
-import graft.search.{ScoreFusion, TextSearch, VectorSearch}
+import graft.search.{Rerank, ScoreFusion, TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
 import graft.util.Tables
@@ -683,6 +683,39 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Retrieve-then-rerank — the two-stage pipeline every retrieval-dataset
+    * builder runs: first-stage BM25 top-10 per query (recall-oriented, the
+    * only stage that touches the corpus), then a cross-encoder re-scores
+    * the |queries|×10 surviving pairs jointly and keeps the rerank top-3
+    * ([[Rerank.rerankJoin]]; deterministic [[OverlapReranker]] behind the
+    * [[RetryingReranker]] external-service contract). Candidate texts are
+    * attached by broadcasting the small candidate table against the corpus
+    * — the corpus is never shuffled for the rerank stage. */
+  private def qRerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val cands = TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries,
+      "query_id", "qtext", k = 10)
+    val pairs = docs.select(col("doc_id").as("id"), col("text"))
+      .join(broadcast(cands.select("query_id", "id")), "id")
+      .join(broadcast(queries), "query_id")
+    Rerank.rerankJoin(pairs, "query_id", "id", "qtext", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Temperature-weighted source mixing ([[Curation.mixSources]]) — the
+    * pretraining "data mixing" step: flatten the natural source
+    * distribution toward √-temperature shares under a 30% global token
+    * budget, with pure-id-hash acceptance (no RNG). Output is the
+    * per-source mixing report. */
+  private def qMixSources(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixSources(Tables.documents(spark, dir), "doc_id", "source",
+        "text", budgetPermille = 300)
+      .orderBy("source")
+
   /** Index-backed near-dup: same pairs as [[qNeardupCosine]], but the
     * candidates come from the PERSISTED sketch table — the 100 TB dedup
     * story end-to-end (sketch once offline; every dedup run reads the
@@ -738,6 +771,22 @@ object SparkEntry {
     val e = Tables.embeddings(spark, dir)
     Ivf.ann(corpusIvf(spark, dir), e, "vec_id", "embedding", flagshipQueryVec,
         k = 10, numCandidates = Int.MaxValue)
+      .select("vec_id", "score")
+  }
+
+  /** FILTERED ANN — Atlas's `$vectorSearch.filter` (`backend/api.py:181-186`
+    * passes the Mongo-dialect filter INSIDE the vectorSearch stage, so it
+    * prunes candidates BEFORE top-k, never truncating the result below k
+    * the way a post-filter would). Runs the ROUTED IVF plan (`forceRoute`,
+    * the [[qKnnJoinIvf]] verification pattern) at exhaustive probe depth:
+    * member semi-join → pre-filter → top-k is the executed plan, and its
+    * output is provably the exact filtered top-k, so the filtered exact SQL
+    * is a valid oracle. */
+  private def qAnnIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ivf.ann(corpusIvf(spark, dir), e, "vec_id", "embedding", flagshipQueryVec,
+        k = 10, numCandidates = Int.MaxValue,
+        preFilter = Some(col("label") === 3), forceRoute = true)
       .select("vec_id", "score")
   }
 
@@ -1091,7 +1140,10 @@ object SparkEntry {
     "q_ann_pq_idx" -> ((s, dir) => qAnnPqIdx(s, dir)),
     "q_ann_ivfpq" -> ((s, dir) => qAnnIvfPq(s, dir)),
     "q_ann_ivf_idx" -> ((s, dir) => qAnnIvfIdx(s, dir)),
+    "q_ann_ivf_filtered" -> ((s, dir) => qAnnIvfFiltered(s, dir)),
     "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
+    "q_rerank" -> ((s, dir) => qRerank(s, dir)),
+    "q_mix_sources" -> ((s, dir) => qMixSources(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
@@ -1288,6 +1340,38 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // the pre-filter prunes BEFORE top-k (Atlas $vectorSearch.filter
+    // placement), so the oracle filters before ranking too
+    "q_ann_ivf_filtered" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings WHERE label = 3
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_rerank" ->
+      s"""WITH cand AS (
+         |${TextSearch.sqlBm25Join("documents", "doc_id", "text", batchQueriesRel, 10)}
+         |), q AS (
+         |$batchQueriesRel
+         |), pair AS (
+         |  SELECT c.query_id, c.id, q.qtext, d.text
+         |  FROM cand c JOIN q USING (query_id) JOIN documents d ON d.doc_id = c.id
+         |), scored AS (
+         |  SELECT query_id, id, ${Rerank.sqlOverlapF1("qtext", "text")} AS rr_score
+         |  FROM pair
+         |), ranked AS (
+         |  SELECT query_id, id AS doc_id, rr_score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rr_score DESC, id ASC)::INTEGER AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, doc_id, rr_score, rank FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_mix_sources" ->
+      (Curation.sqlMixSources("documents", "doc_id", "source", "text", 300) +
+        "\nORDER BY source"),
     "q_ann_pq" ->
       s"""WITH scored AS (
          |  SELECT vec_id,

@@ -153,7 +153,8 @@ object Ivf {
     * of returning silently-wrong scores (`indexes.py:28-31,64`). */
   def ann(index: IvfIndex, table: DataFrame, idCol: String, embCol: String,
       queryVec: Array[Double], k: Int, numCandidates: Int,
-      metric: String = "cosine", preFilter: Option[Column] = None): DataFrame = {
+      metric: String = "cosine", preFilter: Option[Column] = None,
+      forceRoute: Boolean = false): DataFrame = {
     require(metric == index.metric,
       s"index was created with similarity '${index.metric}'; a '$metric' probe " +
         "must use a matching index (rebuild with Ivf.build(..., metric = ...))")
@@ -162,9 +163,16 @@ object Ivf {
     val probe = probeSet(index, queryVec, numCandidates)
     // exhaustive probe (numCandidates ≥ N covers every cluster) would
     // broadcast EVERY id through the member semi-join just to select the
-    // whole table — skip the join entirely and run the exact scan
+    // whole table — skip the join entirely and run the exact scan.
+    // `forceRoute = true` opts OUT of the short-circuit (the [[knnJoin]]
+    // VERIFICATION pattern): the full routed plan — member semi-join,
+    // preFilter placement, candidate scan — runs at a probe depth where
+    // its output is provably the exact result, so an oracle can check the
+    // routed plan itself (q_ann_ivf_filtered); exactness then additionally
+    // needs table ids ⊆ assignments ids (trivial when the table IS the
+    // indexed one).
     val probedMembers = probe.map(index.sizes.getOrElse(_, 0L)).sum
-    if (probedMembers == index.sizes.values.sum)
+    if (!forceRoute && probedMembers == index.sizes.values.sum)
       return VectorSearch.knn(table, idCol, embCol, queryVec, k, metric, preFilter)
     val members = index.assignments
       .where(col("cluster").isin(probe: _*))

@@ -423,4 +423,102 @@ object Curation {
         (col("keep_quality") && coalesce(col("keep_dedup"), lit(false)) &&
           !coalesce(col("contaminated"), lit(false))).as("final_keep"))
   }
+
+  // ------------------------------------------------------------- source mix
+
+  /** Temperature-weighted source mixing — the "data mixing" step of a
+    * pretraining pipeline: given a corpus with a `source` column, sample
+    * each source at a rate that FLATTENS the natural source distribution
+    * toward a √-temperature target (α = 0.5, the multilingual-sampling
+    * convention) under a global token budget, deterministically.
+    *
+    * Math: with per-source token mass n_s and budget B =
+    * ⌊N·budgetPermille/1000⌋ tokens, the target share of source s is
+    * q_s = √n_s / Σ_t √n_t, and its per-document acceptance rate is
+    * r_s = min(1, q_s·B / n_s) — big sources are downsampled hard, small
+    * sources kept (near-)whole. A document is kept iff
+    * hash(id:salt) mod 10⁶ < r_s·10⁶ — the same pure-id-hash device as
+    * [[splitCorpus]]: no RNG, reproducible across runs and partitionings,
+    * and a document's verdict is stable as OTHER sources grow.
+    *
+    * Cross-engine determinism (the oracle contract): √n_s is snapped to
+    * integer micro-units w_s = ⌊√n_s · 10⁶⌋ BEFORE summing, so W = Σ w_s is
+    * exact integer arithmetic (a sum of raw doubles is
+    * summation-order-sensitive at the last ULP — enough to flip a floor on
+    * another engine). The acceptance test is then evaluated WITHOUT
+    * division: keep ⇔ hash_ppm·W·n_s < w_s·B·10⁶, all integer products —
+    * Spark decimal(38,0) / DuckDB HUGEINT. Headroom: at 100 TB
+    * (n_s ≤ 2.5·10¹³ tokens, ≤ ~10⁴ sources) the largest product is
+    * ~10³⁶ < 10³⁸. ⌊√n·10⁶⌋ itself is safe because IEEE sqrt and multiply
+    * are correctly rounded — both engines see bit-identical doubles.
+    *
+    * Scale shape: two corpus scans (per-source stats, then the acceptance
+    * filter — inherent, since rates depend on global stats), both narrow;
+    * the per-source stats groupBy is map-side combinable into ≤ |sources|
+    * rows; the rates table broadcasts. No corpus-sized shuffle anywhere.
+    *
+    * Output (one row per source, the mixing report):
+    * (source, n_docs, n_tokens, docs_kept, tokens_kept). */
+  def mixSources(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budgetPermille: Int,
+      salt: String = "graft-mix"): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"budgetPermille must be in [0, 1000], got $budgetPermille")
+    val dec = "decimal(38,0)"
+    val tok = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+      size(Text.tokens(col(textCol))).cast("long").as("n_tok"))
+    val src = tok.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_s"))
+      .withColumn("w_s", floor(sqrt(col("n_s").cast("double")) * 1e6).cast("long"))
+    // global totals: ≤ |sources| rows reduced to one — driver-trivial
+    val tot = src.agg(sum("n_s").as("n_total"), sum("w_s").as("w_total"))
+    val rates = src.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"n_total * $budgetPermille DIV 1000"))
+    val hashPpm = pmod(
+      Text.hash60(concat(col("id").cast("string"), lit(":" + salt))),
+      lit(1000000L))
+    val kept = tok.join(broadcast(rates), "source")
+      .where(hashPpm.cast(dec) * col("w_total").cast(dec) * col("n_s").cast(dec) <
+        col("w_s").cast(dec) * col("budget").cast(dec) * lit(1000000L).cast(dec))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"), sum("n_tok").as("tokens_kept"))
+    src.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_s").as("n_tokens"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+  }
+
+  /** DuckDB rendition of [[mixSources]] (same snapped-√ weights, same
+    * division-free HUGEINT acceptance test). */
+  def sqlMixSources(docsTable: String, idExpr: String, sourceExpr: String,
+      textExpr: String, budgetPermille: Int,
+      salt: String = "graft-mix"): String = {
+    // evaluated inside the `kept` CTE, where the id is aliased `t.id`
+    val hashPpm = Text.sqlHash60(s"((t.id)::VARCHAR || ':$salt')") + " % 1000000"
+    s"""WITH tok AS (
+       |  SELECT $idExpr AS id, $sourceExpr AS source,
+       |         len(${Text.sqlTokens(textExpr)})::BIGINT AS n_tok
+       |  FROM $docsTable
+       |), src AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_s,
+       |         CAST(floor(sqrt(n_s::DOUBLE) * 1e6) AS BIGINT) AS w_s
+       |  FROM tok GROUP BY source
+       |), tot AS (
+       |  SELECT sum(n_s)::BIGINT AS n_total, sum(w_s)::BIGINT AS w_total FROM src
+       |), rates AS (
+       |  SELECT src.*, tot.w_total, tot.n_total * $budgetPermille // 1000 AS budget
+       |  FROM src CROSS JOIN tot
+       |), kept AS (
+       |  SELECT t.source, count(*)::BIGINT AS docs_kept,
+       |         sum(t.n_tok)::BIGINT AS tokens_kept
+       |  FROM tok t JOIN rates r USING (source)
+       |  WHERE ($hashPpm)::HUGEINT * r.w_total::HUGEINT * r.n_s::HUGEINT
+       |        < r.w_s::HUGEINT * r.budget::HUGEINT * 1000000::HUGEINT
+       |  GROUP BY t.source
+       |)
+       |SELECT src.source, src.n_docs, src.n_s AS n_tokens,
+       |       coalesce(kept.docs_kept, 0)::BIGINT AS docs_kept,
+       |       coalesce(kept.tokens_kept, 0)::BIGINT AS tokens_kept
+       |FROM src LEFT JOIN kept USING (source)""".stripMargin
+  }
 }

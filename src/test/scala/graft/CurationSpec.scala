@@ -272,4 +272,70 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       minTokens = 5, maxTokens = 500, minQualityPpm = 650000L,
       langs = Seq("en", "es")).count() > 0)
   }
+
+  private def mixDocs = Seq(
+    // big source: 8 docs × 6 tokens; small source: 2 docs × 3 tokens
+    (1 to 8).map(i => (i.toLong, "big", "a b c d e f")) ++
+      Seq((100L, "small", "x y z"), (101L, "small", "x y w")): _*
+  ).toDF("doc_id", "source", "text")
+
+  test("mixSources: √-temperature flattening keeps small sources at a higher rate") {
+    val rep = Curation.mixSources(mixDocs, "doc_id", "source", "text",
+        budgetPermille = 500)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (bigDocs, bigToks, bigKept, bigTokKept) = rep("big")
+    val (smDocs, smToks, smKept, smTokKept) = rep("small")
+    assert((bigDocs, bigToks) === (8L, 48L) && (smDocs, smToks) === (2L, 6L))
+    // acceptance ppm: w_big=√48·1e6≈6.93e6, w_small=√6·1e6≈2.45e6,
+    // B=27 ⇒ r_big = (6.93/9.38)·27/48 ≈ 0.415, r_small = min(1, (2.45/9.38)·27/6) ≈ 1
+    // small is kept whole (rate clamps at 1), big is downsampled
+    assert(smKept === 2L && smTokKept === 6L)
+    assert(bigKept < 8L)
+    assert(bigTokKept === bigKept * 6)
+  }
+
+  test("mixSources: budget 0 keeps nothing; acceptance matches the integer spec exactly") {
+    val zero = Curation.mixSources(mixDocs, "doc_id", "source", "text", 0)
+      .agg(sum("docs_kept")).collect().head.getLong(0)
+    assert(zero === 0L)
+    // recompute the division-free acceptance test independently (BigInt)
+    // and require the reported kept counts to match document-for-document
+    val perDoc = Map("big" -> 6L, "small" -> 3L)
+    val nS = Map("big" -> 48L, "small" -> 6L)
+    val wS = nS.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val w = wS.values.sum
+    val budget = nS.values.sum * 700 / 1000
+    val expected = mixDocs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, src) =>
+        // hash60 is 60-bit ⇒ non-negative, so % is already pmod
+        val ppm = BigInt(
+          graft.functions.Text.hash60Local(s"$id:graft-mix") % 1000000L)
+        ppm * w * nS(src) < BigInt(wS(src)) * budget * 1000000L
+      }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Curation.mixSources(mixDocs, "doc_id", "source", "text", 700)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    Seq("big", "small").foreach { s =>
+      val kept = expected.getOrElse(s, 0L)
+      assert(got(s) === ((kept, kept * perDoc(s))), s"source=$s")
+    }
+  }
+
+  test("mixSources: verdicts are a pure id-hash — stable across partitioning and salt-sensitive") {
+    val a = Curation.mixSources(mixDocs, "doc_id", "source", "text", 500)
+      .collect().toSet
+    val b = Curation.mixSources(mixDocs.repartition(7), "doc_id", "source",
+        "text", 500)
+      .collect().toSet
+    assert(a === b)
+    val salted = Curation.mixSources(mixDocs, "doc_id", "source", "text", 500,
+        salt = "other")
+      .collect().toSet
+    // different salt → a different (valid) sample; rates identical, so the
+    // per-source totals columns agree even when kept counts differ
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ===
+      a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+  }
 }

@@ -129,4 +129,35 @@ class IvfSpec extends AnyFunSuite with SparkTest {
     val recall = (ann & exact).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall")
   }
+
+  test("filtered ANN: preFilter prunes BEFORE top-k on both plans (Atlas filter placement)") {
+    import org.apache.spark.sql.functions.col
+    val filteredExact = VectorSearch.knn(embs.where(col("label") === 3),
+        "vec_id", "embedding", query, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    // a post-filter of the UNfiltered top-10 would return fewer rows and
+    // different ids — assert the pre-filter result has full depth
+    assert(filteredExact.size === 10)
+    // short-circuited exhaustive plan
+    val viaShortCircuit = Ivf.ann(index, embs, "vec_id", "embedding", query,
+        k = 10, numCandidates = Int.MaxValue,
+        preFilter = Some(col("label") === 3))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaShortCircuit === filteredExact)
+    // forceRoute: the member-semi-join plan genuinely executes with the
+    // filter and still yields the exact filtered top-k at full probe depth
+    val viaRoute = Ivf.ann(index, embs, "vec_id", "embedding", query,
+        k = 10, numCandidates = Int.MaxValue,
+        preFilter = Some(col("label") === 3), forceRoute = true)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaRoute === filteredExact)
+    // sub-exhaustive filtered probe: every hit honors the filter
+    val labels = embs.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    val subEx = Ivf.ann(index, embs, "vec_id", "embedding", query,
+        k = 10, numCandidates = VectorSearch.numCandidatesCli(10),
+        preFilter = Some(col("label") === 3))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(subEx.nonEmpty && subEx.forall(labels(_) === 3))
+  }
 }
