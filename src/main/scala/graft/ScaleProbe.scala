@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Replication scaling probe (the SCALE.md measurement harness): runs the
+  * round's heavy operators over the sf0.1 tables replicated ×1/×4/×16 with
+  * shifted ids and prints one `PROBE <op>_x<n> <sec>` line per point.
+  *
+  * The probe answers ONE question per operator: does runtime track input
+  * size (linear / flat), or does it bend quadratic somewhere replication
+  * makes adversarial (every doc/vector gains 4–16 exact clones, every
+  * shingle becomes corpus-duplicated)? Index builds are DDL — they happen
+  * outside the timed window, like [[Bench]]'s warmIndexes.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe"` (env `SPARK_GRAFT_SF_DIR` to
+  * change the base table, default sf0.1; `SPARK_GRAFT_PROBE_REPS` to change
+  * the replication ladder, default `1,4,16`). */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1,4,16")
+      .split(',').map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs0 = graft.util.Tables.documents(spark, sfDir)
+    val embs0 = graft.util.Tables.embeddings(spark, sfDir)
+    // id shift per replica keeps ids unique while every text/vector gains
+    // n−1 exact clones — maximally adversarial for dedup/postings shapes
+    def repD(n: Int): DataFrame = (0 until n)
+      .map(i => docs0.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _).cache()
+    def repE(n: Int): DataFrame = (0 until n)
+      .map(i => embs0.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _).cache()
+    def t(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // JVM/codegen warmup so the ×1 point isn't charged Spark boot time
+    spark.range(1000).selectExpr("sum(id)").collect()
+    graft.pipeline.Curation.mixSources(docs0.limit(100), "doc_id", "source",
+      "text", 300).queryExecution.toRdd.count()
+
+    val qv = graft.embed.Embedder.default.embed("nuggets para desayuno")
+    for (n <- reps) {
+      val d = repD(n); val e = repE(n); d.count(); e.count()
+      t(s"mix_x$n")(graft.pipeline.Curation.mixSources(
+        d, "doc_id", "source", "text", 300))
+      val pq = {
+        val i = graft.index.Pq.build(e, "vec_id", "embedding")
+        val c = i.copy(codes = i.codes.cache()); c.codes.count(); c
+      }
+      t(s"pq_adc_x$n")(graft.index.Pq.ann(
+        pq, e, "vec_id", "embedding", qv, k = 10, overfetch = 50))
+      // batch retrieval: the query batch stays FIXED (~52 queries from the
+      // base table) while the corpus grows — the production shape
+      val queries = docs0.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+        .cache()
+      queries.count()
+      val bm = graft.search.TextSearch.buildIndex(d, "doc_id", "text")
+      t(s"bm25join_x$n")(graft.search.TextSearch.bm25Join(
+        bm, queries, "query_id", "qtext", k = 10))
+      val cands = graft.search.TextSearch.bm25Join(
+        bm, queries, "query_id", "qtext", k = 10).cache()
+      cands.count()
+      val pairs = d.select(col("doc_id").as("id"), col("text"))
+        .join(broadcast(cands.select("query_id", "id")), "id")
+        .join(broadcast(queries), "query_id")
+      t(s"rerank_x$n")(graft.search.Rerank.rerankJoin(
+        pairs, "query_id", "id", "qtext", "text", k = 3))
+      d.unpersist(); e.unpersist(); pq.codes.unpersist()
+      queries.unpersist(); cands.unpersist()
+    }
+    spark.stop()
+  }
+}
