@@ -9,7 +9,7 @@ import graft.index.{IndexStore, Ivf, Pq}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
-import graft.search.{Rerank, ScoreFusion, TextSearch, VectorSearch}
+import graft.search.{Mmr, Rerank, ScoreFusion, TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
 import graft.util.Tables
@@ -706,6 +706,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** MMR-diversified retrieval — [[Mmr.mmrSelect]] over the same
+    * first-stage BM25 candidates as [[qRerank]]: pick 3 of 10 per query
+    * greedily by λ·relevance − (1−λ)·max-sim-to-picked, with candidate-pair
+    * cosines from the corpus sparse embedding. The anti-redundancy
+    * counterpart of qRerank's precision stage; every round is keyed by
+    * query_id over first-stage survivors only — flat in corpus size. */
+  private def qMmr(spark: SparkSession, dir: String): DataFrame = {
+    val queries = Tables.documents(spark, dir)
+      .where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val cands = TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries,
+        "query_id", "qtext", k = 10)
+      .select("query_id", "id", "score")
+    val sims = Mmr.candidatePairSims(cands, corpusSparseEmb(spark, dir))
+    Mmr.mmrSelect(cands, sims, k = 3, lambda = 0.7)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** Temperature-weighted source mixing ([[Curation.mixSources]]) — the
     * pretraining "data mixing" step: flatten the natural source
     * distribution toward √-temperature shares under a 30% global token
@@ -1143,6 +1163,7 @@ object SparkEntry {
     "q_ann_ivf_filtered" -> ((s, dir) => qAnnIvfFiltered(s, dir)),
     "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
     "q_rerank" -> ((s, dir) => qRerank(s, dir)),
+    "q_mmr" -> ((s, dir) => qMmr(s, dir)),
     "q_mix_sources" -> ((s, dir) => qMixSources(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
@@ -1372,6 +1393,29 @@ object SparkEntry {
     "q_mix_sources" ->
       (Curation.sqlMixSources("documents", "doc_id", "source", "text", 300) +
         "\nORDER BY source"),
+    // same unrolled greedy rounds as Mmr.mmrSelect; __sims may reference
+    // __cand because it is declared after it in sqlMmrSelect's WITH list
+    "q_mmr" ->
+      s"""SELECT query_id, id AS doc_id, score, rank FROM (
+         |${Mmr.sqlMmrSelect(
+            candRel = s"""
+              |SELECT query_id, id, score FROM (
+              |${TextSearch.sqlBm25Join("documents", "doc_id", "text", batchQueriesRel, 10)}
+              |)""".stripMargin,
+            simsRel = s"""
+              |WITH cemb AS (
+              |${EmbedJob.sqlEmbedRelational("documents", "doc_id", "text")}
+              |)
+              |SELECT a.query_id, a.id AS id1, b.id AS id2,
+              |       round(sum(e1.val * e2.val), 6) AS sim
+              |FROM __cand a JOIN __cand b
+              |  ON a.query_id = b.query_id AND a.id <> b.id
+              |JOIN cemb e1 ON e1.id = a.id
+              |JOIN cemb e2 ON e2.id = b.id AND e2.dim = e1.dim
+              |GROUP BY 1, 2, 3""".stripMargin,
+            k = 3, lambda = 0.7)}
+         |)
+         |ORDER BY query_id, rank""".stripMargin,
     "q_ann_pq" ->
       s"""WITH scored AS (
          |  SELECT vec_id,

@@ -1,0 +1,144 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance (MMR) diversified top-k — the
+  * diversity-aware second stage of a retrieval pipeline: greedily pick k
+  * results that are RELEVANT to the query but not redundant with what was
+  * already picked,
+  *
+  *   pick_t = argmax_(d ∈ C∖S) [ λ·rel(d) − (1−λ)·max_(s∈S) sim(d, s) ]
+  *
+  * (Carbonell & Goldstein 1998). A training-data builder uses this where
+  * plain top-k returns k near-copies of the same document (the usual
+  * outcome after retrieving from a corpus with residual near-dups).
+  *
+  * Execution shape: the greedy loop is UNROLLED into k relational rounds
+  * (each an anti-join + a max-penalty aggregation + one per-query argmax
+  * window). Every round touches only (query_id, candidate) rows — the
+  * first stage's ≤ \|queries\|×k' survivors, never the corpus — so cost is
+  * flat in corpus size (the [[Rerank]] property) and every shuffle is
+  * keyed by query_id. Candidate-pair similarities are ≤ k'·(k'−1) rows per
+  * query, built once by [[candidatePairSims]] from the sparse embedding
+  * relation. Plan depth grows with k: this is for the usual small k
+  * (diversified SERP / few-shot pools), not k in the thousands.
+  *
+  * Determinism: scores and sims arrive rounded to [[Rerank.ScoreDecimals]],
+  * the MMR objective is re-rounded each role, ties break (mmr DESC, id
+  * ASC) — bit-reproducible and mirrored by [[sqlMmrSelect]] for the
+  * DuckDB oracle.
+  */
+object Mmr {
+
+  /** Symmetric per-query candidate-pair cosines from a SPARSE embedding
+    * relation (`emb` = (id, dim, val), [[graft.embed.EmbedJob.embedRelational]]
+    * shape): (query_id, id1, id2, sim) for id1 ≠ id2 of the same query,
+    * sim = round(Σ val·val, [[Rerank.ScoreDecimals]]). Zero-overlap pairs
+    * are absent — consumers coalesce to 0. */
+  def candidatePairSims(candidates: DataFrame, emb: DataFrame): DataFrame = {
+    val a = candidates.select(col("query_id"), col("id").as("id1"))
+    val b = candidates.select(col("query_id"), col("id").as("id2"))
+    val e1 = emb.select(col("id").as("id1"), col("dim"), col("val").as("v1"))
+    val e2 = emb.select(col("id").as("id2"), col("dim"), col("val").as("v2"))
+    a.join(b, "query_id").where(col("id1") =!= col("id2"))
+      .join(e1, "id1").join(e2, Seq("id2", "dim"))
+      .groupBy("query_id", "id1", "id2")
+      .agg(round(sum(col("v1") * col("v2")), Rerank.ScoreDecimals).as("sim"))
+  }
+
+  /** Greedy MMR selection, unrolled to `k` rounds.
+    *
+    * `candidates`: (query_id, id, score) — first-stage results, score
+    * already rounded. `sims`: symmetric (query_id, id1, id2, sim) as from
+    * [[candidatePairSims]]. Queries with fewer than k candidates yield
+    * fewer rows, like the reference's may-return-under-k modes.
+    *
+    * Output: (query_id, id, score, rank) with rank = selection order. */
+  def mmrSelect(candidates: DataFrame, sims: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val cand = candidates.select("query_id", "id", "score")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__mmr").desc, col("id").asc)
+    def argmax(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("query_id"), col("id"), col("score"), lit(rank).as("rank"))
+    // round 1: pure relevance
+    var selected = argmax(cand.withColumn("__mmr", col("score")), 1)
+    for (t <- 2 to k) {
+      val remaining = cand.join(selected.select("query_id", "id"),
+        Seq("query_id", "id"), "left_anti")
+      // penalty: max sim to ANY already-selected doc of the same query
+      // (≤ t−1 rows per candidate reach the max — bounded state)
+      val simToSel = sims.join(
+        selected.select(col("query_id"), col("id").as("id2")),
+        Seq("query_id", "id2"))
+      val scored = remaining
+        .join(simToSel.select(col("query_id"), col("id1").as("id"),
+          col("sim")), Seq("query_id", "id"), "left")
+        .groupBy("query_id", "id")
+        .agg(first("score").as("score"),
+          coalesce(max("sim"), lit(0.0)).as("__pen"))
+        .withColumn("__mmr", round(
+          lit(lambda) * col("score") - lit(1.0 - lambda) * col("__pen"),
+          Rerank.ScoreDecimals))
+      selected = selected.unionByName(argmax(scored, t))
+    }
+    selected
+  }
+
+  /** DuckDB rendition of [[mmrSelect]] over relation text `candRel`
+    * (query_id, id, score) and `simsRel` (query_id, id1, id2, sim) —
+    * the same unrolled rounds as CTE layers. Returns a SELECT producing
+    * (query_id, id, score, rank). */
+  def sqlMmrSelect(candRel: String, simsRel: String, k: Int,
+      lambda: Double): String = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0)
+    val sb = new StringBuilder
+    sb ++= s"""WITH __cand AS ($candRel
+              |), __sims AS ($simsRel
+              |), sel1 AS (
+              |  SELECT query_id, id, score, 1 AS rank FROM (
+              |    SELECT query_id, id, score,
+              |           row_number() OVER (PARTITION BY query_id
+              |                              ORDER BY score DESC, id ASC) AS rn
+              |    FROM __cand) WHERE rn = 1
+              |)""".stripMargin
+    for (t <- 2 to k) {
+      val prevSel = (1 until t).map(i => s"SELECT * FROM sel$i")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+                |prev$t AS ($prevSel),
+                |rem$t AS (
+                |  SELECT c.* FROM __cand c
+                |  LEFT JOIN prev$t p ON c.query_id = p.query_id AND c.id = p.id
+                |  WHERE p.id IS NULL
+                |),
+                |pen$t AS (
+                |  SELECT r.query_id, r.id, any_value(r.score) AS score,
+                |         coalesce(max(m.sim), 0.0) AS pen
+                |  FROM rem$t r
+                |  LEFT JOIN (__sims m JOIN prev$t s
+                |             ON m.query_id = s.query_id AND m.id2 = s.id)
+                |    ON m.query_id = r.query_id AND m.id1 = r.id
+                |  GROUP BY r.query_id, r.id
+                |),
+                |sel$t AS (
+                |  SELECT query_id, id, score, $t AS rank FROM (
+                |    SELECT query_id, id, score,
+                |           row_number() OVER (PARTITION BY query_id
+                |                              ORDER BY round($lambda * score - ${1.0 - lambda} * pen, ${Rerank.ScoreDecimals}) DESC,
+                |                              id ASC) AS rn
+                |    FROM pen$t) WHERE rn = 1
+                |)""".stripMargin
+    }
+    val all = (1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    sb ++= s"\nSELECT query_id, id, score, rank FROM ($all)"
+    sb.toString
+  }
+}
