@@ -120,4 +120,37 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_dot")),
       s"expected the graft_dot Project inside a codegen stage:\n$plan")
   }
+
+  test("mixSources: rates broadcast to the corpus; per-source stats combine map-side") {
+    val d = Tables.documents(spark, Sf0001)
+    val plan = planString(graft.pipeline.Curation.mixSources(
+      d, "doc_id", "source", "text", 300))
+    // the acceptance filter joins each doc against the ≤|sources|-row
+    // rates table — this must be a broadcast, never a corpus shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected rates BroadcastHashJoin in:\n$plan")
+    // per-source token mass is a partial (map-side) aggregation, so the
+    // only corpus-sized work feeding an Exchange is ≤|sources| partials
+    assert(plan.contains("partial_sum"),
+      s"expected map-side combined per-source stats in:\n$plan")
+  }
+
+  test("rerank/MMR candidate attach broadcasts the small side against the corpus") {
+    val d = Tables.documents(spark, Sf0001)
+    val queries = d.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", org.apache.spark.sql.functions.slice(
+          graft.functions.Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val idx = graft.search.TextSearch.buildIndex(d, "doc_id", "text")
+    val cands = graft.search.TextSearch.bm25Join(idx, queries,
+      "query_id", "qtext", k = 10)
+    val pairs = d.select(col("doc_id").as("id"), col("text"))
+      .join(broadcast(cands.select("query_id", "id")), "id")
+      .join(broadcast(queries), "query_id")
+    val plan = planString(pairs)
+    assert(plan.split("BroadcastHashJoin").length >= 3,
+      s"expected two broadcast joins (candidates, queries) in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against the candidate table:\n$plan")
+  }
 }
