@@ -9,7 +9,7 @@ import graft.index.{IndexStore, Ivf, Pq}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
-import graft.search.{Mmr, Rerank, ScoreFusion, TextSearch, VectorSearch}
+import graft.search.{Mmr, Negatives, Rerank, ScoreFusion, TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
 import graft.util.Tables
@@ -726,6 +726,28 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining ([[Negatives.mine]]) — contrastive-training pair
+    * construction over the same first-stage candidates as [[qRerank]]:
+    * the positive is the query's source document (queries are derived from
+    * corpus docs), high-ranked non-near-dup candidates become the
+    * negatives. The near-dup screen (sim-to-positive < 0.8) is the false-
+    * negative guard; all work is per-query bounded. */
+  private def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val queries = Tables.documents(spark, dir)
+      .where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val cands = TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries,
+        "query_id", "qtext", k = 10)
+      .select("query_id", "id", "score")
+    val positives = queries.select(col("query_id"),
+      col("query_id").as("pos_id"))
+    val sims = Negatives.simToPositive(cands, positives,
+      corpusSparseEmb(spark, dir))
+    Negatives.mine(cands, positives, sims, nearDupThr = 0.8, n = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** Temperature-weighted source mixing ([[Curation.mixSources]]) — the
     * pretraining "data mixing" step: flatten the natural source
     * distribution toward √-temperature shares under a 30% global token
@@ -1164,6 +1186,7 @@ object SparkEntry {
     "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
     "q_rerank" -> ((s, dir) => qRerank(s, dir)),
     "q_mmr" -> ((s, dir) => qMmr(s, dir)),
+    "q_hard_negatives" -> ((s, dir) => qHardNegatives(s, dir)),
     "q_mix_sources" -> ((s, dir) => qMixSources(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
@@ -1393,6 +1416,17 @@ object SparkEntry {
     "q_mix_sources" ->
       (Curation.sqlMixSources("documents", "doc_id", "source", "text", 300) +
         "\nORDER BY source"),
+    "q_hard_negatives" ->
+      (Negatives.sqlMine(
+        candRel = s"""
+          |SELECT query_id, id, score FROM (
+          |${TextSearch.sqlBm25Join("documents", "doc_id", "text", batchQueriesRel, 10)}
+          |)""".stripMargin,
+        posRel =
+          "SELECT doc_id AS query_id, doc_id AS pos_id FROM documents WHERE doc_id % 97 = 0",
+        embRel = EmbedJob.sqlEmbedRelational("documents", "doc_id", "text"),
+        nearDupThr = 0.8, n = 3) +
+        "\nORDER BY query_id, rank"),
     // same unrolled greedy rounds as Mmr.mmrSelect; __sims may reference
     // __cand because it is declared after it in sqlMmrSelect's WITH list
     "q_mmr" ->
