@@ -748,6 +748,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Quality-tier binning ([[Curation.qualityTiers]]): per-language
+    * quantile tiers of the quality score, windows sharded by id-hash so
+    * partitions stay bounded at corpus scale. */
+  private def qQualityTiers(spark: SparkSession, dir: String): DataFrame =
+    Curation.qualityTiers(Tables.documents(spark, dir), "doc_id", "text",
+        "lang", tiers = 4, shards = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Temperature-weighted source mixing ([[Curation.mixSources]]) — the
     * pretraining "data mixing" step: flatten the natural source
     * distribution toward √-temperature shares under a 30% global token
@@ -1187,6 +1196,7 @@ object SparkEntry {
     "q_rerank" -> ((s, dir) => qRerank(s, dir)),
     "q_mmr" -> ((s, dir) => qMmr(s, dir)),
     "q_hard_negatives" -> ((s, dir) => qHardNegatives(s, dir)),
+    "q_quality_tiers" -> ((s, dir) => qQualityTiers(s, dir)),
     "q_mix_sources" -> ((s, dir) => qMixSources(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
@@ -1416,6 +1426,11 @@ object SparkEntry {
     "q_mix_sources" ->
       (Curation.sqlMixSources("documents", "doc_id", "source", "text", 300) +
         "\nORDER BY source"),
+    "q_quality_tiers" ->
+      (Curation.sqlQualityTiers("documents", "doc_id", "text", "lang",
+        tiers = 4, shards = 8)
+        .replace("SELECT id,", "SELECT id AS doc_id,") +
+        "\nORDER BY doc_id"),
     "q_hard_negatives" ->
       (Negatives.sqlMine(
         candRel = s"""

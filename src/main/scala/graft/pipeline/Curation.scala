@@ -488,6 +488,54 @@ object Curation {
         coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
   }
 
+  // ---------------------------------------------------------- quality tiers
+
+  /** Quality-tier binning for curriculum/mixing decisions: assign each
+    * document a quantile tier (1 = best) of [[TextAnalysis.qualityPpm]]
+    * WITHIN its stratum (language/source), via `ntile`.
+    *
+    * Scale shape — the window is partitioned by (stratum, SHARD), not by
+    * stratum alone: a per-stratum ntile would sort one stratum's entire
+    * corpus inside single window partitions (the global-window scaling
+    * trap this repo pins against in CurationSpec). The shard is an id-hash
+    * bucket, so shard membership is random w.r.t. quality; each shard's
+    * ntile is an independent sample estimate of the stratum's quantile
+    * boundaries, and per-shard tiers converge to stratum tiers at shard
+    * sizes ≫ tiers (standard sharded-quantile design). Window partitions
+    * are corpus/shards-bounded; `shards` tunes memory, not semantics-at-
+    * scale. Deterministic: ntile over (ppm DESC, id ASC) total order,
+    * shard from [[graft.functions.Text.hash60]] — reproducible across
+    * runs, partitionings, and engines.
+    *
+    * Output: (id, stratum, shard, q_ppm, tier ∈ [1, tiers]). */
+  def qualityTiers(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, tiers: Int, shards: Int = 64,
+      salt: String = "graft-tier"): DataFrame = {
+    require(tiers >= 1, s"tiers must be >= 1, got $tiers")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val w = Window.partitionBy(col("stratum"), col("shard"))
+      .orderBy(col("q_ppm").desc, col("id").asc)
+    docs.select(col(idCol).as("id"), col(stratumCol).as("stratum"),
+        pmod(Text.hash60(concat(col(idCol).cast("string"), lit(":" + salt))),
+          lit(shards.toLong)).as("shard"),
+        TextAnalysis.qualityPpm(col(textCol)).as("q_ppm"))
+      .withColumn("tier", ntile(tiers).over(w))
+  }
+
+  /** DuckDB rendition of [[qualityTiers]]. */
+  def sqlQualityTiers(docsTable: String, idExpr: String, textExpr: String,
+      stratumExpr: String, tiers: Int, shards: Int = 64,
+      salt: String = "graft-tier"): String =
+    s"""SELECT id, stratum, shard, q_ppm,
+       |       ntile($tiers) OVER (PARTITION BY stratum, shard
+       |                           ORDER BY q_ppm DESC, id ASC)::INTEGER AS tier
+       |FROM (
+       |  SELECT $idExpr AS id, $stratumExpr AS stratum,
+       |         ${Text.sqlHash60(s"(($idExpr)::VARCHAR || ':$salt')")} % $shards AS shard,
+       |         ${TextAnalysis.sqlQualityPpm(textExpr)} AS q_ppm
+       |  FROM $docsTable
+       |)""".stripMargin
+
   /** DuckDB rendition of [[mixSources]] (same snapped-√ weights, same
     * division-free HUGEINT acceptance test). */
   def sqlMixSources(docsTable: String, idExpr: String, sourceExpr: String,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.Curation
+import graft.util.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -321,6 +322,29 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       val kept = expected.getOrElse(s, 0L)
       assert(got(s) === ((kept, kept * perDoc(s))), s"source=$s")
     }
+  }
+
+  test("qualityTiers: balanced per-(stratum,shard) buckets ordered by score, stable under repartitioning") {
+    val docs = Tables.documents(spark, Sf0001)
+    val tiers = Curation.qualityTiers(docs, "doc_id", "text", "lang",
+      tiers = 4, shards = 2).cache()
+    val rows = tiers.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // within every window partition: bucket sizes differ by ≤ 1 and the
+    // worst doc of tier t scores ≥ the best doc of tier t+1
+    rows.groupBy(t => (t._2, t._3)).foreach { case ((stratum, shard), part) =>
+      val bySize = part.groupBy(_._5).view.mapValues(_.length).values.toSeq
+      assert(bySize.max - bySize.min <= 1, s"unbalanced tiers in $stratum/$shard")
+      val byTier = part.groupBy(_._5).view.mapValues(_.map(_._4)).toMap
+      for (t <- 1 until byTier.keys.max)
+        assert(byTier(t).min >= byTier(t + 1).max,
+          s"tier $t should outrank tier ${t + 1} in $stratum/$shard")
+    }
+    // pure-function determinism: partitioning must not change any tier
+    val again = Curation.qualityTiers(docs.repartition(7), "doc_id", "text",
+      "lang", tiers = 4, shards = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(4))).toSet
+    assert(again === rows.map(t => (t._1, t._5)).toSet)
   }
 
   test("mixSources: verdicts are a pure id-hash — stable across partitioning and salt-sensitive") {
