@@ -46,9 +46,15 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val perIter = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to iters).map(_ => timeOnce(name, fn))
-    }
+    // local-iteration filter (unset for driver runs): comma-separated
+    // query names — time just those
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val perIter = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> (1 to iters).map(_ => timeOnce(name, fn))
+      }
     val results = perIter.map { case (name, ts) => name -> ts.min }
     val loadEnd = osBean.getSystemLoadAverage
     def r3(v: Double): String = BigDecimal(v)

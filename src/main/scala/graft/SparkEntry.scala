@@ -717,11 +717,15 @@ object SparkEntry {
       .where(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    // first-stage output feeds ids-pruning, pair sims AND every MMR round
+    // — checkpoint once so retrieval isn't recomputed per consumer
+    // (bounded: |queries| × 10 rows)
     val cands = TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries,
         "query_id", "qtext", k = 10)
       .select("query_id", "id", "score")
+      .localCheckpoint(true)
     val sims = Mmr.candidatePairSims(cands, corpusSparseEmb(spark, dir))
-    Mmr.mmrSelect(cands, sims, k = 3, lambda = 0.7)
+    Mmr.mmrSelectAgg(cands, sims, k = 3, lambda = 0.7)
       .withColumnRenamed("id", "doc_id")
       .orderBy("query_id", "rank")
   }
@@ -737,6 +741,10 @@ object SparkEntry {
       .where(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    // NOT checkpointed (unlike qMmr): mine references cands/sims once
+    // each, and Spark's ReusedExchange already shares the first stage
+    // between them — an eager checkpoint here serializes the stages and
+    // measured SLOWER (1.3 s → 2.4 s)
     val cands = TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries,
         "query_id", "qtext", k = 10)
       .select("query_id", "id", "score")

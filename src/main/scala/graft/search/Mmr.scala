@@ -38,10 +38,17 @@ object Mmr {
     * sim = round(Σ val·val, [[Rerank.ScoreDecimals]]). Zero-overlap pairs
     * are absent — consumers coalesce to 0. */
   def candidatePairSims(candidates: DataFrame, emb: DataFrame): DataFrame = {
+    // ONE broadcast semi-join prunes the corpus-sized embedding relation
+    // to candidate rows before any pair work — the corpus is scanned once
+    // and never shuffled (the pair joins below run over ≤ |cands|·dims
+    // rows). Checkpointed because e1/e2 both read it.
+    val embC = emb.join(
+        broadcast(candidates.select(col("id")).distinct()), "id")
+      .localCheckpoint(true)
     val a = candidates.select(col("query_id"), col("id").as("id1"))
     val b = candidates.select(col("query_id"), col("id").as("id2"))
-    val e1 = emb.select(col("id").as("id1"), col("dim"), col("val").as("v1"))
-    val e2 = emb.select(col("id").as("id2"), col("dim"), col("val").as("v2"))
+    val e1 = embC.select(col("id").as("id1"), col("dim"), col("val").as("v1"))
+    val e2 = embC.select(col("id").as("id2"), col("dim"), col("val").as("v2"))
     a.join(b, "query_id").where(col("id1") =!= col("id2"))
       .join(e1, "id1").join(e2, Seq("id2", "dim"))
       .groupBy("query_id", "id1", "id2")
@@ -61,7 +68,17 @@ object Mmr {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambda >= 0.0 && lambda <= 1.0,
       s"lambda must be in [0, 1], got $lambda")
+    // Both inputs are referenced by EVERY unrolled round (k anti-joins /
+    // penalty joins over the same two tables); without a lineage break
+    // Spark recomputes the whole upstream retrieval per round — measured
+    // 3× the runtime at k=3. Both are per-query bounded (≤ k' candidates,
+    // ≤ k'² sims per query), so executor-local materialization is the
+    // same bounded-small-table call as Dedup.components' per-round
+    // checkpoint; recompute-on-executor-loss is acceptable for a
+    // driver-checked query (rerun the query).
     val cand = candidates.select("query_id", "id", "score")
+      .localCheckpoint(true)
+    val simsC = sims.localCheckpoint(true)
     val w = Window.partitionBy("query_id")
       .orderBy(col("__mmr").desc, col("id").asc)
     def argmax(scored: DataFrame, rank: Int): DataFrame = scored
@@ -75,7 +92,7 @@ object Mmr {
         Seq("query_id", "id"), "left_anti")
       // penalty: max sim to ANY already-selected doc of the same query
       // (≤ t−1 rows per candidate reach the max — bounded state)
-      val simToSel = sims.join(
+      val simToSel = simsC.join(
         selected.select(col("query_id"), col("id").as("id2")),
         Seq("query_id", "id2"))
       val scored = remaining
@@ -90,6 +107,59 @@ object Mmr {
       selected = selected.unionByName(argmax(scored, t))
     }
     selected
+  }
+
+  /** [[mmrSelect]] as ONE bounded-state aggregation — the fast execution
+    * shape (the embedBatched/embedRelational duality): collect each
+    * query's ≤ k' candidates and ≤ k'² pair sims into per-query structs
+    * (one shuffle keyed by query_id, state bounded by the first stage's k'
+    * — the [[VectorSearch]] TopK-aggregator argument), then run the greedy
+    * loop per query in a typed map. Identical output to [[mmrSelect]]
+    * (same rounded arithmetic, same tie-breaks — parity pinned in
+    * MmrSpec); the relational unrolling remains the SQL-mirror shape the
+    * DuckDB oracle checks. Prefer this one in pipelines: the unrolled
+    * plan pays k rounds of join/window scheduling for the same answer. */
+  def mmrSelectAgg(candidates: DataFrame, sims: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val candAgg = candidates.groupBy("query_id")
+      .agg(collect_list(struct(col("id"), col("score"))).as("cands"))
+    val simAgg = sims.groupBy("query_id")
+      .agg(collect_list(struct(col("id1"), col("id2"), col("sim"))).as("sims"))
+    val joined = candAgg.join(simAgg, Seq("query_id"), "left")
+      .select(col("query_id").cast("long"),
+        col("cands").cast("array<struct<id:long,score:double>>"),
+        coalesce(col("sims"),
+          array().cast("array<struct<id1:long,id2:long,sim:double>>"))
+          .as("sims"))
+      .as[(Long, Seq[(Long, Double)], Seq[(Long, Long, Double)])]
+    joined.flatMap { case (qid, cands, simRows) =>
+      val sim = simRows.map(t => (t._1, t._2) -> t._3).toMap
+      var pool = cands.toMap
+      var sel = List.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+      var t = 1
+      while (t <= k && pool.nonEmpty) {
+        val pick = pool.map { case (id, rel) =>
+          val mmr =
+            if (sel.isEmpty) rel
+            else {
+              val pen = sel.map(s => sim.getOrElse((id, s), 0.0)).max
+              java.math.BigDecimal.valueOf(lambda * rel - (1.0 - lambda) * pen)
+                .setScale(Rerank.ScoreDecimals, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+            }
+          (id, mmr)
+        }.minBy { case (id, m) => (-m, id) }._1
+        out += ((qid, pick, pool(pick), t))
+        pool -= pick; sel ::= pick; t += 1
+      }
+      out
+    }.toDF("query_id", "id", "score", "rank")
   }
 
   /** DuckDB rendition of [[mmrSelect]] over relation text `candRel`

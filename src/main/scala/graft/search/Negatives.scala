@@ -26,8 +26,21 @@ object Negatives {
     * `positives`: (query_id, pos_id). */
   def simToPositive(candidates: DataFrame, positives: DataFrame,
       emb: DataFrame): DataFrame = {
-    val e1 = emb.select(col("id"), col("dim"), col("val").as("v1"))
-    val e2 = emb.select(col("id").as("pos_id"), col("dim"),
+    // prune the corpus-sized embedding to candidate ∪ positive rows with
+    // one broadcast semi-join (the Mmr.candidatePairSims pattern) — the
+    // corpus is scanned once, never shuffled for the pair work
+    val ids = candidates.select(col("id"))
+      .union(positives.select(col("pos_id").as("id"))).distinct()
+    // deliberately NOT checkpointed: e1/e2 re-evaluate the pruned
+    // semi-join, but each evaluation is a broadcast probe of the (usually
+    // cached) embedding relation; a checkpoint boundary here measured
+    // slower in both eager and lazy variants at sf0.1. The ids broadcast
+    // costs one extra first-stage evaluation, which is the right trade —
+    // without the prune, the e2 join would SHUFFLE the corpus-sized
+    // embedding relation, the thing this stage must never do.
+    val embC = emb.join(broadcast(ids), "id")
+    val e1 = embC.select(col("id"), col("dim"), col("val").as("v1"))
+    val e2 = embC.select(col("id").as("pos_id"), col("dim"),
       col("val").as("v2"))
     candidates.select("query_id", "id")
       .join(positives, "query_id")

@@ -75,6 +75,22 @@ class MmrSpec extends AnyFunSuite with SparkTest {
     assert(got === expected)
   }
 
+  test("mmrSelectAgg (bounded-state shape) is row-identical to the relational unrolling") {
+    val rnd = new scala.util.Random(7)
+    val cands = (for (q <- 1L to 6L; d <- 1L to 9L)
+      yield (q, d, math.rint(rnd.nextDouble() * 1e6) / 1e6))
+      .toDF("query_id", "id", "score")
+    val sym = (for (q <- 1L to 6L; a <- 1L to 9L; b <- a + 1 to 9L)
+      yield (q, a, b, math.rint(rnd.nextDouble() * 1e6) / 1e6))
+    val sims = (sym ++ sym.map(t => (t._1, t._3, t._2, t._4)))
+      .toDF("query_id", "id1", "id2", "sim")
+    val rel = graft.search.Mmr.mmrSelect(cands, sims, k = 4, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val agg = graft.search.Mmr.mmrSelectAgg(cands, sims, k = 4, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(agg === rel)
+  }
+
   test("mmrSelect: a query with fewer than k candidates yields fewer rows") {
     val cands = Seq((1L, 1L, 0.9), (1L, 2L, 0.8), (2L, 5L, 0.7))
       .toDF("query_id", "id", "score")
