@@ -69,4 +69,45 @@ class NullSafetySpec extends AnyFunSuite with SparkTest {
     assert(got(3L) === ((false, "und")))
     assert(got(4L)._2 === "und")
   }
+
+  test("mixSources: null/empty texts count as docs with no token mass, never error") {
+    val docs = Seq(
+      (1L, "s1", "five token doc right here"),
+      (2L, "s1", null.asInstanceOf[String]),
+      (3L, "s2", ""),
+      (4L, "s2", "two tokens"),
+    ).toDF("doc_id", "source", "text")
+    val rep = graft.pipeline.Curation.mixSources(docs, "doc_id", "source",
+        "text", 1000)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc counts include degenerate docs; token mass ignores them
+    assert(rep("s1") === ((2L, 5L)))
+    assert(rep("s2") === ((2L, 2L)))
+  }
+
+  test("qualityTiers: null-text docs still receive a tier (null ppm sorts last)") {
+    val docs = Seq(
+      (1L, "en", "good normal document text"),
+      (2L, "en", null.asInstanceOf[String]),
+      (3L, "en", "another fine document here"),
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.pipeline.Curation.qualityTiers(docs, "doc_id", "text",
+        "lang", tiers = 3, shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got.size === 3)
+    // DESC NULLS LAST: the null-quality doc lands in the worst tier
+    assert(got(2L) === 3)
+  }
+
+  test("rerank pipeline: null candidate text scores 0 overlap, never errors") {
+    val cands = Seq(
+      (1L, 10L, "query words", "query words match"),
+      (1L, 11L, "query words", null.asInstanceOf[String]),
+    ).toDF("query_id", "id", "qtext", "dtext")
+    val got = graft.search.Rerank.rerankJoin(cands, "query_id", "id",
+        "qtext", "dtext", k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(11L) === 0.0)
+    assert(got(10L) > 0.0)
+  }
 }
