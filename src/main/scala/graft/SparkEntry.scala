@@ -756,6 +756,23 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Click→purchase attribution via [[EventStreams.intervalJoin]] in batch
+    * mode — the same declaration runs as a watermarked stream-stream join
+    * with bounded state on a live stream (StreamingSpec parity). */
+  private def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    EventStreams.intervalJoin(
+        ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        gapMinutes = 60)
+      .select(col("l_event_id").as("click_id"),
+        col("r_event_id").as("purchase_id"),
+        col("l_user_id").as("user_id"), col("r_value").as("value"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Quality-tier binning ([[Curation.qualityTiers]]): per-language
     * quantile tiers of the quality score, windows sharded by id-hash so
     * partitions stay bounded at corpus scale. */
@@ -1208,6 +1225,7 @@ object SparkEntry {
     "q_mix_sources" -> ((s, dir) => qMixSources(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
+    "q_attribution" -> ((s, dir) => qAttribution(s, dir)),
     "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
     "q_embed_corpus" -> ((s, dir) => qEmbedCorpus(s, dir)),
     "q_json_extract" -> ((s, dir) => qJsonExtract(s, dir)),
@@ -1621,6 +1639,18 @@ object SparkEntry {
       (EventStreams.sqlSessionAgg(
         "(SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events)") +
         "\nORDER BY user_id, session_start"),
+    // half-open interval (r.ts − 60min, r.ts]: same bounds as intervalJoin
+    "q_attribution" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id, p.value
+        |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND c.ts <= p.ts
+        | AND c.ts > p.ts - INTERVAL 60 MINUTES
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_multimodal" ->
       """WITH chars AS (
         |  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS cs

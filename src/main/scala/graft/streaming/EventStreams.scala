@@ -162,4 +162,32 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Watermarked stream-stream INTERVAL join — event attribution: pair
+    * each `right` event (e.g. a purchase) with every `left` event (e.g. a
+    * click) by the same user at most `gapMinutes` earlier,
+    * `l.ts ∈ (r.ts − gap, r.ts]`.
+    *
+    * State contract: both sides carry a watermark and the join condition
+    * bounds event-time distance, so each side buffers only `gapMinutes +
+    * lateness` of data per user — bounded state, the requirement for an
+    * unbounded 100 TB/day event stream (an unbounded-time stream-stream
+    * join would grow state forever and Spark rejects it in append mode).
+    * In batch mode the same call is a plain interval join, so batch/stream
+    * parity is testable (StreamingSpec).
+    *
+    * Output: left columns prefixed `l_`, right prefixed `r_`. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      gapMinutes: Int = 60, lateness: String = "10 minutes"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    val (lw, rw) =
+      if (left.isStreaming || right.isStreaming)
+        (l.withWatermark("l_ts", lateness), r.withWatermark("r_ts", lateness))
+      else (l, r)
+    lw.join(rw, expr(
+      s"""l_user_id = r_user_id AND
+         |l_ts <= r_ts AND
+         |l_ts > r_ts - INTERVAL $gapMinutes MINUTES""".stripMargin))
+  }
 }

@@ -68,6 +68,34 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream attribution equals the batch interval join") {
+    val clicks = Seq(
+      Event(1, tsAt(10, 0), 1, "click", 1.0),
+      Event(2, tsAt(10, 50), 1, "click", 1.0),
+      Event(3, tsAt(10, 10), 2, "click", 1.0),
+    )
+    val purchases = Seq(
+      Event(10, tsAt(10, 55), 1, "purchase", 9.0), // pairs with clicks 1 and 2 (gap 60)
+      Event(11, tsAt(12, 0), 2, "purchase", 5.0),  // click 3 too old — no pair
+    )
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("l_event_id"), r.getAs[Long]("r_event_id"))).toSet
+    val batch = key(EventStreams.intervalJoin(
+      clicks.toDF(), purchases.toDF(), gapMinutes = 60).collect())
+    assert(batch === Set((1L, 10L), (2L, 10L)))
+
+    val lmem = MemoryStream[Event](spark)
+    val rmem = MemoryStream[Event](spark)
+    lmem.addData(clicks: _*)
+    rmem.addData(purchases: _*)
+    val q = EventStreams.intervalJoin(lmem.toDF(), rmem.toDF(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(key(spark.table("ij").collect()) === batch)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the lateness bound (append mode)") {
     val mem = MemoryStream[Event](spark)
     val q = EventStreams.windowedCounts(mem.toDF(), windowDur = "10 minutes",
