@@ -802,6 +802,26 @@ object SparkEntry {
         Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr)
       .orderBy("id1", "id2")
 
+  /** INCREMENTAL near-dup dedup — the production daily-ingest operation:
+    * which of a NEW batch's vectors near-duplicate anything ALREADY in the
+    * persisted index? The batch (every 5th id here) is sketched fresh
+    * (work ∝ batch) and its bands broadcast against the band-partitioned
+    * persisted sketch table ([[Dedup.signLshCandidatesAgainst]]); the
+    * existing corpus contributes only sketch rows — never re-embedded,
+    * never self-joined. Exact cosine verify runs on candidates only.
+    * Oracle-exact for the same reason as [[qNeardupCosine]]: banding
+    * recall is 1 at this threshold on the testdata (DedupSpec asserts the
+    * subset relation structurally). */
+  private def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val batch = e.where(col("vec_id") % 5 === 0)
+    val cands = Dedup.signLshCandidatesAgainst(
+      Dedup.signLshSketches(batch, "vec_id", "embedding", EmbDim),
+      corpusSignLsh(spark, dir))
+    Dedup.cosineVerify(cands, e, "vec_id", "embedding", CosineThr)
+      .orderBy("id1", "id2")
+  }
+
   /** The IVF index, built once per (session, sfDir) — offline DDL
     * lifecycle, same as [[corpusBm25]]. */
   private val ivfCache =
@@ -1211,6 +1231,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
     "q_neardup_cosine_idx" -> ((s, dir) => qNeardupCosineIdx(s, dir)),
+    "q_dedup_incremental" -> ((s, dir) => qDedupIncremental(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
     "q_ann_pq" -> ((s, dir) => qAnnPq(s, dir)),
     "q_ann_pq_idx" -> ((s, dir) => qAnnPqIdx(s, dir)),
@@ -1874,6 +1895,15 @@ object SparkEntry {
     "q_neardup_cosine_idx" ->
       (Dedup.sqlCosinePairs("embeddings", "vec_id", "embedding", CosineThr) +
         "\nORDER BY id1, id2"),
+    // directed batch→corpus pairs: a = new batch (every 31st id), b = any
+    // other vector in the corpus
+    "q_dedup_incremental" ->
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id
+         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= $CosineThr
+         |ORDER BY id1, id2""".stripMargin,
     "q_neardup_text_cosine" ->
       (Dedup.sqlCosinePairsSparse(
         EmbedJob.sqlEmbedRelational("documents", "doc_id", "text"),

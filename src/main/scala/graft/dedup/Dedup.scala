@@ -720,4 +720,35 @@ object Dedup {
        |       round(list_cosine_similarity(a.$embExpr::DOUBLE[], b.$embExpr::DOUBLE[]), 6) AS sim
        |FROM $embsTable a JOIN $embsTable b ON a.$idExpr < b.$idExpr
        |WHERE round(list_cosine_similarity(a.$embExpr::DOUBLE[], b.$embExpr::DOUBLE[]), 6) >= $threshold""".stripMargin
+
+  /** Candidates of a NEW batch against an EXISTING banded sketch table —
+    * the incremental-ingest rendition of [[signLshCandidates]], the daily
+    * operation of a production corpus: "which of today's documents
+    * near-duplicate anything already ingested?". The batch side is
+    * sketched fresh (work ∝ batch); the index side is the PERSISTED
+    * band-partitioned sketch table ([[graft.index.IndexStore.saveSignLsh]]
+    * layout), so the existing corpus contributes only its ~8-byte sketch
+    * rows and is never re-embedded or re-scanned. The equi-join on
+    * (band, bkey) hits only matching band buckets; the batch side is tiny
+    * → broadcast.
+    *
+    * Pairs are DIRECTED (id1 = batch, id2 = index) and a batch id already
+    * present in the index never pairs with itself (re-ingest safety).
+    * First-agreeing-band dedup keeps each pair once, as in
+    * [[signLshCandidates]]. */
+  def signLshCandidatesAgainst(batchBanded: DataFrame, indexBanded: DataFrame,
+      bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
+    val bandMasks = (0 until bands).map(b => ((1L << rows) - 1) << (b * rows))
+    val l = batchBanded.select(col("id").as("id1"), col("band"), col("bkey"),
+      col("sk").as("sk1"))
+    val r = indexBanded.select(col("id").as("id2"), col("band"), col("bkey"),
+      col("sk").as("sk2"))
+    def agree(b: Int): Column =
+      col("sk1").bitwiseXOR(col("sk2")).bitwiseAND(lit(bandMasks(b))) === 0
+    val firstAgree = (0 until bands).foldRight(lit(-1): Column)(
+      (b, acc) => when(agree(b), lit(b)).otherwise(acc))
+    broadcast(l).join(r, Seq("band", "bkey"))
+      .where(col("id1") =!= col("id2") && col("band") === firstAgree)
+      .select("id1", "id2")
+  }
 }

@@ -218,4 +218,31 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(pairs(Dedup.semanticPairs(hot, embs, "vec_id", "embedding", 0.45,
       force = true)) === brute)
   }
+
+  test("signLshCandidatesAgainst: directed batch→index candidates, no self-pairs, each pair once") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val index = Dedup.signLshSketches(e, "vec_id", "embedding", 64)
+    val batch = e.where(col("vec_id") % 5 === 0)
+    val cands = Dedup.signLshCandidatesAgainst(
+        Dedup.signLshSketches(batch, "vec_id", "embedding", 64), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // directed: id1 always from the batch; never a self-pair
+    assert(cands.nonEmpty)
+    assert(cands.forall { case (id1, id2) => id1 % 5 == 0 && id1 != id2 })
+    // first-agreeing-band dedup: each (batch, index) pair at most once
+    assert(cands.length === cands.distinct.length)
+    // the verified output over these candidates equals the batch-filtered
+    // rows of the SELF-join path (same sketches, same recall): every
+    // brute near-dup pair touching the batch must survive
+    val verified = Dedup.cosineVerify(
+        Dedup.signLshCandidatesAgainst(
+          Dedup.signLshSketches(batch, "vec_id", "embedding", 64), index),
+        e, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.cosinePairs(e, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(_._1 % 5 == 0).toSet
+    assert(verified === brute)
+  }
 }
