@@ -129,6 +129,38 @@ object Rerank {
       .select(col(qIdCol), col(idCol), col("rr_score"), col("rank"))
   }
 
+  /** [[OverlapReranker]]'s score as a pure CATALYST column — the
+    * relational twin of the mapPartitions shape (the
+    * embedBatched/embedRelational duality): array_intersect over the
+    * distinct token arrays, fully codegen'd, no external-service
+    * boundary. Use when the scorer is a closed-form function; use
+    * [[rerankJoin]] when it is a real model call. Bit-identical to the
+    * scorer (parity in RerankSpec). */
+  def overlapF1(qText: Column, dText: Column): Column = {
+    def toks(c: Column) =
+      array_distinct(graft.functions.Text.tokens(coalesce(c, lit(""))))
+    val (q, d) = (toks(qText), toks(dText))
+    val denom = size(q) + size(d)
+    round(when(denom === 0, 0.0)
+      .otherwise(lit(2.0) * size(array_intersect(q, d)) / denom),
+      ScoreDecimals)
+  }
+
+  /** [[rerankJoin]] with the relational scorer: same output columns and
+    * ranking contract, one codegen'd projection instead of batched
+    * external calls — zero shuffle before the bounded per-query window. */
+  def rerankJoinRelational(candidates: DataFrame, qIdCol: String,
+      idCol: String, qTextCol: String, dTextCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("rr_score").desc, col(idCol).asc)
+    candidates
+      .withColumn("rr_score", overlapF1(col(qTextCol), col(dTextCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("rr_score"), col("rank"))
+  }
+
   /** DuckDB rendition of [[OverlapReranker]]'s score for oracle SQL: F1 of
     * the distinct token sets of `qTextExpr` and `dTextExpr`, rounded to
     * [[ScoreDecimals]]. */

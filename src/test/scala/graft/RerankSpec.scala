@@ -72,6 +72,19 @@ class RerankSpec extends AnyFunSuite with SparkTest {
       (20L, 9L, 0.666667, 1))) // 2/3 rounded to ScoreDecimals
   }
 
+  test("relational scorer (overlapF1 column) is row-identical to the mapPartitions shape") {
+    val rnd = new scala.util.Random(3)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def text() = Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" ")
+    val cands = (1 to 40).map(i => (i.toLong / 8, i.toLong, text(), text()))
+      .toDF("query_id", "id", "qtext", "dtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(
+      rows(Rerank.rerankJoinRelational(cands, "query_id", "id", "qtext", "dtext", k = 3)) ===
+      rows(Rerank.rerankJoin(cands, "query_id", "id", "qtext", "dtext", k = 3)))
+  }
+
   test("rerankJoin scores ride partition-local batches (parity with driver-side scorer)") {
     val n = 2 * Reranker.BatchSize + 3 // forces multiple batches per partition
     val cands = (1 to n).map(i =>
