@@ -78,8 +78,45 @@ object ScaleProbe {
         .join(broadcast(queries), "query_id")
       t(s"rerank_x$n")(graft.search.Rerank.rerankJoin(
         pairs, "query_id", "id", "qtext", "text", k = 3))
+      // MMR over the same fixed candidate batch — must stay flat like rerank
+      val candsScored = cands.select("query_id", "id", "score")
+        .localCheckpoint(true)
+      val sims = graft.search.Mmr.candidatePairSims(candsScored,
+        graft.embed.EmbedJob.embedRelational(d, "doc_id", "text"))
+      t(s"mmr_x$n")(graft.search.Mmr.mmrSelectAgg(
+        candsScored, sims, k = 3, lambda = 0.7))
+      // quality tiers: one scan + sharded windows — linear
+      t(s"tiers_x$n")(graft.pipeline.Curation.qualityTiers(
+        d, "doc_id", "text", "lang", tiers = 4, shards = 64))
+      // incremental dedup: FIXED batch (base-table ids) against the
+      // replicated index — replication is adversarial (every batch vector
+      // gains n−1 exact clones in the index, so true candidates grow ∝ n)
+      val idxSk = graft.dedup.Dedup.signLshSketches(
+        e, "vec_id", "embedding", 64).localCheckpoint(true)
+      val batchSk = graft.dedup.Dedup.signLshSketches(
+        embs0.where(col("vec_id") % 5 === 0), "vec_id", "embedding", 64)
+      t(s"inc_dedup_x$n")(graft.dedup.Dedup.cosineVerify(
+        graft.dedup.Dedup.signLshCandidatesAgainst(batchSk, idxSk),
+        e, "vec_id", "embedding", 0.45))
       d.unpersist(); e.unpersist(); pq.codes.unpersist()
       queries.unpersist(); cands.unpersist()
+    }
+    // event-stream attribution: events replicated with shifted users so the
+    // per-user pair cardinality stays constant — runtime must track rows
+    val ev0 = graft.util.Tables.events(spark, sfDir)
+    for (n <- reps) {
+      val ev = (0 until n).map(i => ev0
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000000L)))
+        .reduce(_ unionByName _).cache()
+      ev.count()
+      t(s"attribution_x$n")(graft.streaming.EventStreams.intervalJoin(
+        ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        gapMinutes = 60))
+      ev.unpersist()
     }
     spark.stop()
   }

@@ -735,7 +735,16 @@ object Dedup {
     * Pairs are DIRECTED (id1 = batch, id2 = index) and a batch id already
     * present in the index never pairs with itself (re-ingest safety).
     * First-agreeing-band dedup keeps each pair once, as in
-    * [[signLshCandidates]]. */
+    * [[signLshCandidates]].
+    *
+    * Index contract — exact-dedup-first: the persisted index must cover a
+    * corpus whose EXACT clones were collapsed ([[exact]] before
+    * sketching, the `q_dedup_pipeline` ordering). Clone families share
+    * identical sketches, so a family of size m inflates its band buckets
+    * m× and candidate generation pays m² per family (measured: a ×16
+    * clone-replicated index turns a 1.1 s probe into 52 s — SCALE.md
+    * round-5c). Under the invariant, families have size 1 and work is
+    * linear in true near-dup candidates. */
   def signLshCandidatesAgainst(batchBanded: DataFrame, indexBanded: DataFrame,
       bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
     val bandMasks = (0 until bands).map(b => ((1L << rows) - 1) << (b * rows))
