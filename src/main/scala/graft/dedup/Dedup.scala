@@ -760,4 +760,34 @@ object Dedup {
       .where(col("id1") =!= col("id2") && col("band") === firstAgree)
       .select("id1", "id2")
   }
+
+  /** MULTI-PROBE [[signLshCandidatesAgainst]]: besides each band's exact
+    * key, the batch side also probes every key at HAMMING DISTANCE 1
+    * within the band (flip one of its `rows` bits) — the standard
+    * query-side trick (Lv et al., multi-probe LSH) that buys recall for
+    * pairs just missing per-band agreement WITHOUT more bands or a second
+    * index table. Candidate work grows ×(1+rows) on the batch side only;
+    * the index layout is untouched, so the same persisted sketch table
+    * serves both probe depths. Returns a SUPERSET of the exact-probe
+    * candidates (asserted in DedupSpec); downstream cosine verification
+    * makes extra candidates harmless. Pairs are distinct, directed, no
+    * self-pairs — same contract as the exact-probe variant. */
+  def signLshCandidatesAgainstMultiProbe(batchBanded: DataFrame,
+      indexBanded: DataFrame, bands: Int = SignLshBands,
+      rows: Int = SignLshRows): DataFrame = {
+    // bit j of band b sits at position b*rows + j (the signLshSketches
+    // layout); flip 0 = the exact key
+    val probed = batchBanded.select(col("id").as("id1"), col("band"),
+        explode(array((lit(0L) +: (0 until rows).map(j =>
+          lit(1L << j))): _*)).as("flip"),
+        col("bkey"))
+      .select(col("id1"), col("band"),
+        col("bkey").bitwiseXOR(
+          expr(s"shiftleft(flip, cast(band * $rows AS INT))")).as("bkey"))
+    broadcast(probed)
+      .join(indexBanded.select(col("id").as("id2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .where(col("id1") =!= col("id2"))
+      .select("id1", "id2").distinct()
+  }
 }

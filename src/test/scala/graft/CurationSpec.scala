@@ -347,6 +347,34 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(again === rows.map(t => (t._1, t._5)).toSet)
   }
 
+  test("mixSources invariants over seeded random corpora: bounds and budget monotonicity") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val nSrc = 2 + rnd.nextInt(5)
+      val docs = (1 to 60 + rnd.nextInt(120)).map { i =>
+        val words = 1 + rnd.nextInt(30)
+        (i.toLong + trial * 10000L, s"s${rnd.nextInt(nSrc)}",
+          Seq.fill(words)("w" + rnd.nextInt(50)).mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      def report(b: Int) = Curation.mixSources(docs, "doc_id", "source", "text", b)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val budgets = Seq(100, 400, 900).map(b => b -> report(b)).toMap
+      budgets.values.foreach(_.foreach { case (_, (nd, nt, dk, tk)) =>
+        assert(dk <= nd && tk <= nt && dk >= 0 && tk >= 0)
+      })
+      // acceptance ppm grows with the budget and the hash is fixed, so
+      // kept docs at a smaller budget are a subset — counts must be
+      // monotone per source
+      for (s <- budgets(100).keys) {
+        assert(budgets(100)(s)._3 <= budgets(400)(s)._3)
+        assert(budgets(400)(s)._3 <= budgets(900)(s)._3)
+        assert(budgets(100)(s)._4 <= budgets(400)(s)._4)
+        assert(budgets(400)(s)._4 <= budgets(900)(s)._4)
+      }
+    }
+  }
+
   test("mixSources: verdicts are a pure id-hash — stable across partitioning and salt-sensitive") {
     val a = Curation.mixSources(mixDocs, "doc_id", "source", "text", 500)
       .collect().toSet

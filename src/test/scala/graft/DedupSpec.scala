@@ -245,4 +245,23 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       .filter(_._1 % 5 == 0).toSet
     assert(verified === brute)
   }
+
+  test("multi-probe candidates are a strict superset of exact-band candidates") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val index = Dedup.signLshSketches(e, "vec_id", "embedding", 64)
+    val batchSk = Dedup.signLshSketches(
+      e.where(col("vec_id") % 5 === 0), "vec_id", "embedding", 64)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.signLshCandidatesAgainst(batchSk, index))
+    val multi = pairSet(
+      Dedup.signLshCandidatesAgainstMultiProbe(batchSk, index))
+    assert(exact.subsetOf(multi),
+      "flip 0 reproduces every exact-band candidate")
+    // Hamming-1 probing must genuinely widen the candidate set on this
+    // fixture (otherwise the knob is untested dead weight)
+    assert(multi.size > exact.size)
+    // contract parity: directed, no self-pairs, distinct
+    assert(multi.forall { case (a, b) => a % 5 == 0 && a != b })
+  }
 }
