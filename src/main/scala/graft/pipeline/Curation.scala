@@ -310,6 +310,44 @@ object Curation {
        |       (cum_excl % $tokenBudget)::BIGINT AS seq_offset
        |FROM packed""".stripMargin
 
+  /** Training-shard EXPORT — the last mile of the pipeline: pack documents
+    * into fixed-token-budget sequences ([[packSequences]]) and write them
+    * as a shard-partitioned parquet layout a training loader streams
+    * shard-by-shard, plus a manifest.
+    *
+    * Layout under `path`:
+    *   - `shards/group=<g>/` — one partition dir per source shard, rows
+    *     (id, text, n_tokens, seq_id, seq_offset) sorted WITHIN each file
+    *     by (seq_id, seq_offset) via `sortWithinPartitions` — a loader
+    *     reads sequences in order with zero post-sorting;
+    *   - `manifest/` — one row per (group, seq_id): n_docs, n_tokens —
+    *     the loader's index, and the integrity check (Σ manifest tokens ==
+    *     Σ shard tokens, asserted in CurationSpec).
+    *
+    * Scale shape: one packSequences pass (group-partitioned running-sum
+    * window), one `partitionBy("group")` write (files ∝ groups × tasks),
+    * and a map-side-combinable manifest aggregation. Overwrite semantics —
+    * the export is a derived artifact, rebuilt wholesale (S3/S7 lifecycle,
+    * like every [[graft.index.IndexStore]] base build). Returns the
+    * manifest for convenience. */
+  def exportPackedShards(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, tokenBudget: Int, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val packed = packSequences(docs, groupCol, idCol, textCol, tokenBudget)
+      .join(docs.select(col(idCol).as("id"), col(textCol).as("text")), "id")
+    packed
+      .repartition(col("group"))
+      .sortWithinPartitions("seq_id", "seq_offset")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("group")
+      .parquet(s"$path/shards")
+    packed.groupBy("group", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/manifest")
+    spark.read.parquet(s"$path/manifest")
+  }
+
   /** Durable corpus-intake ledger — the production rendition of
     * SparkEntry's `q_intake_pipeline` (quality gate → exact dedup among the
     * quality survivors → benchmark decontamination of the dedup survivors →

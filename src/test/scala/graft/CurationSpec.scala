@@ -324,6 +324,33 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("exportPackedShards: loader-ready layout, manifest agrees with shards exactly") {
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    val path = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val manifest = Curation.exportPackedShards(docs, "source", "doc_id",
+      "text", tokenBudget = 256, path = path)
+    val shards = spark.read.parquet(s"$path/shards")
+    // every doc exported once, with its text
+    assert(shards.count() === docs.count())
+    assert(shards.columns.toSet ===
+      Set("id", "text", "n_tokens", "seq_id", "seq_offset", "group"))
+    // manifest is the exact index of the shards
+    val fromShards = shards.groupBy("group", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val fromManifest = manifest.collect().map(r =>
+      (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(fromManifest === fromShards)
+    // partition layout: one directory per source shard
+    val dirs = new java.io.File(s"$path/shards").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("group=")))
+    // packing invariant: every document STARTS inside the budget (a doc
+    // is never split, so totals may overflow by the last doc's tail)
+    assert(shards.where(col("seq_offset") >= 256).count() === 0)
+  }
+
   test("qualityTiers: balanced per-(stratum,shard) buckets ordered by score, stable under repartitioning") {
     val docs = Tables.documents(spark, Sf0001)
     val tiers = Curation.qualityTiers(docs, "doc_id", "text", "lang",
