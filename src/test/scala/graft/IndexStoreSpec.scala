@@ -400,4 +400,42 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
     assert(batchDirs.toSeq === Seq("batch=-1"))
   }
+
+  test("daily-ingest loop: each arriving batch dedup-checks against the index-so-far, then appends") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ingestloop").toString
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding").cache()
+    val waves = Seq(
+      embs.where($"vec_id" % 3 === 0),
+      embs.where($"vec_id" % 3 === 1),
+      embs.where($"vec_id" % 3 === 2))
+    IndexStore.saveSignLsh(
+      Dedup.signLshSketches(waves.head, "vec_id", "embedding", dim = 64), dir)
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    waves.tail.zipWithIndex.foreach { case (wave, i) =>
+      // 1) check the NEW wave against everything ingested so far
+      val hits = Dedup.cosineVerify(
+          Dedup.signLshCandidatesAgainst(
+            Dedup.signLshSketches(wave, "vec_id", "embedding", dim = 64),
+            IndexStore.loadSignLsh(spark, dir)),
+          embs, "vec_id", "embedding", 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      found ++= hits
+      // 2) then append the wave (survivors in production; all, here)
+      IndexStore.appendBatchSignLsh(wave, "vec_id", "embedding", 64, dir, i.toLong)
+    }
+    // the loop must surface exactly the brute cross-wave pairs where the
+    // LEFT side arrived strictly later than the right side's wave
+    val waveOf = embs.select("vec_id").collect()
+      .map(_.getLong(0)).map(id => id -> (id % 3)).toMap
+    val expected = Dedup.cosinePairs(embs, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (late, early) => waveOf(late) > waveOf(early) }.toSet
+    assert(found.toSet === expected)
+    // and the final index covers the whole corpus
+    assert(IndexStore.loadSignLsh(spark, dir).select("id").distinct().count()
+      === embs.count())
+  }
 }
