@@ -1895,8 +1895,8 @@ object SparkEntry {
     "q_neardup_cosine_idx" ->
       (Dedup.sqlCosinePairs("embeddings", "vec_id", "embedding", CosineThr) +
         "\nORDER BY id1, id2"),
-    // directed batch→corpus pairs: a = new batch (every 31st id), b = any
-    // other vector in the corpus
+    // directed batch→corpus pairs: a = new batch (every 5th id, matching
+    // qDedupIncremental), b = any other vector in the corpus
     "q_dedup_incremental" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
          |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim

@@ -582,17 +582,24 @@ object Dedup {
     * a pure codegen filter on the packed sketches (the join guarantees
     * agreement on `band`, so firstAgree ≤ band and exactly one band
     * survives per pair). */
-  def signLshCandidates(banded: DataFrame,
-      bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
+  /** The first band (by index) in which sketches `sk1`/`sk2` agree, −1 if
+    * none — SHARED by the self-join and batch-vs-index candidate paths so
+    * the band-agreement bit arithmetic has exactly one definition. */
+  private def firstAgreeingBand(bands: Int, rows: Int): Column = {
     val bandMasks = (0 until bands).map(b => ((1L << rows) - 1) << (b * rows))
-    val l = banded.select(col("id").as("id1"), col("band"), col("bkey"), col("sk").as("sk1"))
-    val r = banded.select(col("id").as("id2"), col("band"), col("bkey"), col("sk").as("sk2"))
     def agree(b: Int): Column =
       col("sk1").bitwiseXOR(col("sk2")).bitwiseAND(lit(bandMasks(b))) === 0
-    val firstAgree = (0 until bands).foldRight(lit(-1): Column)(
+    (0 until bands).foldRight(lit(-1): Column)(
       (b, acc) => when(agree(b), lit(b)).otherwise(acc))
+  }
+
+  def signLshCandidates(banded: DataFrame,
+      bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
+    val l = banded.select(col("id").as("id1"), col("band"), col("bkey"), col("sk").as("sk1"))
+    val r = banded.select(col("id").as("id2"), col("band"), col("bkey"), col("sk").as("sk2"))
     l.join(r, Seq("band", "bkey"))
-      .where(col("id1") < col("id2") && col("band") === firstAgree)
+      .where(col("id1") < col("id2") &&
+        col("band") === firstAgreeingBand(bands, rows))
       .select("id1", "id2")
   }
 
@@ -747,17 +754,13 @@ object Dedup {
     * linear in true near-dup candidates. */
   def signLshCandidatesAgainst(batchBanded: DataFrame, indexBanded: DataFrame,
       bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
-    val bandMasks = (0 until bands).map(b => ((1L << rows) - 1) << (b * rows))
     val l = batchBanded.select(col("id").as("id1"), col("band"), col("bkey"),
       col("sk").as("sk1"))
     val r = indexBanded.select(col("id").as("id2"), col("band"), col("bkey"),
       col("sk").as("sk2"))
-    def agree(b: Int): Column =
-      col("sk1").bitwiseXOR(col("sk2")).bitwiseAND(lit(bandMasks(b))) === 0
-    val firstAgree = (0 until bands).foldRight(lit(-1): Column)(
-      (b, acc) => when(agree(b), lit(b)).otherwise(acc))
     broadcast(l).join(r, Seq("band", "bkey"))
-      .where(col("id1") =!= col("id2") && col("band") === firstAgree)
+      .where(col("id1") =!= col("id2") &&
+        col("band") === firstAgreeingBand(bands, rows))
       .select("id1", "id2")
   }
 

@@ -377,7 +377,12 @@ object IndexStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cluster")
       .parquet(s"$path/assignments")
-    assigned.groupBy("cluster").agg(count(lit(1)).as("size"))
+    // sizes delta from the JUST-WRITTEN batch partition (partition-pruned
+    // read of id+cluster), not from re-running the batch × clusters × dim
+    // assignment job a second time
+    spark.read.parquet(s"$path/assignments")
+      .where(col("batch") === batchId)
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
       .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -513,7 +518,12 @@ object IndexStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
       .parquet(s"$path/codes")
-    Seq((encoded.count(), batchId)).toDF("n", "batch")
+    // count the just-written partition (metadata-cheap pruned read) — NOT
+    // encoded.count(), which would re-run the batch × m × ksub × dsub
+    // encode job a second time just for the marker
+    val written = spark.read.parquet(s"$path/codes")
+      .where(col("batch") === batchId).count()
+    Seq((written, batchId)).toDF("n", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")

@@ -104,7 +104,9 @@ object Ivf {
       for ((cid, c) <- bc.value) {
         var s = 0.0; var i = 0
         while (i < c.length) { val d = c(i) - arr(i); s += d * d; i += 1 }
-        if (s < bestD || (s == bestD && cid < bestId)) { bestD = s; bestId = cid }
+        // strict <: centroids iterate in ascending cid, so ties keep the
+        // lowest cid automatically (same convention as Pq.encode)
+        if (s < bestD) { bestD = s; bestId = cid }
       }
       bestId
     }

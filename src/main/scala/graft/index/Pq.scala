@@ -199,7 +199,8 @@ object Pq {
     val members = ivf.assignments
       .where(col("cluster").isin(probe: _*))
       .select(col("id"))
-    val candidates = index.codes.join(members, "id")
+    val candidates = filterCodes(index, table, idCol, preFilter)
+      .join(members, "id")
       .withColumn("__adc", adcScore(index, queryVec, col("codes")))
       .orderBy(col("__adc").desc, col("id").asc)
       .limit(overfetch)
@@ -207,6 +208,19 @@ object Pq {
     val narrowed = table.join(
       broadcast(candidates), table(idCol) === col("__pq_id")).drop("__pq_id")
     VectorSearch.knn(narrowed, idCol, embCol, queryVec, k, metric, preFilter)
+  }
+
+  /** Atlas filter placement for the ADC stage: the predicate prunes the
+    * CODES scan before the overfetch truncation, so a selective filter can
+    * never starve the candidate set below k the way a post-filter would
+    * (the repo-wide filtered-ANN contract, cf. [[Ivf.ann]]). The filter
+    * references table columns, so it rides in as a column-pruned semi-join
+    * on id. */
+  private def filterCodes(index: PqIndex, table: DataFrame, idCol: String,
+      preFilter: Option[Column]): DataFrame = preFilter match {
+    case Some(f) =>
+      index.codes.join(table.where(f).select(col(idCol).as("id")), "id")
+    case None => index.codes
   }
 
   /** ANN top-k: ADC candidate scan → exact re-rank (same contract as
@@ -226,7 +240,7 @@ object Pq {
       s"query vector dimension ${queryVec.length} != index numDimensions ${index.dim}")
     if (!forceRerank && overfetch >= index.n)
       return VectorSearch.knn(table, idCol, embCol, queryVec, k, metric, preFilter)
-    val candidates = index.codes
+    val candidates = filterCodes(index, table, idCol, preFilter)
       .withColumn("__adc", adcScore(index, queryVec, col("codes")))
       .orderBy(col("__adc").desc, col("id").asc)
       .limit(overfetch)

@@ -341,7 +341,11 @@ object Curation {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("group")
       .parquet(s"$path/shards")
-    packed.groupBy("group", "seq_id")
+    // manifest from the MATERIALIZED shards (a pruned id-free read), not
+    // from re-evaluating the packing window + corpus join a second time —
+    // which also makes manifest ≡ shards true by construction
+    spark.read.parquet(s"$path/shards")
+      .groupBy("group", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/manifest")

@@ -104,7 +104,11 @@ object Mmr {
         .withColumn("__mmr", round(
           lit(lambda) * col("score") - lit(1.0 - lambda) * col("__pen"),
           Rerank.ScoreDecimals))
-      selected = selected.unionByName(argmax(scored, t))
+      // checkpoint per round: `selected` is referenced 3× by round t+1
+      // (anti-join, penalty semi-join, union base), so an un-broken
+      // lineage grows the plan O(3^k) — linear with the break (the
+      // Dedup.components per-round pattern; ≤ |queries|·t rows)
+      selected = selected.unionByName(argmax(scored, t)).localCheckpoint(true)
     }
     selected
   }

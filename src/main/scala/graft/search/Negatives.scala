@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Negatives {
 
-  /** (query_id, id, sim) — cosine of each candidate to its query's
-    * POSITIVE document, from a sparse embedding relation (`emb` =
-    * (id, dim, val)). Zero-overlap pairs absent (consumers coalesce 0).
-    * `positives`: (query_id, pos_id). */
+  /** (query_id, id, sim) — each candidate's MAX cosine to any of its
+    * query's POSITIVE documents, from a sparse embedding relation (`emb` =
+    * (id, dim, val)). Per-(candidate, positive) dots are rounded first,
+    * then the max taken, so a query with several positives screens against
+    * its closest one — summing across positives would fabricate a
+    * meaningless combined score. Zero-overlap candidates absent (consumers
+    * coalesce 0). `positives`: (query_id, pos_id), one row per positive. */
   def simToPositive(candidates: DataFrame, positives: DataFrame,
       emb: DataFrame): DataFrame = {
     // prune the corpus-sized embedding to candidate ∪ positive rows with
@@ -45,8 +48,10 @@ object Negatives {
     candidates.select("query_id", "id")
       .join(positives, "query_id")
       .join(e1, "id").join(e2, Seq("pos_id", "dim"))
+      .groupBy("query_id", "id", "pos_id")
+      .agg(round(sum(col("v1") * col("v2")), Rerank.ScoreDecimals).as("__pair_sim"))
       .groupBy("query_id", "id")
-      .agg(round(sum(col("v1") * col("v2")), Rerank.ScoreDecimals).as("sim"))
+      .agg(max("__pair_sim").as("sim"))
   }
 
   /** Mine up to `n` hard negatives per query from first-stage candidates.
@@ -62,8 +67,12 @@ object Negatives {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("id").asc)
     candidates.select("query_id", "id", "score")
-      .join(positives, "query_id")
-      .where(col("id") =!= col("pos_id"))
+      // drop any candidate that IS one of the query's positives — an
+      // anti-join against the positive SET, so several positives per
+      // query neither fan rows out nor let a positive slip through as
+      // its sibling's "negative"
+      .join(positives.select(col("query_id"), col("pos_id").as("id")),
+        Seq("query_id", "id"), "left_anti")
       .join(sims, Seq("query_id", "id"), "left")
       .withColumn("sim_to_pos", coalesce(col("sim"), lit(0.0)))
       .where(col("sim_to_pos") < nearDupThr)
@@ -83,19 +92,22 @@ object Negatives {
        |), __pos AS ($posRel
        |), __emb AS ($embRel
        |), __simpos AS (
-       |  SELECT c.query_id, c.id,
-       |         round(sum(e1.val * e2.val), ${Rerank.ScoreDecimals}) AS sim
-       |  FROM __cand c JOIN __pos p ON c.query_id = p.query_id
-       |  JOIN __emb e1 ON e1.id = c.id
-       |  JOIN __emb e2 ON e2.id = p.pos_id AND e2.dim = e1.dim
-       |  GROUP BY c.query_id, c.id
+       |  SELECT query_id, id, max(pair_sim) AS sim FROM (
+       |    SELECT c.query_id, c.id, p.pos_id,
+       |           round(sum(e1.val * e2.val), ${Rerank.ScoreDecimals}) AS pair_sim
+       |    FROM __cand c JOIN __pos p ON c.query_id = p.query_id
+       |    JOIN __emb e1 ON e1.id = c.id
+       |    JOIN __emb e2 ON e2.id = p.pos_id AND e2.dim = e1.dim
+       |    GROUP BY c.query_id, c.id, p.pos_id
+       |  ) GROUP BY query_id, id
        |), screened AS (
        |  SELECT c.query_id, c.id, c.score,
        |         coalesce(s.sim, 0.0) AS sim_to_pos
        |  FROM __cand c
-       |  JOIN __pos p ON c.query_id = p.query_id
        |  LEFT JOIN __simpos s ON s.query_id = c.query_id AND s.id = c.id
-       |  WHERE c.id <> p.pos_id AND coalesce(s.sim, 0.0) < $nearDupThr
+       |  WHERE coalesce(s.sim, 0.0) < $nearDupThr
+       |    AND NOT EXISTS (SELECT 1 FROM __pos p
+       |                    WHERE p.query_id = c.query_id AND p.pos_id = c.id)
        |), ranked AS (
        |  SELECT query_id, id AS neg_id, score, sim_to_pos,
        |         row_number() OVER (PARTITION BY query_id

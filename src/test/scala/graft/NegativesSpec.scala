@@ -37,6 +37,28 @@ class NegativesSpec extends AnyFunSuite with SparkTest {
     assert(Negatives.mine(cands, positives, sims, 0.8, 3).count() === 0)
   }
 
+  test("multiple positives per query: max-sim screen, no fan-out, no positive leaks as a negative") {
+    val cands = Seq(
+      (1L, 100L, 0.9), // positive A — excluded
+      (1L, 101L, 0.8), // positive B — excluded (must not survive via A's row)
+      (1L, 102L, 0.7), // near-dup of B only (max sim .9) — screened
+      (1L, 103L, 0.6), // far from both — kept, exactly once
+    ).toDF("query_id", "id", "score")
+    val positives = Seq((1L, 100L), (1L, 101L)).toDF("query_id", "pos_id")
+    val emb = Seq(
+      (100L, 0, 1.0),
+      (101L, 1, 1.0),
+      (102L, 0, 0.1), (102L, 1, 0.9), // sim to A = .1, to B = .9 → max .9
+      (103L, 0, 0.1), (103L, 1, 0.1), // max .1
+    ).toDF("id", "dim", "val")
+    val simsDf = Negatives.simToPositive(cands, positives, emb)
+    val sims = simsDf.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(sims(102L) === 0.9 && sims(103L) === 0.1)
+    val got = Negatives.mine(cands, positives, simsDf, nearDupThr = 0.8, n = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(4)))
+    assert(got === Array((103L, 1)))
+  }
+
   test("simToPositive: sparse cosine of each candidate to its query's positive") {
     val cands = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "id")
     val positives = Seq((1L, 99L)).toDF("query_id", "pos_id")

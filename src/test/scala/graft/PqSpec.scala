@@ -124,4 +124,29 @@ class PqSpec extends AnyFunSuite with SparkTest {
     }
     assert(e3.getMessage.contains("divisible"))
   }
+
+  test("preFilter prunes the ADC scan BEFORE overfetch truncation (never starves below k)") {
+    import org.apache.spark.sql.functions.col
+    // filter = cluster-2 rows only (ids ≡ 2 mod 3): a third of the corpus.
+    // With a small overfetch, a POST-filter would keep mostly cluster-0
+    // candidates (the query's own cluster dominates ADC scores) and starve
+    // the result; the pre-filter contract must return a full k of matching
+    // rows.
+    val query = Array(10.0, 0, 0, 0, 0, 0, 0, 0) // sits in cluster 0
+    val filtered = Pq.ann(index, clustered, "id", "emb", query, k = 5,
+        overfetch = 12, preFilter = Some(col("id") % 3 === 2),
+        forceRerank = true)
+      .collect().map(_.getLong(0))
+    assert(filtered.length === 5, s"starved: ${filtered.mkString(",")}")
+    assert(filtered.forall(_ % 3 == 2))
+    // at overfetch ≥ matching rows the result equals the exact filtered knn
+    val exact = graft.search.VectorSearch.knn(
+        clustered.where(col("id") % 3 === 2), "id", "emb", query, k = 5)
+      .collect().map(_.getLong(0))
+    val full = Pq.ann(index, clustered, "id", "emb", query, k = 5,
+        overfetch = 40, preFilter = Some(col("id") % 3 === 2),
+        forceRerank = true)
+      .collect().map(_.getLong(0))
+    assert(full === exact)
+  }
 }
