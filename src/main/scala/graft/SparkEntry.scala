@@ -822,6 +822,22 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
+  /** [[qDedupIncremental]] through the MULTI-PROBE candidate path
+    * ([[Dedup.signLshCandidatesAgainstMultiProbe]]): Hamming-1 band
+    * probing widens candidates (DedupSpec pins the strict superset), and
+    * since the exact-probe set already reaches recall 1 here, the
+    * verified output — and so the oracle — is identical; the probe depth
+    * is what differs, which is exactly what this query exercises. */
+  private def qDedupIncrementalMp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val batch = e.where(col("vec_id") % 5 === 0)
+    val cands = Dedup.signLshCandidatesAgainstMultiProbe(
+      Dedup.signLshSketches(batch, "vec_id", "embedding", EmbDim),
+      corpusSignLsh(spark, dir))
+    Dedup.cosineVerify(cands, e, "vec_id", "embedding", CosineThr)
+      .orderBy("id1", "id2")
+  }
+
   /** The IVF index, built once per (session, sfDir) — offline DDL
     * lifecycle, same as [[corpusBm25]]. */
   private val ivfCache =
@@ -1232,6 +1248,7 @@ object SparkEntry {
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
     "q_neardup_cosine_idx" -> ((s, dir) => qNeardupCosineIdx(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => qDedupIncremental(s, dir)),
+    "q_dedup_incremental_mp" -> ((s, dir) => qDedupIncrementalMp(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
     "q_ann_pq" -> ((s, dir) => qAnnPq(s, dir)),
     "q_ann_pq_idx" -> ((s, dir) => qAnnPqIdx(s, dir)),
@@ -1898,6 +1915,15 @@ object SparkEntry {
     // directed batch→corpus pairs: a = new batch (every 5th id, matching
     // qDedupIncremental), b = any other vector in the corpus
     "q_dedup_incremental" ->
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id
+         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= $CosineThr
+         |ORDER BY id1, id2""".stripMargin,
+    // multi-probe widens CANDIDATES only; the verified pairs are the same
+    // (superset of a recall-1 candidate set), so the oracle is identical
+    "q_dedup_incremental_mp" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
          |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
          |FROM embeddings a JOIN embeddings b
