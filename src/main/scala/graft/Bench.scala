@@ -68,13 +68,22 @@ object Bench {
       s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     println(s"""BENCH_DETAIL {"iters":$itersJson,"iters_n":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
-    // The contract line: ONE compact JSON line, last thing on stdout.
-    // 3-decimal seconds keep 65 queries under the 2KB capture window.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The contract line: ONE compact JSON line, last thing on stdout,
+    // and it must fit the consumer's ~2KB tail window WHOLE (a truncated
+    // line is unparseable — the r1-r4 failure). 3-decimal seconds fit
+    // ~80 queries; if the query set outgrows that, degrade to 2 decimals
+    // rather than ship an unparseable artifact.
+    def contractLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    def r2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val line = contractLine(r3)
+    println(if (line.length <= 1900) line else contractLine(r2))
     spark.stop()
   }
 }
