@@ -82,8 +82,16 @@ object Bench {
     }
     def r2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val line = contractLine(r3)
-    println(if (line.length <= 1900) line else contractLine(r2))
+    // last-resort: a total-only line (per-query numbers stay available on
+    // the BENCH_DETAIL line) — ALWAYS fits; never ship a truncated line
+    def totalOnly: String = {
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_truncated":${results.size},"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val line = Seq(contractLine(r3), contractLine(r2), totalOnly)
+      .find(_.length <= 1900).getOrElse(totalOnly)
+    println(line)
     spark.stop()
   }
 }

@@ -642,10 +642,7 @@ object SparkEntry {
     * batch to per-query top-10 against the PERSISTED index, with the scan
     * statically pruned to the batch's touched term-hash buckets. */
   private def qBm25Join(spark: SparkSession, dir: String): DataFrame = {
-    val queries = Tables.documents(spark, dir)
-      .where(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val queries = batchQueries(spark, dir)
     TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries, "query_id", "qtext", k = 10)
   }
 
@@ -669,10 +666,7 @@ object SparkEntry {
         Tables.documents(spark, dir), "doc_id", "text").cache())
 
   private def qHybridJoin(spark: SparkSession, dir: String): DataFrame = {
-    val queries = Tables.documents(spark, dir)
-      .where(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val queries = batchQueries(spark, dir)
     val txt = TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries,
       "query_id", "qtext", k = 10)
     val vec = VectorSearch.sparseKnnJoin(
@@ -693,9 +687,7 @@ object SparkEntry {
     * — the corpus is never shuffled for the rerank stage. */
   private def qRerank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val queries = docs.where(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val queries = batchQueries(spark, dir)
     val cands = TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries,
       "query_id", "qtext", k = 10)
     val pairs = docs.select(col("doc_id").as("id"), col("text"))
@@ -713,10 +705,7 @@ object SparkEntry {
     * counterpart of qRerank's precision stage; every round is keyed by
     * query_id over first-stage survivors only — flat in corpus size. */
   private def qMmr(spark: SparkSession, dir: String): DataFrame = {
-    val queries = Tables.documents(spark, dir)
-      .where(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val queries = batchQueries(spark, dir)
     // first-stage output feeds ids-pruning, pair sims AND every MMR round
     // — checkpoint once so retrieval isn't recomputed per consumer
     // (bounded: |queries| × 10 rows)
@@ -737,10 +726,7 @@ object SparkEntry {
     * negatives. The near-dup screen (sim-to-positive < 0.8) is the false-
     * negative guard; all work is per-query bounded. */
   private def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val queries = Tables.documents(spark, dir)
-      .where(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+    val queries = batchQueries(spark, dir)
     // NOT checkpointed (unlike qMmr): mine references cands/sims once
     // each, and Spark's ReusedExchange already shares the first stage
     // between them — an eager checkpoint here serializes the stages and
@@ -1300,8 +1286,18 @@ object SparkEntry {
   private val corpusSql =
     "(SELECT d.*, e.embedding FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)"
 
-  /** The batch-retrieval query set shared by q_bm25_join / q_hybrid_join:
-    * every ~97th document's first 8 tokens as the query string. */
+  /** The batch-retrieval query set shared by every batch retrieval query
+    * (q_bm25_join / q_hybrid_join / q_rerank / q_mmr / q_hard_negatives):
+    * every ~97th document's first 8 tokens as the query string. ONE
+    * definition, mirrored 1:1 by [[batchQueriesRel]] on the oracle side —
+    * edit both together or the hash gate fails. */
+  private def batchQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("qtext"))
+
+  /** DuckDB twin of [[batchQueries]]. */
   private val batchQueriesRel =
     s"""SELECT doc_id AS query_id,
        |       array_to_string(list_slice(${Text.sqlTokens("text")}, 1, 8), ' ') AS qtext

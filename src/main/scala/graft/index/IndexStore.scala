@@ -191,18 +191,28 @@ object IndexStore {
     * run it in the index's offline maintenance window, not concurrently
     * with readers. Post-condition: one batch=-1 partition per table,
     * identical search results. */
-  def compactBm25(spark: SparkSession, path: String): Unit = {
-    val snapshot = loadBm25(spark, path)
-    val staged = s"$path/.compact"
-    writeBase(snapshot, staged)
+  /** Shared delete-then-rename swap for every compact* variant: replace
+    * each live table dir under `path` with its freshly staged counterpart,
+    * then drop the staging dir. ONE definition of the swap protocol — the
+    * crash-window caveat (offline maintenance, not concurrent with
+    * readers) lives with the callers' scaladoc. */
+  private def swapStaged(spark: SparkSession, path: String, staged: String,
+      dirs: Seq[String]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    for (d <- Seq("postings", "term_df", "stats")) {
+    for (d <- dirs) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
       fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
         new org.apache.hadoop.fs.Path(s"$path/$d"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  def compactBm25(spark: SparkSession, path: String): Unit = {
+    val snapshot = loadBm25(spark, path)
+    val staged = s"$path/.compact"
+    writeBase(snapshot, staged)
+    swapStaged(spark, path, staged, Seq("postings", "term_df", "stats"))
   }
 
   // -------------------------------------------------------------- sign-LSH
@@ -293,14 +303,7 @@ object IndexStore {
   def compactSignLsh(spark: SparkSession, path: String): Unit = {
     val staged = s"$path/.compact"
     saveSignLsh(loadSignLsh(spark, path), staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    for (d <- Seq("sketches", "commits")) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
-        new org.apache.hadoop.fs.Path(s"$path/$d"))
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    swapStaged(spark, path, staged, Seq("sketches", "commits"))
   }
 
   // ------------------------------------------------------------------- IVF
@@ -432,14 +435,7 @@ object IndexStore {
     val snapshot = loadIvf(spark, path)
     val staged = s"$path/.compact"
     saveIvf(snapshot, staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    for (d <- Seq("assignments", "centroids", "meta", "sizes")) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
-        new org.apache.hadoop.fs.Path(s"$path/$d"))
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    swapStaged(spark, path, staged, Seq("assignments", "centroids", "meta", "sizes"))
   }
 
   // -------------------------------------------------------------------- PQ
@@ -569,13 +565,6 @@ object IndexStore {
     val snapshot = loadPq(spark, path)
     val staged = s"$path/.compact"
     savePq(snapshot, staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    for (d <- Seq("codes", "codebooks", "meta", "counts")) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
-        new org.apache.hadoop.fs.Path(s"$path/$d"))
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    swapStaged(spark, path, staged, Seq("codes", "codebooks", "meta", "counts"))
   }
 }

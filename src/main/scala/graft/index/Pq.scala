@@ -159,7 +159,16 @@ object Pq {
     val qn2 = queryVec.map(x => x * x).sum
     index.metric match {
       case "dotProduct" => dot
-      case "cosine"     => dot / (lit(math.sqrt(qn2)) * sqrt(norm2))
+      case "cosine" =>
+        // zero-norm guard: a (near-)zero embedding reconstructs to a
+        // ~zero centroid, and 0/0 = NaN sorts ABOVE every finite score
+        // in a descending order — junk rows would fill the overfetch
+        // window and evict true neighbors, silently wrecking recall.
+        // Score such codes 0: cosine to the zero vector is undefined,
+        // and 0 keeps them out of the candidate window (the re-rank
+        // scores its survivors with the exact kernel anyway).
+        when(norm2 <= lit(0.0), lit(0.0))
+          .otherwise(dot / (lit(math.sqrt(qn2)) * sqrt(norm2)))
       case "euclidean"  => -(lit(qn2) - lit(2.0) * dot + norm2)
     }
   }

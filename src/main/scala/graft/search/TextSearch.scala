@@ -136,9 +136,15 @@ object TextSearch {
           .distinct().collect().map(_.getLong(0))
         index.postings.where(col("bucket").isin(touched: _*)).drop("bucket")
       } else index.postings
+    // termDf is vocabulary-sized (one row per distinct corpus term) —
+    // broadcast only the rows for terms the batch actually uses, the
+    // same discipline as search()'s isin-filtered broadcast. A semi-join
+    // against the (bounded) qterms keeps this fully relational.
+    val touchedDf = index.termDf.join(
+      qterms.select("term").distinct(), "term")
     val matched = postings
       .join(broadcast(qterms), "term")
-      .join(broadcast(index.termDf), "term")
+      .join(broadcast(touchedDf), "term")
     val idf = log(lit(1.0) + (lit(index.numDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = idf * (col("tf") * lit(K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(index.avgdl)))
