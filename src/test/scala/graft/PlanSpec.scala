@@ -135,6 +135,18 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected map-side combined per-source stats in:\n$plan")
   }
 
+  test("intervalJoin keys on user_id — the range rides the equi-join, never a nested loop") {
+    val ev = Tables.events(spark, Sf0001)
+    val plan = planString(graft.streaming.EventStreams.intervalJoin(
+      ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"),
+      ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"), 60))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"interval join must hash/sort-merge on user_id:\n$plan")
+    assert(plan.contains("l_user_id") && plan.contains("r_user_id"))
+  }
+
   test("rerank/MMR candidate attach broadcasts the small side against the corpus") {
     val d = Tables.documents(spark, Sf0001)
     val queries = d.where(col("doc_id") % 97 === 0)
