@@ -788,6 +788,31 @@ object SparkEntry {
         Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr)
       .orderBy("id1", "id2")
 
+  /** Directed containment pairs ([[Dedup.containmentPairs]]) — the
+    * asymmetric-duplication screen (quotes, boilerplate-wrapped copies,
+    * subset docs) symmetric Jaccard misses. Like [[qDedupJaccard]] this
+    * declares the GUARDED quadratic oracle baseline; corpus-scale runs
+    * route candidates through MinHash first (see the operator scaladoc). */
+  private def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.9)
+      .orderBy("id1", "id2")
+
+  /** Passage-level exact dedup — [[Curation.chunkDocuments]] composed with
+    * [[Dedup.exact]]: near-identical documents that differ only in a
+    * trailing section collapse at CHUNK granularity even when whole-doc
+    * hashes differ. Chunk ids pack (doc_id, chunk_idx) into one long. */
+  private def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Curation.chunkDocuments(
+        Tables.documents(spark, dir), "doc_id", "text",
+        chunkChars = 200, overlap = 40)
+      .select((col("id") * 1000 + col("chunk_idx")).as("cid"),
+        col("chunk_text"))
+    Dedup.exact(chunks, "cid", "chunk_text")
+      .select(col("id").as("chunk_id"), col("group_n"), col("keep"))
+      .orderBy("chunk_id")
+  }
+
   /** INCREMENTAL near-dup dedup — the production daily-ingest operation:
     * which of a NEW batch's vectors near-duplicate anything ALREADY in the
     * persisted index? The batch (every 5th id here) is sketched fresh
@@ -1229,6 +1254,8 @@ object SparkEntry {
     "q_bm25_join" -> ((s, dir) => qBm25Join(s, dir)),
     "q_hybrid_join" -> ((s, dir) => qHybridJoin(s, dir)),
     "q_dedup_jaccard" -> ((s, dir) => qDedupJaccard(s, dir)),
+    "q_dedup_containment" -> ((s, dir) => qDedupContainment(s, dir)),
+    "q_chunk_dedup" -> ((s, dir) => qChunkDedup(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
@@ -1771,6 +1798,24 @@ object SparkEntry {
     "q_dedup_jaccard" ->
       (Dedup.sqlJaccardPairs("documents", "doc_id", "text", JaccardThr) +
         "\nORDER BY id1, id2"),
+    "q_dedup_containment" ->
+      (Dedup.sqlContainmentPairs("documents", "doc_id", "text", 0.9) +
+        "\nORDER BY id1, id2"),
+    // chunk ids pack (doc_id, chunk_idx); the exact-dedup group math runs
+    // on the chunk texts verbatim (md5 parity with Dedup.exact)
+    "q_chunk_dedup" ->
+      s"""WITH chunks AS (
+         |${Curation.sqlChunkDocuments("documents", "doc_id", "text", 200, 40)}
+         |), c AS (
+         |  SELECT id * 1000 + chunk_idx AS chunk_id, chunk_text FROM chunks
+         |), groups AS (
+         |  SELECT coalesce(md5(chunk_text), '__null__') AS h,
+         |         count(*) AS group_n, min(chunk_id) AS keep_id
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT c.chunk_id, g.group_n, c.chunk_id = g.keep_id AS keep
+         |FROM c JOIN groups g ON coalesce(md5(c.chunk_text), '__null__') = g.h
+         |ORDER BY chunk_id""".stripMargin,
     "q_dedup_components" ->
       (Dedup.sqlComponents(
         Dedup.sqlMinhashPairs("documents", "doc_id", "text", JaccardThr))

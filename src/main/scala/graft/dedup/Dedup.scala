@@ -200,6 +200,65 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** DIRECTED shingle-containment pairs: C(id1 → id2) =
+    * |S(id1) ∩ S(id2)| / |S(id1)| ≥ threshold — "id1's content is
+    * (mostly) contained in id2". Catches the asymmetric duplication
+    * symmetric Jaccard misses: a quote, a boilerplate-wrapped article, a
+    * subset document has C ≈ 1 against its superset while J =
+    * |∩|/|∪| stays small when the sizes differ (the C4/RealNews-style
+    * containment screen). Both directions are emitted when both clear the
+    * threshold (mutual containment = near-identical).
+    *
+    * Same postings machinery, same [[JaccardMaxDocs]] loud guard, and the
+    * same scale position as [[jaccardPairs]]: this is the exact ORACLE
+    * BASELINE. The corpus-scale path is [[minhashPairs]] candidates →
+    * containment verify on survivors, with the caveat that MinHash bands
+    * are tuned for J, so high-containment/low-J pairs need either a
+    * lower band threshold or suffix-style candidates. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, force: Boolean = false): DataFrame = {
+    if (!force) {
+      val n = docs.limit(JaccardMaxDocs + 1).count()
+      require(n <= JaccardMaxDocs,
+        s"containmentPairs: input has > $JaccardMaxDocs docs; this is the " +
+          "quadratic oracle baseline — route corpus-scale containment " +
+          "through minhashPairs candidates, or pass force = true")
+    }
+    val p = shinglePostings(docs, idCol, textCol)
+    val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = p.select(col("id").as("id1"), col("h"))
+    val b = p.select(col("id").as("id2"), col("h"))
+    val inter = a.join(b, "h").where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    val s1 = sizes.select(col("id").as("id1"), col("sz").as("sz1"))
+    val s2 = sizes.select(col("id").as("id2"), col("sz").as("sz2"))
+    val joined = inter.join(s1, "id1").join(s2, "id2")
+    val fwd = joined.select(col("id1"), col("id2"),
+      round(col("inter").cast("double") / col("sz1"), 6).as("containment"))
+    val rev = joined.select(col("id2").as("id1"), col("id1").as("id2"),
+      round(col("inter").cast("double") / col("sz2"), 6).as("containment"))
+    fwd.unionByName(rev).where(col("containment") >= threshold)
+  }
+
+  def sqlContainmentPairs(docsTable: String, idExpr: String, textExpr: String,
+      threshold: Double): String =
+    s"""WITH p AS (${sqlShinglePostings(docsTable, idExpr, textExpr)}),
+       |sizes AS (SELECT id, count(*) AS sz FROM p GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+       |  FROM p a JOIN p b ON a.h = b.h AND a.id < b.id
+       |  GROUP BY 1, 2
+       |), joined AS (
+       |  SELECT id1, id2, inter, s1.sz AS sz1, s2.sz AS sz2
+       |  FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+       |), directed AS (
+       |  SELECT id1, id2, round(inter::DOUBLE / sz1, 6) AS containment FROM joined
+       |  UNION ALL
+       |  SELECT id2 AS id1, id1 AS id2, round(inter::DOUBLE / sz2, 6) AS containment FROM joined
+       |)
+       |SELECT id1, id2, containment FROM directed
+       |WHERE containment >= $threshold""".stripMargin
+
   def sqlJaccardPairs(docsTable: String, idExpr: String, textExpr: String,
       threshold: Double): String =
     s"""WITH p AS (${sqlShinglePostings(docsTable, idExpr, textExpr)}),

@@ -246,6 +246,28 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(verified === brute)
   }
 
+  test("containmentPairs: subset doc scores C=1 against its superset where Jaccard stays low") {
+    // doc 2 = the first third of doc 1: every shingle of 2 is in 1
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val subset = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, subset), (3L, "totally different words entirely here now"))
+      .toDF("id", "text")
+    val got = Dedup.containmentPairs(docs, "id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // directed: 2 ⊂ 1 only; the reverse direction (C(1→2) ≈ 0.23) and
+    // doc 3 must be absent
+    assert(got.keySet === Set((2L, 1L)))
+    assert(got((2L, 1L)) === 1.0)
+    // symmetric Jaccard misses this pair at the same threshold
+    assert(Dedup.jaccardPairs(docs, "id", "text", 0.9).count() === 0)
+    // guard parity with jaccardPairs: loud on oversized input
+    val many = (1L to (Dedup.JaccardMaxDocs + 1).toLong).toDF("id")
+      .withColumn("text", lit("x"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(many, "id", "text", 0.9)
+    }.getMessage.contains("quadratic"))
+  }
+
   test("multi-probe candidates are a strict superset of exact-band candidates") {
     val e = Tables.embeddings(spark, Sf0001)
     val index = Dedup.signLshSketches(e, "vec_id", "embedding", 64)
