@@ -38,13 +38,22 @@ object SparkEntry {
   private val flagshipQueryText = "fast table scan merge"
 
   /** Searchable view of the testdata corpus: documents ⋈ embeddings. */
-  private def searchTable(spark: SparkSession, dir: String): FoodFinder.SearchTable = {
-    val d = Tables.documents(spark, dir)
-    val e = Tables.embeddings(spark, dir)
-    FoodFinder.SearchTable(
-      d.join(e, d("doc_id") === e("vec_id")).drop("vec_id"),
-      idCol = "doc_id", embCol = "embedding", textCol = "text")
-  }
+  private val searchTableCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), FoodFinder.SearchTable]
+  private def searchTable(spark: SparkSession, dir: String): FoodFinder.SearchTable =
+    // cached per (session, dir) AND with the dim declared: a fresh
+    // SearchTable per call would re-derive the dimension with a Spark job
+    // per query (resolvedDim caches on the instance), and the testdata dim
+    // is a known constant here — exactly the "declare dim to skip
+    // derivation" contract in the SearchTable scaladoc
+    searchTableCache.getOrElseUpdate((spark, dir), {
+      val d = Tables.documents(spark, dir)
+      val e = Tables.embeddings(spark, dir)
+      FoodFinder.SearchTable(
+        d.join(e, d("doc_id") === e("vec_id")).drop("vec_id"),
+        idCol = "doc_id", embCol = "embedding", textCol = "text",
+        dim = Some(EmbDim))
+    })
 
   /** The corpus BM25 index, built once per (session, sfDir) — the
     * reference's offline index lifecycle (`indexes.py` runs before any

@@ -202,8 +202,16 @@ object IndexStore {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     for (d <- dirs) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
+      // rename returns FALSE on failure rather than throwing (HDFS
+      // semantics) — at this point the live dir is already deleted, so a
+      // silent false would report a successful compaction over a
+      // DESTROYED index; fail loudly instead and name the recovery
+      // artifact (the staged dir still holds the full snapshot)
+      val ok = fs.rename(new org.apache.hadoop.fs.Path(s"$staged/$d"),
         new org.apache.hadoop.fs.Path(s"$path/$d"))
+      if (!ok) throw new IllegalStateException(
+        s"compaction rename failed for $path/$d; the compacted snapshot " +
+          s"is intact under $staged — restore by moving its dirs into place")
     }
     fs.delete(new org.apache.hadoop.fs.Path(staged), true)
   }

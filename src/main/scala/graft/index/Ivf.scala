@@ -264,14 +264,26 @@ object Ivf {
       .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
       .collect()
     val probePairs = qRows.toSeq.flatMap { r =>
+      require(!r.isNullAt(1),
+        s"query ${r.getLong(0)} has a null $qEmbCol — IVF routing needs a " +
+          "vector for every query row (filter nulls upstream)")
       val qv = r.getSeq[Double](1).toArray
       require(index.dim < 0 || qv.length == index.dim,
         s"query vector dimension ${qv.length} != index numDimensions ${index.dim}")
       probeSet(index, qv, numCandidates).map(cid => (r.getLong(0), cid))
     }
     val probedClusters = probePairs.map(_._2).distinct
-    val q = broadcast(queries.select(col(qIdCol).cast("long").as("query_id"),
-      col(qEmbCol).as("__qv"), Vectors.l2norm(col(qEmbCol)).as("__qn")))
+    // the joined batch is REBUILT from the same collected snapshot the
+    // probes came from: a nondeterministic query source (sample, unordered
+    // limit) can therefore never diverge between its probe set and its
+    // joined rows, and the query subplan is evaluated once, not three
+    // times (guard count + collect + broadcast re-execution)
+    import spark.implicits._
+    val q = broadcast(
+      qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toDF("query_id", "__qv")
+        .select(col("query_id"), col("__qv"),
+          Vectors.l2norm(col("__qv")).as("__qn")))
     val c = corpus.select(col(cIdCol).cast("long").as("nbr_id"),
       col(cEmbCol).as("__cv"), Vectors.l2norm(col(cEmbCol)).as("__cn"))
     val members = index.assignments
