@@ -808,7 +808,7 @@ object Dedup {
     * sketching, the `q_dedup_pipeline` ordering). Clone families share
     * identical sketches, so a family of size m inflates its band buckets
     * m× and candidate generation pays m² per family (measured: a ×16
-    * clone-replicated index turns a 1.1 s probe into 52 s — SCALE.md
+    * clone-replicated index turns a 1.1 s probe into 33–52 s — SCALE.md
     * round-5c). Under the invariant, families have size 1 and work is
     * linear in true near-dup candidates. */
   def signLshCandidatesAgainst(batchBanded: DataFrame, indexBanded: DataFrame,
