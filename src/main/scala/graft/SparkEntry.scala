@@ -653,6 +653,7 @@ object SparkEntry {
   private def qBm25Join(spark: SparkSession, dir: String): DataFrame = {
     val queries = batchQueries(spark, dir)
     TextSearch.bm25Join(corpusBm25Disk(spark, dir), queries, "query_id", "qtext", k = 10)
+      .orderBy("query_id", "rank")
   }
 
   /** Batch HYBRID retrieval — the full composition a retrieval-dataset
