@@ -83,12 +83,39 @@ object Curation {
   def sqlChunkDocuments(docsTable: String, idExpr: String, textExpr: String,
       chunkChars: Int, overlap: Int): String = {
     val stride = chunkChars - overlap
+    // unnest(generate_series(...)) derives the series length from each
+    // row's text — no fixed chunk cap, so an arbitrarily long document
+    // chunks identically to the Spark side's sequence() explode
     s"""SELECT id, i::INTEGER AS chunk_idx,
        |       substr(t, i * $stride + 1, $chunkChars) AS chunk_text,
        |       length(substr(t, i * $stride + 1, $chunkChars))::INTEGER AS chunk_chars
-       |FROM (SELECT $idExpr AS id, $textExpr AS t FROM $docsTable)
-       |CROSS JOIN generate_series(0, 9999) AS g(i)
-       |WHERE i < greatest(ceil((length(t) - $overlap)::DOUBLE / $stride)::INT, 1)""".stripMargin
+       |FROM (
+       |  SELECT id, t,
+       |         unnest(generate_series(0, greatest(ceil((length(t) - $overlap)::DOUBLE / $stride)::INT, 1) - 1)) AS i
+       |  FROM (SELECT $idExpr AS id, $textExpr AS t FROM $docsTable)
+       |)""".stripMargin
+  }
+
+  /** Default chunk-index width for [[packChunkId]]: 2^20 ≈ 1M chunks/doc
+    * (a ~167 MB document at the 160-char stride) before the pack guard
+    * trips — far past any real document, loud when exceeded. */
+  val ChunkIdxBits = 20
+
+  /** Collision-free packing of a (doc id, chunk idx) pair into one long:
+    * `id << idxBits | chunk_idx`. Packing instead of a composite key keeps
+    * downstream dedup/group keys a single fixed-width column (one narrow
+    * shuffle key), but a silent overflow would alias chunks ACROSS
+    * documents — so both coordinates are range-guarded with a distributed
+    * `raise_error` (no extra action, fails the task loudly) rather than a
+    * driver-side check that would need its own pass over the data. */
+  def packChunkId(id: Column, chunkIdx: Column, idxBits: Int = ChunkIdxBits): Column = {
+    val mult = 1L << idxBits
+    val idMax = 1L << (63 - idxBits)
+    when(chunkIdx >= 0 && chunkIdx < mult && id >= 0 && id < idMax,
+        id.cast("long") * mult + chunkIdx.cast("long"))
+      .otherwise(raise_error(format_string(
+        s"(id, chunk_idx) (%s, %s) overflows the 2^$idxBits chunk-id packing",
+        id.cast("string"), chunkIdx.cast("string"))))
   }
 
   /** Training-text cleaning: lowercase, scrub URL-ish and email-ish spans

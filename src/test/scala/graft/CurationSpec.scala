@@ -43,6 +43,41 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     ))
   }
 
+  test("packChunkId: >1000-chunk documents no longer alias across doc ids") {
+    // 1,200 chunks at the 160-char stride — past the old id*1000 packing's
+    // silent-collision point (doc 1 chunk 1000 aliased doc 2 chunk 0)
+    val stride = 160
+    val docs = Seq((1L, "x" * (40 + stride * 1200)), (2L, "y" * 100))
+      .toDF("id", "text")
+    val chunks = Curation.chunkDocuments(docs, "id", "text",
+      chunkChars = 200, overlap = 40).cache()
+    assert(chunks.where(col("id") === 1L).count() === 1200L)
+    val packed = chunks.select(
+      Curation.packChunkId(col("id"), col("chunk_idx")).as("cid"))
+    assert(packed.distinct().count() === chunks.count())
+    // the regression this guards: old narrow packing collides on this input
+    val oldPacked = chunks.select((col("id") * 1000 + col("chunk_idx")).as("cid"))
+    assert(oldPacked.distinct().count() < chunks.count())
+    chunks.unpersist()
+  }
+
+  test("packChunkId: out-of-range coordinates fail loudly, never alias") {
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val overflowIdx = intercept[Exception] {
+      Seq((1L, 5)).toDF("id", "chunk_idx")
+        .select(Curation.packChunkId(col("id"), col("chunk_idx"), idxBits = 2))
+        .collect()
+    }
+    assert(messages(overflowIdx).contains("packing"))
+    val overflowId = intercept[Exception] {
+      Seq((Long.MaxValue, 0)).toDF("id", "chunk_idx")
+        .select(Curation.packChunkId(col("id"), col("chunk_idx")))
+        .collect()
+    }
+    assert(messages(overflowId).contains("packing"))
+  }
+
   test("splitCorpus: deterministic, exhaustive, stable under corpus growth") {
     val docs = (1L to 1000L).map(i => (i, s"doc $i")).toDF("id", "text")
     val split = Curation.splitCorpus(docs, "id", 800, 100)
