@@ -3,6 +3,7 @@ package graft.dedup
 import graft.functions.{Text, Vectors}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{GraftShim, VectorExpressions}
 
@@ -211,25 +212,35 @@ object Dedup {
     *
     * Same postings machinery, same [[JaccardMaxDocs]] loud guard, and the
     * same scale position as [[jaccardPairs]]: this is the exact ORACLE
-    * BASELINE. The corpus-scale path is [[minhashPairs]] candidates →
-    * containment verify on survivors, with the caveat that MinHash bands
-    * are tuned for J, so high-containment/low-J pairs need either a
-    * lower band threshold or suffix-style candidates. */
+    * BASELINE. The corpus-scale path is [[containmentPairsPrefix]] —
+    * prefix-filter candidates (recall exactly 1 by construction, unlike
+    * MinHash bands, which are tuned for J and miss high-C/low-J subset
+    * docs) followed by this same exact verify on candidates only. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, force: Boolean = false): DataFrame = {
     if (!force) {
       val n = docs.limit(JaccardMaxDocs + 1).count()
       require(n <= JaccardMaxDocs,
         s"containmentPairs: input has > $JaccardMaxDocs docs; this is the " +
-          "quadratic oracle baseline — route corpus-scale containment " +
-          "through minhashPairs candidates, or pass force = true")
+          "quadratic oracle baseline — use containmentPairsPrefix " +
+          "(prefix-filter candidates, exact verify, recall 1) for " +
+          "corpus-scale containment, or pass force = true")
     }
     val p = shinglePostings(docs, idCol, textCol)
-    val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = p.select(col("id").as("id1"), col("h"))
     val b = p.select(col("id").as("id2"), col("h"))
     val inter = a.join(b, "h").where(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    directedContainment(inter, p.groupBy("id").agg(count(lit(1)).as("sz")),
+      threshold)
+  }
+
+  /** Both directions of C = inter/|S| from an undirected (id1 < id2)
+    * intersection-count relation, thresholded — the emit shared by the
+    * quadratic baseline and the prefix-filter path so their outputs are
+    * definitionally identical on the same candidate set. */
+  private def directedContainment(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
     val s1 = sizes.select(col("id").as("id1"), col("sz").as("sz1"))
     val s2 = sizes.select(col("id").as("id2"), col("sz").as("sz2"))
     val joined = inter.join(s1, "id1").join(s2, "id2")
@@ -238,6 +249,71 @@ object Dedup {
     val rev = joined.select(col("id2").as("id1"), col("id1").as("id2"),
       round(col("inter").cast("double") / col("sz2"), 6).as("containment"))
     fwd.unionByName(rev).where(col("containment") >= threshold)
+  }
+
+  /** Candidate pairs for directed containment at `threshold` via PREFIX
+    * FILTERING (the set-similarity-join bound of Chaudhuri/Ganti/Kaushik's
+    * SSJoin and the PPJoin family, re-expressed as two Spark equi-joins) —
+    * the corpus-scale candidate generator MinHash banding cannot be for
+    * containment:
+    *
+    * Order each doc's shingles by global document frequency ascending
+    * (rarest first; hash breaks ties). If C(A→B) ≥ t then A shares at
+    * least ⌈t·|S(A)|⌉ shingles with B, so among A's first
+    * |S(A)| − ⌈t·|S(A)|⌉ + 1 shingles — its "prefix" — at least one is in
+    * S(B): indexing only prefixes has recall EXACTLY 1, a pigeonhole
+    * fact, not a banding probability. Precision comes free from the
+    * exact verify that follows.
+    *
+    * Scale shape: the candidate equi-join is prefix(A) ⋈ postings(B) on
+    * the shingle hash. Prefixes hold each doc's RAREST ~(1−t) fraction of
+    * shingles, so hot boilerplate shingles (huge posting lists) are
+    * joined only against the few docs rare-ranking them — join volume is
+    * Σ_h prefixDf(h)·df(h), concentrated on small posting lists, never
+    * the quadratic hot-shingle blowup of the all-postings self-join.
+    * Both aggregations (df, sz) and the rank window shuffle on real keys
+    * (h, id); nothing is collected.
+    *
+    * Input: a (id, h) shingle-postings relation (distinct per doc — the
+    * [[shinglePostings]] contract). Output: undirected candidate ids
+    * (id1 < id2) covering every pair where EITHER direction can clear
+    * `threshold`. */
+  def containmentCandidates(p: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val docFreq = p.groupBy("h").agg(count(lit(1)).as("df"))
+    val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df").asc, col("h").asc)
+    val prefix = p.join(docFreq, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .join(sizes, "id")
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id").as("qid"), col("h"))
+    prefix.join(p.select(col("id").as("cid"), col("h")), "h")
+      .where(col("qid") =!= col("cid"))
+      .select(least(col("qid"), col("cid")).as("id1"),
+        greatest(col("qid"), col("cid")).as("id2"))
+      .distinct()
+  }
+
+  /** Corpus-scale directed containment: [[containmentCandidates]] (prefix
+    * filter, recall 1) → exact intersection counts on candidate pairs only
+    * → the same thresholded directed emit as [[containmentPairs]]. Output
+    * is IDENTICAL to the quadratic baseline at any threshold — guaranteed
+    * by the prefix bound, not by testdata luck — while work scales with
+    * candidate mass instead of pairs. This closes the C4-style boilerplate
+    * screen at corpus scale (the high-containment/low-Jaccard pairs
+    * [[minhashPairs]]' J-tuned bands structurally miss). */
+  def containmentPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val p = shinglePostings(docs, idCol, textCol)
+    val cands = containmentCandidates(p, threshold)
+    val inter = cands
+      .join(p.select(col("id").as("id1"), col("h")), "id1")
+      .join(p.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    directedContainment(inter, p.groupBy("id").agg(count(lit(1)).as("sz")),
+      threshold)
   }
 
   def sqlContainmentPairs(docsTable: String, idExpr: String, textExpr: String,

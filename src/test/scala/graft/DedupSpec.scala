@@ -268,6 +268,68 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("quadratic"))
   }
 
+  test("containmentPairsPrefix equals the quadratic baseline; minhash bands would miss the subset pairs") {
+    // subset docs engineered for HIGH containment / LOW Jaccard — the
+    // regime the prefix filter exists for: doc 2 ⊂ doc 1, doc 5 ⊂ doc 4,
+    // plus shared-boilerplate noise docs that stress the rarest-first
+    // prefix ordering (the boilerplate shingles are the most frequent,
+    // so they must stay OUT of every prefix)
+    val boiler = "terms of service apply all rights reserved contact us"
+    val bigA = (1 to 60).map(i => s"alpha$i").mkString(" ") + " " + boiler
+    val subA = (11 to 25).map(i => s"alpha$i").mkString(" ")
+    val bigB = (1 to 50).map(i => s"beta$i").mkString(" ") + " " + boiler
+    val subB = (20 to 32).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, bigA), (2L, subA), (4L, bigB), (5L, subB),
+      (7L, "unrelated filler content " + boiler),
+      (8L, "another separate page " + boiler),
+    ).toDF("id", "text")
+    for (thr <- Seq(0.9, 0.7, 0.5)) {
+      val base = Dedup.containmentPairs(docs, "id", "text", thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fast = Dedup.containmentPairsPrefix(docs, "id", "text", thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast === base, s"prefix path diverged from baseline at thr=$thr")
+    }
+    // the subset pairs are present at 0.9 ...
+    val pairs = Dedup.containmentPairsPrefix(docs, "id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L)) && pairs.contains((5L, 4L)))
+    // ... while their Jaccard is far below the banding threshold minhash
+    // candidates are tuned for — the structural miss this path closes
+    // (the boilerplate noise pair may clear 0.5 symmetrically; the SUBSET
+    // pairs must not)
+    val j05 = Dedup.jaccardPairs(docs, "id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j05.contains((1L, 2L)) && !j05.contains((4L, 5L)),
+      "subset pairs should be invisible to symmetric Jaccard at 0.5")
+    assert(Dedup.minhashPairs(docs, "id", "text", 0.9).count() === 0)
+  }
+
+  test("containment prefix candidates cover every qualifying pair and prune hot boilerplate") {
+    // every doc shares the same 20-token boilerplate block; only 2 ⊂ 1 is
+    // a real containment pair. The hot boilerplate shingles have df = n,
+    // so rarest-first prefixes exclude them and candidate count stays far
+    // below the all-pairs count the boilerplate postings would induce.
+    val boiler = (1 to 20).map(i => s"common$i").mkString(" ")
+    val uniq = (1 to 40).map(j => (100L + j, s"page$j " + boiler + s" tail$j extra$j more$j words$j here$j now$j end$j fin$j"))
+    val bigA = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val docs = (Seq((1L, bigA + " " + boiler), (2L, (5 to 18).map(i => s"gamma$i").mkString(" "))) ++ uniq)
+      .toDF("id", "text")
+    val p = Dedup.shinglePostings(docs, "id", "text").cache()
+    val cands = Dedup.containmentCandidates(p, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qualifying = Dedup.containmentPairs(docs, "id", "text", 0.9)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(qualifying.subsetOf(cands), "prefix candidates missed a qualifying pair")
+    // 42 docs all sharing boilerplate → 861 all-pairs; the prefix join on
+    // rarest shingles must not reconstruct that clique
+    val allPairs = 42 * 41 / 2
+    assert(cands.size < allPairs / 4,
+      s"candidate set ${cands.size} is close to all-pairs $allPairs — hot shingles leaked into prefixes")
+    p.unpersist()
+  }
+
   test("multi-probe candidates are a strict superset of exact-band candidates") {
     val e = Tables.embeddings(spark, Sf0001)
     val index = Dedup.signLshSketches(e, "vec_id", "embedding", 64)
