@@ -11,6 +11,11 @@ object Verify {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
     }
+    // Verify IS the correctness gate, so the routed==exact self-checks on
+    // sub-exhaustive index queries run here (and only here — Bench times
+    // the pure routed plans). A recall loss aborts the query, which fails
+    // the gate loudly instead of hash-mismatching mysteriously.
+    sys.props("graft.selfcheck") = "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

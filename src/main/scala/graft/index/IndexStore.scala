@@ -353,8 +353,12 @@ object IndexStore {
     Seq((index.metric, index.dim))
       .toDF("metric", "dim")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
-    index.sizes.toSeq.map { case (cid, n) => (cid, n, -1L) }
-      .toDF("cluster", "size", "batch")
+    // radius rides the per-batch sizes rows so the ball-cover bound stays
+    // sound through incremental appends (loadIvf takes the max); an index
+    // built without radii persists the trivial never-prune radius
+    index.sizes.toSeq.map { case (cid, n) =>
+        (cid, n, index.radii.getOrElse(cid, Ivf.TrivialRadius), -1L) }
+      .toDF("cluster", "size", "radius", "batch")
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$path/sizes")
   }
@@ -378,23 +382,31 @@ object IndexStore {
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+    // cached: the batch is micro-batch-sized by contract, and three
+    // consumers follow (assignments write, sizes delta, radius delta) —
+    // without the cache the batch × clusters × dim assignment job would
+    // run once per consumer
     val assigned = Ivf.assignToNearest(
         batch.select(col(idCol).as("id"), col(embCol).as("__emb")),
         "__emb", centroids, dim)
-      .select(col("id"), col("cluster"))
+      .cache()
     assigned
+      .select(col("id"), col("cluster"))
       .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cluster")
       .parquet(s"$path/assignments")
-    // sizes delta from the JUST-WRITTEN batch partition (partition-pruned
-    // read of id+cluster), not from re-running the batch × clusters × dim
-    // assignment job a second time
-    spark.read.parquet(s"$path/assignments")
-      .where(col("batch") === batchId)
-      .groupBy("cluster").agg(count(lit(1)).as("size"))
-      .withColumn("batch", lit(batchId))
+    // per-batch size AND radius deltas: loadIvf sums sizes and maxes radii
+    // over committed batches, so an appended far-from-centroid vector
+    // widens its cluster's ball and knnJoinExact's bound stays sound
+    val sizesDelta = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val radiiDelta = Ivf.clusterRadii(assigned, "cluster", "__emb", centroids)
+    assigned.unpersist()
+    sizesDelta.toSeq.map { case (cid, n) =>
+        (cid, n, radiiDelta.getOrElse(cid, Ivf.TrivialRadius), batchId) }
+      .toDF("cluster", "size", "radius", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
@@ -424,16 +436,24 @@ object IndexStore {
     val batches = committedBatches(spark, s"$path/sizes")
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-    val sizes = spark.read.parquet(s"$path/sizes")
+    val sizesDf = spark.read.parquet(s"$path/sizes")
       .where(col("batch").cast("long").isin(batches: _*))
+    val sizes = sizesDf
       .groupBy("cluster").agg(sum(col("size")).as("size")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // radii: max over committed batches (append-only ball growth); an
+    // older layout without the column loads as "unknown" — knnJoinExact
+    // then probes those clusters instead of pruning them (sound, slower)
+    val radii =
+      if (!sizesDf.columns.contains("radius")) Map.empty[Int, Double]
+      else sizesDf.groupBy("cluster").agg(max(col("radius")).as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val ddl = spark.read.parquet(s"$path/meta").head()
     Ivf.IvfIndex(
       spark.read.parquet(s"$path/assignments")
         .where(col("batch").cast("long").isin(batches: _*)).drop("batch"),
       centroids, sizes,
-      ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"))
+      ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"), radii)
   }
 
   /** Fold every committed batch back into a single base partition — same

@@ -46,13 +46,26 @@ object Ivf {
     * @param dim         vector dimensionality fixed at DDL time
     *                    (`indexes.py:64` `numDimensions`; Atlas errors on
     *                    mismatched query vectors)
+    * @param radii       cluster id → max distance from any member's
+    *                    UNIT-NORMALIZED vector to the cluster's normalized
+    *                    centroid — the ball-cover metadata behind
+    *                    [[knnJoinExact]]'s triangle-inequality pruning
+    *                    (k doubles, driver-side like centroids/sizes). A
+    *                    missing entry means "unknown" and disables pruning
+    *                    for that cluster (bound 1.0), never unsoundness.
     */
   final case class IvfIndex(
       assignments: DataFrame,
       centroids: Map[Int, Array[Double]],
       sizes: Map[Int, Long],
       metric: String = "cosine",
-      dim: Int = -1)
+      dim: Int = -1,
+      radii: Map[Int, Double] = Map.empty)
+
+  /** Max possible distance between two unit vectors — the radius that makes
+    * every pruning bound trivial (used for zero-norm members/centroids and
+    * unknown clusters: sound, just never pruned). */
+  val TrivialRadius = 2.0
 
   /** Batch index build. k defaults to ⌈√N⌉ (classic IVF sizing: probe cost
     * balances centroid scan vs cluster scan). `metric` is baked into the
@@ -77,7 +90,65 @@ object Ivf {
     val sizes = assignments.groupBy("cluster").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val dim = model.clusterCenters.headOption.map(_.size).getOrElse(0)
-    IvfIndex(assignments, centroids, sizes, metric, dim)
+    // ball-cover radii in normalized space (one extra linear pass at BUILD
+    // time — the offline job — so query-time pruning can be exact)
+    val withVecs = model.transform(feats).select(col("cluster"),
+      org.apache.spark.ml.functions.vector_to_array(col("features")).as("__v"))
+    val radii = clusterRadii(withVecs, "cluster", "__v", centroids)
+    IvfIndex(assignments, centroids, sizes, metric, dim, radii)
+  }
+
+  /** Per-cluster max normalized distance ‖x̂ − μ̂_c‖ over an assigned
+    * (cluster, vector) relation — the radius side of [[knnJoinExact]]'s
+    * ball bound. Zero-norm members or centroids poison their cluster to
+    * [[TrivialRadius]] (sound: that cluster is simply never pruned). One
+    * map + one max-aggregate; also reused per-batch by the incremental
+    * index upkeep ([[graft.index.IndexStore.appendBatchIvf]]). */
+  def clusterRadii(assigned: DataFrame, clusterCol: String, vecCol: String,
+      centroids: Map[Int, Array[Double]]): Map[Int, Double] = {
+    val spark = assigned.sparkSession
+    val normCents = centroids.map { case (cid, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      cid -> (if (n == 0) null else c.map(_ / n))
+    }
+    val bc = spark.sparkContext.broadcast(normCents)
+    val dist = udf { (cluster: Int, v: Seq[Double]) =>
+      val mu = bc.value.getOrElse(cluster, null)
+      var n2 = 0.0
+      v.foreach(x => n2 += x * x)
+      val n = math.sqrt(n2)
+      if (mu == null || n == 0) TrivialRadius
+      else {
+        var s = 0.0; var i = 0
+        while (i < mu.length) { val d = v(i) / n - mu(i); s += d * d; i += 1 }
+        math.min(TrivialRadius, math.sqrt(s))
+      }
+    }
+    assigned
+      .select(col(clusterCol).as("__c"),
+        dist(col(clusterCol), col(vecCol).cast("array<double>")).as("__d"))
+      .groupBy("__c").agg(max(col("__d")).as("__r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Upper bound on cos(query, x) over every member x of cluster `cid`,
+    * from the ball cover: on the unit sphere cos(q,x) = 1 − ‖q̂−x̂‖²/2 and
+    * ‖q̂−x̂‖ ≥ max(0, ‖q̂−μ̂_c‖ − r_c), so
+    * cos ≤ 1 − max(0, ‖q̂−μ̂_c‖ − r_c)²/2. Degenerate geometry (zero-norm
+    * query/centroid, unknown radius) returns 1.0 — the never-prune bound. */
+  def cosUpperBound(index: IvfIndex, qNorm: Array[Double], cid: Int): Double = {
+    val r = index.radii.getOrElse(cid, TrivialRadius)
+    val c = index.centroids(cid)
+    var cn2 = 0.0
+    c.foreach(x => cn2 += x * x)
+    val cn = math.sqrt(cn2)
+    if (qNorm == null || cn == 0 || r >= TrivialRadius) 1.0
+    else {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = qNorm(i) - c(i) / cn; s += d * d; i += 1 }
+      val dmin = math.max(0.0, math.sqrt(s) - r)
+      1.0 - dmin * dmin / 2.0
+    }
   }
 
   /** Assign each row's vector to its nearest trained centroid (squared-L2,
@@ -272,13 +343,24 @@ object Ivf {
         s"query vector dimension ${qv.length} != index numDimensions ${index.dim}")
       probeSet(index, qv, numCandidates).map(cid => (r.getLong(0), cid))
     }
-    val probedClusters = probePairs.map(_._2).distinct
-    // the joined batch is REBUILT from the same collected snapshot the
-    // probes came from: a nondeterministic query source (sample, unordered
-    // limit) can therefore never diverge between its probe set and its
-    // joined rows, and the query subplan is evaluated once, not three
-    // times (guard count + collect + broadcast re-execution)
+    routedTopK(index, qRows, corpus, cIdCol, cEmbCol, probePairs, k)
+  }
+
+  /** The routed batch plan shared by [[knnJoin]] and [[knnJoinExact]]:
+    * corpus ⋈ probed-cluster members ⋈ broadcast (query, cluster) probe
+    * pairs ⋈ broadcast query snapshot → bounded-state per-query top-k.
+    * The joined batch is REBUILT from the same collected snapshot the
+    * probes came from: a nondeterministic query source (sample, unordered
+    * limit) can therefore never diverge between its probe set and its
+    * joined rows, and the query subplan is evaluated once, not three
+    * times (guard count + collect + broadcast re-execution). */
+  private def routedTopK(index: IvfIndex,
+      qRows: Array[org.apache.spark.sql.Row], corpus: DataFrame,
+      cIdCol: String, cEmbCol: String, probePairs: Seq[(Long, Int)],
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
+    val probedClusters = probePairs.map(_._2).distinct
     val q = broadcast(
       qRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
         .toDF("query_id", "__qv")
@@ -294,5 +376,82 @@ object Ivf {
       .join(broadcast(probePairs.toDF("query_id", "cluster")), "cluster")
       .join(q, "query_id")
     VectorSearch.rankCandidates(routed, k)
+  }
+
+  /** EXACT batch kNN join over the index with sub-exhaustive scanning —
+    * [[knnJoin]]'s recall knob replaced by a ball-cover guarantee
+    * (branch-and-bound over the inverted file, the classic metric-tree
+    * search re-expressed as two routed Spark passes):
+    *
+    *  1. probe pass: each query probes its nearest clusters covering
+    *     `probeMass` of the indexed mass (the [[knnJoin]] plan); the
+    *     per-query kth-best similarity s_k is collected (≤ k·|batch| rows
+    *     — bounded, like the probe routing itself).
+    *  2. bound check (driver-side arithmetic on k doubles per cluster):
+    *     a skipped cluster can hold a better neighbor only if its
+    *     [[cosUpperBound]] ≥ s_k − 1e-6 (the margin covers the rounded
+    *     comparison in [[VectorSearch.rankCandidates]]); only such
+    *     (query, cluster) pairs are added. A query with < k pass-1 rows
+    *     extends to every remaining non-empty cluster.
+    *  3. final pass: the routed plan over pass-1 ∪ extension pairs.
+    *
+    * Any true top-k member x of a skipped cluster would need
+    * cos(q,x) ≥ true s_k ≥ pass-1 s_k, contradicting the bound — so the
+    * result EQUALS [[VectorSearch.knnJoin]] by construction at every
+    * `probeMass`, while the corpus scan stays pruned to the clusters that
+    * could matter. On tightly-clustered real embeddings the extension is
+    * rare (bounds are far below s_k); on adversarial geometry the cost
+    * degrades gracefully toward exhaustive WITHOUT ever returning an
+    * approximate row — recall is a theorem here, not a tuning outcome.
+    * Requires [[IvfIndex.radii]] (built by [[build]] and maintained by
+    * the incremental upkeep); unknown radii disable pruning for their
+    * cluster but never exactness. */
+  def knnJoinExact(index: IvfIndex, queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
+      k: Int, probeMass: Double = 0.9): DataFrame = {
+    require(index.metric == "cosine",
+      s"knnJoinExact scores cosine; index was created with similarity '${index.metric}' " +
+        "(rebuild with Ivf.build(..., metric = \"cosine\"))")
+    require(probeMass > 0 && probeMass <= 1,
+      s"probeMass must be in (0, 1], got $probeMass")
+    VectorSearch.requireBoundedBatch(queries, "Ivf.knnJoinExact")
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
+      .collect()
+    val total = index.sizes.values.sum
+    val initialNc =
+      math.min(Int.MaxValue.toLong, math.max(k.toLong, (total * probeMass).toLong)).toInt
+    val probes: Map[Long, Seq[Int]] = qRows.map { r =>
+      require(!r.isNullAt(1),
+        s"query ${r.getLong(0)} has a null $qEmbCol — IVF routing needs a " +
+          "vector for every query row (filter nulls upstream)")
+      val qv = r.getSeq[Double](1).toArray
+      require(index.dim < 0 || qv.length == index.dim,
+        s"query vector dimension ${qv.length} != index numDimensions ${index.dim}")
+      r.getLong(0) -> probeSet(index, qv, initialNc)
+    }.toMap
+    val pass1Pairs = probes.toSeq.flatMap { case (qid, cids) => cids.map(qid -> _) }
+    // pass-1 kth-best per query; the collect is ≤ k·|batch| rows
+    val p1 = routedTopK(index, qRows, corpus, cIdCol, cEmbCol, pass1Pairs, k)
+      .select(col("query_id"), col("sim"), col("rank")).collect()
+    val kth: Map[Long, Double] = p1.groupBy(_.getLong(0)).map { case (qid, rows) =>
+      qid -> (if (rows.length < k) Double.NegativeInfinity
+              else rows.map(_.getDouble(1)).min)
+    }
+    val nonEmpty = index.sizes.filter(_._2 > 0).keySet
+    val extraPairs = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      var n2 = 0.0
+      qv.foreach(x => n2 += x * x)
+      val qNorm = if (n2 == 0) null else qv.map(_ / math.sqrt(n2))
+      val sk = kth.getOrElse(qid, Double.NegativeInfinity)
+      val probed = probes(qid).toSet
+      (nonEmpty -- probed).toSeq
+        .filter(cid => cosUpperBound(index, qNorm, cid) >= sk - 1e-6)
+        .map(qid -> _)
+    }
+    routedTopK(index, qRows, corpus, cIdCol, cEmbCol,
+      pass1Pairs ++ extraPairs, k)
   }
 }

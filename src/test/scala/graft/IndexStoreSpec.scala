@@ -302,6 +302,49 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(batchDirs.toSeq === Seq("batch=-1"))
   }
 
+  test("ivf radii persist, widen on far appends, and keep knnJoinExact exact") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("ivfrad").toString
+    // tight angular base: small balls, so the appended outlier's widening
+    // is unambiguous
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq(1.0, 0.02 * (i % 5), 0.01 * (i % 3)))
+    }.toDF("id", "emb")
+    val built = Ivf.build(base, "id", "emb", numClusters = 3)
+    IndexStore.saveIvf(built, dir)
+    val loaded = IndexStore.loadIvf(spark, dir)
+    assert(loaded.radii.keySet === built.radii.keySet)
+    built.radii.foreach { case (cid, r) =>
+      assert(math.abs(loaded.radii(cid) - r) < 1e-12) }
+    // append a vector pointing FAR from its cluster's direction: whichever
+    // cell it lands in must widen its persisted ball to cover it — without
+    // that, knnJoinExact could prune the appended vector's cluster and
+    // silently miss it
+    val outlier = Seq((99L, Seq(-1.0, 0.9, 0.0))).toDF("id", "emb")
+    IndexStore.appendBatchIvf(outlier, "id", "emb", dir, batchId = 0L)
+    val after = IndexStore.loadIvf(spark, dir)
+    val outlierCell = after.assignments.where(col("id") === 99L)
+      .select("cluster").head().getInt(0)
+    assert(after.radii(outlierCell) > loaded.radii(outlierCell),
+      "far append must widen its cluster's persisted ball radius")
+    // the appended outlier IS the nearest neighbor of a same-direction
+    // query; the ball-cover join must find it at a shallow probe
+    val all = base.union(outlier)
+    val probe = Seq((200L, Seq(-1.0, 0.89, 0.01))).toDF("id", "emb")
+    val exact = VectorSearch.knnJoin(probe, all, "id", "emb", "id", "emb", k = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val routed = Ivf.knnJoinExact(after, probe, all, "id", "emb", "id", "emb",
+        k = 2, probeMass = 0.3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(routed === exact)
+    assert(exact.exists(_.getLong(1) == 99L),
+      "test setup: the appended outlier should be a top-2 neighbor")
+    // compaction folds batches and preserves the widened ball
+    IndexStore.compactIvf(spark, dir)
+    val compacted = IndexStore.loadIvf(spark, dir)
+    assert(math.abs(compacted.radii(outlierCell) - after.radii(outlierCell)) < 1e-12)
+  }
+
   test("ivf DDL metadata (metric, dim) round-trips and is enforced at probe") {
     val dir = Files.createTempDirectory("ivfmeta").toString
     val embs = Tables.embeddings(spark, Sf0001)

@@ -130,6 +130,62 @@ class IvfSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("knnJoinExact equals the exact join at EVERY probe mass (ball-cover bound)") {
+    import org.apache.spark.sql.functions.col
+    // radii metadata: a real ball radius for every non-empty cluster
+    assert(index.radii.keySet === index.sizes.filter(_._2 > 0).keySet)
+    assert(index.radii.values.forall(r => r >= 0 && r <= Ivf.TrivialRadius))
+    val queries = embs.where(col("vec_id") < 20)
+    val exact = VectorSearch.knnJoin(queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    for (mass <- Seq(0.2, 0.5, 0.9)) {
+      val routed = Ivf.knnJoinExact(index, queries, embs,
+          "vec_id", "embedding", "vec_id", "embedding", k = 3,
+          probeMass = mass)
+        .orderBy("query_id", "rank")
+      assert(routed.queryExecution.optimizedPlan.toString.contains("cluster"),
+        "knnJoinExact must run the routed plan, never the exhaustive short-circuit")
+      assert(routed.collect().toSeq === exact,
+        s"ball-cover-pruned join diverged from exact at probeMass=$mass")
+    }
+  }
+
+  test("knnJoinExact prunes far clusters when geometry allows (angular two-group corpus)") {
+    // two tight angular groups, near-opposite directions: queries from
+    // group A never need group B's clusters — their cos upper bound is far
+    // below the pass-1 kth-best, so the bounded extension must not re-add
+    // them and the final member scan's IN-list stays a strict subset
+    val rows =
+      (0 until 40).map { i => (i.toLong,
+        Seq(1.0, 0.05 * (i % 5), 0.03 * (i % 3))) } ++
+      (40 until 80).map { i => (i.toLong,
+        Seq(-1.0, -0.05 * (i % 5), 0.03 * (i % 3))) }
+    val df = rows.toDF("id", "emb")
+    // persist so the member scan is a real parquet FileScan — on an
+    // in-memory corpus Catalyst constant-folds the isin into a
+    // LocalRelation and the pruning would be invisible to the plan
+    val dir = java.nio.file.Files.createTempDirectory("ivfexact").toString
+    graft.index.IndexStore.saveIvf(
+      Ivf.build(df, "id", "emb", numClusters = 8), dir)
+    val idx = graft.index.IndexStore.loadIvf(spark, dir)
+    val queries = df.where($"id" < 5)
+    val exact = VectorSearch.knnJoin(queries, df, "id", "emb", "id", "emb", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val routed = Ivf.knnJoinExact(idx, queries, df, "id", "emb", "id", "emb",
+        k = 3, probeMass = 0.4)
+      .orderBy("query_id", "rank")
+    assert(routed.collect().toSeq === exact)
+    val plan = routed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("assignments") && l.contains("PartitionFilters"))
+      .getOrElse("")
+    val in = "cluster[^ ]* IN(?:SET)? \\(?([0-9, ]+)\\)?".r
+    val probed = in.findFirstMatchIn(scanLine).map(_.group(1).split(',').length)
+    assert(probed.exists(_ < idx.sizes.count(_._2 > 0)),
+      s"expected a strict-subset cluster partition filter in:\n$plan")
+  }
+
   test("filtered ANN: preFilter prunes BEFORE top-k on both plans (Atlas filter placement)") {
     import org.apache.spark.sql.functions.col
     val filteredExact = VectorSearch.knn(embs.where(col("label") === 3),

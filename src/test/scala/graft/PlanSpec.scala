@@ -109,6 +109,18 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected cluster IN (...) partition pruning on the assignments scan:\n$plan")
   }
 
+  test("ball-cover batch kNN join partition-prunes the assignments scan") {
+    // q_knn_join_ivf's plan (Ivf.knnJoinExact over the DISK index) must
+    // read the assignments parquet through a cluster PartitionFilter —
+    // the probed-union IN-list — never as a full inverted-file scan
+    val plan = planString(SparkEntry.queries("q_knn_join_ivf")(spark, Sf0001))
+    val assignScan = plan.linesIterator
+      .find(l => l.contains("assignments") && l.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(assignScan.matches(".*PartitionFilters: \\[[^\\]]*cluster[^\\]]* IN(SET)? .*"),
+      s"expected cluster IN (...) partition pruning on the assignments scan:\n$plan")
+  }
+
   test("codegen'd similarity stays inside WholeStageCodegen") {
     val e = Tables.embeddings(spark, Sf0001)
     val scored = e.select(graft.functions.Vectors.score("cosine",
