@@ -90,6 +90,76 @@ final class RetryingEmbedder(inner: Embedder, maxAttempts: Int = 3)
   }
 }
 
+/** HTTP JSON embedding client — the production implementation of the
+  * Voyage-shaped service boundary the reference calls
+  * (`embed.py:88-89` `voyage_client.embed(...)`, `backend/voyage.py:7-13`;
+  * request/response shape is the public embeddings-API convention:
+  * POST `{"input": [texts...], "model": "..."}` →
+  * `{"data": [{"embedding": [floats...]}, ...]}` in input order).
+  *
+  * OFF by default — nothing in the engine constructs one (the zero-egress
+  * build keeps [[HashingEmbedder]] as [[Embedder.default]]); a deployment
+  * opts in explicitly, normally wrapped in [[RetryingEmbedder]]:
+  *
+  * {{{
+  *   val embedder = new RetryingEmbedder(
+  *     new HttpEmbedder("https://api.example.com/v1/embeddings",
+  *       dim = 1024, model = "voyage-3.5", apiKey = sys.env("EMBED_KEY")))
+  * }}}
+  *
+  * Built on JDK `java.net.http.HttpClient` and the Jackson that already
+  * ships with Spark — zero new dependencies. The client is `@transient
+  * lazy`, so the instance serializes into `mapPartitions` tasks and each
+  * executor builds its own connection pool (the [[graft.embed.EmbedJob]]
+  * partition-local RPC contract). Validation (vector count, dimension) is
+  * done HERE so a garbled response throws inside [[RetryingEmbedder]]'s
+  * retry loop rather than poisoning the corpus. */
+final class HttpEmbedder(
+    endpoint: String,
+    val dim: Int,
+    model: String = "",
+    apiKey: String = "",
+    timeoutMs: Int = 30000) extends Embedder {
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+    .build()
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def embed(text: String): Array[Double] = embedBatch(Seq(text)).head
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+    if (texts.isEmpty) return Seq.empty
+    val body = mapper.createObjectNode()
+    val input = body.putArray("input")
+    texts.foreach(input.add)
+    if (model.nonEmpty) body.put("model", model)
+    val reqB = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.toString))
+    if (apiKey.nonEmpty) reqB.header("Authorization", s"Bearer $apiKey")
+    val resp = client.send(reqB.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"embedding endpoint returned HTTP ${resp.statusCode()}: " +
+          resp.body().take(200))
+    val data = mapper.readTree(resp.body()).path("data")
+    if (!data.isArray || data.size() != texts.length)
+      throw new IllegalStateException(
+        s"embedding response carried ${data.size()} vectors for ${texts.length} texts")
+    (0 until data.size()).map { i =>
+      val emb = data.get(i).path("embedding")
+      if (!emb.isArray || emb.size() != dim)
+        throw new IllegalStateException(
+          s"embedding $i has ${emb.size()} dims, expected $dim")
+      Array.tabulate(emb.size())(j => emb.get(j).asDouble())
+    }
+  }
+}
+
 object Embedder {
   /** Testdata embedding dimension (FIXTURES.md §1); the reference uses 1024
     * (`README.md:24`) — dimension is a parameter everywhere.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.embed.{EmbedFailedException, EmbedJob, Embedder, RetryingEmbedder}
+import graft.embed.{EmbedFailedException, EmbedJob, Embedder, HttpEmbedder, RetryingEmbedder}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -95,5 +95,57 @@ class EmbedSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
     assert(out(1L) === Seq(9.0, 9.0)) // untouched
     assert(out(2L) === Embedder.default.embed("other text").toSeq)
+  }
+
+  test("HttpEmbedder speaks the Voyage-shaped wire contract against a local stub server") {
+    // a JDK HttpServer standing in for the external embedding service:
+    // first two requests fail 500 (transient outage), then vectors are
+    // served deterministically as [len(text), 1] — exercising transport,
+    // JSON round-trip, auth header pass-through, AND the RetryingEmbedder
+    // composition production code would use
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val seenAuth = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/embeddings", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      seenAuth.set(exchange.getRequestHeaders.getFirst("Authorization"))
+      val resp =
+        if (failures.getAndDecrement() > 0) ("""{"error":"overloaded"}""", 500)
+        else {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val input = mapper.readTree(body).path("input")
+          val out = mapper.createObjectNode()
+          val data = out.putArray("data")
+          (0 until input.size()).foreach { i =>
+            val e = data.addObject().putArray("embedding")
+            e.add(input.get(i).asText().length.toDouble); e.add(1.0)
+          }
+          (out.toString, 200)
+        }
+      val bytes = resp._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      exchange.sendResponseHeaders(resp._2, bytes.length.toLong)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1/embeddings"
+      val http = new HttpEmbedder(url, dim = 2, model = "stub-embed",
+        apiKey = "test-key")
+      // bare client: the 500s surface as exceptions (no silent retries)
+      intercept[java.io.IOException] { http.embedBatch(Seq("x")) }
+      // behind the retry contract the transient outage is absorbed
+      val retrying = new RetryingEmbedder(http, maxAttempts = 3)
+      val got = retrying.embedBatch(Seq("alpha", "zz"))
+      assert(got.map(_.toSeq) === Seq(Seq(5.0, 1.0), Seq(2.0, 1.0)))
+      assert(seenAuth.get() === "Bearer test-key")
+      // a dimension-garbled response is rejected, not returned: dim=3
+      // client against the 2-dim stub exhausts retries and fails loudly
+      val wrongDim = new RetryingEmbedder(
+        new HttpEmbedder(url, dim = 3), maxAttempts = 2)
+      intercept[EmbedFailedException] { wrongDim.embedBatch(Seq("y")) }
+    } finally server.stop(0)
   }
 }
