@@ -72,6 +72,27 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     qHybrid(spark, "/root/testdata/sf0.001")
 
+  /** Drop every per-(session, sfDir) cache entry owned by `spark` —
+    * unpersisting the cached DataFrames it pinned. The Verify/Bench
+    * harness mains never need this (one session, process exit cleans up),
+    * but a LONG-LIVED embedding service cycling SparkSessions would
+    * otherwise leak stopped sessions through these TrieMaps forever; call
+    * this before `spark.stop()`. */
+  def clearCaches(spark: SparkSession): Unit = {
+    searchTableCache.filterInPlace((k, _) => k._1 != spark)
+    sparseEmbCache.filterInPlace { case (k, df) =>
+      if (k._1 == spark) { df.unpersist(); false } else true }
+    bm25Cache.filterInPlace { case (k, idx) =>
+      if (k._1 == spark) { idx.postings.unpersist(); idx.termDf.unpersist(); false }
+      else true }
+    ivfCache.filterInPlace { case (k, idx) =>
+      if (k._1 == spark) { idx.assignments.unpersist(); false } else true }
+    pqCache.filterInPlace { case (k, idx) =>
+      if (k._1 == spark) { idx.codes.unpersist(); false } else true }
+    Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt)
+      .foreach(_.filterInPlace((k, _) => k._1 != spark))
+  }
+
   /** Build (and cache-materialize) the session's index DDL artifacts — the
     * reference's offline lifecycle (`indexes.py` runs once before serving).
     * Bench calls this outside the timed window so index-backed queries

@@ -889,6 +889,11 @@ object Dedup {
     * linear in true near-dup candidates. */
   def signLshCandidatesAgainst(batchBanded: DataFrame, indexBanded: DataFrame,
       bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
+    // the batch side broadcasts — same bounded-batch discipline as the
+    // kNN joins, so an oversized "batch" fails loudly instead of OOMing
+    // the executors (banded rows = ids × bands, still bounded)
+    graft.search.VectorSearch.requireBoundedBatch(
+      batchBanded, "Dedup.signLshCandidatesAgainst")
     val l = batchBanded.select(col("id").as("id1"), col("band"), col("bkey"),
       col("sk").as("sk1"))
     val r = indexBanded.select(col("id").as("id2"), col("band"), col("bkey"),
@@ -913,6 +918,10 @@ object Dedup {
   def signLshCandidatesAgainstMultiProbe(batchBanded: DataFrame,
       indexBanded: DataFrame, bands: Int = SignLshBands,
       rows: Int = SignLshRows): DataFrame = {
+    // broadcast discipline as in the exact-probe variant; the probe
+    // expansion multiplies the broadcast a further ×(1+rows)
+    graft.search.VectorSearch.requireBoundedBatch(
+      batchBanded, "Dedup.signLshCandidatesAgainstMultiProbe")
     // bit j of band b sits at position b*rows + j (the signLshSketches
     // layout); flip 0 = the exact key
     val probed = batchBanded.select(col("id").as("id1"), col("band"),

@@ -176,18 +176,28 @@ object EventStreams {
     * In batch mode the same call is a plain interval join, so batch/stream
     * parity is testable (StreamingSpec).
     *
+    * Both inputs must carry `keyCol` (the join key) and `tsCol` (event
+    * time) — required up front with the ORIGINAL names, because after the
+    * prefix-renaming an analysis error would blame `l_...`/`r_...`
+    * columns the caller never wrote.
+    *
     * Output: left columns prefixed `l_`, right prefixed `r_`. */
   def intervalJoin(left: DataFrame, right: DataFrame,
-      gapMinutes: Int = 60, lateness: String = "10 minutes"): DataFrame = {
+      gapMinutes: Int = 60, lateness: String = "10 minutes",
+      keyCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    for ((df, side) <- Seq((left, "left"), (right, "right")); c <- Seq(keyCol, tsCol))
+      require(df.columns.contains(c),
+        s"intervalJoin: $side input has no '$c' column (columns: " +
+          s"${df.columns.mkString(", ")}) — pass keyCol/tsCol to match your schema")
     val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
     val (lw, rw) =
       if (left.isStreaming || right.isStreaming)
-        (l.withWatermark("l_ts", lateness), r.withWatermark("r_ts", lateness))
+        (l.withWatermark(s"l_$tsCol", lateness), r.withWatermark(s"r_$tsCol", lateness))
       else (l, r)
     lw.join(rw, expr(
-      s"""l_user_id = r_user_id AND
-         |l_ts <= r_ts AND
-         |l_ts > r_ts - INTERVAL $gapMinutes MINUTES""".stripMargin))
+      s"""l_$keyCol = r_$keyCol AND
+         |l_$tsCol <= r_$tsCol AND
+         |l_$tsCol > r_$tsCol - INTERVAL $gapMinutes MINUTES""".stripMargin))
   }
 }
