@@ -1,0 +1,166 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.embed.Embedder
+import graft.search.TextSearch
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTTP serving layer — the runnable twin of the reference's Flask app
+  * (`/root/reference/app.py:1-54` creates the app;
+  * `backend/api.py:98-291` implements the endpoints). [[FoodFinder]]
+  * already carries the SEMANTICS (modes, validation, clamps, filter
+  * placement); this class puts them behind the same two routes, so a
+  * reference user keeps their HTTP client unchanged:
+  *
+  *   - `POST /api/search` — payload `{mode, description, title, limit,
+  *     available, maxPrice, restaurant}`; mode ∈ vector/fulltext/hybrid;
+  *     per-mode required-field rules, limit clamped to [1, 25], and the
+  *     reference's exact 400 messages (`backend/api.py:104-131` — they are
+  *     part of the observable API; the frontend displays them verbatim).
+  *   - `GET /api/restaurants` — distinct restaurant names ascending
+  *     (`backend/api.py:80-95`).
+  *
+  * Zero new dependencies: JDK `HttpServer` + the Jackson that ships with
+  * Spark. The server is a thin adapter — each request builds the same
+  * [[FoodFinder]] plan the CLI builds and collects the ≤ 25 sanitized
+  * rows; Spark remains the query engine, so the serving layer adds no
+  * second execution path to keep correct.
+  *
+  * Scale note: this is the reference's single-node serving shape (one
+  * driver answering interactive queries over session-cached indexes). A
+  * production deployment would put it behind the usual stateless
+  * replication; the per-request work is already the partition-pruned
+  * index probes measured in BENCH. */
+final class SearchServer(
+    tbl: FoodFinder.SearchTable,
+    embedder: Embedder = Embedder.default,
+    textIndex: Option[TextSearch.Bm25Index] = None,
+    restaurantCol: String = "restaurantName") {
+  private val mapper = new ObjectMapper()
+
+  /** Bad request carrying the reference's user-facing message. */
+  private final class BadRequest(val message: String) extends RuntimeException(message)
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+  private def message(s: String): String =
+    mapper.createObjectNode().put("message", s).toString
+
+  private def optText(p: JsonNode, field: String): Option[String] =
+    Option(p.get(field)).filterNot(_.isNull).map(_.asText.trim).filter(_.nonEmpty)
+
+  /** The reference's filter surface (`backend/api.py:122-137` builds it,
+    * `:166-199` places it): available/maxPrice pre-filter the vector
+    * branch and post-filter fulltext; restaurant matches exactly. */
+  private def buildFilter(p: JsonNode): Option[Column] = {
+    val preds = Seq(
+      Option(p.get("available")).filterNot(_.isNull)
+        .map(n => col("product.available") === n.asBoolean()),
+      Option(p.get("maxPrice")).filterNot(_.isNull).map { n =>
+        if (!n.isNumber && scala.util.Try(n.asText.toDouble).isFailure)
+          throw new BadRequest("El formato del precio máximo no es válido.")
+        col("product.price.amount") < (if (n.isNumber) n.asDouble else n.asText.toDouble)
+      },
+      optText(p, "restaurant").map(col(restaurantCol) === _),
+    ).flatten
+    preds.reduceOption(_ && _)
+  }
+
+  private def handleSearch(ex: HttpExchange): Unit = {
+    val payload = mapper.readTree(ex.getRequestBody.readAllBytes()) match {
+      case null => mapper.createObjectNode()
+      case n => n
+    }
+    val mode = optText(payload, "mode").getOrElse("vector").toLowerCase
+    if (!FoodFinder.Modes.contains(mode))
+      throw new BadRequest("Modo de búsqueda no válido.")
+    val description = optText(payload, "description")
+    val title = optText(payload, "title")
+    if ((mode == "vector" || mode == "hybrid") && description.isEmpty)
+      throw new BadRequest("La descripción es obligatoria para la búsqueda seleccionada.")
+    if ((mode == "hybrid" || mode == "fulltext") && title.isEmpty)
+      throw new BadRequest("El título es obligatorio para la búsqueda seleccionada.")
+    val limit = FoodFinder.validate(mode, description, title,
+      Option(payload.get("limit")).filterNot(_.isNull)
+        .flatMap(n => scala.util.Try(n.asInt(5)).toOption).getOrElse(5))
+    val filter = buildFilter(payload)
+    val results = mode match {
+      case "vector" =>
+        FoodFinder.vector(tbl, embedder.embed(description.get), limit, filter)
+      case "fulltext" =>
+        FoodFinder.fulltext(tbl, title.get, limit, filter, textIndex)
+      case "hybrid" =>
+        FoodFinder.hybrid(tbl, embedder.embed(description.get), title.get,
+          limit, filter, index = textIndex)
+    }
+    val rows = FoodFinder.sanitize(results).select("json").collect()
+      .map(_.getString(0))
+    respond(ex, 200, rows.mkString("[", ",", "]"))
+  }
+
+  private def handleRestaurants(ex: HttpExchange): Unit = {
+    val names = tbl.df.select(col(restaurantCol))
+      .where(col(restaurantCol).isNotNull)
+      .distinct().orderBy(restaurantCol)
+      .collect().map(_.getString(0))
+    val arr = mapper.createArrayNode()
+    names.foreach(arr.add)
+    respond(ex, 200, arr.toString)
+  }
+
+  /** Start on `port` (0 = ephemeral); returns the live server — callers
+    * own its lifecycle (`.stop(0)`). */
+  def start(port: Int): HttpServer = {
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    def route(path: String, fn: HttpExchange => Unit): Unit =
+      server.createContext(path, { ex =>
+        try fn(ex)
+        catch {
+          case e: BadRequest => respond(ex, 400, message(e.message))
+          case e: Throwable =>
+            // the reference surfaces pipeline failure as 500 + message
+            // (`backend/api.py:161-162`) — never a silent empty result
+            respond(ex, 500, message(Option(e.getMessage).getOrElse(e.toString).take(500)))
+        }
+      })
+    route("/api/search", handleSearch)
+    route("/api/restaurants", handleRestaurants)
+    server.start()
+    server
+  }
+}
+
+/** Standalone entry point: serve a product-detail parquet.
+  * `runMain graft.api.SearchServer <detail.parquet> [port]` — the
+  * `app.py` lifecycle: load the table, derive the search surface, listen. */
+object SearchServer {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: SearchServer <detail.parquet> [port]")
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(args(0))
+      .withColumn("emb_description", col("emb_description").cast("array<double>"))
+      .cache()
+    val tbl = FoodFinder.SearchTable(df, "_id", "emb_description", "title")
+    // offline DDL before serving (indexes.py lifecycle): queries share the
+    // prebuilt text index instead of re-deriving corpus stats per request
+    val idx = TextSearch.buildIndex(df, "_id", "title")
+    val server = new SearchServer(tbl,
+      textIndex = Some(idx.copy(postings = idx.postings.cache(),
+        termDf = idx.termDf.cache())))
+      .start(port)
+    println(s"SEARCHSERVER listening on port ${server.getAddress.getPort}")
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.api.{FoodFinder, SearchServer}
+import graft.embed.EmbedJob
+import graft.etl.Flatten
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The HTTP serving layer over real sockets: the reference Flask app's
+  * routes, validation messages, filters and result shape, exercised with a
+  * plain JDK HTTP client against a live [[SearchServer]]. */
+class SearchServerSpec extends AnyFunSuite with SparkTest {
+  import ReferenceParitySpec._
+  import spark.implicits._
+
+  private lazy val detail = {
+    val catalogs = Seq(
+      Catalog("c1", "Desayuno Box", "PE", "LIMA-01", Seq(
+        Product("p1", "1", "Nuggets Box", "nuggets de pollo para el desayuno",
+          Price(7.5, "S/7,50"), available = true, combo = false))),
+      Catalog("c2", "Almuerzo Combo", "PE", "LIMA-02", Seq(
+        Product("p2", "2", "Big Combo", "hamburguesa doble con papas fritas",
+          Price(18.0, "S/18,00"), available = true, combo = true))),
+      Catalog("c3", "Cena Familiar", "PE", "AREQUIPA-01", Seq(
+        Product("p3", "3", "Pollo Entero", "pollo a la brasa con ensalada",
+          Price(45.0, "S/45,00"), available = false, combo = false))),
+    ).toDF()
+    val flat = Flatten.productDetail(catalogs)
+      .withColumn("description", col("product.description"))
+    EmbedJob.embedBatched(flat, "description")
+      .withColumnRenamed("emb", "emb_description").cache()
+  }
+  private lazy val server = new SearchServer(
+    FoodFinder.SearchTable(detail, "_id", "emb_description", "title")).start(0)
+  private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  private val http = java.net.http.HttpClient.newHttpClient()
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def post(path: String, body: String): (Int, String) = {
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(base + path))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+    val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def get(path: String): (Int, String) = {
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(base + path)).GET().build()
+    val r = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("GET /api/restaurants returns the sorted distinct names") {
+    val (code, body) = get("/api/restaurants")
+    assert(code === 200)
+    val names = mapper.readTree(body)
+    assert((0 until names.size()).map(names.get(_).asText()) ===
+      Seq("AREQUIPA-01", "LIMA-01", "LIMA-02"))
+  }
+
+  test("POST /api/search vector mode ranks by similarity and honors the limit clamp") {
+    val (code, body) = post("/api/search",
+      """{"mode":"vector","description":"nuggets de pollo desayuno","limit":2}""")
+    assert(code === 200)
+    val arr = mapper.readTree(body)
+    assert(arr.isArray && arr.size() === 2)
+    assert(arr.get(0).get("id").asText() === "p1", s"top hit in: $body")
+    // a degenerate limit clamps to 1, never errors (backend/api.py:116-119)
+    val (c2, b2) = post("/api/search",
+      """{"mode":"vector","description":"nuggets","limit":-3}""")
+    assert(c2 === 200 && mapper.readTree(b2).size() === 1)
+  }
+
+  test("POST /api/search filters ride the pipeline (available / maxPrice / restaurant)") {
+    val (_, all) = post("/api/search",
+      """{"mode":"vector","description":"comida","limit":10}""")
+    assert(mapper.readTree(all).size() === 3)
+    val (_, affordable) = post("/api/search",
+      """{"mode":"vector","description":"comida","limit":10,"maxPrice":20}""")
+    val ids = { val a = mapper.readTree(affordable)
+      (0 until a.size()).map(a.get(_).get("id").asText()).toSet }
+    assert(ids === Set("p1", "p2"))
+    val (_, open) = post("/api/search",
+      """{"mode":"vector","description":"comida","limit":10,"available":true}""")
+    val a2 = mapper.readTree(open)
+    assert((0 until a2.size()).map(a2.get(_).get("id").asText()).toSet === Set("p1", "p2"))
+    val (_, oneShop) = post("/api/search",
+      """{"mode":"fulltext","title":"Combo Box","limit":10,"restaurant":"LIMA-02"}""")
+    val a3 = mapper.readTree(oneShop)
+    assert((0 until a3.size()).map(a3.get(_).get("id").asText()).toSet === Set("p2"))
+  }
+
+  test("validation mirrors the reference's 400 contract, message for message") {
+    val (c1, b1) = post("/api/search", """{"mode":"teleport","description":"x"}""")
+    assert(c1 === 400 &&
+      mapper.readTree(b1).get("message").asText() === "Modo de búsqueda no válido.")
+    val (c2, b2) = post("/api/search", """{"mode":"vector"}""")
+    assert(c2 === 400 && mapper.readTree(b2).get("message").asText() ===
+      "La descripción es obligatoria para la búsqueda seleccionada.")
+    val (c3, b3) = post("/api/search", """{"mode":"fulltext"}""")
+    assert(c3 === 400 && mapper.readTree(b3).get("message").asText() ===
+      "El título es obligatorio para la búsqueda seleccionada.")
+    val (c4, b4) = post("/api/search",
+      """{"mode":"vector","description":"x","maxPrice":"not-a-price"}""")
+    assert(c4 === 400 && mapper.readTree(b4).get("message").asText() ===
+      "El formato del precio máximo no es válido.")
+  }
+
+  test("hybrid mode over HTTP returns fused scores with detail columns") {
+    val (code, body) = post("/api/search",
+      """{"mode":"hybrid","description":"nuggets de pollo","title":"Desayuno Box","limit":3}""")
+    assert(code === 200, body)
+    val arr = mapper.readTree(body)
+    assert(arr.size() >= 1)
+    val top = arr.get(0)
+    assert(top.get("id").asText() === "p1")
+    // flattened scoreDetails columns (R13) survive the wire
+    assert(top.has("score") && top.has("vec_norm") && top.has("txt_norm"))
+  }
+}
