@@ -369,4 +369,17 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     val gotV = FoodFinder.vector(tbl, Array(1.0, 0.0), k = 5, filter = Some(col("lang") === "en"))
     assert(gotV.count() === 1)
   }
+
+  test("SparkEntry.clearCaches drops this session's entries; queries rebuild cleanly") {
+    // populate several per-(session, dir) caches through a declared query,
+    // clear, and re-run: the long-lived-host contract is that clearing is
+    // safe at any point and later queries simply rebuild their DDL state
+    val before = SparkEntry.queries("q_vector_knn")(spark, Sf0001)
+      .collect().toSeq
+    SparkEntry.clearCaches(spark)
+    SparkEntry.clearCaches(spark) // idempotent on an empty cache set
+    val after = SparkEntry.queries("q_vector_knn")(spark, Sf0001)
+      .collect().toSeq
+    assert(after === before)
+  }
 }
