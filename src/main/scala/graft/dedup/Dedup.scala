@@ -278,17 +278,39 @@ object Dedup {
     * [[shinglePostings]] contract). Output: undirected candidate ids
     * (id1 < id2) covering every pair where EITHER direction can clear
     * `threshold`. */
-  def containmentCandidates(p: DataFrame, threshold: Double): DataFrame = {
+  /** Each doc's prefix (its rarest `|S| − ⌈t·|S|⌉ + 1` shingles) with the
+    * per-shingle document frequency attached — shared by candidate
+    * generation and the cost estimator. */
+  private def containmentPrefix(p: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containment threshold must be in (0, 1], got $threshold")
     val docFreq = p.groupBy("h").agg(count(lit(1)).as("df"))
     val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
     val byRarity = Window.partitionBy("id").orderBy(col("df").asc, col("h").asc)
-    val prefix = p.join(docFreq, "h")
+    p.join(docFreq, "h")
       .withColumn("rk", row_number().over(byRarity))
       .join(sizes, "id")
       .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id").as("qid"), col("h"))
+      .select(col("id").as("qid"), col("h"), col("df"))
+  }
+
+  /** EXACT row count of the candidate equi-join [[containmentCandidates]]
+    * would materialize (before the self-pair filter and pair-dedup), as
+    * one cheap aggregate:
+    * Σ over prefix entries of df(h). The prefix bound makes recall free,
+    * but candidate VOLUME is a property of the corpus — on a
+    * low-diversity corpus (templated pages, near-identical boilerplate
+    * everywhere) even per-doc-rarest shingles can carry large df and the
+    * join can approach all-pairs. Production callers budget the job with
+    * this number FIRST (cost ≈ the df aggregation, nothing pairwise) and
+    * route through [[exact]]-dedup-first or a higher threshold when it
+    * comes back hot. */
+  def containmentCandidateVolume(p: DataFrame, threshold: Double): Long =
+    containmentPrefix(p, threshold)
+      .agg(sum(col("df")).as("v")).head().getLong(0)
+
+  def containmentCandidates(p: DataFrame, threshold: Double): DataFrame = {
+    val prefix = containmentPrefix(p, threshold).drop("df")
     prefix.join(p.select(col("id").as("cid"), col("h")), "h")
       .where(col("qid") =!= col("cid"))
       .select(least(col("qid"), col("cid")).as("id1"),

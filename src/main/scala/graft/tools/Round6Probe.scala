@@ -43,12 +43,18 @@ object Round6Probe {
     val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
     val embs0 = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
 
+    // replica texts must keep the base corpus's TOKEN structure: the
+    // suffix is appended alphanumerically ("z<i>"), because a separator
+    // the tokenizer strips (e.g. "_") would split every token and turn
+    // trigram shingles into bigram-like ones — a denser-overlap corpus
+    // that superlinearly inflates REAL candidates (measured: the first
+    // probe draft did exactly that and filled the disk at ×16)
     def repDocsDisjoint(n: Int): DataFrame = (0 until n)
       .map(i => docs0
         .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
         .withColumn("text",
           if (i == 0) col("text")
-          else regexp_replace(col("text"), "(\\S+)", s"$$1_$i")))
+          else regexp_replace(col("text"), "(\\S+)", s"$$1z$i")))
       .reduce(_ unionByName _).cache()
     def repEmbs(n: Int): DataFrame = (0 until n)
       .map(i => embs0.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
@@ -63,6 +69,13 @@ object Round6Probe {
 
     for (n <- reps) {
       val d = repDocsDisjoint(n); d.count()
+      // budget first, like a production caller would: the exact candidate
+      // mass is one aggregate, and a hot number here means the CORPUS is
+      // pairwise-dense (route through exact-dedup first), not that the
+      // operator bent
+      val vol = Dedup.containmentCandidateVolume(
+        Dedup.shinglePostings(d, "doc_id", "text"), 0.9)
+      println(s"PROBE containment_candidate_volume_x$n $vol")
       t(s"containment_prefix_x$n")(
         Dedup.containmentPairsPrefix(d, "doc_id", "text", threshold = 0.9))
       d.unpersist()

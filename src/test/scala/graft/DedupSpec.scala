@@ -330,6 +330,31 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     p.unpersist()
   }
 
+  test("containmentCandidateVolume is the exact pre-filter candidate join size") {
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"va$i").mkString(" ")),
+      (2L, (5 to 18).map(i => s"va$i").mkString(" ")),
+      (3L, (1 to 25).map(i => s"vb$i").mkString(" ")),
+      (4L, "totally different words entirely over here now friends"),
+    ).toDF("id", "text")
+    val p = Dedup.shinglePostings(docs, "id", "text").cache()
+    val vol = Dedup.containmentCandidateVolume(p, 0.9)
+    // ground truth: materialize the same prefix relation and count the
+    // equi-join rows before self-pair filtering and dedup
+    val docFreq = p.groupBy("h").agg(count(lit(1)).as("df"))
+    val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("h").asc)
+    val prefix = p.join(docFreq, "h")
+      .withColumn("rk", row_number().over(rk)).join(sizes, "id")
+      .where(col("rk") <= col("sz") - ceil(lit(0.9) * col("sz")) + 1)
+      .select(col("id").as("qid"), col("h"))
+    val joined = prefix.join(p.select(col("id").as("cid"), col("h")), "h").count()
+    assert(vol === joined)
+    assert(vol > 0)
+    p.unpersist()
+  }
+
   test("multi-probe candidates are a strict superset of exact-band candidates") {
     val e = Tables.embeddings(spark, Sf0001)
     val index = Dedup.signLshSketches(e, "vec_id", "embedding", 64)
