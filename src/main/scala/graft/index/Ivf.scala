@@ -294,8 +294,11 @@ object Ivf {
     * semantics, where a document missing from the vector index can never
     * surface from `$vectorSearch`. Keep the index current with
     * [[IndexStore.appendBatchIvf]]-style upkeep; coverage is NOT verified
-    * per query because that check is itself a corpus-sized join — as
-    * expensive as the routing it would guard.
+    * on every production call because that check is itself a corpus-sized
+    * join — as expensive as the routing it would guard. It IS verified at
+    * correctness-gate time: under the `graft.selfcheck` system property
+    * (set by `graft.Verify`) the routed path runs [[coverageHoles]] first
+    * and fails loudly on a stale index instead of silently dropping rows.
     *
     * Output: (query_id, nbr_id, sim, rank ≤ k); ids must be integral
     * (they ride the bounded-state aggregator as longs). */
@@ -331,6 +334,7 @@ object Ivf {
       return VectorSearch.knnJoin(queries, corpus,
         qIdCol, qEmbCol, cIdCol, cEmbCol, k)
     }
+    maybeVerifyCoverage(index, corpus, cIdCol, "Ivf.knnJoin")
     val qRows = queries
       .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
       .collect()
@@ -357,7 +361,19 @@ object Ivf {
   private def routedTopK(index: IvfIndex,
       qRows: Array[org.apache.spark.sql.Row], corpus: DataFrame,
       cIdCol: String, cEmbCol: String, probePairs: Seq[(Long, Int)],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    VectorSearch.topKScored(
+      routedScored(index, qRows, corpus, cIdCol, cEmbCol, probePairs), k)
+
+  /** The routed plan up to (but not including) the top-k aggregation:
+    * scored (query_id, nbr_id, sim) candidate rows. Split out so
+    * [[knnJoinExact]]'s final pass can union freshly routed extension
+    * candidates with its already-scored pass-1 survivors before ONE
+    * shared top-k. */
+  private def routedScored(index: IvfIndex,
+      qRows: Array[org.apache.spark.sql.Row], corpus: DataFrame,
+      cIdCol: String, cEmbCol: String,
+      probePairs: Seq[(Long, Int)]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val probedClusters = probePairs.map(_._2).distinct
@@ -375,8 +391,38 @@ object Ivf {
       .join(members, "nbr_id")
       .join(broadcast(probePairs.toDF("query_id", "cluster")), "cluster")
       .join(q, "query_id")
-    VectorSearch.rankCandidates(routed, k)
+    VectorSearch.scoreCandidates(routed)
   }
+
+  /** Corpus ids INVISIBLE to IVF routing: rows of `corpus` whose id is
+    * absent from `index.assignments` (a stale index — rows ingested after
+    * the last [[IndexStore.appendBatchIvf]] upkeep, or a corpus that was
+    * never the indexed table). Routing silently drops them (Atlas
+    * semantics: unindexed documents never surface from `$vectorSearch`),
+    * so this probe is the loud version of that contract. Cost: one
+    * narrow anti-join on the id columns alone — linear in the inverted
+    * file, nothing pairwise, no vector columns read. Returns at most
+    * `maxReport` offending ids (empty = fully covered). */
+  def coverageHoles(index: IvfIndex, corpus: DataFrame, cIdCol: String,
+      maxReport: Int = 5): Seq[Long] =
+    corpus.select(col(cIdCol).cast("long").as("id"))
+      .join(index.assignments.select(col("id").cast("long").as("id")),
+        Seq("id"), "left_anti")
+      .limit(maxReport).collect().map(_.getLong(0)).toSeq
+
+  /** The Verify-time enforcement of the index-coverage contract (the
+    * same `graft.selfcheck` opt-in as `SparkEntry.selfChecked`): free on
+    * production calls, loud at the correctness gate. */
+  private def maybeVerifyCoverage(index: IvfIndex, corpus: DataFrame,
+      cIdCol: String, caller: String): Unit =
+    if (sys.props.get("graft.selfcheck").contains("1")) {
+      val holes = coverageHoles(index, corpus, cIdCol)
+      require(holes.isEmpty,
+        s"$caller: corpus rows missing from index.assignments would be " +
+          s"silently invisible to routing (stale index?) — e.g. ids " +
+          s"${holes.mkString(", ")}; run IndexStore.appendBatchIvf upkeep " +
+          "or rebuild the index over the current corpus")
+    }
 
   /** EXACT batch kNN join over the index with sub-exhaustive scanning —
     * [[knnJoin]]'s recall knob replaced by a ball-cover guarantee
@@ -393,7 +439,15 @@ object Ivf {
     *     comparison in [[VectorSearch.rankCandidates]]); only such
     *     (query, cluster) pairs are added. A query with < k pass-1 rows
     *     extends to every remaining non-empty cluster.
-    *  3. final pass: the routed plan over pass-1 ∪ extension pairs.
+    *  3. final pass: the per-query top-k over pass-1's SURVIVORS (the
+    *     collected ≤ k·|batch| rows, whose rounded sims are exactly what
+    *     re-scoring would produce — see [[VectorSearch.scoreCandidates]])
+    *     unioned with freshly routed EXTENSION candidates only. No
+    *     probed-cluster row outside pass-1's top-k can re-enter (the
+    *     final kth-best is ≥ pass-1's s_k, which that row already
+    *     failed; a query with < k pass-1 rows keeps all of them and
+    *     extends everywhere), so the pass-1 clusters are never scanned
+    *     twice — when no extension fires, the final pass scans NOTHING.
     *
     * Any true top-k member x of a skipped cluster would need
     * cos(q,x) ≥ true s_k ≥ pass-1 s_k, contradicting the bound — so the
@@ -408,13 +462,33 @@ object Ivf {
     * cluster but never exactness. */
   def knnJoinExact(index: IvfIndex, queries: DataFrame, corpus: DataFrame,
       qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
-      k: Int, probeMass: Double = 0.9): DataFrame = {
+      k: Int, probeMass: Double = 0.9): DataFrame =
+    knnJoinExactWithStats(index, queries, corpus,
+      qIdCol, qEmbCol, cIdCol, cEmbCol, k, probeMass)._1
+
+  /** How much work [[knnJoinExact]]'s two passes actually did — the
+    * pruning receipts. `probedClusters` is the union of pass-1 probe
+    * sets; `extensionPairs`/`extensionClusters` count the (query,
+    * cluster) bound-check escalations (0 ⇒ the final pass scanned no
+    * corpus rows at all); `nonEmptyClusters` is the denominator. */
+  case class ExactJoinStats(probedClusters: Int, extensionPairs: Int,
+      extensionClusters: Int, nonEmptyClusters: Int)
+
+  /** [[knnJoinExact]] plus its [[ExactJoinStats]] — pass-1 runs eagerly
+    * inside this call (its kth-best drives the bound check), so the
+    * returned plan alone can't show how much was pruned; the stats can.
+    * Production callers can log them; specs pin them. */
+  def knnJoinExactWithStats(index: IvfIndex, queries: DataFrame,
+      corpus: DataFrame,
+      qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
+      k: Int, probeMass: Double = 0.9): (DataFrame, ExactJoinStats) = {
     require(index.metric == "cosine",
       s"knnJoinExact scores cosine; index was created with similarity '${index.metric}' " +
         "(rebuild with Ivf.build(..., metric = \"cosine\"))")
     require(probeMass > 0 && probeMass <= 1,
       s"probeMass must be in (0, 1], got $probeMass")
     VectorSearch.requireBoundedBatch(queries, "Ivf.knnJoinExact")
+    maybeVerifyCoverage(index, corpus, cIdCol, "Ivf.knnJoinExact")
     val qRows = queries
       .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
       .collect()
@@ -433,10 +507,10 @@ object Ivf {
     val pass1Pairs = probes.toSeq.flatMap { case (qid, cids) => cids.map(qid -> _) }
     // pass-1 kth-best per query; the collect is ≤ k·|batch| rows
     val p1 = routedTopK(index, qRows, corpus, cIdCol, cEmbCol, pass1Pairs, k)
-      .select(col("query_id"), col("sim"), col("rank")).collect()
+      .select(col("query_id"), col("nbr_id"), col("sim")).collect()
     val kth: Map[Long, Double] = p1.groupBy(_.getLong(0)).map { case (qid, rows) =>
       qid -> (if (rows.length < k) Double.NegativeInfinity
-              else rows.map(_.getDouble(1)).min)
+              else rows.map(_.getDouble(2)).min)
     }
     val nonEmpty = index.sizes.filter(_._2 > 0).keySet
     val extraPairs = qRows.toSeq.flatMap { r =>
@@ -451,7 +525,30 @@ object Ivf {
         .filter(cid => cosUpperBound(index, qNorm, cid) >= sk - 1e-6)
         .map(qid -> _)
     }
-    routedTopK(index, qRows, corpus, cIdCol, cEmbCol,
-      pass1Pairs ++ extraPairs, k)
+    // Final pass scans ONLY the extension clusters. Pass-1's per-query
+    // top-k already carries the exact (rounded) sim of every probed-
+    // cluster survivor, and no probed-cluster row OUTSIDE that top-k can
+    // re-enter: the final kth-best is ≥ pass-1's s_k, which such a row
+    // already failed. (A query with < k pass-1 rows keeps all of them
+    // and extends to every remaining cluster, so nothing is lost there
+    // either.) So union the collected survivors with freshly routed
+    // extension candidates under ONE shared top-k instead of re-scanning
+    // the pass-1 clusters — on clustered data extension is rare and the
+    // second corpus pass touches (almost) nothing.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val p1Scored = p1.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toDF("query_id", "nbr_id", "sim")
+    val finalScored =
+      if (extraPairs.isEmpty) p1Scored
+      else p1Scored.union(
+        routedScored(index, qRows, corpus, cIdCol, cEmbCol, extraPairs))
+    val stats = ExactJoinStats(
+      probedClusters = pass1Pairs.map(_._2).distinct.size,
+      extensionPairs = extraPairs.size,
+      extensionClusters = extraPairs.map(_._2).distinct.size,
+      nonEmptyClusters = nonEmpty.size)
+    (VectorSearch.topKScored(finalScored, k), stats)
   }
 }

@@ -114,14 +114,30 @@ object VectorSearch {
     * task per query) — never the scored pairs a rank window would ship.
     * Self-pairs are excluded; sim is rounded to 6 decimals before ranking
     * (tie-break nbr_id ASC) so the DuckDB oracle's boundary agrees. */
-  private[graft] def rankCandidates(pairs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    val topk = udaf(new TopKByScore(k),
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+  private[graft] def rankCandidates(pairs: DataFrame, k: Int): DataFrame =
+    topKScored(scoreCandidates(pairs), k)
+
+  /** The scoring half of [[rankCandidates]]: self-pairs out, cosine
+    * rounded to [[ScoreDecimals]] BEFORE any ranking — because the
+    * rounding happens here, a row scored in one pass carries exactly the
+    * sim any later pass would recompute, so pre-scored rows can be
+    * unioned with freshly routed candidates (the [[graft.index.Ivf
+    * .knnJoinExact]] pass-1 reuse) without ordering drift. */
+  private[graft] def scoreCandidates(pairs: DataFrame): DataFrame =
     pairs
       .where(col("query_id") =!= col("nbr_id"))
       .withColumn("sim",
         round(Vectors.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), ScoreDecimals))
+      .select(col("query_id"), col("nbr_id"), col("sim"))
+
+  /** The ranking half: bounded-state per-query top-k over scored
+    * (query_id, nbr_id, sim) rows (tie-break nbr_id ASC inside
+    * [[TopKByScore]]). */
+  private[graft] def topKScored(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new TopKByScore(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    scored
       .groupBy("query_id")
       .agg(topk(col("sim"), col("nbr_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))

@@ -140,14 +140,17 @@ class IvfSpec extends AnyFunSuite with SparkTest {
         "vec_id", "embedding", "vec_id", "embedding", k = 3)
       .orderBy("query_id", "rank").collect().toSeq
     for (mass <- Seq(0.2, 0.5, 0.9)) {
-      val routed = Ivf.knnJoinExact(index, queries, embs,
+      val (routed, stats) = Ivf.knnJoinExactWithStats(index, queries, embs,
           "vec_id", "embedding", "vec_id", "embedding", k = 3,
           probeMass = mass)
-        .orderBy("query_id", "rank")
-      assert(routed.queryExecution.optimizedPlan.toString.contains("cluster"),
-        "knnJoinExact must run the routed plan, never the exhaustive short-circuit")
-      assert(routed.collect().toSeq === exact,
-        s"ball-cover-pruned join diverged from exact at probeMass=$mass")
+      // the routed plan ran (pass-1 probed real clusters), and at
+      // sub-exhaustive mass it probed a strict subset of the index
+      assert(stats.probedClusters > 0)
+      if (mass < 0.9)
+        assert(stats.probedClusters < stats.nonEmptyClusters,
+          s"probeMass=$mass should leave clusters for the bound to rule out: $stats")
+      assert(routed.orderBy("query_id", "rank").collect().toSeq === exact,
+        s"ball-cover-pruned join diverged from exact at probeMass=$mass ($stats)")
     }
   }
 
@@ -172,18 +175,20 @@ class IvfSpec extends AnyFunSuite with SparkTest {
     val queries = df.where($"id" < 5)
     val exact = VectorSearch.knnJoin(queries, df, "id", "emb", "id", "emb", k = 3)
       .orderBy("query_id", "rank").collect().toSeq
-    val routed = Ivf.knnJoinExact(idx, queries, df, "id", "emb", "id", "emb",
-        k = 3, probeMass = 0.4)
-      .orderBy("query_id", "rank")
-    assert(routed.collect().toSeq === exact)
+    val (routed, stats) = Ivf.knnJoinExactWithStats(idx, queries, df,
+      "id", "emb", "id", "emb", k = 3, probeMass = 0.4)
+    assert(routed.orderBy("query_id", "rank").collect().toSeq === exact)
+    // pass-1 probed a strict subset (the group-A clusters), and the
+    // bound ruled group B out entirely — no extension fired, so the
+    // final pass is the collected survivors alone: its plan must not
+    // touch the assignments parquet (or the corpus) at all
+    assert(stats.probedClusters < stats.nonEmptyClusters,
+      s"probeMass=0.4 should probe a strict cluster subset: $stats")
+    assert(stats.extensionPairs === 0,
+      s"far clusters' cos upper bound must stay below s_k: $stats")
     val plan = routed.queryExecution.executedPlan.toString
-    val scanLine = plan.linesIterator
-      .find(l => l.contains("assignments") && l.contains("PartitionFilters"))
-      .getOrElse("")
-    val in = "cluster[^ ]* IN(?:SET)? \\(?([0-9, ]+)\\)?".r
-    val probed = in.findFirstMatchIn(scanLine).map(_.group(1).split(',').length)
-    assert(probed.exists(_ < idx.sizes.count(_._2 > 0)),
-      s"expected a strict-subset cluster partition filter in:\n$plan")
+    assert(!plan.contains("assignments"),
+      s"extension-free final pass must not re-scan the inverted file:\n$plan")
   }
 
   test("filtered ANN: preFilter prunes BEFORE top-k on both plans (Atlas filter placement)") {
@@ -215,5 +220,41 @@ class IvfSpec extends AnyFunSuite with SparkTest {
         preFilter = Some(col("label") === 3))
       .select("vec_id").as[Long].collect().toSeq
     assert(subEx.nonEmpty && subEx.forall(labels(_) === 3))
+  }
+
+  test("coverage probe: stale-index corpus rows are found, and loud under selfcheck") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a corpus the index has never seen one row of: routing would silently
+    // drop it (Atlas semantics — unindexed docs never surface)
+    val maxId = embs.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .head.getLong(0)
+    val ghost = embs.limit(1)
+      .select(lit(maxId + 1).cast("long").as("vec_id"), col("embedding"))
+    val stale = embs.select("vec_id", "embedding").union(ghost)
+    assert(Ivf.coverageHoles(index, embs, "vec_id").isEmpty,
+      "the indexed table itself must be fully covered")
+    assert(Ivf.coverageHoles(index, stale, "vec_id") === Seq(maxId + 1))
+    // production call: silent (the probe would be a per-query tax) …
+    val queries = embs.where(col("vec_id") < 5)
+    Ivf.knnJoin(index, queries, stale, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3, numCandidates = 50).collect()
+    // … but at the correctness gate (graft.selfcheck, set by Verify)
+    // BOTH routed joins refuse the stale index instead of dropping rows
+    sys.props("graft.selfcheck") = "1"
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Ivf.knnJoin(index, queries, stale, "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, numCandidates = 50)
+      }
+      assert(e1.getMessage.contains("silently invisible"))
+      val e2 = intercept[IllegalArgumentException] {
+        Ivf.knnJoinExact(index, queries, stale, "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, probeMass = 0.5)
+      }
+      assert(e2.getMessage.contains("silently invisible"))
+      // covered corpus: the gate passes and the join still runs
+      Ivf.knnJoin(index, queries, embs, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, numCandidates = 50).collect()
+    } finally sys.props.remove("graft.selfcheck")
   }
 }

@@ -110,10 +110,22 @@ class PlanSpec extends AnyFunSuite with SparkTest {
   }
 
   test("ball-cover batch kNN join partition-prunes the assignments scan") {
-    // q_knn_join_ivf's plan (Ivf.knnJoinExact over the DISK index) must
-    // read the assignments parquet through a cluster PartitionFilter —
-    // the probed-union IN-list — never as a full inverted-file scan
-    val plan = planString(SparkEntry.queries("q_knn_join_ivf")(spark, Sf0001))
+    // knnJoinExact's pass-1 probe (and any extension pass) routes through
+    // the SAME routedScored plan as knnJoin(forceRoute) — pass-1 runs
+    // eagerly inside the call, so pin its scan shape on the shared path
+    // directly: the assignments parquet must be read through a cluster
+    // PartitionFilter (the probed-union IN-list), never as a full
+    // inverted-file scan. (knnJoinExact's own pruning receipts — strict
+    // probe subset, extension-free final pass — are pinned in IvfSpec.)
+    val e = Tables.embeddings(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("planivf").toString
+    graft.index.IndexStore.saveIvf(
+      graft.index.Ivf.build(e, "vec_id", "embedding"), dir)
+    val idx = graft.index.IndexStore.loadIvf(spark, dir)
+    val batch = e.where(col("vec_id") < 20)
+    val plan = planString(graft.index.Ivf.knnJoin(idx, batch, e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3,
+      numCandidates = (idx.sizes.values.sum / 2).toInt, forceRoute = true))
     val assignScan = plan.linesIterator
       .find(l => l.contains("assignments") && l.contains("PartitionFilters"))
       .getOrElse("")
