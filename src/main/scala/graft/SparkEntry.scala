@@ -89,7 +89,8 @@ object SparkEntry {
       if (k._1 == spark) { idx.assignments.unpersist(); false } else true }
     pqCache.filterInPlace { case (k, idx) =>
       if (k._1 == spark) { idx.codes.unpersist(); false } else true }
-    Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt)
+    Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
+        containmentDiskBuilt)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -107,6 +108,7 @@ object SparkEntry {
     corpusPq(spark, dir).codes.count()
     corpusPqDisk(spark, dir)
     corpusSparseEmb(spark, dir).count()
+    corpusContainmentDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -885,6 +887,43 @@ object SparkEntry {
         "text", threshold = 0.9)
       .orderBy("id1", "id2")
 
+  /** The DISK-persisted containment prefix index, written once per
+    * (session, sfDir) via [[IndexStore.saveContainment]] — the containment
+    * twin of [[corpusBm25Disk]]: incremental screens read the
+    * bucket-partitioned postings/prefix parquet, never the corpus text. */
+  private val containmentDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusContainmentDisk(spark: SparkSession,
+      dir: String): graft.index.IndexStore.ContainmentIndex = {
+    val path = containmentDiskBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_containment_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      IndexStore.saveContainment(Tables.documents(spark, dir),
+        "doc_id", "text", threshold = 0.9, p)
+      p
+    })
+    IndexStore.loadContainment(spark, path)
+  }
+
+  /** INCREMENTAL containment screen — the daily-ingest rendition of
+    * [[qDedupContainmentLsh]], completing the C4-style boilerplate story
+    * the way [[qDedupIncremental]] completes near-dup: which of a NEW
+    * batch's documents (every 5th id here) contain / are contained by
+    * anything ALREADY in the persisted prefix index? The batch is
+    * shingled fresh (work ∝ batch) and joined against the
+    * bucket-partitioned postings/prefix parquet
+    * ([[Dedup.containmentPairsAgainst]]); the corpus text is never
+    * re-shingled. Recall is the same pigeonhole theorem in both
+    * directions (batch prefixes for batch→corpus, indexed prefixes for
+    * corpus→batch), so the quadratic enumeration restricted to
+    * batch-touching pairs is a FULL oracle. */
+  private def qDedupContainmentInc(spark: SparkSession, dir: String): DataFrame = {
+    val batch = Tables.documents(spark, dir).where(col("doc_id") % 5 === 0)
+    Dedup.containmentPairsAgainst(batch, "doc_id", "text",
+        corpusContainmentDisk(spark, dir), threshold = 0.9)
+      .orderBy("id1", "id2")
+  }
+
   /** Passage-level exact dedup — [[Curation.chunkDocuments]] composed with
     * [[Dedup.exact]]: near-identical documents that differ only in a
     * trailing section collapse at CHUNK granularity even when whole-doc
@@ -1371,6 +1410,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) => qDedupJaccard(s, dir)),
     "q_dedup_containment" -> ((s, dir) => qDedupContainment(s, dir)),
     "q_dedup_containment_lsh" -> ((s, dir) => qDedupContainmentLsh(s, dir)),
+    "q_dedup_containment_inc" -> ((s, dir) => qDedupContainmentInc(s, dir)),
     "q_chunk_dedup" -> ((s, dir) => qChunkDedup(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
@@ -1948,6 +1988,12 @@ object SparkEntry {
     "q_dedup_containment_lsh" ->
       (Dedup.sqlContainmentPairs("documents", "doc_id", "text", 0.9) +
         "\nORDER BY id1, id2"),
+    // incremental screen: same pigeonhole recall through the PERSISTED
+    // index, so the quadratic enumeration restricted to batch-touching
+    // pairs is a full oracle
+    "q_dedup_containment_inc" ->
+      (Dedup.sqlContainmentPairsAgainst("documents", "doc_id", "text", 0.9,
+        id => s"$id % 5 = 0") + "\nORDER BY id1, id2"),
     // chunk ids pack (doc_id, chunk_idx) with the SAME 2^ChunkIdxBits
     // multiplier as Curation.packChunkId; the exact-dedup group math runs
     // on the chunk texts verbatim (md5 parity with Dedup.exact)

@@ -280,8 +280,9 @@ object Dedup {
     * `threshold`. */
   /** Each doc's prefix (its rarest `|S| − ⌈t·|S|⌉ + 1` shingles) with the
     * per-shingle document frequency attached — shared by candidate
-    * generation and the cost estimator. */
-  private def containmentPrefix(p: DataFrame, threshold: Double): DataFrame = {
+    * generation, the cost estimator, and the persisted containment index
+    * ([[graft.index.IndexStore.saveContainment]]). */
+  private[graft] def containmentPrefix(p: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containment threshold must be in (0, 1], got $threshold")
     val docFreq = p.groupBy("h").agg(count(lit(1)).as("df"))
@@ -337,6 +338,107 @@ object Dedup {
     directedContainment(inter, p.groupBy("id").agg(count(lit(1)).as("sz")),
       threshold)
   }
+
+  /** Shingle-hash bucket fan-out for the persisted containment index —
+    * postings and prefixes are written partitioned by
+    * `pmod(h, ShingleBuckets)` so a small batch's probe prunes to its
+    * shingles' buckets at scan time (the BM25 [[graft.search.TextSearch
+    * .TermBuckets]] trick on the shingle space). */
+  val ShingleBuckets = 64
+
+  /** INCREMENTAL directed containment — the daily-ingest rendition of
+    * [[containmentPairsPrefix]], mirroring [[signLshCandidatesAgainst]]'s
+    * contract: which documents of a NEW batch contain / are contained by
+    * anything ALREADY in the persisted containment index
+    * ([[graft.index.IndexStore.ContainmentIndex]])? The batch is shingled
+    * fresh (work ∝ batch); the corpus contributes only its persisted
+    * (id, h) postings/prefix rows — its TEXT is never re-shingled.
+    *
+    * Candidates, both directions exact by pigeonhole:
+    *   - C(batch→corpus) ≥ t: the batch doc's prefix (computed over
+    *     BATCH-LOCAL df — ANY `n−⌈t·n⌉+1`-subset satisfies the bound, the
+    *     df ordering is purely a join-volume heuristic, so stale/local
+    *     rarity never costs recall) must hit the corpus doc's postings.
+    *   - C(corpus→batch) ≥ t: the corpus doc's INDEXED prefix (built at
+    *     `index.threshold` ≤ t, hence at least as long as t requires)
+    *     must hit the batch doc's postings.
+    * Exact intersection counts then run on candidate pairs only, batch
+    * shingles from the fresh postings, corpus shingles from the index —
+    * output rows are IDENTICAL to [[containmentPairs]] restricted to
+    * pairs with a batch member (batch-internal pairs of ids NOT in the
+    * index are out of contract — self-screen the batch with
+    * [[containmentPairsPrefix]] first, as with the sign-LSH incremental
+    * path).
+    *
+    * Scale shape: every join is an equi-join on `h` between the batch
+    * relation and the bucket-pruned index tables — AQE broadcasts the
+    * batch side when it is small and falls back to a shuffle join when it
+    * is not (no forced broadcast: batch postings are docs × shingles and
+    * can legitimately exceed the broadcast budget). Nothing pairwise,
+    * nothing corpus × corpus, no corpus text re-scan. */
+  def containmentPairsAgainst(batch: DataFrame, idCol: String,
+      textCol: String, index: graft.index.IndexStore.ContainmentIndex,
+      threshold: Double): DataFrame = {
+    require(threshold >= index.threshold,
+      s"containment index was built for threshold ${index.threshold}; its " +
+        s"prefixes are too short to guarantee recall at $threshold — " +
+        "rebuild the index at (or below) the query threshold")
+    // batch-bounded and reused by every stage below — materialize once
+    val bp = shinglePostings(batch, idCol, textCol).localCheckpoint(true)
+    val buckets = bp
+      .select(pmod(col("h"), lit(ShingleBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val ip = index.postings.where(col("bucket").isin(buckets: _*))
+      .select(col("id").as("cid"), col("h"))
+    val ipre = index.prefixes.where(col("bucket").isin(buckets: _*))
+      .select(col("id").as("cid"), col("h"))
+    val candA = containmentPrefix(bp, threshold)
+      .select(col("qid").as("bid"), col("h")).join(ip, "h")
+    val candB = bp.select(col("id").as("bid"), col("h")).join(ipre, "h")
+    val cands = candA.select("bid", "cid")
+      .unionByName(candB.select("bid", "cid"))
+      .where(col("bid") =!= col("cid")).distinct()
+    val inter = cands
+      .join(bp.select(col("id").as("bid"), col("h")), "bid")
+      .join(ip, Seq("cid", "h"))
+      .groupBy("bid", "cid").agg(count(lit(1)).as("inter"))
+    // canonicalize: a pair of two batch ids (both also indexed) arrives in
+    // both orientations with the same count — collapse before the
+    // directed emit or it would double-report
+    val interC = inter.select(least(col("bid"), col("cid")).as("id1"),
+        greatest(col("bid"), col("cid")).as("id2"), col("inter"))
+      .distinct()
+    val bpSizes = bp.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = index.sizes.select("id", "sz").unionByName(
+      bpSizes.join(index.sizes.select("id"), Seq("id"), "left_anti"))
+    directedContainment(interC, sizes, threshold)
+  }
+
+  /** Oracle rendition of [[containmentPairsAgainst]] for a batch ⊆ corpus
+    * (the re-ingest verification shape): [[sqlContainmentPairs]] with the
+    * pair set restricted to rows touching the batch. `batchCond` renders
+    * the batch membership predicate for a given id expression (e.g.
+    * `id => s"$id % 5 = 0"`). */
+  def sqlContainmentPairsAgainst(docsTable: String, idExpr: String,
+      textExpr: String, threshold: Double,
+      batchCond: String => String): String =
+    s"""WITH p AS (${sqlShinglePostings(docsTable, idExpr, textExpr)}),
+       |sizes AS (SELECT id, count(*) AS sz FROM p GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+       |  FROM p a JOIN p b ON a.h = b.h AND a.id < b.id
+       |  WHERE (${batchCond("a.id")}) OR (${batchCond("b.id")})
+       |  GROUP BY 1, 2
+       |), joined AS (
+       |  SELECT id1, id2, inter, s1.sz AS sz1, s2.sz AS sz2
+       |  FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+       |), directed AS (
+       |  SELECT id1, id2, round(inter::DOUBLE / sz1, 6) AS containment FROM joined
+       |  UNION ALL
+       |  SELECT id2 AS id1, id1 AS id2, round(inter::DOUBLE / sz2, 6) AS containment FROM joined
+       |)
+       |SELECT id1, id2, containment FROM directed
+       |WHERE containment >= $threshold""".stripMargin
 
   def sqlContainmentPairs(docsTable: String, idExpr: String, textExpr: String,
       threshold: Double): String =

@@ -314,6 +314,142 @@ object IndexStore {
     swapStaged(spark, path, staged, Seq("sketches", "commits"))
   }
 
+  // ----------------------------------------------------- containment prefix
+  //
+  // The persisted side of Dedup.containmentPairsAgainst — the C4-style
+  // boilerplate screen as a daily-ingest operation. Layout follows the
+  // BM25/sign-LSH batch pattern (base build = batch -1, streaming
+  // micro-batches = their foreachBatch id):
+  //
+  //   postings/batch=N/bucket=M/  (id, h)   — per-batch distinct shingle hashes
+  //   prefixes/batch=N/bucket=M/  (id, h)   — per-batch prefix shingles
+  //                                           (each doc's rarest n−⌈t·n⌉+1)
+  //   meta/                       (threshold) — DDL contract, save-time only
+  //   sizes/batch=N/              (id, sz)  — per-doc shingle counts,
+  //                                           written last = COMMIT MARKER
+  //
+  // bucket = pmod(h, Dedup.ShingleBuckets) so a batch probe prunes both
+  // h-keyed scans to its shingles' buckets. Prefix membership is chosen by
+  // df WITHIN the written batch — recall is threshold-width pigeonhole
+  // (ANY n−⌈t·n⌉+1 subset works), so batch-local rarity never costs
+  // correctness, only join volume; compactContainment re-ranks prefixes
+  // against the merged corpus df, restoring globally-rarest selection.
+  // Same crash contract as the other indexes: dynamic per-batch partition
+  // overwrite, marker last, replay converges.
+
+  /** Relations of a persisted containment prefix index, plus the build
+    * threshold (prefixes guarantee recall for query thresholds ≥ it). */
+  case class ContainmentIndex(postings: org.apache.spark.sql.DataFrame,
+      prefixes: org.apache.spark.sql.DataFrame,
+      sizes: org.apache.spark.sql.DataFrame, threshold: Double)
+
+  /** Build and persist the containment prefix index over `docs` —
+    * Overwrite = S7 `--replace` semantics. `threshold` is the index's DDL
+    * contract: queries at any t ≥ threshold keep exact recall. */
+  def saveContainment(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, threshold: Double, path: String): Unit = {
+    val p = graft.dedup.Dedup.shinglePostings(docs, idCol, textCol)
+    writeContainmentBase(p, threshold, path, batchId = -1L, overwriteAll = true)
+  }
+
+  /** Write one batch of (id, h) postings (+ its prefixes/sizes derived
+    * here, prefix rank by the batch's own df) under `path`. With
+    * `overwriteAll` the whole index is replaced (base build); otherwise
+    * only this batch's partitions are dynamically overwritten. */
+  private def writeContainmentBase(p: org.apache.spark.sql.DataFrame,
+      threshold: Double, path: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val nBuckets = graft.dedup.Dedup.ShingleBuckets.toLong
+    def writer(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.write.mode(SaveMode.Overwrite)
+      if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic")
+    }
+    writer(p.withColumn("batch", lit(batchId))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets))))
+      .partitionBy("batch", "bucket").parquet(s"$path/postings")
+    writer(graft.dedup.Dedup.containmentPrefix(p, threshold)
+        .select(col("qid").as("id"), col("h"))
+        .withColumn("batch", lit(batchId))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets))))
+      .partitionBy("batch", "bucket").parquet(s"$path/prefixes")
+    if (overwriteAll)
+      Seq(threshold).toDF("threshold")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // per-doc shingle counts, written last = commit marker
+    writer(p.groupBy("id").agg(count(lit(1)).as("sz"))
+        .withColumn("batch", lit(batchId)))
+      .partitionBy("batch").parquet(s"$path/sizes")
+  }
+
+  /** Shingle one micro-batch of NEW documents (R17 skip-existing
+    * contract) into a persisted containment index. Work ∝ batch;
+    * idempotent at every crash point (layout comment above). Requires a
+    * [[saveContainment]] base — the threshold is the index's DDL and
+    * lives in `meta`. */
+  def appendBatchContainment(batch: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/sizes").contains(batchId)) return
+    val threshold = containmentThreshold(spark, path)
+    val p = graft.dedup.Dedup.shinglePostings(batch, idCol, textCol)
+    writeContainmentBase(p, threshold, path, batchId, overwriteAll = false)
+  }
+
+  /** Streaming index upkeep — the containment twin of [[streamIntoBm25]]:
+    * incoming documents keep the persisted prefix index current via
+    * `foreachBatch`; each completed batch is immediately visible. */
+  def streamIntoContainment(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchContainment(b, idCol, textCol, path, id)
+      }
+      .start()
+
+  private def containmentThreshold(spark: SparkSession, path: String): Double = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$path/meta"), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"no containment index meta under $path — appendBatchContainment " +
+        "requires a saveContainment base (the threshold is the index DDL)")
+    spark.read.parquet(s"$path/meta").head.getDouble(0)
+  }
+
+  /** Consistent snapshot at the latest commit markers (same contract as
+    * [[loadBm25]]): only committed batches are visible, bucket partition
+    * pruning available on postings and prefixes. */
+  def loadContainment(spark: SparkSession, path: String): ContainmentIndex = {
+    val batches = committedBatches(spark, s"$path/sizes")
+    def committed(dir: String) = spark.read.parquet(s"$path/$dir")
+      .where(col("batch").cast("long").isin(batches: _*))
+    ContainmentIndex(
+      postings = committed("postings").select("id", "h", "bucket"),
+      prefixes = committed("prefixes").select("id", "h", "bucket"),
+      sizes = committed("sizes").select("id", "sz"),
+      threshold = containmentThreshold(spark, path))
+  }
+
+  /** Fold every committed batch back into a single base partition — same
+    * maintenance contract as [[compactBm25]], plus one containment-specific
+    * payoff: prefixes are RE-RANKED against the merged corpus df, so
+    * batch-local prefix choices (recall-safe but volume-suboptimal)
+    * converge back to the globally-rarest selection. */
+  def compactContainment(spark: SparkSession, path: String): Unit = {
+    val snapshot = loadContainment(spark, path)
+    val staged = s"$path/.compact"
+    writeContainmentBase(snapshot.postings.select("id", "h"),
+      snapshot.threshold, staged, batchId = -1L, overwriteAll = true)
+    swapStaged(spark, path, staged,
+      Seq("postings", "prefixes", "meta", "sizes"))
+  }
+
   // ------------------------------------------------------------------- IVF
   //
   // On-disk layout follows the BM25/sign-LSH batch pattern — per batch

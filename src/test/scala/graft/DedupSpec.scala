@@ -306,6 +306,54 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(Dedup.minhashPairs(docs, "id", "text", 0.9).count() === 0)
   }
 
+  test("containmentPairsAgainst: incremental screen equals the batch-restricted baseline in BOTH directions") {
+    // corpus: the engineered subset fixture; batch: a NEW doc contained
+    // by corpus doc 1 (batch→corpus), a NEW doc CONTAINING corpus doc 5
+    // (corpus→batch, the direction only the INDEXED prefixes can catch),
+    // a RE-INGESTED corpus doc (must pair with its superset, never with
+    // itself), and an unrelated doc (must stay silent)
+    val boiler = "terms of service apply all rights reserved contact us"
+    val bigA = (1 to 60).map(i => s"alpha$i").mkString(" ") + " " + boiler
+    val subA = (11 to 25).map(i => s"alpha$i").mkString(" ")
+    val bigB = (1 to 50).map(i => s"beta$i").mkString(" ") + " " + boiler
+    val subB = (20 to 32).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((1L, bigA), (2L, subA), (4L, bigB), (5L, subB),
+      (7L, "unrelated filler content " + boiler)).toDF("id", "text")
+    val batch = Seq(
+      (10L, (1 to 12).map(i => s"alpha$i").mkString(" ")), // ⊂ doc 1
+      (11L, (15 to 40).map(i => s"beta$i").mkString(" ")), // ⊃ doc 5
+      (2L, subA),                                          // re-ingest
+      (12L, (1 to 20).map(i => s"delta$i").mkString(" ")), // unrelated
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("continc").toString
+    graft.index.IndexStore.saveContainment(corpus, "id", "text", 0.9, dir)
+    val idx = graft.index.IndexStore.loadContainment(spark, dir)
+    val got = Dedup.containmentPairsAgainst(batch, "id", "text", idx, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // oracle: the quadratic baseline over corpus ∪ batch, restricted to
+    // pairs with one side in the batch and the other in the index
+    val union = corpus.unionByName(batch).dropDuplicates("id")
+    val batchIds = Set(10L, 11L, 2L, 12L)
+    val indexIds = Set(1L, 2L, 4L, 5L, 7L)
+    val expected = Dedup.containmentPairs(union, "id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) =>
+        (batchIds(a) && indexIds(b)) || (batchIds(b) && indexIds(a)) }
+      .toSet
+    assert(got === expected)
+    // both directions genuinely present: the new subset doc found its
+    // corpus superset, and the indexed subset doc found its new superset
+    val pairs = got.map(t => (t._1, t._2))
+    assert(pairs.contains((10L, 1L)), s"batch→corpus direction missing: $pairs")
+    assert(pairs.contains((5L, 11L)), s"corpus→batch direction missing: $pairs")
+    assert(pairs.contains((2L, 1L)), "re-ingested doc must still pair with its superset")
+    assert(!pairs.exists(p => p._1 === p._2), "re-ingest must never self-pair")
+    // prefixes built for t=0.9 cannot guarantee recall below it — loud
+    assert(intercept[IllegalArgumentException] {
+      Dedup.containmentPairsAgainst(batch, "id", "text", idx, 0.8)
+    }.getMessage.contains("too short"))
+  }
+
   test("containment prefix candidates cover every qualifying pair and prune hot boilerplate") {
     // every doc shares the same 20-token boilerplate block; only 2 ⊂ 1 is
     // a real containment pair. The hot boilerplate shingles have df = n,

@@ -188,6 +188,66 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(batchDirs.toSeq === Seq("batch=-1"))
   }
 
+  test("containment batch appends: crash-replay idempotent, equals full rebuild, compacts") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = Files.createTempDirectory("continc").toString
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").cache()
+    val base = docs.where($"doc_id" % 3 === 0)
+    val b0 = docs.where($"doc_id" % 3 === 1)
+    val b1 = docs.where($"doc_id" % 3 === 2)
+    IndexStore.saveContainment(base, "doc_id", "text", 0.9, dir)
+
+    // crash-point simulation: batch 0's postings land but the sizes
+    // marker never does — a reader must see ONLY the committed base
+    Dedup.shinglePostings(b0, "doc_id", "text")
+      .withColumn("batch", lit(0L))
+      .withColumn("bucket", pmod(col("h"), lit(Dedup.ShingleBuckets.toLong)))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "bucket").parquet(s"$dir/postings")
+    assert(IndexStore.loadContainment(spark, dir)
+      .postings.select("id").distinct().count() === base.count())
+
+    // foreachBatch retry re-delivers batch 0 (overwrite, not append),
+    // then batch 1 arrives; a replay of a committed batch is a no-op
+    IndexStore.appendBatchContainment(b0, "doc_id", "text", dir, batchId = 0L)
+    IndexStore.appendBatchContainment(b1, "doc_id", "text", dir, batchId = 1L)
+    IndexStore.appendBatchContainment(b0, "doc_id", "text", dir, batchId = 0L)
+
+    // screening a batch against the incrementally-built index equals the
+    // screen against a fresh full rebuild — batch-local prefix ranking
+    // (appends) vs global ranking (rebuild) may choose different prefix
+    // SHINGLES, but recall is the pigeonhole theorem either way and the
+    // exact verify makes the outputs identical
+    val probe = docs.where($"doc_id" % 7 === 0)
+    def screen(idx: IndexStore.ContainmentIndex) =
+      Dedup.containmentPairsAgainst(probe, "doc_id", "text", idx, 0.9)
+        .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val freshDir = Files.createTempDirectory("contfresh").toString
+    IndexStore.saveContainment(docs, "doc_id", "text", 0.9, freshDir)
+    val fresh = screen(IndexStore.loadContainment(spark, freshDir))
+    assert(screen(IndexStore.loadContainment(spark, dir)) === fresh)
+
+    // compaction folds the 3 batches into one base partition (re-ranking
+    // prefixes against the merged df), same screen output
+    IndexStore.compactContainment(spark, dir)
+    val compacted = IndexStore.loadContainment(spark, dir)
+    assert(screen(compacted) === fresh)
+    val batchDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs.toSeq === Seq("batch=-1"))
+    assert(compacted.threshold === 0.9)
+
+    // the threshold is index DDL: appends onto a path with no meta fail
+    // loudly instead of guessing
+    val emptyDir = Files.createTempDirectory("contempty").toString + "/idx"
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.appendBatchContainment(b0, "doc_id", "text", emptyDir, 0L)
+    }.getMessage.contains("saveContainment base"))
+  }
+
   test("batch appends bootstrap a FRESH index path (no prior save* base)") {
     import graft.dedup.Dedup
     // BM25: a stream's first micro-batch onto an empty path must succeed
