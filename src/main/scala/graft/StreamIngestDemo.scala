@@ -9,24 +9,28 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** End-to-end streaming-ingest demo (the [[ScaleProbe]] sibling for the
-  * index-upkeep story): one runnable that drives ALL FOUR incremental
+  * index-upkeep story): one runnable that drives ALL FIVE incremental
   * index paths together the way a production ingest would —
   *
   *   1. offline DDL on the first 20% of the corpus (`Ivf.build`/`Pq.build`
-  *      need trained centroids/codebooks; BM25 and sign-LSH bases are
-  *      saved for symmetry),
+  *      need trained centroids/codebooks; BM25, sign-LSH and containment
+  *      bases are saved for symmetry — the containment threshold is the
+  *      index's DDL),
   *   2. the remaining 80% arrives as a Structured Streaming flow in
   *      rate-limited waves, fanned into `streamIntoBm25` /
-  *      `streamIntoIvf` / `streamIntoSignLsh` / `streamIntoPq`
-  *      (commit-marker batches — each wave is visible to the next load
-  *      the moment its marker lands),
+  *      `streamIntoIvf` / `streamIntoSignLsh` / `streamIntoPq` /
+  *      `streamIntoContainment` (commit-marker batches — each wave is
+  *      visible to the next load the moment its marker lands),
   *   3. MID-STREAM, after each wave, the serving-side queries run against
   *      consistent snapshots (`load*`): BM25 top-10, ball-cover-exact
   *      batch kNN over the growing IVF, incremental near-dup dedup of the
-  *      JUST-ARRIVED wave against the sign-LSH index-so-far, PQ/ADC
-  *      top-10 — the reader/writer concurrency contract exercised live,
-  *   4. streams stop, all four indexes compact (file-count bound), and
-  *      the same queries re-run — results must be IDENTICAL pre/post
+  *      JUST-ARRIVED wave against the sign-LSH index-so-far, incremental
+  *      CONTAINMENT screen of the wave's documents against the prefix
+  *      index-so-far, PQ/ADC top-10 — the reader/writer concurrency
+  *      contract exercised live,
+  *   4. streams stop, all five indexes compact (file-count bound; the
+  *      containment compaction re-ranks prefixes against the merged df),
+  *      and the same queries re-run — results must be IDENTICAL pre/post
   *      compaction.
   *
   * Prints one `STREAMDEMO <label> <value>` line per measurement; the
@@ -66,16 +70,19 @@ object StreamIngestDemo {
       Dedup.signLshSketches(baseEmbs, "vec_id", "embedding",
         graft.embed.Embedder.TestdataDim), dir("lsh"))
     IndexStore.savePq(Pq.build(baseEmbs, "vec_id", "embedding"), dir("pq"))
+    IndexStore.saveContainment(baseDocs, "doc_id", "text", 0.9, dir("cont"))
     println(f"STREAMDEMO ddl_base_sec ${(System.nanoTime() - t0) / 1e9}%.2f")
 
     // ---- 2. the remaining 80% arrives as four streaming upkeep flows ----
     // one MemoryStream per consumer: a query's offset commit truncates the
     // shared buffer, so fanning one stream into three sinks would race
-    val docStream = MemoryStream[(Long, String)](spark)
+    val docStreams = Seq.fill(2)(MemoryStream[(Long, String)](spark))
     val embStreams = Seq.fill(3)(MemoryStream[(Long, Seq[Double])](spark))
     val queries = Seq(
-      IndexStore.streamIntoBm25(docStream.toDF().toDF("doc_id", "text"),
+      IndexStore.streamIntoBm25(docStreams(0).toDF().toDF("doc_id", "text"),
         "doc_id", "text", dir("bm25"), dir("ck_bm25")),
+      IndexStore.streamIntoContainment(docStreams(1).toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir("cont"), dir("ck_cont")),
       IndexStore.streamIntoIvf(embStreams(0).toDF().toDF("vec_id", "embedding"),
         "vec_id", "embedding", dir("ivf"), dir("ck_ivf")),
       IndexStore.streamIntoSignLsh(embStreams(1).toDF().toDF("vec_id", "embedding"),
@@ -93,7 +100,8 @@ object StreamIngestDemo {
     val queryText = "fast table scan merge"
     val queryVec = graft.embed.Embedder.default.embed(queryText)
 
-    def midStreamQueries(wave: Int, waveEmbs: Seq[(Long, Seq[Double])]): Unit = {
+    def midStreamQueries(wave: Int, waveEmbs: Seq[(Long, Seq[Double])],
+        waveDocs: Seq[(Long, String)]): Unit = {
       val t = System.nanoTime()
       val bm = TextSearch.search(IndexStore.loadBm25(spark, dir("bm25")),
         queryText, 10).collect()
@@ -113,13 +121,21 @@ object StreamIngestDemo {
         IndexStore.loadSignLsh(spark, dir("lsh")))
       val dups = Dedup.cosineVerify(cands,
         waveDf.unionByName(embs), "vec_id", "embedding", 0.45).count()
+      // incremental containment: does anything in THIS wave contain / get
+      // contained by a document already indexed? (same work ∝ wave shape)
+      val contained =
+        if (waveDocs.isEmpty) 0L
+        else Dedup.containmentPairsAgainst(waveDocs.toDF("doc_id", "text"),
+          "doc_id", "text",
+          IndexStore.loadContainment(spark, dir("cont")), 0.9).count()
       val pq = IndexStore.loadPq(spark, dir("pq"))
       val adc = Pq.ann(pq, embs.join(pq.codes.select("id"),
             embs("vec_id") === pq.codes("id")).select("vec_id", "embedding"),
           "vec_id", "embedding", queryVec, k = 10,
           overfetch = math.max(100, (pq.n / 2).toInt)).collect()
       println(f"STREAMDEMO wave$wave%d_queries_sec ${(System.nanoTime() - t) / 1e9}%.2f " +
-        s"bm25=${bm.length} knn=${knn.length} wave_neardups=$dups adc=${adc.length} " +
+        s"bm25=${bm.length} knn=${knn.length} wave_neardups=$dups " +
+        s"wave_containments=$contained adc=${adc.length} " +
         s"indexed=${IndexStore.loadIvf(spark, dir("ivf")).sizes.values.sum}")
     }
 
@@ -128,11 +144,14 @@ object StreamIngestDemo {
     val eWaves = restEmbs.grouped(math.max(1, restEmbs.length / waves)).toSeq
     try {
       for (w <- 0 until math.max(dWaves.length, eWaves.length)) {
-        if (w < dWaves.length) docStream.addData(dWaves(w).toIndexedSeq)
+        if (w < dWaves.length)
+          docStreams.foreach(_.addData(dWaves(w).toIndexedSeq))
         if (w < eWaves.length)
           embStreams.foreach(_.addData(eWaves(w).toIndexedSeq))
         queries.foreach(_.processAllAvailable())
-        midStreamQueries(w, if (w < eWaves.length) eWaves(w).toIndexedSeq else Nil)
+        midStreamQueries(w,
+          if (w < eWaves.length) eWaves(w).toIndexedSeq else Nil,
+          if (w < dWaves.length) dWaves(w).toIndexedSeq else Nil)
       }
     } finally queries.foreach(_.stop())
     println(f"STREAMDEMO stream_total_sec ${(System.nanoTime() - tStream) / 1e9}%.2f")
@@ -144,20 +163,32 @@ object StreamIngestDemo {
         else if (f.getName.endsWith(".parquet")) 1 else 0
       walk(new java.io.File(p))
     }
-    val before = Seq("bm25", "ivf", "lsh", "pq").map(n => parquetFiles(dir(n))).sum
+    val before = Seq("bm25", "ivf", "lsh", "pq", "cont")
+      .map(n => parquetFiles(dir(n))).sum
     val bmPre = TextSearch.search(IndexStore.loadBm25(spark, dir("bm25")),
       queryText, 10).collect().toSeq
+    val contProbe = docs.where(col("doc_id") % 50 === 0)
+    def contScreen() = Dedup.containmentPairsAgainst(contProbe, "doc_id",
+        "text", IndexStore.loadContainment(spark, dir("cont")), 0.9)
+      .orderBy("id1", "id2").collect().toSeq
+    val contPre = contScreen()
     val tC = System.nanoTime()
     IndexStore.compactBm25(spark, dir("bm25"))
     IndexStore.compactIvf(spark, dir("ivf"))
     IndexStore.compactSignLsh(spark, dir("lsh"))
     IndexStore.compactPq(spark, dir("pq"))
+    IndexStore.compactContainment(spark, dir("cont"))
     println(f"STREAMDEMO compact_sec ${(System.nanoTime() - tC) / 1e9}%.2f")
-    val after = Seq("bm25", "ivf", "lsh", "pq").map(n => parquetFiles(dir(n))).sum
+    val after = Seq("bm25", "ivf", "lsh", "pq", "cont")
+      .map(n => parquetFiles(dir(n))).sum
     println(s"STREAMDEMO parquet_files before=$before after=$after")
     val bmPost = TextSearch.search(IndexStore.loadBm25(spark, dir("bm25")),
       queryText, 10).collect().toSeq
     require(bmPre == bmPost, "compaction changed BM25 answers")
+    // prefix re-ranking at compaction may swap WHICH shingles each prefix
+    // holds — the screen's output must not move (recall is the bound, not
+    // the ranking)
+    require(contPre == contScreen(), "compaction changed containment answers")
     val finalIvf = IndexStore.loadIvf(spark, dir("ivf"))
     require(finalIvf.sizes.values.sum == nEmbs,
       s"indexed ${finalIvf.sizes.values.sum} of $nEmbs vectors")
