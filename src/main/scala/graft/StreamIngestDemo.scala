@@ -119,8 +119,11 @@ object StreamIngestDemo {
         Dedup.signLshSketches(waveDf, "vec_id", "embedding",
           graft.embed.Embedder.TestdataDim),
         IndexStore.loadSignLsh(spark, dir("lsh")))
+      // embs already holds every wave id (waves are slices of it) — a
+      // waveDf ∪ embs union would duplicate the wave's vector rows and
+      // multiply each verified pair by its endpoints' copy counts
       val dups = Dedup.cosineVerify(cands,
-        waveDf.unionByName(embs), "vec_id", "embedding", 0.45).count()
+        embs, "vec_id", "embedding", 0.45).count()
       // incremental containment: does anything in THIS wave contain / get
       // contained by a document already indexed? (same work ∝ wave shape)
       val contained =

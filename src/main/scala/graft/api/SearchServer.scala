@@ -74,10 +74,17 @@ final class SearchServer(
   }
 
   private def handleSearch(ex: HttpExchange): Unit = {
-    val payload = mapper.readTree(ex.getRequestBody.readAllBytes()) match {
-      case null => mapper.createObjectNode()
-      case n => n
-    }
+    // the reference reads the body with get_json(silent=True) or {}
+    // (`backend/api.py:100`): malformed JSON is an EMPTY payload, which
+    // then fails the required-field checks as a 400 — never a 500
+    val payload =
+      try mapper.readTree(ex.getRequestBody.readAllBytes()) match {
+        case null => mapper.createObjectNode()
+        case n => n
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException =>
+          mapper.createObjectNode()
+      }
     val mode = optText(payload, "mode").getOrElse("vector").toLowerCase
     if (!FoodFinder.Modes.contains(mode))
       throw new BadRequest("Modo de búsqueda no válido.")
@@ -119,6 +126,14 @@ final class SearchServer(
     * own its lifecycle (`.stop(0)`). */
   def start(port: Int): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    // without an executor every request serializes on the single
+    // dispatcher thread — one slow Spark collect would block even
+    // /api/restaurants; a small pool lets the driver overlap requests
+    // (Spark schedules concurrent actions fine). Daemon threads:
+    // HttpServer.stop does not shut down a user-supplied executor, and
+    // the pool must never pin the JVM after the server is dropped.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => { val t = new Thread(r, "search-server"); t.setDaemon(true); t }))
     def route(path: String, fn: HttpExchange => Unit): Unit =
       server.createContext(path, { ex =>
         try fn(ex)

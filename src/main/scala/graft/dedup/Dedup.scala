@@ -306,9 +306,12 @@ object Dedup {
     * this number FIRST (cost ≈ the df aggregation, nothing pairwise) and
     * route through [[exact]]-dedup-first or a higher threshold when it
     * comes back hot. */
-  def containmentCandidateVolume(p: DataFrame, threshold: Double): Long =
-    containmentPrefix(p, threshold)
-      .agg(sum(col("df")).as("v")).head().getLong(0)
+  def containmentCandidateVolume(p: DataFrame, threshold: Double): Long = {
+    // sum over zero rows is SQL null — an empty corpus partition budgets
+    // to volume 0, it does not NPE the budgeting job
+    val r = containmentPrefix(p, threshold).agg(sum(col("df")).as("v")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   def containmentCandidates(p: DataFrame, threshold: Double): DataFrame = {
     val prefix = containmentPrefix(p, threshold).drop("df")
@@ -1015,9 +1018,11 @@ object Dedup {
       bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
     // the batch side broadcasts — same bounded-batch discipline as the
     // kNN joins, so an oversized "batch" fails loudly instead of OOMing
-    // the executors (banded rows = ids × bands, still bounded)
+    // the executors. The bound counts DOCUMENTS (the sparseKnnJoin
+    // pattern), not banded rows — ids × bands would trip the guard 16×
+    // early and misreport what was counted
     graft.search.VectorSearch.requireBoundedBatch(
-      batchBanded, "Dedup.signLshCandidatesAgainst")
+      batchBanded.select("id").distinct(), "Dedup.signLshCandidatesAgainst")
     val l = batchBanded.select(col("id").as("id1"), col("band"), col("bkey"),
       col("sk").as("sk1"))
     val r = indexBanded.select(col("id").as("id2"), col("band"), col("bkey"),
@@ -1042,10 +1047,12 @@ object Dedup {
   def signLshCandidatesAgainstMultiProbe(batchBanded: DataFrame,
       indexBanded: DataFrame, bands: Int = SignLshBands,
       rows: Int = SignLshRows): DataFrame = {
-    // broadcast discipline as in the exact-probe variant; the probe
-    // expansion multiplies the broadcast a further ×(1+rows)
+    // broadcast discipline as in the exact-probe variant (documents, not
+    // banded rows); the probe expansion multiplies the broadcast a
+    // further ×(1+rows)
     graft.search.VectorSearch.requireBoundedBatch(
-      batchBanded, "Dedup.signLshCandidatesAgainstMultiProbe")
+      batchBanded.select("id").distinct(),
+      "Dedup.signLshCandidatesAgainstMultiProbe")
     // bit j of band b sits at position b*rows + j (the signLshSketches
     // layout); flip 0 = the exact key
     val probed = batchBanded.select(col("id").as("id1"), col("band"),

@@ -572,17 +572,28 @@ object IndexStore {
     val batches = committedBatches(spark, s"$path/sizes")
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-    val sizesDf = spark.read.parquet(s"$path/sizes")
+    // mergeSchema: a pre-radius base overlaid with post-radius append
+    // batches must surface the radius column regardless of which file the
+    // schema would otherwise be inferred from (the table is k × batches
+    // rows — merge cost is nil)
+    val sizesDf = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/sizes")
       .where(col("batch").cast("long").isin(batches: _*))
     val sizes = sizesDf
       .groupBy("cluster").agg(sum(col("size")).as("size")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // radii: max over committed batches (append-only ball growth); an
     // older layout without the column loads as "unknown" — knnJoinExact
-    // then probes those clusters instead of pruning them (sound, slower)
+    // then probes those clusters instead of pruning them (sound, slower).
+    // A MIXED layout (pre-radius base + post-radius appends) decodes the
+    // legacy rows as null: those must force their cluster to the trivial
+    // never-prune radius BEFORE the max — skipping nulls would leave a
+    // ball covering only the appended members, and an understated ball
+    // turns the exactness theorem into silent recall loss.
     val radii =
       if (!sizesDf.columns.contains("radius")) Map.empty[Int, Double]
-      else sizesDf.groupBy("cluster").agg(max(col("radius")).as("r"))
+      else sizesDf.groupBy("cluster")
+        .agg(max(coalesce(col("radius"), lit(Ivf.TrivialRadius))).as("r"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val ddl = spark.read.parquet(s"$path/meta").head()
     Ivf.IvfIndex(

@@ -90,6 +90,11 @@ object BsonSource {
       case 0x11 => sb.append(readLong(b, p).toString); p + 8 // timestamp
       case 0x12 => sb.append(readLong(b, p).toString); p + 8
       case 0x13 => sb.append("null"); p + 16 // Decimal128: fixed width, unsupported value
+      // zero-payload types: deprecated `undefined` (0x06) and the MinKey/
+      // MaxKey sentinels (0xFF signed = -1 → masked 0xff, 0x7F). Render
+      // null and advance 0 bytes — exact, and one exotic value must not
+      // abort a whole-collection migration.
+      case 0x06 | 0x7f | 0xff => sb.append("null"); p
       case other => throw new IllegalArgumentException(
         f"unsupported BSON type 0x$other%02x at offset $p — cannot skip safely")
     }

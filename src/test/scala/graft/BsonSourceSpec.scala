@@ -46,13 +46,19 @@ class BsonSourceSpec extends AnyFunSuite with SparkTest {
       ("n32", 0x10, i32(-5)),
       ("n64", 0x12, i64(1234567890123L)),
       ("dec", 0x13, Array.fill(16)(0.toByte)),
+      // zero-payload exotics: deprecated undefined, MaxKey, MinKey — one
+      // of these in a collection must not abort the migration
+      ("und", 0x06, Array.empty[Byte]),
+      ("mx", 0x7f, Array.empty[Byte]),
+      ("mn", 0xff, Array.empty[Byte]),
     )
     val docs = BsonSource.parseDocuments(bytes).toSeq
     assert(docs.length === 1)
     assert(docs.head ===
       """{"d":2.5,"s":"hi \"there\"","sub":{"k":7},"xs":["a",2],""" +
       """"bin":"YWJj","oid":"0102030405060708090a0b0c","t":true,"f":false,""" +
-      """"when":1700000000123,"nul":null,"n32":-5,"n64":1234567890123,"dec":null}""")
+      """"when":1700000000123,"nul":null,"n32":-5,"n64":1234567890123,"dec":null,""" +
+      """"und":null,"mx":null,"mn":null}""")
     // two concatenated documents parse as two (the mongodump layout)
     assert(BsonSource.parseDocuments(bytes ++ bytes).size === 2)
     // corrupt length fails loudly, never silently truncates

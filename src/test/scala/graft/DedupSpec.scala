@@ -246,6 +246,18 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(verified === brute)
   }
 
+  test("signLsh batch guard counts DOCUMENTS, not banded rows") {
+    // 10,000 ids × 16 bands = 160,000 banded rows — well inside the
+    // 65,536-DOCUMENT broadcast contract; a guard that counted banded
+    // rows would refuse this legitimate daily batch 16× too early
+    val big = spark.range(10000L * 16)
+      .select((col("id") / 16).cast("long").as("id"), lit(0L).as("sk"),
+        (col("id") % 16).cast("int").as("band"), col("id").as("bkey"))
+    val emptyIndex = big.limit(0)
+    assert(Dedup.signLshCandidatesAgainst(big, emptyIndex).count() === 0)
+    assert(Dedup.signLshCandidatesAgainstMultiProbe(big, emptyIndex).count() === 0)
+  }
+
   test("containmentPairs: subset doc scores C=1 against its superset where Jaccard stays low") {
     // doc 2 = the first third of doc 1: every shingle of 2 is in 1
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
@@ -400,6 +412,9 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     val joined = prefix.join(p.select(col("id").as("cid"), col("h")), "h").count()
     assert(vol === joined)
     assert(vol > 0)
+    // an empty corpus partition budgets to 0 (sum-over-nothing is SQL
+    // null — must not NPE the budgeting call)
+    assert(Dedup.containmentCandidateVolume(p.limit(0), 0.9) === 0L)
     p.unpersist()
   }
 

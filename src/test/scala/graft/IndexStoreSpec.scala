@@ -188,6 +188,48 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(batchDirs.toSeq === Seq("batch=-1"))
   }
 
+  test("ivf radii: pre-radius base + post-radius appends never understate the ball") {
+    import graft.index.Ivf
+    import graft.search.VectorSearch
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("ivfupgrade").toString
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding").cache()
+    val base = embs.where($"vec_id" % 2 === 0)
+    IndexStore.saveIvf(Ivf.build(base, "vec_id", "embedding"), dir)
+    // simulate the PRE-radius on-disk layout: rewrite sizes without the
+    // radius column, exactly what an older release persisted
+    val legacy = spark.read.parquet(s"$dir/sizes").drop("radius").cache()
+    legacy.count()
+    legacy.write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$dir/.legacy_sizes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sizes"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/.legacy_sizes"),
+      new org.apache.hadoop.fs.Path(s"$dir/sizes")))
+    // legacy-only load: radii are UNKNOWN (no pruning), never invented
+    assert(IndexStore.loadIvf(spark, dir).radii.isEmpty)
+    // new code appends the other half — its sizes rows DO carry radius,
+    // so the table now mixes schemas; every cluster still holding a
+    // legacy (null-radius) row must resolve to the trivial never-prune
+    // radius — skipping nulls would leave a ball covering only appended
+    // members and silently break the exactness theorem
+    IndexStore.appendBatchIvf(embs.where($"vec_id" % 2 === 1),
+      "vec_id", "embedding", dir, batchId = 0L)
+    val idx = IndexStore.loadIvf(spark, dir)
+    assert(idx.radii.nonEmpty)
+    assert(idx.radii.values.forall(_ === Ivf.TrivialRadius),
+      s"legacy rows must force the trivial radius, got ${idx.radii}")
+    val queries = embs.where($"vec_id" < 10)
+    val exact = VectorSearch.knnJoin(queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val routed = Ivf.knnJoinExact(idx, queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, probeMass = 0.5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(routed === exact)
+  }
+
   test("containment batch appends: crash-replay idempotent, equals full rebuild, compacts") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.SaveMode

@@ -133,6 +133,28 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected cluster IN (...) partition pruning on the assignments scan:\n$plan")
   }
 
+  test("incremental containment screen reads the index through bucket PartitionFilters") {
+    // the daily-batch screen must reach the persisted postings/prefix
+    // parquet through a `bucket IN (batch's shingle buckets)` partition
+    // filter — at 100 TB a small batch reads its buckets' directories,
+    // never the whole inverted shingle file
+    val docs = graft.util.Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("contplan").toString
+    graft.index.IndexStore.saveContainment(docs, "doc_id", "text", 0.9, dir)
+    val idx = graft.index.IndexStore.loadContainment(spark, dir)
+    val batch = docs.orderBy(org.apache.spark.sql.functions.length(col("text")))
+      .limit(1)
+    val plan = planString(graft.dedup.Dedup.containmentPairsAgainst(
+      batch, "doc_id", "text", idx, 0.9))
+    val scans = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") &&
+        (l.contains("/postings") || l.contains("/prefixes"))).toSeq
+    assert(scans.nonEmpty, s"expected index parquet scans in:\n$plan")
+    assert(scans.forall(
+      _.matches(".*PartitionFilters: \\[[^\\]]*bucket[^\\]]* IN(SET)? .*")),
+      s"expected bucket IN (...) partition pruning on every index scan:\n$plan")
+  }
+
   test("codegen'd similarity stays inside WholeStageCodegen") {
     val e = Tables.embeddings(spark, Sf0001)
     val scored = e.select(graft.functions.Vectors.score("cosine",

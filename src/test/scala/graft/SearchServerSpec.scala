@@ -105,6 +105,12 @@ class SearchServerSpec extends AnyFunSuite with SparkTest {
       """{"mode":"vector","description":"x","maxPrice":"not-a-price"}""")
     assert(c4 === 400 && mapper.readTree(b4).get("message").asText() ===
       "El formato del precio máximo no es válido.")
+    // malformed JSON = empty payload (the reference's get_json(silent=
+    // True) or {}, backend/api.py:100) → the required-description 400,
+    // never a 500 parse error
+    val (c5, b5) = post("/api/search", "not json {{{")
+    assert(c5 === 400 && mapper.readTree(b5).get("message").asText() ===
+      "La descripción es obligatoria para la búsqueda seleccionada.")
   }
 
   test("hybrid mode over HTTP returns fused scores with detail columns") {
