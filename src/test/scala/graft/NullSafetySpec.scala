@@ -60,6 +60,31 @@ class NullSafetySpec extends AnyFunSuite with SparkTest {
     assert(Dedup.simhashPairs(Dedup.simhash(empty, "id", "text"), 2).count() === 0)
   }
 
+  test("incremental containment screen: null/empty/short docs and empty batches are inert") {
+    // index over degenerate docs: only doc 1 shingles (the rest have no
+    // 5-gram), so the persisted tables silently hold one document — same
+    // semantics as containmentPairs, which never sees shingle-less docs
+    val dir = java.nio.file.Files.createTempDirectory("contnull").toString
+    graft.index.IndexStore.saveContainment(docsWithNull, "id", "text", 0.9, dir)
+    val idx = graft.index.IndexStore.loadContainment(spark, dir)
+    assert(idx.sizes.count() === 1)
+    // a batch of nothing but degenerate docs screens to zero pairs; an
+    // empty batch too — no NPE from the empty bucket collect
+    val degenerate = docsWithNull.where(col("id") =!= 1L)
+    assert(Dedup.containmentPairsAgainst(degenerate, "id", "text", idx, 0.9)
+      .count() === 0)
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.containmentPairsAgainst(empty, "id", "text", idx, 0.9)
+      .count() === 0)
+    // a real containment pair still surfaces through the same index: a
+    // batch doc holding doc 1's text plus a tail contains it fully
+    val containing = Seq((9L, "normal document text here and a longer tail"))
+      .toDF("id", "text")
+    val got = Dedup.containmentPairsAgainst(containing, "id", "text", idx, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 9L, 1.0)))
+  }
+
   test("quality/langid handle null text as null / 'und'") {
     val got = docsWithNull.select(col("id"),
         TextAnalysis.qualityScore(col("text")).as("q"),
