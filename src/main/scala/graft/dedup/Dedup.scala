@@ -990,6 +990,28 @@ object Dedup {
        |FROM $embsTable a JOIN $embsTable b ON a.$idExpr < b.$idExpr
        |WHERE round(list_cosine_similarity(a.$embExpr::DOUBLE[], b.$embExpr::DOUBLE[]), 6) >= $threshold""".stripMargin
 
+  /** Bounded-broadcast guard for the banded-batch candidate probes — the
+    * [[graft.search.VectorSearch.requireBoundedBatch]] discipline applied
+    * to an ALREADY-BANDED sketch table. Counting documents would need a
+    * `distinct()` (a full shuffle, defeating the early-stopped
+    * `limit(n+1).count()` probe), so the guard counts banded rows and
+    * scales the allowance by `bands`: ≤ [[VectorSearch.MaxQueryBatch]]
+    * documents × bands rows. `probeFanout` DIVIDES the allowance for
+    * callers that expand each banded row before broadcasting (multi-probe
+    * flips ×(1+rows)), keeping the broadcast byte budget constant across
+    * probe depths rather than letting a deeper probe broadcast more. */
+  private def requireBoundedBanded(banded: DataFrame, caller: String,
+      bands: Int = SignLshBands, probeFanout: Int = 1): Unit = {
+    val allowed =
+      graft.search.VectorSearch.MaxQueryBatch.toLong * bands / probeFanout
+    val n = banded.limit(allowed.toInt + 1).count()
+    require(n <= allowed,
+      s"$caller: banded batch has > $allowed rows (~${allowed / bands} " +
+        "documents at this probe depth); a batch this large would be " +
+        "broadcast. Use the all-pairs LSH path (Dedup.cosinePairsLsh) " +
+        "for corpus-vs-corpus similarity instead.")
+  }
+
   /** Candidates of a NEW batch against an EXISTING banded sketch table —
     * the incremental-ingest rendition of [[signLshCandidates]], the daily
     * operation of a production corpus: "which of today's documents
@@ -1018,11 +1040,9 @@ object Dedup {
       bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
     // the batch side broadcasts — same bounded-batch discipline as the
     // kNN joins, so an oversized "batch" fails loudly instead of OOMing
-    // the executors. The bound counts DOCUMENTS (the sparseKnnJoin
-    // pattern), not banded rows — ids × bands would trip the guard 16×
-    // early and misreport what was counted
-    graft.search.VectorSearch.requireBoundedBatch(
-      batchBanded.select("id").distinct(), "Dedup.signLshCandidatesAgainst")
+    // the executors
+    requireBoundedBanded(batchBanded, "Dedup.signLshCandidatesAgainst",
+      bands, probeFanout = 1)
     val l = batchBanded.select(col("id").as("id1"), col("band"), col("bkey"),
       col("sk").as("sk1"))
     val r = indexBanded.select(col("id").as("id2"), col("band"), col("bkey"),
@@ -1047,12 +1067,12 @@ object Dedup {
   def signLshCandidatesAgainstMultiProbe(batchBanded: DataFrame,
       indexBanded: DataFrame, bands: Int = SignLshBands,
       rows: Int = SignLshRows): DataFrame = {
-    // broadcast discipline as in the exact-probe variant (documents, not
-    // banded rows); the probe expansion multiplies the broadcast a
-    // further ×(1+rows)
-    graft.search.VectorSearch.requireBoundedBatch(
-      batchBanded.select("id").distinct(),
-      "Dedup.signLshCandidatesAgainstMultiProbe")
+    // broadcast discipline as in the exact-probe variant; the probe
+    // expansion multiplies the broadcast ×(1+rows), so the allowance
+    // shrinks by the same factor — broadcast bytes stay constant
+    requireBoundedBanded(batchBanded,
+      "Dedup.signLshCandidatesAgainstMultiProbe", bands,
+      probeFanout = 1 + rows)
     // bit j of band b sits at position b*rows + j (the signLshSketches
     // layout); flip 0 = the exact key
     val probed = batchBanded.select(col("id").as("id1"), col("band"),
