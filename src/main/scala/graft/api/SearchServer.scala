@@ -94,9 +94,15 @@ final class SearchServer(
       throw new BadRequest("La descripción es obligatoria para la búsqueda seleccionada.")
     if ((mode == "hybrid" || mode == "fulltext") && title.isEmpty)
       throw new BadRequest("El título es obligatorio para la búsqueda seleccionada.")
-    val limit = FoodFinder.validate(mode, description, title,
+    // the checks above ARE the rule set (the reference's Spanish 400
+    // surface, `backend/api.py:104-131`); FoodFinder.validate is the same
+    // rules with library-facing English messages — calling it here too
+    // would leave two live gates to keep in sync, so the server goes
+    // straight to the shared clamp (SearchServerSpec pins rule parity)
+    val limit = graft.search.VectorSearch.clampLimit(
       Option(payload.get("limit")).filterNot(_.isNull)
-        .flatMap(n => scala.util.Try(n.asInt(5)).toOption).getOrElse(5))
+        .map(_.asInt(FoodFinder.DefaultLimit))
+        .getOrElse(FoodFinder.DefaultLimit))
     val filter = buildFilter(payload)
     val results = mode match {
       case "vector" =>
@@ -134,10 +140,20 @@ final class SearchServer(
     // the pool must never pin the JVM after the server is dropped.
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
       (r: Runnable) => { val t = new Thread(r, "search-server"); t.setDaemon(true); t }))
-    def route(path: String, fn: HttpExchange => Unit): Unit =
+    // JDK HttpServer contexts PREFIX-match and accept every method; the
+    // Flask reference 404s unknown paths (/api/search/extra included) and
+    // 405s a wrong method before the handler runs — both are observable
+    // API, so gate exactly before dispatching
+    def route(path: String, method: String, fn: HttpExchange => Unit): Unit =
       server.createContext(path, { ex =>
-        try fn(ex)
-        catch {
+        try {
+          if (ex.getRequestURI.getPath != path)
+            respond(ex, 404, message("Not Found"))
+          else if (ex.getRequestMethod != method) {
+            ex.getResponseHeaders.set("Allow", method)
+            respond(ex, 405, message("Method Not Allowed"))
+          } else fn(ex)
+        } catch {
           case e: BadRequest => respond(ex, 400, message(e.message))
           case e: Throwable =>
             // the reference surfaces pipeline failure as 500 + message
@@ -145,8 +161,8 @@ final class SearchServer(
             respond(ex, 500, message(Option(e.getMessage).getOrElse(e.toString).take(500)))
         }
       })
-    route("/api/search", handleSearch)
-    route("/api/restaurants", handleRestaurants)
+    route("/api/search", "POST", handleSearch)
+    route("/api/restaurants", "GET", handleRestaurants)
     server.start()
     server
   }

@@ -406,11 +406,29 @@ object Dedup {
       .join(ip, Seq("cid", "h"))
       .groupBy("bid", "cid").agg(count(lit(1)).as("inter"))
     // canonicalize: a pair of two batch ids (both also indexed) arrives in
-    // both orientations with the same count — collapse before the
-    // directed emit or it would double-report
+    // both orientations — collapse before the directed emit or it would
+    // double-report. With unchanged text both orientations carry the same
+    // count and the collapse is a plain dedup; if a batch re-ingests an id
+    // with CHANGED text the orientations DISAGREE (S_new(A)∩S_idx(B) ≠
+    // S_new(B)∩S_idx(A) — the index is stale for that id) and any silent
+    // pick would emit a containment computed from mismatched shingle sets
+    // (values above 1.0 are reachable against the stale indexed size). A
+    // conflict is therefore detectable misuse → distributed raise_error
+    // (the [[graft.pipeline.Curation.packChunkId]] guard idiom): append or
+    // rebuild the index for updated documents before screening.
     val interC = inter.select(least(col("bid"), col("cid")).as("id1"),
         greatest(col("bid"), col("cid")).as("id2"), col("inter"))
-      .distinct()
+      .groupBy("id1", "id2")
+      .agg(max(col("inter")).as("inter"), min(col("inter")).as("__lo"))
+      .select(col("id1"), col("id2"),
+        when(col("__lo") === col("inter"), col("inter"))
+          .otherwise(raise_error(format_string(
+            "containmentPairsAgainst: conflicting intersection counts for " +
+              "pair (%s, %s) — a batch id was re-ingested with text that " +
+              "differs from its indexed postings (stale index); append or " +
+              "rebuild the containment index before screening",
+            col("id1").cast("string"), col("id2").cast("string"))))
+          .as("inter"))
     val bpSizes = bp.groupBy("id").agg(count(lit(1)).as("sz"))
     val sizes = index.sizes.select("id", "sz").unionByName(
       bpSizes.join(index.sizes.select("id"), Seq("id"), "left_anti"))

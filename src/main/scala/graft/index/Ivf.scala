@@ -76,26 +76,26 @@ object Ivf {
       metric: String = "cosine"): IvfIndex = {
     require(VectorSearch.Metrics.contains(metric),
       s"metric must be one of ${VectorSearch.Metrics}, got '$metric'")
-    val n = embs.count()
     val k = if (numClusters > 0) numClusters
-      else math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      else math.max(1, math.ceil(math.sqrt(embs.count().toDouble)).toInt)
     val feats = embs.select(col(idCol).as("id"),
       array_to_vector(col(embCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(feats)
-    val assignments = model.transform(feats).select(col("id"), col("cluster"))
+    val assigned = model.transform(feats).select(col("id"), col("cluster"),
+      org.apache.spark.ml.functions.vector_to_array(col("features")).as("__v"))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => i -> c.toArray }.toMap
-    val sizes = assignments.groupBy("cluster").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val dim = model.clusterCenters.headOption.map(_.size).getOrElse(0)
-    // ball-cover radii in normalized space (one extra linear pass at BUILD
-    // time — the offline job — so query-time pruning can be exact)
-    val withVecs = model.transform(feats).select(col("cluster"),
-      org.apache.spark.ml.functions.vector_to_array(col("features")).as("__v"))
-    val radii = clusterRadii(withVecs, "cluster", "__v", centroids)
-    IvfIndex(assignments, centroids, sizes, metric, dim, radii)
+    // sizes AND ball-cover radii from ONE aggregation over ONE transform —
+    // separate collects would each re-run the batch × k × dim assignment
+    // job ("one extra linear pass" means one, not three)
+    val stats = clusterStats(assigned, "cluster", "__v", centroids)
+    IvfIndex(assigned.select("id", "cluster"), centroids,
+      stats.map { case (c, (n, _)) => c -> n },
+      metric, dim,
+      stats.map { case (c, (_, r)) => c -> r })
   }
 
   /** Per-cluster max normalized distance ‖x̂ − μ̂_c‖ over an assigned
@@ -105,7 +105,16 @@ object Ivf {
     * map + one max-aggregate; also reused per-batch by the incremental
     * index upkeep ([[graft.index.IndexStore.appendBatchIvf]]). */
   def clusterRadii(assigned: DataFrame, clusterCol: String, vecCol: String,
-      centroids: Map[Int, Array[Double]]): Map[Int, Double] = {
+      centroids: Map[Int, Array[Double]]): Map[Int, Double] =
+    clusterStats(assigned, clusterCol, vecCol, centroids)
+      .map { case (c, (_, r)) => c -> r }
+
+  /** [[clusterRadii]] plus member counts, in the SAME aggregation job —
+    * [[build]] needs both and the assignment transform they aggregate over
+    * is the expensive part, so they must share one pass. */
+  private[graft] def clusterStats(assigned: DataFrame, clusterCol: String,
+      vecCol: String,
+      centroids: Map[Int, Array[Double]]): Map[Int, (Long, Double)] = {
     val spark = assigned.sparkSession
     val normCents = centroids.map { case (cid, c) =>
       val n = math.sqrt(c.map(x => x * x).sum)
@@ -127,8 +136,8 @@ object Ivf {
     assigned
       .select(col(clusterCol).as("__c"),
         dist(col(clusterCol), col(vecCol).cast("array<double>")).as("__d"))
-      .groupBy("__c").agg(max(col("__d")).as("__r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .groupBy("__c").agg(count(lit(1)).as("__n"), max(col("__d")).as("__r"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
   }
 
   /** Upper bound on cos(query, x) over every member x of cluster `cid`,
@@ -509,8 +518,17 @@ object Ivf {
     val p1 = routedTopK(index, qRows, corpus, cIdCol, cEmbCol, pass1Pairs, k)
       .select(col("query_id"), col("nbr_id"), col("sim")).collect()
     val kth: Map[Long, Double] = p1.groupBy(_.getLong(0)).map { case (qid, rows) =>
-      qid -> (if (rows.length < k) Double.NegativeInfinity
-              else rows.map(_.getDouble(2)).min)
+      // a NaN kth-best (zero-norm query → every cosine is 0/0) must mean
+      // "extend everywhere", not "extend nowhere": NaN fails every >=
+      // comparison at the bound check, which would silently disable the
+      // extension exactly in the degenerate case cosUpperBound's
+      // qNorm==null never-prune path was built for. Under default ANSI
+      // mode 0/0 already raised DIVIDE_BY_ZERO in pass-1 (loud, fine —
+      // IvfSpec pins it); this collapse keeps the exactness contract for
+      // non-ANSI deployments where the division quietly yields NaN
+      val m = if (rows.length < k) Double.NegativeInfinity
+              else rows.map(_.getDouble(2)).min
+      qid -> (if (m.isNaN) Double.NegativeInfinity else m)
     }
     val nonEmpty = index.sizes.filter(_._2 > 0).keySet
     val extraPairs = qRows.toSeq.flatMap { r =>

@@ -139,15 +139,44 @@ object BsonSource {
     try in.readAllBytes() finally in.close()
   }
 
+  /** Hard per-file ceiling inherited from Spark's `binaryFile` source,
+    * which materializes each file as one `Array[Byte]` (JVM arrays are
+    * Int-indexed). Checked up front from the file LISTING so an oversized
+    * dump fails at submit time with migration guidance, not mid-job with
+    * the source's opaque "exceeds the max length" task failure. */
+  val MaxFileBytes: Long = Int.MaxValue.toLong - 512
+
   /** Read mongodump collection files (`*.bson` / `*.bson.gz`) under `path`
     * into (collection, doc_json) rows — one row per BSON document, one
     * task per file. `collection` is the file stem, mongodump's collection
-    * name. */
+    * name.
+    *
+    * Scale contract: parallelism is PER FILE, and each file (plus its
+    * gunzipped expansion) is held in one task's memory — the right shape
+    * for mongodump output, which is one file per collection. Files are
+    * capped at [[MaxFileBytes]] (~2 GB, the `binaryFile` limit) and a
+    * `.bson.gz` must also EXPAND within executor heap. Collections
+    * beyond that should be re-dumped with `mongodump --query` range
+    * splits (or `bsondump | split` piped through a JSON reader) — each
+    * split lands under the cap and the per-file parallelism then works
+    * FOR the migration instead of against it. */
   def readDump(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
+    val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bson*")
       .load(path)
+    // metadata-only preflight: column pruning keeps `content` unread, so
+    // this is one row per FILE (a mongodump has one per collection)
+    val oversized = files.select(col("path"), col("length"))
+      .as[(String, Long)].collect().filter(_._2 > MaxFileBytes)
+    require(oversized.isEmpty,
+      s"BsonSource.readDump: ${oversized.length} collection file(s) exceed " +
+        s"the $MaxFileBytes-byte per-file cap (binaryFile materializes " +
+        "each file as one in-memory array): " +
+        oversized.map { case (p, l) => s"$p ($l bytes)" }.mkString(", ") +
+        ". Re-dump the collection in range splits (mongodump --query) so " +
+        "each file lands under the cap.")
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (file, content) =>

@@ -366,6 +366,29 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("too short"))
   }
 
+  test("containmentPairsAgainst fails loudly when a re-ingested id's text changed") {
+    // both pair members ride in the batch AND sit in the index, and id 2's
+    // batch text DIFFERS from its indexed postings: the two candidate
+    // orientations then count different shingle intersections
+    // (S_new(1)∩S_idx(2) = |subA| vs S_new(2)∩S_idx(1) = |changed2|) — a
+    // stale index. Any silent pick would emit containment from mismatched
+    // sets (values > 1.0 reachable), so the screen must raise instead.
+    val bigA = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val subA = (11 to 25).map(i => s"alpha$i").mkString(" ")
+    val changed2 = (5 to 35).map(i => s"alpha$i").mkString(" ")
+    val corpus = Seq((1L, bigA), (2L, subA)).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("contstale").toString
+    graft.index.IndexStore.saveContainment(corpus, "id", "text", 0.9, dir)
+    val idx = graft.index.IndexStore.loadContainment(spark, dir)
+    val batch = Seq((1L, bigA), (2L, changed2)).toDF("id", "text")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val e = intercept[Exception] {
+      Dedup.containmentPairsAgainst(batch, "id", "text", idx, 0.9).collect()
+    }
+    assert(messages(e).contains("stale index"), messages(e))
+  }
+
   test("containment prefix candidates cover every qualifying pair and prune hot boilerplate") {
     // every doc shares the same 20-token boilerplate block; only 2 ⊂ 1 is
     // a real containment pair. The hot boilerplate shingles have df = n,

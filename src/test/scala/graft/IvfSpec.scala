@@ -154,6 +154,36 @@ class IvfSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("knnJoinExact: a zero-norm query fails loudly on BOTH paths, never silently diverges") {
+    import org.apache.spark.sql.functions.col
+    // every cosine against a zero vector is 0/0. Under Spark's default
+    // ANSI mode that is a loud DIVIDE_BY_ZERO on the exact join AND on
+    // the routed pass-1 — the acceptable outcome. The unacceptable one
+    // (guarded by the NaN→-∞ collapse on the kth-best, which non-ANSI
+    // deployments would hit) is pass-1 quietly producing NaN sims whose
+    // NaN kth-best fails every >= bound check and disables the extension
+    // exactly where cosUpperBound returns the never-prune 1.0 — an
+    // "exact" join silently restricted to pass-1 clusters.
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val queries = Seq((999L, Seq.fill(dim)(0.0))).toDF("vec_id", "embedding")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val eExact = intercept[Exception] {
+      VectorSearch.knnJoin(queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3).collect()
+    }
+    assert(messages(eExact).contains("DIVIDE_BY_ZERO"), messages(eExact))
+    // pass-1 runs eagerly inside the call, so the routed path raises at
+    // call time — same error, not a quietly-narrower result
+    val eRouted = intercept[Exception] {
+      Ivf.knnJoinExactWithStats(index, queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3, probeMass = 0.2)
+    }
+    assert(messages(eRouted).contains("DIVIDE_BY_ZERO"), messages(eRouted))
+  }
+
   test("knnJoinExact prunes far clusters when geometry allows (angular two-group corpus)") {
     // two tight angular groups, near-opposite directions: queries from
     // group A never need group B's clusters — their cos upper bound is far

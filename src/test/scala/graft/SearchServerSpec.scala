@@ -113,6 +113,43 @@ class SearchServerSpec extends AnyFunSuite with SparkTest {
       "La descripción es obligatoria para la búsqueda seleccionada.")
   }
 
+  test("method and path gating: 405 on wrong method, 404 beyond the exact route") {
+    // Flask 405s a wrong method before the view runs and 404s any path
+    // that isn't an exact route; JDK HttpServer prefix-matches contexts
+    // and takes every method, so the server must gate both itself
+    val (c1, _) = get("/api/search")
+    assert(c1 === 405)
+    val (c2, _) = post("/api/restaurants", "{}")
+    assert(c2 === 405)
+    val (c3, _) = post("/api/searchanything",
+      """{"mode":"vector","description":"x"}""")
+    assert(c3 === 404)
+    val (c4, _) = get("/api/restaurants/extra")
+    assert(c4 === 404)
+  }
+
+  test("server 400 rules and FoodFinder.validate are one rule set") {
+    // the server carries the reference's Spanish messages, the library the
+    // English ones — but they must gate the SAME shapes: for every mode ×
+    // field combination the server 400s exactly when validate throws
+    val cases = Seq(
+      ("vector", None, None), ("vector", Some("nuggets"), None),
+      ("vector", Some("nuggets"), Some("Box")),
+      ("fulltext", None, None), ("fulltext", None, Some("Box")),
+      ("fulltext", Some("nuggets"), None),
+      ("hybrid", Some("nuggets"), None), ("hybrid", None, Some("Box")),
+      ("hybrid", Some("nuggets"), Some("Box")))
+    cases.foreach { case (mode, d, t) =>
+      val payload = mapper.createObjectNode().put("mode", mode)
+      d.foreach(payload.put("description", _))
+      t.foreach(payload.put("title", _))
+      val (code, body) = post("/api/search", payload.toString)
+      val lib = scala.util.Try(FoodFinder.validate(mode, d, t, 5))
+      assert((code == 400) === lib.isFailure,
+        s"mode=$mode d=$d t=$t → http $code vs validate $lib ($body)")
+    }
+  }
+
   test("hybrid mode over HTTP returns fused scores with detail columns") {
     val (code, body) = post("/api/search",
       """{"mode":"hybrid","description":"nuggets de pollo","title":"Desayuno Box","limit":3}""")
