@@ -82,6 +82,22 @@ object Bench {
     }
     def r2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // Tier-3 compression, for when even 2-decimal full names overflow
+    // (84 queries = 2026 chars > the 1900 budget, measured round 6): every
+    // query name starts with "q_", so strip that prefix from the keys
+    // (−168 chars) and declare it in "key_prefix"; plus one decimal fewer
+    // on multi-second values (sub-10s queries keep 2 decimals — that is
+    // where the resolution matters).
+    def r1(v: Double): String = BigDecimal(v)
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    def strippedLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) =>
+        s"\"" + k.stripPrefix("q_") + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","key_prefix":"q_","queries":$qs,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
     // last-resort: a total-only line (per-query numbers stay available on
     // the BENCH_DETAIL line) — ALWAYS fits; never ship a truncated line
     def totalOnly: String = {
@@ -89,7 +105,9 @@ object Bench {
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_truncated":${results.size},"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
     }
-    val line = Seq(contractLine(r3), contractLine(r2), totalOnly)
+    val line = Seq(contractLine(r3), contractLine(r2),
+        strippedLine(v => if (v < 10) r2(v) else r1(v)), strippedLine(r1),
+        totalOnly)
       .find(_.length <= 1900).getOrElse(totalOnly)
     println(line)
     spark.stop()

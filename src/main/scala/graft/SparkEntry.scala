@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.FoodFinder
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, SubstringDedup}
 import graft.embed.{EmbedJob, Embedder}
 import graft.etl.Flatten
 import graft.functions.{Text, Vectors}
@@ -9,7 +9,7 @@ import graft.index.{IndexStore, Ivf, Pq}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
-import graft.search.{Mmr, Negatives, Rerank, ScoreFusion, TextSearch, VectorSearch}
+import graft.search.{LateInteraction, Mmr, Negatives, Rerank, ScoreFusion, TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
 import graft.util.Tables
@@ -366,6 +366,23 @@ object SparkEntry {
     val e = Tables.embeddings(spark, dir)
     VectorSearch.knnJoin(e.where(col("vec_id") < 50), e,
         "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** North-star LATE-INTERACTION retrieval ([[LateInteraction]]): top-5
+    * corpus documents for each query document (every 97th) under the
+    * ColBERT maxsim score — windowed sparse multi-vectors, each query
+    * window maxing over the document's windows, per-window evidence
+    * summed. The retrieval shape a single whole-document vector cannot
+    * express (a two-topic query wants BOTH topics matched, by different
+    * windows); the oracle is the same window/maxsim algebra spelled
+    * relationally in DuckDB — exact, because both engines round window
+    * dots to 6 decimals and sum integer micro-units. */
+  private def qLateInteraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    LateInteraction.maxSimJoin(
+        docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
+        docs, "doc_id", "text", k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -942,6 +959,27 @@ object SparkEntry {
       .orderBy("chunk_id")
   }
 
+  /** North-star EXACT SUBSTRING-SPAN dedup ([[SubstringDedup]], the Lee
+    * et al. suffix-array semantics re-expressed relationally): every
+    * maximal token span occurring ≥ 2× corpus-wide, per document — the
+    * passage-granular signal document/chunk dedup cannot produce (a
+    * boilerplate footer shared by otherwise-distinct docs surfaces HERE,
+    * with its exact token extent). All stages linear; integer-only. */
+  private def qSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    SubstringDedup.duplicatedSpans(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+
+  /** Per-document duplicated-token coverage over [[qSubstringSpans]]'s
+    * spans — the curation filter signal ("drop docs > X% duplicated
+    * content"); every doc gets a row, clean docs score 0. */
+  private def qSubstringCoverage(spark: SparkSession, dir: String): DataFrame =
+    SubstringDedup.duplicationCoverage(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** INCREMENTAL near-dup dedup — the production daily-ingest operation:
     * which of a NEW batch's vectors near-duplicate anything ALREADY in the
     * persisted index? The batch (every 5th id here) is sketched fresh
@@ -1403,6 +1441,7 @@ object SparkEntry {
     "q_diversity_sample" -> ((s, dir) => qDiversitySample(s, dir)),
     "q_knn_join" -> ((s, dir) => qKnnJoin(s, dir)),
     "q_knn_join_ivf" -> ((s, dir) => qKnnJoinIvf(s, dir)),
+    "q_late_interaction" -> ((s, dir) => qLateInteraction(s, dir)),
     "q_bm25_idx" -> ((s, dir) => qBm25Idx(s, dir)),
     "q_bm25_join" -> ((s, dir) => qBm25Join(s, dir)),
     "q_hybrid_join" -> ((s, dir) => qHybridJoin(s, dir)),
@@ -1412,6 +1451,8 @@ object SparkEntry {
     "q_dedup_containment_lsh" -> ((s, dir) => qDedupContainmentLsh(s, dir)),
     "q_dedup_containment_inc" -> ((s, dir) => qDedupContainmentInc(s, dir)),
     "q_chunk_dedup" -> ((s, dir) => qChunkDedup(s, dir)),
+    "q_substring_spans" -> ((s, dir) => qSubstringSpans(s, dir)),
+    "q_substring_coverage" -> ((s, dir) => qSubstringCoverage(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
@@ -1906,6 +1947,10 @@ object SparkEntry {
       (VectorSearch.sqlKnnJoin("embeddings", "vec_id", "embedding",
         "vec_id < 50", k = 3) +
         "\nORDER BY query_id, rank"),
+    "q_late_interaction" ->
+      (LateInteraction.sqlMaxSimJoin("documents", "doc_id", "text",
+        id => s"$id % 97 = 0", k = 5) +
+        "\nORDER BY query_id, rank"),
     // the persisted index serves the identical ranking as the in-memory
     // build (IndexStoreSpec asserts layout round-trip equality)
     "q_bm25_idx" ->
@@ -2010,6 +2055,14 @@ object SparkEntry {
          |SELECT c.chunk_id, g.group_n, c.chunk_id = g.keep_id AS keep
          |FROM c JOIN groups g ON coalesce(md5(c.chunk_text), '__null__') = g.h
          |ORDER BY chunk_id""".stripMargin,
+    "q_substring_spans" ->
+      s"""SELECT id AS doc_id, span_start, span_end, n_grams FROM (
+         |${SubstringDedup.sqlDuplicatedSpans("documents", "doc_id", "text")}
+         |) ORDER BY doc_id, span_start""".stripMargin,
+    "q_substring_coverage" ->
+      s"""SELECT id AS doc_id, n_tokens, dup_tokens, dup_ratio FROM (
+         |${SubstringDedup.sqlDuplicationCoverage("documents", "doc_id", "text")}
+         |) ORDER BY doc_id""".stripMargin,
     "q_dedup_components" ->
       (Dedup.sqlComponents(
         Dedup.sqlMinhashPairs("documents", "doc_id", "text", JaccardThr))

@@ -1,0 +1,191 @@
+package graft.dedup
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT SUBSTRING-SPAN dedup (Lee et al. 2022, "Deduplicating Training
+  * Data Makes Language Models Better"): find every maximal token span that
+  * occurs (at token granularity) more than once in the corpus — the
+  * signal used to CUT duplicated passages out of web-scale training text,
+  * rather than dropping whole documents the way document-level dedup
+  * ([[Dedup.exact]] / [[Dedup.minhashPairs]]) does. The reference engine
+  * has no rendition of this (its dedup story is document-level Atlas
+  * `$group`); it is part of the LLM-pipeline surface this engine adds.
+  *
+  * The paper builds a suffix array over the concatenated corpus — an
+  * inherently sequential, memory-heavy structure. The Spark-native
+  * rendition reaches the same spans relationally:
+  *
+  *   1. POSITIONAL k-token grams at stride 1 — one (id, pos, hash) row per
+  *      token position (not the distinct shingle SET [[Dedup.shinglePostings]]
+  *      keeps: spans need every occurrence and its position);
+  *   2. a gram is DUPLICATED when its hash occurs ≥ `minCount` times
+  *      corpus-wide (one hash-groupBy — within-doc repeats count, exactly
+  *      as they do in the paper's concatenated suffix array);
+  *   3. per document, maximal runs of consecutive duplicated start
+  *      positions merge into spans (gaps-and-islands: `pos − row_number()`
+  *      is constant exactly on a consecutive run). A run of start
+  *      positions [a..b] covers tokens [a .. b+k−1]: every k-gram inside a
+  *      duplicated passage of length L ≥ k is itself duplicated, so the
+  *      passage surfaces as one span of exactly its own extent.
+  *
+  * Scale shape, 100 TB: every stage is LINEAR in corpus tokens. The gram
+  * explode is a narrow map (tokens staged as a column — the
+  * [[graft.text.TextAnalysis.shinglesFromTokens]] hot-path discipline);
+  * the duplicate set is one map-side-combinable hash-groupBy; marking is a
+  * hash semi-join of postings against the (far smaller) duplicate-hash
+  * set; the island window partitions by document, so its sort is bounded
+  * by document length, never corpus length. No stage is quadratic and no
+  * all-pairs comparison exists — unlike [[Dedup.jaccardPairs]] this IS the
+  * production path, not an oracle baseline.
+  *
+  * Grams are compared by [[Text.hash60]] (60-bit md5 prefix), the same
+  * collision posture as every hash-keyed op here (Jaccard postings,
+  * MinHash, exact dedup's md5): a collision can merge unrelated grams, with
+  * probability ~n²/2⁶¹ — and the DuckDB oracle hashes identically, so the
+  * gate compares bit-for-bit regardless. Determinism: integer-only
+  * arithmetic end to end (positions, counts) — no float drift surface.
+  */
+object SubstringDedup {
+
+  /** Span-detection gram width. Lee et al. use 50 tokens on web crawl; the
+    * testdata documents run ~50 tokens total, so the declared queries use
+    * this smaller default — the operator takes any k ≥ 1. */
+  val DefaultGramTokens = 8
+
+  /** Positional gram postings: (id, pos, h) — one row per token start
+    * position, `h` = [[Text.hash60]] of the k tokens from `pos` (0-based)
+    * joined by single spaces. Documents shorter than k tokens yield ONE
+    * gram at pos 0 covering the whole document (the
+    * [[graft.text.TextAnalysis.shinglesFromTokens]] short-doc contract, so
+    * two identical short documents still count as duplicated); null/empty
+    * text yields no rows. */
+  def gramPostings(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultGramTokens): DataFrame = {
+    require(k >= 1, s"gram width must be >= 1, got $k")
+    docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .where(col("__toks").isNotNull && size(col("__toks")) > 0)
+      .select(col("id"), col("__toks"),
+        // start indices are 1-based for slice(); pos below is 0-based
+        sequence(lit(1), greatest(size(col("__toks")) - lit(k - 1), lit(1)))
+          .as("__idx"))
+      .select(col("id"), posexplode(
+        transform(col("__idx"),
+          i => Text.hash60(concat_ws(" ", slice(col("__toks"), i, lit(k)))))
+      ).as(Seq("pos", "h")))
+  }
+
+  /** Maximal duplicated token spans: (id, span_start, span_end, n_grams)
+    * with token indices 0-based inclusive, `span_end` clamped to the
+    * document's last token (a short-doc whole-document gram never claims
+    * tokens past the text), and `n_grams` = duplicated gram start
+    * positions merged into the span. Ordering is unspecified (gate sorts).
+    *
+    * @param minCount occurrences (corpus-wide, within-doc repeats
+    *                 included) for a gram to count as duplicated; 2 =
+    *                 "appears anywhere else". */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultGramTokens, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 2, s"minCount < 2 would flag every gram, got $minCount")
+    val grams = gramPostings(docs, idCol, textCol, k)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount).select("h")
+    val marked = grams.join(dup, Seq("h"), "left_semi")
+    val isl = marked.withColumn("__grp",
+      col("pos") - row_number().over(Window.partitionBy("id").orderBy("pos")))
+    val spans = isl.groupBy("id", "__grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("__end_raw"),
+        count(lit(1)).as("n_grams"))
+    val nTokens = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("long").as("__n_toks"))
+    spans.join(nTokens, "id")
+      .select(col("id"), col("span_start"),
+        least(col("__end_raw"), col("__n_toks") - 1).as("span_end"),
+        col("n_grams"))
+  }
+
+  /** Per-document duplication coverage — the curation signal built on
+    * [[duplicatedSpans]]: (id, n_tokens, dup_tokens, dup_ratio). Spans are
+    * disjoint by construction (islands), so their lengths sum to the
+    * covered-token count. Every document gets a row (clean docs: 0, 0.0);
+    * ratio rounds to 6 decimals from an integer-exact quotient. */
+  def duplicationCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultGramTokens, minCount: Long = 2L): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, k, minCount)
+    val perDoc = spans.groupBy("id")
+      .agg(sum(col("span_end") - col("span_start") + 1L).as("dup_tokens"))
+    docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      // null text → null tokens; the oracle coalesces len() to 0, and the
+      // explicit isNull branch is immune to size()'s legacy -1-on-null mode
+      .select(col("id"),
+        when(col("__toks").isNull, lit(0)).otherwise(size(col("__toks")))
+          .cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        when(col("n_tokens") > 0,
+          round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  private def sqlGramCtes(docsTable: String, idExpr: String,
+      textExpr: String, k: Int, minCount: Long): String = {
+    val toks = Text.sqlTokens(textExpr)
+    s"""toks AS (
+       |  SELECT $idExpr AS id, $toks AS t FROM $docsTable
+       |), grams0 AS (
+       |  SELECT id, [('0x' || substr(md5(array_to_string(list_slice(t, i, i + ${k - 1}), ' ')), 1, 15))::BIGINT
+       |              for i in generate_series(1, greatest(len(t) - ${k - 1}, 1))] AS gs
+       |  FROM toks WHERE t IS NOT NULL AND len(t) > 0
+       |), grams AS (
+       |  SELECT id, unnest(gs) AS h, generate_subscripts(gs, 1) - 1 AS pos FROM grams0
+       |), dup AS (
+       |  SELECT h FROM grams GROUP BY h HAVING count(*) >= $minCount
+       |), isl AS (
+       |  -- dup projects a grouped (distinct) h, so the inner join IS the
+       |  -- semi join the Spark side uses
+       |  SELECT id, pos,
+       |         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+       |  FROM grams JOIN dup USING (h)
+       |), spans AS (
+       |  SELECT s.id, s.span_start,
+       |         least(s.end_raw, n.n_toks - 1) AS span_end, s.n_grams
+       |  FROM (SELECT id, min(pos)::BIGINT AS span_start,
+       |               (max(pos) + ${k - 1})::BIGINT AS end_raw,
+       |               count(*)::BIGINT AS n_grams
+       |        FROM isl GROUP BY id, grp) s
+       |  JOIN (SELECT id, len(t)::BIGINT AS n_toks FROM toks) n USING (id)
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[duplicatedSpans]] — the same grams/dup/islands/clamp
+    * algebra spelled as CTEs (integer-only, so the hash compare is exact). */
+  def sqlDuplicatedSpans(docsTable: String, idExpr: String, textExpr: String,
+      k: Int = DefaultGramTokens, minCount: Long = 2L): String =
+    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)}
+       |SELECT id, span_start, span_end, n_grams FROM spans""".stripMargin
+
+  /** DuckDB twin of [[duplicationCoverage]]. */
+  def sqlDuplicationCoverage(docsTable: String, idExpr: String,
+      textExpr: String, k: Int = DefaultGramTokens,
+      minCount: Long = 2L): String =
+    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)},
+       |per_doc AS (
+       |  SELECT id, sum(span_end - span_start + 1)::BIGINT AS dup_tokens
+       |  FROM spans GROUP BY id
+       |)
+       |SELECT b.id, b.n_tokens,
+       |       coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       |       CASE WHEN b.n_tokens > 0
+       |            THEN round(coalesce(p.dup_tokens, 0)::DOUBLE / b.n_tokens, 6)
+       |            ELSE 0.0 END AS dup_ratio
+       |FROM (SELECT id, coalesce(len(t), 0)::BIGINT AS n_tokens FROM toks) b
+       |LEFT JOIN per_doc p USING (id)""".stripMargin
+}

@@ -66,23 +66,27 @@ object EmbedJob {
     * index = low 6 bits, sign = bit 62; tf-accumulated, L2-normalized.
     * Output SPARSE: (id, dim, val) with val rounded to 6 decimals —
     * zero-weight dims absent. */
+  /** The hashing embedder's per-term coordinates, readable straight off the
+    * md5 hex (cheap long arithmetic, no decimal(20,0)): hex chars 15-16 =
+    * low byte → & 63 = dim; hex char 1 = bits 63..60 → >> 2 & 1 = bit 62 =
+    * sign. Shared by [[embedRelational]] and the late-interaction window
+    * vectors ([[graft.search.LateInteraction]]) so the two relational
+    * renditions can never drift from each other (or their DuckDB twins). */
+  private[graft] def termDim(md5hex: Column): Column =
+    conv(substring(md5hex, 15, 2), 16, 10).cast("long").bitwiseAND(lit(63L)).cast("int")
+  private[graft] def termSign(md5hex: Column): Column =
+    when(shiftright(conv(substring(md5hex, 1, 1), 16, 10).cast("long"), 2)
+      .bitwiseAND(lit(1L)) === 0L, 1.0).otherwise(-1.0)
+
   def embedRelational(docs: DataFrame, idCol: String, textCol: String,
       dim: Int = Embedder.TestdataDim): DataFrame = {
     require(dim == 64, "relational embedder is specialized to dim=64 (low 6 bits of the hash)")
     val toks = docs.select(col(idCol).as("id"),
       explode(Text.tokens(col(textCol))).as("term"))
-    // the needed bits of the unsigned 64-bit hash (= md5Long) read straight
-    // from the hex chars — cheap long arithmetic, no decimal(20,0):
-    // hex chars 15-16 = low byte → & 63 = dim; hex char 1 = bits 63..60 →
-    // >> 2 & 1 = bit 62 = sign
-    val md5hex = md5(col("term"))
     val raw = toks
-      .withColumn("md5hex", md5hex)
-      .withColumn("dim",
-        conv(substring(col("md5hex"), 15, 2), 16, 10).cast("long").bitwiseAND(lit(63L)).cast("int"))
-      .withColumn("sign",
-        when(shiftright(conv(substring(col("md5hex"), 1, 1), 16, 10).cast("long"), 2)
-          .bitwiseAND(lit(1L)) === 0L, 1.0).otherwise(-1.0))
+      .withColumn("md5hex", md5(col("term")))
+      .withColumn("dim", termDim(col("md5hex")))
+      .withColumn("sign", termSign(col("md5hex")))
       .groupBy("id", "dim").agg(sum(col("sign")).as("raw"))
     val norms = raw.groupBy("id").agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
     raw.join(norms, "id")

@@ -1,0 +1,173 @@
+package graft.search
+
+import graft.embed.EmbedJob
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LATE-INTERACTION retrieval (the ColBERT shape, Khattab & Zaharia 2020):
+  * instead of one vector per document, each document is a BAG of window
+  * vectors, and query–document relevance is
+  *
+  *   score(q, d) = Σ_{qw ∈ windows(q)} max(0, max_{dw ∈ windows(d)} cos(qw, dw))
+  *
+  * — every query window independently finds its best-matching document
+  * window and the per-window evidence sums. This scores multi-topic
+  * queries the single-vector cosine structurally cannot: a document
+  * matching BOTH topics of a two-topic query beats a document matching
+  * one topic twice, because the two query windows max against DIFFERENT
+  * document windows. The reference's single-vector search
+  * (`/root/reference/backend/api.py:203-254`) has no rendition of this;
+  * it is part of the LLM-pipeline surface (retrieval for RAG / training-
+  * pair mining) this engine adds.
+  *
+  * Representation: windows are consecutive runs of `windowTokens` tokens;
+  * each window's vector is the deterministic hashing embedder applied to
+  * the window's token bag ([[EmbedJob.termDim]]/[[EmbedJob.termSign]] —
+  * the SAME md5 coordinates as [[EmbedJob.embedRelational]], so the
+  * window relation is the per-window refinement of the whole-document
+  * sparse embedding), L2-normalized, kept SPARSE as (id, w, dim, val).
+  * cos(qw, dw) is then a postings-style sum of val products over shared
+  * dims — no dense fan-out anywhere.
+  *
+  * Scale shape (the [[VectorSearch.sparseKnnJoin]] discipline, one level
+  * finer): the query side is a bounded batch
+  * ([[VectorSearch.requireBoundedBatch]]) whose window relation
+  * broadcasts; the corpus window relation streams through a broadcast
+  * equi-join on `dim` — work ∝ |corpus windows| × (query windows per
+  * dim), zero corpus shuffle before aggregation. The three aggregations
+  * (dot per window pair → max per query window × doc → sum per query ×
+  * doc) each shrink the relation and all run with map-side partial
+  * aggregation; the final top-k is the bounded-state
+  * [[VectorSearch.topKScored]] aggregator, never a rank window over all
+  * scored pairs.
+  *
+  * Cross-engine determinism: window dots round to
+  * [[VectorSearch.ScoreDecimals]] (max is then order-independent), and
+  * the outer sum runs on integer MICRO-UNITS (the `Curation.mixSources`
+  * pattern) — `sum(long)` is exact and order-independent, and the single
+  * trailing division is IEEE-correctly-rounded in both engines, so the
+  * DuckDB oracle ([[sqlMaxSimJoin]]) agrees bit-for-bit.
+  */
+object LateInteraction {
+
+  /** Default window width. Eight tokens ≈ a clause — fine enough that a
+    * window means one thing, coarse enough that |windows| stays ~n/8. */
+  val DefaultWindowTokens = 8
+
+  /** Windowed sparse multi-vector representation: one row per
+    * (document, window, non-zero dim) — `(id, w, dim, val)` with each
+    * window L2-normalized. A window whose term signs fully cancel on
+    * every dim (zero vector) drops out entirely, on both engines, by the
+    * `raw <> 0` filter — it can score nothing anyway. */
+  def windowVectors(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = DefaultWindowTokens): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "term")))
+      // pos ≥ 0 and far below 2^53, so floor(pos / W) is exact double math
+      .select(col("id"), floor(col("pos") / windowTokens).as("w"),
+        md5(col("term")).as("md5hex"))
+    val raw = toks
+      .select(col("id"), col("w"), EmbedJob.termDim(col("md5hex")).as("dim"),
+        EmbedJob.termSign(col("md5hex")).as("sign"))
+      .groupBy("id", "w", "dim").agg(sum(col("sign")).as("raw"))
+    val norms = raw.groupBy("id", "w")
+      .agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
+    raw.join(norms, Seq("id", "w"))
+      .where(col("raw") =!= 0.0)
+      .select(col("id"), col("w"), col("dim"),
+        round(col("raw") / col("nrm"), VectorSearch.ScoreDecimals).as("val"))
+  }
+
+  /** Batch late-interaction retrieval: top-k corpus documents per query
+    * document under the maxsim score. Self-pairs are excluded (the batch
+    * is typically a corpus slice); output is
+    * (query_id, nbr_id, sim, rank), rank 1 = best, ties broken nbr_id
+    * ASC inside the bounded-state aggregator. A query whose windows share
+    * no dim with any corpus window is absent from the output (nothing to
+    * rank), matching the oracle's inner join. */
+  def maxSimJoin(queries: DataFrame, qIdCol: String, qTextCol: String,
+      corpus: DataFrame, cIdCol: String, cTextCol: String,
+      k: Int, windowTokens: Int = DefaultWindowTokens): DataFrame = {
+    VectorSearch.requireBoundedBatch(queries, "LateInteraction.maxSimJoin")
+    val qw = broadcast(
+      windowVectors(queries.select(col(qIdCol), col(qTextCol)),
+          qIdCol, qTextCol, windowTokens)
+        .select(col("id").as("query_id"), col("w").as("__qw"),
+          col("dim"), col("val").as("__qval")))
+    val dw = windowVectors(corpus.select(col(cIdCol), col(cTextCol)),
+        cIdCol, cTextCol, windowTokens)
+      .select(col("id").as("nbr_id"), col("w").as("__dw"),
+        col("dim"), col("val").as("__dval"))
+    // window-pair cosine: unit vectors → the dot over shared dims IS the
+    // cosine; pairs with no shared dim are absent (their dot is 0, and
+    // the greatest(·, 0) below makes absence and zero coincide)
+    val pairSim = dw.join(qw, "dim")
+      .where(col("nbr_id") =!= col("query_id"))
+      .groupBy("query_id", "__qw", "nbr_id", "__dw")
+      .agg(round(sum(col("__qval") * col("__dval")),
+        VectorSearch.ScoreDecimals).as("__sim"))
+    // each query window's best doc window, floored at 0: a window pair
+    // that only disagrees (negative cos) contributes no evidence — and
+    // this is what keeps missing pairs (dot 0) handled exactly
+    val best = pairSim
+      .groupBy("query_id", "__qw", "nbr_id")
+      .agg(greatest(max(col("__sim")), lit(0.0)).as("__m"))
+    // exact integer micro-unit sum (order-independent), one trailing
+    // correctly-rounded division — the cross-engine-sum pattern
+    val scored = best
+      .groupBy("query_id", "nbr_id")
+      .agg((sum(round(col("__m") * 1e6).cast("long")).cast("double") / 1e6)
+        .as("sim"))
+    VectorSearch.topKScored(scored, k)
+  }
+
+  /** DuckDB twin of [[maxSimJoin]] over one table: queries are the rows
+    * satisfying `queryCond(id)`, corpus is the whole table. Every stage
+    * mirrors the Spark plan's arithmetic exactly — same 6-decimal round
+    * on window dots, same greatest-with-0 floor, same micro-unit integer
+    * sum (cast off DuckDB's HUGEINT before the division). */
+  def sqlMaxSimJoin(docsTable: String, idExpr: String, textExpr: String,
+      queryCond: String => String, k: Int,
+      windowTokens: Int = DefaultWindowTokens): String =
+    s"""WITH toks AS (
+       |  SELECT $idExpr AS id,
+       |         unnest(${Text.sqlTokens(textExpr)}) AS term,
+       |         generate_subscripts(${Text.sqlTokens(textExpr)}, 1) - 1 AS pos
+       |  FROM $docsTable
+       |), wt AS (
+       |  SELECT id, pos // $windowTokens AS w,
+       |         ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+       |  FROM toks
+       |), rawv AS (
+       |  SELECT id, w, (h % 64)::INT AS dim,
+       |         sum(CASE WHEN ((h >> 62) & 1) = 0 THEN 1.0 ELSE -1.0 END) AS raw
+       |  FROM wt GROUP BY 1, 2, 3
+       |), norms AS (
+       |  SELECT id, w, sqrt(sum(raw * raw)) AS nrm FROM rawv GROUP BY 1, 2
+       |), wvec AS (
+       |  SELECT r.id, r.w, r.dim, round(r.raw / n.nrm, ${VectorSearch.ScoreDecimals}) AS val
+       |  FROM rawv r JOIN norms n USING (id, w) WHERE r.raw <> 0.0
+       |), pairsim AS (
+       |  SELECT q.id AS query_id, q.w AS qw, d.id AS nbr_id, d.w AS dw,
+       |         round(sum(q.val * d.val), ${VectorSearch.ScoreDecimals}) AS sim
+       |  FROM wvec q JOIN wvec d ON q.dim = d.dim AND d.id <> q.id
+       |  WHERE ${queryCond("q.id")}
+       |  GROUP BY 1, 2, 3, 4
+       |), best AS (
+       |  SELECT query_id, qw, nbr_id, greatest(max(sim), 0.0) AS m
+       |  FROM pairsim GROUP BY 1, 2, 3
+       |), score AS (
+       |  SELECT query_id, nbr_id,
+       |         sum(round(m * 1e6)::BIGINT)::DOUBLE / 1e6 AS sim
+       |  FROM best GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT query_id, nbr_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, nbr_id ASC)::INTEGER AS rank
+       |  FROM score
+       |)
+       |SELECT query_id, nbr_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.search.{LateInteraction, VectorSearch}
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Late-interaction (ColBERT maxsim) retrieval: window vectors are unit
+  * sparse vectors, the join scores Σ_qw max(0, max_dw cos) exactly
+  * (checked against a driver-side brute force), multi-topic queries rank
+  * both-topic documents first, and the plan keeps the sparse broadcast
+  * shape (no cartesian, no corpus shuffle before aggregation). */
+class LateInteractionSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("windowVectors: unit L2 norm per (doc, window), windows split every W tokens") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"tok$i").mkString(" ")), // 20 tokens → 3 windows at W=8
+      (2L, "solo")).toDF("id", "text")
+    val wv = LateInteraction.windowVectors(docs, "id", "text", windowTokens = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2), r.getDouble(3)))
+    assert(wv.map(_._1._2).toSet === Set(0L, 1L, 2L),
+      "20 tokens at W=8 must yield windows 0, 1, 2")
+    wv.groupBy(_._1).foreach { case (key, rows) =>
+      val n2 = rows.map(t => t._3 * t._3).sum
+      assert(math.abs(n2 - 1.0) < 1e-4, s"window $key norm² = $n2")
+    }
+    // distinct dims within a window (grouped), and the 1-token doc is one window
+    assert(wv.filter(_._1._1 == 2L).map(_._1._2).toSet === Set(0L))
+  }
+
+  test("maxSimJoin equals the driver-side brute force on real documents") {
+    val docs = Tables.documents(spark, Sf0001).limit(60).cache()
+    val queries = docs.where($"doc_id" % 7 === 0)
+    val got = LateInteraction.maxSimJoin(queries, "doc_id", "text",
+        docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // brute force from the same window relation: dense dot per window
+    // pair, max per (qw, doc) floored at 0, micro-unit sum, rank
+    val wv = LateInteraction.windowVectors(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byDocWin: Map[(Long, Long), Map[Int, Double]] =
+      wv.groupBy(t => (t._1, t._2)).map { case (kk, rows) =>
+        kk -> rows.map(t => t._3 -> t._4).toMap }
+    val qIds = queries.select("doc_id").as[Long].collect().toSet
+    val expected = qIds.toSeq.sorted.flatMap { qid =>
+      val qWins = byDocWin.keys.filter(_._1 == qid).toSeq
+      val scores = byDocWin.keys.map(_._1).filter(_ != qid).toSeq.distinct.map { did =>
+        val dWins = byDocWin.keys.filter(_._1 == did).toSeq
+        val micro = qWins.map { qw =>
+          val best = dWins.map { dw =>
+            val qv = byDocWin(qw); val dv = byDocWin(dw)
+            val dot = qv.keysIterator.filter(dv.contains)
+              .map(d => qv(d) * dv(d)).sum
+            BigDecimal(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }.foldLeft(0.0)(math.max)
+          math.round(best * 1e6)
+        }.sum
+        did -> micro / 1e6
+      }.filter(_._2 > 0 || true)
+      scores.sortBy { case (did, s) => (-s, did) }.take(3).zipWithIndex
+        .map { case ((did, s), i) => (qid, did, s, i + 1) }
+    }
+    // compare as sets of (query, nbr, sim) and per-query rank orders —
+    // ties beyond k could legitimately differ only if sims tie at the
+    // boundary with different ids, which nbr_id ASC tie-break pins too
+    assert(got.toSet === expected.toSet,
+      s"maxsim join diverged from brute force:\n got=${got.toSeq.sorted}\n exp=${expected.sorted}")
+  }
+
+  test("a both-topic document beats single-topic documents for a two-topic query") {
+    // query = topic A window + topic B window. docMix carries one window
+    // of each topic; docAA carries topic A twice. Single-vector cosine
+    // cannot prefer docMix (docAA's pooled vector points straight at A,
+    // matching half the query as well as possible) — maxsim must: each
+    // query window finds its own best document window, so docMix scores
+    // ~cos(A,A)+cos(B,B) ≈ 2 while docAA scores ~cos(A,A)+max(0,cos(A,B)).
+    val topicA = (1 to 8).map(i => s"alpha$i").mkString(" ")
+    val topicB = (1 to 8).map(i => s"beta$i").mkString(" ")
+    val queries = Seq((100L, s"$topicA $topicB")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, s"$topicA $topicB"), // both topics
+      (2L, s"$topicA $topicA"), // topic A twice
+      (3L, s"$topicB $topicB"), // topic B twice
+    ).toDF("id", "text")
+    val ranked = LateInteraction.maxSimJoin(queries, "id", "text",
+        corpus, "id", "text", k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(ranked.head._1 === 1L,
+      s"both-topic doc must rank first under maxsim: $ranked")
+    assert(math.abs(ranked.head._2 - 2.0) < 1e-4,
+      s"perfect two-window match should score ≈ 2: $ranked")
+    assert(ranked.map(_._1).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("plan: query windows broadcast, no cartesian product") {
+    val docs = Tables.documents(spark, Sf0001).limit(40)
+    val plan = LateInteraction.maxSimJoin(docs.where($"doc_id" % 7 === 0),
+        "doc_id", "text", docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"query windows must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"dim equi-join must never degrade to a cartesian:\n$plan")
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.dedup.SubstringDedup
+import graft.util.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact substring-span dedup (Lee et al. shape): a shared passage
+  * surfaces as one span of exactly its own extent in BOTH documents,
+  * within-doc repetition counts, short docs clamp, coverage sums span
+  * lengths, and the plan stays linear (no cartesian). */
+class SubstringDedupSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def uniq(tag: String, n: Int): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  test("a shared 12-token passage yields one span per doc covering exactly the passage") {
+    val passage = (1 to 12).map(i => s"shared$i").mkString(" ")
+    // docA: 10 unique tokens, passage, 5 unique tokens → span tokens 10..21
+    // docB: 3 unique tokens, passage, 7 unique tokens  → span tokens 3..14
+    val docs = Seq(
+      (1L, s"${uniq("aaa", 10)} $passage ${uniq("bbb", 5)}"),
+      (2L, s"${uniq("ccc", 3)} $passage ${uniq("ddd", 7)}"),
+      (3L, uniq("eee", 30))).toDF("id", "text")
+    val spans = SubstringDedup.duplicatedSpans(docs, "id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // passage length 12 at k=8 → dup start positions p..p+4 (5 grams),
+    // covered tokens p..p+11
+    assert(spans === Seq((1L, 10L, 21L, 5L), (2L, 3L, 14L, 5L)),
+      s"got ${spans.toSeq}")
+  }
+
+  test("within-doc repetition is duplication (the concatenated-corpus contract)") {
+    val run = (1 to 9).map(i => s"rep$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run ${uniq("mid", 6)} $run"),
+      (2L, uniq("other", 25))).toDF("id", "text")
+    val spans = SubstringDedup.duplicatedSpans(docs, "id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    // 9-token run at positions 0 and 15 → dup starts {0,1} and {15,16} →
+    // two spans covering tokens 0..8 and 15..23
+    assert(spans === Seq((1L, 0L, 8L), (1L, 15L, 23L)), s"got ${spans.toSeq}")
+  }
+
+  test("identical short docs (< k tokens) dedup whole-doc; span_end clamps to the text") {
+    val docs = Seq(
+      (1L, "tiny pair"), (2L, "tiny pair"), (3L, "lonely text here"))
+      .toDF("id", "text")
+    val spans = SubstringDedup.duplicatedSpans(docs, "id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(spans === Seq((1L, 0L, 1L, 1L), (2L, 0L, 1L, 1L)), s"got ${spans.toSeq}")
+  }
+
+  test("coverage: clean docs get 0.0, duped docs get exact token ratios, null text is 0-token") {
+    val passage = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage ${uniq("pad", 8)}"), // 12 of 20 tokens covered
+      (2L, s"$passage"),                   // 12 of 12
+      (3L, uniq("fff", 40)),               // clean
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val cov = SubstringDedup.duplicationCoverage(docs, "id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(cov === Seq(
+      (1L, 20L, 12L, 0.6), (2L, 12L, 12L, 1.0),
+      (3L, 40L, 0L, 0.0), (4L, 0L, 0L, 0.0)), s"got ${cov.toSeq}")
+  }
+
+  test("minCount raises the duplication bar") {
+    val passage = (1 to 10).map(i => s"tri$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage ${uniq("x", 5)}"), (2L, s"$passage ${uniq("y", 5)}"),
+      (3L, s"${uniq("z", 5)} $passage"), (4L, uniq("w", 20))).toDF("id", "text")
+    val at2 = SubstringDedup.duplicatedSpans(docs, "id", "text", k = 8, minCount = 2)
+      .select("id").as[Long].collect().toSet
+    val at4 = SubstringDedup.duplicatedSpans(docs, "id", "text", k = 8, minCount = 4)
+      .count()
+    assert(at2 === Set(1L, 2L, 3L), s"3 occurrences pass minCount=2: $at2")
+    assert(at4 === 0L, "minCount=4 must reject a 3-occurrence passage")
+  }
+
+  test("real documents: spans are within doc bounds, disjoint per doc, and non-empty at sf0.001") {
+    val docs = Tables.documents(spark, Sf0001)
+    val spans = SubstringDedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "testdata's planted near-dup clones must surface spans")
+    spans.foreach { case (_, s, e, n) =>
+      assert(s >= 0 && e >= s && n >= 1, s"degenerate span ($s,$e,$n)")
+    }
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) =>
+          assert(e1 < s2, s"doc $id spans overlap: ${sorted.toSeq}")
+        case _ =>
+      }
+    }
+  }
+
+  test("plan: no cartesian product anywhere in the span pipeline") {
+    val docs = Tables.documents(spark, Sf0001).limit(100)
+    val plan = SubstringDedup.duplicatedSpans(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"span dedup must stay linear:\n$plan")
+  }
+}
