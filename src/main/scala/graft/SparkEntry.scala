@@ -980,6 +980,22 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** The boilerplate report over [[qSubstringSpans]]'s spans: the most
+    * repeated passages, rendered back to (normalized) text — what a
+    * curation engineer reads before choosing cut thresholds. */
+  private def qSubstringPassages(spark: SparkSession, dir: String): DataFrame =
+    SubstringDedup.topDuplicatedPassages(
+      Tables.documents(spark, dir), "doc_id", "text", topN = 20)
+
+  /** The Lee et al. REMEDIATION over [[qSubstringSpans]]'s spans: every
+    * duplicated span cut from every document's normalized token stream —
+    * detect → report → cut is the complete substring-dedup story. */
+  private def qSubstringCut(spark: SparkSession, dir: String): DataFrame =
+    SubstringDedup.cutSpans(
+        Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** INCREMENTAL near-dup dedup — the production daily-ingest operation:
     * which of a NEW batch's vectors near-duplicate anything ALREADY in the
     * persisted index? The batch (every 5th id here) is sketched fresh
@@ -1453,6 +1469,8 @@ object SparkEntry {
     "q_chunk_dedup" -> ((s, dir) => qChunkDedup(s, dir)),
     "q_substring_spans" -> ((s, dir) => qSubstringSpans(s, dir)),
     "q_substring_coverage" -> ((s, dir) => qSubstringCoverage(s, dir)),
+    "q_substring_passages" -> ((s, dir) => qSubstringPassages(s, dir)),
+    "q_substring_cut" -> ((s, dir) => qSubstringCut(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
@@ -2062,6 +2080,14 @@ object SparkEntry {
     "q_substring_coverage" ->
       s"""SELECT id AS doc_id, n_tokens, dup_tokens, dup_ratio FROM (
          |${SubstringDedup.sqlDuplicationCoverage("documents", "doc_id", "text")}
+         |) ORDER BY doc_id""".stripMargin,
+    // already deterministically ordered by (n_spans DESC, passage) inside
+    "q_substring_passages" ->
+      SubstringDedup.sqlTopDuplicatedPassages("documents", "doc_id", "text",
+        topN = 20),
+    "q_substring_cut" ->
+      s"""SELECT id AS doc_id, n_tokens, n_removed, clean_text FROM (
+         |${SubstringDedup.sqlCutSpans("documents", "doc_id", "text")}
          |) ORDER BY doc_id""".stripMargin,
     "q_dedup_components" ->
       (Dedup.sqlComponents(

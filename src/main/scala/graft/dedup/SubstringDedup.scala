@@ -135,6 +135,71 @@ object SubstringDedup {
           .otherwise(lit(0.0)))
   }
 
+  /** The most-repeated passages — the "what IS the boilerplate" report a
+    * curation engineer runs before choosing cut thresholds: each
+    * duplicated span's covered tokens rendered back to (normalized) text,
+    * grouped by content: (passage, n_tokens, n_spans, n_docs), top `topN`
+    * by occurrence count (ties broken on passage text, so the cut is
+    * deterministic). The span relation is tiny relative to the corpus, so
+    * the join back to token arrays and the final top-N
+    * (TakeOrderedAndProject, bounded state) are cheap. */
+  def topDuplicatedPassages(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultGramTokens, minCount: Long = 2L,
+      topN: Int = 20): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, k, minCount)
+    val toks = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+    spans.join(toks, "id")
+      .select(
+        concat_ws(" ", slice(col("__toks"),
+          (col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start") + 1).cast("int"))).as("passage"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"), col("id"))
+      .groupBy("passage", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"), countDistinct(col("id")).as("n_docs"))
+      .orderBy(col("n_spans").desc, col("passage"))
+      .limit(topN)
+  }
+
+  /** The Lee et al. REMEDIATION: remove every duplicated span from every
+    * document's token stream — (id, n_tokens, n_removed, clean_text), with
+    * `clean_text` the kept tokens of the NORMALIZED stream (lowercased,
+    * space-joined: the tokenizer is lossy by design, and the output is a
+    * training-text transform, not a byte-faithful edit). Cutting all
+    * occurrences (not all-but-one) is the conservative variant — electing
+    * one global keeper per passage would serialize on a corpus-wide
+    * arbitration this stays free of. Docs with no spans pass through
+    * unchanged; null-text docs yield an empty clean_text.
+    *
+    * Scale: the per-doc span list ([[duplicatedSpans]] output grouped by
+    * doc) is bounded by document length, so the position filter is a
+    * narrow per-row lambda — no extra shuffle beyond the span join. */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DefaultGramTokens, minCount: Long = 2L): DataFrame = {
+    val spanLists = duplicatedSpans(docs, idCol, textCol, k, minCount)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__sl"))
+    val emptySpans = array().cast("array<struct<s:long,e:long>>")
+    docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .join(spanLists, Seq("id"), "left")
+      .select(col("id"), col("__toks"),
+        coalesce(col("__sl"), emptySpans).as("__sl"))
+      .select(col("id"), col("__toks"),
+        filter(col("__toks"), (t, i) => !exists(col("__sl"),
+          sp => i.cast("long") >= sp.getField("s") &&
+            i.cast("long") <= sp.getField("e"))).as("__kept"))
+      .select(col("id"),
+        when(col("__toks").isNull, lit(0)).otherwise(size(col("__toks")))
+          .cast("long").as("n_tokens"),
+        when(col("__toks").isNull, lit(0))
+          .otherwise(size(col("__toks")) - size(col("__kept")))
+          .cast("long").as("n_removed"),
+        when(col("__toks").isNull, lit(""))
+          .otherwise(concat_ws(" ", col("__kept"))).as("clean_text"))
+  }
+
   private def sqlGramCtes(docsTable: String, idExpr: String,
       textExpr: String, k: Int, minCount: Long): String = {
     val toks = Text.sqlTokens(textExpr)
@@ -171,6 +236,40 @@ object SubstringDedup {
       k: Int = DefaultGramTokens, minCount: Long = 2L): String =
     s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)}
        |SELECT id, span_start, span_end, n_grams FROM spans""".stripMargin
+
+  /** DuckDB twin of [[topDuplicatedPassages]]. */
+  def sqlTopDuplicatedPassages(docsTable: String, idExpr: String,
+      textExpr: String, k: Int = DefaultGramTokens, minCount: Long = 2L,
+      topN: Int = 20): String =
+    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)},
+       |passages AS (
+       |  SELECT array_to_string(list_slice(t.t, s.span_start + 1, s.span_end + 1), ' ') AS passage,
+       |         s.span_end - s.span_start + 1 AS n_tokens, s.id
+       |  FROM spans s JOIN toks t USING (id)
+       |)
+       |SELECT passage, n_tokens, count(*)::BIGINT AS n_spans,
+       |       count(DISTINCT id)::BIGINT AS n_docs
+       |FROM passages GROUP BY 1, 2
+       |ORDER BY n_spans DESC, passage
+       |LIMIT $topN""".stripMargin
+
+  /** DuckDB twin of [[cutSpans]] — the kept-token comprehension mirrors
+    * the Spark positional filter (0-based positions, inclusive spans). */
+  def sqlCutSpans(docsTable: String, idExpr: String, textExpr: String,
+      k: Int = DefaultGramTokens, minCount: Long = 2L): String =
+    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)},
+       |sps AS (
+       |  SELECT id, list({'s': span_start, 'e': span_end}) AS sl
+       |  FROM spans GROUP BY id
+       |)
+       |SELECT t.id, coalesce(len(t.t), 0)::BIGINT AS n_tokens,
+       |       (coalesce(len(t.t), 0) - coalesce(len(
+       |          [t.t[i+1] for i in generate_series(0, len(t.t)-1)
+       |           if len(list_filter(coalesce(sps.sl, []), sp -> i >= sp.s AND i <= sp.e)) = 0]), 0))::BIGINT AS n_removed,
+       |       coalesce(array_to_string(
+       |          [t.t[i+1] for i in generate_series(0, len(t.t)-1)
+       |           if len(list_filter(coalesce(sps.sl, []), sp -> i >= sp.s AND i <= sp.e)) = 0], ' '), '') AS clean_text
+       |FROM toks t LEFT JOIN sps ON t.id = sps.id""".stripMargin
 
   /** DuckDB twin of [[duplicationCoverage]]. */
   def sqlDuplicationCoverage(docsTable: String, idExpr: String,

@@ -92,13 +92,40 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTest {
       assert(s >= 0 && e >= s && n >= 1, s"degenerate span ($s,$e,$n)")
     }
     spans.groupBy(_._1).foreach { case (id, ss) =>
-      val sorted = ss.sortBy(_._2)
+      val sorted = ss.sortBy(_._2).toSeq
       sorted.sliding(2).foreach {
         case Seq((_, _, e1, _), (_, s2, _, _)) =>
-          assert(e1 < s2, s"doc $id spans overlap: ${sorted.toSeq}")
+          assert(e1 < s2, s"doc $id spans overlap: $sorted")
         case _ =>
       }
     }
+  }
+
+  test("cutSpans removes exactly the duplicated tokens and passes clean docs through") {
+    val passage = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("aaa", 4)} $passage"),
+      (2L, s"$passage ${uniq("bbb", 4)}"),
+      (3L, uniq("ccc", 20)),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val cut = SubstringDedup.cutSpans(docs, "id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(cut === Seq(
+      (1L, 16L, 12L, uniq("aaa", 4)),
+      (2L, 16L, 12L, uniq("bbb", 4)),
+      (3L, 20L, 0L, uniq("ccc", 20)),
+      (4L, 0L, 0L, "")), s"got ${cut.toSeq}")
+  }
+
+  test("topDuplicatedPassages reports the shared passage once with its occurrence counts") {
+    val passage = (1 to 10).map(i => s"boil$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$passage ${uniq("x", 6)}"), (2L, s"${uniq("y", 6)} $passage"),
+      (3L, s"$passage ${uniq("z", 6)}"), (4L, uniq("w", 20))).toDF("id", "text")
+    val top = SubstringDedup.topDuplicatedPassages(docs, "id", "text", k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top === Seq((passage, 10L, 3L, 3L)), s"got ${top.toSeq}")
   }
 
   test("plan: no cartesian product anywhere in the span pipeline") {
