@@ -370,19 +370,45 @@ object SparkEntry {
   }
 
   /** North-star LATE-INTERACTION retrieval ([[LateInteraction]]): top-5
-    * corpus documents for each query document (every 97th) under the
-    * ColBERT maxsim score — windowed sparse multi-vectors, each query
-    * window maxing over the document's windows, per-window evidence
-    * summed. The retrieval shape a single whole-document vector cannot
-    * express (a two-topic query wants BOTH topics matched, by different
-    * windows); the oracle is the same window/maxsim algebra spelled
-    * relationally in DuckDB — exact, because both engines round window
-    * dots to 6 decimals and sum integer micro-units. */
+    * corpus documents for each query document under the ColBERT maxsim
+    * score — windowed sparse multi-vectors, each query window maxing over
+    * the document's windows, per-window evidence summed. The retrieval
+    * shape a single whole-document vector cannot express (a two-topic
+    * query wants BOTH topics matched, by different windows); the oracle
+    * is the same window/maxsim algebra spelled relationally in DuckDB —
+    * exact, because both engines round window dots to 6 decimals and sum
+    * integer micro-units.
+    *
+    * This is the EXHAUSTIVE oracle baseline (every corpus document
+    * scored), so the batch is deliberately small (every 499th doc) — the
+    * dim join fans out by |batch windows|/64 per corpus window (see the
+    * [[LateInteraction.maxSimJoin]] scaladoc). The production rendition
+    * with the full batch is [[qLateInteractionPruned]]. */
   private def qLateInteraction(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     LateInteraction.maxSimJoin(
-        docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
+        docs.where(col("doc_id") % 499 === 0), "doc_id", "text",
         docs, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Late-interaction RETRIEVE-THEN-RERANK — the production two-stage
+    * shape ([[LateInteraction.maxSimRerank]]) at the full batch size the
+    * exhaustive baseline cannot afford: first-stage retrieval = pooled
+    * sparse-cosine top-20 per query over the precomputed corpus
+    * embedding (the [[qHybridJoin]] vector branch, self included — it is
+    * excluded again inside the rerank, keeping both engines' candidate
+    * sets identical), then exact maxsim over candidates only. Candidate
+    * count bounds the window join, so cost is flat in corpus size. */
+  private def qLateInteractionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = corpusSparseEmb(spark, dir)
+    val cand = VectorSearch.sparseKnnJoin(
+        emb.where(col("id") % 97 === 0), emb, k = 20)
+      .select(col("query_id"), col("id").as("nbr_id"))
+    LateInteraction.maxSimRerank(
+        docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
+        docs, "doc_id", "text", cand, k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -1458,6 +1484,7 @@ object SparkEntry {
     "q_knn_join" -> ((s, dir) => qKnnJoin(s, dir)),
     "q_knn_join_ivf" -> ((s, dir) => qKnnJoinIvf(s, dir)),
     "q_late_interaction" -> ((s, dir) => qLateInteraction(s, dir)),
+    "q_late_interaction_pruned" -> ((s, dir) => qLateInteractionPruned(s, dir)),
     "q_bm25_idx" -> ((s, dir) => qBm25Idx(s, dir)),
     "q_bm25_join" -> ((s, dir) => qBm25Join(s, dir)),
     "q_hybrid_join" -> ((s, dir) => qHybridJoin(s, dir)),
@@ -1967,7 +1994,28 @@ object SparkEntry {
         "\nORDER BY query_id, rank"),
     "q_late_interaction" ->
       (LateInteraction.sqlMaxSimJoin("documents", "doc_id", "text",
-        id => s"$id % 97 = 0", k = 5) +
+        id => s"$id % 499 = 0", k = 5) +
+        "\nORDER BY query_id, rank"),
+    // candidate CTE = the pooled sparse-cosine top-20 (the q_hybrid_join
+    // vector-branch SQL, self kept — the rerank's d.id <> q.id drops it),
+    // then the shared maxsim algebra restricted to candidates
+    "q_late_interaction_pruned" ->
+      (LateInteraction.sqlMaxSimRerank("documents", "doc_id", "text",
+        s"""WITH cemb AS (
+           |${EmbedJob.sqlEmbedRelational("documents", "doc_id", "text")}
+           |), qemb AS (
+           |  SELECT * FROM cemb WHERE id % 97 = 0
+           |), cscored AS (
+           |  SELECT q.id AS query_id, c.id AS nbr_id,
+           |         round(sum(q.val * c.val), 6) AS sim
+           |  FROM qemb q JOIN cemb c ON q.dim = c.dim GROUP BY 1, 2
+           |)
+           |SELECT query_id, nbr_id FROM (
+           |  SELECT query_id, nbr_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY sim DESC, nbr_id ASC) AS rnk
+           |  FROM cscored)
+           |WHERE rnk <= 20""".stripMargin, k = 5) +
         "\nORDER BY query_id, rank"),
     // the persisted index serves the identical ranking as the in-memory
     // build (IndexStoreSpec asserts layout round-trip equality)

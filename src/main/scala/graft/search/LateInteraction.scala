@@ -81,42 +81,39 @@ object LateInteraction {
         round(col("raw") / col("nrm"), VectorSearch.ScoreDecimals).as("val"))
   }
 
-  /** Batch late-interaction retrieval: top-k corpus documents per query
-    * document under the maxsim score. Self-pairs are excluded (the batch
-    * is typically a corpus slice); output is
-    * (query_id, nbr_id, sim, rank), rank 1 = best, ties broken nbr_id
-    * ASC inside the bounded-state aggregator. A query whose windows share
-    * no dim with any corpus window is absent from the output (nothing to
-    * rank), matching the oracle's inner join. */
-  def maxSimJoin(queries: DataFrame, qIdCol: String, qTextCol: String,
-      corpus: DataFrame, cIdCol: String, cTextCol: String,
-      k: Int, windowTokens: Int = DefaultWindowTokens): DataFrame = {
-    VectorSearch.requireBoundedBatch(queries, "LateInteraction.maxSimJoin")
-    val qw = broadcast(
+  private def queryWindows(queries: DataFrame, qIdCol: String,
+      qTextCol: String, windowTokens: Int): DataFrame =
+    broadcast(
       windowVectors(queries.select(col(qIdCol), col(qTextCol)),
           qIdCol, qTextCol, windowTokens)
         .select(col("id").as("query_id"), col("w").as("__qw"),
           col("dim"), col("val").as("__qval")))
-    val dw = windowVectors(corpus.select(col(cIdCol), col(cTextCol)),
+
+  private def corpusWindows(corpus: DataFrame, cIdCol: String,
+      cTextCol: String, windowTokens: Int): DataFrame =
+    windowVectors(corpus.select(col(cIdCol), col(cTextCol)),
         cIdCol, cTextCol, windowTokens)
       .select(col("id").as("nbr_id"), col("w").as("__dw"),
         col("dim"), col("val").as("__dval"))
-    // window-pair cosine: unit vectors → the dot over shared dims IS the
-    // cosine; pairs with no shared dim are absent (their dot is 0, and
-    // the greatest(·, 0) below makes absence and zero coincide)
-    val pairSim = dw.join(qw, "dim")
+
+  /** The maxsim algebra over an already-joined window-pair relation
+    * (query_id, __qw, nbr_id, __dw, __qval, __dval): dot per window pair
+    * (unit vectors → the dot over shared dims IS the cosine; pairs with
+    * no shared dim are absent, and the greatest(·, 0) floor makes absence
+    * and zero coincide) → each query window's best doc window floored at
+    * 0 (a window pair that only disagrees contributes no evidence) →
+    * exact integer micro-unit sum (order-independent, one trailing
+    * correctly-rounded division — the cross-engine-sum pattern) →
+    * bounded-state top-k. */
+  private def rankMaxSim(pairRows: DataFrame, k: Int): DataFrame = {
+    val pairSim = pairRows
       .where(col("nbr_id") =!= col("query_id"))
       .groupBy("query_id", "__qw", "nbr_id", "__dw")
       .agg(round(sum(col("__qval") * col("__dval")),
         VectorSearch.ScoreDecimals).as("__sim"))
-    // each query window's best doc window, floored at 0: a window pair
-    // that only disagrees (negative cos) contributes no evidence — and
-    // this is what keeps missing pairs (dot 0) handled exactly
     val best = pairSim
       .groupBy("query_id", "__qw", "nbr_id")
       .agg(greatest(max(col("__sim")), lit(0.0)).as("__m"))
-    // exact integer micro-unit sum (order-independent), one trailing
-    // correctly-rounded division — the cross-engine-sum pattern
     val scored = best
       .groupBy("query_id", "nbr_id")
       .agg((sum(round(col("__m") * 1e6).cast("long")).cast("double") / 1e6)
@@ -124,15 +121,62 @@ object LateInteraction {
     VectorSearch.topKScored(scored, k)
   }
 
-  /** DuckDB twin of [[maxSimJoin]] over one table: queries are the rows
-    * satisfying `queryCond(id)`, corpus is the whole table. Every stage
-    * mirrors the Spark plan's arithmetic exactly — same 6-decimal round
-    * on window dots, same greatest-with-0 floor, same micro-unit integer
-    * sum (cast off DuckDB's HUGEINT before the division). */
-  def sqlMaxSimJoin(docsTable: String, idExpr: String, textExpr: String,
-      queryCond: String => String, k: Int,
-      windowTokens: Int = DefaultWindowTokens): String =
-    s"""WITH toks AS (
+  /** EXHAUSTIVE batch late-interaction retrieval: top-k corpus documents
+    * per query document under the maxsim score, every document scored.
+    * Self-pairs are excluded (the batch is typically a corpus slice);
+    * output is (query_id, nbr_id, sim, rank), rank 1 = best, ties broken
+    * nbr_id ASC inside the bounded-state aggregator. A query whose
+    * windows share no dim with any corpus window is absent from the
+    * output (nothing to rank), matching the oracle's inner join.
+    *
+    * ORACLE-BASELINE, not the scale path: the dim equi-join's key has
+    * only `dim`-many distinct values (64 here), so each corpus window row
+    * fans out to ~|batch windows|/dims query rows — the pre-aggregation
+    * relation is |corpus windows| × |batch windows| / dims and grows
+    * LINEARLY IN THE BATCH with a big constant (measured: a 515-doc batch
+    * over 50k docs ≈ 1.1e9 intermediate rows). Exhaustive maxsim over
+    * everything is exactly what ColBERT-style systems avoid; production
+    * routes through [[maxSimRerank]] (first-stage retrieval bounds the
+    * candidate set, maxsim re-scores candidates exactly). This form
+    * exists to pin the semantics — point it at small batches. */
+  def maxSimJoin(queries: DataFrame, qIdCol: String, qTextCol: String,
+      corpus: DataFrame, cIdCol: String, cTextCol: String,
+      k: Int, windowTokens: Int = DefaultWindowTokens): DataFrame = {
+    VectorSearch.requireBoundedBatch(queries, "LateInteraction.maxSimJoin")
+    val qw = queryWindows(queries, qIdCol, qTextCol, windowTokens)
+    val dw = corpusWindows(corpus, cIdCol, cTextCol, windowTokens)
+    rankMaxSim(dw.join(qw, "dim"), k)
+  }
+
+  /** The PRODUCTION late-interaction shape — retrieve-then-rerank, the
+    * two-stage architecture ColBERT systems deploy: a first-stage
+    * retriever supplies `candidates` (query_id, nbr_id) — pooled-vector
+    * ANN, BM25, a hybrid — and maxsim re-scores exactly those pairs. The
+    * corpus window relation is first semi-joined down to candidate
+    * documents, and the window join adds `query_id` to the join key, so
+    * the pre-aggregation relation is |candidate pairs| × (window pairs
+    * per doc pair / dims) — flat in corpus size and free of the
+    * [[maxSimJoin]] batch-windows fan-out. Scoring semantics (and the
+    * absent-pair contract: a candidate pair whose windows share no dim
+    * produces no row) are identical to [[maxSimJoin]]; only the scored
+    * set differs. */
+  def maxSimRerank(queries: DataFrame, qIdCol: String, qTextCol: String,
+      corpus: DataFrame, cIdCol: String, cTextCol: String,
+      candidates: DataFrame, k: Int,
+      windowTokens: Int = DefaultWindowTokens): DataFrame = {
+    VectorSearch.requireBoundedBatch(queries, "LateInteraction.maxSimRerank")
+    val qw = queryWindows(queries, qIdCol, qTextCol, windowTokens)
+    val cand = broadcast(
+      candidates.select(col("query_id"), col("nbr_id")).distinct())
+    val dw = corpusWindows(corpus, cIdCol, cTextCol, windowTokens)
+    rankMaxSim(dw.join(cand, Seq("nbr_id")).join(qw, Seq("query_id", "dim")), k)
+  }
+
+  /** The shared window-vector CTEs (toks → wt → rawv → norms → wvec) —
+    * the SQL rendition of [[windowVectors]]. */
+  private def sqlWindowCtes(docsTable: String, idExpr: String,
+      textExpr: String, windowTokens: Int): String =
+    s"""toks AS (
        |  SELECT $idExpr AS id,
        |         unnest(${Text.sqlTokens(textExpr)}) AS term,
        |         generate_subscripts(${Text.sqlTokens(textExpr)}, 1) - 1 AS pos
@@ -150,13 +194,12 @@ object LateInteraction {
        |), wvec AS (
        |  SELECT r.id, r.w, r.dim, round(r.raw / n.nrm, ${VectorSearch.ScoreDecimals}) AS val
        |  FROM rawv r JOIN norms n USING (id, w) WHERE r.raw <> 0.0
-       |), pairsim AS (
-       |  SELECT q.id AS query_id, q.w AS qw, d.id AS nbr_id, d.w AS dw,
-       |         round(sum(q.val * d.val), ${VectorSearch.ScoreDecimals}) AS sim
-       |  FROM wvec q JOIN wvec d ON q.dim = d.dim AND d.id <> q.id
-       |  WHERE ${queryCond("q.id")}
-       |  GROUP BY 1, 2, 3, 4
-       |), best AS (
+       |)""".stripMargin
+
+  /** The maxsim tail (best → score → ranked → top-k) over a `pairsim`
+    * CTE — the SQL rendition of [[rankMaxSim]]'s aggregations. */
+  private def sqlMaxSimTail(k: Int): String =
+    s""", best AS (
        |  SELECT query_id, qw, nbr_id, greatest(max(sim), 0.0) AS m
        |  FROM pairsim GROUP BY 1, 2, 3
        |), score AS (
@@ -170,4 +213,39 @@ object LateInteraction {
        |  FROM score
        |)
        |SELECT query_id, nbr_id, sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** DuckDB twin of [[maxSimJoin]] over one table: queries are the rows
+    * satisfying `queryCond(id)`, corpus is the whole table. Every stage
+    * mirrors the Spark plan's arithmetic exactly — same 6-decimal round
+    * on window dots, same greatest-with-0 floor, same micro-unit integer
+    * sum (cast off DuckDB's HUGEINT before the division). */
+  def sqlMaxSimJoin(docsTable: String, idExpr: String, textExpr: String,
+      queryCond: String => String, k: Int,
+      windowTokens: Int = DefaultWindowTokens): String =
+    s"""WITH ${sqlWindowCtes(docsTable, idExpr, textExpr, windowTokens)},
+       |pairsim AS (
+       |  SELECT q.id AS query_id, q.w AS qw, d.id AS nbr_id, d.w AS dw,
+       |         round(sum(q.val * d.val), ${VectorSearch.ScoreDecimals}) AS sim
+       |  FROM wvec q JOIN wvec d ON q.dim = d.dim AND d.id <> q.id
+       |  WHERE ${queryCond("q.id")}
+       |  GROUP BY 1, 2, 3, 4
+       |)${sqlMaxSimTail(k)}""".stripMargin
+
+  /** DuckDB twin of [[maxSimRerank]] over one table: `candSql` is any
+    * query producing (query_id, nbr_id) candidate pairs — spliced in as a
+    * CTE, exactly the relation the Spark side broadcasts. */
+  def sqlMaxSimRerank(docsTable: String, idExpr: String, textExpr: String,
+      candSql: String, k: Int,
+      windowTokens: Int = DefaultWindowTokens): String =
+    s"""WITH ${sqlWindowCtes(docsTable, idExpr, textExpr, windowTokens)},
+       |cand AS (
+       |  SELECT DISTINCT query_id, nbr_id FROM ($candSql)
+       |), pairsim AS (
+       |  SELECT q.id AS query_id, q.w AS qw, d.id AS nbr_id, d.w AS dw,
+       |         round(sum(q.val * d.val), ${VectorSearch.ScoreDecimals}) AS sim
+       |  FROM wvec q
+       |  JOIN cand c ON c.query_id = q.id
+       |  JOIN wvec d ON d.id = c.nbr_id AND d.dim = q.dim AND d.id <> q.id
+       |  GROUP BY 1, 2, 3, 4
+       |)${sqlMaxSimTail(k)}""".stripMargin
 }

@@ -93,6 +93,36 @@ class LateInteractionSpec extends AnyFunSuite with SparkTest {
     assert(ranked.map(_._1).toSet === Set(1L, 2L, 3L))
   }
 
+  test("maxSimRerank over all-pairs candidates equals the exhaustive join") {
+    val docs = Tables.documents(spark, Sf0001).limit(50).cache()
+    val queries = docs.where($"doc_id" % 7 === 0)
+    val allPairs = queries.select($"doc_id".as("query_id"))
+      .crossJoin(docs.select($"doc_id".as("nbr_id")))
+    val rerank = LateInteraction.maxSimRerank(queries, "doc_id", "text",
+        docs, "doc_id", "text", allPairs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val full = LateInteraction.maxSimJoin(queries, "doc_id", "text",
+        docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rerank === full,
+      "rerank with the complete candidate set must reproduce the exhaustive ranking")
+  }
+
+  test("maxSimRerank scores only candidate pairs") {
+    val topicA = (1 to 8).map(i => s"alpha$i").mkString(" ")
+    val topicB = (1 to 8).map(i => s"beta$i").mkString(" ")
+    val queries = Seq((100L, s"$topicA $topicB")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, s"$topicA $topicB"), (2L, topicA), (3L, topicB)).toDF("id", "text")
+    // doc 1 (the best match) is NOT a candidate — it must not appear
+    val cand = Seq((100L, 2L), (100L, 3L)).toDF("query_id", "nbr_id")
+    val got = LateInteraction.maxSimRerank(queries, "id", "text",
+        corpus, "id", "text", cand, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.map(_._1).toSet === Set(2L, 3L),
+      s"only candidates may be scored: ${got.toSeq}")
+  }
+
   test("plan: query windows broadcast, no cartesian product") {
     val docs = Tables.documents(spark, Sf0001).limit(40)
     val plan = LateInteraction.maxSimJoin(docs.where($"doc_id" % 7 === 0),
