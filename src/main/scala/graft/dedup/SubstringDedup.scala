@@ -41,6 +41,14 @@ import org.apache.spark.sql.functions._
   * all-pairs comparison exists — unlike [[Dedup.jaccardPairs]] this IS the
   * production path, not an oracle baseline.
   *
+  * Each derived operator re-tokenizes the source relation per branch
+  * (grams, token counts, span rendering) instead of caching a staged
+  * token column — deliberate, the
+  * [[graft.pipeline.Contamination.ngramOverlapBloom]] posture: at corpus
+  * scale re-scanning source parquet through a narrow codegen'd map is
+  * cheaper than materializing a corpus-sized token-array relation, and
+  * each branch's scan carries its own pushed filters.
+  *
   * Grams are compared by [[Text.hash60]] (60-bit md5 prefix), the same
   * collision posture as every hash-keyed op here (Jaccard postings,
   * MinHash, exact dedup's md5): a collision can merge unrelated grams, with
@@ -84,6 +92,15 @@ object SubstringDedup {
     * tokens past the text), and `n_grams` = duplicated gram start
     * positions merged into the span. Ordering is unspecified (gate sorts).
     *
+    * Spans are DISJOINT per document: start-position islands whose
+    * covered extents [start, start+k−1] still overlap (two duplicated
+    * runs separated by fewer than k start positions — e.g. a doc whose
+    * prefix matches one neighbor and whose overlapping suffix matches
+    * another) are merged by a second interval-merge pass, so every token
+    * is claimed by at most one span and coverage arithmetic can sum span
+    * lengths. Extents that merely TOUCH (adjacent, no shared token) stay
+    * separate — they are distinct evidence runs.
+    *
     * @param minCount occurrences (corpus-wide, within-doc repeats
     *                 included) for a gram to count as duplicated; 2 =
     *                 "appears anywhere else". */
@@ -103,17 +120,36 @@ object SubstringDedup {
     val nTokens = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
       .select(col("id"), size(col("__toks")).cast("long").as("__n_toks"))
-    spans.join(nTokens, "id")
+    val clamped = spans.join(nTokens, "id")
       .select(col("id"), col("span_start"),
         least(col("__end_raw"), col("__n_toks") - 1).as("span_end"),
         col("n_grams"))
+    // interval merge: islands are disjoint in START positions, but their
+    // k-wide extents overlap when islands sit < k starts apart — a new
+    // merged group begins where a span starts past every previous end
+    val byStart = Window.partitionBy("id").orderBy("span_start")
+    val prevMaxEnd = max(col("span_end"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    clamped
+      .withColumn("__new",
+        when(col("span_start") > coalesce(prevMaxEnd, lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__mg", sum(col("__new"))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "__mg")
+      .agg(min(col("span_start")).as("span_start"),
+        max(col("span_end")).as("span_end"),
+        sum(col("n_grams")).as("n_grams"))
+      .select("id", "span_start", "span_end", "n_grams")
   }
 
   /** Per-document duplication coverage — the curation signal built on
-    * [[duplicatedSpans]]: (id, n_tokens, dup_tokens, dup_ratio). Spans are
-    * disjoint by construction (islands), so their lengths sum to the
-    * covered-token count. Every document gets a row (clean docs: 0, 0.0);
-    * ratio rounds to 6 decimals from an integer-exact quotient. */
+    * [[duplicatedSpans]]: (id, n_tokens, dup_tokens, dup_ratio). Spans
+    * are disjoint (the interval-merge pass in [[duplicatedSpans]] — NOT
+    * the start-islands alone, whose extents can overlap), so their
+    * lengths sum to the covered-token count and the ratio is ≤ 1. Every
+    * document gets a row (clean docs: 0, 0.0); ratio rounds to 6
+    * decimals from an integer-exact quotient. */
   def duplicationCoverage(docs: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultGramTokens, minCount: Long = 2L): DataFrame = {
     val spans = duplicatedSpans(docs, idCol, textCol, k, minCount)
@@ -203,10 +239,11 @@ object SubstringDedup {
   private def sqlGramCtes(docsTable: String, idExpr: String,
       textExpr: String, k: Int, minCount: Long): String = {
     val toks = Text.sqlTokens(textExpr)
+    val gramHash = Text.sqlHash60(s"array_to_string(list_slice(t, i, i + ${k - 1}), ' ')")
     s"""toks AS (
        |  SELECT $idExpr AS id, $toks AS t FROM $docsTable
        |), grams0 AS (
-       |  SELECT id, [('0x' || substr(md5(array_to_string(list_slice(t, i, i + ${k - 1}), ' ')), 1, 15))::BIGINT
+       |  SELECT id, [$gramHash
        |              for i in generate_series(1, greatest(len(t) - ${k - 1}, 1))] AS gs
        |  FROM toks WHERE t IS NOT NULL AND len(t) > 0
        |), grams AS (
@@ -219,7 +256,7 @@ object SubstringDedup {
        |  SELECT id, pos,
        |         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
        |  FROM grams JOIN dup USING (h)
-       |), spans AS (
+       |), clamped AS (
        |  SELECT s.id, s.span_start,
        |         least(s.end_raw, n.n_toks - 1) AS span_end, s.n_grams
        |  FROM (SELECT id, min(pos)::BIGINT AS span_start,
@@ -227,6 +264,25 @@ object SubstringDedup {
        |               count(*)::BIGINT AS n_grams
        |        FROM isl GROUP BY id, grp) s
        |  JOIN (SELECT id, len(t)::BIGINT AS n_toks FROM toks) n USING (id)
+       |), flagged AS (
+       |  -- interval merge (mirrors the Spark side): k-wide extents of
+       |  -- nearby start-islands can overlap; merge where they do
+       |  SELECT id, span_start, span_end, n_grams,
+       |         CASE WHEN span_start > coalesce(
+       |                max(span_end) OVER (PARTITION BY id ORDER BY span_start
+       |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                -1) THEN 1 ELSE 0 END AS newg
+       |  FROM clamped
+       |), mgrp AS (
+       |  SELECT id, span_start, span_end, n_grams,
+       |         sum(newg) OVER (PARTITION BY id ORDER BY span_start
+       |                         ROWS UNBOUNDED PRECEDING) AS mg
+       |  FROM flagged
+       |), spans AS (
+       |  SELECT id, min(span_start)::BIGINT AS span_start,
+       |         max(span_end)::BIGINT AS span_end,
+       |         sum(n_grams)::BIGINT AS n_grams
+       |  FROM mgrp GROUP BY id, mg
        |)""".stripMargin
   }
 

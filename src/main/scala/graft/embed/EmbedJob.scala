@@ -61,11 +61,6 @@ object EmbedJob {
     done.unionByName(embedded)
   }
 
-  /** The feature-hashing embedder as relational ops over a 64-bit token
-    * hash (first 16 hex chars of md5 = [[HashingEmbedder.md5Long]]):
-    * index = low 6 bits, sign = bit 62; tf-accumulated, L2-normalized.
-    * Output SPARSE: (id, dim, val) with val rounded to 6 decimals —
-    * zero-weight dims absent. */
   /** The hashing embedder's per-term coordinates, readable straight off the
     * md5 hex (cheap long arithmetic, no decimal(20,0)): hex chars 15-16 =
     * low byte → & 63 = dim; hex char 1 = bits 63..60 → >> 2 & 1 = bit 62 =
@@ -78,6 +73,11 @@ object EmbedJob {
     when(shiftright(conv(substring(md5hex, 1, 1), 16, 10).cast("long"), 2)
       .bitwiseAND(lit(1L)) === 0L, 1.0).otherwise(-1.0)
 
+  /** The feature-hashing embedder as relational ops over a 64-bit token
+    * hash (first 16 hex chars of md5 = [[HashingEmbedder.md5Long]]):
+    * index = low 6 bits, sign = bit 62; tf-accumulated, L2-normalized.
+    * Output SPARSE: (id, dim, val) with val rounded to 6 decimals —
+    * zero-weight dims absent. */
   def embedRelational(docs: DataFrame, idCol: String, textCol: String,
       dim: Int = Embedder.TestdataDim): DataFrame = {
     require(dim == 64, "relational embedder is specialized to dim=64 (low 6 bits of the hash)")

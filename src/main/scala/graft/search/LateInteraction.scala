@@ -55,6 +55,24 @@ object LateInteraction {
     * window means one thing, coarse enough that |windows| stays ~n/8. */
   val DefaultWindowTokens = 8
 
+  /** Batch cap for [[maxSimJoin]] — much tighter than
+    * [[VectorSearch.MaxQueryBatch]] (which bounds broadcast memory, not
+    * this operator's fan-out): the exhaustive dim join multiplies every
+    * corpus window by |batch windows|/dims, so a broadcast-sized batch
+    * that passes the generic guard still detonates the pre-aggregation
+    * relation. Larger batches belong on [[maxSimRerank]]. */
+  val MaxExhaustiveBatch = 4096
+
+  private def requireExhaustiveBatch(queries: DataFrame): Unit = {
+    val n = queries.limit(MaxExhaustiveBatch + 1).count()
+    require(n <= MaxExhaustiveBatch,
+      s"LateInteraction.maxSimJoin: query batch has > $MaxExhaustiveBatch " +
+        "rows; the exhaustive dim join fans out by |batch windows|/dims " +
+        "per corpus window and would build an enormous pre-aggregation " +
+        "relation. Use maxSimRerank with first-stage candidates " +
+        "(pooled-vector ANN / BM25) for large batches.")
+  }
+
   /** Windowed sparse multi-vector representation: one row per
     * (document, window, non-zero dim) — `(id, w, dim, val)` with each
     * window L2-normalized. A window whose term signs fully cancel on
@@ -138,11 +156,12 @@ object LateInteraction {
     * everything is exactly what ColBERT-style systems avoid; production
     * routes through [[maxSimRerank]] (first-stage retrieval bounds the
     * candidate set, maxsim re-scores candidates exactly). This form
-    * exists to pin the semantics — point it at small batches. */
+    * exists to pin the semantics — point it at small batches
+    * ([[MaxExhaustiveBatch]] enforced). */
   def maxSimJoin(queries: DataFrame, qIdCol: String, qTextCol: String,
       corpus: DataFrame, cIdCol: String, cTextCol: String,
       k: Int, windowTokens: Int = DefaultWindowTokens): DataFrame = {
-    VectorSearch.requireBoundedBatch(queries, "LateInteraction.maxSimJoin")
+    requireExhaustiveBatch(queries)
     val qw = queryWindows(queries, qIdCol, qTextCol, windowTokens)
     val dw = corpusWindows(corpus, cIdCol, cTextCol, windowTokens)
     rankMaxSim(dw.join(qw, "dim"), k)
@@ -159,7 +178,15 @@ object LateInteraction {
     * [[maxSimJoin]] batch-windows fan-out. Scoring semantics (and the
     * absent-pair contract: a candidate pair whose windows share no dim
     * produces no row) are identical to [[maxSimJoin]]; only the scored
-    * set differs. */
+    * set differs.
+    *
+    * ID-SPACE CONTRACT: query ids and corpus ids must live in ONE id
+    * space (the batch is a corpus slice, the standard shape here — the
+    * candidates relation already implies it by naming both sides).
+    * Self-pairs (query_id == nbr_id) are excluded from scoring exactly
+    * as in [[maxSimJoin]]; a caller whose query and corpus ids are
+    * unrelated relations that merely collide numerically must remap ids
+    * first, or the colliding candidate pair is silently skipped. */
   def maxSimRerank(queries: DataFrame, qIdCol: String, qTextCol: String,
       corpus: DataFrame, cIdCol: String, cTextCol: String,
       candidates: DataFrame, k: Int,

@@ -45,19 +45,29 @@ class LateInteractionSpec extends AnyFunSuite with SparkTest {
     val qIds = queries.select("doc_id").as[Long].collect().toSet
     val expected = qIds.toSeq.sorted.flatMap { qid =>
       val qWins = byDocWin.keys.filter(_._1 == qid).toSeq
-      val scores = byDocWin.keys.map(_._1).filter(_ != qid).toSeq.distinct.map { did =>
-        val dWins = byDocWin.keys.filter(_._1 == did).toSeq
-        val micro = qWins.map { qw =>
-          val best = dWins.map { dw =>
-            val qv = byDocWin(qw); val dv = byDocWin(dw)
-            val dot = qv.keysIterator.filter(dv.contains)
-              .map(d => qv(d) * dv(d)).sum
-            BigDecimal(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          }.foldLeft(0.0)(math.max)
-          math.round(best * 1e6)
-        }.sum
-        did -> micro / 1e6
-      }.filter(_._2 > 0 || true)
+      // the join emits a (query, doc) pair only when SOME window pair
+      // shares a dim (inner join on dim) — a doc sharing no dim at all is
+      // absent even at score 0.0, so the brute force must skip it too
+      // (while keeping docs whose shared-dim dots merely cancel to 0)
+      val scores = byDocWin.keys.map(_._1).filter(_ != qid).toSeq.distinct
+        .filter { did =>
+          val dWins = byDocWin.keys.filter(_._1 == did).toSeq
+          qWins.exists(qw => dWins.exists(dw =>
+            byDocWin(qw).keysIterator.exists(byDocWin(dw).contains)))
+        }
+        .map { did =>
+          val dWins = byDocWin.keys.filter(_._1 == did).toSeq
+          val micro = qWins.map { qw =>
+            val best = dWins.map { dw =>
+              val qv = byDocWin(qw); val dv = byDocWin(dw)
+              val dot = qv.keysIterator.filter(dv.contains)
+                .map(d => qv(d) * dv(d)).sum
+              BigDecimal(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }.foldLeft(0.0)(math.max)
+            math.round(best * 1e6)
+          }.sum
+          did -> micro / 1e6
+        }
       scores.sortBy { case (did, s) => (-s, did) }.take(3).zipWithIndex
         .map { case ((did, s), i) => (qid, did, s, i + 1) }
     }

@@ -54,6 +54,27 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTest {
     assert(spans === Seq((1L, 0L, 1L, 1L), (2L, 0L, 1L, 1L)), s"got ${spans.toSeq}")
   }
 
+  test("overlapping extents merge: nearby islands yield ONE span and coverage stays <= 1") {
+    // d1 = t0..t9; d2 duplicates d1's tokens 0..7, d3 duplicates 2..9.
+    // d1's dup gram starts are {0, 2} (start 1 is unique) → two islands
+    // whose 8-wide extents [0,7] and [2,9] overlap → MUST merge to one
+    // span [0,9] (n_grams 2), and coverage must report 10/10, not 16/10.
+    val t = (0 to 9).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, t.mkString(" ")),
+      (2L, t.take(8).mkString(" ")),
+      (3L, t.drop(2).mkString(" "))).toDF("id", "text")
+    val spans = SubstringDedup.duplicatedSpans(docs, "id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(spans === Seq((1L, 0L, 9L, 2L), (2L, 0L, 7L, 1L), (3L, 0L, 7L, 1L)),
+      s"got ${spans.toSeq}")
+    val cov = SubstringDedup.duplicationCoverage(docs, "id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(cov === Seq((1L, 10L, 1.0), (2L, 8L, 1.0), (3L, 8L, 1.0)),
+      s"coverage must never exceed 1: ${cov.toSeq}")
+  }
+
   test("coverage: clean docs get 0.0, duped docs get exact token ratios, null text is 0-token") {
     val passage = (1 to 12).map(i => s"shared$i").mkString(" ")
     val docs = Seq(
