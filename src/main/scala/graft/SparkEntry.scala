@@ -90,7 +90,7 @@ object SparkEntry {
     pqCache.filterInPlace { case (k, idx) =>
       if (k._1 == spark) { idx.codes.unpersist(); false } else true }
     Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
-        containmentDiskBuilt)
+        containmentDiskBuilt, gramsDiskBuilt)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -109,6 +109,7 @@ object SparkEntry {
     corpusPqDisk(spark, dir)
     corpusSparseEmb(spark, dir).count()
     corpusContainmentDisk(spark, dir)
+    corpusGramsDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -1006,6 +1007,46 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** The DISK-persisted gram-hash index over "yesterday's corpus" (all
+    * docs OUTSIDE the %5 batch — the R17 contract says appended docs are
+    * NEW, so the declared screen's batch is deliberately absent from its
+    * index, unlike [[corpusContainmentDisk]] whose screen handles
+    * self-pairs explicitly), written once per (session, sfDir) via
+    * [[IndexStore.saveGrams]]. */
+  private val gramsDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusGramsDisk(spark: SparkSession,
+      dir: String): graft.index.IndexStore.GramIndex = {
+    val path = gramsDiskBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_grams_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      IndexStore.saveGrams(
+        Tables.documents(spark, dir).where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", SubstringDedup.DefaultGramTokens, p)
+      p
+    })
+    IndexStore.loadGrams(spark, path)
+  }
+
+  /** INCREMENTAL substring-span screen — the daily-ingest rendition of
+    * [[qSubstringSpans]], completing the span-dedup story the way
+    * [[qDedupIncremental]] completes near-dup and
+    * [[qDedupContainmentInc]] completes containment: which token spans of
+    * a NEW batch (every 5th id) duplicate content the corpus has already
+    * seen (or that repeats within the batch)? The batch is grammed fresh
+    * (work ∝ batch), its distinct hashes broadcast against ONE narrow
+    * scan of the persisted hash column
+    * ([[SubstringDedup.spansAgainst]]); the corpus text is never
+    * re-grammed. The whole-relation computation restricted to batch ids
+    * is an exact oracle (the gram-duplication predicate decomposes as
+    * in-corpus OR twice-in-batch). */
+  private def qSubstringInc(spark: SparkSession, dir: String): DataFrame =
+    SubstringDedup.spansAgainst(
+        Tables.documents(spark, dir).where(col("doc_id") % 5 === 0),
+        "doc_id", "text", corpusGramsDisk(spark, dir))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+
   /** The boilerplate report over [[qSubstringSpans]]'s spans: the most
     * repeated passages, rendered back to (normalized) text — what a
     * curation engineer reads before choosing cut thresholds. */
@@ -1498,6 +1539,7 @@ object SparkEntry {
     "q_substring_coverage" -> ((s, dir) => qSubstringCoverage(s, dir)),
     "q_substring_passages" -> ((s, dir) => qSubstringPassages(s, dir)),
     "q_substring_cut" -> ((s, dir) => qSubstringCut(s, dir)),
+    "q_substring_inc" -> ((s, dir) => qSubstringInc(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => qDedupMinhash(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
@@ -2137,6 +2179,11 @@ object SparkEntry {
       s"""SELECT id AS doc_id, n_tokens, n_removed, clean_text FROM (
          |${SubstringDedup.sqlCutSpans("documents", "doc_id", "text")}
          |) ORDER BY doc_id""".stripMargin,
+    "q_substring_inc" ->
+      s"""SELECT id AS doc_id, span_start, span_end, n_grams FROM (
+         |${SubstringDedup.sqlSpansAgainst("documents", "doc_id", "text",
+              id => s"$id % 5 = 0")}
+         |) ORDER BY doc_id, span_start""".stripMargin,
     "q_dedup_components" ->
       (Dedup.sqlComponents(
         Dedup.sqlMinhashPairs("documents", "doc_id", "text", JaccardThr))

@@ -110,7 +110,16 @@ object SubstringDedup {
     val grams = gramPostings(docs, idCol, textCol, k)
     val dup = grams.groupBy("h").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minCount).select("h")
-    val marked = grams.join(dup, Seq("h"), "left_semi")
+    spansFromMarked(grams.join(dup, Seq("h"), "left_semi"),
+      docs, idCol, textCol, k)
+  }
+
+  /** The islands → clamp → interval-merge tail shared by
+    * [[duplicatedSpans]] and [[spansAgainst]]: `marked` is the (id, pos)
+    * relation of duplicated gram start positions; `docs` supplies token
+    * counts for the end clamp. */
+  private def spansFromMarked(marked: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
     val isl = marked.withColumn("__grp",
       col("pos") - row_number().over(Window.partitionBy("id").orderBy("pos")))
     val spans = isl.groupBy("id", "__grp")
@@ -141,6 +150,35 @@ object SubstringDedup {
         max(col("span_end")).as("span_end"),
         sum(col("n_grams")).as("n_grams"))
       .select("id", "span_start", "span_end", "n_grams")
+  }
+
+  /** INCREMENTAL duplicated spans — the daily-ingest screen: which token
+    * spans of a NEW batch duplicate anything the corpus has already seen
+    * (or that arrive ≥ 2× inside the batch itself)? Work ∝ batch plus ONE
+    * narrow scan of the persisted hash column; the corpus text is never
+    * re-grammed.
+    *
+    * EXACTNESS: a batch gram is globally duplicated (total occurrences
+    * across corpus ∪ batch ≥ 2) iff it appears ANYWHERE in the corpus
+    * (then its batch occurrence makes two) OR ≥ 2 times within the batch
+    * — so the output EQUALS [[duplicatedSpans]] over corpus ∪ batch
+    * restricted to batch documents (assuming the index covers the corpus;
+    * spec-pinned structurally). The join shape: the batch's distinct gram
+    * hashes broadcast AGAINST the index scan (the index side is the big
+    * one), hits union the batch-internal repeats, and the batch postings
+    * semi-join that small duplicated-hash set. */
+  def spansAgainst(batch: DataFrame, idCol: String, textCol: String,
+      index: graft.index.IndexStore.GramIndex): DataFrame = {
+    graft.search.VectorSearch.requireBoundedBatch(
+      batch, "SubstringDedup.spansAgainst")
+    val grams = gramPostings(batch, idCol, textCol, index.k)
+    val batchH = grams.select("h").distinct()
+    val idxHits = index.hashes.join(broadcast(batchH), "h").select("h").distinct()
+    val batchDup = grams.groupBy("h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2L).select("h")
+    val dupH = idxHits.unionByName(batchDup).distinct()
+    spansFromMarked(grams.join(broadcast(dupH), Seq("h"), "left_semi"),
+      batch, idCol, textCol, index.k)
   }
 
   /** Per-document duplication coverage — the curation signal built on
@@ -250,12 +288,21 @@ object SubstringDedup {
        |  SELECT id, unnest(gs) AS h, generate_subscripts(gs, 1) - 1 AS pos FROM grams0
        |), dup AS (
        |  SELECT h FROM grams GROUP BY h HAVING count(*) >= $minCount
-       |), isl AS (
+       |), marked AS (
        |  -- dup projects a grouped (distinct) h, so the inner join IS the
        |  -- semi join the Spark side uses
+       |  SELECT id, pos FROM grams JOIN dup USING (h)
+       |)${sqlSpanTailCtes(k)}""".stripMargin
+  }
+
+  /** The islands → clamp → interval-merge tail as CTEs — assumes CTEs
+    * `marked(id, pos)` (duplicated gram start positions) and `toks(id, t)`
+    * are in scope; ends with the `spans` CTE every consumer reads. */
+  private def sqlSpanTailCtes(k: Int): String =
+    s""", isl AS (
        |  SELECT id, pos,
        |         pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
-       |  FROM grams JOIN dup USING (h)
+       |  FROM marked
        |), clamped AS (
        |  SELECT s.id, s.span_start,
        |         least(s.end_raw, n.n_toks - 1) AS span_end, s.n_grams
@@ -284,6 +331,36 @@ object SubstringDedup {
        |         sum(n_grams)::BIGINT AS n_grams
        |  FROM mgrp GROUP BY id, mg
        |)""".stripMargin
+
+  /** DuckDB twin of [[spansAgainst]] over one table: the batch is the
+    * rows satisfying `batchCond(id)`, the "index" is every other row's
+    * gram-hash set — the whole-relation rendition of the incremental
+    * contract (a gram is duplicated iff the rest of the corpus has it, or
+    * it repeats within the batch), which equals [[sqlDuplicatedSpans]]
+    * restricted to batch ids. */
+  def sqlSpansAgainst(docsTable: String, idExpr: String, textExpr: String,
+      batchCond: String => String, k: Int = DefaultGramTokens): String = {
+    val toks = Text.sqlTokens(textExpr)
+    val gramHash = Text.sqlHash60(s"array_to_string(list_slice(t, i, i + ${k - 1}), ' ')")
+    s"""WITH toks AS (
+       |  SELECT $idExpr AS id, $toks AS t FROM $docsTable
+       |), grams0 AS (
+       |  SELECT id, [$gramHash
+       |              for i in generate_series(1, greatest(len(t) - ${k - 1}, 1))] AS gs
+       |  FROM toks WHERE t IS NOT NULL AND len(t) > 0
+       |), allgrams AS (
+       |  SELECT id, unnest(gs) AS h, generate_subscripts(gs, 1) - 1 AS pos FROM grams0
+       |), grams AS (
+       |  SELECT id, h, pos FROM allgrams WHERE ${batchCond("id")}
+       |), dup AS (
+       |  SELECT DISTINCT h FROM grams WHERE h IN (
+       |    SELECT h FROM allgrams WHERE NOT (${batchCond("id")}))
+       |  UNION
+       |  SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+       |), marked AS (
+       |  SELECT id, pos FROM grams JOIN dup USING (h)
+       |)${sqlSpanTailCtes(k)}
+       |SELECT id, span_start, span_end, n_grams FROM spans""".stripMargin
   }
 
   /** DuckDB twin of [[duplicatedSpans]] — the same grams/dup/islands/clamp

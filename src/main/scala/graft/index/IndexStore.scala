@@ -450,6 +450,118 @@ object IndexStore {
       Seq("postings", "prefixes", "meta", "sizes"))
   }
 
+  // ----------------------------------------------------------- gram hashes
+  //
+  // The substring-dedup membership index: the corpus's DISTINCT positional
+  // k-gram hashes ([[graft.dedup.SubstringDedup.gramPostings]]), bucket-
+  // partitioned. Positions are deliberately NOT persisted — the incremental
+  // screen ([[graft.dedup.SubstringDedup.spansAgainst]]) only asks "has the
+  // corpus seen this gram anywhere?", so the index stores the smallest
+  // relation that answers it (~8 B/distinct gram vs the full postings).
+  // Layout per batch (base = -1, streaming micro-batches = foreachBatch id):
+  //
+  //   hashes/batch=N/bucket=B/  (h)   — distinct within the batch
+  //   meta/                     (k)   — gram width = the index's DDL
+  //   marks/batch=N/            (n)   — row count, written last = COMMIT
+  //
+  // Cross-batch duplicate hashes are allowed (membership is unaffected);
+  // [[compactGrams]] folds them away.
+
+  /** A loaded gram-hash index: committed distinct hashes (h, bucket) and
+    * the gram width the index was built with. */
+  case class GramIndex(hashes: org.apache.spark.sql.DataFrame, k: Int)
+
+  /** Build and persist the gram-hash index over `docs` — Overwrite = S7
+    * `--replace` semantics. `k` is the index's DDL: screens must gram the
+    * batch at the same width. */
+  def saveGrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, path: String): Unit =
+    writeGramsBase(
+      graft.dedup.SubstringDedup.gramPostings(docs, idCol, textCol, k)
+        .select("h"),
+      k, path, batchId = -1L, overwriteAll = true)
+
+  private def writeGramsBase(h: org.apache.spark.sql.DataFrame, k: Int,
+      path: String, batchId: Long, overwriteAll: Boolean): Unit = {
+    val spark = h.sparkSession
+    import spark.implicits._
+    val nBuckets = graft.dedup.Dedup.ShingleBuckets.toLong
+    def writer(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.write.mode(SaveMode.Overwrite)
+      if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic")
+    }
+    val hd = h.distinct()
+    writer(hd.withColumn("batch", lit(batchId))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets))))
+      .partitionBy("batch", "bucket").parquet(s"$path/hashes")
+    if (overwriteAll)
+      Seq(k).toDF("k").write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // batch row count, written last = commit marker
+    writer(hd.groupBy().agg(count(lit(1)).as("n"))
+        .withColumn("batch", lit(batchId)))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Gram one micro-batch of NEW documents into a persisted gram index
+    * (R17 skip-existing contract). Work ∝ batch; idempotent at every
+    * crash point (marks are the commit). Requires a [[saveGrams]] base —
+    * the gram width is the index DDL and lives in `meta`. */
+  def appendBatchGrams(batch: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    val k = gramWidth(spark, path)
+    writeGramsBase(
+      graft.dedup.SubstringDedup.gramPostings(batch, idCol, textCol, k)
+        .select("h"),
+      k, path, batchId, overwriteAll = false)
+  }
+
+  /** Streaming index upkeep — the gram twin of [[streamIntoContainment]]. */
+  def streamIntoGrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchGrams(b, idCol, textCol, path, id)
+      }
+      .start()
+
+  private def gramWidth(spark: SparkSession, path: String): Int = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$path/meta"), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"no gram index meta under $path — appendBatchGrams requires a " +
+        "saveGrams base (the gram width is the index DDL)")
+    spark.read.parquet(s"$path/meta").head.getInt(0)
+  }
+
+  /** Consistent snapshot at the latest commit markers (same contract as
+    * [[loadContainment]]): only committed batches are visible. */
+  def loadGrams(spark: SparkSession, path: String): GramIndex = {
+    val batches = committedBatches(spark, s"$path/marks")
+    GramIndex(
+      hashes = spark.read.parquet(s"$path/hashes")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select("h", "bucket"),
+      k = gramWidth(spark, path))
+  }
+
+  /** Fold every committed batch back into one base partition, re-running
+    * the global distinct so cross-batch duplicate hashes collapse — same
+    * maintenance contract as [[compactContainment]]. */
+  def compactGrams(spark: SparkSession, path: String): Unit = {
+    val snapshot = loadGrams(spark, path)
+    val staged = s"$path/.compact"
+    writeGramsBase(snapshot.hashes.select("h"), snapshot.k, staged,
+      batchId = -1L, overwriteAll = true)
+    swapStaged(spark, path, staged, Seq("hashes", "meta", "marks"))
+  }
+
   // ------------------------------------------------------------------- IVF
   //
   // On-disk layout follows the BM25/sign-LSH batch pattern — per batch

@@ -149,6 +149,65 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTest {
     assert(top === Seq((passage, 10L, 3L, 3L)), s"got ${top.toSeq}")
   }
 
+  test("spansAgainst equals duplicatedSpans over corpus+batch restricted to batch ids") {
+    val docs = Tables.documents(spark, Sf0001)
+    val batch = docs.where($"doc_id" % 5 === 0)
+    val corpus = docs.where($"doc_id" % 5 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("grams_idx").toString
+    graft.index.IndexStore.saveGrams(corpus, "doc_id", "text", 8, path)
+    val idx = graft.index.IndexStore.loadGrams(spark, path)
+    assert(idx.k === 8)
+    val inc = SubstringDedup.spansAgainst(batch, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val full = SubstringDedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(t => batchIds.contains(t._1)).toSet
+    assert(inc === full,
+      s"incremental screen must equal the full computation on batch docs:\n inc=$inc\n full=$full")
+    assert(inc.nonEmpty, "testdata's planted clones must produce batch spans")
+  }
+
+  test("gram index lifecycle: append becomes visible, compact preserves answers") {
+    val d1 = Seq((1L, uniq("base", 20))).toDF("id", "text")
+    val passage = (1 to 10).map(i => s"app$i").mkString(" ")
+    val d2 = Seq((2L, s"$passage ${uniq("pad", 4)}")).toDF("id", "text")
+    val batch = Seq((100L, s"${uniq("new", 3)} $passage")).toDF("id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("grams_life").toString
+    graft.index.IndexStore.saveGrams(d1, "id", "text", 8, path)
+    val before = SubstringDedup.spansAgainst(batch, "id", "text",
+      graft.index.IndexStore.loadGrams(spark, path)).count()
+    assert(before === 0L, "the passage is not indexed yet")
+    graft.index.IndexStore.appendBatchGrams(d2, "id", "text", path, batchId = 0L)
+    def screen() = SubstringDedup.spansAgainst(batch, "id", "text",
+        graft.index.IndexStore.loadGrams(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val after = screen()
+    // passage occupies batch tokens 3..12 → dup starts {3, 4, 5} → one span
+    assert(after === Seq((100L, 3L, 12L)), s"got $after")
+    // idempotent re-append, then compact: answers identical
+    graft.index.IndexStore.appendBatchGrams(d2, "id", "text", path, batchId = 0L)
+    graft.index.IndexStore.compactGrams(spark, path)
+    assert(screen() === after, "compaction must not change the screen")
+  }
+
+  test("spansAgainst flags batch-internal repetition without any index hit") {
+    val path = java.nio.file.Files
+      .createTempDirectory("grams_int").toString
+    graft.index.IndexStore.saveGrams(
+      Seq((1L, uniq("corp", 20))).toDF("id", "text"), "id", "text", 8, path)
+    val passage = (1 to 9).map(i => s"twin$i").mkString(" ")
+    val batch = Seq(
+      (100L, s"$passage ${uniq("xx", 3)}"),
+      (101L, s"${uniq("yy", 3)} $passage")).toDF("id", "text")
+    val got = SubstringDedup.spansAgainst(batch, "id", "text",
+        graft.index.IndexStore.loadGrams(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got === Seq((100L, 0L, 8L), (101L, 3L, 11L)), s"got $got")
+  }
+
   test("plan: no cartesian product anywhere in the span pipeline") {
     val docs = Tables.documents(spark, Sf0001).limit(100)
     val plan = SubstringDedup.duplicatedSpans(docs, "doc_id", "text")
