@@ -1,7 +1,8 @@
 package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -23,16 +24,27 @@ object Tables {
     df.withColumn("embedding", df.col("embedding").cast("array<double>"))
   }
 
-  /** events with `ts` normalized to a microsecond TimestampType.
+  /** events with `ts` normalized to a microsecond TimestampType, whatever
+    * physical shape the fixture stored:
     *
-    * The fixture stores TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp; `nanosAsLong` reads it as Long nanos, and the
-    * truncating `div 1000` matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast
-    * exactly, so oracle SQL must wrap events.ts in `ts::TIMESTAMP`. */
+    *  - TIMESTAMP(NANOS) parquet (early fixtures): Spark 4 refuses to read
+    *    nanos as a timestamp; `nanosAsLong` reads Long nanos, and the
+    *    truncating `div 1000` matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet (current
+    *    fixtures): Spark reads TIMESTAMP_NTZ; the session runs in UTC, so
+    *    the cast to TimestampType keeps the same micros value.
+    *
+    * Either way the result is the instant DuckDB sees for `ts::TIMESTAMP`,
+    * so oracle SQL must wrap events.ts in `ts::TIMESTAMP` (a no-op cast on
+    * the micros fixture — kept so the SQL works against both). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
