@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.functions.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -213,26 +213,47 @@ object SubstringDedup {
     * curation engineer runs before choosing cut thresholds: each
     * duplicated span's covered tokens rendered back to (normalized) text,
     * grouped by content: (passage, n_tokens, n_spans, n_docs), top `topN`
-    * by occurrence count (ties broken on passage text, so the cut is
-    * deterministic). The span relation is tiny relative to the corpus, so
-    * the join back to token arrays and the final top-N
-    * (TakeOrderedAndProject, bounded state) are cheap. */
+    * by occurrence count (ties broken on the passage's [[Text.hash60]], so
+    * the cut is deterministic and content-only on both engines).
+    *
+    * The aggregation groups by a 60-BIT CONTENT HASH of the passage, never
+    * the passage string: the render + hash is a narrow map fused into the
+    * span-tokens join (the string exists only inside its task), so the
+    * only passage-sized shuffle in the whole report is ~30 bytes/span of
+    * (hash, counts) — at corpus scale the full-string groupBy this
+    * replaces would shuffle every duplicated passage's text once per
+    * occurrence. Text is rendered for the ≤ `topN` WINNERS only, via one
+    * broadcast join back to their representative documents' token arrays
+    * (representative = lexicographic min (id, span) — deterministic, and
+    * any member renders identical text barring a 60-bit collision, the
+    * ~n²/2⁶¹ posture shared with every hash-keyed op here). */
   def topDuplicatedPassages(docs: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultGramTokens, minCount: Long = 2L,
       topN: Int = 20): DataFrame = {
     val spans = duplicatedSpans(docs, idCol, textCol, k, minCount)
     val toks = docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
-    spans.join(toks, "id")
+    val renderPassage = (toksCol: Column) => concat_ws(" ", slice(toksCol,
+      (col("span_start") + 1).cast("int"),
+      (col("span_end") - col("span_start") + 1).cast("int")))
+    val winners = spans.join(toks, "id")
       .select(
-        concat_ws(" ", slice(col("__toks"),
-          (col("span_start") + 1).cast("int"),
-          (col("span_end") - col("span_start") + 1).cast("int"))).as("passage"),
-        (col("span_end") - col("span_start") + 1).as("n_tokens"), col("id"))
-      .groupBy("passage", "n_tokens")
-      .agg(count(lit(1)).as("n_spans"), countDistinct(col("id")).as("n_docs"))
-      .orderBy(col("n_spans").desc, col("passage"))
+        Text.hash60(renderPassage(col("__toks"))).as("__ph"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"), col("id"),
+        col("span_start"), col("span_end"))
+      .groupBy("__ph", "n_tokens")
+      .agg(count(lit(1)).as("n_spans"), countDistinct(col("id")).as("n_docs"),
+        min(struct(col("id"), col("span_start"), col("span_end"))).as("__rep"))
+      .orderBy(col("n_spans").desc, col("__ph"))
       .limit(topN)
+    broadcast(winners
+        .select(col("n_tokens"), col("n_spans"), col("n_docs"),
+          col("__rep.id").as("id"), col("__rep.span_start").as("span_start"),
+          col("__rep.span_end").as("span_end")))
+      .join(toks, "id")
+      .select(renderPassage(col("__toks")).as("passage"),
+        col("n_tokens"), col("n_spans"), col("n_docs"))
+      .orderBy(col("n_spans").desc, col("passage"))
   }
 
   /** The Lee et al. REMEDIATION: remove every duplicated span from every
@@ -370,7 +391,10 @@ object SubstringDedup {
     s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)}
        |SELECT id, span_start, span_end, n_grams FROM spans""".stripMargin
 
-  /** DuckDB twin of [[topDuplicatedPassages]]. */
+  /** DuckDB twin of [[topDuplicatedPassages]] — same selection contract:
+    * top `topN` groups by count with ties broken on the passage's
+    * [[Text.sqlHash60]] (identical bits to the Spark side), then the final
+    * presentation sort on the rendered text. */
   def sqlTopDuplicatedPassages(docsTable: String, idExpr: String,
       textExpr: String, k: Int = DefaultGramTokens, minCount: Long = 2L,
       topN: Int = 20): String =
@@ -379,12 +403,15 @@ object SubstringDedup {
        |  SELECT array_to_string(list_slice(t.t, s.span_start + 1, s.span_end + 1), ' ') AS passage,
        |         s.span_end - s.span_start + 1 AS n_tokens, s.id
        |  FROM spans s JOIN toks t USING (id)
+       |), winners AS (
+       |  SELECT passage, n_tokens, count(*)::BIGINT AS n_spans,
+       |         count(DISTINCT id)::BIGINT AS n_docs
+       |  FROM passages GROUP BY 1, 2
+       |  ORDER BY n_spans DESC, ${Text.sqlHash60("passage")}
+       |  LIMIT $topN
        |)
-       |SELECT passage, n_tokens, count(*)::BIGINT AS n_spans,
-       |       count(DISTINCT id)::BIGINT AS n_docs
-       |FROM passages GROUP BY 1, 2
-       |ORDER BY n_spans DESC, passage
-       |LIMIT $topN""".stripMargin
+       |SELECT passage, n_tokens, n_spans, n_docs FROM winners
+       |ORDER BY n_spans DESC, passage""".stripMargin
 
   /** DuckDB twin of [[cutSpans]] — the kept-token comprehension mirrors
     * the Spark positional filter (0-based positions, inclusive spans). */

@@ -149,6 +149,37 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTest {
     assert(top === Seq((passage, 10L, 3L, 3L)), s"got ${top.toSeq}")
   }
 
+  test("hash-grouped passage report equals a direct string-grouped baseline") {
+    // multiple distinct passages with distinct counts, so the top-N
+    // selection exercises real ordering — the hash-group path must render
+    // exactly the text the full-string groupBy would have produced
+    val p3 = (1 to 10).map(i => s"three$i").mkString(" ")
+    val p2 = (1 to 9).map(i => s"two$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p3 ${uniq("a", 5)} $p2"),
+      (2L, s"${uniq("b", 5)} $p3 ${uniq("c", 3)}"),
+      (3L, s"$p2 ${uniq("d", 5)} $p3"),
+      (4L, uniq("e", 25))).toDF("id", "text")
+    val got = SubstringDedup.topDuplicatedPassages(docs, "id", "text", k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val baseline = {
+      import org.apache.spark.sql.functions._
+      SubstringDedup.duplicatedSpans(docs, "id", "text", k = 8)
+        .join(docs.select(col("id"),
+          graft.functions.Text.tokens(col("text")).as("t")), "id")
+        .select(concat_ws(" ", slice(col("t"),
+          (col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start") + 1).cast("int"))).as("passage"),
+          (col("span_end") - col("span_start") + 1).as("n_tokens"), col("id"))
+        .groupBy("passage", "n_tokens")
+        .agg(count(lit(1)).as("n_spans"), countDistinct(col("id")).as("n_docs"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (-t._3, t._1))
+    }
+    assert(got.toSeq === baseline.toSeq, s"got ${got.toSeq}\nbaseline ${baseline.toSeq}")
+    assert(got.map(_._1).toSet === Set(p3, p2), "both planted passages must surface")
+  }
+
   test("spansAgainst equals duplicatedSpans over corpus+batch restricted to batch ids") {
     val docs = Tables.documents(spark, Sf0001)
     val batch = docs.where($"doc_id" % 5 === 0)
