@@ -90,7 +90,7 @@ object SparkEntry {
     pqCache.filterInPlace { case (k, idx) =>
       if (k._1 == spark) { idx.codes.unpersist(); false } else true }
     Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
-        containmentDiskBuilt, gramsDiskBuilt)
+        containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -110,6 +110,7 @@ object SparkEntry {
     corpusSparseEmb(spark, dir).count()
     corpusContainmentDisk(spark, dir)
     corpusGramsDisk(spark, dir)
+    corpusWindowsDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -384,13 +385,21 @@ object SparkEntry {
     * scored), so the batch is deliberately small (every 499th doc) — the
     * dim join fans out by |batch windows|/64 per corpus window (see the
     * [[LateInteraction.maxSimJoin]] scaladoc). The production rendition
-    * with the full batch is [[qLateInteractionPruned]]. */
+    * with the full batch is [[qLateInteractionPruned]]. The corpus side
+    * reads the PERSISTED window index ([[corpusWindowsDisk]]) rather than
+    * re-windowing the corpus text per run; [[selfChecked]] re-proves
+    * index==fresh-build equality at Verify time. */
   private def qLateInteraction(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    LateInteraction.maxSimJoin(
-        docs.where(col("doc_id") % 499 === 0), "doc_id", "text",
-        docs, "doc_id", "text", k = 5)
-      .orderBy("query_id", "rank")
+    val queries = docs.where(col("doc_id") % 499 === 0)
+    selfChecked(
+      LateInteraction.maxSimJoin(queries, "doc_id", "text",
+          corpusWindowsDisk(spark, dir), k = 5)
+        .orderBy("query_id", "rank"),
+      LateInteraction.maxSimJoin(queries, "doc_id", "text",
+          docs, "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank"),
+      "persisted-window late-interaction join")
   }
 
   /** Late-interaction RETRIEVE-THEN-RERANK — the production two-stage
@@ -400,17 +409,25 @@ object SparkEntry {
     * embedding (the [[qHybridJoin]] vector branch, self included — it is
     * excluded again inside the rerank, keeping both engines' candidate
     * sets identical), then exact maxsim over candidates only. Candidate
-    * count bounds the window join, so cost is flat in corpus size. */
+    * count bounds the window join, and the corpus window relation comes
+    * from the PERSISTED index ([[corpusWindowsDisk]]) — per-run cost is
+    * flat in corpus size AND free of the corpus re-windowing shuffles;
+    * [[selfChecked]] re-proves index==fresh-build at Verify time. */
   private def qLateInteractionPruned(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val emb = corpusSparseEmb(spark, dir)
     val cand = VectorSearch.sparseKnnJoin(
         emb.where(col("id") % 97 === 0), emb, k = 20)
       .select(col("query_id"), col("id").as("nbr_id"))
-    LateInteraction.maxSimRerank(
-        docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
-        docs, "doc_id", "text", cand, k = 5)
-      .orderBy("query_id", "rank")
+    val queries = docs.where(col("doc_id") % 97 === 0)
+    selfChecked(
+      LateInteraction.maxSimRerank(queries, "doc_id", "text",
+          corpusWindowsDisk(spark, dir), cand, k = 5)
+        .orderBy("query_id", "rank"),
+      LateInteraction.maxSimRerank(queries, "doc_id", "text",
+          docs, "doc_id", "text", cand, k = 5)
+        .orderBy("query_id", "rank"),
+      "persisted-window late-interaction rerank")
   }
 
   /** The batch kNN join ANN-ROUTED through the DISK-persisted IVF index
@@ -1026,6 +1043,26 @@ object SparkEntry {
       p
     })
     IndexStore.loadGrams(spark, path)
+  }
+
+  /** The DISK-persisted late-interaction window index over the whole
+    * corpus ([[IndexStore.saveWindows]]) — the sixth index family's
+    * declared-query surface: daily retrieval loads the per-document
+    * window vectors from their dim-partitioned parquet instead of
+    * re-deriving them from raw text every run (the ColBERT encode-once
+    * posture). Written once per (session, sfDir). */
+  private val windowsDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusWindowsDisk(spark: SparkSession,
+      dir: String): graft.index.IndexStore.WindowIndex = {
+    val path = windowsDiskBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_windows_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      IndexStore.saveWindows(Tables.documents(spark, dir), "doc_id", "text",
+        LateInteraction.DefaultWindowTokens, p)
+      p
+    })
+    IndexStore.loadWindows(spark, path)
   }
 
   /** INCREMENTAL substring-span screen — the daily-ingest rendition of

@@ -9,26 +9,28 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** End-to-end streaming-ingest demo (the [[ScaleProbe]] sibling for the
-  * index-upkeep story): one runnable that drives ALL FIVE incremental
+  * index-upkeep story): one runnable that drives ALL SIX incremental
   * index paths together the way a production ingest would —
   *
   *   1. offline DDL on the first 20% of the corpus (`Ivf.build`/`Pq.build`
-  *      need trained centroids/codebooks; BM25, sign-LSH and containment
-  *      bases are saved for symmetry — the containment threshold is the
-  *      index's DDL),
+  *      need trained centroids/codebooks; BM25, sign-LSH, containment and
+  *      window bases are saved for symmetry — the containment threshold
+  *      and the window width are each index's DDL),
   *   2. the remaining 80% arrives as a Structured Streaming flow in
   *      rate-limited waves, fanned into `streamIntoBm25` /
   *      `streamIntoIvf` / `streamIntoSignLsh` / `streamIntoPq` /
-  *      `streamIntoContainment` (commit-marker batches — each wave is
-  *      visible to the next load the moment its marker lands),
+  *      `streamIntoContainment` / `streamIntoWindows` (commit-marker
+  *      batches — each wave is visible to the next load the moment its
+  *      marker lands),
   *   3. MID-STREAM, after each wave, the serving-side queries run against
   *      consistent snapshots (`load*`): BM25 top-10, ball-cover-exact
   *      batch kNN over the growing IVF, incremental near-dup dedup of the
   *      JUST-ARRIVED wave against the sign-LSH index-so-far, incremental
   *      CONTAINMENT screen of the wave's documents against the prefix
-  *      index-so-far, PQ/ADC top-10 — the reader/writer concurrency
-  *      contract exercised live,
-  *   4. streams stop, all five indexes compact (file-count bound; the
+  *      index-so-far, PQ/ADC top-10, late-interaction maxsim over the
+  *      growing window index — the reader/writer concurrency contract
+  *      exercised live,
+  *   4. streams stop, all six indexes compact (file-count bound; the
   *      containment compaction re-ranks prefixes against the merged df),
   *      and the same queries re-run — results must be IDENTICAL pre/post
   *      compaction.
@@ -71,18 +73,22 @@ object StreamIngestDemo {
         graft.embed.Embedder.TestdataDim), dir("lsh"))
     IndexStore.savePq(Pq.build(baseEmbs, "vec_id", "embedding"), dir("pq"))
     IndexStore.saveContainment(baseDocs, "doc_id", "text", 0.9, dir("cont"))
+    IndexStore.saveWindows(baseDocs, "doc_id", "text",
+      graft.search.LateInteraction.DefaultWindowTokens, dir("win"))
     println(f"STREAMDEMO ddl_base_sec ${(System.nanoTime() - t0) / 1e9}%.2f")
 
     // ---- 2. the remaining 80% arrives as four streaming upkeep flows ----
     // one MemoryStream per consumer: a query's offset commit truncates the
     // shared buffer, so fanning one stream into three sinks would race
-    val docStreams = Seq.fill(2)(MemoryStream[(Long, String)](spark))
+    val docStreams = Seq.fill(3)(MemoryStream[(Long, String)](spark))
     val embStreams = Seq.fill(3)(MemoryStream[(Long, Seq[Double])](spark))
     val queries = Seq(
       IndexStore.streamIntoBm25(docStreams(0).toDF().toDF("doc_id", "text"),
         "doc_id", "text", dir("bm25"), dir("ck_bm25")),
       IndexStore.streamIntoContainment(docStreams(1).toDF().toDF("doc_id", "text"),
         "doc_id", "text", dir("cont"), dir("ck_cont")),
+      IndexStore.streamIntoWindows(docStreams(2).toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir("win"), dir("ck_win")),
       IndexStore.streamIntoIvf(embStreams(0).toDF().toDF("vec_id", "embedding"),
         "vec_id", "embedding", dir("ivf"), dir("ck_ivf")),
       IndexStore.streamIntoSignLsh(embStreams(1).toDF().toDF("vec_id", "embedding"),
@@ -136,9 +142,15 @@ object StreamIngestDemo {
             embs("vec_id") === pq.codes("id")).select("vec_id", "embedding"),
           "vec_id", "embedding", queryVec, k = 10,
           overfetch = math.max(100, (pq.n / 2).toInt)).collect()
+      // late interaction over the growing window index: a 4-doc query
+      // batch maxsim-scored against every indexed document's windows —
+      // the corpus text is never re-windowed mid-stream
+      val maxsim = graft.search.LateInteraction.maxSimJoin(
+        docs.where(col("doc_id") % 499 === 0).limit(4), "doc_id", "text",
+        IndexStore.loadWindows(spark, dir("win")), k = 3).collect()
       println(f"STREAMDEMO wave$wave%d_queries_sec ${(System.nanoTime() - t) / 1e9}%.2f " +
         s"bm25=${bm.length} knn=${knn.length} wave_neardups=$dups " +
-        s"wave_containments=$contained adc=${adc.length} " +
+        s"wave_containments=$contained adc=${adc.length} maxsim=${maxsim.length} " +
         s"indexed=${IndexStore.loadIvf(spark, dir("ivf")).sizes.values.sum}")
     }
 
@@ -166,7 +178,7 @@ object StreamIngestDemo {
         else if (f.getName.endsWith(".parquet")) 1 else 0
       walk(new java.io.File(p))
     }
-    val before = Seq("bm25", "ivf", "lsh", "pq", "cont")
+    val before = Seq("bm25", "ivf", "lsh", "pq", "cont", "win")
       .map(n => parquetFiles(dir(n))).sum
     val bmPre = TextSearch.search(IndexStore.loadBm25(spark, dir("bm25")),
       queryText, 10).collect().toSeq
@@ -175,14 +187,20 @@ object StreamIngestDemo {
         "text", IndexStore.loadContainment(spark, dir("cont")), 0.9)
       .orderBy("id1", "id2").collect().toSeq
     val contPre = contScreen()
+    def maxsimScreen() = graft.search.LateInteraction.maxSimJoin(
+        docs.where(col("doc_id") % 499 === 0).limit(4), "doc_id", "text",
+        IndexStore.loadWindows(spark, dir("win")), k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val maxsimPre = maxsimScreen()
     val tC = System.nanoTime()
     IndexStore.compactBm25(spark, dir("bm25"))
     IndexStore.compactIvf(spark, dir("ivf"))
     IndexStore.compactSignLsh(spark, dir("lsh"))
     IndexStore.compactPq(spark, dir("pq"))
     IndexStore.compactContainment(spark, dir("cont"))
+    IndexStore.compactWindows(spark, dir("win"))
     println(f"STREAMDEMO compact_sec ${(System.nanoTime() - tC) / 1e9}%.2f")
-    val after = Seq("bm25", "ivf", "lsh", "pq", "cont")
+    val after = Seq("bm25", "ivf", "lsh", "pq", "cont", "win")
       .map(n => parquetFiles(dir(n))).sum
     println(s"STREAMDEMO parquet_files before=$before after=$after")
     val bmPost = TextSearch.search(IndexStore.loadBm25(spark, dir("bm25")),
@@ -192,6 +210,7 @@ object StreamIngestDemo {
     // holds — the screen's output must not move (recall is the bound, not
     // the ranking)
     require(contPre == contScreen(), "compaction changed containment answers")
+    require(maxsimPre == maxsimScreen(), "compaction changed maxsim answers")
     val finalIvf = IndexStore.loadIvf(spark, dir("ivf"))
     require(finalIvf.sizes.values.sum == nEmbs,
       s"indexed ${finalIvf.sizes.values.sum} of $nEmbs vectors")

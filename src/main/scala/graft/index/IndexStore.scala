@@ -562,6 +562,139 @@ object IndexStore {
     swapStaged(spark, path, staged, Seq("hashes", "meta", "marks"))
   }
 
+  // ---------------------------------------------------------------- windows
+  //
+  // The late-interaction multi-vector index: each document's windowed
+  // sparse vectors ([[graft.search.LateInteraction.windowVectors]] shape —
+  // (id, w, dim, val), one row per non-zero window coordinate), persisted
+  // so daily retrieval stops re-deriving the corpus window relation from
+  // raw text (posexplode + two groupBys over every corpus token, per run —
+  // ColBERT deployments encode the corpus ONCE). Window vectors are a
+  // PER-DOCUMENT pure function of the document's own text (no corpus-wide
+  // statistics — unlike BM25's df there is nothing to merge), so a batch
+  // append is simply the batch's window vectors and any load-time union of
+  // batches is exact by construction.
+  //
+  // Layout per batch (base = -1, streaming micro-batches = foreachBatch id):
+  //
+  //   windows/batch=N/dim=D/  (id, w, val)     — per-batch window vectors
+  //   meta/                   (window_tokens)  — window width = the DDL
+  //   marks/batch=N/          (n)              — row count, written last =
+  //                                              COMMIT MARKER
+  //
+  // Partitioned by `dim` — the maxsim equi-join key — so a rerank whose
+  // query windows touch a subset of dims scans only those dims' files, and
+  // the scan ships (id, w, val) rows, never text. Same crash contract as
+  // every index here: a batch dynamically OVERWRITES its own partitions,
+  // the marker commits last, replay converges.
+
+  /** A loaded window index: committed window vectors (id, w, dim, val)
+    * and the window width the index was built with (its DDL — queries
+    * must window at the same width, enforced by the consuming operator
+    * taking the width FROM the index). */
+  case class WindowIndex(windows: org.apache.spark.sql.DataFrame,
+      windowTokens: Int)
+
+  /** Build and persist the window index over `docs` — Overwrite = S7
+    * `--replace` semantics. `windowTokens` is the index's DDL. */
+  def saveWindows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, windowTokens: Int, path: String): Unit =
+    writeWindowsBase(
+      graft.search.LateInteraction.windowVectors(docs, idCol, textCol,
+        windowTokens),
+      windowTokens, path, batchId = -1L, overwriteAll = true)
+
+  private def writeWindowsBase(wv: org.apache.spark.sql.DataFrame,
+      windowTokens: Int, path: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
+    val spark = wv.sparkSession
+    import spark.implicits._
+    def writer(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.write.mode(SaveMode.Overwrite)
+      if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic")
+    }
+    writer(wv.withColumn("batch", lit(batchId)))
+      .partitionBy("batch", "dim").parquet(s"$path/windows")
+    if (overwriteAll)
+      Seq(windowTokens).toDF("window_tokens")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // row count of the just-written partition (metadata-cheap pruned read —
+    // the appendBatchPq discipline: never re-run the window job for the
+    // marker), written last = commit marker
+    // an all-null-text batch writes no files at all — the schema-less read
+    // is the one legitimate AnalysisException here, and it means 0 rows
+    val written = try {
+      spark.read.parquet(s"$path/windows")
+        .where(col("batch") === batchId).count()
+    } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    writer(Seq((written, batchId)).toDF("n", "batch"))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Window one micro-batch of NEW documents (R17 skip-existing contract)
+    * into a persisted window index. Work ∝ batch; idempotent at every
+    * crash point (marks are the commit). Requires a [[saveWindows]] base —
+    * the window width is the index DDL and lives in `meta`. */
+  def appendBatchWindows(batch: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    val w = windowTokens(spark, path)
+    writeWindowsBase(
+      graft.search.LateInteraction.windowVectors(batch, idCol, textCol, w),
+      w, path, batchId, overwriteAll = false)
+  }
+
+  /** Streaming index upkeep — the window member of the
+    * [[streamIntoBm25]]/[[streamIntoGrams]] family: incoming documents are
+    * windowed as they arrive; each completed batch is immediately visible
+    * to the next [[loadWindows]]. */
+  def streamIntoWindows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchWindows(b, idCol, textCol, path, id)
+      }
+      .start()
+
+  private def windowTokens(spark: SparkSession, path: String): Int = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$path/meta"), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"no window index meta under $path — appendBatchWindows requires a " +
+        "saveWindows base (the window width is the index DDL)")
+    spark.read.parquet(s"$path/meta").head.getInt(0)
+  }
+
+  /** Consistent snapshot at the latest commit markers (same contract as
+    * [[loadGrams]]): only committed batches are visible, dim partition
+    * pruning available. */
+  def loadWindows(spark: SparkSession, path: String): WindowIndex = {
+    val batches = committedBatches(spark, s"$path/marks")
+    WindowIndex(
+      windows = spark.read.parquet(s"$path/windows")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select("id", "w", "dim", "val"),
+      windowTokens = windowTokens(spark, path))
+  }
+
+  /** Fold every committed batch back into one base partition — same
+    * maintenance contract (and offline-window caveat) as [[compactGrams]].
+    * No re-derivation: window vectors are content-pure, so compaction is a
+    * straight rewrite of the committed rows. */
+  def compactWindows(spark: SparkSession, path: String): Unit = {
+    val snapshot = loadWindows(spark, path)
+    val staged = s"$path/.compact"
+    writeWindowsBase(snapshot.windows, snapshot.windowTokens, staged,
+      batchId = -1L, overwriteAll = true)
+    swapStaged(spark, path, staged, Seq("windows", "meta", "marks"))
+  }
+
   // ------------------------------------------------------------------- IVF
   //
   // On-disk layout follows the BM25/sign-LSH batch pattern — per batch

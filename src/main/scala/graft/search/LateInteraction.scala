@@ -63,6 +63,14 @@ object LateInteraction {
     * relation. Larger batches belong on [[maxSimRerank]]. */
   val MaxExhaustiveBatch = 4096
 
+  /** Cap on the CANDIDATE-PAIR side of [[maxSimRerank]] — the relation is
+    * broadcast, so an unbounded first stage (a retriever bug emitting the
+    * cross product, say) must fail loudly rather than detonate executor
+    * memory. 2²⁰ (query, nbr) pairs ≈ 16 MB broadcast — comfortably inside
+    * the [[VectorSearch.MaxQueryBatch]] broadcast posture, and far above
+    * any sane top-k fan-out (65k queries × 16 candidates each). */
+  val MaxRerankCandidates = 1 << 20
+
   private def requireExhaustiveBatch(queries: DataFrame): Unit = {
     val n = queries.limit(MaxExhaustiveBatch + 1).count()
     require(n <= MaxExhaustiveBatch,
@@ -71,6 +79,18 @@ object LateInteraction {
         "per corpus window and would build an enormous pre-aggregation " +
         "relation. Use maxSimRerank with first-stage candidates " +
         "(pooled-vector ANN / BM25) for large batches.")
+  }
+
+  /** Loud guard on |candidates| — `limit(n+1).count()` stops the probe
+    * early, the [[VectorSearch.requireBoundedBatch]] discipline. */
+  private def requireBoundedCandidates(candidates: DataFrame): Unit = {
+    val n = candidates.limit(MaxRerankCandidates + 1).count()
+    require(n <= MaxRerankCandidates,
+      s"LateInteraction.maxSimRerank: candidate relation has > " +
+        s"$MaxRerankCandidates rows; candidates are broadcast, so an " +
+        "unbounded first stage is a memory blow-up, not a planned " +
+        "degradation. Tighten the first-stage retriever's top-k (the " +
+        "candidate count should be |queries| × a small per-query k).")
   }
 
   /** Windowed sparse multi-vector representation: one row per
@@ -113,6 +133,17 @@ object LateInteraction {
         cIdCol, cTextCol, windowTokens)
       .select(col("id").as("nbr_id"), col("w").as("__dw"),
         col("dim"), col("val").as("__dval"))
+
+  /** The corpus window relation read FROM a persisted index
+    * ([[graft.index.IndexStore.loadWindows]]) instead of re-derived from
+    * text — the production daily-retrieval shape: the per-run cost drops
+    * from three shuffles over every corpus token to one columnar scan of
+    * (id, w, dim, val), dim-partition-pruned to the dims the join
+    * touches. */
+  private def corpusWindowsFromIndex(
+      index: graft.index.IndexStore.WindowIndex): DataFrame =
+    index.windows.select(col("id").as("nbr_id"), col("w").as("__dw"),
+      col("dim"), col("val").as("__dval"))
 
   /** The maxsim algebra over an already-joined window-pair relation
     * (query_id, __qw, nbr_id, __dw, __qval, __dval): dot per window pair
@@ -167,6 +198,18 @@ object LateInteraction {
     rankMaxSim(dw.join(qw, "dim"), k)
   }
 
+  /** [[maxSimJoin]] against a PERSISTED window index: identical semantics
+    * and guards, but the corpus side is the loaded (id, w, dim, val)
+    * relation — no per-run corpus window rebuild. The window width is the
+    * index's DDL, so queries window at `index.windowTokens` by
+    * construction. */
+  def maxSimJoin(queries: DataFrame, qIdCol: String, qTextCol: String,
+      index: graft.index.IndexStore.WindowIndex, k: Int): DataFrame = {
+    requireExhaustiveBatch(queries)
+    val qw = queryWindows(queries, qIdCol, qTextCol, index.windowTokens)
+    rankMaxSim(corpusWindowsFromIndex(index).join(qw, "dim"), k)
+  }
+
   /** The PRODUCTION late-interaction shape — retrieve-then-rerank, the
     * two-stage architecture ColBERT systems deploy: a first-stage
     * retriever supplies `candidates` (query_id, nbr_id) — pooled-vector
@@ -192,11 +235,30 @@ object LateInteraction {
       candidates: DataFrame, k: Int,
       windowTokens: Int = DefaultWindowTokens): DataFrame = {
     VectorSearch.requireBoundedBatch(queries, "LateInteraction.maxSimRerank")
+    requireBoundedCandidates(candidates)
     val qw = queryWindows(queries, qIdCol, qTextCol, windowTokens)
     val cand = broadcast(
       candidates.select(col("query_id"), col("nbr_id")).distinct())
     val dw = corpusWindows(corpus, cIdCol, cTextCol, windowTokens)
     rankMaxSim(dw.join(cand, Seq("nbr_id")).join(qw, Seq("query_id", "dim")), k)
+  }
+
+  /** [[maxSimRerank]] against a PERSISTED window index — the production
+    * daily-retrieval plan: first-stage candidates bound the scored set,
+    * the index bounds the per-run corpus work (one dim-partitioned
+    * columnar scan; the corpus text is never re-windowed). Semantics,
+    * guards, and the ID-SPACE CONTRACT are identical to the text-derived
+    * form; the window width comes from the index DDL. */
+  def maxSimRerank(queries: DataFrame, qIdCol: String, qTextCol: String,
+      index: graft.index.IndexStore.WindowIndex, candidates: DataFrame,
+      k: Int): DataFrame = {
+    VectorSearch.requireBoundedBatch(queries, "LateInteraction.maxSimRerank")
+    requireBoundedCandidates(candidates)
+    val qw = queryWindows(queries, qIdCol, qTextCol, index.windowTokens)
+    val cand = broadcast(
+      candidates.select(col("query_id"), col("nbr_id")).distinct())
+    rankMaxSim(corpusWindowsFromIndex(index)
+      .join(cand, Seq("nbr_id")).join(qw, Seq("query_id", "dim")), k)
   }
 
   /** The shared window-vector CTEs (toks → wt → rawv → norms → wvec) —

@@ -290,6 +290,59 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("saveContainment base"))
   }
 
+  test("window index lifecycle: load equals fresh windowVectors, crash-replay idempotent, compacts") {
+    import graft.search.LateInteraction
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("winidx").toString
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").cache()
+    val base = docs.where($"doc_id" % 3 === 0)
+    val b0 = docs.where($"doc_id" % 3 === 1)
+    val b1 = docs.where($"doc_id" % 3 === 2)
+    IndexStore.saveWindows(base, "doc_id", "text",
+      LateInteraction.DefaultWindowTokens, dir)
+    def rows(idx: IndexStore.WindowIndex) = idx.windows
+      .orderBy("id", "w", "dim")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    def fresh(d: org.apache.spark.sql.DataFrame) =
+      LateInteraction.windowVectors(d, "doc_id", "text")
+        .orderBy("id", "w", "dim")
+        .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(rows(IndexStore.loadWindows(spark, dir)) === fresh(base))
+    assert(IndexStore.loadWindows(spark, dir).windowTokens ===
+      LateInteraction.DefaultWindowTokens)
+
+    // crash-point simulation: batch 0's window rows land but the marks
+    // marker never does — a reader sees ONLY the committed base
+    LateInteraction.windowVectors(b0, "doc_id", "text")
+      .withColumn("batch", lit(0L))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "dim").parquet(s"$dir/windows")
+    assert(rows(IndexStore.loadWindows(spark, dir)) === fresh(base))
+
+    // foreachBatch retry re-delivers batch 0, then batch 1; a replay of a
+    // committed batch is a no-op — the union equals one fresh build
+    IndexStore.appendBatchWindows(b0, "doc_id", "text", dir, batchId = 0L)
+    IndexStore.appendBatchWindows(b1, "doc_id", "text", dir, batchId = 1L)
+    IndexStore.appendBatchWindows(b0, "doc_id", "text", dir, batchId = 0L)
+    assert(rows(IndexStore.loadWindows(spark, dir)) === fresh(docs))
+
+    // compaction folds the 3 batches into one base partition, same rows
+    IndexStore.compactWindows(spark, dir)
+    assert(rows(IndexStore.loadWindows(spark, dir)) === fresh(docs))
+    val batchDirs = new java.io.File(s"$dir/windows").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs.toSeq === Seq("batch=-1"))
+
+    // the window width is index DDL: appends onto a path with no meta
+    // fail loudly instead of guessing
+    val emptyDir = Files.createTempDirectory("winempty").toString + "/idx"
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.appendBatchWindows(b0, "doc_id", "text", emptyDir, 0L)
+    }.getMessage.contains("saveWindows base"))
+  }
+
   test("batch appends bootstrap a FRESH index path (no prior save* base)") {
     import graft.dedup.Dedup
     // BM25: a stream's first micro-batch onto an empty path must succeed

@@ -133,6 +133,43 @@ class LateInteractionSpec extends AnyFunSuite with SparkTest {
       s"only candidates may be scored: ${got.toSeq}")
   }
 
+  test("persisted-index join and rerank equal the fresh-build forms") {
+    val docs = Tables.documents(spark, Sf0001).limit(60).cache()
+    val queries = docs.where($"doc_id" % 7 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("li_widx").toString
+    graft.index.IndexStore.saveWindows(docs, "doc_id", "text",
+      LateInteraction.DefaultWindowTokens, dir)
+    val idx = graft.index.IndexStore.loadWindows(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(LateInteraction.maxSimJoin(queries, "doc_id", "text", idx, k = 3)) ===
+      rows(LateInteraction.maxSimJoin(queries, "doc_id", "text",
+        docs, "doc_id", "text", k = 3)),
+      "indexed exhaustive join must equal the text-derived form")
+    val cand = VectorSearch.sparseKnnJoin(
+        graft.embed.EmbedJob.embedRelational(queries, "doc_id", "text"),
+        graft.embed.EmbedJob.embedRelational(docs, "doc_id", "text"), k = 10)
+      .select($"query_id", $"id".as("nbr_id"))
+    assert(rows(LateInteraction.maxSimRerank(queries, "doc_id", "text",
+        idx, cand, k = 3)) ===
+      rows(LateInteraction.maxSimRerank(queries, "doc_id", "text",
+        docs, "doc_id", "text", cand, k = 3)),
+      "indexed rerank must equal the text-derived form")
+  }
+
+  test("an unbounded candidate relation fails loudly before any broadcast") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("id", "text")
+    val tooMany = spark.range(LateInteraction.MaxRerankCandidates + 1)
+      .select($"id".as("query_id"), $"id".as("nbr_id"))
+    val e = intercept[IllegalArgumentException] {
+      LateInteraction.maxSimRerank(docs.where($"id" === 1L), "id", "text",
+        docs, "id", "text", tooMany, k = 3)
+    }
+    assert(e.getMessage.contains("candidate relation"),
+      s"guard must name the candidate side: ${e.getMessage}")
+  }
+
   test("plan: query windows broadcast, no cartesian product") {
     val docs = Tables.documents(spark, Sf0001).limit(40)
     val plan = LateInteraction.maxSimJoin(docs.where($"doc_id" % 7 === 0),
