@@ -17,6 +17,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,8 +29,22 @@ object Bench {
     // outside the timed window so index-backed queries measure the PROBE
     SparkEntry.warmIndexes(spark, sfDir)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // GC + heap receipts: the r6 driver artifact carried one inflated
+    // timing (158 s vs a 3 s idle truth) with NOTHING to tell memory
+    // pressure from co-tenancy — per-iteration GC-time deltas and a
+    // per-query peak-heap watermark make a contaminated run self-
+    // diagnosing (big gc_ms ⇒ heap pressure in THIS JVM; flat gc_ms with
+    // inflated wall time ⇒ external contention).
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ >= 0).sum
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP)
     def timeOnce(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // toRdd.count(): force FULL materialization of every output column.
       // A plain df.count() lets Catalyst prune all columns (and drop
@@ -44,17 +59,21 @@ object Bench {
           failed += name
           System.err.println(s"BENCH FAIL $name: ${e.toString.take(300)}")
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
     }
     // local-iteration filter (unset for driver runs): comma-separated
     // query names — time just those
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet)
-    val perIter = SparkEntry.queries
+    val perIterFull = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        name -> (1 to iters).map(_ => timeOnce(name, fn))
+        heapPools.foreach(_.resetPeakUsage())
+        val obs = (1 to iters).map(_ => timeOnce(name, fn))
+        val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+        (name, obs, peakMb)
       }
+    val perIter = perIterFull.map { case (name, obs, _) => name -> obs.map(_._1) }.toMap
     val results = perIter.map { case (name, ts) => name -> ts.min }
     val loadEnd = osBean.getSystemLoadAverage
     def r3(v: Double): String = BigDecimal(v)
@@ -67,7 +86,13 @@ object Bench {
     val itersJson = perIter.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    println(s"""BENCH_DETAIL {"iters":$itersJson,"iters_n":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+    val gcJson = perIterFull.map { case (k, obs, _) =>
+      s"\"" + k + "\":" + obs.map(_._2.toString).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val heapJson = perIterFull.map { case (k, _, peakMb) =>
+      s"\"" + k + "\":" + peakMb
+    }.mkString("{", ",", "}")
+    println(s"""BENCH_DETAIL {"iters":$itersJson,"gc_ms":$gcJson,"peak_heap_mb":$heapJson,"iters_n":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     // The contract line: ONE compact JSON line, last thing on stdout,
     // and it must fit the consumer's ~2KB tail window WHOLE (a truncated
     // line is unparseable — the r1-r4 failure). 3-decimal seconds fit

@@ -42,8 +42,21 @@ object Tables {
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      case TimestampNTZType =>
+        // the NTZ→TZ cast is value-preserving ONLY in a UTC session — a
+        // non-UTC session would silently shift every event instant away
+        // from what the DuckDB oracle computes, so refuse loudly instead
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events(): the TIMESTAMP_NTZ fixture requires " +
+            "spark.sql.session.timeZone=UTC for oracle parity; set it in " +
+            "the SparkSession builder")
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      // a drifted fixture (string/int ts) must fail at load, not flow on
+      // to mysterious oracle mismatches — this loader exists for parity
+      case other => throw new IllegalStateException(
+        s"events.parquet ts has unexpected type $other; expected " +
+          "TIMESTAMP(NANOS) (legacy long), TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
 
