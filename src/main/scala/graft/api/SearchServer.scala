@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *     part of the observable API; the frontend displays them verbatim).
   *   - `GET /api/restaurants` — distinct restaurant names ascending
   *     (`backend/api.py:80-95`).
+  *   - with a `frontendDir` (the reference-shaped `frontend/` tree),
+  *     `GET /` renders `templates/index.html` (Flask's `url_for('static',
+  *     …)` is the only template construct it uses — rendered to `/static/…`)
+  *     and `GET /static/...` serves the assets, confined to the static root
+  *     (`app.py:16-20,44-46`).
   *
   * Zero new dependencies: JDK `HttpServer` + the Jackson that ships with
   * Spark. The server is a thin adapter — each request builds the same
@@ -37,19 +42,22 @@ final class SearchServer(
     tbl: FoodFinder.SearchTable,
     embedder: Embedder = Embedder.default,
     textIndex: Option[TextSearch.Bm25Index] = None,
-    restaurantCol: String = "restaurantName") {
+    restaurantCol: String = "restaurantName",
+    frontendDir: Option[java.nio.file.Path] = None) {
   private val mapper = new ObjectMapper()
 
   /** Bad request carrying the reference's user-facing message. */
   private final class BadRequest(val message: String) extends RuntimeException(message)
 
-  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
-    val bytes = body.getBytes("UTF-8")
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+  private def respondBytes(ex: HttpExchange, status: Int, bytes: Array[Byte],
+      contentType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()
   }
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit =
+    respondBytes(ex, status, body.getBytes("UTF-8"), "application/json")
   private def message(s: String): String =
     mapper.createObjectNode().put("message", s).toString
 
@@ -163,18 +171,102 @@ final class SearchServer(
       })
     route("/api/search", "POST", handleSearch)
     route("/api/restaurants", "GET", handleRestaurants)
+    frontendDir.foreach(mountFrontend(server, _))
     server.start()
     server
+  }
+
+  // ------------------------------------------------------------- frontend
+  //
+  // The reference ships a static UI (`frontend/templates/index.html`,
+  // `frontend/static/{css,js}` — `app.py:16-20` points Flask at those two
+  // folders and `app.py:44-46` renders index.html at "/"). The JS calls
+  // exactly the two API routes above (`frontend/static/js/main.js:171-236`),
+  // so serving the reference-shaped asset tree closes the last runnable
+  // surface: a reference user's browser workflow works against this server
+  // unchanged.
+
+  private def assetContentType(name: String): String =
+    name.takeRight(name.length - name.lastIndexOf('.') - 1) match {
+      case "html" => "text/html; charset=utf-8"
+      case "css"  => "text/css; charset=utf-8"
+      case "js"   => "text/javascript; charset=utf-8"
+      case "png"  => "image/png"
+      case "svg"  => "image/svg+xml"
+      case "ico"  => "image/x-icon"
+      case _      => "application/octet-stream"
+    }
+
+  /** The one template expression index.html uses is Flask's
+    * `url_for('static', filename='x')`, which renders to `/static/x` — the
+    * minimal render that makes the reference's own template serve as-is
+    * (it uses no other Jinja constructs). */
+  private def renderTemplate(html: String): String =
+    """\{\{\s*url_for\(\s*'static'\s*,\s*filename\s*=\s*'([^']+)'\s*\)\s*\}\}""".r
+      .replaceAllIn(html, m => "/static/" + m.group(1))
+
+  private def mountFrontend(server: HttpServer,
+      dir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val templates = dir.resolve("templates")
+    val static = dir.resolve("static").toAbsolutePath.normalize()
+    // "/" is the JDK HttpServer's catch-all context, but longest-prefix
+    // dispatch still sends /api/* and /static/* to their own contexts —
+    // so this context only ever sees the index route and unknown paths,
+    // which Flask 404s (the same gating posture as the API routes)
+    server.createContext("/", { ex =>
+      try {
+        if (ex.getRequestMethod != "GET") {
+          ex.getResponseHeaders.set("Allow", "GET")
+          respond(ex, 405, message("Method Not Allowed"))
+        } else if (ex.getRequestURI.getPath == "/") {
+          val html = renderTemplate(
+            Files.readString(templates.resolve("index.html")))
+          respondBytes(ex, 200, html.getBytes("UTF-8"),
+            assetContentType("index.html"))
+        } else respond(ex, 404, message("Not Found"))
+      } catch {
+        case e: Throwable =>
+          respond(ex, 500, message(Option(e.getMessage).getOrElse(e.toString).take(500)))
+      }
+    })
+    server.createContext("/static/", { ex =>
+      try {
+        if (ex.getRequestMethod != "GET") {
+          ex.getResponseHeaders.set("Allow", "GET")
+          respond(ex, 405, message("Method Not Allowed"))
+        } else {
+          // URI.getPath is already percent-DECODED, so an encoded
+          // `%2e%2e` traversal lands here as literal dots; normalize()
+          // folds every ../ and the startsWith check confines the result
+          // to the static root — anything escaping it is the same 404 a
+          // missing file gets (no oracle for "exists outside the root")
+          val rel = ex.getRequestURI.getPath.stripPrefix("/static/")
+          val target = static.resolve(rel).normalize()
+          if (!target.startsWith(static) || !Files.isRegularFile(target))
+            respond(ex, 404, message("Not Found"))
+          else respondBytes(ex, 200, Files.readAllBytes(target),
+            assetContentType(target.getFileName.toString))
+        }
+      } catch {
+        case e: Throwable =>
+          respond(ex, 500, message(Option(e.getMessage).getOrElse(e.toString).take(500)))
+      }
+    })
   }
 }
 
 /** Standalone entry point: serve a product-detail parquet.
-  * `runMain graft.api.SearchServer <detail.parquet> [port]` — the
-  * `app.py` lifecycle: load the table, derive the search surface, listen. */
+  * `runMain graft.api.SearchServer <detail.parquet> [port] [frontendDir]` —
+  * the `app.py` lifecycle: load the table, derive the search surface,
+  * listen. `frontendDir` (a reference-shaped `frontend/` tree with
+  * `templates/` + `static/`) additionally serves the UI at `/`. */
 object SearchServer {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: SearchServer <detail.parquet> [port]")
+    require(args.nonEmpty,
+      "usage: SearchServer <detail.parquet> [port] [frontendDir]")
     val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val frontend = args.lift(2).map(java.nio.file.Paths.get(_))
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", 4)
@@ -191,7 +283,8 @@ object SearchServer {
     val idx = TextSearch.buildIndex(df, "_id", "title")
     val server = new SearchServer(tbl,
       textIndex = Some(idx.copy(postings = idx.postings.cache(),
-        termDf = idx.termDf.cache())))
+        termDf = idx.termDf.cache())),
+      frontendDir = frontend)
       .start(port)
     println(s"SEARCHSERVER listening on port ${server.getAddress.getPort}")
   }

@@ -150,6 +150,86 @@ class SearchServerSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("frontend: index.html renders, assets serve, traversal is confined") {
+    // the reference's own frontend tree shape: templates/index.html with
+    // Flask url_for links + static/{css,js}; a secret outside static/
+    // must be unreachable through the asset route
+    val root = java.nio.file.Files.createTempDirectory("frontend")
+    java.nio.file.Files.createDirectories(root.resolve("templates"))
+    java.nio.file.Files.createDirectories(root.resolve("static/css"))
+    java.nio.file.Files.createDirectories(root.resolve("static/js"))
+    java.nio.file.Files.writeString(root.resolve("templates/index.html"),
+      """<html><head>
+        |<link rel="stylesheet" href="{{ url_for('static', filename='css/styles.css') }}" />
+        |</head><body><h1>Food Finder</h1>
+        |<script src="{{ url_for('static', filename='js/main.js') }}"></script>
+        |</body></html>""".stripMargin)
+    java.nio.file.Files.writeString(root.resolve("static/css/styles.css"),
+      "body { margin: 0; }")
+    java.nio.file.Files.writeString(root.resolve("static/js/main.js"),
+      "fetch('/api/restaurants');")
+    java.nio.file.Files.writeString(root.resolve("secret.txt"), "do not serve")
+    val srv = new SearchServer(
+      FoodFinder.SearchTable(detail, "_id", "emb_description", "title"),
+      frontendDir = Some(root)).start(0)
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def fget(path: String): (Int, String) = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(b + path)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val (ci, index) = fget("/")
+      assert(ci === 200 && index.contains("Food Finder"))
+      assert(index.contains("/static/css/styles.css") &&
+        index.contains("/static/js/main.js"),
+        s"url_for must render to /static/ links: $index")
+      assert(!index.contains("{{"), "no unrendered template expressions")
+      val (cjs, js) = fget("/static/js/main.js")
+      assert(cjs === 200 && js.contains("/api/restaurants"))
+      assert(fget("/static/css/styles.css")._1 === 200)
+      // API routes still win longest-prefix dispatch over "/"
+      val r = http.send(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(b + "/api/restaurants")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200 && r.body().startsWith("["))
+      // traversal attempts: plain ../, encoded %2e%2e, missing file,
+      // non-root path on "/" — all 404, never the secret
+      for (p <- Seq("/static/../secret.txt", "/static/%2e%2e/secret.txt",
+          "/static/nope.js", "/elsewhere")) {
+        val (code, body) = fget(p)
+        assert(code === 404, s"$p must 404, got $code")
+        assert(!body.contains("do not serve"), s"$p leaked the secret")
+      }
+    } finally srv.stop(0)
+  }
+
+  test("frontend: the reference's own asset tree serves as-is") {
+    val ref = java.nio.file.Paths.get("/root/reference/frontend")
+    assume(java.nio.file.Files.isDirectory(ref), "reference frontend absent")
+    val srv = new SearchServer(
+      FoodFinder.SearchTable(detail, "_id", "emb_description", "title"),
+      frontendDir = Some(ref)).start(0)
+    try {
+      val b = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      def fget(path: String): (Int, String) = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(b + path)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      val (ci, index) = fget("/")
+      assert(ci === 200 && index.contains("Food Finder"))
+      assert(!index.contains("{{"),
+        "the reference template's url_for links must render")
+      val (cjs, js) = fget("/static/js/main.js")
+      assert(cjs === 200 && js.contains("/api/search"),
+        "the reference JS calls the API this server implements")
+      assert(fget("/static/css/styles.css")._1 === 200)
+    } finally srv.stop(0)
+  }
+
   test("hybrid mode over HTTP returns fused scores with detail columns") {
     val (code, body) = post("/api/search",
       """{"mode":"hybrid","description":"nuggets de pollo","title":"Desayuno Box","limit":3}""")
