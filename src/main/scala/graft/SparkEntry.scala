@@ -94,6 +94,16 @@ object SparkEntry {
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
+  /** Test hook: per-session cache entries across every TrieMap — lets the
+    * lifecycle spec assert [[clearCaches]] really evicts a stopped
+    * session's entries (and nothing else's). */
+  private[graft] def cachedEntryCount(spark: SparkSession): Int =
+    Seq[scala.collection.concurrent.TrieMap[(SparkSession, String), _]](
+        searchTableCache, sparseEmbCache, bm25Cache, ivfCache, pqCache,
+        signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
+        containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt)
+      .map(_.keys.count(_._1 == spark)).sum
+
   /** Build (and cache-materialize) the session's index DDL artifacts — the
     * reference's offline lifecycle (`indexes.py` runs once before serving).
     * Bench calls this outside the timed window so index-backed queries
