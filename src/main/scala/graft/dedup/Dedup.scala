@@ -381,7 +381,43 @@ object Dedup {
     * nothing corpus × corpus, no corpus text re-scan. */
   def containmentPairsAgainst(batch: DataFrame, idCol: String,
       textCol: String, index: graft.index.IndexStore.ContainmentIndex,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    containmentScreen(batch, idCol, textCol, index, threshold)._1
+
+  /** What the incremental containment screen actually did — the
+    * [[graft.index.Ivf.ExactJoinStats]] discipline applied here, so a
+    * production user sees candidate-volume blowup COMING (the
+    * [[containmentCandidateVolume]] estimate is the budget; these are the
+    * receipts). `bucketsScanned` of `totalBuckets` is how much of the
+    * index the batch's shingles pruned to; `candidatePairs` is the
+    * prefix-join survivor count (the number the estimator bounds);
+    * `verifiedPairs` the canonical pairs that got exact intersection
+    * counts; `emittedPairs` the pairs past the threshold in either
+    * direction. */
+  case class ContainmentScreenStats(bucketsScanned: Int, totalBuckets: Int,
+      candidatePairs: Long, verifiedPairs: Long, emittedPairs: Long)
+
+  /** [[containmentPairsAgainst]] plus its [[ContainmentScreenStats]] —
+    * the counts run eagerly here (three bounded aggregations over
+    * batch-proportional relations), so callers log the receipts and specs
+    * pin them; the stats-free variant stays fully lazy. */
+  def containmentPairsAgainstWithStats(batch: DataFrame, idCol: String,
+      textCol: String, index: graft.index.IndexStore.ContainmentIndex,
+      threshold: Double): (DataFrame, ContainmentScreenStats) = {
+    val (out, cands, interC, bucketsScanned) =
+      containmentScreen(batch, idCol, textCol, index, threshold)
+    val stats = ContainmentScreenStats(
+      bucketsScanned = bucketsScanned,
+      totalBuckets = ShingleBuckets,
+      candidatePairs = cands.count(),
+      verifiedPairs = interC.count(),
+      emittedPairs = out.count())
+    (out, stats)
+  }
+
+  private def containmentScreen(batch: DataFrame, idCol: String,
+      textCol: String, index: graft.index.IndexStore.ContainmentIndex,
+      threshold: Double): (DataFrame, DataFrame, DataFrame, Int) = {
     require(threshold >= index.threshold,
       s"containment index was built for threshold ${index.threshold}; its " +
         s"prefixes are too short to guarantee recall at $threshold — " +
@@ -432,7 +468,8 @@ object Dedup {
     val bpSizes = bp.groupBy("id").agg(count(lit(1)).as("sz"))
     val sizes = index.sizes.select("id", "sz").unionByName(
       bpSizes.join(index.sizes.select("id"), Seq("id"), "left_anti"))
-    directedContainment(interC, sizes, threshold)
+    (directedContainment(interC, sizes, threshold), cands, interC,
+      buckets.length)
   }
 
   /** Oracle rendition of [[containmentPairsAgainst]] for a batch ⊆ corpus

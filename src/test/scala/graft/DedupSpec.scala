@@ -364,6 +364,21 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(intercept[IllegalArgumentException] {
       Dedup.containmentPairsAgainst(batch, "id", "text", idx, 0.8)
     }.getMessage.contains("too short"))
+
+    // receipts: same output, and the stats describe the work coherently —
+    // the screen scanned a strict subset (or all) of the buckets, every
+    // emitted pair was verified, every verified pair was a candidate
+    val (outDf, stats) = Dedup.containmentPairsAgainstWithStats(
+      batch, "id", "text", idx, 0.9)
+    assert(outDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet === expected)
+    assert(stats.totalBuckets === Dedup.ShingleBuckets)
+    assert(stats.bucketsScanned > 0 && stats.bucketsScanned <= stats.totalBuckets)
+    assert(stats.emittedPairs === expected.size.toLong)
+    assert(stats.verifiedPairs >= stats.emittedPairs,
+      s"verified must cover emitted: $stats")
+    assert(stats.candidatePairs >= stats.verifiedPairs,
+      s"candidates must cover verified: $stats")
   }
 
   test("containmentPairsAgainst fails loudly when a re-ingested id's text changed") {
