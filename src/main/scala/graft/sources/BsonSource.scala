@@ -46,6 +46,14 @@ object BsonSource {
       sb.append(quote(name)).append(':')
       p = appendValue(sb, b, p, tag)
     }
+    // the terminator must sit exactly where the length prefix said the
+    // document ends — a flipped prefix that still passes the range check
+    // would otherwise parse THIS document fine and then resume the
+    // document stream at a garbage offset (silent corruption of every
+    // later document, the one failure mode worse than a crash)
+    require(p == off + len - 1,
+      s"corrupt BSON document at offset $off: content terminates at $p " +
+        s"but the declared length $len puts the terminator at ${off + len - 1}")
     sb.append('}')
     (sb.toString, off + len)
   }
@@ -65,6 +73,8 @@ object BsonSource {
         val (json, next) = parseDoc(b, p); sb.append(json); next
       case 0x04 => // array: a document with "0","1",... keys → JSON array
         val len = readInt(b, p)
+        require(len >= 5 && p + len <= b.length,
+          s"corrupt BSON array at offset $p: declared length $len")
         sb.append('[')
         var q = p + 4; var first = true
         while (b(q) != 0) {
@@ -74,6 +84,9 @@ object BsonSource {
           if (!first) sb.append(','); first = false
           q = appendValue(sb, b, q, t)
         }
+        require(q == p + len - 1,
+          s"corrupt BSON array at offset $p: content terminates at $q " +
+            s"but the declared length $len puts the terminator at ${p + len - 1}")
         sb.append(']'); p + len
       case 0x05 => // binary → base64
         val n = readInt(b, p) // subtype byte at p+4, payload after

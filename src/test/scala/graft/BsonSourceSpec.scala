@@ -68,6 +68,94 @@ class BsonSourceSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("chaos: corrupted dump bytes fail loudly or parse correctly — never hang, never drop") {
+    // fuzz over the REAL dump's bytes: the parser's contract under
+    // corruption is loud-failure-or-correct-parse — a mutated stream must
+    // never silently yield wrong/fewer documents (the failure mode that
+    // would corrupt a migration without anyone noticing), and every parse
+    // must terminate (all parser loops advance ≥ 1 byte per iteration)
+    val gz = java.nio.file.Paths.get(
+      "/root/reference/dump/catalog/products.bson.gz")
+    assume(java.nio.file.Files.isRegularFile(gz), "reference dump absent")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(gz)))
+    val bytes = try in.readAllBytes() finally in.close()
+    val baseline = BsonSource.parseDocuments(bytes).toVector
+    // document boundaries from the length prefixes (the layout contract)
+    def lenAt(p: Int): Int =
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+        ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+    val starts = Iterator.iterate(0)(p => p + lenAt(p))
+      .takeWhile(_ < bytes.length).toVector
+    assert(starts.length === baseline.length)
+    val boundaries = (starts :+ bytes.length).toSet
+
+    def parseAll(b: Array[Byte]): Either[Throwable, Vector[String]] =
+      try Right(BsonSource.parseDocuments(b).toVector)
+      catch { case scala.util.control.NonFatal(e) => Left(e) }
+    // docs that parsed BEFORE the failure point must be untouched — the
+    // iterator yields them lazily, so re-walk collecting until the throw
+    def parsedPrefix(b: Array[Byte]): Vector[String] = {
+      val it = BsonSource.parseDocuments(b)
+      val acc = Vector.newBuilder[String]
+      try { while (it.hasNext) acc += it.next() } catch {
+        case scala.util.control.NonFatal(_) =>
+      }
+      acc.result()
+    }
+
+    val rnd = new scala.util.Random(20260813L)
+    // 1. random truncations: a cut at a document boundary is a VALID
+    //    shorter dump (exactly the fitting prefix); any other cut throws
+    for (_ <- 1 to 150) {
+      val cut = 1 + rnd.nextInt(bytes.length - 1)
+      parseAll(bytes.take(cut)) match {
+        case Right(docs) =>
+          assert(boundaries.contains(cut),
+            s"mid-document cut at $cut parsed 'successfully'")
+          assert(docs === baseline.take(docs.length) &&
+            starts.count(_ < cut) === docs.length,
+            s"boundary cut at $cut must yield exactly the fitting prefix")
+        case Left(_) =>
+          assert(!boundaries.contains(cut) || cut < 5,
+            s"clean boundary cut at $cut must parse")
+      }
+    }
+    // 2. flipped length prefixes: any changed declared length must throw
+    //    (range check, terminator-position check, or a bounds error) —
+    //    and the documents before the corrupted one survive verbatim
+    for (_ <- 1 to 100) {
+      val di = rnd.nextInt(starts.length)
+      val start = starts(di)
+      val mutated = bytes.clone()
+      val byteIdx = start + rnd.nextInt(4)
+      val orig = mutated(byteIdx)
+      val flipped = (orig ^ (1 << rnd.nextInt(8))).toByte
+      mutated(byteIdx) = flipped
+      assert(parseAll(mutated).isLeft,
+        s"flipped length prefix of doc $di (byte $byteIdx " +
+          s"$orig→$flipped) must fail loudly")
+      assert(parsedPrefix(mutated) === baseline.take(di),
+        s"docs before the corrupted doc $di must parse untouched")
+    }
+    // 3. unknown tags: an unsupported type code must refuse loudly (the
+    //    parser cannot know the payload width, so skipping would be a
+    //    silent misparse of everything after)
+    for (tag <- Seq(0x0b, 0x0c, 0x0d, 0x0e, 0x0f, 0x20, 0x42, 0xfe)) {
+      val di = rnd.nextInt(starts.length)
+      val mutated = bytes.clone()
+      mutated(starts(di) + 4) = tag.toByte // first element's tag byte
+      parseAll(mutated) match {
+        case Left(e) => assert(
+          e.getMessage == null || !e.getMessage.contains("silently"),
+          s"tag 0x${tag.toHexString}: $e")
+        case Right(docs) => fail(
+          s"unknown tag 0x${tag.toHexString} in doc $di parsed: ${docs(di)}")
+      }
+      assert(parsedPrefix(mutated) === baseline.take(di))
+    }
+  }
+
   test("reference mongodump ingests end-to-end: catalog collections to queryable JSON") {
     val dump = BsonSource.readDump(spark, "/root/reference/dump/catalog").cache()
     val byColl = dump.groupBy("collection").count()
