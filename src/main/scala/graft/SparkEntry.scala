@@ -1058,7 +1058,7 @@ object SparkEntry {
   /** The DISK-persisted late-interaction window index over the whole
     * corpus ([[IndexStore.saveWindows]]) — the sixth index family's
     * declared-query surface: daily retrieval loads the per-document
-    * window vectors from their dim-partitioned parquet instead of
+    * window vectors from their id-bucket-partitioned parquet instead of
     * re-deriving them from raw text every run (the ColBERT encode-once
     * posture). Written once per (session, sfDir). */
   private val windowsDiskBuilt =

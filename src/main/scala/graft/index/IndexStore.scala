@@ -577,21 +577,40 @@ object IndexStore {
   //
   // Layout per batch (base = -1, streaming micro-batches = foreachBatch id):
   //
-  //   windows/batch=N/dim=D/  (id, w, val)     — per-batch window vectors
-  //   meta/                   (window_tokens)  — window width = the DDL
-  //   marks/batch=N/          (n)              — row count, written last =
-  //                                              COMMIT MARKER
+  //   windows/batch=N/bucket=B/  (id, w, dim, val) — per-batch window rows
+  //   meta/                      (window_tokens)   — window width = the DDL
+  //   marks/batch=N/             (n)               — row count, written
+  //                                                  last = COMMIT MARKER
   //
-  // Partitioned by `dim` — the maxsim equi-join key — so a rerank whose
-  // query windows touch a subset of dims scans only those dims' files, and
-  // the scan ships (id, w, val) rows, never text. Same crash contract as
-  // every index here: a batch dynamically OVERWRITES its own partitions,
-  // the marker commits last, replay converges.
+  // Partitioned by an ID-HASH BUCKET ([[WindowBuckets]] dirs), NOT by
+  // `dim`: the production consumer is the candidate-bounded rerank, whose
+  // candidate doc ids are known up front — their buckets prune the scan
+  // (the containment/gram-index trick), so a small retrieval batch reads
+  // a few buckets' files instead of the corpus-sized window table. A dim
+  // layout would prune nothing in practice (any real query batch touches
+  // nearly all 64 embedder dims). The exhaustive oracle join reads every
+  // bucket, which is exactly its contract. Same crash contract as every
+  // index here: a batch dynamically OVERWRITES its own partitions, the
+  // marker commits last, replay converges.
 
-  /** A loaded window index: committed window vectors (id, w, dim, val)
-    * and the window width the index was built with (its DDL — queries
-    * must window at the same width, enforced by the consuming operator
-    * taking the width FROM the index). */
+  /** Doc-id bucket fan-out for the windows table — 64 dirs, matching the
+    * other bucketed families. */
+  val WindowBuckets = 64
+
+  /** The windows table's bucket function — id-hash, via the string
+    * rendering so ANY id type buckets deterministically (a plain
+    * `pmod(id, n)` would null out on non-numeric ids and silently drop
+    * their rows from pruned scans). Shared by the writer and every
+    * probing consumer, so pruning and placement can never disagree. */
+  def windowBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(graft.functions.Text.hash60(id.cast("string")),
+      lit(WindowBuckets.toLong))
+
+  /** A loaded window index: committed window vectors (id, w, dim, val,
+    * bucket — the partition column, kept so consumers can prune) and the
+    * window width the index was built with (its DDL — queries must window
+    * at the same width, enforced by the consuming operator taking the
+    * width FROM the index). */
   case class WindowIndex(windows: org.apache.spark.sql.DataFrame,
       windowTokens: Int)
 
@@ -613,8 +632,9 @@ object IndexStore {
       val w = df.write.mode(SaveMode.Overwrite)
       if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic")
     }
-    writer(wv.withColumn("batch", lit(batchId)))
-      .partitionBy("batch", "dim").parquet(s"$path/windows")
+    writer(wv.withColumn("batch", lit(batchId))
+        .withColumn("bucket", windowBucket(col("id"))))
+      .partitionBy("batch", "bucket").parquet(s"$path/windows")
     if (overwriteAll)
       Seq(windowTokens).toDF("window_tokens")
         .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
@@ -672,14 +692,14 @@ object IndexStore {
   }
 
   /** Consistent snapshot at the latest commit markers (same contract as
-    * [[loadGrams]]): only committed batches are visible, dim partition
-    * pruning available. */
+    * [[loadGrams]]): only committed batches are visible, id-bucket
+    * partition pruning available on `bucket`. */
   def loadWindows(spark: SparkSession, path: String): WindowIndex = {
     val batches = committedBatches(spark, s"$path/marks")
     WindowIndex(
       windows = spark.read.parquet(s"$path/windows")
         .where(col("batch").cast("long").isin(batches: _*))
-        .select("id", "w", "dim", "val"),
+        .select("id", "w", "dim", "val", "bucket"),
       windowTokens = windowTokens(spark, path))
   }
 

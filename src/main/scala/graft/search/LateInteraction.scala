@@ -81,16 +81,26 @@ object LateInteraction {
         "(pooled-vector ANN / BM25) for large batches.")
   }
 
-  /** Loud guard on |candidates| — `limit(n+1).count()` stops the probe
-    * early, the [[VectorSearch.requireBoundedBatch]] discipline. */
-  private def requireBoundedCandidates(candidates: DataFrame): Unit = {
-    val n = candidates.limit(MaxRerankCandidates + 1).count()
-    require(n <= MaxRerankCandidates,
+  /** Bound AND materialize the candidate relation in one pass: the
+    * `limit` means at most [[MaxRerankCandidates]]+1 rows are ever
+    * computed or stored however pathological the input (the loud-guard
+    * discipline of [[VectorSearch.requireBoundedBatch]]), the guard then
+    * checks the MATERIALIZED count (≤ max ⇒ the limit didn't truncate, so
+    * the checkpoint IS the full candidate set), and the returned relation
+    * feeds the bucket probe, the broadcast, and any caller reuse — the
+    * first-stage retriever executes exactly ONCE per rerank instead of
+    * once per consumer (guard, bucket probe, join would otherwise each
+    * re-run it). */
+  private def boundedCandidates(candidates: DataFrame): DataFrame = {
+    val cp = candidates.select(col("query_id"), col("nbr_id"))
+      .limit(MaxRerankCandidates + 1).localCheckpoint(true)
+    require(cp.count() <= MaxRerankCandidates,
       s"LateInteraction.maxSimRerank: candidate relation has > " +
         s"$MaxRerankCandidates rows; candidates are broadcast, so an " +
         "unbounded first stage is a memory blow-up, not a planned " +
         "degradation. Tighten the first-stage retriever's top-k (the " +
         "candidate count should be |queries| × a small per-query k).")
+    cp
   }
 
   /** Windowed sparse multi-vector representation: one row per
@@ -138,11 +148,10 @@ object LateInteraction {
     * ([[graft.index.IndexStore.loadWindows]]) instead of re-derived from
     * text — the production daily-retrieval shape: the per-run cost drops
     * from three shuffles over every corpus token to one columnar scan of
-    * (id, w, dim, val), dim-partition-pruned to the dims the join
-    * touches. */
-  private def corpusWindowsFromIndex(
-      index: graft.index.IndexStore.WindowIndex): DataFrame =
-    index.windows.select(col("id").as("nbr_id"), col("w").as("__dw"),
+    * (id, w, dim, val). `windows` is the index relation, possibly already
+    * bucket-pruned by the caller. */
+  private def corpusWindowsFromIndex(windows: DataFrame): DataFrame =
+    windows.select(col("id").as("nbr_id"), col("w").as("__dw"),
       col("dim"), col("val").as("__dval"))
 
   /** The maxsim algebra over an already-joined window-pair relation
@@ -207,7 +216,7 @@ object LateInteraction {
       index: graft.index.IndexStore.WindowIndex, k: Int): DataFrame = {
     requireExhaustiveBatch(queries)
     val qw = queryWindows(queries, qIdCol, qTextCol, index.windowTokens)
-    rankMaxSim(corpusWindowsFromIndex(index).join(qw, "dim"), k)
+    rankMaxSim(corpusWindowsFromIndex(index.windows).join(qw, "dim"), k)
   }
 
   /** The PRODUCTION late-interaction shape — retrieve-then-rerank, the
@@ -235,29 +244,36 @@ object LateInteraction {
       candidates: DataFrame, k: Int,
       windowTokens: Int = DefaultWindowTokens): DataFrame = {
     VectorSearch.requireBoundedBatch(queries, "LateInteraction.maxSimRerank")
-    requireBoundedCandidates(candidates)
+    val cand0 = boundedCandidates(candidates)
     val qw = queryWindows(queries, qIdCol, qTextCol, windowTokens)
-    val cand = broadcast(
-      candidates.select(col("query_id"), col("nbr_id")).distinct())
+    val cand = broadcast(cand0.distinct())
     val dw = corpusWindows(corpus, cIdCol, cTextCol, windowTokens)
     rankMaxSim(dw.join(cand, Seq("nbr_id")).join(qw, Seq("query_id", "dim")), k)
   }
 
   /** [[maxSimRerank]] against a PERSISTED window index — the production
     * daily-retrieval plan: first-stage candidates bound the scored set,
-    * the index bounds the per-run corpus work (one dim-partitioned
-    * columnar scan; the corpus text is never re-windowed). Semantics,
-    * guards, and the ID-SPACE CONTRACT are identical to the text-derived
-    * form; the window width comes from the index DDL. */
+    * and their doc ids' buckets PRUNE the index scan
+    * ([[graft.index.IndexStore.windowBucket]] — the candidate set is
+    * bounded and known up front, so the scan reads only the buckets
+    * holding candidate documents instead of the corpus-sized window
+    * table; the corpus text is never re-windowed). Semantics, guards, and
+    * the ID-SPACE CONTRACT are identical to the text-derived form; the
+    * window width comes from the index DDL. */
   def maxSimRerank(queries: DataFrame, qIdCol: String, qTextCol: String,
       index: graft.index.IndexStore.WindowIndex, candidates: DataFrame,
       k: Int): DataFrame = {
     VectorSearch.requireBoundedBatch(queries, "LateInteraction.maxSimRerank")
-    requireBoundedCandidates(candidates)
+    val cand0 = boundedCandidates(candidates)
     val qw = queryWindows(queries, qIdCol, qTextCol, index.windowTokens)
-    val cand = broadcast(
-      candidates.select(col("query_id"), col("nbr_id")).distinct())
-    rankMaxSim(corpusWindowsFromIndex(index)
+    val cand = broadcast(cand0.distinct())
+    // ≤ WindowBuckets rows off the MATERIALIZED candidates (the
+    // containment-screen bucket-probe discipline — no retriever re-run)
+    val buckets = cand0
+      .select(graft.index.IndexStore.windowBucket(col("nbr_id")).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val pruned = index.windows.where(col("bucket").isin(buckets: _*))
+    rankMaxSim(corpusWindowsFromIndex(pruned)
       .join(cand, Seq("nbr_id")).join(qw, Seq("query_id", "dim")), k)
   }
 

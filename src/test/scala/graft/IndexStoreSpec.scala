@@ -302,6 +302,7 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     IndexStore.saveWindows(base, "doc_id", "text",
       LateInteraction.DefaultWindowTokens, dir)
     def rows(idx: IndexStore.WindowIndex) = idx.windows
+      .select("id", "w", "dim", "val")
       .orderBy("id", "w", "dim")
       .as[(Long, Long, Int, Double)].collect().toSeq
     def fresh(d: org.apache.spark.sql.DataFrame) =
@@ -316,9 +317,10 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     // marker never does — a reader sees ONLY the committed base
     LateInteraction.windowVectors(b0, "doc_id", "text")
       .withColumn("batch", lit(0L))
+      .withColumn("bucket", IndexStore.windowBucket(col("id")))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "dim").parquet(s"$dir/windows")
+      .partitionBy("batch", "bucket").parquet(s"$dir/windows")
     assert(rows(IndexStore.loadWindows(spark, dir)) === fresh(base))
 
     // foreachBatch retry re-delivers batch 0, then batch 1; a replay of a

@@ -155,6 +155,28 @@ class LateInteractionSpec extends AnyFunSuite with SparkTest {
       rows(LateInteraction.maxSimRerank(queries, "doc_id", "text",
         docs, "doc_id", "text", cand, k = 3)),
       "indexed rerank must equal the text-derived form")
+
+    // bucket pruning correctness: a single-candidate rerank reads only
+    // that doc's bucket — if the probe-side bucket function disagreed
+    // with the writer's placement, the row would be pruned AWAY and this
+    // would come back empty instead of scored
+    val oneQ = queries.limit(1)
+    val qid = oneQ.select("doc_id").as[Long].head()
+    val nbr = docs.where($"doc_id" =!= qid).select("doc_id").as[Long].head()
+    val one = Seq((qid, nbr)).toDF("query_id", "nbr_id")
+    val prunedGot = rows(LateInteraction.maxSimRerank(oneQ, "doc_id", "text",
+      idx, one, k = 1))
+    val prunedExp = rows(LateInteraction.maxSimRerank(oneQ, "doc_id", "text",
+      docs, "doc_id", "text", one, k = 1))
+    assert(prunedGot === prunedExp,
+      "bucket-pruned single-candidate rerank must equal the fresh-build form")
+
+    // and the plan genuinely prunes: the windows scan carries a bucket
+    // partition filter
+    val plan = LateInteraction.maxSimRerank(oneQ, "doc_id", "text",
+      idx, one, k = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("bucket"),
+      s"windows scan must carry the bucket partition filter:\n$plan")
   }
 
   test("an unbounded candidate relation fails loudly before any broadcast") {
