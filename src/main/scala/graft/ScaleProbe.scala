@@ -99,6 +99,32 @@ object ScaleProbe {
       t(s"inc_dedup_x$n")(graft.dedup.Dedup.cosineVerify(
         graft.dedup.Dedup.signLshCandidatesAgainst(batchSk, idxSk),
         e, "vec_id", "embedding", 0.45))
+      // substring-span dedup: replication is maximally adversarial (every
+      // gram becomes corpus-duplicated, so every document surfaces as one
+      // full-width span) — all stages must still track corpus tokens
+      t(s"substring_spans_x$n")(
+        graft.dedup.SubstringDedup.duplicatedSpans(d, "doc_id", "text"))
+      t(s"substring_passages_x$n")(
+        graft.dedup.SubstringDedup.topDuplicatedPassages(d, "doc_id", "text"))
+      // late-interaction rerank against the PERSISTED window index: FIXED
+      // query batch and FIXED candidate pairs while the indexed corpus
+      // grows — candidate-bucket pruning must keep the scan (and the
+      // candidate-bounded join above it) from tracking corpus size
+      val wdir = s"${sys.props("java.io.tmpdir")}/graft_probe_windows_x$n"
+      graft.index.IndexStore.saveWindows(d, "doc_id", "text",
+        graft.search.LateInteraction.DefaultWindowTokens, wdir)
+      val widx = graft.index.IndexStore.loadWindows(spark, wdir)
+      val liQueries = docs0.where(col("doc_id") % 97 === 0)
+        .select("doc_id", "text").cache()
+      val qids = liQueries.select("doc_id").collect().map(_.getLong(0))
+      val nbrIds = docs0.where(col("doc_id") % 211 === 0)
+        .select("doc_id").collect().map(_.getLong(0))
+      val liCands = spark.createDataFrame(
+        for (q <- qids.toSeq; c <- nbrIds.toSeq) yield (q, c))
+        .toDF("query_id", "nbr_id")
+      t(s"maxsim_rerank_x$n")(graft.search.LateInteraction.maxSimRerank(
+        liQueries, "doc_id", "text", widx, liCands, k = 5))
+      liQueries.unpersist()
       d.unpersist(); e.unpersist(); pq.codes.unpersist()
       queries.unpersist(); cands.unpersist()
     }

@@ -193,6 +193,46 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("l_user_id") && plan.contains("r_user_id"))
   }
 
+  test("passage report aggregates on the content hash, never the passage string") {
+    // the corpus-scale contract of topDuplicatedPassages: the only
+    // passage-sized shuffle is (hash, counts) — the rendered string may
+    // appear ONLY above the top-N cut (rendering the ≤ topN winners)
+    val d = Tables.documents(spark, Sf0001)
+    val plan = planString(graft.dedup.SubstringDedup
+      .topDuplicatedPassages(d, "doc_id", "text"))
+    // the pre-limit aggregation keys on the 60-bit hash
+    assert(plan.contains("__ph"),
+      s"expected the hash group key __ph in:\n$plan")
+    // winner selection is a bounded-state top-N, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N winners must TakeOrderedAndProject:\n$plan")
+    // every aggregate groups by the hash — none by the rendered passage
+    val aggLines = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("keys="))
+    assert(aggLines.forall(l => !l.contains("passage#")),
+      s"no aggregate may key on the passage string:\n$plan")
+    // the winners' render-back join broadcasts the ≤ topN side
+    assert(plan.contains("BroadcastHashJoin"),
+      s"winner render-back must broadcast:\n$plan")
+  }
+
+  test("windows rerank prunes the index scan to candidate buckets") {
+    val d = Tables.documents(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("plan_widx").toString
+    graft.index.IndexStore.saveWindows(d, "doc_id", "text",
+      graft.search.LateInteraction.DefaultWindowTokens, dir)
+    val idx = graft.index.IndexStore.loadWindows(spark, dir)
+    val queries = d.where(col("doc_id") === 0L)
+    val cand = spark.createDataFrame(Seq((0L, 7L), (0L, 21L)))
+      .toDF("query_id", "nbr_id")
+    val plan = planString(graft.search.LateInteraction.maxSimRerank(
+      queries, "doc_id", "text", idx, cand, k = 3))
+    val pf = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("bucket"))
+    assert(pf.isDefined && pf.get.contains("bucket#"),
+      s"windows scan must carry a bucket PartitionFilter:\n$plan")
+  }
+
   test("rerank/MMR candidate attach broadcasts the small side against the corpus") {
     val d = Tables.documents(spark, Sf0001)
     val queries = d.where(col("doc_id") % 97 === 0)
