@@ -1108,6 +1108,35 @@ object Dedup {
       .select("id1", "id2")
   }
 
+  /** EXACT row count of the candidate equi-join [[signLshCandidates]]
+    * would materialize (before the first-agreeing-band filter and
+    * self-pair exclusion) — the sign-LSH rendition of
+    * [[containmentCandidateVolume]]: Σ over (band, bkey) buckets of
+    * n·(n−1)/2. The number a production dedup run budgets with BEFORE
+    * launching the verify join: a hot bucket (an uncollapsed exact-clone
+    * family — the SCALE.md round-5c m² pathology, the reason the design
+    * table pins exact-dedup-first) shows up here as a quadratic term for
+    * the cost of one map-side-combined aggregation, nothing pairwise. */
+  def signLshCandidateVolume(banded: DataFrame): Long = {
+    val r = banded.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2)).head()
+    if (r.isNullAt(0)) 0L else r.getDouble(0).toLong
+  }
+
+  /** [[signLshCandidateVolume]] for the batch-vs-index screen
+    * ([[signLshCandidatesAgainst]]): Σ over shared (band, bkey) buckets
+    * of batchCount × indexCount. Work = two map-side-combined bucket
+    * counts + one join on ≤ bands × buckets keys — always run it before
+    * screening a batch against an index of unknown clone hygiene. */
+  def signLshCandidateVolumeAgainst(batchBanded: DataFrame,
+      indexBanded: DataFrame): Long = {
+    val b = batchBanded.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+    val i = indexBanded.groupBy("band", "bkey").agg(count(lit(1)).as("cn"))
+    val r = b.join(i, Seq("band", "bkey"))
+      .agg(sum(col("bn") * col("cn"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** MULTI-PROBE [[signLshCandidatesAgainst]]: besides each band's exact
     * key, the batch side also probes every key at HAMMING DISTANCE 1
     * within the band (flip one of its `rows` bits) — the standard

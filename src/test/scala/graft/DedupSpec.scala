@@ -428,6 +428,39 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     p.unpersist()
   }
 
+  test("signLshCandidateVolume is the exact pre-filter bucket join size and flags clone blowup") {
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val banded = Dedup.signLshSketches(embs, "vec_id", "embedding", 64)
+      .localCheckpoint(true)
+    // self-join volume = Σ n·(n−1)/2 per (band, bkey) — brute-force check
+    val buckets = banded.groupBy("band", "bkey").count()
+      .as[(Int, Long, Long)].collect()
+    val expectedSelf = buckets.map { case (_, _, n) => n * (n - 1) / 2 }.sum
+    assert(Dedup.signLshCandidateVolume(banded) === expectedSelf)
+    // batch-vs-index volume = Σ batchCount × indexCount on shared buckets
+    val batch = Dedup.signLshSketches(embs.where($"vec_id" % 5 === 0),
+      "vec_id", "embedding", 64).localCheckpoint(true)
+    val batchBuckets = batch.groupBy("band", "bkey").count()
+      .as[(Int, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val expectedAgainst = buckets.collect {
+      case (b, k, n) if batchBuckets.contains((b, k)) => batchBuckets((b, k)) * n
+    }.sum
+    assert(Dedup.signLshCandidateVolumeAgainst(batch, banded) === expectedAgainst)
+    // the budget signal: a clone-inflated index (every vector duplicated
+    // 4×) must blow the estimate up ~quadratically in the clone factor,
+    // BEFORE anyone pays for the verify join
+    val cloned = (0 until 4)
+      .map(i => embs.withColumn("vec_id", $"vec_id" + (i * 1000000L)))
+      .reduce(_ unionByName _)
+    val clonedVol = Dedup.signLshCandidateVolumeAgainst(batch,
+      Dedup.signLshSketches(cloned, "vec_id", "embedding", 64))
+    assert(clonedVol >= 4 * expectedAgainst,
+      s"4x clones must inflate the volume ≥ 4x: $clonedVol vs $expectedAgainst")
+    // degenerate inputs budget to 0, never NPE
+    assert(Dedup.signLshCandidateVolume(banded.limit(0)) === 0L)
+    assert(Dedup.signLshCandidateVolumeAgainst(batch.limit(0), banded) === 0L)
+  }
+
   test("containmentCandidateVolume is the exact pre-filter candidate join size") {
     val docs = Seq(
       (1L, (1 to 30).map(i => s"va$i").mkString(" ")),
