@@ -934,6 +934,15 @@ object Dedup {
       .where(col("sim") >= threshold)
   }
 
+  /** Banded sign-LSH candidates + exact cosine verify. REGIME NOTE
+    * (measured, SCALE.md round-7 §5): the 2-bit-band default is sized for
+    * RECALL (per-pair miss ≤ 1.6e-4 at cos 0.45 — what licenses the
+    * exact-cosine oracle), and at LOW thresholds a random pair still
+    * collides on some band w.p. ~0.99, so the verify join approaches
+    * all-pairs. Budget with [[signLshCandidateVolume]] first; for
+    * low-threshold similarity at corpus scale use [[semanticPairs]]
+    * (cluster-scoped) or exact-first collapse, and treat this path as
+    * the high-threshold / recall-exact tool it is. */
   def cosinePairsLsh(embs: DataFrame, idCol: String, embCol: String,
       threshold: Double, dim: Int, seed: Long = 42L,
       bands: Int = SignLshBands, rows: Int = SignLshRows): DataFrame = {
