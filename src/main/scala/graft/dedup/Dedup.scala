@@ -1117,6 +1117,74 @@ object Dedup {
       .select("id1", "id2")
   }
 
+  /** SELECTIVE sign-LSH sketches — the HIGH-threshold regime variant the
+    * SCALE.md round-7 §5 analysis calls for: `rows` BITS PER BAND (8 by
+    * default, vs the recall-first 2) so a random pair agrees on a band
+    * w.p. 2⁻⁸ ≈ 0.4% instead of 25%, making the banding a real pruning
+    * device. Total bits = bands × rows may exceed one packed long, so
+    * each band is its OWN [[VectorExpressions.SignSketch]] expression
+    * (an `rows`-bit key per band, same seeded hyperplane family at
+    * globally-indexed bits — executors regenerate planes, no broadcast);
+    * output is the banded (id, band, bkey) shape without a packed full
+    * sketch. Recall is threshold-bound: p_bit(cos t) = 1 − acos(t)/π,
+    * per-band p_bit^rows, miss = (1 − p_bit^rows)^bands — at the
+    * defaults, cos 0.95 pairs are missed w.p. 1.4e-4 and exact clones
+    * never; at cos 0.45 recall collapses (0.12), which is exactly why
+    * [[cosinePairsLsh]]'s 2-bit recall-first design exists for the low
+    * regime. */
+  def signLshSketchesSelective(embs: DataFrame, idCol: String,
+      embCol: String, dim: Int, seed: Long = 42L,
+      bands: Int = SignLshBands, rows: Int = 8): DataFrame = {
+    require(rows >= 1 && rows <= 62, s"rows per band must fit a long, got $rows")
+    val perBand = (0 until bands).map { b =>
+      val planes = Array.tabulate(rows * dim)(
+        i => hyperplaneSign(seed, b * rows + i / dim, i % dim))
+      GraftShim.column(VectorExpressions.SignSketch(
+        GraftShim.expression(col(embCol)), planes, rows, dim)).as(s"__k$b")
+    }
+    embs.select(col(idCol).as("id") +: perBand: _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"__k$b")): _*))
+          .as(Seq("band", "bkey")))
+  }
+
+  /** High-threshold near-dup pairs over selective banding: candidates
+    * from ≥ 1 agreeing 8-bit band (distinct — no packed sketch exists to
+    * run the first-agreeing-band trick on), exact cosine verify. The
+    * production regime for clone/near-clone detection (cos ≥ ~0.85),
+    * where [[cosinePairsLsh]]'s recall-first bands degrade to all-pairs;
+    * the threshold floor is enforced loudly because below it THIS path's
+    * recall collapses instead. Budget with [[signLshCandidateVolume]]
+    * (the banded shape is compatible). */
+  def cosinePairsLshSelective(embs: DataFrame, idCol: String,
+      embCol: String, threshold: Double, dim: Int, seed: Long = 42L,
+      bands: Int = SignLshBands, rows: Int = 8): DataFrame = {
+    require(threshold >= 0.85,
+      f"cosinePairsLshSelective is the high-threshold regime (miss prob " +
+        f"at $threshold%.2f with $bands×$rows-bit bands would be " +
+        f"${selectiveMissProb(threshold, bands, rows)}%.3f); below 0.85 " +
+        "use cosinePairsLsh (recall-first bands + exact verify) or " +
+        "semanticPairs (cluster-scoped)")
+    val banded = signLshSketchesSelective(embs, idCol, embCol, dim, seed,
+      bands, rows)
+    val l = banded.select(col("id").as("id1"), col("band"), col("bkey"))
+    val r = banded.select(col("id").as("id2"), col("band"), col("bkey"))
+    val cands = l.join(r, Seq("band", "bkey"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cosineVerify(cands, embs, idCol, embCol, threshold)
+  }
+
+  /** Analytic per-pair miss probability of selective banding at cosine
+    * exactly `t` (pairs above t miss less): (1 − p_bit^rows)^bands with
+    * p_bit = 1 − acos(t)/π. Driver-side planning arithmetic, exposed so
+    * callers can size bands/rows for their threshold. */
+  def selectiveMissProb(t: Double, bands: Int = SignLshBands,
+      rows: Int = 8): Double = {
+    val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, t))) / math.Pi
+    math.pow(1.0 - math.pow(pBit, rows), bands)
+  }
+
   /** EXACT row count of the candidate equi-join [[signLshCandidates]]
     * would materialize (before the first-agreeing-band filter and
     * self-pair exclusion) — the sign-LSH rendition of

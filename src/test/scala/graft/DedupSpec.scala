@@ -428,6 +428,42 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     p.unpersist()
   }
 
+  test("selective banding: high-threshold pairs equal brute force AND the candidates actually prune") {
+    // plant guaranteed ≥0.95 structure: exact replicas (cos 1.0 — every
+    // selective band agrees, recall is certain, and the hyperplanes are
+    // seeded so the whole test is deterministic)
+    val base = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val embs = base.unionByName(base
+        .where($"vec_id" % 7 === 0)
+        .withColumn("vec_id", $"vec_id" + 1000000L))
+      .localCheckpoint(true)
+    val n = embs.count()
+    val got = Dedup.cosinePairsLshSelective(embs, "vec_id", "embedding",
+        0.95, 64)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val brute = Dedup.cosinePairs(embs, "vec_id", "embedding", 0.95)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(got === brute,
+      "selective-banding output must equal the brute-force oracle at 0.95")
+    assert(got.nonEmpty, "the planted replicas must surface")
+    // the point of the regime: candidates are a small fraction of all
+    // pairs (the recall-first 2-bit design emits ~99% — measured in
+    // SCALE.md round-7 §5)
+    val vol = Dedup.signLshCandidateVolume(
+      Dedup.signLshSketchesSelective(embs, "vec_id", "embedding", 64))
+    val allPairs = n * (n - 1) / 2
+    assert(vol < allPairs / 10,
+      s"selective banding must prune: $vol candidates of $allPairs pairs")
+    // the threshold floor is loud: below the regime this path LOSES
+    // recall, so it refuses rather than silently missing pairs
+    assert(intercept[IllegalArgumentException] {
+      Dedup.cosinePairsLshSelective(embs, "vec_id", "embedding", 0.45, 64)
+    }.getMessage.contains("high-threshold regime"))
+    // analytic miss probability: tiny in-regime, catastrophic below it
+    assert(Dedup.selectiveMissProb(0.95) < 1e-3)
+    assert(Dedup.selectiveMissProb(0.45) > 0.5)
+  }
+
   test("signLshCandidateVolume is the exact pre-filter bucket join size and flags clone blowup") {
     val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
     val banded = Dedup.signLshSketches(embs, "vec_id", "embedding", 64)
