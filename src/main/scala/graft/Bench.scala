@@ -73,9 +73,21 @@ object Bench {
         val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
         (name, obs, peakMb)
       }
-    val perIter = perIterFull.map { case (name, obs, _) => name -> obs.map(_._1) }.toMap
+    // ordered Seq, NOT a Map: all three JSON blobs (iters/gc/heap) and the
+    // contract line share query order, and a duplicate query name would
+    // show up twice instead of silently collapsing
+    val perIter = perIterFull.map { case (name, obs, _) => name -> obs.map(_._1) }
     val results = perIter.map { case (name, ts) => name -> ts.min }
     val loadEnd = osBean.getSystemLoadAverage
+    // two SCALARS for the compact contract line (the full per-query
+    // receipts live on BENCH_DETAIL, which the driver's ~2KB tail window
+    // cuts off): run-total GC time and the max per-query heap watermark.
+    // They make a contaminated artifact self-diagnosing from the contract
+    // line ALONE — big gc_ms_total ⇒ heap pressure in this JVM; flat
+    // gc_ms_total with inflated wall times ⇒ external co-tenancy.
+    val gcMsTotal = perIterFull.map(_._2.map(_._2).sum).sum
+    val peakHeapMbMax =
+      if (perIterFull.nonEmpty) perIterFull.map(_._3).max else 0L
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Full per-iteration arrays + load averages go out FIRST, on their own
@@ -101,9 +113,9 @@ object Bench {
     def contractLine(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"gc_ms_total":$gcMsTotal,"peak_heap_mb_max":$peakHeapMbMax,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     def r2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
@@ -119,16 +131,16 @@ object Bench {
       val qs = results.map { case (k, v) =>
         s"\"" + k.stripPrefix("q_") + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","key_prefix":"q_","queries":$qs,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","key_prefix":"q_","queries":$qs,"gc_ms_total":$gcMsTotal,"peak_heap_mb_max":$peakHeapMbMax,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     // last-resort: a total-only line (per-query numbers stay available on
     // the BENCH_DETAIL line) — ALWAYS fits; never ship a truncated line
     def totalOnly: String = {
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_truncated":${results.size},"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_truncated":${results.size},"gc_ms_total":$gcMsTotal,"peak_heap_mb_max":$peakHeapMbMax,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     val line = Seq(contractLine(r3), contractLine(r2),
         strippedLine(v => if (v < 10) r2(v) else r1(v)), strippedLine(r1),

@@ -203,7 +203,11 @@ final class SearchServer(
     * (it uses no other Jinja constructs). */
   private def renderTemplate(html: String): String =
     """\{\{\s*url_for\(\s*'static'\s*,\s*filename\s*=\s*'([^']+)'\s*\)\s*\}\}""".r
-      .replaceAllIn(html, m => "/static/" + m.group(1))
+      .replaceAllIn(html, m =>
+        // quoteReplacement: a '$' or '\' in the asset filename would
+        // otherwise be parsed as a group reference and throw (or corrupt
+        // the rendered page) — the filename is data, not a template
+        scala.util.matching.Regex.quoteReplacement("/static/" + m.group(1)))
 
   private def mountFrontend(server: HttpServer,
       dir: java.nio.file.Path): Unit = {
@@ -243,7 +247,15 @@ final class SearchServer(
           // missing file gets (no oracle for "exists outside the root")
           val rel = ex.getRequestURI.getPath.stripPrefix("/static/")
           val target = static.resolve(rel).normalize()
-          if (!target.startsWith(static) || !Files.isRegularFile(target))
+          // the lexical check confines dot-dot traversal; the toRealPath
+          // comparison additionally refuses a symlink INSIDE static/
+          // pointing outside it (readAllBytes follows links, so without
+          // this a planted link would serve arbitrary files — stricter
+          // than Flask's send_from_directory, which stops at lexical)
+          def realInsideStatic: Boolean =
+            target.toRealPath().startsWith(static.toRealPath())
+          if (!target.startsWith(static) || !Files.isRegularFile(target) ||
+              !realInsideStatic)
             respond(ex, 404, message("Not Found"))
           else respondBytes(ex, 200, Files.readAllBytes(target),
             assetContentType(target.getFileName.toString))

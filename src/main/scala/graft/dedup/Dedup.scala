@@ -1185,11 +1185,65 @@ object Dedup {
     math.pow(1.0 - math.pow(pBit, rows), bands)
   }
 
-  /** EXACT row count of the candidate equi-join [[signLshCandidates]]
-    * would materialize (before the first-agreeing-band filter and
-    * self-pair exclusion) — the sign-LSH rendition of
-    * [[containmentCandidateVolume]]: Σ over (band, bkey) buckets of
-    * n·(n−1)/2. The number a production dedup run budgets with BEFORE
+  /** [[selectiveMissProb]] under HAMMING-1 multi-probe: a band hits when
+    * its keys agree exactly (p^rows) OR differ in exactly one bit
+    * (rows·p^(rows−1)·(1−p)) — the probe set covers both. At the defaults
+    * this pulls the cos-0.85 per-pair miss from 2.3e-2 (single-probe, the
+    * weak point of the 8-bit bands) to 1.2e-6 for ×(1+rows) candidate work
+    * on one join side only. */
+  def selectiveMissProbMultiProbe(t: Double, bands: Int = SignLshBands,
+      rows: Int = 8): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, t))) / math.Pi
+    val perBandHit = math.pow(p, rows) +
+      rows * math.pow(p, rows - 1) * (1.0 - p)
+    math.pow(1.0 - perBandHit, bands)
+  }
+
+  /** [[cosinePairsLshSelective]] with HAMMING-1 MULTI-PROBE banding — the
+    * [[signLshCandidatesAgainstMultiProbe]] trick (Lv et al.) applied to
+    * the 8-bit selective bands: one join side also probes every band key
+    * with one bit flipped, so a pair whose band keys just miss exact
+    * agreement (the dominant miss mode at cos 0.85–0.90, where 8-bit
+    * single-probe recall is weakest) is still caught. Candidate work grows
+    * ×(1+rows) on the probe side ONLY — each bucket's join output is
+    * Σ probes(b)·rows(b), nowhere near the low-threshold all-pairs blowup
+    * ([[selectiveMissProbMultiProbe]] vs [[selectiveMissProb]] quantifies
+    * the recall buy; DedupSpec pins output == brute force at 0.85 on a
+    * planted corpus with candidates ≪ all-pairs). Same 0.85 floor as the
+    * single-probe path: below it even multi-probe recall decays and
+    * [[cosinePairsLsh]] / [[semanticPairs]] are the right tools. */
+  def cosinePairsLshSelectiveMultiProbe(embs: DataFrame, idCol: String,
+      embCol: String, threshold: Double, dim: Int, seed: Long = 42L,
+      bands: Int = SignLshBands, rows: Int = 8): DataFrame = {
+    require(threshold >= 0.85,
+      f"cosinePairsLshSelectiveMultiProbe is the high-threshold regime " +
+        f"(miss prob at $threshold%.2f with $bands×$rows-bit bands is " +
+        f"${selectiveMissProbMultiProbe(threshold, bands, rows)}%.2e); " +
+        "below 0.85 use cosinePairsLsh or semanticPairs")
+    val banded = signLshSketchesSelective(embs, idCol, embCol, dim, seed,
+      bands, rows)
+    // probe side: the exact key plus its `rows` Hamming-1 neighbours —
+    // selective band keys are per-band values (no global bit offset, unlike
+    // the packed signLshSketches layout), so flips are plain 1<<j
+    val probes = banded.select(col("id").as("id1"), col("band"),
+        explode(array((lit(0L) +: (0 until rows).map(j =>
+          lit(1L << j))): _*)).as("flip"), col("bkey"))
+      .select(col("id1"), col("band"),
+        col("bkey").bitwiseXOR(col("flip")).as("bkey"))
+    val r = banded.select(col("id").as("id2"), col("band"), col("bkey"))
+    val cands = probes.join(r, Seq("band", "bkey"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cosineVerify(cands, embs, idCol, embCol, threshold)
+  }
+
+  /** EXACT count of distinct unordered candidate pairs per (band, bkey)
+    * bucket — Σ over buckets of n·(n−1)/2, the sign-LSH rendition of
+    * [[containmentCandidateVolume]]. (The [[signLshCandidates]] equi-join
+    * materializes roughly TWICE this plus n self-matches per bucket
+    * before the id1<id2 / first-agreeing-band filters collapse it back to
+    * unordered pairs; the 2× is a constant factor, so this is still the
+    * budgeting number.) The number a production dedup run budgets with BEFORE
     * launching the verify join: a hot bucket (an uncollapsed exact-clone
     * family — the SCALE.md round-5c m² pathology, the reason the design
     * table pins exact-dedup-first) shows up here as a quadratic term for

@@ -635,20 +635,51 @@ object IndexStore {
     writer(wv.withColumn("batch", lit(batchId))
         .withColumn("bucket", windowBucket(col("id"))))
       .partitionBy("batch", "bucket").parquet(s"$path/windows")
-    if (overwriteAll)
-      Seq(windowTokens).toDF("window_tokens")
+    if (overwriteAll) {
+      // meta carries the window width (the DDL) AND the loaded-shape
+      // schema, so an empty-corpus base still round-trips through
+      // loadWindows as a typed EMPTY index instead of a schema-inference
+      // failure (an all-null-text corpus writes zero data files)
+      val loadedSchema = org.apache.spark.sql.types.StructType(
+        if (wv.schema.fieldNames.contains("bucket")) wv.schema.fields
+        else wv.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "bucket", org.apache.spark.sql.types.LongType))
+      Seq((windowTokens, loadedSchema.json))
+        .toDF("window_tokens", "schema_json")
         .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    }
     // row count of the just-written partition (metadata-cheap pruned read —
     // the appendBatchPq discipline: never re-run the window job for the
-    // marker), written last = commit marker
-    // an all-null-text batch writes no files at all — the schema-less read
-    // is the one legitimate AnalysisException here, and it means 0 rows
-    val written = try {
-      spark.read.parquet(s"$path/windows")
+    // marker), written last = commit marker. An all-null-text batch writes
+    // no data files at all — PROBE the directory instead of catching
+    // AnalysisException wholesale, so a transient read failure on a
+    // non-empty index still aborts the commit instead of marking n=0.
+    val written =
+      if (!hasDataFiles(spark, s"$path/windows")) 0L
+      else spark.read.parquet(s"$path/windows")
         .where(col("batch") === batchId).count()
-    } catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     writer(Seq((written, batchId)).toDF("n", "batch"))
       .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** True iff `dir` exists and holds at least one DATA file (skips
+    * `_SUCCESS`/hidden files) — the "is this parquet table readable"
+    * probe that lets empty-table handling be an explicit branch rather
+    * than a catch of Spark's schema-inference AnalysisException (which
+    * would also swallow real read failures). */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
   }
 
   /** Window one micro-batch of NEW documents (R17 skip-existing contract)
@@ -688,7 +719,7 @@ object IndexStore {
     require(fs.exists(metaPath),
       s"no window index meta under $path — appendBatchWindows requires a " +
         "saveWindows base (the window width is the index DDL)")
-    spark.read.parquet(s"$path/meta").head.getInt(0)
+    spark.read.parquet(s"$path/meta").select("window_tokens").head.getInt(0)
   }
 
   /** Consistent snapshot at the latest commit markers (same contract as
@@ -696,11 +727,23 @@ object IndexStore {
     * partition pruning available on `bucket`. */
   def loadWindows(spark: SparkSession, path: String): WindowIndex = {
     val batches = committedBatches(spark, s"$path/marks")
-    WindowIndex(
-      windows = spark.read.parquet(s"$path/windows")
-        .where(col("batch").cast("long").isin(batches: _*))
-        .select("id", "w", "dim", "val", "bucket"),
-      windowTokens = windowTokens(spark, path))
+    val windows =
+      if (hasDataFiles(spark, s"$path/windows"))
+        spark.read.parquet(s"$path/windows")
+          .where(col("batch").cast("long").isin(batches: _*))
+          .select("id", "w", "dim", "val", "bucket")
+      else {
+        // empty-corpus base: no data files exist, but meta recorded the
+        // loaded shape — return a typed empty index, not an inference error
+        val schemaJson = spark.read.parquet(s"$path/meta")
+          .select("schema_json").head.getString(0)
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .select("id", "w", "dim", "val", "bucket")
+      }
+    WindowIndex(windows, windowTokens(spark, path))
   }
 
   /** Fold every committed batch back into one base partition — same

@@ -428,7 +428,7 @@ object Curation {
         docs.queryExecution.analyzed.canonicalized.toString,
         evalDocs.queryExecution.analyzed.canonicalized.toString,
         idCol, textCol, minTokens, maxTokens, minQualityPpm,
-        langs.mkString(","), trainPermille, valPermille).mkString(" ")
+        langs.mkString(","), trainPermille, valPermille).mkString("\u0000")
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(material.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
