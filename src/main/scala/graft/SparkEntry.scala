@@ -328,6 +328,12 @@ object SparkEntry {
   private val JaccardThr = 0.5
   private val SimhashMaxDist = 1
   private val CosineThr = 0.45
+  /** High-threshold (clone-detection) regime constants for the selective
+    * sign-LSH queries — 0.95 single-probe, 0.90 multi-probe (the weakest
+    * point of 8-bit single-probe recall, where Hamming-1 probing earns
+    * its ×9 candidate fanout). */
+  private val SelectiveThr = 0.95
+  private val SelectiveMpThr = 0.90
   /** Embedding dimensionality of the testdata embeddings table. */
   private val EmbDim = 64
 
@@ -934,6 +940,76 @@ object SparkEntry {
         Dedup.signLshCandidates(corpusSignLsh(spark, dir)),
         Tables.embeddings(spark, dir), "vec_id", "embedding", CosineThr)
       .orderBy("id1", "id2")
+
+  /** Near-clone-planted corpus for the HIGH-threshold dedup queries: the
+    * raw embeddings table has zero pairs above cos 0.85 at every SF
+    * (measured — a declared 0.95 query over it would be a trivial 0-row
+    * check), so the [[qDedupVectors]] union trick plants two replica
+    * families with ids offset by 1M/2M: EXACT copies (cos exactly 1.0)
+    * and first-dimension SIGN-FLIPS (cos = 1 − 2·v₀²/‖v‖², a genuine
+    * near-clone spread over ~0.69–1.0 on this data). Both transforms are
+    * EXACT in float — no arithmetic is introduced that could round
+    * differently across engines — so the DuckDB twin (`list_prepend(-e[1],
+    * e[2:])`) reproduces bit-identical vectors and the 6-decimal sim
+    * hashes stay deterministic. */
+  private def plantedNearClones(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    e.unionByName(e.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")))
+      .unionByName(e.select((col("vec_id") + 2000000L).as("vec_id"),
+        concat(array(negate(element_at(col("embedding"), 1))),
+          slice(col("embedding"), 2, EmbDim - 1)).as("embedding")))
+  }
+  /** SQL twin of [[plantedNearClones]] as a DuckDB CTE body. */
+  private val plantedNearClonesSql =
+    """planted AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 2000000, list_prepend(-embedding[1], embedding[2:])
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** The PRODUCTION clone-detection regime under the correctness gate:
+    * [[Dedup.cosinePairsLshSelective]] (16×8-bit selective bands — a
+    * random pair agrees on a band w.p. 2⁻⁸, so the banding genuinely
+    * prunes) at threshold 0.95 over [[plantedNearClones]]. The banding
+    * isn't SQL-expressible, so like the ball-cover join this runs under
+    * the [[selfChecked]] routed==exact gate at Verify time: the seeded
+    * hyperplanes make recall on this fixture a deterministic fact
+    * (analytic per-pair miss 1.4e-4 at cos exactly 0.95, and the at-risk
+    * flip pairs sit mostly well above it), and any drift fails the run
+    * loudly before a wrong hash could pass. Oracle = brute-force cosine
+    * pairs SQL over the same planted CTE. */
+  private def qNeardupCosineSel(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedNearClones(spark, dir)
+    selfChecked(
+      Dedup.cosinePairsLshSelective(planted, "vec_id", "embedding",
+          SelectiveThr, EmbDim)
+        .orderBy("id1", "id2"),
+      Dedup.cosinePairs(planted, "vec_id", "embedding", SelectiveThr)
+        .orderBy("id1", "id2"),
+      "q_neardup_cosine_sel selective banding")
+  }
+
+  /** [[qNeardupCosineSel]]'s Hamming-1 MULTI-PROBE sibling at 0.90 — the
+    * band of the regime where 8-bit single-probe recall is weakest
+    * (per-pair miss 4.2e-3 at cos exactly 0.90; multi-probe pulls it to
+    * 1.3e-8 for ×9 candidate work on the probe side only). Declaring it
+    * at 0.90 rather than 0.95 is the point: it exercises exactly the
+    * thresholds the single-probe path shouldn't be trusted at, under the
+    * same selfChecked gate and brute-force oracle. */
+  private def qNeardupCosineSelMp(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedNearClones(spark, dir)
+    selfChecked(
+      Dedup.cosinePairsLshSelectiveMultiProbe(planted, "vec_id", "embedding",
+          SelectiveMpThr, EmbDim)
+        .orderBy("id1", "id2"),
+      Dedup.cosinePairs(planted, "vec_id", "embedding", SelectiveMpThr)
+        .orderBy("id1", "id2"),
+      "q_neardup_cosine_selmp multi-probe selective banding")
+  }
 
   /** Directed containment pairs ([[Dedup.containmentPairs]]) — the
     * asymmetric-duplication screen (quotes, boilerplate-wrapped copies,
@@ -1591,6 +1667,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => qDedupSimhash(s, dir)),
     "q_neardup_cosine" -> ((s, dir) => qNeardupCosine(s, dir)),
     "q_neardup_cosine_idx" -> ((s, dir) => qNeardupCosineIdx(s, dir)),
+    "q_neardup_cosine_sel" -> ((s, dir) => qNeardupCosineSel(s, dir)),
+    "q_neardup_cosine_selmp" -> ((s, dir) => qNeardupCosineSelMp(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => qDedupIncremental(s, dir)),
     "q_dedup_incremental_mp" -> ((s, dir) => qDedupIncrementalMp(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
@@ -2367,6 +2445,19 @@ object SparkEntry {
     // kNN SQL stays the oracle for both
     "q_neardup_cosine_idx" ->
       (Dedup.sqlCosinePairs("embeddings", "vec_id", "embedding", CosineThr) +
+        "\nORDER BY id1, id2"),
+    // high-threshold selective banding over the planted near-clone corpus:
+    // the banding is recall-1 on this fixture (selfChecked re-proves it at
+    // Verify time), so brute-force cosine over the same planted CTE is the
+    // oracle; the plant transforms are float-exact, so the DuckDB twin
+    // reproduces bit-identical vectors
+    "q_neardup_cosine_sel" ->
+      (s"WITH $plantedNearClonesSql\n" +
+        Dedup.sqlCosinePairs("planted", "vec_id", "embedding", SelectiveThr) +
+        "\nORDER BY id1, id2"),
+    "q_neardup_cosine_selmp" ->
+      (s"WITH $plantedNearClonesSql\n" +
+        Dedup.sqlCosinePairs("planted", "vec_id", "embedding", SelectiveMpThr) +
         "\nORDER BY id1, id2"),
     // directed batch→corpus pairs: a = new batch (every 5th id, matching
     // qDedupIncremental), b = any other vector in the corpus

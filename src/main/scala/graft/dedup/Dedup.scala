@@ -1167,12 +1167,7 @@ object Dedup {
         "semanticPairs (cluster-scoped)")
     val banded = signLshSketchesSelective(embs, idCol, embCol, dim, seed,
       bands, rows)
-    val l = banded.select(col("id").as("id1"), col("band"), col("bkey"))
-    val r = banded.select(col("id").as("id2"), col("band"), col("bkey"))
-    val cands = l.join(r, Seq("band", "bkey"))
-      .where(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    cosineVerify(cands, embs, idCol, embCol, threshold)
+    cosineVerify(selectiveCandidates(banded), embs, idCol, embCol, threshold)
   }
 
   /** Analytic per-pair miss probability of selective banding at cosine
@@ -1187,12 +1182,17 @@ object Dedup {
 
   /** [[selectiveMissProb]] under HAMMING-1 multi-probe: a band hits when
     * its keys agree exactly (p^rows) OR differ in exactly one bit
-    * (rows·p^(rows−1)·(1−p)) — the probe set covers both. At the defaults
-    * this pulls the cos-0.85 per-pair miss from 2.3e-2 (single-probe, the
-    * weak point of the 8-bit bands) to 1.2e-6 for ×(1+rows) candidate work
-    * on one join side only. */
-  def selectiveMissProbMultiProbe(t: Double, bands: Int = SignLshBands,
-      rows: Int = 8): Double = {
+    * (rows·p^(rows−1)·(1−p)) — the probe set covers both. Defaults are
+    * 32×12-bit bands, NOT the single-probe 16×8: the real multi-probe
+    * insight (Lv et al.) is that probing buys back the recall a LONGER
+    * key loses, so you can afford keys selective enough that even the
+    * ×(1+rows) probe fanout stays pruning — at 12 bits a random pair
+    * hits a probed band w.p. 13·2⁻¹² ≈ 0.3% (≈ 9.7% over 32 bands),
+    * vs 8-bit probing's 9·2⁻⁸ ≈ 3.5% per band (≈ 44% over 16 — hardly
+    * a prune, measured in DedupSpec). Per-pair miss at cos 0.85:
+    * 1.2e-6 (vs 2.2e-2 single-probe 16×8). */
+  def selectiveMissProbMultiProbe(t: Double, bands: Int = 2 * SignLshBands,
+      rows: Int = 12): Double = {
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, t))) / math.Pi
     val perBandHit = math.pow(p, rows) +
       rows * math.pow(p, rows - 1) * (1.0 - p)
@@ -1203,18 +1203,20 @@ object Dedup {
     * [[signLshCandidatesAgainstMultiProbe]] trick (Lv et al.) applied to
     * the 8-bit selective bands: one join side also probes every band key
     * with one bit flipped, so a pair whose band keys just miss exact
-    * agreement (the dominant miss mode at cos 0.85–0.90, where 8-bit
-    * single-probe recall is weakest) is still caught. Candidate work grows
-    * ×(1+rows) on the probe side ONLY — each bucket's join output is
-    * Σ probes(b)·rows(b), nowhere near the low-threshold all-pairs blowup
-    * ([[selectiveMissProbMultiProbe]] vs [[selectiveMissProb]] quantifies
-    * the recall buy; DedupSpec pins output == brute force at 0.85 on a
-    * planted corpus with candidates ≪ all-pairs). Same 0.85 floor as the
-    * single-probe path: below it even multi-probe recall decays and
-    * [[cosinePairsLsh]] / [[semanticPairs]] are the right tools. */
+    * agreement (the dominant miss mode at cos 0.85–0.90, where single-
+    * probe recall is weakest) is still caught. The defaults pair the
+    * probing with LONGER 12-bit keys over 32 bands (see
+    * [[selectiveMissProbMultiProbe]]): probing buys back the recall the
+    * longer key loses, so the path keeps BOTH the 1e-6-class miss
+    * probability and a ~10× candidate prune on random backgrounds —
+    * whereas probing the single-probe 16×8 layout would admit ~44% of
+    * all pairs (measured, DedupSpec). Candidate work grows ×(1+rows) on
+    * the probe side ONLY. Same 0.85 floor as the single-probe path:
+    * below it even multi-probe recall decays and [[cosinePairsLsh]] /
+    * [[semanticPairs]] are the right tools. */
   def cosinePairsLshSelectiveMultiProbe(embs: DataFrame, idCol: String,
       embCol: String, threshold: Double, dim: Int, seed: Long = 42L,
-      bands: Int = SignLshBands, rows: Int = 8): DataFrame = {
+      bands: Int = 2 * SignLshBands, rows: Int = 12): DataFrame = {
     require(threshold >= 0.85,
       f"cosinePairsLshSelectiveMultiProbe is the high-threshold regime " +
         f"(miss prob at $threshold%.2f with $bands×$rows-bit bands is " +
@@ -1222,19 +1224,39 @@ object Dedup {
         "below 0.85 use cosinePairsLsh or semanticPairs")
     val banded = signLshSketchesSelective(embs, idCol, embCol, dim, seed,
       bands, rows)
-    // probe side: the exact key plus its `rows` Hamming-1 neighbours —
-    // selective band keys are per-band values (no global bit offset, unlike
-    // the packed signLshSketches layout), so flips are plain 1<<j
+    cosineVerify(selectiveCandidatesMultiProbe(banded, rows), embs, idCol,
+      embCol, threshold)
+  }
+
+  /** Distinct unordered candidate pairs from ≥ 1 agreeing selective band —
+    * the candidate stage of [[cosinePairsLshSelective]], exposed so specs
+    * and budget receipts can count the verify join's input without
+    * re-deriving the banding join. Input is [[signLshSketchesSelective]]
+    * output. */
+  def selectiveCandidates(banded: DataFrame): DataFrame = {
+    val l = banded.select(col("id").as("id1"), col("band"), col("bkey"))
+    val r = banded.select(col("id").as("id2"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** [[selectiveCandidates]] under Hamming-1 multi-probe: one join side
+    * also probes every band key with one bit flipped — selective band keys
+    * are per-band values (no global bit offset, unlike the packed
+    * [[signLshSketches]] layout), so flips are plain 1<<j. The candidate
+    * stage of [[cosinePairsLshSelectiveMultiProbe]]. */
+  def selectiveCandidatesMultiProbe(banded: DataFrame,
+      rows: Int = 12): DataFrame = {
     val probes = banded.select(col("id").as("id1"), col("band"),
         explode(array((lit(0L) +: (0 until rows).map(j =>
           lit(1L << j))): _*)).as("flip"), col("bkey"))
       .select(col("id1"), col("band"),
         col("bkey").bitwiseXOR(col("flip")).as("bkey"))
     val r = banded.select(col("id").as("id2"), col("band"), col("bkey"))
-    val cands = probes.join(r, Seq("band", "bkey"))
+    probes.join(r, Seq("band", "bkey"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    cosineVerify(cands, embs, idCol, embCol, threshold)
   }
 
   /** EXACT count of distinct unordered candidate pairs per (band, bkey)

@@ -464,6 +464,54 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(Dedup.selectiveMissProb(0.45) > 0.5)
   }
 
+  test("multi-probe selective banding: 0.85 pairs equal brute force where single-probe is weakest") {
+    // plant GENUINELY-NEAR (not exact) clones: sign-flip the first
+    // dimension, cos = 1 − 2·v₀²/‖v‖² — spread over ~0.66–1.0 on this
+    // data, i.e. exactly the 0.85–0.95 band where 8-bit single-probe
+    // recall decays (per-pair miss 2.2e-2 at cos exactly 0.85) and
+    // Hamming-1 probing earns its fanout (1.2e-6)
+    val base = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val embs = base.unionByName(base
+        .where($"vec_id" % 3 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          concat(array(negate(element_at($"embedding", 1))),
+            slice($"embedding", 2, 63)).as("embedding")))
+      .localCheckpoint(true)
+    val n = embs.count()
+    val got = Dedup.cosinePairsLshSelectiveMultiProbe(embs, "vec_id",
+        "embedding", 0.85, 64)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val brute = Dedup.cosinePairs(embs, "vec_id", "embedding", 0.85)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(got === brute,
+      "multi-probe selective output must equal the brute-force oracle at 0.85")
+    // the plant must actually exercise the near-but-not-exact band —
+    // all-exact clones (sim 1.0) would prove nothing about probing
+    assert(brute.exists(p => p._3 < 0.99 && p._3 >= 0.85),
+      "fixture must contain genuinely near (sub-0.99) qualifying pairs")
+    // candidates stay a small fraction of all pairs even with the ×13
+    // probe fanout — the longer 12-bit keys are what keep probing a
+    // prune (analytic random-pair admit ≈ 9.7%; probing the single-probe
+    // 16×8 layout admits ~44%, measured before the defaults changed)
+    val banded = Dedup.signLshSketchesSelective(embs, "vec_id", "embedding",
+      64, bands = 2 * Dedup.SignLshBands, rows = 12)
+    val cands = Dedup.selectiveCandidatesMultiProbe(banded).count()
+    val allPairs = n * (n - 1) / 2
+    assert(cands < allPairs / 5,
+      s"multi-probe candidates must prune: $cands of $allPairs pairs")
+    // analytic receipts: multi-probe closes the single-probe recall gap
+    // at 0.85 by four orders of magnitude, and never probes worse
+    assert(Dedup.selectiveMissProbMultiProbe(0.85) < 1e-4)
+    assert(Dedup.selectiveMissProb(0.85) > 1e-2)
+    assert(Seq(0.85, 0.90, 0.95, 0.99).forall(t =>
+      Dedup.selectiveMissProbMultiProbe(t) <= Dedup.selectiveMissProb(t)))
+    // same loud floor as single-probe
+    assert(intercept[IllegalArgumentException] {
+      Dedup.cosinePairsLshSelectiveMultiProbe(embs, "vec_id", "embedding",
+        0.45, 64)
+    }.getMessage.contains("high-threshold regime"))
+  }
+
   test("signLshCandidateVolume is the exact pre-filter bucket join size and flags clone blowup") {
     val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
     val banded = Dedup.signLshSketches(embs, "vec_id", "embedding", 64)
