@@ -330,8 +330,8 @@ object SparkEntry {
   private val CosineThr = 0.45
   /** High-threshold (clone-detection) regime constants for the selective
     * sign-LSH queries — 0.95 single-probe, 0.90 multi-probe (the weakest
-    * point of 8-bit single-probe recall, where Hamming-1 probing earns
-    * its ×9 candidate fanout). */
+    * point of 8-bit single-probe recall, where Hamming-1 probing over the
+    * longer 32×12-bit layout earns its ×13 probe fanout). */
   private val SelectiveThr = 0.95
   private val SelectiveMpThr = 0.90
   /** Embedding dimensionality of the testdata embeddings table. */
@@ -995,11 +995,12 @@ object SparkEntry {
 
   /** [[qNeardupCosineSel]]'s Hamming-1 MULTI-PROBE sibling at 0.90 — the
     * band of the regime where 8-bit single-probe recall is weakest
-    * (per-pair miss 4.2e-3 at cos exactly 0.90; multi-probe pulls it to
-    * 1.3e-8 for ×9 candidate work on the probe side only). Declaring it
-    * at 0.90 rather than 0.95 is the point: it exercises exactly the
-    * thresholds the single-probe path shouldn't be trusted at, under the
-    * same selfChecked gate and brute-force oracle. */
+    * (per-pair miss 4.2e-3 at cos exactly 0.90; the 32×12-bit multi-probe
+    * layout pulls it to 1.6e-9 for ×13 candidate work on the probe side
+    * only, while staying a ~10× candidate prune). Declaring it at 0.90
+    * rather than 0.95 is the point: it exercises exactly the thresholds
+    * the single-probe path shouldn't be trusted at, under the same
+    * selfChecked gate and brute-force oracle. */
   private def qNeardupCosineSelMp(spark: SparkSession, dir: String): DataFrame = {
     val planted = plantedNearClones(spark, dir)
     selfChecked(
@@ -1199,10 +1200,9 @@ object SparkEntry {
   private def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val batch = e.where(col("vec_id") % 5 === 0)
-    val cands = Dedup.signLshCandidatesAgainst(
-      Dedup.signLshSketches(batch, "vec_id", "embedding", EmbDim),
-      corpusSignLsh(spark, dir))
-    Dedup.cosineVerify(cands, e, "vec_id", "embedding", CosineThr)
+    Dedup.signLshScreen(
+        Dedup.signLshSketches(batch, "vec_id", "embedding", EmbDim),
+        corpusSignLsh(spark, dir), e, "vec_id", "embedding", CosineThr)
       .orderBy("id1", "id2")
   }
 
@@ -1215,10 +1215,10 @@ object SparkEntry {
   private def qDedupIncrementalMp(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val batch = e.where(col("vec_id") % 5 === 0)
-    val cands = Dedup.signLshCandidatesAgainstMultiProbe(
-      Dedup.signLshSketches(batch, "vec_id", "embedding", EmbDim),
-      corpusSignLsh(spark, dir))
-    Dedup.cosineVerify(cands, e, "vec_id", "embedding", CosineThr)
+    Dedup.signLshScreen(
+        Dedup.signLshSketches(batch, "vec_id", "embedding", EmbDim),
+        corpusSignLsh(spark, dir), e, "vec_id", "embedding", CosineThr,
+        multiProbe = true)
       .orderBy("id1", "id2")
   }
 

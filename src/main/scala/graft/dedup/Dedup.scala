@@ -398,14 +398,23 @@ object Dedup {
       candidatePairs: Long, verifiedPairs: Long, emittedPairs: Long)
 
   /** [[containmentPairsAgainst]] plus its [[ContainmentScreenStats]] —
-    * the counts run eagerly here (three bounded aggregations over
-    * batch-proportional relations), so callers log the receipts and specs
-    * pin them; the stats-free variant stays fully lazy. */
+    * the [[graft.search.LateInteraction]] boundedCandidates discipline:
+    * each screen stage is `localCheckpoint`ed ONCE and every consumer
+    * (the stats counts AND the returned relation) reads the checkpoint,
+    * so receipts cost one execution of the screen, not one per count.
+    * Counts over checkpointed stages are cheap block scans; the returned
+    * DataFrame is itself checkpointed, so consuming it later re-reads
+    * materialized blocks rather than re-running the joins. One behavioral
+    * consequence, deliberate: the stale-index `raise_error` (conflicting
+    * re-ingest intersection counts) fires HERE, eagerly, instead of at
+    * first consumption — receipts for a misused index should be loud at
+    * screen time. The stats-free variant stays fully lazy. */
   def containmentPairsAgainstWithStats(batch: DataFrame, idCol: String,
       textCol: String, index: graft.index.IndexStore.ContainmentIndex,
       threshold: Double): (DataFrame, ContainmentScreenStats) = {
     val (out, cands, interC, bucketsScanned) =
-      containmentScreen(batch, idCol, textCol, index, threshold)
+      containmentScreen(batch, idCol, textCol, index, threshold,
+        mat = _.localCheckpoint(true))
     val stats = ContainmentScreenStats(
       bucketsScanned = bucketsScanned,
       totalBuckets = ShingleBuckets,
@@ -415,9 +424,14 @@ object Dedup {
     (out, stats)
   }
 
+  /** `mat` is applied to each screen stage (candidates, canonicalized
+    * intersections, emitted pairs): `identity` keeps the lazy production
+    * plan; `localCheckpoint(true)` materializes each stage exactly once
+    * so the WithStats variant's counts never re-execute upstream joins. */
   private def containmentScreen(batch: DataFrame, idCol: String,
       textCol: String, index: graft.index.IndexStore.ContainmentIndex,
-      threshold: Double): (DataFrame, DataFrame, DataFrame, Int) = {
+      threshold: Double,
+      mat: DataFrame => DataFrame = identity): (DataFrame, DataFrame, DataFrame, Int) = {
     require(threshold >= index.threshold,
       s"containment index was built for threshold ${index.threshold}; its " +
         s"prefixes are too short to guarantee recall at $threshold — " +
@@ -434,9 +448,9 @@ object Dedup {
     val candA = containmentPrefix(bp, threshold)
       .select(col("qid").as("bid"), col("h")).join(ip, "h")
     val candB = bp.select(col("id").as("bid"), col("h")).join(ipre, "h")
-    val cands = candA.select("bid", "cid")
+    val cands = mat(candA.select("bid", "cid")
       .unionByName(candB.select("bid", "cid"))
-      .where(col("bid") =!= col("cid")).distinct()
+      .where(col("bid") =!= col("cid")).distinct())
     val inter = cands
       .join(bp.select(col("id").as("bid"), col("h")), "bid")
       .join(ip, Seq("cid", "h"))
@@ -452,7 +466,7 @@ object Dedup {
     // conflict is therefore detectable misuse → distributed raise_error
     // (the [[graft.pipeline.Curation.packChunkId]] guard idiom): append or
     // rebuild the index for updated documents before screening.
-    val interC = inter.select(least(col("bid"), col("cid")).as("id1"),
+    val interC = mat(inter.select(least(col("bid"), col("cid")).as("id1"),
         greatest(col("bid"), col("cid")).as("id2"), col("inter"))
       .groupBy("id1", "id2")
       .agg(max(col("inter")).as("inter"), min(col("inter")).as("__lo"))
@@ -464,11 +478,11 @@ object Dedup {
               "differs from its indexed postings (stale index); append or " +
               "rebuild the containment index before screening",
             col("id1").cast("string"), col("id2").cast("string"))))
-          .as("inter"))
+          .as("inter")))
     val bpSizes = bp.groupBy("id").agg(count(lit(1)).as("sz"))
     val sizes = index.sizes.select("id", "sz").unionByName(
       bpSizes.join(index.sizes.select("id"), Seq("id"), "left_anti"))
-    (directedContainment(interC, sizes, threshold), cands, interC,
+    (mat(directedContainment(interC, sizes, threshold)), cands, interC,
       buckets.length)
   }
 
@@ -920,10 +934,13 @@ object Dedup {
       .select("id1", "id2")
   }
 
-  /** Exact-verify a candidate pair set against the dense vectors:
-    * (id1, id2, sim ≥ threshold). Work ∝ candidates. */
-  def cosineVerify(cands: DataFrame, embs: DataFrame, idCol: String,
-      embCol: String, threshold: Double): DataFrame = {
+  /** Exact cosine for a candidate pair set against the dense vectors,
+    * UNFILTERED: (id1, id2, sim) for every candidate whose BOTH ids carry
+    * an embedding row (a candidate referencing a missing id drops out of
+    * the inner joins — that gap is what the screen receipts' verified
+    * count surfaces). Work ∝ candidates. */
+  def cosineSims(cands: DataFrame, embs: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
     val withV = embs.select(col(idCol).as("id"), col(embCol).as("v"),
       Vectors.l2norm(col(embCol)).as("nrm"))
     val a = withV.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("nrm1"))
@@ -931,8 +948,13 @@ object Dedup {
     cands.join(a, "id1").join(b, "id2")
       .select(col("id1"), col("id2"),
         round(Vectors.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6).as("sim"))
-      .where(col("sim") >= threshold)
   }
+
+  /** Exact-verify a candidate pair set against the dense vectors:
+    * (id1, id2, sim ≥ threshold). Work ∝ candidates. */
+  def cosineVerify(cands: DataFrame, embs: DataFrame, idCol: String,
+      embCol: String, threshold: Double): DataFrame =
+    cosineSims(cands, embs, idCol, embCol).where(col("sim") >= threshold)
 
   /** Banded sign-LSH candidates + exact cosine verify. REGIME NOTE
     * (measured, SCALE.md round-7 §5): the 2-bit-band default is sized for
@@ -1310,19 +1332,93 @@ object Dedup {
     requireBoundedBanded(batchBanded,
       "Dedup.signLshCandidatesAgainstMultiProbe", bands,
       probeFanout = 1 + rows)
-    // bit j of band b sits at position b*rows + j (the signLshSketches
-    // layout); flip 0 = the exact key
-    val probed = batchBanded.select(col("id").as("id1"), col("band"),
-        explode(array((lit(0L) +: (0 until rows).map(j =>
-          lit(1L << j))): _*)).as("flip"),
-        col("bkey"))
-      .select(col("id1"), col("band"),
-        col("bkey").bitwiseXOR(
-          expr(s"shiftleft(flip, cast(band * $rows AS INT))")).as("bkey"))
-    broadcast(probed)
+    broadcast(signLshProbes(batchBanded, rows).withColumnRenamed("id", "id1"))
       .join(indexBanded.select(col("id").as("id2"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .where(col("id1") =!= col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** Hamming-1 probe expansion of a PACKED-layout banded sketch relation
+    * (the [[signLshSketches]] shape, where bit j of band b sits at global
+    * position b·rows + j): each (id, band, bkey) row becomes 1+rows rows —
+    * the exact key plus every single-bit flip. Exposed so budget receipts
+    * can price the multi-probe join with [[signLshCandidateVolumeAgainst]]
+    * over EXACTLY the relation that joins (flip 0 = the exact key). */
+  def signLshProbes(banded: DataFrame, rows: Int = SignLshRows): DataFrame =
+    banded.select(col("id"), col("band"),
+        explode(array((lit(0L) +: (0 until rows).map(j =>
+          lit(1L << j))): _*)).as("flip"),
+        col("bkey"))
+      .select(col("id"), col("band"),
+        col("bkey").bitwiseXOR(
+          expr(s"shiftleft(flip, cast(band * $rows AS INT))")).as("bkey"))
+
+  /** What the incremental sign-LSH screen actually did — the
+    * [[ContainmentScreenStats]] discipline for the daily-ingest dedup
+    * path, pairing the BEFORE-launch budget with the after-the-fact
+    * counts so a clone-inflated index (the SCALE.md round-5c m²
+    * pathology) is a number before it is a bill AND a receipt after:
+    * `budgetedJoinRows` is [[signLshCandidateVolumeAgainst]] over exactly
+    * the relations that join (probe-expanded under multi-probe);
+    * `candidatePairs` the distinct directed pairs the band join emitted;
+    * `verifiedPairs` the candidates whose both sides carried an embedding
+    * row (a shortfall vs candidatePairs means ids in the sketch index
+    * with no vector — a stale-enrichment signal); `emittedPairs` the
+    * pairs past the threshold. */
+  case class SignLshScreenStats(bandsProbed: Int, probeFanout: Int,
+      budgetedJoinRows: Long, candidatePairs: Long, verifiedPairs: Long,
+      emittedPairs: Long)
+
+  /** The incremental dedup screen as one composition: banded batch
+    * sketches against a persisted banded index
+    * ([[signLshCandidatesAgainst]], Hamming-1 multi-probe when asked),
+    * then exact cosine verification of the candidates. Directed pairs
+    * (id1 = batch, id2 = index), work ∝ batch — the declared
+    * `q_dedup_incremental`/`_mp` path. */
+  def signLshScreen(batchBanded: DataFrame, indexBanded: DataFrame,
+      embs: DataFrame, idCol: String, embCol: String, threshold: Double,
+      multiProbe: Boolean = false, bands: Int = SignLshBands,
+      rows: Int = SignLshRows): DataFrame = {
+    val cands =
+      if (multiProbe)
+        signLshCandidatesAgainstMultiProbe(batchBanded, indexBanded, bands, rows)
+      else signLshCandidatesAgainst(batchBanded, indexBanded, bands, rows)
+    cosineVerify(cands, embs, idCol, embCol, threshold)
+  }
+
+  /** [[signLshScreen]] plus its [[SignLshScreenStats]] — the containment
+    * screen's one-execution receipts discipline: the candidate and sims
+    * stages are `localCheckpoint`ed once and every count reads a
+    * checkpoint, so receipts cost one screen execution plus the (cheap,
+    * deliberate) BEFORE-launch budget aggregation. The budget runs FIRST
+    * and is returned even though the screen then executes — production
+    * callers wanting a pure pre-flight check call
+    * [[signLshCandidateVolumeAgainst]] directly and decide before
+    * launching. */
+  def signLshScreenWithStats(batchBanded: DataFrame, indexBanded: DataFrame,
+      embs: DataFrame, idCol: String, embCol: String, threshold: Double,
+      multiProbe: Boolean = false, bands: Int = SignLshBands,
+      rows: Int = SignLshRows): (DataFrame, SignLshScreenStats) = {
+    // bounded by the broadcast discipline inside the candidate join;
+    // checkpointing first also keeps the budget aggregation from
+    // re-running the batch sketch job
+    val bb = batchBanded.localCheckpoint(true)
+    val budget = signLshCandidateVolumeAgainst(
+      if (multiProbe) signLshProbes(bb, rows) else bb, indexBanded)
+    val cands = (if (multiProbe)
+        signLshCandidatesAgainstMultiProbe(bb, indexBanded, bands, rows)
+      else signLshCandidatesAgainst(bb, indexBanded, bands, rows))
+      .localCheckpoint(true)
+    val sims = cosineSims(cands, embs, idCol, embCol).localCheckpoint(true)
+    val out = sims.where(col("sim") >= threshold)
+    val stats = SignLshScreenStats(
+      bandsProbed = bands,
+      probeFanout = if (multiProbe) 1 + rows else 1,
+      budgetedJoinRows = budget,
+      candidatePairs = cands.count(),
+      verifiedPairs = sims.count(),
+      emittedPairs = out.count())
+    (out, stats)
   }
 }

@@ -381,6 +381,45 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       s"candidates must cover verified: $stats")
   }
 
+  test("containment screen receipts cost one execution, not one per count") {
+    // the WithStats variant localCheckpoints each screen stage once and
+    // counts the checkpoints — before that fix the three counts re-ran
+    // the candidate/intersection joins ~3×. Pin it with the public
+    // statusTracker job-group API: total Spark stages executed by the
+    // stats path must stay within a small additive overhead of the lazy
+    // path's single execution (the checkpoint/count jobs), nowhere near
+    // the ~2.5× a per-count re-execution costs.
+    val corpus = (1 to 30).map(i =>
+      (i.toLong, (i to i + 25).map(j => s"tok$j").mkString(" "))).toDF("id", "text")
+    val batch = (3 to 12).map(i =>
+      (100L + i, (i to i + 24).map(j => s"tok$j").mkString(" "))).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("contstage").toString
+    graft.index.IndexStore.saveContainment(corpus, "id", "text", 0.9, dir)
+    val idx = graft.index.IndexStore.loadContainment(spark, dir)
+    var lazyOut: Set[(Long, Long, Double)] = null
+    val lazyStages = stagesFor {
+      lazyOut = Dedup.containmentPairsAgainst(batch, "id", "text", idx, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    var statsOut: Set[(Long, Long, Double)] = null
+    var stats: Dedup.ContainmentScreenStats = null
+    val statsStages = stagesFor {
+      val (df, s) = Dedup.containmentPairsAgainstWithStats(
+        batch, "id", "text", idx, 0.9)
+      stats = s
+      statsOut = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    assert(statsOut === lazyOut, "receipts must not change the output")
+    assert(stats.emittedPairs === lazyOut.size.toLong)
+    assert(lazyOut.nonEmpty, "fixture must emit pairs or the pin is vacuous")
+    // additive overhead: 3 checkpoint-backed counts + the final collect
+    // over a checkpoint are ~2 stages each; a per-count re-execution of
+    // the screen would roughly TRIPLE the join stages instead
+    assert(statsStages <= lazyStages + 12,
+      s"stats path executed $statsStages stages vs lazy $lazyStages — " +
+        "receipts are re-running the screen instead of counting checkpoints")
+  }
+
   test("containmentPairsAgainst fails loudly when a re-ingested id's text changed") {
     // both pair members ride in the batch AND sit in the index, and id 2's
     // batch text DIFFERS from its indexed postings: the two candidate
@@ -573,6 +612,17 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     p.unpersist()
   }
 
+  /** Total Spark stages executed by `body`, via the public statusTracker
+    * job-group API — the one-execution pin for the receipts variants. */
+  private def stagesFor(body: => Unit): Int = {
+    val group = "stage-probe-" + java.util.UUID.randomUUID().toString
+    spark.sparkContext.setJobGroup(group, group)
+    try body finally spark.sparkContext.clearJobGroup()
+    val t = spark.sparkContext.statusTracker
+    t.getJobIdsForGroup(group)
+      .flatMap(id => t.getJobInfo(id).map(_.stageIds().length)).sum
+  }
+
   test("multi-probe candidates are a strict superset of exact-band candidates") {
     val e = Tables.embeddings(spark, Sf0001)
     val index = Dedup.signLshSketches(e, "vec_id", "embedding", 64)
@@ -590,5 +640,72 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(multi.size > exact.size)
     // contract parity: directed, no self-pairs, distinct
     assert(multi.forall { case (a, b) => a % 5 == 0 && a != b })
+  }
+
+  test("sign-LSH screen receipts: budget bounds candidates, one execution, missing vectors surface") {
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val index = Dedup.signLshSketches(e, "vec_id", "embedding", 64)
+      .localCheckpoint(true)
+    val batchSk = Dedup.signLshSketches(
+      e.where(col("vec_id") % 5 === 0), "vec_id", "embedding", 64)
+    for (mp <- Seq(false, true)) {
+      var lazyOut: Set[(Long, Long, Double)] = null
+      val lazyStages = stagesFor {
+        lazyOut = Dedup.signLshScreen(batchSk, index, e, "vec_id",
+            "embedding", 0.45, multiProbe = mp)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      // the budget is a deliberate extra aggregation with its own stages —
+      // measure it apart so the one-execution bound below is additive over
+      // (one screen) + (one budget), not polluted by it
+      val budgetStages = stagesFor {
+        Dedup.signLshCandidateVolumeAgainst(
+          if (mp) Dedup.signLshProbes(batchSk) else batchSk, index)
+      }
+      var statsOut: Set[(Long, Long, Double)] = null
+      var stats: Dedup.SignLshScreenStats = null
+      var statsDf: org.apache.spark.sql.DataFrame = null
+      val statsStages = stagesFor {
+        val (df, s) = Dedup.signLshScreenWithStats(batchSk, index, e,
+          "vec_id", "embedding", 0.45, multiProbe = mp)
+        stats = s
+        statsDf = df
+        statsOut = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      assert(statsOut === lazyOut, s"receipts must not change the output (mp=$mp)")
+      assert(lazyOut.nonEmpty, "fixture must emit pairs or the pin is vacuous")
+      // coherence: the budget is the raw equi-join row count (self rows
+      // and per-band repeats included), so it bounds the distinct
+      // candidate set; on a fully-enriched corpus every candidate
+      // verifies; emitted pairs passed the threshold filter
+      assert(stats.budgetedJoinRows >= stats.candidatePairs, s"$stats")
+      assert(stats.verifiedPairs === stats.candidatePairs,
+        s"all ids carry embeddings here: $stats")
+      assert(stats.emittedPairs <= stats.verifiedPairs, s"$stats")
+      assert(stats.emittedPairs === lazyOut.size.toLong)
+      assert(stats.probeFanout === (if (mp) 1 + Dedup.SignLshRows else 1))
+      assert(stats.bandsProbed === Dedup.SignLshBands)
+      // one-execution pin (the containment-receipts discipline): counts
+      // read checkpoints, so the stats path stays within an additive
+      // overhead of (one screen execution) + (one budget aggregation) —
+      // re-running the screen per count would multiply the join stages
+      assert(statsStages <= lazyStages + budgetStages + 14,
+        s"stats path executed $statsStages stages vs lazy $lazyStages + " +
+          s"budget $budgetStages (mp=$mp)")
+      // structural half of the pin: the returned relation READS the sims
+      // checkpoint (a LogicalRDD leaf), so consuming it — as the counts
+      // did — never re-runs the candidate or verify joins
+      assert(statsDf.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+        "stats output must read the checkpointed sims, not re-plan the joins")
+    }
+    // a sketch-indexed id with NO embedding row cannot verify: the
+    // verified count drops below candidates — the stale-enrichment signal
+    val someIndexed = Dedup.signLshScreen(batchSk, index, e, "vec_id",
+      "embedding", 0.45).select("id2").head.getLong(0)
+    val (_, holed) = Dedup.signLshScreenWithStats(batchSk, index,
+      e.where(col("vec_id") =!= someIndexed), "vec_id", "embedding", 0.45)
+    assert(holed.verifiedPairs < holed.candidatePairs,
+      s"dropping vec $someIndexed must surface as a verify shortfall: $holed")
   }
 }
