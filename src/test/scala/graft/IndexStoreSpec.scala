@@ -345,6 +345,37 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("saveWindows base"))
   }
 
+  test("window index: an empty-corpus base round-trips as a typed empty index and accepts appends") {
+    import graft.search.LateInteraction
+    // an all-filtered (or all-null-text) corpus writes ZERO window data
+    // files; meta records the loaded-shape schema, so loadWindows returns
+    // a typed EMPTY relation instead of a parquet schema-inference error
+    val dir = Files.createTempDirectory("winempty0").toString
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").cache()
+    val none = docs.where($"doc_id" < 0)
+    IndexStore.saveWindows(none, "doc_id", "text",
+      LateInteraction.DefaultWindowTokens, dir)
+    val empty = IndexStore.loadWindows(spark, dir)
+    assert(empty.windowTokens === LateInteraction.DefaultWindowTokens,
+      "the DDL survives an empty base")
+    assert(empty.windows.columns.toSeq === Seq("id", "w", "dim", "val", "bucket"),
+      "the empty index is TYPED — consumers select the same columns")
+    assert(empty.windows.count() === 0L)
+    // the empty base is a genuine bootstrap point: day-1 appends work and
+    // the index then equals a fresh build of the appended batch
+    val b0 = docs.where($"doc_id" % 3 === 1)
+    IndexStore.appendBatchWindows(b0, "doc_id", "text", dir, batchId = 0L)
+    def rows(idx: IndexStore.WindowIndex) = idx.windows
+      .select("id", "w", "dim", "val")
+      .orderBy("id", "w", "dim")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val fresh = LateInteraction.windowVectors(b0, "doc_id", "text")
+      .orderBy("id", "w", "dim")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(rows(IndexStore.loadWindows(spark, dir)) === fresh)
+    assert(fresh.nonEmpty, "append fixture must window or the pin is vacuous")
+  }
+
   test("batch appends bootstrap a FRESH index path (no prior save* base)") {
     import graft.dedup.Dedup
     // BM25: a stream's first micro-batch onto an empty path must succeed

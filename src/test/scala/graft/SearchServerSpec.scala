@@ -221,12 +221,39 @@ class SearchServerSpec extends AnyFunSuite with SparkTest {
       }
       val (ci, index) = fget("/")
       assert(ci === 200 && index.contains("Food Finder"))
+      // BOTH url_for links must resolve to the exact static routes this
+      // server serves — not merely "no Jinja braces left"
       assert(!index.contains("{{"),
         "the reference template's url_for links must render")
-      val (cjs, js) = fget("/static/js/main.js")
-      assert(cjs === 200 && js.contains("/api/search"),
+      assert(index.contains("href=\"/static/css/styles.css\""),
+        "stylesheet url_for must resolve to the served static route")
+      assert(index.contains("src=\"/static/js/main.js\""),
+        "script url_for must resolve to the served static route")
+      // the rendered page IS the template with only the two url_for
+      // substitutions applied — byte-identical outside them
+      val tmpl = new String(java.nio.file.Files.readAllBytes(
+        ref.resolve("templates/index.html")), "UTF-8")
+      val expected = """\{\{\s*url_for\(\s*'static'\s*,\s*filename\s*=\s*'([^']+)'\s*\)\s*\}\}""".r
+        .replaceAllIn(tmpl, m =>
+          scala.util.matching.Regex.quoteReplacement("/static/" + m.group(1)))
+      assert(index === expected,
+        "rendered index.html must be the reference template with url_for resolved")
+      // asset BYTES round-trip untouched
+      def bget(path: String): Array[Byte] = {
+        val r = http.send(java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(b + path)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        assert(r.statusCode() === 200, s"$path must serve, got ${r.statusCode()}")
+        r.body()
+      }
+      assert(java.util.Arrays.equals(bget("/static/js/main.js"),
+          java.nio.file.Files.readAllBytes(ref.resolve("static/js/main.js"))),
+        "main.js bytes must round-trip")
+      assert(java.util.Arrays.equals(bget("/static/css/styles.css"),
+          java.nio.file.Files.readAllBytes(ref.resolve("static/css/styles.css"))),
+        "styles.css bytes must round-trip")
+      assert(new String(bget("/static/js/main.js"), "UTF-8").contains("/api/search"),
         "the reference JS calls the API this server implements")
-      assert(fget("/static/css/styles.css")._1 === 200)
     } finally srv.stop(0)
   }
 
