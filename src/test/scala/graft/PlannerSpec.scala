@@ -1,0 +1,106 @@
+package graft
+
+import graft.dedup.{Dedup, Planner}
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dedup regime planner: formula agreement with the shipped miss-prob
+  * functions, regime dispatch across thresholds, budget feasibility of
+  * every recommended layout, and the executable link (the planner's
+  * winning layout, run through Planner.execute, equals brute force on a
+  * planted corpus). */
+class PlannerSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("missProb agrees with Dedup.selectiveMissProb / MultiProbe at the shipped layouts") {
+    for (t <- Seq(0.85, 0.90, 0.95, 0.99)) {
+      assert(math.abs(Planner.missProb(t, 16, 8, multiProbe = false) -
+        Dedup.selectiveMissProb(t, 16, 8)) < 1e-15)
+      assert(math.abs(Planner.missProb(t, 32, 12, multiProbe = true) -
+        Dedup.selectiveMissProbMultiProbe(t, 32, 12)) < 1e-15)
+    }
+  }
+
+  test("planCosine: every in-regime plan meets its miss budget and actually prunes") {
+    for (t <- Seq(0.85, 0.88, 0.90, 0.92, 0.95, 0.99)) {
+      val plan = Planner.planCosine(t, n = 1000000L, dim = 64)
+      assert(plan.missProb <= 1e-3, s"t=$t: ${plan.missProb}")
+      assert(plan.path.startsWith("cosinePairsLshSelective"), s"t=$t: ${plan.path}")
+      // the point of planning: the layout prunes the background hard —
+      // far better than the shipped single-probe default's 6% admission
+      assert(plan.randomPairHitProb < 0.01,
+        s"t=$t admits ${plan.randomPairHitProb} of random pairs")
+      assert(plan.bands * plan.rows <= 1024)
+    }
+  }
+
+  test("planCosine: work never increases as the threshold rises") {
+    val works = Seq(0.85, 0.88, 0.90, 0.92, 0.95, 0.97, 0.99)
+      .map(t => Planner.planCosine(t, n = 1000000L, dim = 64).estimatedWork)
+    assert(works.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 },
+      s"estimated work must be monotone non-increasing in t: $works")
+  }
+
+  test("planCosine: below the selective floor the regime switches, with honest warnings") {
+    val semantic = Planner.planCosine(0.45, n = 1000000L, dim = 64,
+      ivfAvailable = true)
+    assert(semantic.path === "semanticPairs")
+    val lsh = Planner.planCosine(0.45, n = 1000000L, dim = 64)
+    assert(lsh.path === "cosinePairsLsh")
+    assert(lsh.bands === Dedup.SignLshBands && lsh.rows === Dedup.SignLshRows)
+    // the recall-first layout admits ~everything — the plan must SAY so
+    assert(lsh.randomPairHitProb > 0.95)
+    assert(lsh.rationale.exists(_.contains("ALL-PAIRS")))
+    // and still be recall-safe at its own threshold
+    assert(lsh.missProb < 1e-3)
+  }
+
+  test("planCosine: an infeasible budget fails loudly, not with a silent worst layout") {
+    // the grid's best achievable miss at cos 0.85 is bounded below by the
+    // most-redundant layout (rows=2 multi-probe, bands=128: ~1e-192), so a
+    // budget under that is genuinely unmeetable and must throw, not return
+    // the least-bad layout as if it qualified
+    val e = intercept[IllegalArgumentException] {
+      Planner.planCosine(0.85, n = 1000L, dim = 64, missBudget = 1e-300)
+    }
+    assert(e.getMessage.contains("no selective layout"))
+  }
+
+  test("executable link: the planned layout run via execute equals brute force on planted clones") {
+    val base = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val embs = base.unionByName(base
+        .where($"vec_id" % 7 === 0)
+        .withColumn("vec_id", $"vec_id" + 1000000L))
+      .localCheckpoint(true)
+    val plan = Planner.planCosine(0.95, n = embs.count(), dim = 64)
+    val got = Planner.execute(plan, embs, "vec_id", "embedding", 0.95, 64)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val brute = Dedup.cosinePairs(embs, "vec_id", "embedding", 0.95)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(got === brute,
+      s"plan ${plan.path} ${plan.bands}x${plan.rows} lost pairs vs brute force")
+    assert(got.nonEmpty)
+    // a plan that needs caller-held state refuses to execute blind
+    val sem = Planner.planCosine(0.45, n = 100L, dim = 64, ivfAvailable = true)
+    assert(intercept[IllegalArgumentException] {
+      Planner.execute(sem, embs, "vec_id", "embedding", 0.45, 64)
+    }.getMessage.contains("IVF"))
+  }
+
+  test("planJaccard: floor arithmetic and regime dispatch") {
+    // floor at budget 1e-3 for the 16-sig 4x4 layout: (1-(1e-3)^(1/4))^(1/4)
+    val floor = Planner.minhashRecallFloor(1e-3)
+    assert(math.abs(floor - math.pow(1.0 - math.pow(1e-3, 0.25), 0.25)) < 1e-12)
+    assert(floor > 0.9 && floor < 0.99)
+    val hi = Planner.planJaccard(0.97)
+    assert(hi.path === "minhashPairs" && hi.missProb <= 1e-3)
+    val lo = Planner.planJaccard(0.5)
+    assert(lo.path === "containmentPairsPrefix")
+    assert(lo.missProb === 0.0) // pigeonhole: recall exactly 1
+    assert(lo.rationale.exists(_.contains("pigeonhole")))
+    // honesty check: the shipped layout really does miss most borderline
+    // pairs at J=0.5 — the number the plan quotes
+    assert(Planner.minhashMissProb(0.5) > 0.7)
+  }
+}
