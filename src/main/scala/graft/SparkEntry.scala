@@ -90,7 +90,8 @@ object SparkEntry {
     pqCache.filterInPlace { case (k, idx) =>
       if (k._1 == spark) { idx.codes.unpersist(); false } else true }
     Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
-        containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt)
+        containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
+        mrlPrefixDiskBuilt)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -101,7 +102,8 @@ object SparkEntry {
     Seq[scala.collection.concurrent.TrieMap[(SparkSession, String), _]](
         searchTableCache, sparseEmbCache, bm25Cache, ivfCache, pqCache,
         signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
-        containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt)
+        containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
+        mrlPrefixDiskBuilt)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Build (and cache-materialize) the session's index DDL artifacts — the
@@ -121,6 +123,7 @@ object SparkEntry {
     corpusContainmentDisk(spark, dir)
     corpusGramsDisk(spark, dir)
     corpusWindowsDisk(spark, dir)
+    corpusMrlPrefixDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -1392,6 +1395,61 @@ object SparkEntry {
       "sub-exhaustive PQ overfetch")
   }
 
+  /** Prefix dims for the Matryoshka query/index pair (half the fixture's
+    * 64 dims — the coarse scan reads half the vector bytes). */
+  private val MrlPrefixDims = 32
+
+  /** The PERSISTED narrow prefix projection, written once per (session,
+    * sfDir) — the PQ codes discipline applied to a dimension slice: the
+    * coarse pass scans this (vec_id, 32-dim prefix) parquet instead of
+    * the full-vector table, so its scan bytes shrink dim/prefixDims-fold;
+    * a plain projection write, no index machinery (the slice IS the
+    * data). */
+  private val mrlPrefixDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusMrlPrefixDisk(spark: SparkSession,
+      dir: String): DataFrame = {
+    val path = mrlPrefixDiskBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_mrlprefix_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          slice(col("embedding"), 1, MrlPrefixDims).as("embedding"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Matryoshka (dimension-prefix) two-stage ANN
+    * ([[graft.search.VectorSearch.knnPrefix]]): coarse top-overfetch
+    * scores the first 32 of 64 dimensions against the PERSISTED narrow
+    * prefix parquet ([[corpusMrlPrefixDisk]] — the coarse scan never
+    * reads full vectors), exact re-rank reads full vectors for survivors
+    * only — the PQ shape with a dimension slice in place of codebooks
+    * (no training, no codebook state). Same self-verified oracle
+    * contract as [[qAnnPqIdx]]: routed == exact is required at Verify
+    * time ([[selfChecked]]), so the exact-kNN SQL stays a valid oracle
+    * while Bench times the two-stage plan. The hashed fixture embeddings
+    * are NOT information-ordered (nothing was MRL-trained), so the
+    * overfetch is sized generously (n/2; the measured minimum covering
+    * depth is 224/2000 at sf0.1, 172/500 at sf0.01) — an MRL-trained
+    * deployment runs far shallower. The contract, not the constant, is
+    * the point. */
+  private def qAnnMrl(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    selfChecked(
+      VectorSearch.knnPrefix(e, "vec_id", "embedding", flagshipQueryVec,
+          k = 10, prefixDims = MrlPrefixDims,
+          overfetch = math.max(300, (n / 2).toInt),
+          prefixRel = Some(corpusMrlPrefixDisk(spark, dir)))
+        .select("vec_id", "score"),
+      VectorSearch.knn(e, "vec_id", "embedding", flagshipQueryVec, k = 10)
+        .select("vec_id", "score"),
+      "sub-exhaustive MRL prefix overfetch")
+  }
+
   /** Index-backed IVF ANN: same top-k as [[qAnnIvf]], but probed against
     * the PERSISTED on-disk index at SUB-exhaustive depth — the vector twin
     * of [[qBm25Idx]]: the plan scans only the probed clusters' partitions of
@@ -1674,6 +1732,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
     "q_ann_pq" -> ((s, dir) => qAnnPq(s, dir)),
     "q_ann_pq_idx" -> ((s, dir) => qAnnPqIdx(s, dir)),
+    "q_ann_mrl" -> ((s, dir) => qAnnMrl(s, dir)),
     "q_ann_ivfpq" -> ((s, dir) => qAnnIvfPq(s, dir)),
     "q_ann_ivf_idx" -> ((s, dir) => qAnnIvfIdx(s, dir)),
     "q_ann_ivf_filtered" -> ((s, dir) => qAnnIvfFiltered(s, dir)),
@@ -1972,6 +2031,16 @@ object SparkEntry {
     // valid at the sub-exhaustive overfetch because the query self-verifies
     // routed == exact on every run (see qAnnPqIdx scaladoc)
     "q_ann_pq_idx" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // valid at the sub-exhaustive prefix overfetch because the query
+    // self-verifies routed == exact on every run (see qAnnMrl scaladoc)
+    "q_ann_mrl" ->
       s"""WITH scored AS (
          |  SELECT vec_id,
          |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score

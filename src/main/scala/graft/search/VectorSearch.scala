@@ -60,6 +60,83 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Matryoshka-style two-stage ANN (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022): a COARSE top-`overfetch`
+    * pass scores only the first `prefixDims` dimensions of the stored
+    * vector — an information-ordered (MRL-trained) embedding ranks well
+    * on its prefix — then the exact re-rank reads full vectors for the
+    * overfetch survivors ONLY (the [[graft.index.Pq.ann]]
+    * ADC→candidates→re-rank shape with a dimension slice in place of
+    * codebooks: no training step, no codebook state, exact arithmetic).
+    *
+    * Recall is governed by `overfetch` exactly like PQ's: correct iff the
+    * true top-k sits in the coarse top-overfetch. The declared query pins
+    * routed == exact at Verify time (selfChecked), making drift loud.
+    *
+    * Scale note: Parquet cannot prune WITHIN an array column, so slicing
+    * the full table saves compute (prefixDims/dim of the dot-product work
+    * inside one whole-stage-codegen'd scan) but not IO. The IO win at
+    * 100 TB is the PQ codes discipline applied to the slice: persist
+    * `(id, slice(emb, 1, prefixDims))` as its own narrow parquet (a plain
+    * projection write — no index machinery needed, the slice IS the
+    * data), pass it as `prefixRel`, and the coarse pass scans
+    * dim/prefixDims-fold fewer vector bytes while the full-vector table
+    * is read only for the survivors-only re-rank join (the declared
+    * `q_ann_mrl` runs this shape). `prefixRel` must carry (idCol, embCol)
+    * with embCol ALREADY the prefix slice; pre-filtering with a prefixRel
+    * is the caller's job (filter the narrow relation — it must carry the
+    * filter columns), so the combination with `preFilter` is refused
+    * loudly rather than silently post-filtered below k. */
+  def knnPrefix(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      prefixDims: Int,
+      overfetch: Int,
+      metric: String = "cosine",
+      preFilter: Option[Column] = None,
+      prefixRel: Option[DataFrame] = None): DataFrame = {
+    require(prefixDims >= 1 && prefixDims <= queryVec.length,
+      s"prefixDims must be in [1, ${queryVec.length}], got $prefixDims")
+    require(overfetch >= k, s"overfetch $overfetch must be ≥ k = $k")
+    val qPre = queryVec.take(prefixDims)
+    require(metric != "cosine" || qPre.exists(_ != 0.0),
+      s"the first $prefixDims dims of the query vector are all zero — the " +
+        "coarse cosine stage would rank nothing; raise prefixDims")
+    require(prefixRel.isEmpty || preFilter.isEmpty,
+      "preFilter with a persisted prefixRel: filter the prefix relation " +
+        "itself (it must carry the filter columns) — a post-filter here " +
+        "would truncate results below k")
+    val filtered = preFilter.map(df.where).getOrElse(df)
+    // coarse: TakeOrderedAndProject over prefix scores — same bounded
+    // top-k plan shape as knn, never a global sort. A SPARSE stored
+    // vector can be all-zero on the prefix (no direction → cosine is
+    // 0/0): CASE-guard it to the orthogonal score instead of erroring —
+    // such rows rank last in the coarse pass but stay eligible, and the
+    // exact re-rank scores them on the full vector like everyone else.
+    val coarseSrc = prefixRel.getOrElse(filtered)
+    val preVec =
+      if (prefixRel.isDefined) col(embCol) // already the persisted slice
+      else slice(col(embCol), 1, prefixDims)
+    val preScore =
+      if (metric == "cosine")
+        when(Vectors.dot(preVec, preVec) > 0,
+          Vectors.score(metric, preVec, Vectors.vecLit(qPre)))
+          .otherwise(lit(0.5)) // (1 + cos 0)/2 — the orthogonal score
+      else Vectors.score(metric, preVec, Vectors.vecLit(qPre))
+    val coarse = coarseSrc
+      .withColumn("__pre", round(preScore, ScoreDecimals))
+      .orderBy(col("__pre").desc, col(idCol).asc)
+      .limit(overfetch)
+      .select(col(idCol).as("__mrl_id"))
+    // survivors only: broadcast the ≤ overfetch ids against the corpus
+    val narrowed = df.join(
+      broadcast(coarse), df(idCol) === col("__mrl_id")).drop("__mrl_id")
+    knn(narrowed, idCol, embCol, queryVec, k, metric, preFilter)
+  }
+
   /** Bounded-state per-group top-k: keeps the k best (score DESC, id ASC)
     * pairs seen so far — ≤ k entries per map task reach the shuffle
     * (partial aggregation applies to custom Aggregators), vs a window's

@@ -73,6 +73,59 @@ class DimParitySpec extends AnyFunSuite with SparkTest {
     assert(routed === exactJoin)
   }
 
+  test("Matryoshka prefix ANN: exhaustive overfetch exact; guards loud; prefix at 1024 dims") {
+    val exact = VectorSearch.knn(df, "id", "emb", queryVec, k = 5)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    // overfetch = n degenerates to exact regardless of prefix quality —
+    // the forced-deep contract that licenses the declared query's oracle
+    // prefixDims = 256 (not 32): the 1024-dim hashed QUERY vector has ~5
+    // nonzero entries, and the all-zero-query-prefix guard is loud (a
+    // 32-dim prefix of it is empty — asserted below)
+    val deep = VectorSearch.knnPrefix(df, "id", "emb", queryVec, k = 5,
+        prefixDims = 256, overfetch = rows.length)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(deep === exact)
+    // the coarse stage really narrows: sub-exhaustive overfetch returns k
+    // rows scored on FULL vectors (scores equal exact knn's for the ids
+    // it returns — re-rank never scores a truncated vector)
+    val shallow = VectorSearch.knnPrefix(df, "id", "emb", queryVec, k = 5,
+        prefixDims = 256, overfetch = 40)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    val exactAll = VectorSearch.knn(df, "id", "emb", queryVec, k = rows.length)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(shallow.size === 5)
+    shallow.foreach { case (id, s) => assert(s === exactAll(id)) }
+    // persisted-prefix discipline: a pre-sliced narrow relation (what the
+    // declared query reads from parquet) gives the identical answer, and
+    // combining it with preFilter is refused (the narrow relation must be
+    // filtered by the caller — a post-filter would truncate below k)
+    val preRel = df.select(col("id"), slice(col("emb"), 1, 256).as("emb"))
+    val viaRel = VectorSearch.knnPrefix(df, "id", "emb", queryVec, k = 5,
+        prefixDims = 256, overfetch = 40, prefixRel = Some(preRel))
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(viaRel === shallow)
+    assert(intercept[IllegalArgumentException] {
+      VectorSearch.knnPrefix(df, "id", "emb", queryVec, k = 5,
+        prefixDims = 256, overfetch = 40,
+        preFilter = Some(col("id") > 10), prefixRel = Some(preRel))
+    }.getMessage.contains("prefix relation"))
+    // misuse is loud, not silently wrong
+    assert(intercept[IllegalArgumentException] {
+      VectorSearch.knnPrefix(df, "id", "emb", queryVec, k = 5,
+        prefixDims = Dim + 1, overfetch = 50)
+    }.getMessage.contains("prefixDims"))
+    assert(intercept[IllegalArgumentException] {
+      VectorSearch.knnPrefix(df, "id", "emb", queryVec, k = 5,
+        prefixDims = 256, overfetch = 3)
+    }.getMessage.contains("overfetch"))
+    // an all-zero QUERY prefix cannot rank the coarse stage — loud, not
+    // silently degenerate (the 13-token hash embedding misses dims 1–32)
+    assert(intercept[IllegalArgumentException] {
+      VectorSearch.knnPrefix(df, "id", "emb", queryVec, k = 5,
+        prefixDims = 32, overfetch = 50)
+    }.getMessage.contains("all zero"))
+  }
+
   test("1024-dim PQ: 128 subspaces train/encode/ADC; deep overfetch recovers exact top-k") {
     // m=128 → 8-dim subspaces (the 32× compression story at reference dim)
     val pq = Pq.build(df, "id", "emb", m = 128, ksub = 16)
