@@ -91,6 +91,23 @@ object Planner {
   private val BandGrid = Seq(4, 8, 16, 24, 32, 48, 64, 96, 128)
   private val MaxSketchBits = 1024
 
+  /** Shared grid search: the (bands, rows, multiProbe) layout minimizing
+    * `work` subject to miss ≤ `missBudget` at exactly `threshold`. */
+  private def searchGrid(threshold: Double, missBudget: Double)(
+      work: (Int, Int, Boolean) => Double): (Double, Int, Int, Boolean) = {
+    val candidates = for {
+      mp <- Seq(false, true)
+      rows <- 2 to 24
+      bands <- BandGrid
+      if bands * rows <= MaxSketchBits
+      if missProb(threshold, bands, rows, mp) <= missBudget
+    } yield (work(bands, rows, mp), bands, rows, mp)
+    require(candidates.nonEmpty,
+      f"no selective layout meets miss ≤ $missBudget%.1e at cos " +
+        f"$threshold%.2f — raise the budget or use semanticPairs")
+    candidates.minBy(_._1)
+  }
+
   /** Plan a full-corpus cosine dedup at `threshold` over `n` vectors of
     * `dim` dimensions, subject to per-pair miss ≤ `missBudget` at exactly
     * the threshold.
@@ -115,17 +132,8 @@ object Planner {
     require(missBudget > 0 && missBudget < 1, s"missBudget in (0,1), got $missBudget")
     val pairs = n.toDouble * (n - 1) / 2.0
     if (threshold >= SelectiveFloor) {
-      val candidates = for {
-        mp <- Seq(false, true)
-        rows <- 2 to 24
-        bands <- BandGrid
-        if bands * rows <= MaxSketchBits
-        if missProb(threshold, bands, rows, mp) <= missBudget
-      } yield (estimatedWork(n.toDouble, dim, bands, rows, mp), bands, rows, mp)
-      require(candidates.nonEmpty,
-        f"no selective layout meets miss ≤ $missBudget%.1e at cos " +
-          f"$threshold%.2f — raise the budget or use semanticPairs")
-      val (w, bands, rows, mp) = candidates.minBy(_._1)
+      val (w, bands, rows, mp) = searchGrid(threshold, missBudget)(
+        estimatedWork(n.toDouble, dim, _, _, _))
       CosinePlan(
         path = if (mp) "cosinePairsLshSelectiveMultiProbe"
                else "cosinePairsLshSelective",
@@ -189,6 +197,75 @@ object Planner {
     case other => throw new IllegalArgumentException(
       s"plan path '$other' needs caller-held state (e.g. an IVF index); " +
         "call the Dedup entry point directly")
+  }
+
+  /** One executable INCREMENTAL (daily-ingest) screen recommendation —
+    * [[planIncrementalCosine]]. The layout drives
+    * [[Dedup.signLshSketchesSelective]] on both sides and
+    * [[Dedup.signLshScreen]](multiProbe, bands, rows); the persisted
+    * sketch index must have been built with the SAME layout (rebuild or
+    * re-plan, never mix — band keys from different layouts never
+    * collide correctly). `expectedCandidates` is batchN·indexN·randomHit
+    * (background-only); the measured counterpart after the index exists
+    * is [[Dedup.signLshCandidateVolumeAgainst]] /
+    * [[Dedup.signLshScreenWithStats]]. */
+  case class IncrementalCosinePlan(bands: Int, rows: Int,
+      multiProbe: Boolean, missProb: Double, randomPairHitProb: Double,
+      expectedCandidates: Double, estimatedWork: Double,
+      rationale: Seq[String])
+
+  /** Plan the daily-ingest screen: a `batchN`-vector batch against an
+    * `indexN`-vector persisted sketch index at `threshold`. Differs from
+    * [[planCosine]] only in the work model — the corpus side is already
+    * sketched (the index), so sketch cost covers the batch alone, the
+    * band join probes batchN·bands·fanout rows, and the background
+    * verify is batchN·indexN·randomHit·dim. Below the selective floor
+    * the shipped recall-first layout is returned with its all-pairs
+    * warning (the declared `q_dedup_incremental` regime), since the
+    * screen must not silently lose recall. */
+  def planIncrementalCosine(threshold: Double, batchN: Long, indexN: Long,
+      dim: Int, missBudget: Double = 1e-3): IncrementalCosinePlan = {
+    require(threshold > 0 && threshold < 1.0001,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    require(missBudget > 0 && missBudget < 1, s"missBudget in (0,1), got $missBudget")
+    val crossPairs = batchN.toDouble * indexN.toDouble
+    def screenWork(bands: Int, rows: Int, mp: Boolean): Double = {
+      val sketch = batchN.toDouble * bands * rows * dim
+      val joinRows = batchN.toDouble * bands * (if (mp) 1.0 + rows else 1.0)
+      val verify = crossPairs * randomPairHitProb(bands, rows, mp) * dim
+      sketch + joinRows + verify
+    }
+    if (threshold >= SelectiveFloor) {
+      val (w, bands, rows, mp) = searchGrid(threshold, missBudget)(screenWork)
+      IncrementalCosinePlan(bands, rows, mp,
+        missProb = missProb(threshold, bands, rows, mp),
+        randomPairHitProb = randomPairHitProb(bands, rows, mp),
+        expectedCandidates = crossPairs * randomPairHitProb(bands, rows, mp),
+        estimatedWork = w,
+        rationale = Seq(
+          f"daily-ingest screen, $batchN%d × $indexN%d at cos ≥ $threshold%.2f",
+          f"$bands×$rows-bit bands${if (mp) " + Hamming-1 multi-probe" else ""}: " +
+            f"miss ${missProb(threshold, bands, rows, mp)}%.2e, background " +
+            f"candidates ≈ ${crossPairs * randomPairHitProb(bands, rows, mp)}%.3g",
+          "rebuild the sketch index with this layout; budget the real join " +
+            "with signLshCandidateVolumeAgainst before launch"))
+    } else
+      IncrementalCosinePlan(Dedup.SignLshBands, Dedup.SignLshRows,
+        multiProbe = false,
+        missProb = missProb(threshold, Dedup.SignLshBands, Dedup.SignLshRows,
+          multiProbe = false),
+        randomPairHitProb = randomPairHitProb(Dedup.SignLshBands,
+          Dedup.SignLshRows, multiProbe = false),
+        expectedCandidates = crossPairs * randomPairHitProb(
+          Dedup.SignLshBands, Dedup.SignLshRows, multiProbe = false),
+        estimatedWork = screenWork(Dedup.SignLshBands, Dedup.SignLshRows,
+          mp = false),
+        rationale = Seq(
+          f"cos $threshold%.2f is below the selective floor $SelectiveFloor%.2f",
+          "recall-first 2-bit banding: the verify join approaches ALL batch×index " +
+            "pairs on random backgrounds (measured 98.6% at sf0.1, SCALE.md §5/§7) — " +
+            "the screen keeps recall and the receipts (signLshScreenWithStats) " +
+            "price the bill"))
   }
 
   /** Jaccard (MinHash) recommendation for the FIXED 16-signature 4×4

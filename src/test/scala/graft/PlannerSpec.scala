@@ -88,6 +88,49 @@ class PlannerSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("IVF"))
   }
 
+  test("planIncrementalCosine: budget held in-regime, honest below the floor") {
+    for (t <- Seq(0.85, 0.90, 0.95)) {
+      val p = Planner.planIncrementalCosine(t, batchN = 10000L,
+        indexN = 10000000L, dim = 64)
+      assert(p.missProb <= 1e-3, s"t=$t: ${p.missProb}")
+      // the screen must prune: background candidates ≪ the 1e4 × 1e7 =
+      // 1e11 cross pairs
+      assert(p.expectedCandidates < 1e11 * 0.01,
+        s"t=$t admits ${p.expectedCandidates} of 1e11 cross pairs")
+    }
+    val lo = Planner.planIncrementalCosine(0.45, batchN = 100L,
+      indexN = 1000L, dim = 64)
+    assert(lo.bands === Dedup.SignLshBands && lo.rows === Dedup.SignLshRows)
+    assert(lo.randomPairHitProb > 0.95)
+    assert(lo.rationale.exists(_.contains("ALL batch")))
+  }
+
+  test("executable link: the incremental plan's layout screens batch vs index exactly") {
+    val base = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    // batch = replicas of every 7th base vector (planted ≥0.95 structure
+    // against the index), index = the base corpus
+    val batch = base.where($"vec_id" % 7 === 0)
+      .withColumn("vec_id", $"vec_id" + 1000000L)
+    val embs = base.unionByName(batch).localCheckpoint(true)
+    val plan = Planner.planIncrementalCosine(0.95,
+      batchN = batch.count(), indexN = base.count(), dim = 64)
+    val bb = Dedup.signLshSketchesSelective(batch, "vec_id", "embedding",
+      64, 42L, plan.bands, plan.rows)
+    val ib = Dedup.signLshSketchesSelective(base, "vec_id", "embedding",
+      64, 42L, plan.bands, plan.rows)
+    val got = Dedup.signLshScreen(bb, ib, embs, "vec_id", "embedding",
+        0.95, plan.multiProbe, plan.bands, plan.rows)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    // ground truth: exact cosine over ALL directed batch×index pairs
+    val allPairs = batch.select($"vec_id".as("id1"))
+      .crossJoin(base.select($"vec_id".as("id2")))
+    val want = Dedup.cosineVerify(allPairs, embs, "vec_id", "embedding", 0.95)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(got === want,
+      s"planned ${plan.bands}x${plan.rows} mp=${plan.multiProbe} screen lost pairs")
+    assert(got.nonEmpty, "the planted replicas must surface")
+  }
+
   test("planJaccard: floor arithmetic and regime dispatch") {
     // floor at budget 1e-3 for the 16-sig 4x4 layout: (1-(1e-3)^(1/4))^(1/4)
     val floor = Planner.minhashRecallFloor(1e-3)
