@@ -306,6 +306,27 @@ object SparkEntry {
         Tables.documents(spark, dir), "source", "n_chars", col("doc_id"))
       .orderBy("source")
 
+  /** Hierarchical corpus report — the (source, lang) ROLLUP with
+    * per-source subtotals and a grand total, the one-pass reporting shape
+    * a 100 TB curation run uses instead of three separate groupBys.
+    * Native Spark `rollup` expands to grouping sets inside ONE
+    * map-side-combinable aggregate (Expand → partial HashAggregate —
+    * each input row feeds all three granularities before the shuffle),
+    * so the corpus is scanned once. `grouping()` flags disambiguate
+    * subtotal NULLs from any real NULL key — declared (cast to int on
+    * both engines) because relying on NULL collision is exactly the
+    * rollup bug a report at scale cannot afford. */
+  private def qCorpusRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("source"), col("lang"))
+      .agg(grouping(col("source")).cast("int").as("g_source"),
+        grouping(col("lang")).cast("int").as("g_lang"),
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .select("source", "lang", "g_source", "g_lang", "n_docs", "avg_chars")
+      .orderBy(col("g_source"), col("g_lang"),
+        col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
   /** North-star language-ID: marker-ratio argmax per document. */
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -914,6 +935,24 @@ object SparkEntry {
         col("l_user_id").as("user_id"), col("r_value").as("value"))
       .orderBy("click_id", "purchase_id")
   }
+
+  /** Ordered view→click→purchase funnel
+    * ([[graft.operators.EventAnalytics.funnel]]): per-step user counts
+    * under strictly-after attribution — k−1 user-keyed joins of
+    * shrinking relations, one aggregation for all step counts. */
+  private def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.funnel(Tables.events(spark, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+
+  /** Weekly cohort-retention matrix
+    * ([[graft.operators.EventAnalytics.retention]]): users cohorted by
+    * first-activity week since the fixture's anchor, counted once per
+    * active week — integer calendar arithmetic, engine-identical. */
+  private def qRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.retention(Tables.events(spark, dir),
+        "user_id", "ts", anchorDate = "2024-01-01", periodDays = 7)
+      .orderBy("cohort_period", "period_offset")
 
   /** Quality-tier binning ([[Curation.qualityTiers]]): per-language
     * quantile tiers of the quality score, windows sharded by id-hash so
@@ -1698,6 +1737,7 @@ object SparkEntry {
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
     "q_pii_scrub" -> ((s, dir) => qPiiScrub(s, dir)),
     "q_source_stats" -> ((s, dir) => qSourceStats(s, dir)),
+    "q_corpus_rollup" -> ((s, dir) => qCorpusRollup(s, dir)),
     "q_langid" -> ((s, dir) => qLangId(s, dir)),
     "q_fingerprint" -> ((s, dir) => qFingerprint(s, dir)),
     "q_dedup_exact" -> ((s, dir) => qDedupExact(s, dir)),
@@ -1745,6 +1785,8 @@ object SparkEntry {
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_attribution" -> ((s, dir) => qAttribution(s, dir)),
+    "q_funnel" -> ((s, dir) => qFunnel(s, dir)),
+    "q_retention" -> ((s, dir) => qRetention(s, dir)),
     "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
     "q_embed_corpus" -> ((s, dir) => qEmbedCorpus(s, dir)),
     "q_json_extract" -> ((s, dir) => qJsonExtract(s, dir)),
@@ -1913,6 +1955,12 @@ object SparkEntry {
     "q_source_stats" ->
       """SELECT source, sum(n_chars)::BIGINT AS sum_n_chars, count(*)::BIGINT AS n
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_corpus_rollup" ->
+      """SELECT source, lang,
+        |       GROUPING(source)::INT AS g_source, GROUPING(lang)::INT AS g_lang,
+        |       count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     // NB: single-line subquery — sqlScrub stripMargins its interpolated
     // template, which would eat a leading `||`'s first pipe
     "q_pii_scrub" ->
@@ -2190,6 +2238,15 @@ object SparkEntry {
         | AND c.ts <= p.ts
         | AND c.ts > p.ts - INTERVAL 60 MINUTES
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "q_funnel" ->
+      (graft.operators.EventAnalytics.sqlFunnel(
+        "events", "user_id", "event_type", "ts::TIMESTAMP",
+        Seq("view", "click", "purchase")) + "\nORDER BY step_idx"),
+    "q_retention" ->
+      (graft.operators.EventAnalytics.sqlRetention(
+        "events", "user_id", "ts::TIMESTAMP",
+        anchorDate = "2024-01-01", periodDays = 7) +
+        "\nORDER BY cohort_period, period_offset"),
     "q_multimodal" ->
       """WITH chars AS (
         |  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS cs

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch event-sequence analytics over the events table — the funnel /
+  * cohort-retention family that completes the event toolkit next to
+  * sessionization, windowed aggregation and click→purchase attribution
+  * ([[graft.streaming.EventStreams]]). The reference has no event
+  * analytics at all (its only collection is a product catalog); these are
+  * north-star additions shaped for the 100 TB clickstream case: every
+  * shuffle is keyed by the user id, step relations shrink monotonically
+  * through a funnel, and nothing ever sorts or collects a user's full
+  * history.
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel step times per user: for `steps = Seq(A, B, C)`,
+    * `t0` = the user's earliest A, `t1` = earliest B STRICTLY AFTER t0,
+    * `t2` = earliest C strictly after t1, … — the standard "ordered
+    * funnel" semantics where step n counts only if it happens after the
+    * user's step n−1 time (a purchase before the first view is not a
+    * converted funnel). Returns (user, t0 … t(k−1)) with nulls beyond
+    * the user's last reached step — one row per user who reached step 0.
+    *
+    * Shape: k−1 user-keyed joins of monotonically SHRINKING relations
+    * (each stage is ≤ previous stage's users × 1 row), each stage one
+    * map-side-combinable min aggregation. k is a constant (the funnel
+    * definition), so at 100 TB this is a fixed number of narrow
+    * user-keyed shuffles — never a per-user sort or event-list
+    * collection. */
+  def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("t0"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (step, i)) =>
+      val next = events.where(col(typeCol) === step)
+        .select(col(userCol).as("user"), col(tsCol).as("__ts"))
+        .join(prev.select(col("user"), col(s"t${i - 1}").as("__prev")), "user")
+        .where(col("__ts") > col("__prev"))
+        .groupBy("user").agg(min(col("__ts")).as(s"t$i"))
+      prev.join(next, Seq("user"), "left")
+    }
+  }
+
+  /** Funnel conversion counts: one row per step —
+    * (step_idx, step, users) where `users` reached the step in order.
+    * Counts are non-increasing by construction ([[funnelTimes]] nulls). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps)
+    // ONE aggregation over the step-times relation (count(t_i) skips the
+    // nulls of unreached steps), exploded to the per-step rows — never k
+    // re-executions of the join chain
+    val aggs = steps.indices.map(i => count(col(s"t$i")).as(s"c$i"))
+    times.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (step, i) =>
+        struct(lit(i).as("step_idx"), lit(step).as("step"),
+          col(s"c$i").as("users"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
+  /** CTE-chain SQL twin of [[funnel]] (DuckDB): s0 … s(k−1) mirror the
+    * shrinking per-step min-time relations; `tsExpr` must match the
+    * engine-side timestamp normalization (`ts::TIMESTAMP` for the events
+    * fixture — see [[graft.util.Tables.events]]). */
+  def sqlFunnel(eventsTable: String, userExpr: String, typeExpr: String,
+      tsExpr: String, steps: Seq[String]): String = {
+    val ctes = steps.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"""s0 AS (
+           |  SELECT $userExpr AS u, min($tsExpr) AS t
+           |  FROM $eventsTable WHERE $typeExpr = '$step' GROUP BY 1)"""
+          .stripMargin
+      else
+        s"""s$i AS (
+           |  SELECT e.u, min(e.t) AS t FROM (
+           |    SELECT $userExpr AS u, $tsExpr AS t
+           |    FROM $eventsTable WHERE $typeExpr = '$step') e
+           |  JOIN s${i - 1} p ON e.u = p.u AND e.t > p.t
+           |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = steps.zipWithIndex.map { case (step, i) =>
+      s"SELECT $i AS step_idx, '$step' AS step, count(*) AS users FROM s$i"
+    }.mkString("\nUNION ALL ")
+    s"WITH $ctes\n$selects"
+  }
+
+  /** Cohort retention matrix: users are cohorted by the period (default
+    * week) of their FIRST activity, counted once per (cohort, offset)
+    * they were active in — (cohort_period, period_offset, users).
+    * Periods are integer `floor(days-since-anchor / periodDays)` (pure
+    * calendar arithmetic on the UTC session — no timezone-dependent
+    * truncation, identical in any engine).
+    *
+    * Shape: one user-keyed min (cohort), one distinct over (user,
+    * period) — bounded by ACTIVE user-periods, not events — and one
+    * map-side-combinable count. The matrix itself is tiny
+    * (cohorts × offsets). */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      anchorDate: String, periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be ≥ 1, got $periodDays")
+    val ap = events.select(col(userCol).as("user"),
+      floor(datediff(col(tsCol).cast("date"), lit(anchorDate).cast("date"))
+        / periodDays.toDouble).cast("int").as("p"))
+    val cohort = ap.groupBy("user").agg(min(col("p")).as("cohort"))
+    ap.distinct()
+      .join(cohort, "user")
+      .groupBy(col("cohort").as("cohort_period"),
+        (col("p") - col("cohort")).cast("int").as("period_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** SQL twin of [[retention]] (DuckDB). */
+  def sqlRetention(eventsTable: String, userExpr: String, tsExpr: String,
+      anchorDate: String, periodDays: Int = 7): String =
+    s"""WITH ap AS (
+       |  SELECT $userExpr AS u,
+       |         floor(date_diff('day', DATE '$anchorDate', $tsExpr) / $periodDays.0)::INT AS p
+       |  FROM $eventsTable
+       |), coh AS (
+       |  SELECT u, min(p) AS cohort FROM ap GROUP BY 1
+       |), act AS (
+       |  SELECT DISTINCT u, p FROM ap
+       |)
+       |SELECT coh.cohort AS cohort_period, (act.p - coh.cohort)::INT AS period_offset,
+       |       count(*) AS users
+       |FROM act JOIN coh ON act.u = coh.u
+       |GROUP BY 1, 2""".stripMargin
+}

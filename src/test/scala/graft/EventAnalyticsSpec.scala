@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.EventAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnel / cohort-retention semantics: ordered (strictly-after) step
+  * attribution, non-increasing conversion, cohort assignment by first
+  * activity, once-per-period counting. */
+class EventAnalyticsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+      .drop("s")
+
+  test("funnelTimes: strictly-after ordering; out-of-order steps do not count") {
+    val events = ev(
+      // user 1: full funnel in order
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      // user 2: clicked BEFORE the first view — click must not count,
+      // and therefore neither can the purchase (it precedes no valid click)
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 11:00:00"),
+      // user 3: view then click, no purchase
+      (3L, "view", "2024-01-02 08:00:00"),
+      (3L, "click", "2024-01-02 09:00:00"),
+      // user 4: never viewed — not even in the relation
+      (4L, "purchase", "2024-01-01 10:00:00"),
+      // user 5: second click after the view is the one that counts
+      (5L, "click", "2024-01-03 07:00:00"),
+      (5L, "view", "2024-01-03 08:00:00"),
+      (5L, "click", "2024-01-03 09:00:00"))
+    val t = EventAnalytics.funnelTimes(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("user")
+      .select(col("user"), col("t0").cast("string"),
+        col("t1").cast("string"), col("t2").cast("string"))
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(t === Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00", "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 10:00:00", null, null),
+      (3L, "2024-01-02 08:00:00", "2024-01-02 09:00:00", null),
+      (5L, "2024-01-03 08:00:00", "2024-01-03 09:00:00", null)))
+  }
+
+  test("funnel: per-step counts are the ordered-reachability counts, non-increasing") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 11:00:00"),
+      (3L, "view", "2024-01-01 10:00:00"),
+      (4L, "purchase", "2024-01-01 10:00:00"))
+    val got = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)))
+  }
+
+  test("retention: cohort by first activity, one count per active period") {
+    val events = ev(
+      // user 1: first active period 0 (anchor week), active again period 1
+      // (two events in period 1 — counted ONCE)
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-08 10:00:00"),
+      (1L, "view", "2024-01-09 10:00:00"),
+      // user 2: cohort period 0, only period 0
+      (2L, "view", "2024-01-02 10:00:00"),
+      // user 3: cohort period 1, active periods 1 and 3 (offset 0 and 2)
+      (3L, "view", "2024-01-08 10:00:00"),
+      (3L, "view", "2024-01-23 10:00:00"))
+    val got = EventAnalytics.retention(events, "user_id", "ts",
+        anchorDate = "2024-01-01", periodDays = 7)
+      .orderBy("cohort_period", "period_offset")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(got === Seq(
+      (0, 0, 2L), // users 1, 2 in the anchor-week cohort's week 0
+      (0, 1, 1L), // user 1 retained into week 1 (counted once)
+      (1, 0, 1L), // user 3's cohort week
+      (1, 2, 1L)))
+  }
+
+  test("funnel guards: empty and duplicate step lists are refused") {
+    val events = ev((1L, "view", "2024-01-01 10:00:00"))
+    assert(intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(events, "user_id", "event_type", "ts", Nil)
+    }.getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "view"))
+    }.getMessage.contains("distinct"))
+  }
+}

@@ -42,6 +42,20 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!readSchema.contains("text"), s"text must be pruned from scan: $readSchema")
   }
 
+  test("corpus rollup is one pass: Expand feeds a partial aggregate, a single shuffle") {
+    val d = Tables.documents(spark, Sf0001)
+    val plan = planString(
+      d.rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs")))
+    // Expand replicates each row per grouping set BEFORE the partial
+    // HashAggregate — three granularities from one corpus scan
+    assert(plan.contains("Expand"), s"expected Expand in:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"rollup must combine map-side (partial aggregation) in:\n$plan")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"rollup must shuffle once, saw $shuffles:\n$plan")
+  }
+
   test("hybrid search re-attaches payload via broadcast join (no shuffle of the base table)") {
     val plan = planString(SparkEntry.entry(spark))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
