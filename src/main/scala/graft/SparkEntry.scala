@@ -623,6 +623,26 @@ object SparkEntry {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Corpus snapshot delta ([[Curation.corpusDiff]]): the declared "v2"
+    * snapshot is derived deterministically from the fixture so all four
+    * statuses appear — every 17th doc removed, every 10th changed
+    * (' v2' appended), every 23rd re-added under a +1M id — and the SQL
+    * twin derives the identical v2, so the delta itself is what the
+    * oracle checks. The production point: downstream re-embed/re-index/
+    * re-dedup runs on `status <> 'unchanged'`, work ∝ delta. */
+  private def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val v2 = d.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Curation.corpusDiff(d.select("doc_id", "text"), v2, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** The composed corpus-INTAKE pipeline — the four gates every LLM
     * training corpus passes, in production order, as ONE declared query
     * emitting a per-document decision ledger:
@@ -1810,6 +1830,7 @@ object SparkEntry {
     "q_region_revenue" -> ((s, dir) => qRegionRevenue(s, dir)),
     "q_quality_filter" -> ((s, dir) => qQualityFilter(s, dir)),
     "q_split" -> ((s, dir) => qSplit(s, dir)),
+    "q_corpus_diff" -> ((s, dir) => qCorpusDiff(s, dir)),
     "q_contamination" -> ((s, dir) => qContamination(s, dir)),
     "q_contamination_bloom" -> ((s, dir) => qContaminationBloom(s, dir)),
     "q_intake_pipeline" -> ((s, dir) => qIntakePipeline(s, dir)),
@@ -2488,6 +2509,17 @@ object SparkEntry {
       (Curation.sqlSplitCorpus("documents", "doc_id", 800, 100)
         .replace("SELECT *,", "SELECT doc_id,") +
         "\nORDER BY doc_id"),
+    "q_corpus_diff" ->
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 23 = 0
+         |)
+         |SELECT id AS doc_id, status
+         |FROM (${Curation.sqlCorpusDiff("documents", "v2", "doc_id", "text")})
+         |ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       s"""SELECT id AS doc_id, n_shingles, n_contaminated, contamination_ratio, contaminated
          |FROM (${Contamination.sqlNgramOverlap(

@@ -192,6 +192,49 @@ object Curation {
        |            ELSE 'test' END AS split
        |FROM $docsTable""".stripMargin
 
+  /** Snapshot delta between two corpus versions — the operator a daily
+    * re-crawled corpus needs so downstream stages (re-embed, re-index,
+    * re-dedup) process the DELTA, not the world: (id, status) with
+    * status ∈ added | removed | changed | unchanged.
+    *
+    * Scale shape: presence is a `lit(true)` marker per side (never
+    * "text IS NULL" — a PRESENT row with a null document must read as
+    * unchanged/changed, not as an add), and content equality compares
+    * 60-bit text hashes, so the full-outer id-keyed join ships 9 bytes
+    * per row instead of documents. A colliding changed pair reads as
+    * unchanged w.p. 2⁻⁶⁰ per id — the standard content-hash delta
+    * trade, stated here rather than hidden. Null-safe: a null text
+    * hashes to null and null <=> null is true on both engines. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("id"),
+      Text.hash60(col(textCol)).as("__oh"), lit(true).as("__in_old"))
+    val n = newDocs.select(col(idCol).as("id"),
+      Text.hash60(col(textCol)).as("__nh"), lit(true).as("__in_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__oh") <=> col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** SQL twin of [[corpusDiff]] (DuckDB): `oldTable`/`newTable` may be
+    * subqueries; IS NOT DISTINCT FROM mirrors Spark's <=>. */
+  def sqlCorpusDiff(oldTable: String, newTable: String, idExpr: String,
+      textExpr: String): String =
+    s"""SELECT coalesce(o.id, n.id) AS id,
+       |       CASE WHEN o.present IS NULL THEN 'added'
+       |            WHEN n.present IS NULL THEN 'removed'
+       |            WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+       |            ELSE 'changed' END AS status
+       |FROM (SELECT $idExpr AS id, ${Text.sqlHash60(textExpr)} AS h, true AS present
+       |      FROM $oldTable) o
+       |FULL OUTER JOIN
+       |     (SELECT $idExpr AS id, ${Text.sqlHash60(textExpr)} AS h, true AS present
+       |      FROM $newTable) n
+       |  ON o.id = n.id""".stripMargin
+
   /** Per-label diversity sampling for training-mix construction: within
     * each label, keep the k vectors FARTHEST from the label centroid
     * (farthest-first = the spread/edge examples; rank 1 = farthest;

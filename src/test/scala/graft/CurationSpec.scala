@@ -9,6 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurationSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
+  test("corpusDiff: all four statuses; presence markers, not text-null sniffing") {
+    val old = Seq(
+      (1L, Option("same text")),
+      (2L, Option("will change")),
+      (3L, Option("will be removed")),
+      (5L, Option.empty[String]), // null doc PRESENT in both → unchanged
+    ).toDF("doc_id", "text")
+    val next = Seq(
+      (1L, Option("same text")),
+      (2L, Option("has changed")),
+      (4L, Option("brand new")),
+      (5L, Option.empty[String]),
+    ).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, next, "doc_id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"),
+      (4L, "added"), (5L, "unchanged")))
+  }
+
   test("topTerms: tf-idf ranks distinctive terms above common ones") {
     val docs = Seq(
       (1L, "spark spark catalyst common"),
