@@ -309,6 +309,10 @@ object SparkEntry {
   /** Hierarchical corpus report — the (source, lang) ROLLUP with
     * per-source subtotals and a grand total, the one-pass reporting shape
     * a 100 TB curation run uses instead of three separate groupBys.
+    * [[qRollup]] already declares the bare two-level rollup on lineitem;
+    * what THIS query adds to the gate is the `grouping()` surface (the
+    * subtotal-vs-real-NULL disambiguation flags) and the PlanSpec pin of
+    * the one-pass Expand → partial-aggregate shape.
     * Native Spark `rollup` expands to grouping sets inside ONE
     * map-side-combinable aggregate (Expand → partial HashAggregate —
     * each input row feeds all three granularities before the shuffle),
@@ -1565,6 +1569,41 @@ object SparkEntry {
       .toDF()
       .orderBy("asset_id")
 
+  /** Query histogram for [[qMultimodalKnn]]: the 4-bin byte histogram of a
+    * fixed probe payload, computed through the SAME featurizer the corpus
+    * runs ([[Multimodal.extractFeatures]]) so query and corpus features
+    * can never drift apart. */
+  private val multimodalQueryVec: Array[Double] = {
+    val payload = flagshipQueryText.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val f = Multimodal.extractFeatures(Multimodal.Asset(0L, "image", payload,
+      Multimodal.AssetMeta("fake/raw", payload.length, 1, 1, 0, 0L)))
+    Array(f.h0.toDouble, f.h1.toDouble, f.h2.toDouble, f.h3.toDouble)
+  }
+
+  /** MULTIMODAL RETRIEVAL end-to-end — the composition [[qMultimodal]]
+    * only plumbs: binary assets → batched stub decode → histogram
+    * features ([[Multimodal.imageFeatures]], the mapInPandas-shaped
+    * boundary a real vision model call crosses) → exact cosine top-k over
+    * the feature vectors ([[VectorSearch.knn]]). With a real encoder the
+    * feature column becomes a 1024-dim embedding and the SAME second
+    * stage applies unchanged (swap exact knn for the IVF probe at corpus
+    * scale); the deterministic stub keeps the whole path under the
+    * DuckDB oracle. Zero-byte assets are filtered BEFORE scoring — a
+    * zero histogram has no direction, the [[graft.search.VectorSearch
+    * .knnPrefix]] sparse-prefix concern at the asset level. */
+  private def qMultimodalKnn(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.imageFeatures(
+        Multimodal.assetsFromDocuments(Tables.documents(spark, dir),
+          "doc_id", "text"))
+      .toDF()
+      .where(col("n_bytes") > 0)
+      .withColumn("emb", array(col("h0").cast("double"),
+        col("h1").cast("double"), col("h2").cast("double"),
+        col("h3").cast("double")))
+    VectorSearch.knn(feats, "asset_id", "emb", multimodalQueryVec, k = 10)
+      .select("asset_id", "score")
+  }
+
   /** North-star RAG chunking: 200-char windows with 40-char overlap. */
   private def qChunk(spark: SparkSession, dir: String): DataFrame =
     Curation.chunkDocuments(Tables.documents(spark, dir), "doc_id", "text",
@@ -1803,6 +1842,7 @@ object SparkEntry {
     "q_quality_tiers" -> ((s, dir) => qQualityTiers(s, dir)),
     "q_mix_sources" -> ((s, dir) => qMixSources(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
+    "q_multimodal_knn" -> ((s, dir) => qMultimodalKnn(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_attribution" -> ((s, dir) => qAttribution(s, dir)),
     "q_funnel" -> ((s, dir) => qFunnel(s, dir)),
@@ -2281,6 +2321,24 @@ object SparkEntry {
         |       len(list_filter(cs, c -> c // 64 = 2))::BIGINT AS h2,
         |       len(list_filter(cs, c -> c // 64 = 3))::BIGINT AS h3
         |FROM chars ORDER BY asset_id""".stripMargin,
+    // same featurization CTE as q_multimodal; the second stage is the
+    // exact-kNN shape every vector oracle uses
+    "q_multimodal_knn" ->
+      s"""WITH chars AS (
+         |  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS cs
+         |  FROM documents
+         |), feats AS (
+         |  SELECT doc_id AS asset_id,
+         |         [len(list_filter(cs, c -> c // 64 = 0))::DOUBLE,
+         |          len(list_filter(cs, c -> c // 64 = 1))::DOUBLE,
+         |          len(list_filter(cs, c -> c // 64 = 2))::DOUBLE,
+         |          len(list_filter(cs, c -> c // 64 = 3))::DOUBLE] AS emb
+         |  FROM chars WHERE len(cs) > 0
+         |)
+         |SELECT asset_id,
+         |       round((1.0 + list_cosine_similarity(emb, ${graft.functions.Vectors.vecSql(multimodalQueryVec)})) / 2.0, 6) AS score
+         |FROM feats
+         |ORDER BY score DESC, asset_id ASC LIMIT 10""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT h.id AS doc_id, h.text_hash, g.group_n, h.id = g.keep_id AS keep
          |FROM (SELECT doc_id AS id, coalesce(md5(text), '__null__') AS text_hash FROM documents) h
