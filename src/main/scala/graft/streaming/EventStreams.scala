@@ -163,6 +163,72 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Per-user funnel progress state ([[funnelStateful]]): the highest step
+    * reached in order and its event-time millis; public because the state
+    * encoder's generated code instantiates it. */
+  final case class FunnelState(step: Int, tsMs: Long)
+
+  final case class FunnelProgress(user_id: Long, step_idx: Int, step: String,
+      ts: Timestamp)
+
+  /** STREAMING funnel tracker — the live twin of
+    * [[graft.operators.EventAnalytics.funnelTimes]]: one
+    * `flatMapGroupsWithState` struct per user holding (highest step
+    * reached, its event time), emitting a [[FunnelProgress]] row the
+    * moment a user ADVANCES a step under the same strictly-after rule
+    * (step n counts only with ts > the user's step n−1 time; a greedy
+    * scan in event-time order picks exactly the sequential min times the
+    * batch operator computes).
+    *
+    * State contract: 1 struct per user who reached step 0 — users who
+    * never enter the funnel hold NO state — evicted by event-time
+    * timeout `ttlMinutes` after their last advancement (the bound an
+    * unbounded 100 TB/day stream needs; a converted-or-stalled user
+    * costs 12 bytes until TTL, nothing after).
+    *
+    * Parity contract (spec-pinned): equal to the batch funnel when each
+    * user's events arrive in event-time order ACROSS micro-batches
+    * (within a batch any order is fine — events are sorted before the
+    * scan). A cross-batch late arrival can under-advance the funnel —
+    * the standard approximation every un-buffered streaming funnel
+    * makes; exact late-data repair needs the batch operator over the
+    * ledger, which is one `funnelTimes` call away. */
+  def funnelStateful(events: Dataset[Event], steps: Seq[String],
+      ttlMinutes: Int = 7 * 24 * 60,
+      lateness: String = "10 minutes"): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, it: Iterator[Event],
+        state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var cur = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+        val out = Seq.newBuilder[FunnelProgress]
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val next = cur.step + 1
+          if (next < steps.length && e.event_type == steps(next) &&
+              (cur.step < 0 || e.ts.getTime > cur.tsMs)) {
+            cur = FunnelState(next, e.ts.getTime)
+            out += FunnelProgress(userId, next, steps(next), e.ts)
+          }
+        }
+        if (cur.step >= 0) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.tsMs + ttlMinutes * 60000L)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Watermarked stream-stream INTERVAL join — event attribution: pair
     * each `right` event (e.g. a purchase) with every `left` event (e.g. a
     * click) by the same user at most `gapMinutes` earlier,

@@ -18,6 +18,69 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
   private def tsAt(hour: Int, minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
 
+  test("streaming funnel: advancement rows match the batch funnel's step times") {
+    val events = Seq(
+      // user 7: out-of-order WITHIN a batch (sorted before the scan)
+      Event(2, ts(10), 7, "click", 1.0),
+      Event(1, ts(0), 7, "view", 1.0),
+      // user 8: clicked before the first view — that click must not count
+      Event(3, ts(0), 8, "click", 1.0),
+      Event(4, ts(5), 8, "view", 1.0))
+    val later = Seq(
+      Event(5, ts(20), 7, "purchase", 1.0),
+      Event(6, ts(15), 8, "click", 1.0))
+    val steps = Seq("view", "click", "purchase")
+
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.funnelStateful(mem.toDS(), steps, lateness = "1 minutes")
+      .writeStream.format("memory").queryName("funnelp").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(later: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnelp").as[EventStreams.FunnelProgress]
+        .collect().map(p => (p.user_id, p.step_idx, p.step, p.ts)).toSet
+      assert(got === Set(
+        (7L, 0, "view", ts(0)), (7L, 1, "click", ts(10)),
+        (7L, 2, "purchase", ts(20)),
+        (8L, 0, "view", ts(5)), (8L, 1, "click", ts(15))))
+
+      // parity: the batch operator over the union of both batches reports
+      // the SAME step times the stream emitted incrementally
+      val bt = graft.operators.EventAnalytics.funnelTimes(
+          (events ++ later).toDF(), "user_id", "event_type", "ts", steps)
+        .orderBy("user")
+        .select(col("user"), col("t0"), col("t1"), col("t2"))
+        .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSeq
+      assert(bt === Seq(
+        (7L, ts(0), ts(10), ts(20)),
+        (8L, ts(5), ts(15), null)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel state: non-participants hold no state; TTL evicts") {
+    val mem = MemoryStream[Event](spark)
+    // tiny TTL so the timeout path executes in-test
+    val q = EventStreams.funnelStateful(mem.toDS(), Seq("view", "click"),
+        ttlMinutes = 5, lateness = "1 minutes")
+      .writeStream.format("memory").queryName("funnelttl").outputMode("append").start()
+    try {
+      // user 7 enters the funnel; user 9 only errors (never step 0 → no state)
+      mem.addData(Event(1, ts(0), 7, "view", 1.0), Event(2, ts(0), 9, "error", 1.0))
+      q.processAllAvailable()
+      // watermark far past ts(0) + 5min TTL → user 7's state times out
+      mem.addData(Event(3, ts(40), 5, "error", 1.0))
+      q.processAllAvailable()
+      // a click AFTER eviction cannot advance: the funnel forgot user 7
+      mem.addData(Event(4, ts(45), 7, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("funnelttl").as[EventStreams.FunnelProgress]
+        .collect().map(p => (p.user_id, p.step_idx)).toSet
+      assert(got === Set((7L, 0)))
+    } finally q.stop()
+  }
+
   test("windowedCounts: identical results in batch and streaming (complete) mode") {
     val events = Seq(
       Event(1, tsAt(10, 5), 1, "click", 1.0),
