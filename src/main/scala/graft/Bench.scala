@@ -135,6 +135,22 @@ object Bench {
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","key_prefix":"q_","queries":$qs,"gc_ms_total":$gcMsTotal,"peak_heap_mb_max":$peakHeapMbMax,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
     }
+    // Tier-4: when even 1-decimal stripped names overflow (97 queries
+    // measured round 8), keep the N most EXPENSIVE queries by name — the
+    // ones a reader grading the total actually needs — and roll the rest
+    // into (queries_omitted, omitted_total). Full per-query numbers stay
+    // on the BENCH_DETAIL line.
+    def topNLine(n: Int): String = {
+      val top = results.toSeq.sortBy(-_._2).take(n)
+      val omitted = results.size - top.size
+      val omittedTotal = results.map(_._2).sum - top.map(_._2).sum
+      val qs = top.map { case (k, v) =>
+        s"\"" + k.stripPrefix("q_") + "\":" + (if (v < 10) r2(v) else r1(v))
+      }.mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","key_prefix":"q_","queries":$qs,"queries_omitted":$omitted,"omitted_total":${r2(omittedTotal)},"gc_ms_total":$gcMsTotal,"peak_heap_mb_max":$peakHeapMbMax,"cpus":$cpus,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
     // last-resort: a total-only line (per-query numbers stay available on
     // the BENCH_DETAIL line) — ALWAYS fits; never ship a truncated line
     def totalOnly: String = {
@@ -144,7 +160,7 @@ object Bench {
     }
     val line = Seq(contractLine(r3), contractLine(r2),
         strippedLine(v => if (v < 10) r2(v) else r1(v)), strippedLine(r1),
-        totalOnly)
+        topNLine(48), topNLine(24), totalOnly)
       .find(_.length <= 1900).getOrElse(totalOnly)
     println(line)
     spark.stop()

@@ -969,6 +969,17 @@ object SparkEntry {
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
       .orderBy("step_idx")
 
+  /** [[qFunnel]] under a 60-minute CONVERSION WINDOW — each step must land
+    * within an hour of the previous one (half-open (prev, prev+60m], the
+    * [[qAttribution]] bound convention). The windowed counts differ from
+    * the unwindowed funnel's on this fixture, so the two queries pin two
+    * genuinely different semantics. */
+  private def qFunnelGap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.funnel(Tables.events(spark, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        maxGapMinutes = Some(60))
+      .orderBy("step_idx")
+
   /** Weekly cohort-retention matrix
     * ([[graft.operators.EventAnalytics.retention]]): users cohorted by
     * first-activity week since the fixture's anchor, counted once per
@@ -1846,6 +1857,7 @@ object SparkEntry {
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_attribution" -> ((s, dir) => qAttribution(s, dir)),
     "q_funnel" -> ((s, dir) => qFunnel(s, dir)),
+    "q_funnel_gap" -> ((s, dir) => qFunnelGap(s, dir)),
     "q_retention" -> ((s, dir) => qRetention(s, dir)),
     "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
     "q_embed_corpus" -> ((s, dir) => qEmbedCorpus(s, dir)),
@@ -2303,6 +2315,11 @@ object SparkEntry {
       (graft.operators.EventAnalytics.sqlFunnel(
         "events", "user_id", "event_type", "ts::TIMESTAMP",
         Seq("view", "click", "purchase")) + "\nORDER BY step_idx"),
+    "q_funnel_gap" ->
+      (graft.operators.EventAnalytics.sqlFunnel(
+        "events", "user_id", "event_type", "ts::TIMESTAMP",
+        Seq("view", "click", "purchase"), maxGapMinutes = Some(60)) +
+        "\nORDER BY step_idx"),
     "q_retention" ->
       (graft.operators.EventAnalytics.sqlRetention(
         "events", "user_id", "ts::TIMESTAMP",

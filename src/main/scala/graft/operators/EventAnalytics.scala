@@ -30,18 +30,28 @@ object EventAnalytics {
     * user-keyed shuffles — never a per-user sort or event-list
     * collection. */
   def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String],
+      maxGapMinutes: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps")
+    require(maxGapMinutes.forall(_ >= 1),
+      s"maxGapMinutes must be ≥ 1, got $maxGapMinutes")
     val first = events.where(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("user"))
       .agg(min(col(tsCol)).as("t0"))
     steps.zipWithIndex.drop(1).foldLeft(first) { case (prev, (step, i)) =>
+      // conversion window: step n must land within maxGap of step n−1
+      // (half-open (prev, prev+gap] — the attribution-join convention)
+      val inWindow = maxGapMinutes match {
+        case Some(m) => col("__ts") > col("__prev") &&
+          col("__ts") <= col("__prev") + expr(s"INTERVAL $m MINUTES")
+        case None => col("__ts") > col("__prev")
+      }
       val next = events.where(col(typeCol) === step)
         .select(col(userCol).as("user"), col(tsCol).as("__ts"))
         .join(prev.select(col("user"), col(s"t${i - 1}").as("__prev")), "user")
-        .where(col("__ts") > col("__prev"))
+        .where(inWindow)
         .groupBy("user").agg(min(col("__ts")).as(s"t$i"))
       prev.join(next, Seq("user"), "left")
     }
@@ -51,8 +61,10 @@ object EventAnalytics {
     * (step_idx, step, users) where `users` reached the step in order.
     * Counts are non-increasing by construction ([[funnelTimes]] nulls). */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
-    val times = funnelTimes(events, userCol, typeCol, tsCol, steps)
+      tsCol: String, steps: Seq[String],
+      maxGapMinutes: Option[Int] = None): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps,
+      maxGapMinutes)
     // ONE aggregation over the step-times relation (count(t_i) skips the
     // nulls of unreached steps), exploded to the per-step rows — never k
     // re-executions of the join chain
@@ -70,7 +82,10 @@ object EventAnalytics {
     * engine-side timestamp normalization (`ts::TIMESTAMP` for the events
     * fixture — see [[graft.util.Tables.events]]). */
   def sqlFunnel(eventsTable: String, userExpr: String, typeExpr: String,
-      tsExpr: String, steps: Seq[String]): String = {
+      tsExpr: String, steps: Seq[String],
+      maxGapMinutes: Option[Int] = None): String = {
+    val gapCond = maxGapMinutes
+      .map(m => s" AND e.t <= p.t + INTERVAL $m MINUTES").getOrElse("")
     val ctes = steps.zipWithIndex.map { case (step, i) =>
       if (i == 0)
         s"""s0 AS (
@@ -82,7 +97,7 @@ object EventAnalytics {
            |  SELECT e.u, min(e.t) AS t FROM (
            |    SELECT $userExpr AS u, $tsExpr AS t
            |    FROM $eventsTable WHERE $typeExpr = '$step') e
-           |  JOIN s${i - 1} p ON e.u = p.u AND e.t > p.t
+           |  JOIN s${i - 1} p ON e.u = p.u AND e.t > p.t$gapCond
            |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     val selects = steps.zipWithIndex.map { case (step, i) =>

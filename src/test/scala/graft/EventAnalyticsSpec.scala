@@ -87,6 +87,32 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTest {
       (1, 2, 1L)))
   }
 
+  test("conversion window: a step exactly at the gap counts, one second past does not") {
+    val events = ev(
+      // user 1 clicks exactly 60 minutes after viewing → counts (half-open
+      // (prev, prev+gap] — the attribution-join bound convention)
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      // user 2 clicks 60 minutes and one second after → outside the window
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 11:00:01"))
+    val got = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click"), maxGapMinutes = Some(60))
+      .orderBy("step_idx").as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((0, "view", 2L), (1, "click", 1L)))
+    // and the SECOND in-window click is found when the first is outside:
+    // the window applies to the candidate being attributed, not just the
+    // user's earliest next-step event
+    val events2 = ev(
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "click", "2024-01-01 11:00:01"), // outside
+      (3L, "click", "2024-01-01 10:30:00")) // inside (order-independent)
+    val got2 = EventAnalytics.funnelTimes(events2, "user_id", "event_type",
+        "ts", Seq("view", "click"), maxGapMinutes = Some(60))
+      .select(col("t1").cast("string")).as[String].collect().toSeq
+    assert(got2 === Seq("2024-01-01 10:30:00"))
+  }
+
   test("funnel guards: empty and duplicate step lists are refused") {
     val events = ev((1L, "view", "2024-01-01 10:00:00"))
     assert(intercept[IllegalArgumentException] {
