@@ -331,6 +331,24 @@ object SparkEntry {
       .orderBy(col("g_source"), col("g_lang"),
         col("source").asc_nulls_first, col("lang").asc_nulls_first)
 
+  /** EXACT phrase locate ([[TextSearch.phraseOccurrences]]) — distributed
+    * grep with positions. The probe phrase is the min-id document's first
+    * 8 tokens, derived RELATIONALLY (both engines tokenize it with the
+    * same frozen rule, so no driver-side tokenizer can drift); it always
+    * matches at least its own source position, and at SFs whose fixture
+    * contains exact-duplicate texts (sf0.1 has 8 clone groups) any clone
+    * of that document surfaces too. Multiplicity/overlap semantics are
+    * SearchSpec-pinned on a hand-built corpus. */
+  private def qPhraseFind(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val minId = d.agg(min(col("doc_id")).as("__mid"))
+    val phrase = d.join(broadcast(minId), col("doc_id") === col("__mid"))
+      .select(slice(graft.functions.Text.tokens(col("text")), 1, 8).as("p"))
+    TextSearch.phraseOccurrences(d, "doc_id", "text", phrase)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "pos")
+  }
+
   /** North-star language-ID: marker-ratio argmax per document. */
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1796,6 +1814,7 @@ object SparkEntry {
     "q_distinct_sort" -> ((s, dir) => qDistinctSort(s, dir)),
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
     "q_bm25" -> ((s, dir) => qBm25(s, dir)),
+    "q_phrase_find" -> ((s, dir) => qPhraseFind(s, dir)),
     "q_fulltext_postfilter" -> ((s, dir) => qFulltextPostfilter(s, dir)),
     "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => qHybridRrf(s, dir)),
@@ -1933,6 +1952,17 @@ object SparkEntry {
       s"""WITH $bm25DocsCtes
          |SELECT id AS doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // direct position-verify SQL (the hash prefilter is a plan
+    // optimization, not a semantic — see sqlPhraseOccurrences)
+    "q_phrase_find" ->
+      s"""WITH phrase AS (
+         |  SELECT list_slice(${graft.functions.Text.sqlTokens("text")}, 1, 8) AS p
+         |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
+         |)
+         |SELECT id AS doc_id, pos
+         |FROM (${TextSearch.sqlPhraseOccurrences("documents", "doc_id", "text",
+                  "phrase", 8)})
+         |ORDER BY doc_id, pos""".stripMargin,
     "q_fulltext_postfilter" ->
       s"""WITH $bm25CorpusCtes
          |SELECT b.id AS doc_id, b.score FROM bm25 b

@@ -224,4 +224,72 @@ object TextSearch {
        |  SELECT id, round(sum(c), $ScoreDecimals) AS score FROM contrib GROUP BY 1
        |)""".stripMargin
   }
+
+  /** EXACT token-phrase locate — distributed grep: every (doc, token
+    * position) where the corpus contains `phrase` verbatim. BM25 ranks by
+    * term overlap; this is the other text-search primitive, the one
+    * contamination forensics / span provenance / quote attribution need
+    * (WHICH doc, WHERE exactly), with exactness Lucene's scored retrieval
+    * does not promise.
+    *
+    * `phrase` is a ONE-ROW relation with column `p` (array<string>, the
+    * tokenized phrase, ≥ `k` tokens) — relational on purpose: the
+    * declared query derives it from the corpus itself, both engines
+    * tokenize with the same frozen rule, and no driver-side tokenizer
+    * can drift from the engine's.
+    *
+    * Plan shape (the 100 TB contract): positional grams stream out of a
+    * narrow codegen'd scan ([[graft.dedup.SubstringDedup.gramPostings]]),
+    * are prefiltered by ONE broadcast hash — the 60-bit hash of the
+    * phrase's first `k` tokens kills ~everything before any join — and
+    * only the surviving (id, pos) candidates join the corpus tokens for
+    * the exact slice comparison, pruned to candidate docs by a broadcast
+    * semi-join. No shuffle touches the corpus; a 2⁻⁶⁰ hash collision is
+    * removed by the exact verify, so the output is exact, not
+    * probabilistic. The persisted gram-hash index
+    * ([[graft.index.IndexStore.GramIndex]]) can pre-screen EXISTENCE
+    * (skip the scan entirely when the first gram is absent) — membership
+    * is all it stores; the locate itself is this scan. */
+  def phraseOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      phrase: DataFrame,
+      k: Int = graft.dedup.SubstringDedup.DefaultGramTokens): DataFrame = {
+    require(phrase.columns.contains("p"),
+      "phrase must be a one-row relation with column `p` (array<string>)")
+    // loud, not silently empty: a phrase shorter than the gram width has
+    // no valid prefilter key (its k-token prefix hash can never match a
+    // corpus gram), which would read as "no occurrences" — a lie
+    val sizes = phrase.select(size(col("p"))).collect()
+    require(sizes.nonEmpty, "phrase relation is empty — expected one row")
+    require(sizes.head.getInt(0) >= k,
+      s"phrase has ${sizes.head.getInt(0)} tokens; the gram prefilter " +
+        s"needs ≥ $k (the gram width) — widen the phrase or lower k")
+    // the broadcast prefilter key: hash of the phrase's first k tokens,
+    // computed IN-ENGINE with the same hash the gram scan uses
+    val key = phrase.select(
+      Text.hash60(concat_ws(" ", slice(col("p"), 1, k))).as("__ph"),
+      col("p").as("__p"))
+    val cands = graft.dedup.SubstringDedup.gramPostings(docs, idCol, textCol, k)
+      .join(broadcast(key), col("h") === col("__ph"))
+    val toks = docs.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("__toks"))
+    cands
+      .join(toks, "id")
+      .where(size(col("__p")) >= k &&
+        slice(col("__toks"), col("pos") + 1, size(col("__p"))) === col("__p"))
+      .select(col("id"), col("pos"))
+  }
+
+  /** SQL twin of [[phraseOccurrences]] (DuckDB): `phraseTable` must expose
+    * a one-row column `p` (VARCHAR[]); emits (id, pos) with 0-based token
+    * positions. The SQL verifies every start position directly (no hash
+    * stage — the hash prefilter is a plan optimization, not a semantic). */
+  def sqlPhraseOccurrences(docsTable: String, idExpr: String,
+      textExpr: String, phraseTable: String, k: Int): String =
+    s"""SELECT tk.id, (u.pos - 1)::INT AS pos
+       |FROM (SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS t
+       |      FROM $docsTable) tk
+       |CROSS JOIN $phraseTable ph,
+       |     UNNEST(range(1, greatest(len(tk.t) - len(ph.p) + 1, 0) + 1)) AS u(pos)
+       |WHERE len(ph.p) >= $k
+       |  AND list_slice(tk.t, u.pos, u.pos + len(ph.p) - 1) = ph.p""".stripMargin
 }

@@ -11,6 +11,40 @@ import org.scalatest.funsuite.AnyFunSuite
 class SearchSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
+  test("phraseOccurrences: exact positions, overlaps, longer-than-gram phrases, loud guards") {
+    val docs = Seq(
+      (1L, "a b c d a b c d"), // "a b" at token positions 0 and 4
+      (2L, "x a b y"),         // at 1
+      (3L, "a c b d"),         // none
+      (4L, "b a"),             // none (reversed)
+    ).toDF("id", "text")
+    val ab = Seq(Tuple1(Seq("a", "b"))).toDF("p")
+    val got = TextSearch.phraseOccurrences(docs, "id", "text", ab, k = 2)
+      .orderBy("id", "pos").as[(Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 0), (1L, 4), (2L, 1)))
+    // phrase LONGER than the gram width: candidates come from the 2-token
+    // prefix hash, the slice verify checks the full 3 tokens
+    val abc = Seq(Tuple1(Seq("a", "b", "c"))).toDF("p")
+    assert(TextSearch.phraseOccurrences(docs, "id", "text", abc, k = 2)
+      .orderBy("id", "pos").as[(Long, Int)].collect().toSeq
+      === Seq((1L, 0), (1L, 4)))
+    // overlapping occurrences are all reported
+    val ov = Seq((9L, "a a a")).toDF("id", "text")
+    val aa = Seq(Tuple1(Seq("a", "a"))).toDF("p")
+    assert(TextSearch.phraseOccurrences(ov, "id", "text", aa, k = 2)
+      .orderBy("pos").as[(Long, Int)].collect().toSeq === Seq((9L, 0), (9L, 1)))
+    // a phrase shorter than the gram width can never match a gram key —
+    // refuse loudly instead of returning a lying empty result
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.phraseOccurrences(docs, "id", "text",
+        Seq(Tuple1(Seq("a"))).toDF("p"), k = 2)
+    }.getMessage.contains("gram width"))
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.phraseOccurrences(docs, "id", "text",
+        Seq.empty[Tuple1[Seq[String]]].toDF("p"), k = 2)
+    }.getMessage.contains("empty"))
+  }
+
   // 4 unit-ish vectors on the plane: ids ordered so ties are observable
   private def vecs = Seq(
     (1L, Seq(1.0, 0.0), "en"),
