@@ -349,6 +349,27 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
   }
 
+  /** [[qPhraseFind]] behind the PERSISTED gram-hash index
+    * ([[TextSearch.phraseOccurrencesScreened]]): one bucket-pruned
+    * membership probe decides whether the corpus scan runs at all — the
+    * shape an absent-phrase lookup costs at 100 TB (a narrow bucket
+    * read, never a corpus pass). The scanned corpus is EXACTLY the
+    * relation [[corpusGramsDisk]] indexes (docs outside the %5 batch) —
+    * a membership screen over a corpus its index doesn't cover could
+    * wrongly veto, so the contract is index ≙ corpus, and the probe
+    * phrase comes from that corpus's min-id doc (guaranteed present).
+    * The veto path (absent gram → empty, no scan) is SearchSpec-pinned. */
+  private def qPhraseFindIdx(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).where(col("doc_id") % 5 =!= 0)
+    val minId = d.agg(min(col("doc_id")).as("__mid"))
+    val phrase = d.join(broadcast(minId), col("doc_id") === col("__mid"))
+      .select(slice(graft.functions.Text.tokens(col("text")), 1, 8).as("p"))
+    TextSearch.phraseOccurrencesScreened(corpusGramsDisk(spark, dir), d,
+        "doc_id", "text", phrase)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "pos")
+  }
+
   /** North-star language-ID: marker-ratio argmax per document. */
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1815,6 +1836,7 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => q1Agg(s, dir)),
     "q_bm25" -> ((s, dir) => qBm25(s, dir)),
     "q_phrase_find" -> ((s, dir) => qPhraseFind(s, dir)),
+    "q_phrase_find_idx" -> ((s, dir) => qPhraseFindIdx(s, dir)),
     "q_fulltext_postfilter" -> ((s, dir) => qFulltextPostfilter(s, dir)),
     "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => qHybridRrf(s, dir)),
@@ -1952,6 +1974,19 @@ object SparkEntry {
       s"""WITH $bm25DocsCtes
          |SELECT id AS doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // the screened twin: corpus = the indexed subset (index ≙ corpus),
+    // phrase from ITS min-id doc; the membership probe is plan-only
+    "q_phrase_find_idx" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+         |), phrase AS (
+         |  SELECT list_slice(${graft.functions.Text.sqlTokens("text")}, 1, 8) AS p
+         |  FROM corpus WHERE doc_id = (SELECT min(doc_id) FROM corpus)
+         |)
+         |SELECT id AS doc_id, pos
+         |FROM (${TextSearch.sqlPhraseOccurrences("corpus", "doc_id", "text",
+                  "phrase", 8)})
+         |ORDER BY doc_id, pos""".stripMargin,
     // direct position-verify SQL (the hash prefilter is a plan
     // optimization, not a semantic — see sqlPhraseOccurrences)
     "q_phrase_find" ->

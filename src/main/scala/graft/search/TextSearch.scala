@@ -279,6 +279,45 @@ object TextSearch {
       .select(col("id"), col("pos"))
   }
 
+  /** [[phraseOccurrences]] behind the persisted gram-hash MEMBERSHIP index
+    * ([[graft.index.IndexStore.GramIndex]]): the phrase's prefilter key is
+    * probed against ONE bucket partition of the index (~8 B/distinct gram,
+    * partition-pruned by the bucket literal) and the corpus scan runs ONLY
+    * if the gram exists — an absent phrase costs one narrow bucket read,
+    * never a 100 TB pass. Present phrases pay the index probe plus the
+    * exact locate; the result is identical to [[phraseOccurrences]] by
+    * construction (membership can only veto, never add). The index must
+    * have been built at the same gram width (its DDL, checked loudly). */
+  def phraseOccurrencesScreened(index: graft.index.IndexStore.GramIndex,
+      docs: DataFrame, idCol: String, textCol: String,
+      phrase: DataFrame): DataFrame = {
+    val k = index.k
+    require(phrase.columns.contains("p"),
+      "phrase must be a one-row relation with column `p` (array<string>)")
+    // one tiny collect: the phrase row (the IVF centroid-probe posture —
+    // driver-side routing state, bounded by construction)
+    val rows = phrase
+      .select(Text.hash60(concat_ws(" ", slice(col("p"), 1, k))).as("ph"),
+        size(col("p")).as("n"))
+      .collect()
+    require(rows.nonEmpty, "phrase relation is empty — expected one row")
+    require(rows.head.getInt(1) >= k,
+      s"phrase has ${rows.head.getInt(1)} tokens; the index gram width " +
+        s"is $k — widen the phrase or rebuild the index narrower")
+    val ph = rows.head.getLong(0)
+    val bucket = math.floorMod(ph, graft.dedup.Dedup.ShingleBuckets.toLong)
+    // single-bucket membership probe (PartitionFilters prune to bucket=B)
+    val present = index.hashes
+      .where(col("bucket") === bucket && col("h") === ph)
+      .limit(1).count() == 1L
+    if (present) phraseOccurrences(docs, idCol, textCol, phrase, k)
+    else
+      // empty result with the exact (id, pos) schema, id typed from docs
+      docs.select(col(idCol).as("id"))
+        .withColumn("pos", lit(0).cast("int"))
+        .where(lit(false))
+  }
+
   /** SQL twin of [[phraseOccurrences]] (DuckDB): `phraseTable` must expose
     * a one-row column `p` (VARCHAR[]); emits (id, pos) with 0-based token
     * positions. The SQL verifies every start position directly (no hash

@@ -45,6 +45,29 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("empty"))
   }
 
+  test("phraseOccurrencesScreened: membership veto short-circuits; present phrases locate identically") {
+    val docs = Seq(
+      (1L, "a b c d a b c d"),
+      (2L, "x a b y")).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gramsidx").toString
+    graft.index.IndexStore.saveGrams(docs, "id", "text", k = 2, dir)
+    val idx = graft.index.IndexStore.loadGrams(spark, dir)
+    val ab = Seq(Tuple1(Seq("a", "b"))).toDF("p")
+    val got = TextSearch.phraseOccurrencesScreened(idx, docs, "id", "text", ab)
+      .orderBy("id", "pos").as[(Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 0), (1L, 4), (2L, 1)))
+    // absent phrase: the index vetoes — empty result with the right schema
+    val zz = Seq(Tuple1(Seq("z", "z"))).toDF("p")
+    val vetoed = TextSearch.phraseOccurrencesScreened(idx, docs, "id", "text", zz)
+    assert(vetoed.schema.map(_.name) === Seq("id", "pos"))
+    assert(vetoed.count() === 0L)
+    // width mismatch is loud (the index's k is its DDL)
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.phraseOccurrencesScreened(idx, docs, "id", "text",
+        Seq(Tuple1(Seq("a"))).toDF("p"))
+    }.getMessage.contains("gram width"))
+  }
+
   // 4 unit-ish vectors on the plane: ids ordered so ties are observable
   private def vecs = Seq(
     (1L, Seq(1.0, 0.0), "en"),
