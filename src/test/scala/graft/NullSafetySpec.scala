@@ -27,6 +27,31 @@ class NullSafetySpec extends AnyFunSuite with SparkTest {
     assert(got(4L) === Seq.empty)
   }
 
+  test("round-8 surface on degenerate input: phrase locate, corpus diff, funnel, retention") {
+    // phrase locate: null/empty/punct-only docs yield no grams → never
+    // candidates, never errors
+    val ab = Seq(Tuple1(Seq("normal", "document"))).toDF("p")
+    val occ = TextSearch.phraseOccurrences(docsWithNull, "id", "text", ab, k = 2)
+      .as[(Long, Int)].collect().toSeq
+    assert(occ === Seq((1L, 0)))
+    // corpus diff: null documents carry presence via markers, so a null
+    // doc present in both versions is unchanged, not added
+    val diff = graft.pipeline.Curation.corpusDiff(
+        docsWithNull, docsWithNull, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(diff.values.forall(_ == "unchanged"))
+    // funnel/retention: null event rows (no matching type) simply never
+    // advance; empty event input yields empty relations, not errors
+    val emptyEv = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_type", "ts")
+    assert(graft.operators.EventAnalytics.funnel(emptyEv, "user_id",
+      "event_type", "ts", Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toSeq
+      === Seq((0, "view", 0L), (1, "click", 0L)))
+    assert(graft.operators.EventAnalytics.retention(emptyEv, "user_id",
+      "ts", "2024-01-01").count() === 0L)
+  }
+
   test("bm25: null/empty docs never match, stats ignore token-less docs") {
     val idx = TextSearch.buildIndex(docsWithNull, "id", "text")
     assert(idx.numDocs === 1) // only doc 1 has tokens
