@@ -91,7 +91,7 @@ object SparkEntry {
       if (k._1 == spark) { idx.codes.unpersist(); false } else true }
     Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
-        mrlPrefixDiskBuilt)
+        mrlPrefixDiskBuilt, phraseDiskBuilt)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -103,7 +103,7 @@ object SparkEntry {
         searchTableCache, sparseEmbCache, bm25Cache, ivfCache, pqCache,
         signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
-        mrlPrefixDiskBuilt)
+        mrlPrefixDiskBuilt, phraseDiskBuilt)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Build (and cache-materialize) the session's index DDL artifacts — the
@@ -124,6 +124,7 @@ object SparkEntry {
     corpusGramsDisk(spark, dir)
     corpusWindowsDisk(spark, dir)
     corpusMrlPrefixDisk(spark, dir)
+    corpusPhraseDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -366,6 +367,44 @@ object SparkEntry {
       .select(slice(graft.functions.Text.tokens(col("text")), 1, 8).as("p"))
     TextSearch.phraseOccurrencesScreened(corpusGramsDisk(spark, dir), d,
         "doc_id", "text", phrase)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "pos")
+  }
+
+  /** The DISK-persisted POSITIONAL phrase index over the whole corpus
+    * ([[IndexStore.savePhrase]]) — the seventh persisted family: (id,
+    * pos, h) postings bucket-partitioned by gram hash, so a phrase
+    * lookup reads its grams' buckets instead of scanning text. */
+  private val phraseDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusPhraseDisk(spark: SparkSession,
+      dir: String): graft.index.IndexStore.PhraseIndex = {
+    val path = phraseDiskBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_phrase_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      IndexStore.savePhrase(Tables.documents(spark, dir), "doc_id", "text",
+        SubstringDedup.DefaultGramTokens, p)
+      p
+    })
+    IndexStore.loadPhrase(spark, path)
+  }
+
+  /** [[qPhraseFind]] resolved ENTIRELY from the positional index
+    * ([[TextSearch.phraseOccurrencesIndexed]]): the phrase's consecutive
+    * gram hashes probe their bucket partitions, the offset-aligned
+    * intersection yields candidates, and corpus text is opened only for
+    * the candidates' exact verify — the no-corpus-scan phrase lookup.
+    * Same phrase (the min-id doc's first 8 tokens, collected through the
+    * ENGINE tokenizer so driver hashing can't drift), same corpus, same
+    * oracle SQL as [[qPhraseFind]]. */
+  private def qPhraseFindPos(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val minId = d.agg(min(col("doc_id")).as("__mid"))
+    val toks = d.join(broadcast(minId), col("doc_id") === col("__mid"))
+      .select(slice(graft.functions.Text.tokens(col("text")), 1, 8).as("p"))
+      .head.getSeq[String](0)
+    TextSearch.phraseOccurrencesIndexed(corpusPhraseDisk(spark, dir), d,
+        "doc_id", "text", toks)
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id", "pos")
   }
@@ -1837,6 +1876,7 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => qBm25(s, dir)),
     "q_phrase_find" -> ((s, dir) => qPhraseFind(s, dir)),
     "q_phrase_find_idx" -> ((s, dir) => qPhraseFindIdx(s, dir)),
+    "q_phrase_find_pos" -> ((s, dir) => qPhraseFindPos(s, dir)),
     "q_fulltext_postfilter" -> ((s, dir) => qFulltextPostfilter(s, dir)),
     "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => qHybridRrf(s, dir)),
@@ -1974,6 +2014,17 @@ object SparkEntry {
       s"""WITH $bm25DocsCtes
          |SELECT id AS doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // positional-index twin: same phrase, same corpus, same relation as
+    // q_phrase_find — only the PLAN differs (bucket probes, no scan)
+    "q_phrase_find_pos" ->
+      s"""WITH phrase AS (
+         |  SELECT list_slice(${graft.functions.Text.sqlTokens("text")}, 1, 8) AS p
+         |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
+         |)
+         |SELECT id AS doc_id, pos
+         |FROM (${TextSearch.sqlPhraseOccurrences("documents", "doc_id", "text",
+                  "phrase", 8)})
+         |ORDER BY doc_id, pos""".stripMargin,
     // the screened twin: corpus = the indexed subset (index ≙ corpus),
     // phrase from ITS min-id doc; the membership probe is plan-only
     "q_phrase_find_idx" ->

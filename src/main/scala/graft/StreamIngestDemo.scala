@@ -9,28 +9,30 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** End-to-end streaming-ingest demo (the [[ScaleProbe]] sibling for the
-  * index-upkeep story): one runnable that drives ALL SIX incremental
+  * index-upkeep story): one runnable that drives ALL SEVEN incremental
   * index paths together the way a production ingest would —
   *
   *   1. offline DDL on the first 20% of the corpus (`Ivf.build`/`Pq.build`
-  *      need trained centroids/codebooks; BM25, sign-LSH, containment and
-  *      window bases are saved for symmetry — the containment threshold
-  *      and the window width are each index's DDL),
+  *      need trained centroids/codebooks; BM25, sign-LSH, containment,
+  *      window and positional-phrase bases are saved for symmetry — the
+  *      containment threshold, the window width and the gram width are
+  *      each index's DDL),
   *   2. the remaining 80% arrives as a Structured Streaming flow in
   *      rate-limited waves, fanned into `streamIntoBm25` /
   *      `streamIntoIvf` / `streamIntoSignLsh` / `streamIntoPq` /
-  *      `streamIntoContainment` / `streamIntoWindows` (commit-marker
-  *      batches — each wave is visible to the next load the moment its
-  *      marker lands),
+  *      `streamIntoContainment` / `streamIntoWindows` /
+  *      `streamIntoPhrase` (commit-marker batches — each wave is visible
+  *      to the next load the moment its marker lands),
   *   3. MID-STREAM, after each wave, the serving-side queries run against
   *      consistent snapshots (`load*`): BM25 top-10, ball-cover-exact
   *      batch kNN over the growing IVF, incremental near-dup dedup of the
   *      JUST-ARRIVED wave against the sign-LSH index-so-far, incremental
   *      CONTAINMENT screen of the wave's documents against the prefix
   *      index-so-far, PQ/ADC top-10, late-interaction maxsim over the
-  *      growing window index — the reader/writer concurrency contract
-  *      exercised live,
-  *   4. streams stop, all six indexes compact (file-count bound; the
+  *      growing window index, an exact phrase locate over the growing
+  *      positional index (its occurrence count rises as clones stream
+  *      in) — the reader/writer concurrency contract exercised live,
+  *   4. streams stop, all seven indexes compact (file-count bound; the
   *      containment compaction re-ranks prefixes against the merged df),
   *      and the same queries re-run — results must be IDENTICAL pre/post
   *      compaction.
@@ -75,12 +77,20 @@ object StreamIngestDemo {
     IndexStore.saveContainment(baseDocs, "doc_id", "text", 0.9, dir("cont"))
     IndexStore.saveWindows(baseDocs, "doc_id", "text",
       graft.search.LateInteraction.DefaultWindowTokens, dir("win"))
+    IndexStore.savePhrase(baseDocs, "doc_id", "text",
+      graft.dedup.SubstringDedup.DefaultGramTokens, dir("phrase"))
     println(f"STREAMDEMO ddl_base_sec ${(System.nanoTime() - t0) / 1e9}%.2f")
+    // the mid-stream phrase probe: the base corpus's min-id doc's first 8
+    // tokens, collected once through the ENGINE tokenizer
+    val phraseToks = baseDocs.orderBy("doc_id").limit(1)
+      .select(slice(graft.functions.Text.tokens(col("text")), 1,
+        graft.dedup.SubstringDedup.DefaultGramTokens).as("p"))
+      .head.getSeq[String](0)
 
     // ---- 2. the remaining 80% arrives as four streaming upkeep flows ----
     // one MemoryStream per consumer: a query's offset commit truncates the
     // shared buffer, so fanning one stream into three sinks would race
-    val docStreams = Seq.fill(3)(MemoryStream[(Long, String)](spark))
+    val docStreams = Seq.fill(4)(MemoryStream[(Long, String)](spark))
     val embStreams = Seq.fill(3)(MemoryStream[(Long, Seq[Double])](spark))
     val queries = Seq(
       IndexStore.streamIntoBm25(docStreams(0).toDF().toDF("doc_id", "text"),
@@ -89,6 +99,8 @@ object StreamIngestDemo {
         "doc_id", "text", dir("cont"), dir("ck_cont")),
       IndexStore.streamIntoWindows(docStreams(2).toDF().toDF("doc_id", "text"),
         "doc_id", "text", dir("win"), dir("ck_win")),
+      IndexStore.streamIntoPhrase(docStreams(3).toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir("phrase"), dir("ck_phrase")),
       IndexStore.streamIntoIvf(embStreams(0).toDF().toDF("vec_id", "embedding"),
         "vec_id", "embedding", dir("ivf"), dir("ck_ivf")),
       IndexStore.streamIntoSignLsh(embStreams(1).toDF().toDF("vec_id", "embedding"),
@@ -148,9 +160,15 @@ object StreamIngestDemo {
       val maxsim = graft.search.LateInteraction.maxSimJoin(
         docs.where(col("doc_id") % 499 === 0).limit(4), "doc_id", "text",
         IndexStore.loadWindows(spark, dir("win")), k = 3).collect()
+      // exact phrase locate over the growing positional index: occurrence
+      // count rises as exact clones of the probe doc stream in
+      val phrase = TextSearch.phraseOccurrencesIndexed(
+        IndexStore.loadPhrase(spark, dir("phrase")), docs, "doc_id", "text",
+        phraseToks).count()
       println(f"STREAMDEMO wave$wave%d_queries_sec ${(System.nanoTime() - t) / 1e9}%.2f " +
         s"bm25=${bm.length} knn=${knn.length} wave_neardups=$dups " +
         s"wave_containments=$contained adc=${adc.length} maxsim=${maxsim.length} " +
+        s"phrase=$phrase " +
         s"indexed=${IndexStore.loadIvf(spark, dir("ivf")).sizes.values.sum}")
     }
 
@@ -178,7 +196,7 @@ object StreamIngestDemo {
         else if (f.getName.endsWith(".parquet")) 1 else 0
       walk(new java.io.File(p))
     }
-    val before = Seq("bm25", "ivf", "lsh", "pq", "cont", "win")
+    val before = Seq("bm25", "ivf", "lsh", "pq", "cont", "win", "phrase")
       .map(n => parquetFiles(dir(n))).sum
     val bmPre = TextSearch.search(IndexStore.loadBm25(spark, dir("bm25")),
       queryText, 10).collect().toSeq
@@ -192,6 +210,11 @@ object StreamIngestDemo {
         IndexStore.loadWindows(spark, dir("win")), k = 3)
       .orderBy("query_id", "rank").collect().toSeq
     val maxsimPre = maxsimScreen()
+    def phraseLocate() = TextSearch.phraseOccurrencesIndexed(
+        IndexStore.loadPhrase(spark, dir("phrase")), docs, "doc_id", "text",
+        phraseToks)
+      .orderBy("id", "pos").collect().toSeq
+    val phrasePre = phraseLocate()
     val tC = System.nanoTime()
     IndexStore.compactBm25(spark, dir("bm25"))
     IndexStore.compactIvf(spark, dir("ivf"))
@@ -199,8 +222,9 @@ object StreamIngestDemo {
     IndexStore.compactPq(spark, dir("pq"))
     IndexStore.compactContainment(spark, dir("cont"))
     IndexStore.compactWindows(spark, dir("win"))
+    IndexStore.compactPhrase(spark, dir("phrase"))
     println(f"STREAMDEMO compact_sec ${(System.nanoTime() - tC) / 1e9}%.2f")
-    val after = Seq("bm25", "ivf", "lsh", "pq", "cont", "win")
+    val after = Seq("bm25", "ivf", "lsh", "pq", "cont", "win", "phrase")
       .map(n => parquetFiles(dir(n))).sum
     println(s"STREAMDEMO parquet_files before=$before after=$after")
     val bmPost = TextSearch.search(IndexStore.loadBm25(spark, dir("bm25")),
@@ -211,6 +235,7 @@ object StreamIngestDemo {
     // the ranking)
     require(contPre == contScreen(), "compaction changed containment answers")
     require(maxsimPre == maxsimScreen(), "compaction changed maxsim answers")
+    require(phrasePre == phraseLocate(), "compaction changed phrase answers")
     val finalIvf = IndexStore.loadIvf(spark, dir("ivf"))
     require(finalIvf.sizes.values.sum == nEmbs,
       s"indexed ${finalIvf.sizes.values.sum} of $nEmbs vectors")

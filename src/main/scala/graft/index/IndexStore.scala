@@ -562,6 +562,113 @@ object IndexStore {
     swapStaged(spark, path, staged, Seq("hashes", "meta", "marks"))
   }
 
+  // ---------------------------------------------------------------- phrase
+  //
+  // POSITIONAL gram postings — the positions the membership gram index
+  // deliberately drops: (id, pos, h) rows, hash-bucket-partitioned, the
+  // Lucene positional-postings analog. A phrase lookup reads ONLY the
+  // bucket partitions its gram hashes live in and intersects
+  // (id, pos − offset) groups across the phrase's consecutive grams —
+  // the corpus text is opened only to exact-verify the handful of
+  // candidate docs, never scanned (compare [[GramIndex]], which can only
+  // veto, and the scan path, which streams every position). Positions
+  // are a per-document pure function of the document's own text (no
+  // corpus statistics), so batch appends and load-time unions are exact
+  // by construction — the windows-family argument.
+  //
+  // Layout per batch (base = -1, streaming micro-batches = foreachBatch
+  // id):
+  //
+  //   postings/batch=N/bucket=B/  (id, pos, h)
+  //   meta/                       (k)  — gram width = the index's DDL
+  //   marks/batch=N/              (n)  — row count, written last = COMMIT
+
+  /** A loaded positional phrase index: committed (id, pos, h, bucket)
+    * postings and the gram width they were built with. */
+  case class PhraseIndex(postings: org.apache.spark.sql.DataFrame, k: Int)
+
+  /** Build and persist the positional phrase index over `docs` —
+    * Overwrite = S7 `--replace` semantics. `k` is the index's DDL. */
+  def savePhrase(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, path: String): Unit =
+    writePhraseBase(
+      graft.dedup.SubstringDedup.gramPostings(docs, idCol, textCol, k),
+      k, path, batchId = -1L, overwriteAll = true)
+
+  private def writePhraseBase(p: org.apache.spark.sql.DataFrame, k: Int,
+      path: String, batchId: Long, overwriteAll: Boolean): Unit = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val nBuckets = graft.dedup.Dedup.ShingleBuckets.toLong
+    def writer(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.write.mode(SaveMode.Overwrite)
+      if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic")
+    }
+    writer(p.withColumn("batch", lit(batchId))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets))))
+      .partitionBy("batch", "bucket").parquet(s"$path/postings")
+    if (overwriteAll)
+      Seq(k).toDF("k").write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    writer(p.groupBy().agg(count(lit(1)).as("n"))
+        .withColumn("batch", lit(batchId)))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Index one micro-batch of NEW documents (R17 skip-existing contract).
+    * Work ∝ batch; idempotent at every crash point (marks commit). */
+  def appendBatchPhrase(batch: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    val k = phraseWidth(spark, path)
+    writePhraseBase(
+      graft.dedup.SubstringDedup.gramPostings(batch, idCol, textCol, k),
+      k, path, batchId, overwriteAll = false)
+  }
+
+  /** Streaming index upkeep — the positional twin of [[streamIntoGrams]]. */
+  def streamIntoPhrase(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchPhrase(b, idCol, textCol, path, id)
+      }
+      .start()
+
+  private def phraseWidth(spark: SparkSession, path: String): Int = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$path/meta"), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"no phrase index meta under $path — appendBatchPhrase requires a " +
+        "savePhrase base (the gram width is the index DDL)")
+    spark.read.parquet(s"$path/meta").head.getInt(0)
+  }
+
+  /** Consistent snapshot at the latest commit markers. */
+  def loadPhrase(spark: SparkSession, path: String): PhraseIndex = {
+    val batches = committedBatches(spark, s"$path/marks")
+    PhraseIndex(
+      postings = spark.read.parquet(s"$path/postings")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select("id", "pos", "h", "bucket"),
+      k = phraseWidth(spark, path))
+  }
+
+  /** Fold every committed batch back into one base partition — same
+    * maintenance contract as [[compactGrams]]. */
+  def compactPhrase(spark: SparkSession, path: String): Unit = {
+    val snapshot = loadPhrase(spark, path)
+    val staged = s"$path/.compact"
+    writePhraseBase(snapshot.postings.select("id", "pos", "h"), snapshot.k,
+      staged, batchId = -1L, overwriteAll = true)
+    swapStaged(spark, path, staged, Seq("postings", "meta", "marks"))
+  }
+
   // ---------------------------------------------------------------- windows
   //
   // The late-interaction multi-vector index: each document's windowed

@@ -318,6 +318,48 @@ object TextSearch {
         .where(lit(false))
   }
 
+  /** [[phraseOccurrences]] over the POSITIONAL phrase index
+    * ([[graft.index.IndexStore.PhraseIndex]]) — the no-corpus-scan
+    * lookup: for an n-token phrase (n ≥ k) the m = n−k+1 consecutive
+    * gram hashes are computed DRIVER-side (the [[termBucket]] posture —
+    * [[Text.hash60Local]] is the same hash the index writer used), each
+    * probes ONE bucket partition of the postings (PartitionFilters prune
+    * to its literal bucket), and a candidate is a (doc, base position)
+    * where ALL m offset-aligned grams matched — one groupBy-count
+    * intersection, no join chain, no corpus pass. The corpus text is
+    * opened only to exact-verify the candidates' docs (removing 2⁻⁶⁰
+    * hash collisions), pruned by a broadcast semi-join — at 100 TB a
+    * phrase lookup reads a few bucket partitions plus the candidate
+    * docs, nothing else. Output identical to [[phraseOccurrences]]. */
+  def phraseOccurrencesIndexed(index: graft.index.IndexStore.PhraseIndex,
+      docs: DataFrame, idCol: String, textCol: String,
+      phraseTokens: Seq[String]): DataFrame = {
+    val k = index.k
+    require(phraseTokens.size >= k,
+      s"phrase has ${phraseTokens.size} tokens; the index gram width is " +
+        s"$k — widen the phrase or rebuild the index narrower")
+    val buckets = graft.dedup.Dedup.ShingleBuckets.toLong
+    val m = phraseTokens.size - k + 1
+    val probes = (0 until m).map { off =>
+      val h = Text.hash60Local(phraseTokens.slice(off, off + k).mkString(" "))
+      index.postings
+        .where(col("bucket") === math.floorMod(h, buckets) && col("h") === h)
+        .select(col("id"), (col("pos") - off).as("base"))
+    }.reduce(_ unionByName _)
+    // each probe emits ≤ 1 row per (id, base) — count(m) ⇔ every offset hit
+    val cands = probes.groupBy("id", "base")
+      .agg(count(lit(1)).as("__hits"))
+      .where(col("__hits") === m)
+      .select(col("id"), col("base").as("pos"))
+    val toks = docs.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("__toks"))
+    val pLit = array(phraseTokens.map(lit): _*)
+    cands.join(toks, "id")
+      .where(slice(col("__toks"), col("pos") + 1,
+        lit(phraseTokens.size)) === pLit)
+      .select(col("id"), col("pos").cast("int").as("pos"))
+  }
+
   /** SQL twin of [[phraseOccurrences]] (DuckDB): `phraseTable` must expose
     * a one-row column `p` (VARCHAR[]); emits (id, pos) with 0-based token
     * positions. The SQL verifies every start position directly (no hash

@@ -68,6 +68,39 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("gram width"))
   }
 
+  test("positional phrase index: indexed locate == scan locate; append/replay/compact parity") {
+    val d1 = Seq(
+      (1L, "a b c d a b c d"),
+      (2L, "x a b y")).toDF("id", "text")
+    val d2 = Seq((5L, "q a b r")).toDF("id", "text")
+    val all = d1.unionByName(d2)
+    val dir = java.nio.file.Files.createTempDirectory("phraseidx").toString
+    graft.index.IndexStore.savePhrase(d1, "id", "text", k = 2, dir)
+    graft.index.IndexStore.appendBatchPhrase(d2, "id", "text", dir, batchId = 0L)
+    // crash replay: re-applying a committed batch is a no-op
+    graft.index.IndexStore.appendBatchPhrase(d2, "id", "text", dir, batchId = 0L)
+    def locate(p: Seq[String]) = TextSearch.phraseOccurrencesIndexed(
+        graft.index.IndexStore.loadPhrase(spark, dir), all, "id", "text", p)
+      .orderBy("id", "pos").as[(Long, Int)].collect().toSeq
+    def scan(p: Seq[String]) = TextSearch.phraseOccurrences(
+        all, "id", "text", Seq(Tuple1(p)).toDF("p"), k = 2)
+      .orderBy("id", "pos").as[(Long, Int)].collect().toSeq
+    // k-length, longer-than-k (offset intersection), and absent phrases
+    for (p <- Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "b", "c", "d", "a"),
+        Seq("z", "z")))
+      assert(locate(p) === scan(p), s"phrase $p")
+    assert(locate(Seq("a", "b")) === Seq((1L, 0), (1L, 4), (2L, 1), (5L, 1)))
+    // compaction folds batches without changing any answer
+    graft.index.IndexStore.compactPhrase(spark, dir)
+    assert(locate(Seq("a", "b", "c", "d", "a")) === Seq((1L, 0)))
+    // a phrase narrower than the index's gram width is refused loudly
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.phraseOccurrencesIndexed(
+        graft.index.IndexStore.loadPhrase(spark, dir), all, "id", "text",
+        Seq("a"))
+    }.getMessage.contains("gram width"))
+  }
+
   // 4 unit-ish vectors on the plane: ids ordered so ties are observable
   private def vecs = Seq(
     (1L, Seq(1.0, 0.0), "en"),
