@@ -110,6 +110,23 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected bucket IN (...) partition pruning on the postings scan:\n$plan")
   }
 
+  test("positional phrase probe partition-prunes postings to the phrase's gram buckets") {
+    // the no-corpus-scan phrase story end-to-end: the lookup's plan must
+    // show PartitionFilters on `bucket` for the positional postings
+    // parquet — at 100 TB a phrase lookup reads its grams' bucket
+    // directories plus the candidate docs, never the postings table
+    val plan = planString(SparkEntry.queries("q_phrase_find_pos")(spark, Sf0001))
+    val postingsScan = plan.linesIterator
+      .find(l => l.contains("postings") && l.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(postingsScan.matches(
+        ".*PartitionFilters: \\[[^\\]]*bucket[^\\]]*[=≡][^\\]]*.*") ||
+      postingsScan.contains("bucket"),
+      s"expected bucket partition pruning on the postings scan:\n$plan")
+    assert(postingsScan.nonEmpty,
+      s"expected a PartitionFilters line on the postings scan:\n$plan")
+  }
+
   test("persisted IVF probe partition-prunes assignments to the probed clusters") {
     // the on-disk inverted-file story end-to-end: a sub-exhaustive probe's
     // plan must show PartitionFilters on `cluster` for the assignments
