@@ -204,7 +204,10 @@ object Curation {
     * per row instead of documents. A colliding changed pair reads as
     * unchanged w.p. 2⁻⁶⁰ per id — the standard content-hash delta
     * trade, stated here rather than hidden. Null-safe: a null text
-    * hashes to null and null <=> null is true on both engines. */
+    * hashes to null and null <=> null is true on both engines. `idCol`
+    * must be unique per side (the corpus invariant every id-keyed
+    * operator here assumes) — duplicate ids would multiply through the
+    * full-outer join. */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val o = oldDocs.select(col(idCol).as("id"),

@@ -330,7 +330,13 @@ object TextSearch {
     * opened only to exact-verify the candidates' docs (removing 2⁻⁶⁰
     * hash collisions), pruned by a broadcast semi-join — at 100 TB a
     * phrase lookup reads a few bucket partitions plus the candidate
-    * docs, nothing else. Output identical to [[phraseOccurrences]]. */
+    * docs, nothing else. Output identical to [[phraseOccurrences]].
+    *
+    * `phraseTokens` must be ENGINE-TOKENIZED output ([[Text.tokens]] —
+    * lowercase, split on non-alphanumerics): the index hashed engine
+    * tokens, so a raw/cased phrase would silently miss. The declared
+    * query collects its phrase THROUGH the engine tokenizer for exactly
+    * this reason. */
   def phraseOccurrencesIndexed(index: graft.index.IndexStore.PhraseIndex,
       docs: DataFrame, idCol: String, textCol: String,
       phraseTokens: Seq[String]): DataFrame = {

@@ -217,7 +217,14 @@ object EventStreams {
         }
         if (cur.step >= 0) {
           state.update(cur)
-          state.setTimeoutTimestamp(cur.tsMs + ttlMinutes * 60000L)
+          // clamp past the watermark: an old-but-within-lateness event can
+          // put tsMs + TTL at or before the current watermark, which Spark
+          // rejects ("timeout timestamp must be after watermark") — such a
+          // user's state then times out at the earliest legal instant,
+          // which is exactly the TTL contract's intent
+          state.setTimeoutTimestamp(math.max(
+            cur.tsMs + ttlMinutes * 60000L,
+            state.getCurrentWatermarkMs() + 1))
         }
         out.result().iterator
       }
