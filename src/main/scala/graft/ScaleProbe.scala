@@ -124,6 +124,26 @@ object ScaleProbe {
         .toDF("query_id", "nbr_id")
       t(s"maxsim_rerank_x$n")(graft.search.LateInteraction.maxSimRerank(
         liQueries, "doc_id", "text", widx, liCands, k = 5))
+      // exact phrase locate: a FIXED phrase while the corpus grows.
+      // Replication is adversarial for the TRUE-match side (every replica
+      // of the source doc matches, so candidates grow ∝ n), yet the
+      // positional path still reads only its grams' bucket partitions
+      // (1/64th of a table growing ∝ n) plus those candidates — the scan
+      // path streams EVERY position of the n×-corpus through the gram map
+      val pdir = s"${sys.props("java.io.tmpdir")}/graft_probe_phrase_x$n"
+      graft.index.IndexStore.savePhrase(d, "doc_id", "text",
+        graft.dedup.SubstringDedup.DefaultGramTokens, pdir)
+      val pidx = graft.index.IndexStore.loadPhrase(spark, pdir)
+      val probeToks = docs0.orderBy("doc_id").limit(1)
+        .select(slice(Text.tokens(col("text")), 1, 8).as("p"))
+        .head.getSeq[String](0)
+      t(s"phrase_pos_x$n")(graft.search.TextSearch.phraseOccurrencesIndexed(
+        pidx, d, "doc_id", "text", probeToks))
+      t(s"phrase_scan_x$n") {
+        import spark.implicits._
+        graft.search.TextSearch.phraseOccurrences(
+          d, "doc_id", "text", Seq(Tuple1(probeToks)).toDF("p"))
+      }
       liQueries.unpersist()
       d.unpersist(); e.unpersist(); pq.codes.unpersist()
       queries.unpersist(); cands.unpersist()
