@@ -1058,6 +1058,15 @@ object SparkEntry {
         maxGapMinutes = Some(60))
       .orderBy("step_idx")
 
+  /** Funnel TRANSITION latencies
+    * ([[graft.operators.EventAnalytics.funnelDurations]]): converted
+    * users + average conversion seconds per consecutive step pair — the
+    * where-do-users-stall companion to [[qFunnel]]'s counts. */
+  private def qFunnelLatency(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.funnelDurations(Tables.events(spark, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+
   /** Weekly cohort-retention matrix
     * ([[graft.operators.EventAnalytics.retention]]): users cohorted by
     * first-activity week since the fixture's anchor, counted once per
@@ -1939,6 +1948,7 @@ object SparkEntry {
     "q_attribution" -> ((s, dir) => qAttribution(s, dir)),
     "q_funnel" -> ((s, dir) => qFunnel(s, dir)),
     "q_funnel_gap" -> ((s, dir) => qFunnelGap(s, dir)),
+    "q_funnel_latency" -> ((s, dir) => qFunnelLatency(s, dir)),
     "q_retention" -> ((s, dir) => qRetention(s, dir)),
     "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
     "q_embed_corpus" -> ((s, dir) => qEmbedCorpus(s, dir)),
@@ -2435,6 +2445,11 @@ object SparkEntry {
       (graft.operators.EventAnalytics.sqlFunnel(
         "events", "user_id", "event_type", "ts::TIMESTAMP",
         Seq("view", "click", "purchase"), maxGapMinutes = Some(60)) +
+        "\nORDER BY step_idx"),
+    "q_funnel_latency" ->
+      (graft.operators.EventAnalytics.sqlFunnelDurations(
+        "events", "user_id", "event_type", "ts::TIMESTAMP",
+        Seq("view", "click", "purchase")) +
         "\nORDER BY step_idx"),
     "q_retention" ->
       (graft.operators.EventAnalytics.sqlRetention(

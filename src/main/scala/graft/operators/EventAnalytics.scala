@@ -77,6 +77,66 @@ object EventAnalytics {
       .select("r.*")
   }
 
+  /** Funnel TRANSITION latencies: one row per consecutive step pair —
+    * (step_idx, from_step, to_step, converted, avg_seconds), where
+    * `converted` counts users who made the transition and `avg_seconds`
+    * averages their step-time gap (null when nobody converted). The
+    * companion metric to [[funnel]]'s counts: WHERE users stall and HOW
+    * LONG conversion takes. Arithmetic is exact-integer micros summed
+    * then divided once (both engines agree to the bit before the
+    * 6-decimal round); one aggregation over the step-times relation,
+    * exploded — the [[funnel]] discipline. */
+  def funnelDurations(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      maxGapMinutes: Option[Int] = None): DataFrame = {
+    require(steps.size >= 2, "transition latencies need at least two steps")
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps,
+      maxGapMinutes)
+    val aggs = (1 until steps.size).flatMap { i =>
+      Seq(count(col(s"t$i")).as(s"c$i"),
+        round(avg(unix_micros(col(s"t$i")) - unix_micros(col(s"t${i - 1}")))
+          / 1000000L, 6).as(s"a$i"))
+    }
+    times.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((1 until steps.size).map { i =>
+        struct(lit(i).as("step_idx"), lit(steps(i - 1)).as("from_step"),
+          lit(steps(i)).as("to_step"), col(s"c$i").as("converted"),
+          col(s"a$i").as("avg_seconds"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
+  /** SQL twin of [[funnelDurations]] (DuckDB) — the [[sqlFunnel]] CTE
+    * chain with per-transition join aggregates. */
+  def sqlFunnelDurations(eventsTable: String, userExpr: String,
+      typeExpr: String, tsExpr: String, steps: Seq[String],
+      maxGapMinutes: Option[Int] = None): String = {
+    require(steps.size >= 2, "transition latencies need at least two steps")
+    val gapCond = maxGapMinutes
+      .map(m => s" AND e.t <= p.t + INTERVAL $m MINUTES").getOrElse("")
+    val ctes = steps.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"""s0 AS (
+           |  SELECT $userExpr AS u, min($tsExpr) AS t
+           |  FROM $eventsTable WHERE $typeExpr = '$step' GROUP BY 1)"""
+          .stripMargin
+      else
+        s"""s$i AS (
+           |  SELECT e.u, min(e.t) AS t FROM (
+           |    SELECT $userExpr AS u, $tsExpr AS t
+           |    FROM $eventsTable WHERE $typeExpr = '$step') e
+           |  JOIN s${i - 1} p ON e.u = p.u AND e.t > p.t$gapCond
+           |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 until steps.size).map { i =>
+      s"""SELECT $i AS step_idx, '${steps(i - 1)}' AS from_step,
+         |       '${steps(i)}' AS to_step, count(*) AS converted,
+         |       round(avg(epoch_us(b.t) - epoch_us(a.t)) / 1000000, 6) AS avg_seconds
+         |FROM s${i - 1} a JOIN s$i b ON a.u = b.u""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"WITH $ctes\n$selects"
+  }
+
   /** CTE-chain SQL twin of [[funnel]] (DuckDB): s0 … s(k−1) mirror the
     * shrinking per-step min-time relations; `tsExpr` must match the
     * engine-side timestamp normalization (`ts::TIMESTAMP` for the events

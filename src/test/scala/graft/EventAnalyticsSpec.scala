@@ -113,6 +113,30 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTest {
     assert(got2 === Seq("2024-01-01 10:30:00"))
   }
 
+  test("funnelDurations: converted counts and average transition seconds") {
+    val events = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),      // +3600 s
+      (1L, "purchase", "2024-01-01 11:30:00"),   // +1800 s
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:00:30"),      // +30 s, no purchase
+      (3L, "view", "2024-01-01 09:00:00"))       // stalls at view
+    val got = EventAnalytics.funnelDurations(events, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .as[(Int, String, String, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1, "view", "click", 2L, Some((3600.0 + 30.0) / 2)),
+      (2, "click", "purchase", 1L, Some(1800.0))))
+    // nobody converts the second transition → count 0, latency null
+    val noP = EventAnalytics.funnelDurations(
+        events.where($"event_type" =!= "purchase"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .as[(Int, String, String, Long, Option[Double])].collect().toSeq
+    assert(noP(1) === ((2, "click", "purchase", 0L, None)))
+  }
+
   test("funnel guards: empty and duplicate step lists are refused") {
     val events = ev((1L, "view", "2024-01-01 10:00:00"))
     assert(intercept[IllegalArgumentException] {
