@@ -16,6 +16,8 @@ import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.collection.immutable.ListMap
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every operator from SURVEY.md §2 (plus the north-star LLM-pipeline ops)
@@ -1876,7 +1878,12 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // ListMap, not Map: Verify/Bench iterate this in DECLARATION order, so
+  // adding a query never reshuffles the execution order of the others —
+  // hash-order iteration moved cache/JIT warmth between adjacent queries
+  // round-over-round, manufacturing phantom per-query bench wiggles
+  // (round-8 verdict finding 1).
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q_vector_knn" -> ((s, dir) => qVectorKnn(s, dir)),
     "q_vector_knn_euclidean" -> ((s, dir) => qVectorKnnEuclidean(s, dir)),
     "q_vector_knn_dot" -> ((s, dir) => qVectorKnnDot(s, dir)),
@@ -2019,7 +2026,8 @@ object SparkEntry {
        |  ORDER BY vec_raw DESC, id ASC LIMIT 5
        |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  // ListMap for the same declaration-order stability as `queries`.
+  def oracleSql: Map[String, String] = ListMap(
     "q_bm25" ->
       s"""WITH $bm25DocsCtes
          |SELECT id AS doc_id, score FROM bm25

@@ -260,6 +260,13 @@ object TextSearch {
     // corpus gram), which would read as "no occurrences" — a lie
     val sizes = phrase.select(size(col("p"))).collect()
     require(sizes.nonEmpty, "phrase relation is empty — expected one row")
+    // loud, not silently wrong: a multi-row phrase relation would pass the
+    // first-row guards and silently cross-join every row against the gram
+    // scan, unioning/multiplying results — the batch contract is
+    // [[phrasesOccurrences]], which keys every output row by phrase_id
+    require(sizes.length == 1,
+      s"phrase relation has ${sizes.length} rows — the contract is ONE " +
+        "phrase; for a batch of phrases use phrasesOccurrences")
     require(sizes.head.getInt(0) >= k,
       s"phrase has ${sizes.head.getInt(0)} tokens; the gram prefilter " +
         s"needs ≥ $k (the gram width) — widen the phrase or lower k")
@@ -301,6 +308,9 @@ object TextSearch {
         size(col("p")).as("n"))
       .collect()
     require(rows.nonEmpty, "phrase relation is empty — expected one row")
+    require(rows.length == 1,
+      s"phrase relation has ${rows.length} rows — the contract is ONE " +
+        "phrase; for a batch of phrases use phrasesOccurrences")
     require(rows.head.getInt(1) >= k,
       s"phrase has ${rows.head.getInt(1)} tokens; the index gram width " +
         s"is $k — widen the phrase or rebuild the index narrower")
@@ -350,11 +360,18 @@ object TextSearch {
       val h = Text.hash60Local(phraseTokens.slice(off, off + k).mkString(" "))
       index.postings
         .where(col("bucket") === math.floorMod(h, buckets) && col("h") === h)
-        .select(col("id"), (col("pos") - off).as("base"))
+        .select(col("id"), (col("pos") - off).as("base"), lit(off).as("__off"))
     }.reduce(_ unionByName _)
-    // each probe emits ≤ 1 row per (id, base) — count(m) ⇔ every offset hit
+    // count DISTINCT offsets, not rows: a doc re-ingested under a NEW
+    // batch id (source replay, checkpoint reset) is double-indexed —
+    // appendBatchPhrase's idempotence is keyed by batchId only — so a
+    // probe can emit one row per copy, and a plain count(m) would skip
+    // true occurrences (false negatives in an operator documented as
+    // exact). Distinct-offset counting makes duplicate postings harmless
+    // like the grams family's membership semantics; the exact slice
+    // verify below still removes any hash-collision false positives.
     val cands = probes.groupBy("id", "base")
-      .agg(count(lit(1)).as("__hits"))
+      .agg(countDistinct(col("__off")).as("__hits"))
       .where(col("__hits") === m)
       .select(col("id"), col("base").as("pos"))
     val toks = docs.select(col(idCol).as("id"),

@@ -43,6 +43,12 @@ class SearchSpec extends AnyFunSuite with SparkTest {
       TextSearch.phraseOccurrences(docs, "id", "text",
         Seq.empty[Tuple1[Seq[String]]].toDF("p"), k = 2)
     }.getMessage.contains("empty"))
+    // a MULTI-row phrase relation would silently cross-join — refuse loudly
+    // (the batch contract is phrasesOccurrences)
+    val two = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq("c", "d"))).toDF("p")
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.phraseOccurrences(docs, "id", "text", two, k = 2)
+    }.getMessage.contains("ONE"))
   }
 
   test("phraseOccurrencesScreened: membership veto short-circuits; present phrases locate identically") {
@@ -99,6 +105,14 @@ class SearchSpec extends AnyFunSuite with SparkTest {
         graft.index.IndexStore.loadPhrase(spark, dir), all, "id", "text",
         Seq("a"))
     }.getMessage.contains("gram width"))
+    // DOUBLE-INDEXED doc: re-ingesting a doc under a NEW batch id (source
+    // replay / checkpoint reset — appendBatchPhrase's idempotence is keyed
+    // by batchId only) duplicates its postings; the offset intersection
+    // must count DISTINCT offsets, not rows, or true occurrences with
+    // duplicated postings silently vanish (round-8 advice, medium)
+    graft.index.IndexStore.appendBatchPhrase(d2, "id", "text", dir, batchId = 1L)
+    for (p <- Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("q", "a", "b", "r")))
+      assert(locate(p) === scan(p), s"double-indexed phrase $p")
   }
 
   // 4 unit-ish vectors on the plane: ids ordered so ties are observable
