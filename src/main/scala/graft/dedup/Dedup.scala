@@ -342,6 +342,44 @@ object Dedup {
       threshold)
   }
 
+  /** Exact Jaccard pairs via the CONTAINMENT prefix screen — the
+    * EXECUTABLE form of [[Planner.planJaccard]]'s below-the-floor
+    * recommendation (until round 9 that recommendation was prose):
+    * J(A,B) = |∩|/|∪| ≤ |∩|/|S(A)| = C(A→B), so J ≥ t implies BOTH
+    * directed containments ≥ t and [[containmentCandidates]] at t —
+    * recall EXACTLY 1 for containment by the pigeonhole prefix bound —
+    * is a superset screen for Jaccard. Screen at t, then verify exact
+    * Jaccard on candidates only.
+    *
+    * Output is IDENTICAL to the guarded quadratic [[jaccardPairs]] at any
+    * threshold (pinned in PlannerSpec), with candidate-mass work instead
+    * of the all-postings self-join and NO banding miss probability — the
+    * property that matters BELOW the MinHash layout's recall floor
+    * (J ≈ 0.95 at the 1e-3 budget), where [[minhashPairs]] misses most
+    * borderline pairs and this path misses none. Above the floor
+    * MinHash stays cheaper (its bands prune harder than a low-t prefix);
+    * [[Planner.planJaccard]] arbitrates. Budget candidate volume with
+    * [[containmentCandidateVolume]] before launch, as with the
+    * containment paths. */
+  def jaccardPairsViaContainment(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val p = shinglePostings(docs, idCol, textCol)
+    val cands = containmentCandidates(p, threshold)
+    val inter = cands
+      .join(p.select(col("id").as("id1"), col("h")), "id1")
+      .join(p.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
+    val s1 = sizes.select(col("id").as("id1"), col("sz").as("sz1"))
+    val s2 = sizes.select(col("id").as("id2"), col("sz").as("sz2"))
+    inter.join(s1, "id1").join(s2, "id2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** Shingle-hash bucket fan-out for the persisted containment index —
     * postings and prefixes are written partitioned by
     * `pmod(h, ShingleBuckets)` so a small batch's probe prunes to its

@@ -289,14 +289,14 @@ object Planner {
 
   /** Plan a Jaccard dedup at `threshold`:
     *  - above the layout's recall floor: [[Dedup.minhashPairs]];
-    *  - below it: [[Dedup.containmentPairsPrefix]] — prefix filtering has
-    *    recall EXACTLY 1 at any threshold by pigeonhole (no banding
-    *    probability at all), at the cost of the directed-containment
-    *    semantics (J(A,B) ≥ t ⇒ C(A→B) ≥ t, so a containment screen at
-    *    the same threshold is a superset screen for Jaccard — verify
-    *    exact Jaccard on its candidates). The guarded quadratic
+    *  - below it: [[Dedup.jaccardPairsViaContainment]] — the prefix
+    *    containment screen has recall EXACTLY 1 at any threshold by
+    *    pigeonhole (no banding probability at all), and J(A,B) ≥ t ⇒
+    *    C(A→B) ≥ t makes it a superset screen for Jaccard; exact Jaccard
+    *    is verified on its candidates. The guarded quadratic
     *    [[Dedup.jaccardPairs]] stays what it is: an oracle baseline, so
-    *    it is never recommended. */
+    *    it is never recommended. Both paths dispatch through
+    *    [[executeJaccard]]. */
   def planJaccard(threshold: Double, missBudget: Double = 1e-3): JaccardPlan = {
     require(threshold > 0 && threshold < 1.0001,
       s"jaccard threshold must be in (0, 1], got $threshold")
@@ -305,11 +305,27 @@ object Planner {
       JaccardPlan("minhashPairs", minhashMissProb(threshold), floor,
         Seq(f"16-sig 4×4 MinHash: per-pair miss ${minhashMissProb(threshold)}%.2e ≤ $missBudget%.1e at J=$threshold%.2f"))
     else
-      JaccardPlan("containmentPairsPrefix", 0.0, floor,
+      JaccardPlan("jaccardPairsViaContainment", 0.0, floor,
         Seq(
           f"the shipped 16-sig 4×4 MinHash misses ${minhashMissProb(threshold) * 100}%.1f%% of borderline pairs at J=$threshold%.2f (floor ≈ $floor%.3f)",
           "prefix containment screens with recall exactly 1 at any threshold " +
             "(pigeonhole, no banding probability): J(A,B) ≥ t implies " +
             "C(A→B) ≥ t, so screen at t and verify exact Jaccard on candidates"))
+  }
+
+  /** Run a [[JaccardPlan]]'s recommended path — the Jaccard twin of
+    * [[execute]], closing the plan→engine link for both regimes: above
+    * the MinHash recall floor the banded-candidate path, below it the
+    * containment-screened exact-Jaccard path (recall 1 by pigeonhole).
+    * Either way the output matches the quadratic [[Dedup.jaccardPairs]]
+    * oracle definition at the threshold. */
+  def executeJaccard(plan: JaccardPlan, docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = plan.path match {
+    case "minhashPairs" =>
+      Dedup.minhashPairs(docs, idCol, textCol, threshold)
+    case "jaccardPairsViaContainment" =>
+      Dedup.jaccardPairsViaContainment(docs, idCol, textCol, threshold)
+    case other => throw new IllegalArgumentException(
+      s"unknown jaccard plan path '$other'")
   }
 }

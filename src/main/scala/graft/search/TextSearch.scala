@@ -383,6 +383,69 @@ object TextSearch {
       .select(col("id"), col("pos").cast("int").as("pos"))
   }
 
+  /** BATCH exact phrase locate — the [[bm25Join]] posture applied to
+    * [[phraseOccurrences]]: every (phrase, doc, token position) where the
+    * corpus contains that phrase verbatim, for a BOUNDED batch of phrases
+    * in ONE corpus scan. Contamination forensics / quote attribution holds
+    * thousands of suspect strings; without this the driver loops
+    * [[phraseOccurrences]] — |batch| corpus-scan jobs instead of one
+    * (round-8 verdict gap 2).
+    *
+    * `phrases` is a (phrase_id, p) relation, `p` the ENGINE-tokenized
+    * phrase (array<string>, every row ≥ `k` tokens — checked loudly, a
+    * short phrase has no valid prefilter key and would read as "no
+    * occurrences"). The batch is bounded
+    * ([[VectorSearch.requireBoundedBatch]]) and BROADCAST: positional
+    * grams stream out of the same narrow corpus scan as the single-phrase
+    * path, the broadcast hash of every phrase's first-`k`-token prefix
+    * kills ~everything before any join, and only surviving (phrase_id,
+    * id, pos) candidates join the corpus tokens for the exact slice
+    * verify. No shuffle touches the corpus; work ∝ matched candidates,
+    * not |batch| × corpus.
+    *
+    * Output: (phrase_id, id, pos) — exact, 2⁻⁶⁰ prefix-hash collisions
+    * removed by the slice comparison. */
+  def phrasesOccurrences(docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame,
+      k: Int = graft.dedup.SubstringDedup.DefaultGramTokens): DataFrame = {
+    require(phrases.columns.contains("phrase_id") &&
+        phrases.columns.contains("p"),
+      "phrases must be a (phrase_id, p) relation with p = array<string>")
+    VectorSearch.requireBoundedBatch(phrases, "phrasesOccurrences")
+    // loud, not silently empty — the one-row path's gram-width contract,
+    // enforced over the whole batch with one early-stopped probe
+    val short = phrases.where(size(col("p")) < k).limit(1).count()
+    require(short == 0L,
+      s"phrases batch contains a phrase shorter than the gram width $k — " +
+        "its prefix hash can never match a corpus gram; widen the " +
+        "phrases or lower k")
+    val keys = phrases.select(col("phrase_id"),
+      Text.hash60(concat_ws(" ", slice(col("p"), 1, k))).as("__ph"),
+      col("p").as("__p"))
+    val cands = graft.dedup.SubstringDedup.gramPostings(docs, idCol, textCol, k)
+      .join(broadcast(keys), col("h") === col("__ph"))
+    val toks = docs.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("__toks"))
+    cands
+      .join(toks, "id")
+      .where(slice(col("__toks"), col("pos") + 1, size(col("__p"))) === col("__p"))
+      .select(col("phrase_id"), col("id"), col("pos"))
+  }
+
+  /** SQL twin of [[phrasesOccurrences]] (DuckDB): `phrasesRel` must be a
+    * query producing (phrase_id, p VARCHAR[]); emits (phrase_id, id, pos)
+    * with 0-based token positions, positions verified directly (the hash
+    * prefilter is a plan optimization, not a semantic). */
+  def sqlPhrasesOccurrences(docsTable: String, idExpr: String,
+      textExpr: String, phrasesRel: String, k: Int): String =
+    s"""SELECT ph.phrase_id, tk.id, (u.pos - 1)::INT AS pos
+       |FROM (SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS t
+       |      FROM $docsTable) tk
+       |CROSS JOIN ($phrasesRel) ph,
+       |     UNNEST(range(1, greatest(len(tk.t) - len(ph.p) + 1, 0) + 1)) AS u(pos)
+       |WHERE len(ph.p) >= $k
+       |  AND list_slice(tk.t, u.pos, u.pos + len(ph.p) - 1) = ph.p""".stripMargin
+
   /** SQL twin of [[phraseOccurrences]] (DuckDB): `phraseTable` must expose
     * a one-row column `p` (VARCHAR[]); emits (id, pos) with 0-based token
     * positions. The SQL verifies every start position directly (no hash

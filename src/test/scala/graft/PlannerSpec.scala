@@ -139,11 +139,60 @@ class PlannerSpec extends AnyFunSuite with SparkTest {
     val hi = Planner.planJaccard(0.97)
     assert(hi.path === "minhashPairs" && hi.missProb <= 1e-3)
     val lo = Planner.planJaccard(0.5)
-    assert(lo.path === "containmentPairsPrefix")
+    assert(lo.path === "jaccardPairsViaContainment")
     assert(lo.missProb === 0.0) // pigeonhole: recall exactly 1
     assert(lo.rationale.exists(_.contains("pigeonhole")))
     // honesty check: the shipped layout really does miss most borderline
     // pairs at J=0.5 — the number the plan quotes
     assert(Planner.minhashMissProb(0.5) > 0.7)
+  }
+
+  test("executable link at the 0.85 regime FLOOR: the grid's most aggressive layout equals brute force") {
+    // 0.85 is where selective recall is hardest (the weakest-recall band
+    // of the clone regime) and where the grid search picks its longest
+    // keys — exactly the layouts that had never executed before round 9.
+    // Plant a sign-flip family (cos = 1 − 2·v₀²/‖v‖², spread ~0.69–1.0)
+    // so pairs STRADDLE the threshold.
+    val base = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val embs = base.unionByName(base
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          concat(array(negate(element_at($"embedding", 1))),
+            slice($"embedding", 2, 63)).as("embedding")))
+      .localCheckpoint(true)
+    val plan = Planner.planCosine(0.85, n = embs.count(), dim = 64)
+    assert(plan.missProb <= 1e-3)
+    val got = Planner.execute(plan, embs, "vec_id", "embedding", 0.85, 64)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val brute = Dedup.cosinePairs(embs, "vec_id", "embedding", 0.85)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(got === brute,
+      s"plan ${plan.path} ${plan.bands}x${plan.rows} mp=${plan.multiProbe} " +
+        "lost pairs vs brute force at the floor")
+    assert(got.nonEmpty)
+  }
+
+  test("executeJaccard: both regimes dispatch and match the quadratic baseline") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    def viaPlan(t: Double) = {
+      val plan = Planner.planJaccard(t)
+      Planner.executeJaccard(plan, docs, "doc_id", "text", t)
+        .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    }
+    def brute(t: Double) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", t)
+        .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    // below the MinHash floor: containment-screened exact Jaccard,
+    // recall 1 by pigeonhole — must equal the baseline EXACTLY
+    assert(viaPlan(0.5) === brute(0.5))
+    assert(viaPlan(0.5).nonEmpty, "fixture has near-dup pairs at J=0.5")
+    // above the floor the dispatch goes to minhashPairs (recall within
+    // its budget; on this fixture it is exact)
+    assert(Planner.planJaccard(0.97).path === "minhashPairs")
+    assert(viaPlan(0.97) === brute(0.97))
+    // unknown path refuses loudly
+    assert(intercept[IllegalArgumentException] {
+      Planner.executeJaccard(
+        Planner.JaccardPlan("nope", 0.0, 0.5, Nil), docs, "doc_id", "text", 0.5)
+    }.getMessage.contains("unknown"))
   }
 }

@@ -51,6 +51,44 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("ONE"))
   }
 
+  test("phrasesOccurrences: batch locate == per-phrase locates, keyed by phrase_id; loud guards") {
+    val docs = Seq(
+      (1L, "a b c d a b c d"),
+      (2L, "x a b y"),
+      (3L, "c d e f"),
+      (4L, "b a")).toDF("id", "text")
+    val phrases = Seq(
+      (10L, Seq("a", "b")),
+      (11L, Seq("c", "d")),
+      (12L, Seq("a", "b", "c")),
+      (13L, Seq("z", "z"))).toDF("phrase_id", "p")
+    val got = TextSearch.phrasesOccurrences(docs, "id", "text", phrases, k = 2)
+      .orderBy("phrase_id", "id", "pos")
+      .as[(Long, Long, Int)].collect().toSeq
+    // ground truth: loop the single-phrase operator (exactly what the
+    // batch path exists to avoid at scale)
+    val want = Seq(10L -> Seq("a", "b"), 11L -> Seq("c", "d"),
+        12L -> Seq("a", "b", "c"), 13L -> Seq("z", "z")).flatMap {
+      case (pid, p) =>
+        TextSearch.phraseOccurrences(docs, "id", "text",
+            Seq(Tuple1(p)).toDF("p"), k = 2)
+          .as[(Long, Int)].collect().toSeq.map { case (id, pos) => (pid, id, pos) }
+    }.sorted
+    assert(got === want)
+    assert(got.contains((10L, 2L, 1)) && got.contains((12L, 1L, 4)))
+    assert(!got.exists(_._1 == 13L)) // absent phrase: no rows, no error
+    // a short phrase anywhere in the batch is refused loudly
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.phrasesOccurrences(docs, "id", "text",
+        Seq((20L, Seq("a", "b")), (21L, Seq("a"))).toDF("phrase_id", "p"), k = 2)
+    }.getMessage.contains("gram width"))
+    // missing contract columns are refused loudly
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.phrasesOccurrences(docs, "id", "text",
+        Seq(Tuple1(Seq("a", "b"))).toDF("p"), k = 2)
+    }.getMessage.contains("phrase_id"))
+  }
+
   test("phraseOccurrencesScreened: membership veto short-circuits; present phrases locate identically") {
     val docs = Seq(
       (1L, "a b c d a b c d"),
