@@ -1104,6 +1104,17 @@ object SparkEntry {
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
       .orderBy("step_idx")
 
+  /** REPEATED-step funnel (view→view→purchase) — real funnels repeat
+    * event types (two page views before a purchase); each repeated stage
+    * resolves to the user's NEXT such event strictly after the previous
+    * stage's time, so counts stay non-increasing. Until round 9 a
+    * `require` blocked repeats even though the strictly-after fold
+    * already supported them. */
+  private def qFunnelRepeat(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.funnel(Tables.events(spark, dir),
+        "user_id", "event_type", "ts", Seq("view", "view", "purchase"))
+      .orderBy("step_idx")
+
   /** Weekly cohort-retention matrix
     * ([[graft.operators.EventAnalytics.retention]]): users cohorted by
     * first-activity week since the fixture's anchor, counted once per
@@ -1624,12 +1635,16 @@ object SparkEntry {
     * 64 dims — the coarse scan reads half the vector bytes). */
   private val MrlPrefixDims = 32
 
-  /** The PERSISTED narrow prefix projection, written once per (session,
-    * sfDir) — the PQ codes discipline applied to a dimension slice: the
-    * coarse pass scans this (vec_id, 32-dim prefix) parquet instead of
-    * the full-vector table, so its scan bytes shrink dim/prefixDims-fold;
-    * a plain projection write, no index machinery (the slice IS the
-    * data). */
+  /** The PERSISTED narrow prefix projection ([[IndexStore.savePrefix]]),
+    * written once per (session, sfDir) — the PQ codes discipline applied
+    * to a dimension slice: the coarse pass scans this (vec_id, 32-dim
+    * prefix) parquet instead of the full-vector table, so its scan bytes
+    * shrink dim/prefixDims-fold. Loaded through the STALENESS GUARD
+    * ([[IndexStore.loadPrefixChecked]]): the fingerprint recorded at
+    * save time must match the current corpus, so a prefix outliving a
+    * corpus append fails LOUDLY instead of silently degrading the coarse
+    * pass's recall (round-8 verdict item 7; the stale→refuse→rebuild
+    * lifecycle is IndexStoreSpec-pinned). */
   private val mrlPrefixDiskBuilt =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def corpusMrlPrefixDisk(spark: SparkSession,
@@ -1637,13 +1652,12 @@ object SparkEntry {
     val path = mrlPrefixDiskBuilt.getOrElseUpdate((spark, dir), {
       val p = s"${sys.props("java.io.tmpdir")}/graft_mrlprefix_${
         dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"),
-          slice(col("embedding"), 1, MrlPrefixDims).as("embedding"))
-        .write.mode("overwrite").parquet(p)
+      IndexStore.savePrefix(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", MrlPrefixDims, p)
       p
     })
-    spark.read.parquet(path)
+    IndexStore.loadPrefixChecked(spark, path,
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
   }
 
   /** Matryoshka (dimension-prefix) two-stage ANN
@@ -2021,6 +2035,7 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) => qFunnel(s, dir)),
     "q_funnel_gap" -> ((s, dir) => qFunnelGap(s, dir)),
     "q_funnel_latency" -> ((s, dir) => qFunnelLatency(s, dir)),
+    "q_funnel_repeat" -> ((s, dir) => qFunnelRepeat(s, dir)),
     "q_retention" -> ((s, dir) => qRetention(s, dir)),
     "q_sessionize" -> ((s, dir) => qSessionize(s, dir)),
     "q_embed_corpus" -> ((s, dir) => qEmbedCorpus(s, dir)),
@@ -2537,6 +2552,10 @@ object SparkEntry {
         "events", "user_id", "event_type", "ts::TIMESTAMP",
         Seq("view", "click", "purchase")) +
         "\nORDER BY step_idx"),
+    "q_funnel_repeat" ->
+      (graft.operators.EventAnalytics.sqlFunnel(
+        "events", "user_id", "event_type", "ts::TIMESTAMP",
+        Seq("view", "view", "purchase")) + "\nORDER BY step_idx"),
     "q_retention" ->
       (graft.operators.EventAnalytics.sqlRetention(
         "events", "user_id", "ts::TIMESTAMP",

@@ -1392,6 +1392,74 @@ object Dedup {
         col("bkey").bitwiseXOR(
           expr(s"shiftleft(flip, cast(band * $rows AS INT))")).as("bkey"))
 
+  /** Hamming-≤1 probe expansion of a SELECTIVE banded relation
+    * ([[signLshSketchesSelective]] shape — per-band keys with no global
+    * bit offset, so flips are plain `1 << j`): each (id, band, bkey) row
+    * becomes 1+rows rows (the exact key + every single-bit flip). The
+    * selective-layout twin of [[signLshProbes]], exposed so budget
+    * receipts price the multi-probe join over EXACTLY the relation that
+    * joins. */
+  def selectiveProbes(banded: DataFrame, rows: Int): DataFrame =
+    banded.select(col("id"), col("band"),
+        explode(array((lit(0L) +: (0 until rows).map(j =>
+          lit(1L << j))): _*)).as("flip"), col("bkey"))
+      .select(col("id"), col("band"),
+        col("bkey").bitwiseXOR(col("flip")).as("bkey"))
+
+  /** Directed candidates of a NEW batch against an EXISTING SELECTIVE
+    * banded index — [[signLshCandidatesAgainst]] for the selective layout
+    * (per-band keys carry no packed sketch, so pair dedup is a
+    * `distinct` instead of the first-agreeing-band trick; the layout
+    * admits ~2^−rows of random pairs per band, so the distinct's input
+    * is already pruned). Same broadcast discipline and directed
+    * (id1 = batch, id2 = index) no-self-pair contract as the packed
+    * variant; both sides MUST have been sketched with the same
+    * (bands, rows, seed) — band keys from different layouts never
+    * collide correctly. */
+  def selectiveCandidatesAgainst(batchBanded: DataFrame,
+      indexBanded: DataFrame, bands: Int, rows: Int,
+      multiProbe: Boolean): DataFrame = {
+    requireBoundedBanded(batchBanded, "Dedup.selectiveCandidatesAgainst",
+      bands, probeFanout = if (multiProbe) 1 + rows else 1)
+    val probes =
+      if (multiProbe) selectiveProbes(batchBanded, rows) else batchBanded
+    broadcast(probes.select(col("id").as("id1"), col("band"), col("bkey")))
+      .join(indexBanded.select(col("id").as("id2"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .where(col("id1") =!= col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** The PLAN-DRIVEN daily-ingest screen for SELECTIVE layouts —
+    * [[signLshScreenWithStats]]'s one-execution receipts discipline over
+    * [[selectiveCandidatesAgainst]] + exact cosine verify. This is what
+    * [[Planner.executeIncremental]] dispatches to when
+    * [[Planner.planIncrementalCosine]] chose a selective (bands, rows)
+    * layout from (batchN, indexN, threshold) instead of the shipped
+    * recall-first default: the budget prices the band join BEFORE launch
+    * over exactly the relation that joins (probe-expanded under
+    * multi-probe), and every count reads a localCheckpoint, so receipts
+    * cost one screen execution. */
+  def selectiveScreenWithStats(batchBanded: DataFrame,
+      indexBanded: DataFrame, embs: DataFrame, idCol: String,
+      embCol: String, threshold: Double, multiProbe: Boolean,
+      bands: Int, rows: Int): (DataFrame, SignLshScreenStats) = {
+    val bb = batchBanded.localCheckpoint(true)
+    val budget = signLshCandidateVolumeAgainst(
+      if (multiProbe) selectiveProbes(bb, rows) else bb, indexBanded)
+    val cands = selectiveCandidatesAgainst(bb, indexBanded, bands, rows,
+      multiProbe).localCheckpoint(true)
+    val sims = cosineSims(cands, embs, idCol, embCol).localCheckpoint(true)
+    val out = sims.where(col("sim") >= threshold)
+    (out, SignLshScreenStats(
+      bandsProbed = bands,
+      probeFanout = if (multiProbe) 1 + rows else 1,
+      budgetedJoinRows = budget,
+      candidatePairs = cands.count(),
+      verifiedPairs = sims.count(),
+      emittedPairs = out.count()))
+  }
+
   /** What the incremental sign-LSH screen actually did — the
     * [[ContainmentScreenStats]] discipline for the daily-ingest dedup
     * path, pairing the BEFORE-launch budget with the after-the-fact

@@ -200,16 +200,20 @@ object Planner {
   }
 
   /** One executable INCREMENTAL (daily-ingest) screen recommendation —
-    * [[planIncrementalCosine]]. The layout drives
-    * [[Dedup.signLshSketchesSelective]] on both sides and
-    * [[Dedup.signLshScreen]](multiProbe, bands, rows); the persisted
-    * sketch index must have been built with the SAME layout (rebuild or
-    * re-plan, never mix — band keys from different layouts never
-    * collide correctly). `expectedCandidates` is batchN·indexN·randomHit
-    * (background-only); the measured counterpart after the index exists
-    * is [[Dedup.signLshCandidateVolumeAgainst]] /
-    * [[Dedup.signLshScreenWithStats]]. */
-  case class IncrementalCosinePlan(bands: Int, rows: Int,
+    * [[planIncrementalCosine]]. `path` names the screen family
+    * ([[executeIncremental]] dispatches): `selectiveScreen` sketches with
+    * [[Dedup.signLshSketchesSelective]] and screens with
+    * [[Dedup.selectiveScreenWithStats]]; `signLshScreen` is the shipped
+    * recall-first packed layout ([[Dedup.signLshSketches]] +
+    * [[Dedup.signLshScreenWithStats]]). Sketch BOTH sides with
+    * [[sketchIncremental]] — the persisted index must have been built
+    * with the SAME layout (rebuild or re-plan, never mix — band keys
+    * from different layouts never collide correctly).
+    * `expectedCandidates` is batchN·indexN·randomHit (background-only);
+    * the measured counterpart after the index exists is
+    * [[Dedup.signLshCandidateVolumeAgainst]] and the screen's own
+    * receipts. */
+  case class IncrementalCosinePlan(path: String, bands: Int, rows: Int,
       multiProbe: Boolean, missProb: Double, randomPairHitProb: Double,
       expectedCandidates: Double, estimatedWork: Double,
       rationale: Seq[String])
@@ -237,7 +241,7 @@ object Planner {
     }
     if (threshold >= SelectiveFloor) {
       val (w, bands, rows, mp) = searchGrid(threshold, missBudget)(screenWork)
-      IncrementalCosinePlan(bands, rows, mp,
+      IncrementalCosinePlan("selectiveScreen", bands, rows, mp,
         missProb = missProb(threshold, bands, rows, mp),
         randomPairHitProb = randomPairHitProb(bands, rows, mp),
         expectedCandidates = crossPairs * randomPairHitProb(bands, rows, mp),
@@ -250,8 +254,8 @@ object Planner {
           "rebuild the sketch index with this layout; budget the real join " +
             "with signLshCandidateVolumeAgainst before launch"))
     } else
-      IncrementalCosinePlan(Dedup.SignLshBands, Dedup.SignLshRows,
-        multiProbe = false,
+      IncrementalCosinePlan("signLshScreen", Dedup.SignLshBands,
+        Dedup.SignLshRows, multiProbe = false,
         missProb = missProb(threshold, Dedup.SignLshBands, Dedup.SignLshRows,
           multiProbe = false),
         randomPairHitProb = randomPairHitProb(Dedup.SignLshBands,
@@ -267,6 +271,48 @@ object Planner {
             "the screen keeps recall and the receipts (signLshScreenWithStats) " +
             "price the bill"))
   }
+
+  /** Sketch a relation with an [[IncrementalCosinePlan]]'s layout — used
+    * for BOTH sides of the screen: the corpus side once at index-build
+    * time (persist via `IndexStore.saveSignLsh`; the banded shape is
+    * layout-agnostic), the batch side per ingest wave. One definition so
+    * the two sides cannot drift. */
+  def sketchIncremental(plan: IncrementalCosinePlan, embs: DataFrame,
+      idCol: String, embCol: String, dim: Int,
+      seed: Long = 42L): DataFrame = plan.path match {
+    case "selectiveScreen" =>
+      Dedup.signLshSketchesSelective(embs, idCol, embCol, dim, seed,
+        plan.bands, plan.rows)
+    case "signLshScreen" =>
+      Dedup.signLshSketches(embs, idCol, embCol, dim, seed,
+        plan.bands, plan.rows)
+    case other => throw new IllegalArgumentException(
+      s"unknown incremental plan path '$other'")
+  }
+
+  /** Run an [[IncrementalCosinePlan]]'s screen — the daily-ingest
+    * rendition of [[execute]], closing the round-8 "plan-driven intake"
+    * gap: the composed pipeline picks its layout from (batchN, indexN,
+    * threshold) instead of a folk default, and the returned
+    * [[Dedup.SignLshScreenStats]] receipts say what the screen actually
+    * did (budgeted join rows priced BEFORE launch, candidate/verified/
+    * emitted pairs after). `batchBanded` and `indexBanded` must both be
+    * [[sketchIncremental]] output for THIS plan. Directed pairs
+    * (id1 = batch, id2 = index), work ∝ batch. */
+  def executeIncremental(plan: IncrementalCosinePlan,
+      batchBanded: DataFrame, indexBanded: DataFrame, embs: DataFrame,
+      idCol: String, embCol: String,
+      threshold: Double): (DataFrame, Dedup.SignLshScreenStats) =
+    plan.path match {
+      case "selectiveScreen" =>
+        Dedup.selectiveScreenWithStats(batchBanded, indexBanded, embs,
+          idCol, embCol, threshold, plan.multiProbe, plan.bands, plan.rows)
+      case "signLshScreen" =>
+        Dedup.signLshScreenWithStats(batchBanded, indexBanded, embs,
+          idCol, embCol, threshold, plan.multiProbe, plan.bands, plan.rows)
+      case other => throw new IllegalArgumentException(
+        s"unknown incremental plan path '$other'")
+    }
 
   /** Jaccard (MinHash) recommendation for the FIXED 16-signature 4×4
     * layout the engine ships ([[Dedup.NumHashes]]/[[Dedup.Bands]]): the

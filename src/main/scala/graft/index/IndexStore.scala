@@ -1157,4 +1157,91 @@ object IndexStore {
     savePq(snapshot, staged)
     swapStaged(spark, path, staged, Seq("codes", "codebooks", "meta", "counts"))
   }
+
+  // ----------------------------------------------------- Matryoshka prefix
+  //
+  // The narrow dimension-prefix projection the MRL two-stage ANN's coarse
+  // pass scans (graft.search.VectorSearch.knnPrefix prefixRel) — the PQ
+  // codes discipline applied to a dimension slice. Layout:
+  //
+  //   prefix/  (id, embedding[prefixDims])
+  //   meta/    (prefix_dims, emb_col, n, fp) — DDL + CORPUS FINGERPRINT
+  //
+  // The projection is pure derived data with NO lifecycle of its own: after
+  // a corpus append/update, a stale prefix silently DEGRADES RECALL in
+  // production (the coarse pass simply never sees the new vectors — no
+  // error, no wrong hash, just missing neighbors; Verify's selfCheck only
+  // guards declared fixtures). The fingerprint makes staleness LOUD:
+  // save-time records (count, Σ xxhash64(id, embedding)) over the source
+  // corpus — content-sensitive, so appends, deletions AND in-place vector
+  // mutations all change it — and loadPrefixChecked recomputes it against
+  // the caller's current corpus, refusing a mismatch with a rebuild
+  // instruction. The check is one map-side-combinable aggregation over
+  // (id, vector): at 100 TB run it per ingest wave (alongside the wave's
+  // own ledger bookkeeping), not per query; per-query callers use
+  // loadPrefix and rely on wave-time checks.
+
+  /** Build and persist the narrow (id, prefix) projection of `embs` with
+    * its source-corpus fingerprint — Overwrite = S7 `--replace`. */
+  def savePrefix(embs: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, prefixDims: Int, path: String): Unit = {
+    require(prefixDims >= 1, s"prefixDims must be ≥ 1, got $prefixDims")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    embs.select(col(idCol).as("id"),
+        slice(col(embCol), 1, prefixDims).as("embedding"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/prefix")
+    val fp = corpusFingerprint(embs, idCol, embCol)
+    // meta written LAST = the commit marker (the marks discipline): a
+    // crash between the two writes leaves a prefix without meta, which
+    // loadPrefixChecked refuses loudly instead of trusting half a build
+    Seq((prefixDims, embCol, fp._1, fp._2.toString))
+      .toDF("prefix_dims", "emb_col", "n", "fp")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** (count, Σ xxhash64(id, vector)) over a corpus — decimal(38,0) sum so
+    * arbitrarily many 2⁶³-scale hashes never overflow (the components
+    * label-sum discipline). Deterministic across sessions: xxhash64 over
+    * the raw bytes of (id, float-array), no RNG, no time. */
+  private def corpusFingerprint(embs: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String): (Long, java.math.BigDecimal) = {
+    val r = embs.agg(count(lit(1)),
+      sum(xxhash64(col(idCol), col(embCol)).cast("decimal(38,0)"))).head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  /** Load the narrow prefix relation WITHOUT the corpus check — for
+    * per-query callers whose ingest waves already re-validated. */
+  def loadPrefix(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$path/prefix")
+
+  /** [[loadPrefix]] with the STALENESS GUARD: recomputes the fingerprint
+    * of `corpus` and refuses — loudly, with the rebuild instruction — if
+    * it differs from the one recorded at save time. Returns the prefix
+    * relation (renamed to the caller's `idCol`/`embCol`, ready to pass
+    * as `knnPrefix(prefixRel = ...)`) only when it provably derives from
+    * exactly this corpus, so the routed==exact contract holds instead of
+    * silently under-recalling after an append. */
+  def loadPrefixChecked(spark: SparkSession, path: String,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String): org.apache.spark.sql.DataFrame = {
+    require(hasDataFiles(spark, s"$path/meta"),
+      s"no prefix meta under $path — savePrefix never completed; rebuild")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (n, fp) = corpusFingerprint(corpus, idCol, embCol)
+    val staleMsg =
+      s"prefix index at $path is STALE: built over " +
+        s"n=${meta.getAs[Long]("n")} fp=${meta.getAs[String]("fp")}, the " +
+        s"corpus is now n=$n fp=$fp — the coarse ANN pass would silently " +
+        "miss every vector added or changed since the build; re-run " +
+        "savePrefix (or route this wave through the exact path)"
+    if (meta.getAs[Long]("n") != n || meta.getAs[String]("fp") != fp.toString)
+      throw new IllegalStateException(staleMsg)
+    loadPrefix(spark, path)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("embedding", embCol)
+  }
 }

@@ -23,6 +23,11 @@ object EventAnalytics {
     * converted funnel). Returns (user, t0 … t(k−1)) with nulls beyond
     * the user's last reached step — one row per user who reached step 0.
     *
+    * REPEATED steps are supported (view→view→purchase — real funnels
+    * repeat types): each stage's strictly-after bound is the PREVIOUS
+    * stage's time, so two consecutive identical steps resolve to the
+    * user's two earliest such events in order.
+    *
     * Shape: k−1 user-keyed joins of monotonically SHRINKING relations
     * (each stage is ≤ previous stage's users × 1 row), each stage one
     * map-side-combinable min aggregation. k is a constant (the funnel
@@ -33,8 +38,6 @@ object EventAnalytics {
       tsCol: String, steps: Seq[String],
       maxGapMinutes: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.distinct.size == steps.size,
-      s"funnel steps must be distinct, got $steps")
     require(maxGapMinutes.forall(_ >= 1),
       s"maxGapMinutes must be ≥ 1, got $maxGapMinutes")
     val first = events.where(col(typeCol) === steps.head)

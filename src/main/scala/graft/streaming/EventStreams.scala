@@ -192,14 +192,25 @@ object EventStreams {
     * scan). A cross-batch late arrival can under-advance the funnel —
     * the standard approximation every un-buffered streaming funnel
     * makes; exact late-data repair needs the batch operator over the
-    * ledger, which is one `funnelTimes` call away. */
+    * ledger, which is one `funnelTimes` call away.
+    *
+    * `maxGapMinutes` is the batch operator's CONVERSION WINDOW (half-open
+    * (prev, prev+gap], `EventAnalytics.funnelTimes`): step n advances
+    * only within the gap of step n−1's time. The greedy in-order scan
+    * keeps parity — events are seen in event-time order, so the first
+    * in-window qualifier IS the batch min, and once an event overshoots
+    * the window no later event can re-enter it (a live funnel WITHOUT
+    * this silently over-counts conversions vs its batch twin). Repeated
+    * steps (view→view→purchase) are supported, as in batch. */
   def funnelStateful(events: Dataset[Event], steps: Seq[String],
       ttlMinutes: Int = 7 * 24 * 60,
-      lateness: String = "10 minutes"): Dataset[FunnelProgress] = {
+      lateness: String = "10 minutes",
+      maxGapMinutes: Option[Int] = None): Dataset[FunnelProgress] = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.distinct.size == steps.size,
-      s"funnel steps must be distinct, got $steps")
+    require(maxGapMinutes.forall(_ >= 1),
+      s"maxGapMinutes must be ≥ 1, got $maxGapMinutes")
     import events.sparkSession.implicits._
+    val gapMs = maxGapMinutes.map(_ * 60000L)
 
     def fn(userId: Long, it: Iterator[Event],
         state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
@@ -210,7 +221,8 @@ object EventStreams {
         it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
           val next = cur.step + 1
           if (next < steps.length && e.event_type == steps(next) &&
-              (cur.step < 0 || e.ts.getTime > cur.tsMs)) {
+              (cur.step < 0 || (e.ts.getTime > cur.tsMs &&
+                gapMs.forall(g => e.ts.getTime <= cur.tsMs + g)))) {
             cur = FunnelState(next, e.ts.getTime)
             out += FunnelProgress(userId, next, steps(next), e.ts)
           }

@@ -113,6 +113,36 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTest {
     assert(got2 === Seq("2024-01-01 10:30:00"))
   }
 
+  test("repeated steps: each repeat resolves to the NEXT such event strictly after the previous") {
+    val events = ev(
+      // user 1: two views then a purchase — full view→view→purchase
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // user 2: ONE view only — the repeated second view must not
+      // re-match the same event (strictly-after excludes t0 itself)
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 10:10:00"),
+      // user 3: two views, purchase BETWEEN them — purchase precedes the
+      // second view, so step 2 is unreached
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "purchase", "2024-01-01 10:02:00"),
+      (3L, "view", "2024-01-01 10:05:00"))
+    val got = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "view", "purchase"))
+      .orderBy("step_idx").as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((0, "view", 3L), (1, "view", 2L), (2, "purchase", 1L)))
+    // the step times are the two earliest views in order
+    val t1 = EventAnalytics.funnelTimes(events, "user_id", "event_type", "ts",
+        Seq("view", "view", "purchase"))
+      .where(col("user") === 1L)
+      .select(col("t0").cast("string"), col("t1").cast("string"),
+        col("t2").cast("string"))
+      .as[(String, String, String)].collect().head
+    assert(t1 === (("2024-01-01 10:00:00", "2024-01-01 10:05:00",
+      "2024-01-01 10:10:00")))
+  }
+
   test("funnelDurations: converted counts and average transition seconds") {
     val events = ev(
       (1L, "view", "2024-01-01 10:00:00"),
@@ -137,14 +167,17 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTest {
     assert(noP(1) === ((2, "click", "purchase", 0L, None)))
   }
 
-  test("funnel guards: empty and duplicate step lists are refused") {
+  test("funnel guards: empty step lists are refused; repeats are legal") {
     val events = ev((1L, "view", "2024-01-01 10:00:00"))
     assert(intercept[IllegalArgumentException] {
       EventAnalytics.funnel(events, "user_id", "event_type", "ts", Nil)
     }.getMessage.contains("at least one"))
-    assert(intercept[IllegalArgumentException] {
-      EventAnalytics.funnel(events, "user_id", "event_type", "ts",
+    // repeated steps are a SUPPORTED funnel shape since round 9 (the
+    // strictly-after fold always handled them; only the require blocked
+    // it) — one view cannot satisfy both legs
+    val got = EventAnalytics.funnel(events, "user_id", "event_type", "ts",
         Seq("view", "view"))
-    }.getMessage.contains("distinct"))
+      .orderBy("step_idx").as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((0, "view", 1L), (1, "view", 0L)))
   }
 }

@@ -669,4 +669,50 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(IndexStore.loadSignLsh(spark, dir).select("id").distinct().count()
       === embs.count())
   }
+
+  test("MRL prefix staleness guard: append/mutation detected loudly; rebuild restores routed==exact") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("prefixidx").toString
+    val base = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    IndexStore.savePrefix(base, "vec_id", "embedding", prefixDims = 32, dir)
+    def routed(corpus: org.apache.spark.sql.DataFrame) =
+      VectorSearch.knnPrefix(corpus, "vec_id", "embedding", query, k = 10,
+          prefixDims = 32, overfetch = corpus.count().toInt,
+          prefixRel = Some(IndexStore.loadPrefixChecked(spark, dir, corpus,
+            "vec_id", "embedding")))
+        .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    def exact(corpus: org.apache.spark.sql.DataFrame) =
+      VectorSearch.knn(corpus, "vec_id", "embedding", query, k = 10)
+        .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    // fresh build over exactly this corpus: check passes, routed == exact
+    assert(routed(base) === exact(base))
+    // APPEND: the coarse pass would silently never see the new vectors —
+    // the guard must refuse instead
+    val grown = base.unionByName(base.limit(3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+      .localCheckpoint(true)
+    val e1 = intercept[IllegalStateException] {
+      IndexStore.loadPrefixChecked(spark, dir, grown, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("STALE") && e1.getMessage.contains("savePrefix"))
+    // IN-PLACE MUTATION at unchanged count: content fingerprint catches it
+    val mutated = base
+      .select($"vec_id", transform($"embedding", x => x * 2.0d).as("embedding"))
+      .localCheckpoint(true)
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadPrefixChecked(spark, dir, mutated, "vec_id", "embedding")
+    }.getMessage.contains("STALE"))
+    // rebuild over the grown corpus: the guard passes and routed == exact
+    // again — the refuse→rebuild lifecycle the guard exists to force
+    IndexStore.savePrefix(grown, "vec_id", "embedding", prefixDims = 32, dir)
+    assert(routed(grown) === exact(grown))
+    // a prefix without meta (interrupted build) is refused, not trusted
+    val dir2 = Files.createTempDirectory("prefixidx2").toString
+    base.limit(1).select($"vec_id".as("id"), $"embedding")
+      .write.parquet(s"$dir2/prefix")
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadPrefixChecked(spark, dir2, base, "vec_id", "embedding")
+    }.getMessage.contains("never completed"))
+  }
 }

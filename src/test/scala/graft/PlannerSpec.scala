@@ -105,30 +105,49 @@ class PlannerSpec extends AnyFunSuite with SparkTest {
     assert(lo.rationale.exists(_.contains("ALL batch")))
   }
 
-  test("executable link: the incremental plan's layout screens batch vs index exactly") {
+  test("executable link: the incremental plan's layout screens batch vs index exactly, with receipts") {
     val base = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
-    // batch = replicas of every 7th base vector (planted ≥0.95 structure
-    // against the index), index = the base corpus
+    // batch = replicas of every 7th base vector (planted ≥0.90 structure
+    // against the index), index = the base corpus — screened at 0.9, the
+    // round-8 item's band (the intake threshold a production wave runs)
     val batch = base.where($"vec_id" % 7 === 0)
       .withColumn("vec_id", $"vec_id" + 1000000L)
     val embs = base.unionByName(batch).localCheckpoint(true)
-    val plan = Planner.planIncrementalCosine(0.95,
+    val plan = Planner.planIncrementalCosine(0.90,
       batchN = batch.count(), indexN = base.count(), dim = 64)
-    val bb = Dedup.signLshSketchesSelective(batch, "vec_id", "embedding",
-      64, 42L, plan.bands, plan.rows)
-    val ib = Dedup.signLshSketchesSelective(base, "vec_id", "embedding",
-      64, 42L, plan.bands, plan.rows)
-    val got = Dedup.signLshScreen(bb, ib, embs, "vec_id", "embedding",
-        0.95, plan.multiProbe, plan.bands, plan.rows)
-      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(plan.path === "selectiveScreen")
+    val bb = Planner.sketchIncremental(plan, batch, "vec_id", "embedding", 64)
+    val ib = Planner.sketchIncremental(plan, base, "vec_id", "embedding", 64)
+    val (pairs, stats) = Planner.executeIncremental(plan, bb, ib, embs,
+      "vec_id", "embedding", 0.90)
+    val got = pairs.orderBy("id1", "id2")
+      .as[(Long, Long, Double)].collect().toSeq
     // ground truth: exact cosine over ALL directed batch×index pairs
     val allPairs = batch.select($"vec_id".as("id1"))
       .crossJoin(base.select($"vec_id".as("id2")))
-    val want = Dedup.cosineVerify(allPairs, embs, "vec_id", "embedding", 0.95)
+    val want = Dedup.cosineVerify(allPairs, embs, "vec_id", "embedding", 0.90)
       .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
     assert(got === want,
       s"planned ${plan.bands}x${plan.rows} mp=${plan.multiProbe} screen lost pairs")
     assert(got.nonEmpty, "the planted replicas must surface")
+    // receipts are coherent: every emitted pair was verified, every
+    // verified candidate was a candidate, and the screen PRUNED — far
+    // fewer candidates than the batch×index cross
+    assert(stats.emittedPairs === got.size.toLong)
+    assert(stats.verifiedPairs <= stats.candidatePairs)
+    assert(stats.emittedPairs <= stats.verifiedPairs)
+    val cross = batch.count() * base.count()
+    assert(stats.candidatePairs < cross / 4,
+      s"planned screen admitted ${stats.candidatePairs} of $cross cross pairs")
+    // the point of planning: the planned layout's measured band-join
+    // volume undercuts the shipped recall-first default's at 0.9 (the
+    // default admits ~all pairs at ANY threshold — its bands are sized
+    // for recall at cos 0.45, not pruning at 0.9)
+    val defBatch = Dedup.signLshSketches(batch, "vec_id", "embedding", 64)
+    val defIndex = Dedup.signLshSketches(base, "vec_id", "embedding", 64)
+    val defaultVolume = Dedup.signLshCandidateVolumeAgainst(defBatch, defIndex)
+    assert(stats.budgetedJoinRows < defaultVolume / 5,
+      s"planned ${stats.budgetedJoinRows} vs default $defaultVolume band-join rows")
   }
 
   test("planJaccard: floor arithmetic and regime dispatch") {

@@ -59,6 +59,54 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming funnel conversion window: gap parity with the batch funnel; repeated steps advance") {
+    // user 7 clicks INSIDE the 10-minute window; user 8 clicks outside it
+    // (a gap-free stream would count both — the silent over-count the
+    // window exists to prevent); user 9 runs a REPEATED-step funnel leg
+    val events = Seq(
+      Event(1, ts(0), 7, "view", 1.0),
+      Event(2, ts(8), 7, "click", 1.0),
+      Event(3, ts(0), 8, "view", 1.0),
+      Event(4, ts(15), 8, "click", 1.0))
+    val steps = Seq("view", "click")
+    val mem = MemoryStream[Event](spark)
+    val q = EventStreams.funnelStateful(mem.toDS(), steps,
+        lateness = "1 minutes", maxGapMinutes = Some(10))
+      .writeStream.format("memory").queryName("funnelgap")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnelgap").as[EventStreams.FunnelProgress]
+        .collect().map(p => (p.user_id, p.step_idx, p.ts)).toSet
+      assert(got === Set((7L, 0, ts(0)), (7L, 1, ts(8)), (8L, 0, ts(0))))
+      // parity: the batch funnel under the same window reports exactly
+      // the step times the stream emitted
+      val bt = graft.operators.EventAnalytics.funnelTimes(
+          events.toDF(), "user_id", "event_type", "ts", steps,
+          maxGapMinutes = Some(10))
+        .orderBy("user")
+        .select(col("user"), col("t0"), col("t1"))
+        .as[(Long, Timestamp, Timestamp)].collect().toSeq
+      assert(bt === Seq((7L, ts(0), ts(8)), (8L, ts(0), null)))
+    } finally q.stop()
+
+    // repeated steps: view→view advances on the user's second view
+    val mem2 = MemoryStream[Event](spark)
+    val q2 = EventStreams.funnelStateful(mem2.toDS(), Seq("view", "view"),
+        lateness = "1 minutes")
+      .writeStream.format("memory").queryName("funnelrep")
+      .outputMode("append").start()
+    try {
+      mem2.addData(Event(1, ts(0), 9, "view", 1.0),
+        Event(2, ts(3), 9, "view", 1.0))
+      q2.processAllAvailable()
+      val got2 = spark.table("funnelrep").as[EventStreams.FunnelProgress]
+        .collect().map(p => (p.user_id, p.step_idx, p.ts)).toSet
+      assert(got2 === Set((9L, 0, ts(0)), (9L, 1, ts(3))))
+    } finally q2.stop()
+  }
+
   test("streaming funnel state: non-participants hold no state; TTL evicts") {
     val mem = MemoryStream[Event](spark)
     // tiny TTL so the timeout path executes in-test
