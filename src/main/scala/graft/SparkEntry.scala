@@ -429,6 +429,25 @@ object SparkEntry {
       .orderBy("phrase_id", "doc_id", "pos")
   }
 
+  /** [[qPhraseFindJoin]] resolved from the PERSISTED positional phrase
+    * index ([[TextSearch.phrasesOccurrencesIndexed]]) — batch forensics
+    * with NO corpus gram scan: the bounded phrase batch's gram keys
+    * probe their bucket partitions, one broadcast join + distinct-offset
+    * intersection yields candidates, and corpus text is opened only for
+    * the exact verify. Same phrases, same corpus, same oracle SQL as
+    * [[qPhraseFindJoin]] — only the PLAN differs. */
+  private def qPhraseFindJoinPos(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val phrases = d.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("phrase_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 8).as("p"))
+      .where(size(col("p")) >= 8)
+    TextSearch.phrasesOccurrencesIndexed(corpusPhraseDisk(spark, dir), d,
+        "doc_id", "text", phrases)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("phrase_id", "doc_id", "pos")
+  }
+
   /** North-star language-ID: marker-ratio argmax per document. */
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1970,6 +1989,7 @@ object SparkEntry {
     "q_phrase_find_idx" -> ((s, dir) => qPhraseFindIdx(s, dir)),
     "q_phrase_find_pos" -> ((s, dir) => qPhraseFindPos(s, dir)),
     "q_phrase_find_join" -> ((s, dir) => qPhraseFindJoin(s, dir)),
+    "q_phrase_find_join_pos" -> ((s, dir) => qPhraseFindJoinPos(s, dir)),
     "q_fulltext_postfilter" -> ((s, dir) => qFulltextPostfilter(s, dir)),
     "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => qHybridRrf(s, dir)),
@@ -2139,6 +2159,20 @@ object SparkEntry {
     // batch locate: per-phrase positional verify over the same phrase
     // derivation as the Spark side (every 97th doc's first 8 tokens)
     "q_phrase_find_join" ->
+      s"""SELECT phrase_id, id AS doc_id, pos
+         |FROM (${TextSearch.sqlPhrasesOccurrences("documents", "doc_id",
+                  "text",
+                  s"""SELECT doc_id AS phrase_id,
+                     |       list_slice(${graft.functions.Text.sqlTokens("text")}, 1, 8) AS p
+                     |FROM documents
+                     |WHERE doc_id % 97 = 0
+                     |  AND len(${graft.functions.Text.sqlTokens("text")}) >= 8""".stripMargin,
+                  8)})
+         |ORDER BY phrase_id, doc_id, pos""".stripMargin,
+    // the positional-index batch twin: same phrases, same corpus, same
+    // relation as q_phrase_find_join — only the PLAN differs (bucket
+    // probes + offset intersection, no corpus gram scan)
+    "q_phrase_find_join_pos" ->
       s"""SELECT phrase_id, id AS doc_id, pos
          |FROM (${TextSearch.sqlPhrasesOccurrences("documents", "doc_id",
                   "text",

@@ -364,15 +364,38 @@ object Dedup {
   def jaccardPairsViaContainment(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
     val p = shinglePostings(docs, idCol, textCol)
-    val cands = containmentCandidates(p, threshold)
-    val inter = cands
-      .join(p.select(col("id").as("id1"), col("h")), "id1")
-      .join(p.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    val sizes = p.groupBy("id").agg(count(lit(1)).as("sz"))
-    val s1 = sizes.select(col("id").as("id1"), col("sz").as("sz1"))
-    val s2 = sizes.select(col("id").as("id2"), col("sz").as("sz2"))
-    inter.join(s1, "id1").join(s2, "id2")
+    // PPJoin-style prefix-PREFIX candidates, tighter than the containment
+    // screen's prefix⋈postings: J ≥ t forces |A∩B| ≥ ⌈t·max(|A|,|B|)⌉
+    // (≥ each side's own ⌈t·n⌉), and the prefix theorem (Chaudhuri/Ganti/
+    // Kaushik; Xiao et al. PPJoin) says two sets with intersection ≥ α
+    // must COLLIDE WITHIN their (n−α+1)-prefixes under one global order —
+    // so for symmetric Jaccard the join can run prefix against prefix
+    // (volume Σ_h prefixDf(h)², vs Σ prefixDf·df for the directional
+    // containment screen, which must keep the postings side because
+    // C(A→B) bounds only A's intersection share). Recall stays exactly 1.
+    val prefix = containmentPrefix(p, threshold).drop("df")
+    val cands = prefix
+      .join(prefix.select(col("qid").as("cid"), col("h")), "h")
+      .where(col("qid") =!= col("cid"))
+      .select(least(col("qid"), col("cid")).as("id1"),
+        greatest(col("qid"), col("cid")).as("id2"))
+      .distinct()
+    // ROW-LOCAL exact verify: each doc's (distinct) shingle set travels
+    // as one array and the intersection is a per-candidate
+    // array_intersect — work ∝ candidates × shingles-per-doc with no
+    // postings re-shuffle (measured at sf0.1/J=0.5: the join-and-count
+    // verify pushed ~23M rows through a shuffle for 511k candidates;
+    // this does 511k row-local intersections). Arrays are bounded by
+    // document length, never corpus-sized.
+    val sets = p.groupBy("id").agg(collect_list(col("h")).as("hs"),
+      count(lit(1)).as("sz"))
+    val a = sets.select(col("id").as("id1"), col("hs").as("h1"),
+      col("sz").as("sz1"))
+    val b = sets.select(col("id").as("id2"), col("hs").as("h2"),
+      col("sz").as("sz2"))
+    cands.join(a, "id1").join(b, "id2")
+      .withColumn("inter",
+        size(array_intersect(col("h1"), col("h2"))).cast("long"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")).cast("double"), 6))

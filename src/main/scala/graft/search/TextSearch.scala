@@ -432,6 +432,68 @@ object TextSearch {
       .select(col("phrase_id"), col("id"), col("pos"))
   }
 
+  /** BATCH phrase locate over the PERSISTED positional index
+    * ([[phraseOccurrencesIndexed]] × [[phrasesOccurrences]]) — the
+    * no-corpus-scan batch forensics shape: thousands of suspect phrases
+    * resolved against the bucket-partitioned (id, pos, h) postings in ONE
+    * job, corpus text opened only for candidates' exact verify.
+    *
+    * Fully RELATIONAL, unlike the single-phrase indexed path's per-offset
+    * probe unions (which would explode the plan at |batch| × m probes):
+    * the bounded batch explodes to a (phrase_id, off, h) gram-key
+    * relation — [[graft.functions.Text.hash60]] IN-ENGINE over the same
+    * space-joined token grams the index writer hashed, so no driver
+    * tokenizer can drift — the touched bucket set is collected from the
+    * bounded batch and statically prunes the postings scan (the
+    * [[bm25Join]] discipline), and ONE broadcast equi-join on `h` +
+    * countDistinct(off)-per-(phrase, doc, base) intersection replaces the
+    * probe chain. Distinct-offset counting keeps the duplicate-postings
+    * robustness of the single-phrase path; the slice verify removes 2⁻⁶⁰
+    * collisions. Output: (phrase_id, id, pos) — identical to
+    * [[phrasesOccurrences]] over the indexed corpus. */
+  def phrasesOccurrencesIndexed(index: graft.index.IndexStore.PhraseIndex,
+      docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame): DataFrame = {
+    val k = index.k
+    require(phrases.columns.contains("phrase_id") &&
+        phrases.columns.contains("p"),
+      "phrases must be a (phrase_id, p) relation with p = array<string>")
+    VectorSearch.requireBoundedBatch(phrases, "phrasesOccurrencesIndexed")
+    val short = phrases.where(size(col("p")) < k).limit(1).count()
+    require(short == 0L,
+      s"phrases batch contains a phrase shorter than the index gram " +
+        s"width $k — widen the phrases or rebuild the index narrower")
+    val buckets = graft.dedup.Dedup.ShingleBuckets.toLong
+    // per-(phrase, offset) gram keys — bounded (batch × phrase length)
+    val keys = phrases.select(col("phrase_id"),
+        explode(sequence(lit(0), size(col("p")) - k)).as("off"),
+        col("p"))
+      .select(col("phrase_id"), col("off"),
+        Text.hash60(concat_ws(" ",
+          slice(col("p"), col("off") + 1, lit(k)))).as("h"))
+    // static bucket pruning: collect the touched set from the BOUNDED
+    // batch, so PartitionFilters prune the postings directories
+    val touched = keys
+      .select(pmod(col("h"), lit(buckets)).as("b")).distinct()
+      .collect().map(_.getLong(0))
+    val posts = index.postings.where(col("bucket").isin(touched: _*))
+    val perPhraseM = phrases.select(col("phrase_id"),
+      (size(col("p")) - k + 1).as("__m"))
+    val cands = posts.join(broadcast(keys), "h")
+      .groupBy(col("phrase_id"), col("id"),
+        (col("pos") - col("off")).as("base"))
+      .agg(countDistinct(col("off")).as("__hits"))
+      .join(broadcast(perPhraseM), "phrase_id")
+      .where(col("__hits") === col("__m"))
+    val toks = docs.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("__toks"))
+    cands
+      .join(broadcast(phrases), "phrase_id")
+      .join(toks, "id")
+      .where(slice(col("__toks"), col("base") + 1, size(col("p"))) === col("p"))
+      .select(col("phrase_id"), col("id"), col("base").cast("int").as("pos"))
+  }
+
   /** SQL twin of [[phrasesOccurrences]] (DuckDB): `phrasesRel` must be a
     * query producing (phrase_id, p VARCHAR[]); emits (phrase_id, id, pos)
     * with 0-based token positions, positions verified directly (the hash

@@ -151,6 +151,30 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     graft.index.IndexStore.appendBatchPhrase(d2, "id", "text", dir, batchId = 1L)
     for (p <- Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("q", "a", "b", "r")))
       assert(locate(p) === scan(p), s"double-indexed phrase $p")
+
+    // BATCH over the index: == the scan-based batch operator, keyed by
+    // phrase_id, including mixed lengths, absent phrases, and the
+    // double-indexed postings above
+    val idx = graft.index.IndexStore.loadPhrase(spark, dir)
+    val phrases = Seq(
+      (10L, Seq("a", "b")),
+      (11L, Seq("a", "b", "c", "d", "a")),
+      (12L, Seq("q", "a", "b", "r")),
+      (13L, Seq("z", "z"))).toDF("phrase_id", "p")
+    val gotIdx = TextSearch.phrasesOccurrencesIndexed(idx, all, "id", "text",
+        phrases)
+      .orderBy("phrase_id", "id", "pos").as[(Long, Long, Int)].collect().toSeq
+    val gotScan = TextSearch.phrasesOccurrences(all, "id", "text", phrases,
+        k = 2)
+      .orderBy("phrase_id", "id", "pos").as[(Long, Long, Int)].collect().toSeq
+    assert(gotIdx === gotScan)
+    assert(gotIdx.contains((10L, 5L, 1)) && gotIdx.contains((11L, 1L, 0)))
+    assert(!gotIdx.exists(_._1 == 13L))
+    // short-phrase and contract guards stay loud in the batch path
+    assert(intercept[IllegalArgumentException] {
+      TextSearch.phrasesOccurrencesIndexed(idx, all, "id", "text",
+        Seq((20L, Seq("a"))).toDF("phrase_id", "p"))
+    }.getMessage.contains("gram width"))
   }
 
   // 4 unit-ish vectors on the plane: ids ordered so ties are observable
