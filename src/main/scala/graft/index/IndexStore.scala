@@ -1162,42 +1162,92 @@ object IndexStore {
   //
   // The narrow dimension-prefix projection the MRL two-stage ANN's coarse
   // pass scans (graft.search.VectorSearch.knnPrefix prefixRel) — the PQ
-  // codes discipline applied to a dimension slice. Layout:
+  // codes discipline applied to a dimension slice, with the same
+  // batch-partitioned commit-marker lifecycle as the other families:
   //
-  //   prefix/  (id, embedding[prefixDims])
-  //   meta/    (prefix_dims, emb_col, n, fp) — DDL + CORPUS FINGERPRINT
+  //   prefix/batch=N/  (id, embedding[prefixDims])
+  //   meta/            (prefix_dims) — DDL, save-time only
+  //   marks/batch=N/   (n, fp) — per-batch FINGERPRINT DELTA, written
+  //                    last = COMMIT MARKER
   //
   // The projection is pure derived data with NO lifecycle of its own: after
   // a corpus append/update, a stale prefix silently DEGRADES RECALL in
   // production (the coarse pass simply never sees the new vectors — no
   // error, no wrong hash, just missing neighbors; Verify's selfCheck only
-  // guards declared fixtures). The fingerprint makes staleness LOUD:
-  // save-time records (count, Σ xxhash64(id, embedding)) over the source
-  // corpus — content-sensitive, so appends, deletions AND in-place vector
-  // mutations all change it — and loadPrefixChecked recomputes it against
-  // the caller's current corpus, refusing a mismatch with a rebuild
-  // instruction. The check is one map-side-combinable aggregation over
-  // (id, vector): at 100 TB run it per ingest wave (alongside the wave's
-  // own ledger bookkeeping), not per query; per-query callers use
-  // loadPrefix and rely on wave-time checks.
+  // guards declared fixtures). The fingerprint makes staleness LOUD —
+  // (count, Σ xxhash64(id, embedding)) over the source rows is
+  // content-sensitive, so appends, deletions AND in-place vector
+  // mutations all change it — and it is ADDITIVE: each batch commits its
+  // own (n, fp) delta, the index total is the sum over committed marks,
+  // so a daily append updates the fingerprint with work ∝ batch, never a
+  // corpus rescan. loadPrefixChecked recomputes the corpus side (one
+  // map-side-combinable aggregation over (id, vector)) and refuses a
+  // mismatch with a rebuild instruction: at 100 TB run the check per
+  // ingest wave, not per query; per-query callers use loadPrefix and rely
+  // on wave-time checks.
 
   /** Build and persist the narrow (id, prefix) projection of `embs` with
-    * its source-corpus fingerprint — Overwrite = S7 `--replace`. */
+    * its source-corpus fingerprint — Overwrite = S7 `--replace`
+    * (replaces ALL batches). */
   def savePrefix(embs: org.apache.spark.sql.DataFrame, idCol: String,
       embCol: String, prefixDims: Int, path: String): Unit = {
     require(prefixDims >= 1, s"prefixDims must be ≥ 1, got $prefixDims")
     val spark = embs.sparkSession
     import spark.implicits._
-    embs.select(col(idCol).as("id"),
-        slice(col(embCol), 1, prefixDims).as("embedding"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/prefix")
-    val fp = corpusFingerprint(embs, idCol, embCol)
-    // meta written LAST = the commit marker (the marks discipline): a
-    // crash between the two writes leaves a prefix without meta, which
-    // loadPrefixChecked refuses loudly instead of trusting half a build
-    Seq((prefixDims, embCol, fp._1, fp._2.toString))
-      .toDF("prefix_dims", "emb_col", "n", "fp")
+    writePrefixBatch(embs, idCol, embCol, prefixDims, path, batchId = -1L,
+      overwriteAll = true)
+    Seq(prefixDims).toDF("prefix_dims")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // marks AFTER meta on the base build: a loader needs both, and marks
+    // is the commit the loaders key on
+    writePrefixMark(embs, idCol, embCol, path, batchId = -1L,
+      overwriteAll = true)
+  }
+
+  private def writePrefixBatch(embs: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, prefixDims: Int, path: String,
+      batchId: Long, overwriteAll: Boolean): Unit = {
+    val w = embs.select(col(idCol).as("id"),
+        slice(col(embCol), 1, prefixDims).as("embedding"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/prefix")
+  }
+
+  private def writePrefixMark(embs: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, path: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val (n, fp) = corpusFingerprint(embs, idCol, embCol)
+    val w = Seq((n, fp.toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Project one micro-batch of NEW vectors into the prefix table and
+    * commit its fingerprint delta (R17 skip-existing contract) — work ∝
+    * batch, idempotent at every crash point (marks commit last; a replay
+    * of a committed batch is a no-op, a crash before the mark leaves an
+    * uncommitted partition no loader reads). The batch must be NEW ids:
+    * re-projecting existing ids would double them in the coarse scan and
+    * the summed fingerprint would flag the corpus as mismatched — which
+    * is the guard doing its job. */
+  def appendBatchPrefix(batch: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    require(hasDataFiles(spark, s"$path/meta"),
+      s"no prefix meta under $path — appendBatchPrefix requires a " +
+        "savePrefix base (prefixDims is the index DDL)")
+    val prefixDims = spark.read.parquet(s"$path/meta").head.getInt(0)
+    writePrefixBatch(batch, idCol, embCol, prefixDims, path, batchId,
+      overwriteAll = false)
+    writePrefixMark(batch, idCol, embCol, path, batchId,
+      overwriteAll = false)
   }
 
   /** (count, Σ xxhash64(id, vector)) over a corpus — decimal(38,0) sum so
@@ -1212,36 +1262,75 @@ object IndexStore {
       if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
   }
 
-  /** Load the narrow prefix relation WITHOUT the corpus check — for
-    * per-query callers whose ingest waves already re-validated. */
+  /** Load the narrow prefix relation WITHOUT the corpus check — committed
+    * batches only — for per-query callers whose ingest waves already
+    * re-validated. */
   def loadPrefix(spark: SparkSession, path: String)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    val batches = committedBatches(spark, s"$path/marks")
     spark.read.parquet(s"$path/prefix")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .select("id", "embedding")
+  }
+
+  /** The index's recorded fingerprint: Σ of committed batches' (n, fp)
+    * deltas — additive by construction, so appends never rescan. */
+  private def prefixRecordedFingerprint(spark: SparkSession,
+      path: String): (Long, java.math.BigDecimal) = {
+    val batches = committedBatches(spark, s"$path/marks")
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
 
   /** [[loadPrefix]] with the STALENESS GUARD: recomputes the fingerprint
     * of `corpus` and refuses — loudly, with the rebuild instruction — if
-    * it differs from the one recorded at save time. Returns the prefix
-    * relation (renamed to the caller's `idCol`/`embCol`, ready to pass
-    * as `knnPrefix(prefixRel = ...)`) only when it provably derives from
-    * exactly this corpus, so the routed==exact contract holds instead of
-    * silently under-recalling after an append. */
+    * it differs from the committed batches' summed deltas. Returns the
+    * prefix relation (renamed to the caller's `idCol`/`embCol`, ready to
+    * pass as `knnPrefix(prefixRel = ...)`) only when it provably derives
+    * from exactly this corpus, so the routed==exact contract holds
+    * instead of silently under-recalling after an unindexed append. */
   def loadPrefixChecked(spark: SparkSession, path: String,
       corpus: org.apache.spark.sql.DataFrame, idCol: String,
       embCol: String): org.apache.spark.sql.DataFrame = {
-    require(hasDataFiles(spark, s"$path/meta"),
-      s"no prefix meta under $path — savePrefix never completed; rebuild")
-    val meta = spark.read.parquet(s"$path/meta").head()
+    require(hasDataFiles(spark, s"$path/meta") &&
+        hasDataFiles(spark, s"$path/marks"),
+      s"no prefix meta/marks under $path — savePrefix never completed; rebuild")
+    val (idxN, idxFp) = prefixRecordedFingerprint(spark, path)
     val (n, fp) = corpusFingerprint(corpus, idCol, embCol)
-    val staleMsg =
-      s"prefix index at $path is STALE: built over " +
-        s"n=${meta.getAs[Long]("n")} fp=${meta.getAs[String]("fp")}, the " +
-        s"corpus is now n=$n fp=$fp — the coarse ANN pass would silently " +
-        "miss every vector added or changed since the build; re-run " +
-        "savePrefix (or route this wave through the exact path)"
-    if (meta.getAs[Long]("n") != n || meta.getAs[String]("fp") != fp.toString)
-      throw new IllegalStateException(staleMsg)
+    if (idxN != n || idxFp.compareTo(fp) != 0)
+      throw new IllegalStateException(
+        s"prefix index at $path is STALE: committed batches cover " +
+          s"n=$idxN fp=$idxFp, the corpus is now n=$n fp=$fp — the coarse " +
+          "ANN pass would silently miss every vector added or changed " +
+          "since the last commit; appendBatchPrefix the missing wave, " +
+          "re-run savePrefix, or route this wave through the exact path")
     loadPrefix(spark, path)
       .withColumnRenamed("id", idCol)
       .withColumnRenamed("embedding", embCol)
+  }
+
+  /** Fold every committed prefix batch back into a single base partition
+    * — same maintenance contract as [[compactBm25]]. */
+  def compactPrefix(spark: SparkSession, path: String): Unit = {
+    val prefixDims = spark.read.parquet(s"$path/meta").head.getInt(0)
+    val snapshot = loadPrefix(spark, path)
+    val staged = s"$path/.compact"
+    // the marks' fingerprint hashed FULL vectors at commit time, and the
+    // snapshot rows are already sliced — so the fold PRESERVES the
+    // committed marks total rather than recomputing over narrow data
+    // (re-slicing at the same width is a no-op for the prefix rows)
+    val (n, fp) = prefixRecordedFingerprint(spark, path)
+    import spark.implicits._
+    writePrefixBatch(snapshot, "id", "embedding", prefixDims, staged,
+      batchId = -1L, overwriteAll = true)
+    Seq(prefixDims).toDF("prefix_dims")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staged/meta")
+    Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/marks")
+    swapStaged(spark, path, staged, Seq("prefix", "meta", "marks"))
   }
 }

@@ -687,11 +687,12 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
         .select("vec_id", "score").as[(Long, Double)].collect().toSeq
     // fresh build over exactly this corpus: check passes, routed == exact
     assert(routed(base) === exact(base))
-    // APPEND: the coarse pass would silently never see the new vectors —
-    // the guard must refuse instead
-    val grown = base.unionByName(base.limit(3)
-      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    // CORPUS GROWTH: the coarse pass would silently never see the new
+    // vectors — the guard must refuse instead
+    val wave = base.limit(3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
       .localCheckpoint(true)
+    val grown = base.unionByName(wave).localCheckpoint(true)
     val e1 = intercept[IllegalStateException] {
       IndexStore.loadPrefixChecked(spark, dir, grown, "vec_id", "embedding")
     }
@@ -703,8 +704,20 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(intercept[IllegalStateException] {
       IndexStore.loadPrefixChecked(spark, dir, mutated, "vec_id", "embedding")
     }.getMessage.contains("STALE"))
-    // rebuild over the grown corpus: the guard passes and routed == exact
-    // again — the refuse→rebuild lifecycle the guard exists to force
+    // the REPAIR path with work ∝ batch: append the wave's projection and
+    // its additive fingerprint delta — the guard passes and routed ==
+    // exact again, no corpus rescan, and a crash replay is a no-op
+    IndexStore.appendBatchPrefix(wave, "vec_id", "embedding", dir, batchId = 0L)
+    IndexStore.appendBatchPrefix(wave, "vec_id", "embedding", dir, batchId = 0L)
+    assert(routed(grown) === exact(grown))
+    // compaction folds batches without changing the answer or the guard
+    IndexStore.compactPrefix(spark, dir)
+    assert(routed(grown) === exact(grown))
+    // the ORIGINAL corpus no longer matches the grown index — refuse
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadPrefixChecked(spark, dir, base, "vec_id", "embedding")
+    }.getMessage.contains("STALE"))
+    // full rebuild also restores the contract (the --replace path)
     IndexStore.savePrefix(grown, "vec_id", "embedding", prefixDims = 32, dir)
     assert(routed(grown) === exact(grown))
     // a prefix without meta (interrupted build) is refused, not trusted
