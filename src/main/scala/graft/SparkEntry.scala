@@ -9,7 +9,7 @@ import graft.index.{IndexStore, Ivf, Pq}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
-import graft.search.{LateInteraction, Mmr, Negatives, Rerank, ScoreFusion, TextSearch, VectorSearch}
+import graft.search.{AnnPlanner, LateInteraction, Mmr, Negatives, Rerank, ScoreFusion, TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
 import graft.util.Tables
@@ -901,10 +901,15 @@ object SparkEntry {
       val p = s"${sys.props("java.io.tmpdir")}/graft_signlsh_${
         dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       IndexStore.saveSignLsh(
-        Dedup.signLshSketches(Tables.embeddings(spark, dir), "vec_id", "embedding", EmbDim), p)
+        Dedup.signLshSketches(Tables.embeddings(spark, dir), "vec_id", "embedding", EmbDim), p,
+        source = Some((Tables.embeddings(spark, dir), "vec_id", "embedding")))
       p
     })
-    IndexStore.loadSignLsh(spark, path)
+    // STALENESS GUARD ([[IndexStore.loadSignLshChecked]]): a screen against
+    // a sketch index missing newly-ingested vectors would silently never
+    // pair against them — refuse instead (the corpusIvfDisk discipline)
+    IndexStore.loadSignLshChecked(spark, path,
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
   }
 
   /** The DISK-persisted BM25 index, written once per (session, sfDir) via
@@ -921,10 +926,15 @@ object SparkEntry {
       val p = s"${sys.props("java.io.tmpdir")}/graft_bm25_${
         dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       IndexStore.saveBm25(
-        TextSearch.buildIndex(Tables.documents(spark, dir), "doc_id", "text"), p)
+        TextSearch.buildIndex(Tables.documents(spark, dir), "doc_id", "text"), p,
+        source = Some((Tables.documents(spark, dir), "doc_id", "text")))
       p
     })
-    IndexStore.loadBm25(spark, path)
+    // STALENESS GUARD ([[IndexStore.loadBm25Checked]]): searches against an
+    // index missing newly-ingested documents silently never surface them —
+    // refuse instead (the corpusIvfDisk discipline)
+    IndexStore.loadBm25Checked(spark, path,
+      Tables.documents(spark, dir), "doc_id", "text")
   }
 
   /** Index-backed BM25: same ranking as [[qBm25]], but served from the
@@ -1495,17 +1505,23 @@ object SparkEntry {
     * against it scan the cluster-partitioned assignments parquet, so a
     * sub-exhaustive probe reads ONLY the probed clusters' directories
     * (PartitionFilters pinned in PlanSpec) — the on-disk inverted-file
-    * story end-to-end. */
+    * story end-to-end. Saved WITH its source fingerprint and loaded
+    * through the STALENESS GUARD ([[IndexStore.loadIvfChecked]], the
+    * [[corpusMrlPrefixDisk]] discipline): an index outliving a corpus
+    * append refuses loudly instead of silently dropping the new vectors
+    * from every sub-exhaustive probe. */
   private val ivfDiskBuilt =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def corpusIvfDisk(spark: SparkSession, dir: String): Ivf.IvfIndex = {
     val path = ivfDiskBuilt.getOrElseUpdate((spark, dir), {
       val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_${
         dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      IndexStore.saveIvf(corpusIvf(spark, dir), p)
+      IndexStore.saveIvf(corpusIvf(spark, dir), p,
+        source = Some((Tables.embeddings(spark, dir), "vec_id", "embedding")))
       p
     })
-    IndexStore.loadIvf(spark, path)
+    IndexStore.loadIvfChecked(spark, path, Tables.embeddings(spark, dir),
+      "vec_id", "embedding")
   }
 
   /** 90% of the indexed mass — measured as the shallowest round fraction
@@ -1620,10 +1636,15 @@ object SparkEntry {
     val path = pqDiskBuilt.getOrElseUpdate((spark, dir), {
       val p = s"${sys.props("java.io.tmpdir")}/graft_pq_${
         dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      IndexStore.savePq(corpusPq(spark, dir), p)
+      IndexStore.savePq(corpusPq(spark, dir), p,
+        source = Some((Tables.embeddings(spark, dir), "vec_id", "embedding")))
       p
     })
-    IndexStore.loadPq(spark, path)
+    // STALENESS GUARD ([[IndexStore.loadPqChecked]]): an ADC scan against a
+    // codes table missing newly-ingested vectors silently never ranks them —
+    // refuse instead (the corpusIvfDisk discipline)
+    IndexStore.loadPqChecked(spark, path,
+      Tables.embeddings(spark, dir), "vec_id", "embedding")
   }
 
   /** Index-backed PQ ANN: same top-k as [[qAnnPq]], but ADC-scanned against
@@ -1706,6 +1727,69 @@ object SparkEntry {
       VectorSearch.knn(e, "vec_id", "embedding", flagshipQueryVec, k = 10)
         .select("vec_id", "score"),
       "sub-exhaustive MRL prefix overfetch")
+  }
+
+  /** The PLANNER-DRIVEN probe — [[AnnPlanner.planKnn]] prices all four
+    * physical top-k paths (exact scan, IVF probe, PQ ADC scan, MRL
+    * prefix pass) from the corpus's own (n, dim), the fixture's measured
+    * covering depths, and the full persisted asset set (IVF + PQ + MRL
+    * prefix), then [[AnnPlanner.execute]] runs the winner — the ANN twin
+    * of [[qNeardupCosinePlan]]: no human picked the path, the cost table
+    * did (PQ's ADC scan at both driver SFs: codes are 8 ints vs 64
+    * doubles, so n·m + overfetch·dim undercuts every float-scan path).
+    * Same [[selfChecked]] routed==exact gate and exact-kNN SQL oracle as
+    * the fixed-path index queries; the planned depths equal the measured
+    * covering constants those queries ship, so the gate checks the
+    * PLANNER's output end-to-end, not a human-chosen fallback. */
+  private def qAnnPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val ivf = corpusIvfDisk(spark, dir)
+    val pq = corpusPqDisk(spark, dir)
+    val prefix = corpusMrlPrefixDisk(spark, dir)
+    val plan = AnnPlanner.planKnn(n, ivf.dim, k = 10,
+      assets = AnnPlanner.AnnAssets(ivfClusters = ivf.centroids.size,
+        pqM = pq.m, prefixDims = MrlPrefixDims),
+      pqKsub = pq.ksub)
+    selfChecked(
+      AnnPlanner.execute(plan, e, "vec_id", "embedding", flagshipQueryVec,
+          k = 10, ivf = Some(ivf), pq = Some(pq), prefixRel = Some(prefix))
+        .select("vec_id", "score"),
+      VectorSearch.knn(e, "vec_id", "embedding", flagshipQueryVec, k = 10)
+        .select("vec_id", "score"),
+      s"q_ann_plan planned path ${plan.path} " +
+        s"(nc=${plan.numCandidates}, of=${plan.overfetch})")
+  }
+
+  /** The planner's FILTERED-ANN break-even, executed: with the measured
+    * `label = 3` selectivity (~0.10 on the driver corpora) the filtered
+    * exact scan prices sel·n·dim while every routed path still pays full
+    * coarse depth ([[Ivf.ann]] filters after the member join;
+    * [[VectorSearch.knnPrefix]] refuses a post-filter against a persisted
+    * prefix), so [[AnnPlanner.planKnn]] flips to `exactScan` — the
+    * decision Atlas documents as prose, here arithmetic, and gate-checked:
+    * the executed plan IS exact over the filtered corpus, so the filtered
+    * exact-kNN SQL is a full oracle (the [[qAnnIvfFiltered]] contract).
+    * The path require makes planner drift loud rather than silently
+    * shipping a routed plan whose recall under filtering nobody measured. */
+  private def qAnnPlanFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val sel = e.where(col("label") === 3).count().toDouble / n
+    val ivf = corpusIvfDisk(spark, dir)
+    val pq = corpusPqDisk(spark, dir)
+    val plan = AnnPlanner.planKnn(n, ivf.dim, k = 10,
+      assets = AnnPlanner.AnnAssets(ivfClusters = ivf.centroids.size,
+        pqM = pq.m, prefixDims = MrlPrefixDims),
+      filterSelectivity = Some(sel), pqKsub = pq.ksub)
+    require(plan.path == "exactScan",
+      s"q_ann_plan_filtered expected the filtered exact scan at " +
+        f"selectivity $sel%.3f, planner chose ${plan.path} — the filtered " +
+        "oracle would not be valid for a sub-exhaustive routed plan")
+    AnnPlanner.execute(plan, e, "vec_id", "embedding", flagshipQueryVec,
+        k = 10, preFilter = Some(col("label") === 3),
+        ivf = Some(ivf), pq = Some(pq))
+      .select("vec_id", "score")
   }
 
   /** Index-backed IVF ANN: same top-k as [[qAnnIvf]], but probed against
@@ -2043,6 +2127,8 @@ object SparkEntry {
     "q_ann_ivf_idx" -> ((s, dir) => qAnnIvfIdx(s, dir)),
     "q_ann_ivf_filtered" -> ((s, dir) => qAnnIvfFiltered(s, dir)),
     "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
+    "q_ann_plan" -> ((s, dir) => qAnnPlan(s, dir)),
+    "q_ann_plan_filtered" -> ((s, dir) => qAnnPlanFiltered(s, dir)),
     "q_rerank" -> ((s, dir) => qRerank(s, dir)),
     "q_mmr" -> ((s, dir) => qMmr(s, dir)),
     "q_hard_negatives" -> ((s, dir) => qHardNegatives(s, dir)),
@@ -2407,6 +2493,27 @@ object SparkEntry {
          |  SELECT vec_id,
          |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
          |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // valid because the planner-dispatched routed plan self-verifies
+    // routed == exact on every run (see qAnnPlan scaladoc)
+    "q_ann_plan" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // valid because the planner provably picks the filtered exact scan
+    // (path require in qAnnPlanFiltered) — filter BEFORE top-k, the
+    // q_ann_ivf_filtered placement
+    "q_ann_plan_filtered" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings WHERE label = 3
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,

@@ -196,7 +196,25 @@ object Planner {
         plan.bands, plan.rows)
     case other => throw new IllegalArgumentException(
       s"plan path '$other' needs caller-held state (e.g. an IVF index); " +
-        "call the Dedup entry point directly")
+        "call the Dedup entry point directly, or executeWithIndex")
+  }
+
+  /** [[execute]] for a caller who HOLDS an IVF index — completes the
+    * plan→engine link for the one [[planCosine]] regime `execute` cannot
+    * dispatch: below the selective floor with `ivfAvailable = true` the
+    * plan recommends [[Dedup.semanticPairs]] (SemDeDup's cluster-scoped
+    * verify), which needs the index itself, not just (bands, rows).
+    * Index-free plans fall through to [[execute]] unchanged, so a caller
+    * with an index can dispatch EVERY [[CosinePlan]] through this one
+    * entry point. Plan with `ivfAvailable = true` iff you will call this
+    * — planning index-free and executing with an index (or vice versa)
+    * silently changes which regime the threshold lands in. */
+  def executeWithIndex(plan: CosinePlan, index: graft.index.Ivf.IvfIndex,
+      embs: DataFrame, idCol: String, embCol: String, threshold: Double,
+      dim: Int, seed: Long = 42L): DataFrame = plan.path match {
+    case "semanticPairs" =>
+      Dedup.semanticPairs(index, embs, idCol, embCol, threshold)
+    case _ => execute(plan, embs, idCol, embCol, threshold, dim, seed)
   }
 
   /** One executable INCREMENTAL (daily-ingest) screen recommendation —

@@ -47,8 +47,22 @@ object IndexStore {
   // committed batches back into a single base partition so file counts and
   // the term_df merge stay bounded under long-running streams.
 
-  def saveBm25(index: Bm25Index, path: String): Unit =
+  /** Persist a built BM25 index. Pass `source` — the (docs, idCol,
+    * textCol) the index was built FROM — to also record the corpus
+    * fingerprint [[loadBm25Checked]] verifies (the shared fprint
+    * machinery below; [[createBm25]] always records it because it holds
+    * the docs). */
+  def saveBm25(index: Bm25Index, path: String,
+      source: Option[(org.apache.spark.sql.DataFrame, String, String)] = None)
+      : Unit = {
     writeBase(index, path)
+    source match {
+      case Some((docs, idCol, textCol)) =>
+        writeFprintDelta(docs, idCol, textCol, path, batchId = -1L,
+          overwriteAll = true)
+      case None => clearFprint(index.postings.sparkSession, path)
+    }
+  }
 
   /** Write `index` as a fresh base (single batch = -1) under `path`,
     * replacing whatever was there (S7 `--replace` semantics). */
@@ -127,6 +141,10 @@ object IndexStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
       .parquet(s"$path/term_df")
+    // fingerprint delta BEFORE the stats commit marker (fprint machinery
+    // comment below) — hashed from the raw batch (id, text)
+    writeFprintDelta(batch.select(col(idCol), col(textCol)), idCol,
+      textCol, path, batchId, overwriteAll = false)
     Seq((delta.numDocs, totalDl(delta), batchId))
       .toDF("num_docs", "total_dl", "batch")
       .write.mode(SaveMode.Overwrite)
@@ -172,12 +190,27 @@ object IndexStore {
       if (numDocs == 0) 0.0 else totalDl / numDocs)
   }
 
-  /** Build-and-persist in one step (the `indexes.py` CLI shape). */
+  /** Build-and-persist in one step (the `indexes.py` CLI shape). Always
+    * records the [[loadBm25Checked]] staleness fingerprint — the source
+    * docs are in hand. */
   def createBm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, path: String): Bm25Index = {
     val idx = TextSearch.buildIndex(docs, idCol, textCol)
-    saveBm25(idx, path)
+    saveBm25(idx, path, source = Some((docs, idCol, textCol)))
     loadBm25(docs.sparkSession, path)
+  }
+
+  /** [[loadBm25]] with the STALENESS GUARD (shared fprint machinery
+    * below): a BM25 search against an index missing newly-ingested
+    * documents silently never surfaces them — refuse a corpus mismatch
+    * loudly instead, per ingest wave. */
+  def loadBm25Checked(spark: SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): Bm25Index = {
+    requireFresh("BM25", path, recordedFprint(spark, path, s"$path/stats"),
+      docs, idCol, textCol,
+      "appendBatchBm25 the missing wave or rebuild with createBm25")
+    loadBm25(spark, path)
   }
 
   /** Fold every committed batch back into a single base partition —
@@ -220,7 +253,9 @@ object IndexStore {
     val snapshot = loadBm25(spark, path)
     val staged = s"$path/.compact"
     writeBase(snapshot, staged)
-    swapStaged(spark, path, staged, Seq("postings", "term_df", "stats"))
+    val fprintDirs = stageFprint(spark, path, s"$path/stats", staged)
+    swapStaged(spark, path, staged,
+      Seq("postings", "term_df", "stats") ++ fprintDirs)
   }
 
   // -------------------------------------------------------------- sign-LSH
@@ -247,12 +282,22 @@ object IndexStore {
     * this is the difference between re-sketching 100 TB of vectors per
     * dedup run and reading a ~32·bands-bytes-per-vector side table.
     * Overwrite = S7 `--replace` (replaces ALL batches). */
-  def saveSignLsh(banded: org.apache.spark.sql.DataFrame, path: String): Unit = {
+  def saveSignLsh(banded: org.apache.spark.sql.DataFrame, path: String,
+      source: Option[(org.apache.spark.sql.DataFrame, String, String)] = None)
+      : Unit = {
     val spark = banded.sparkSession
     import spark.implicits._
     banded.withColumn("batch", lit(-1L))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "band")
       .parquet(s"$path/sketches")
+    // source = the (embs, idCol, embCol) the sketches derive from: records
+    // the loadSignLshChecked staleness fingerprint (fprint machinery)
+    source match {
+      case Some((embs, idCol, embCol)) =>
+        writeFprintDelta(embs, idCol, embCol, path, batchId = -1L,
+          overwriteAll = true)
+      case None => clearFprint(spark, path)
+    }
     Seq((1, -1L)).toDF("ok", "batch")
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$path/commits")
@@ -274,6 +319,9 @@ object IndexStore {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "band")
       .parquet(s"$path/sketches")
+    // fingerprint delta BEFORE the commit marker (fprint machinery)
+    writeFprintDelta(batch.select(col(idCol), col(embCol)), idCol, embCol,
+      path, batchId, overwriteAll = false)
     Seq((1, batchId)).toDF("ok", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -305,13 +353,28 @@ object IndexStore {
       .where(col("batch").cast("long").isin(batches: _*)).drop("batch")
   }
 
+  /** [[loadSignLsh]] with the STALENESS GUARD (fprint machinery): a
+    * dedup screen against a sketch index missing newly-ingested vectors
+    * silently never pairs against them — refuse a corpus mismatch
+    * loudly instead, per ingest wave. */
+  def loadSignLshChecked(spark: SparkSession, path: String,
+      embs: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String): org.apache.spark.sql.DataFrame = {
+    requireFresh("sign-LSH", path,
+      recordedFprint(spark, path, s"$path/commits"), embs, idCol, embCol,
+      "appendBatchSignLsh the missing wave or rebuild with saveSignLsh" +
+        "(source = ...)")
+    loadSignLsh(spark, path)
+  }
+
   /** Fold every committed sketch batch back into a single base partition —
     * same maintenance contract (and offline-window caveat) as
-    * [[compactBm25]]. */
+    * [[compactBm25]]; a recorded fingerprint survives the fold. */
   def compactSignLsh(spark: SparkSession, path: String): Unit = {
     val staged = s"$path/.compact"
     saveSignLsh(loadSignLsh(spark, path), staged)
-    swapStaged(spark, path, staged, Seq("sketches", "commits"))
+    val fprintDirs = stageFprint(spark, path, s"$path/commits", staged)
+    swapStaged(spark, path, staged, Seq("sketches", "commits") ++ fprintDirs)
   }
 
   // ----------------------------------------------------- containment prefix
@@ -887,13 +950,28 @@ object IndexStore {
   // the way every IVF deployment handles it: periodic offline re-train
   // (Ivf.build + saveIvf), not incremental centroid updates.
 
-  def saveIvf(index: Ivf.IvfIndex, path: String): Unit = {
+  /** Persist a built IVF index. Pass `source` — the (embs, idCol, embCol)
+    * the index was built FROM — to also record the corpus fingerprint
+    * that [[loadIvfChecked]] verifies (the [[savePrefix]] staleness
+    * discipline; same additive (n, Σ xxhash64(id, vector)) marks). An
+    * index saved WITHOUT a source has no fingerprint and the checked
+    * loader refuses it with rebuild guidance — the unchecked [[loadIvf]]
+    * is unaffected either way. */
+  def saveIvf(index: Ivf.IvfIndex, path: String,
+      source: Option[(org.apache.spark.sql.DataFrame, String, String)] = None)
+      : Unit = {
     val spark = index.assignments.sparkSession
     import spark.implicits._
     index.assignments
       .withColumn("batch", lit(-1L))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "cluster")
       .parquet(s"$path/assignments")
+    source match {
+      case Some((embs, idCol, embCol)) =>
+        writeFprintDelta(embs, idCol, embCol, path, batchId = -1L,
+          overwriteAll = true)
+      case None => clearFprint(spark, path)
+    }
     index.centroids.toSeq
       .map { case (cid, c) => (cid, c.toSeq) }
       .toDF("cluster", "centroid")
@@ -912,6 +990,70 @@ object IndexStore {
       .toDF("cluster", "size", "radius", "batch")
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$path/sizes")
+  }
+
+  /** Build, persist, and fingerprint in one call — the [[createBm25]]
+    * ergonomics for the vector index: because the source corpus is in
+    * hand, the [[loadIvfChecked]] staleness fingerprint is always
+    * recorded (a bare [[saveIvf]] of a pre-built index can't compute it —
+    * assignments carry no vectors). */
+  def createIvf(embs: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, path: String, numClusters: Int = 0, seed: Long = 42L,
+      metric: String = "cosine"): Ivf.IvfIndex = {
+    val index = Ivf.build(embs, idCol, embCol, numClusters, seed, metric)
+    saveIvf(index, path, source = Some((embs, idCol, embCol)))
+    index
+  }
+
+  // -------------------- shared staleness-fingerprint (fprint) machinery
+  //
+  // Every derived index family has the SAME failure mode: the index is
+  // pure derived data with no lifecycle of its own, so after an unindexed
+  // corpus append/update, probes silently lose results — no error, no
+  // wrong hash, just missing rows (a sub-exhaustive IVF probe never sees
+  // the new vectors; a BM25 search never surfaces the new documents; a
+  // dedup screen never pairs against them). The guard is one sidecar
+  // table per index:
+  //
+  //   fprint/batch=N/  (n, fp) — per-batch (count, Σ xxhash64(id, content))
+  //                    DELTA over the SOURCE rows the batch indexed
+  //
+  // Additive: the index total is the sum over committed marks, so a daily
+  // append updates the fingerprint with work ∝ batch, never a corpus
+  // rescan. Content-sensitive: appends, deletions AND in-place mutations
+  // all change it. "Committed" is keyed by each family's existing commit
+  // marker (sizes/stats/commits/counts); fprint is written BEFORE the
+  // marker on appends, so a crash between the two leaves an uncommitted
+  // fprint partition no checked loader reads, and a replay dynamically
+  // overwrites it. The load*Checked variants recompute the corpus side
+  // (one map-side-combinable aggregation) and refuse a mismatch with the
+  // repair instruction: at 100 TB run the check per ingest wave, not per
+  // query — per-query callers use the unchecked loaders and rely on
+  // wave-time checks. (The Matryoshka prefix family predates this block
+  // and keeps its own marks table, which doubles as its commit marker —
+  // same arithmetic, same contract.)
+
+  /** A base save WITHOUT a source must drop any previous fingerprint: a
+    * rebuilt index over a changed corpus would otherwise inherit the OLD
+    * corpus's marks — leaving it wrongly checkable (or wrongly refused)
+    * instead of honestly uncheckable. */
+  private def clearFprint(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/fprint"), true)
+  }
+
+  /** Write one batch's fingerprint delta over the source rows it indexed. */
+  private def writeFprintDelta(src: org.apache.spark.sql.DataFrame,
+      idCol: String, contentCol: String, path: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    val (n, fp) = corpusFingerprint(src, idCol, contentCol)
+    val w = Seq((n, fp.toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/fprint")
   }
 
   /** Assign one micro-batch of NEW vectors (R17 skip-existing contract) to
@@ -955,6 +1097,11 @@ object IndexStore {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val radiiDelta = Ivf.clusterRadii(assigned, "cluster", "__emb", centroids)
     assigned.unpersist()
+    // fingerprint delta BEFORE the sizes commit marker (fprint machinery
+    // comment) — hashed from the raw batch, so the checked loader's
+    // corpus-side recompute sees identical (id, vector) bytes
+    writeFprintDelta(batch.select(col(idCol), col(embCol)), idCol,
+      embCol, path, batchId, overwriteAll = false)
     sizesDelta.toSeq.map { case (cid, n) =>
         (cid, n, radiiDelta.getOrElse(cid, Ivf.TrivialRadius), batchId) }
       .toDF("cluster", "size", "radius", "batch")
@@ -1018,14 +1165,99 @@ object IndexStore {
       ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"), radii)
   }
 
+  /** An index's recorded fingerprint: Σ of committed batches' (n, fp)
+    * deltas, where "committed" is keyed by the family's commit marker
+    * (`markerDir` — fprint rows for uncommitted batches are invisible).
+    * Returns None when any committed batch lacks a fprint row — an index
+    * saved without a source or appended before fingerprints existed
+    * cannot be checked, only rebuilt. */
+  private def recordedFprint(spark: SparkSession, path: String,
+      markerDir: String): Option[(Long, java.math.BigDecimal)] = {
+    val batches = committedBatches(spark, markerDir)
+    if (!hasDataFiles(spark, s"$path/fprint")) return None
+    val fpDf = spark.read.parquet(s"$path/fprint")
+      .where(col("batch").cast("long").isin(batches: _*))
+    val covered = fpDf.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (!batches.forall(covered)) return None
+    val r = fpDf.agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+    Some((if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)))
+  }
+
+  /** The shared refuse-or-pass decision for every load*Checked variant:
+    * compare the recorded fingerprint against the current corpus and
+    * throw with the family's repair instruction on any mismatch. */
+  private def requireFresh(family: String, path: String,
+      recorded: Option[(Long, java.math.BigDecimal)],
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      contentCol: String, repairHint: String): Unit = {
+    val rec = recorded.getOrElse(throw new IllegalStateException(
+      s"$family index at $path has no complete fingerprint record — it " +
+        "was saved without its source corpus (save with source = ...) or " +
+        "predates fingerprinting; rebuild passing the source to make " +
+        "staleness checkable"))
+    val (n, fp) = corpusFingerprint(corpus, idCol, contentCol)
+    if (rec._1 != n || rec._2.compareTo(fp) != 0)
+      throw new IllegalStateException(
+        s"$family index at $path is STALE: committed batches cover " +
+          s"n=${rec._1} fp=${rec._2}, the corpus is now n=$n fp=$fp — " +
+          s"probes would silently miss every row added or changed since " +
+          s"the last commit; $repairHint")
+  }
+
+  /** Preserve a recorded fingerprint through a compaction fold: the
+    * staged dir gets the summed committed total as its single base mark
+    * (the [[compactPrefix]] discipline — a fold must not lose
+    * checkability). Returns the swap-dir suffix to append. */
+  private def stageFprint(spark: SparkSession, path: String,
+      markerDir: String, staged: String): Seq[String] = {
+    recordedFprint(spark, path, markerDir) match {
+      case None => Nil
+      case Some((n, fp)) =>
+        import spark.implicits._
+        Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
+          .write.mode(SaveMode.Overwrite).partitionBy("batch")
+          .parquet(s"$staged/fprint")
+        Seq("fprint")
+    }
+  }
+
+  /** [[loadIvf]] with the STALENESS GUARD — the [[loadPrefixChecked]]
+    * contract for the vector index: recomputes the fingerprint of
+    * `corpus` and refuses, loudly and with the repair instruction, if it
+    * differs from the committed batches' summed deltas. A sub-exhaustive
+    * probe against an index missing newly-appended vectors loses recall
+    * with no error and no wrong hash ([[graft.index.Ivf.knnJoin]]'s
+    * index-coverage contract — its `coverageHoles` check runs only under
+    * the Verify self-check), so production ingest waves load through
+    * THIS and get staleness as an exception instead of silence. Detects
+    * appends, deletions AND in-place vector mutations (an assignment
+    * computed from a vector that has since changed is exactly as stale
+    * as a missing one). */
+  def loadIvfChecked(spark: SparkSession, path: String,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String): Ivf.IvfIndex = {
+    requireFresh("IVF", path, recordedFprint(spark, path, s"$path/sizes"),
+      corpus, idCol, embCol,
+      "appendBatchIvf the missing wave, re-train (createIvf), or route " +
+        "this wave through the exact path")
+    loadIvf(spark, path)
+  }
+
   /** Fold every committed batch back into a single base partition — same
     * maintenance contract (and offline-window caveat) as [[compactBm25]].
-    * Folding does NOT re-train centroids; that is a fresh `Ivf.build`. */
+    * Folding does NOT re-train centroids; that is a fresh `Ivf.build`.
+    * A recorded fingerprint survives the fold as the summed committed
+    * total (the [[compactPrefix]] discipline — the fold must not lose
+    * checkability). */
   def compactIvf(spark: SparkSession, path: String): Unit = {
     val snapshot = loadIvf(spark, path)
     val staged = s"$path/.compact"
     saveIvf(snapshot, staged)
-    swapStaged(spark, path, staged, Seq("assignments", "centroids", "meta", "sizes"))
+    val fprintDirs = stageFprint(spark, path, s"$path/sizes", staged)
+    swapStaged(spark, path, staged,
+      Seq("assignments", "centroids", "meta", "sizes") ++ fprintDirs)
   }
 
   // -------------------------------------------------------------------- PQ
@@ -1053,12 +1285,23 @@ object IndexStore {
   // empty-path first batch. Codebook drift under sustained appends is the
   // offline re-train's job (Pq.build + savePq), mirroring Faiss practice.
 
-  def savePq(index: Pq.PqIndex, path: String): Unit = {
+  /** Persist a built PQ index. Pass `source` — the (embs, idCol, embCol)
+    * the codes were encoded FROM — to also record the corpus fingerprint
+    * [[loadPqChecked]] verifies (shared fprint machinery). */
+  def savePq(index: Pq.PqIndex, path: String,
+      source: Option[(org.apache.spark.sql.DataFrame, String, String)] = None)
+      : Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
     index.codes
       .withColumn("batch", lit(-1L))
       .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(s"$path/codes")
+    source match {
+      case Some((embs, idCol, embCol)) =>
+        writeFprintDelta(embs, idCol, embCol, path, batchId = -1L,
+          overwriteAll = true)
+      case None => clearFprint(spark, path)
+    }
     index.codebooks.zipWithIndex
       .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) } }
       .toSeq.toDF("subspace", "code", "centroid")
@@ -1109,6 +1352,9 @@ object IndexStore {
     // encode job a second time just for the marker
     val written = spark.read.parquet(s"$path/codes")
       .where(col("batch") === batchId).count()
+    // fingerprint delta BEFORE the counts commit marker (fprint machinery)
+    writeFprintDelta(batch.select(col(idCol), col(embCol)), idCol, embCol,
+      path, batchId, overwriteAll = false)
     Seq((written, batchId)).toDF("n", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -1148,14 +1394,31 @@ object IndexStore {
       ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"), n)
   }
 
+  /** [[loadPq]] with the STALENESS GUARD (fprint machinery): an ADC scan
+    * against a codes table missing newly-ingested vectors silently never
+    * ranks them — refuse a corpus mismatch loudly instead, per ingest
+    * wave. */
+  def loadPqChecked(spark: SparkSession, path: String,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String): Pq.PqIndex = {
+    requireFresh("PQ", path, recordedFprint(spark, path, s"$path/counts"),
+      corpus, idCol, embCol,
+      "appendBatchPq the missing wave or re-train (Pq.build + savePq" +
+        "(source = ...))")
+    loadPq(spark, path)
+  }
+
   /** Fold every committed batch back into a single base partition — same
     * maintenance contract (and offline-window caveat) as [[compactBm25]].
-    * Folding does NOT re-train codebooks; that is a fresh `Pq.build`. */
+    * Folding does NOT re-train codebooks; that is a fresh `Pq.build`.
+    * A recorded fingerprint survives the fold. */
   def compactPq(spark: SparkSession, path: String): Unit = {
     val snapshot = loadPq(spark, path)
     val staged = s"$path/.compact"
     savePq(snapshot, staged)
-    swapStaged(spark, path, staged, Seq("codes", "codebooks", "meta", "counts"))
+    val fprintDirs = stageFprint(spark, path, s"$path/counts", staged)
+    swapStaged(spark, path, staged,
+      Seq("codes", "codebooks", "meta", "counts") ++ fprintDirs)
   }
 
   // ----------------------------------------------------- Matryoshka prefix

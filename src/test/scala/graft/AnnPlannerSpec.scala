@@ -1,0 +1,141 @@
+package graft
+
+import graft.index.{Ivf, Pq}
+import graft.search.{AnnPlanner, VectorSearch}
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ANN physical-path planner: cost-table consistency (the winner IS
+  * the argmin of the published table), regime flips (exact contract,
+  * filtered break-even, asset availability, trained-vs-untrained
+  * depths), and the executable link — every dispatchable path, run
+  * through AnnPlanner.execute with the planner's own knobs, equals the
+  * direct engine call and (at covering depth) the exact scan. */
+class AnnPlannerSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val embs = Tables.embeddings(spark, Sf0001)
+  private lazy val n = embs.count()
+  private lazy val ivf = Ivf.build(embs, "vec_id", "embedding")
+  private lazy val pq = Pq.build(embs, "vec_id", "embedding")
+  private val dim = 64
+  private val queryVec = graft.embed.Embedder.default.embed("planner probe")
+  private def fullAssets = AnnPlanner.AnnAssets(
+    ivfClusters = ivf.centroids.size, pqM = pq.m, prefixDims = 32)
+
+  test("the winner is the argmin of the plan's own published cost table") {
+    val plan = AnnPlanner.planKnn(n, dim, k = 10, assets = fullAssets)
+    assert(plan.costs.nonEmpty)
+    val (bestPath, bestCost) = plan.costs.minBy(_._2)
+    assert(plan.path === bestPath)
+    assert(plan.estimatedScanUnits === bestCost)
+    // all four paths were priced (three assets + the exact baseline)
+    assert(plan.costs.map(_._1).toSet ===
+      Set("exactScan", "ivfProbe", "pqAdc", "mrlPrefix"))
+  }
+
+  test("no assets -> exact scan is the only path") {
+    val plan = AnnPlanner.planKnn(n, dim, k = 10)
+    assert(plan.path === "exactScan")
+    assert(plan.costs.map(_._1) === Seq("exactScan"))
+  }
+
+  test("exact contract overrides the cost table") {
+    val plan = AnnPlanner.planKnn(n, dim, k = 10, assets = fullAssets,
+      exact = true)
+    assert(plan.path === "exactScan")
+    // the cost table is still published — the caller sees what exactness cost
+    assert(plan.costs.size === 4)
+  }
+
+  test("a selective filter flips the winner to the filtered exact scan") {
+    val unfiltered = AnnPlanner.planKnn(n, dim, k = 10, assets = fullAssets)
+    assert(unfiltered.path !== "exactScan",
+      "fixture premise: some routed path beats the unfiltered scan")
+    val filtered = AnnPlanner.planKnn(n, dim, k = 10, assets = fullAssets,
+      filterSelectivity = Some(0.05))
+    assert(filtered.path === "exactScan")
+    assert(filtered.rationale.exists(_.contains("filter selectivity")))
+  }
+
+  test("trained (shallow) depths flip the winner at cluster scale") {
+    // untrained posture at 1e9 x 1024: every approximate path is dominated
+    // by its fraction-of-n coarse stage; trained depths (1% covering) make
+    // the IVF probe the clear winner over both the scan and the ADC path
+    val big = AnnPlanner.AnnAssets(ivfClusters = 31623L, pqM = 8,
+      prefixDims = 64)
+    val shallow = AnnPlanner.planKnn(1000000000L, 1024, k = 10, assets = big,
+      depths = AnnPlanner.AnnDepths(ivfMassFraction = 0.01,
+        pqOverfetchFraction = 0.01, mrlOverfetchFraction = 0.01))
+    assert(shallow.path === "ivfProbe")
+    // and the planned probe mass is the fraction the caller measured
+    assert(shallow.numCandidates === 10000000)
+  }
+
+  test("executable link: every dispatched path matches the direct engine call") {
+    val plan = AnnPlanner.planKnn(n, dim, k = 5, assets = fullAssets)
+    val viaPlanner = AnnPlanner.execute(plan, embs, "vec_id", "embedding",
+        queryVec, k = 5, ivf = Some(ivf), pq = Some(pq))
+      .select("vec_id", "score").collect().toSeq
+    val direct = plan.path match {
+      case "pqAdc" =>
+        Pq.ann(pq, embs, "vec_id", "embedding", queryVec, k = 5,
+          overfetch = plan.overfetch)
+      case "ivfProbe" =>
+        Ivf.ann(ivf, embs, "vec_id", "embedding", queryVec, k = 5,
+          numCandidates = plan.numCandidates)
+      case "mrlPrefix" =>
+        VectorSearch.knnPrefix(embs, "vec_id", "embedding", queryVec, k = 5,
+          prefixDims = plan.prefixDims, overfetch = plan.overfetch)
+      case _ =>
+        VectorSearch.knn(embs, "vec_id", "embedding", queryVec, k = 5)
+    }
+    assert(viaPlanner === direct.select("vec_id", "score").collect().toSeq)
+    // and at the fixture's covering depths the routed result IS exact
+    assert(viaPlanner ===
+      VectorSearch.knn(embs, "vec_id", "embedding", queryVec, k = 5)
+        .select("vec_id", "score").collect().toSeq)
+  }
+
+  test("execute: the filtered exact plan prunes before top-k") {
+    val plan = AnnPlanner.planKnn(n, dim, k = 5, assets = fullAssets,
+      filterSelectivity = Some(0.1))
+    assert(plan.path === "exactScan")
+    val got = AnnPlanner.execute(plan, embs, "vec_id", "embedding",
+        queryVec, k = 5, preFilter = Some(col("label") === 3))
+      .select("vec_id", "score").collect().toSeq
+    val want = VectorSearch.knn(embs.where(col("label") === 3), "vec_id",
+        "embedding", queryVec, k = 5)
+      .select("vec_id", "score").collect().toSeq
+    assert(got === want)
+    assert(got.size === 5, "pre-filter placement must not truncate below k")
+  }
+
+  test("execute refuses a plan whose asset is missing — no silent fallback") {
+    val plan = AnnPlanner.planKnn(n, dim, k = 5, assets = fullAssets)
+    assert(plan.path === "pqAdc", "fixture premise: ADC wins at this scale")
+    val e = intercept[IllegalArgumentException] {
+      AnnPlanner.execute(plan, embs, "vec_id", "embedding", queryVec, k = 5)
+    }
+    assert(e.getMessage.contains("no PQ index"))
+  }
+
+  test("degenerate inputs fail loudly") {
+    intercept[IllegalArgumentException] {
+      AnnPlanner.planKnn(0L, dim, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      AnnPlanner.planKnn(n, dim, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      AnnPlanner.planKnn(n, dim, k = 10, filterSelectivity = Some(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      AnnPlanner.planKnn(n, dim, k = 10,
+        assets = AnnPlanner.AnnAssets(prefixDims = dim + 1))
+    }
+    intercept[IllegalArgumentException] {
+      AnnPlanner.AnnDepths(ivfMassFraction = 0.0)
+    }
+  }
+}

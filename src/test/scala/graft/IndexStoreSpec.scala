@@ -728,4 +728,144 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       IndexStore.loadPrefixChecked(spark, dir2, base, "vec_id", "embedding")
     }.getMessage.contains("never completed"))
   }
+
+  test("IVF staleness guard: append/mutation detected loudly; repair at batch cost keeps probes exact") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("ivfguard").toString
+    val base = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    // createIvf = build + save + fingerprint in one call
+    IndexStore.createIvf(base, "vec_id", "embedding", dir, numClusters = 8)
+    def routed(corpus: org.apache.spark.sql.DataFrame) =
+      Ivf.ann(IndexStore.loadIvfChecked(spark, dir, corpus, "vec_id",
+          "embedding"), corpus, "vec_id", "embedding", query, k = 10,
+          numCandidates = Int.MaxValue, forceRoute = true)
+        .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    def exact(corpus: org.apache.spark.sql.DataFrame) =
+      VectorSearch.knn(corpus, "vec_id", "embedding", query, k = 10)
+        .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(routed(base) === exact(base))
+    // CORPUS GROWTH: a sub-exhaustive probe would silently never surface
+    // the new vectors (the knnJoin index-coverage contract) — refuse
+    val wave = base.limit(3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .localCheckpoint(true)
+    val grown = base.unionByName(wave).localCheckpoint(true)
+    val e1 = intercept[IllegalStateException] {
+      IndexStore.loadIvfChecked(spark, dir, grown, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("STALE") &&
+      e1.getMessage.contains("appendBatchIvf"))
+    // IN-PLACE MUTATION at unchanged count: an assignment computed from a
+    // vector that has since changed is exactly as stale as a missing one
+    val mutated = base
+      .select($"vec_id", transform($"embedding", x => x * 2.0d).as("embedding"))
+      .localCheckpoint(true)
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadIvfChecked(spark, dir, mutated, "vec_id", "embedding")
+    }.getMessage.contains("STALE"))
+    // REPAIR at batch cost: append the wave (fprint delta rides the same
+    // commit), crash replay is a no-op, probes are exact again
+    IndexStore.appendBatchIvf(wave, "vec_id", "embedding", dir, batchId = 0L)
+    IndexStore.appendBatchIvf(wave, "vec_id", "embedding", dir, batchId = 0L)
+    assert(routed(grown) === exact(grown))
+    // compaction preserves the summed fingerprint — still checkable
+    IndexStore.compactIvf(spark, dir)
+    assert(routed(grown) === exact(grown))
+    // the ORIGINAL corpus no longer matches the grown index — refuse
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadIvfChecked(spark, dir, base, "vec_id", "embedding")
+    }.getMessage.contains("STALE"))
+    // an index saved WITHOUT its source has no fingerprint: the checked
+    // loader refuses with rebuild guidance instead of guessing
+    val dir2 = Files.createTempDirectory("ivfguard2").toString
+    IndexStore.saveIvf(Ivf.build(base, "vec_id", "embedding",
+      numClusters = 8), dir2)
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadIvfChecked(spark, dir2, base, "vec_id", "embedding")
+    }.getMessage.contains("fingerprint"))
+    // ...while the unchecked loader still works for per-query callers
+    assert(IndexStore.loadIvf(spark, dir2).sizes.values.sum === base.count())
+  }
+
+  test("BM25/PQ/sign-LSH staleness guards: stale refuses, append repairs, compaction keeps checkability") {
+    import org.apache.spark.sql.functions._
+    // --- BM25 (text content) ---
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .localCheckpoint(true)
+    val dWave = docs.limit(2)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .localCheckpoint(true)
+    val dGrown = docs.unionByName(dWave).localCheckpoint(true)
+    val bm25Dir = Files.createTempDirectory("bm25guard").toString
+    IndexStore.createBm25(docs, "doc_id", "text", bm25Dir)
+    assert(IndexStore.loadBm25Checked(spark, bm25Dir, docs, "doc_id",
+      "text").numDocs === docs.count())
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadBm25Checked(spark, bm25Dir, dGrown, "doc_id", "text")
+    }.getMessage.contains("STALE"))
+    IndexStore.appendBatchBm25(dWave, "doc_id", "text", bm25Dir, 0L)
+    assert(IndexStore.loadBm25Checked(spark, bm25Dir, dGrown, "doc_id",
+      "text").numDocs === dGrown.count())
+    IndexStore.compactBm25(spark, bm25Dir)
+    assert(IndexStore.loadBm25Checked(spark, bm25Dir, dGrown, "doc_id",
+      "text").numDocs === dGrown.count())
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadBm25Checked(spark, bm25Dir, docs, "doc_id", "text")
+    }.getMessage.contains("STALE"))
+    // an index saved WITHOUT its source is refused with rebuild guidance
+    val bm25Legacy = Files.createTempDirectory("bm25legacy").toString
+    IndexStore.saveBm25(TextSearch.buildIndex(docs, "doc_id", "text"),
+      bm25Legacy)
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadBm25Checked(spark, bm25Legacy, docs, "doc_id", "text")
+    }.getMessage.contains("fingerprint"))
+    // a sourceless REBUILD over a previously-fingerprinted path drops the
+    // old marks — honestly uncheckable, never checked against the old
+    // corpus's fingerprint
+    IndexStore.saveBm25(TextSearch.buildIndex(dGrown, "doc_id", "text"),
+      bm25Dir)
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadBm25Checked(spark, bm25Dir, dGrown, "doc_id", "text")
+    }.getMessage.contains("fingerprint"))
+    // --- PQ (vector content) ---
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val eWave = embs.limit(2)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .localCheckpoint(true)
+    val eGrown = embs.unionByName(eWave).localCheckpoint(true)
+    val pqDir = Files.createTempDirectory("pqguard").toString
+    IndexStore.savePq(Pq.build(embs, "vec_id", "embedding"), pqDir,
+      source = Some((embs, "vec_id", "embedding")))
+    assert(IndexStore.loadPqChecked(spark, pqDir, embs, "vec_id",
+      "embedding").n === embs.count())
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadPqChecked(spark, pqDir, eGrown, "vec_id", "embedding")
+    }.getMessage.contains("STALE"))
+    IndexStore.appendBatchPq(eWave, "vec_id", "embedding", pqDir, 0L)
+    assert(IndexStore.loadPqChecked(spark, pqDir, eGrown, "vec_id",
+      "embedding").n === eGrown.count())
+    IndexStore.compactPq(spark, pqDir)
+    assert(IndexStore.loadPqChecked(spark, pqDir, eGrown, "vec_id",
+      "embedding").n === eGrown.count())
+    // --- sign-LSH (sketch side table) ---
+    val lshDir = Files.createTempDirectory("lshguard").toString
+    IndexStore.saveSignLsh(
+      graft.dedup.Dedup.signLshSketches(embs, "vec_id", "embedding", 64),
+      lshDir, source = Some((embs, "vec_id", "embedding")))
+    assert(IndexStore.loadSignLshChecked(spark, lshDir, embs, "vec_id",
+      "embedding").count() > 0)
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadSignLshChecked(spark, lshDir, eGrown, "vec_id",
+        "embedding")
+    }.getMessage.contains("STALE"))
+    IndexStore.appendBatchSignLsh(eWave, "vec_id", "embedding", 64, lshDir, 0L)
+    val repaired = IndexStore.loadSignLshChecked(spark, lshDir, eGrown,
+      "vec_id", "embedding")
+    assert(repaired.select("id").distinct().count() === eGrown.count())
+    IndexStore.compactSignLsh(spark, lshDir)
+    assert(IndexStore.loadSignLshChecked(spark, lshDir, eGrown, "vec_id",
+      "embedding").select("id").distinct().count() === eGrown.count())
+  }
 }

@@ -88,6 +88,33 @@ class PlannerSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("IVF"))
   }
 
+  test("executeWithIndex: the semanticPairs regime dispatches; index-free plans fall through") {
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val ivf = graft.index.Ivf.build(embs, "vec_id", "embedding")
+    // below the floor with an index: the one regime execute() cannot run
+    val sem = Planner.planCosine(0.60, n = embs.count(), dim = 64,
+      ivfAvailable = true)
+    assert(sem.path === "semanticPairs")
+    val got = Planner.executeWithIndex(sem, ivf, embs, "vec_id", "embedding",
+        0.60, 64)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val direct = Dedup.semanticPairs(ivf, embs, "vec_id", "embedding", 0.60)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(got === direct)
+    // an in-regime (selective) plan takes the same entry point unchanged
+    val selPlan = Planner.planCosine(0.95, n = embs.count(), dim = 64,
+      ivfAvailable = true)
+    assert(selPlan.path.startsWith("cosinePairsLshSelective"))
+    val viaIdx = Planner.executeWithIndex(selPlan, ivf, embs, "vec_id",
+        "embedding", 0.95, 64)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val viaPlain = Planner.execute(selPlan, embs, "vec_id", "embedding",
+        0.95, 64)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(viaIdx === viaPlain)
+  }
+
   test("planIncrementalCosine: budget held in-regime, honest below the floor") {
     for (t <- Seq(0.85, 0.90, 0.95)) {
       val p = Planner.planIncrementalCosine(t, batchN = 10000L,
