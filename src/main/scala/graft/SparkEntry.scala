@@ -388,7 +388,11 @@ object SparkEntry {
         SubstringDedup.DefaultGramTokens, p)
       p
     })
-    IndexStore.loadPhrase(spark, path)
+    // STALENESS GUARD ([[IndexStore.loadPhraseChecked]]): a lookup against
+    // an index missing newly-ingested documents silently reports their
+    // occurrences as absent — refuse instead (the corpusIvfDisk discipline)
+    IndexStore.loadPhraseChecked(spark, path,
+      Tables.documents(spark, dir), "doc_id", "text")
   }
 
   /** [[qPhraseFind]] resolved ENTIRELY from the positional index
@@ -1318,7 +1322,11 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.9, p)
       p
     })
-    IndexStore.loadContainment(spark, path)
+    // STALENESS GUARD ([[IndexStore.loadContainmentChecked]]): screens
+    // against an index missing newly-ingested documents silently never
+    // pair against them — refuse instead (the corpusIvfDisk discipline)
+    IndexStore.loadContainmentChecked(spark, path,
+      Tables.documents(spark, dir), "doc_id", "text")
   }
 
   /** INCREMENTAL containment screen — the daily-ingest rendition of
@@ -1397,7 +1405,11 @@ object SparkEntry {
         "doc_id", "text", SubstringDedup.DefaultGramTokens, p)
       p
     })
-    IndexStore.loadGrams(spark, path)
+    // STALENESS GUARD against the SAME subset the index covers (the
+    // fingerprint is over indexed-source rows, whatever relation that is)
+    IndexStore.loadGramsChecked(spark, path,
+      Tables.documents(spark, dir).where(col("doc_id") % 5 =!= 0),
+      "doc_id", "text")
   }
 
   /** The DISK-persisted late-interaction window index over the whole
@@ -1417,7 +1429,11 @@ object SparkEntry {
         LateInteraction.DefaultWindowTokens, p)
       p
     })
-    IndexStore.loadWindows(spark, path)
+    // STALENESS GUARD ([[IndexStore.loadWindowsChecked]]): reranks against
+    // an index missing newly-ingested documents silently score them
+    // absent — refuse instead (the corpusIvfDisk discipline)
+    IndexStore.loadWindowsChecked(spark, path,
+      Tables.documents(spark, dir), "doc_id", "text")
   }
 
   /** INCREMENTAL substring-span screen — the daily-ingest rendition of

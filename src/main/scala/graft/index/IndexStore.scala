@@ -413,6 +413,11 @@ object IndexStore {
       textCol: String, threshold: Double, path: String): Unit = {
     val p = graft.dedup.Dedup.shinglePostings(docs, idCol, textCol)
     writeContainmentBase(p, threshold, path, batchId = -1L, overwriteAll = true)
+    // the source docs are in hand, so the staleness fingerprint (shared
+    // fprint machinery) is always recorded — written AFTER the base so a
+    // mid-save crash leaves the index refused, never wrongly accepted
+    writeFprintDelta(docs, idCol, textCol, path, batchId = -1L,
+      overwriteAll = true)
   }
 
   /** Write one batch of (id, h) postings (+ its prefixes/sizes derived
@@ -457,6 +462,10 @@ object IndexStore {
     require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
     if (committedBatches(spark, s"$path/sizes").contains(batchId)) return
     val threshold = containmentThreshold(spark, path)
+    // fingerprint delta BEFORE the base write (whose sizes table is the
+    // commit marker) — an uncommitted fprint partition is invisible
+    writeFprintDelta(batch.select(col(idCol), col(textCol)), idCol,
+      textCol, path, batchId, overwriteAll = false)
     val p = graft.dedup.Dedup.shinglePostings(batch, idCol, textCol)
     writeContainmentBase(p, threshold, path, batchId, overwriteAll = false)
   }
@@ -504,13 +513,28 @@ object IndexStore {
     * payoff: prefixes are RE-RANKED against the merged corpus df, so
     * batch-local prefix choices (recall-safe but volume-suboptimal)
     * converge back to the globally-rarest selection. */
+  /** [[loadContainment]] with the STALENESS GUARD (fprint machinery): a
+    * boilerplate screen against an index missing newly-ingested
+    * documents silently never pairs against them — refuse a corpus
+    * mismatch loudly instead, per ingest wave. */
+  def loadContainmentChecked(spark: SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): ContainmentIndex = {
+    requireFresh("containment", path,
+      recordedFprint(spark, path, s"$path/sizes"), docs, idCol, textCol,
+      "appendBatchContainment the missing wave or rebuild with " +
+        "saveContainment")
+    loadContainment(spark, path)
+  }
+
   def compactContainment(spark: SparkSession, path: String): Unit = {
     val snapshot = loadContainment(spark, path)
     val staged = s"$path/.compact"
     writeContainmentBase(snapshot.postings.select("id", "h"),
       snapshot.threshold, staged, batchId = -1L, overwriteAll = true)
+    val fprintDirs = stageFprint(spark, path, s"$path/sizes", staged)
     swapStaged(spark, path, staged,
-      Seq("postings", "prefixes", "meta", "sizes"))
+      Seq("postings", "prefixes", "meta", "sizes") ++ fprintDirs)
   }
 
   // ----------------------------------------------------------- gram hashes
@@ -538,11 +562,15 @@ object IndexStore {
     * `--replace` semantics. `k` is the index's DDL: screens must gram the
     * batch at the same width. */
   def saveGrams(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int, path: String): Unit =
+      textCol: String, k: Int, path: String): Unit = {
     writeGramsBase(
       graft.dedup.SubstringDedup.gramPostings(docs, idCol, textCol, k)
         .select("h"),
       k, path, batchId = -1L, overwriteAll = true)
+    // staleness fingerprint, after the base (saveContainment's ordering)
+    writeFprintDelta(docs, idCol, textCol, path, batchId = -1L,
+      overwriteAll = true)
+  }
 
   private def writeGramsBase(h: org.apache.spark.sql.DataFrame, k: Int,
       path: String, batchId: Long, overwriteAll: Boolean): Unit = {
@@ -575,6 +603,9 @@ object IndexStore {
     require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
     if (committedBatches(spark, s"$path/marks").contains(batchId)) return
     val k = gramWidth(spark, path)
+    // fingerprint delta BEFORE the base write (marks commit inside it)
+    writeFprintDelta(batch.select(col(idCol), col(textCol)), idCol,
+      textCol, path, batchId, overwriteAll = false)
     writeGramsBase(
       graft.dedup.SubstringDedup.gramPostings(batch, idCol, textCol, k)
         .select("h"),
@@ -617,12 +648,26 @@ object IndexStore {
   /** Fold every committed batch back into one base partition, re-running
     * the global distinct so cross-batch duplicate hashes collapse — same
     * maintenance contract as [[compactContainment]]. */
+  /** [[loadGrams]] with the STALENESS GUARD (fprint machinery): a
+    * membership screen against an index missing newly-ingested
+    * documents silently treats their grams as novel — refuse a corpus
+    * mismatch loudly instead, per ingest wave. */
+  def loadGramsChecked(spark: SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): GramIndex = {
+    requireFresh("gram", path, recordedFprint(spark, path, s"$path/marks"),
+      docs, idCol, textCol,
+      "appendBatchGrams the missing wave or rebuild with saveGrams")
+    loadGrams(spark, path)
+  }
+
   def compactGrams(spark: SparkSession, path: String): Unit = {
     val snapshot = loadGrams(spark, path)
     val staged = s"$path/.compact"
     writeGramsBase(snapshot.hashes.select("h"), snapshot.k, staged,
       batchId = -1L, overwriteAll = true)
-    swapStaged(spark, path, staged, Seq("hashes", "meta", "marks"))
+    val fprintDirs = stageFprint(spark, path, s"$path/marks", staged)
+    swapStaged(spark, path, staged, Seq("hashes", "meta", "marks") ++ fprintDirs)
   }
 
   // ---------------------------------------------------------------- phrase
@@ -653,10 +698,14 @@ object IndexStore {
   /** Build and persist the positional phrase index over `docs` —
     * Overwrite = S7 `--replace` semantics. `k` is the index's DDL. */
   def savePhrase(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int, path: String): Unit =
+      textCol: String, k: Int, path: String): Unit = {
     writePhraseBase(
       graft.dedup.SubstringDedup.gramPostings(docs, idCol, textCol, k),
       k, path, batchId = -1L, overwriteAll = true)
+    // staleness fingerprint, after the base (saveContainment's ordering)
+    writeFprintDelta(docs, idCol, textCol, path, batchId = -1L,
+      overwriteAll = true)
+  }
 
   private def writePhraseBase(p: org.apache.spark.sql.DataFrame, k: Int,
       path: String, batchId: Long, overwriteAll: Boolean): Unit = {
@@ -685,6 +734,9 @@ object IndexStore {
     require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
     if (committedBatches(spark, s"$path/marks").contains(batchId)) return
     val k = phraseWidth(spark, path)
+    // fingerprint delta BEFORE the base write (marks commit inside it)
+    writeFprintDelta(batch.select(col(idCol), col(textCol)), idCol,
+      textCol, path, batchId, overwriteAll = false)
     writePhraseBase(
       graft.dedup.SubstringDedup.gramPostings(batch, idCol, textCol, k),
       k, path, batchId, overwriteAll = false)
@@ -724,12 +776,27 @@ object IndexStore {
 
   /** Fold every committed batch back into one base partition — same
     * maintenance contract as [[compactGrams]]. */
+  /** [[loadPhrase]] with the STALENESS GUARD (fprint machinery): a
+    * phrase lookup against an index missing newly-ingested documents
+    * silently reports their occurrences as absent — refuse a corpus
+    * mismatch loudly instead, per ingest wave. */
+  def loadPhraseChecked(spark: SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): PhraseIndex = {
+    requireFresh("phrase", path, recordedFprint(spark, path, s"$path/marks"),
+      docs, idCol, textCol,
+      "appendBatchPhrase the missing wave or rebuild with savePhrase")
+    loadPhrase(spark, path)
+  }
+
   def compactPhrase(spark: SparkSession, path: String): Unit = {
     val snapshot = loadPhrase(spark, path)
     val staged = s"$path/.compact"
     writePhraseBase(snapshot.postings.select("id", "pos", "h"), snapshot.k,
       staged, batchId = -1L, overwriteAll = true)
-    swapStaged(spark, path, staged, Seq("postings", "meta", "marks"))
+    val fprintDirs = stageFprint(spark, path, s"$path/marks", staged)
+    swapStaged(spark, path, staged,
+      Seq("postings", "meta", "marks") ++ fprintDirs)
   }
 
   // ---------------------------------------------------------------- windows
@@ -787,11 +854,15 @@ object IndexStore {
   /** Build and persist the window index over `docs` — Overwrite = S7
     * `--replace` semantics. `windowTokens` is the index's DDL. */
   def saveWindows(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, windowTokens: Int, path: String): Unit =
+      textCol: String, windowTokens: Int, path: String): Unit = {
     writeWindowsBase(
       graft.search.LateInteraction.windowVectors(docs, idCol, textCol,
         windowTokens),
       windowTokens, path, batchId = -1L, overwriteAll = true)
+    // staleness fingerprint, after the base (saveContainment's ordering)
+    writeFprintDelta(docs, idCol, textCol, path, batchId = -1L,
+      overwriteAll = true)
+  }
 
   private def writeWindowsBase(wv: org.apache.spark.sql.DataFrame,
       windowTokens: Int, path: String, batchId: Long,
@@ -862,6 +933,9 @@ object IndexStore {
     require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
     if (committedBatches(spark, s"$path/marks").contains(batchId)) return
     val w = windowTokens(spark, path)
+    // fingerprint delta BEFORE the base write (marks commit inside it)
+    writeFprintDelta(batch.select(col(idCol), col(textCol)), idCol,
+      textCol, path, batchId, overwriteAll = false)
     writeWindowsBase(
       graft.search.LateInteraction.windowVectors(batch, idCol, textCol, w),
       w, path, batchId, overwriteAll = false)
@@ -920,12 +994,27 @@ object IndexStore {
     * maintenance contract (and offline-window caveat) as [[compactGrams]].
     * No re-derivation: window vectors are content-pure, so compaction is a
     * straight rewrite of the committed rows. */
+  /** [[loadWindows]] with the STALENESS GUARD (fprint machinery): a
+    * late-interaction rerank against an index missing newly-ingested
+    * documents silently scores them absent — refuse a corpus mismatch
+    * loudly instead, per ingest wave. */
+  def loadWindowsChecked(spark: SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): WindowIndex = {
+    requireFresh("window", path, recordedFprint(spark, path, s"$path/marks"),
+      docs, idCol, textCol,
+      "appendBatchWindows the missing wave or rebuild with saveWindows")
+    loadWindows(spark, path)
+  }
+
   def compactWindows(spark: SparkSession, path: String): Unit = {
     val snapshot = loadWindows(spark, path)
     val staged = s"$path/.compact"
     writeWindowsBase(snapshot.windows, snapshot.windowTokens, staged,
       batchId = -1L, overwriteAll = true)
-    swapStaged(spark, path, staged, Seq("windows", "meta", "marks"))
+    val fprintDirs = stageFprint(spark, path, s"$path/marks", staged)
+    swapStaged(spark, path, staged,
+      Seq("windows", "meta", "marks") ++ fprintDirs)
   }
 
   // ------------------------------------------------------------------- IVF

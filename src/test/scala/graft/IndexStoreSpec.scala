@@ -868,4 +868,57 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(IndexStore.loadSignLshChecked(spark, lshDir, eGrown, "vec_id",
       "embedding").select("id").distinct().count() === eGrown.count())
   }
+
+  test("containment/gram/phrase/window staleness guards: stale refuses, append repairs, compaction keeps checkability") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .localCheckpoint(true)
+    val wave = docs.limit(2)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .localCheckpoint(true)
+    val grown = docs.unionByName(wave).localCheckpoint(true)
+    // one lifecycle driver per family: (name, save, append, loadChecked,
+    // compact) — the guard arithmetic is shared, so the pinned contract
+    // is the same four-step dance for each
+    type Fam = (String,
+      String => Unit,               // save(base over docs)
+      (String, Long) => Unit,       // appendBatch(wave)
+      (String, org.apache.spark.sql.DataFrame) => Unit, // loadChecked
+      String => Unit)               // compact
+    val families: Seq[Fam] = Seq(
+      ("containment",
+        p => IndexStore.saveContainment(docs, "doc_id", "text", 0.9, p),
+        (p, b) => IndexStore.appendBatchContainment(wave, "doc_id", "text", p, b),
+        (p, c) => { IndexStore.loadContainmentChecked(spark, p, c, "doc_id", "text"); () },
+        p => IndexStore.compactContainment(spark, p)),
+      ("grams",
+        p => IndexStore.saveGrams(docs, "doc_id", "text", 4, p),
+        (p, b) => IndexStore.appendBatchGrams(wave, "doc_id", "text", p, b),
+        (p, c) => { IndexStore.loadGramsChecked(spark, p, c, "doc_id", "text"); () },
+        p => IndexStore.compactGrams(spark, p)),
+      ("phrase",
+        p => IndexStore.savePhrase(docs, "doc_id", "text", 4, p),
+        (p, b) => IndexStore.appendBatchPhrase(wave, "doc_id", "text", p, b),
+        (p, c) => { IndexStore.loadPhraseChecked(spark, p, c, "doc_id", "text"); () },
+        p => IndexStore.compactPhrase(spark, p)),
+      ("windows",
+        p => IndexStore.saveWindows(docs, "doc_id", "text", 8, p),
+        (p, b) => IndexStore.appendBatchWindows(wave, "doc_id", "text", p, b),
+        (p, c) => { IndexStore.loadWindowsChecked(spark, p, c, "doc_id", "text"); () },
+        p => IndexStore.compactWindows(spark, p)))
+    for ((name, save, append, loadChecked, compact) <- families) {
+      val dir = Files.createTempDirectory(s"${name}guard").toString
+      save(dir)
+      loadChecked(dir, docs) // fresh: passes
+      val e = intercept[IllegalStateException] { loadChecked(dir, grown) }
+      assert(e.getMessage.contains("STALE"), s"$name: ${e.getMessage}")
+      append(dir, 0L)
+      append(dir, 0L) // replay is a no-op
+      loadChecked(dir, grown) // repaired at batch cost
+      compact(dir)
+      loadChecked(dir, grown) // fold preserves the summed fingerprint
+      assert(intercept[IllegalStateException] { loadChecked(dir, docs) }
+        .getMessage.contains("STALE"), s"$name post-compact original-corpus")
+    }
+  }
 }
