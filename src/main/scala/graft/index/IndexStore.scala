@@ -1302,7 +1302,19 @@ object IndexStore {
   private def stageFprint(spark: SparkSession, path: String,
       markerDir: String, staged: String): Seq[String] = {
     recordedFprint(spark, path, markerDir) match {
-      case None => Nil
+      case None =>
+        // an UNCHECKABLE index (saved without a source, or with batches
+        // predating fingerprints) must end the fold with NO fingerprint
+        // marks at all: leaving stale partial fprint partitions behind
+        // keeps resolving to refusal today, but any out-of-band history
+        // that leaves a batch=-1 row covering the post-fold committed set
+        // could make a pre-append fingerprint wrongly PASS against the
+        // old corpus — delete the live fprint dir during the swap so
+        // "uncheckable" stays honest (round-9 ADVICE finding 3)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/fprint"), true)
+        Nil
       case Some((n, fp)) =>
         import spark.implicits._
         Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")

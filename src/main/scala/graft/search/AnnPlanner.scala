@@ -129,9 +129,22 @@ object AnnPlanner {
     val nd = n.toDouble
     val exactCost = sel * nd * dim
 
-    val ivfMass = math.max(k, math.ceil(depths.ivfMassFraction * nd).toInt)
-    val pqOf = math.max(k, math.ceil(depths.pqOverfetchFraction * nd).toInt)
-    val mrlOf = math.max(k, math.ceil(depths.mrlOverfetchFraction * nd).toInt)
+    // fraction·n must fit the engines' Int knobs (numCandidates/overfetch):
+    // past ~2.1e9 a silent .toInt saturation would underprice the routed
+    // rows AND clamp the planned depth below the measured covering depth —
+    // fail loudly instead (at that scale the knobs need a sharded probe
+    // design, not a wider int)
+    def depthKnob(fraction: Double, what: String): Int = {
+      val d = math.ceil(fraction * nd)
+      require(d <= Int.MaxValue,
+        s"$what depth ${d.toLong} exceeds Int.MaxValue — the engine knobs " +
+          s"are Int; at n=$n shard the corpus (per-shard top-k union) " +
+          "instead of planning one probe over it")
+      math.max(k, d.toInt)
+    }
+    val ivfMass = depthKnob(depths.ivfMassFraction, "ivfProbe")
+    val pqOf = depthKnob(depths.pqOverfetchFraction, "pqAdc")
+    val mrlOf = depthKnob(depths.mrlOverfetchFraction, "mrlPrefix")
 
     val costs = Seq.newBuilder[(String, Double)]
     costs += "exactScan" -> exactCost
