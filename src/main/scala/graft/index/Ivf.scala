@@ -218,12 +218,19 @@ object Ivf {
   /** Transparent ANN: register this index for the Catalyst rewrite rule
     * ([[org.apache.spark.sql.graftshim.IvfRewrite]]) — every subsequent
     * EXACT `orderBy(score.desc).limit(k)` over `tablePath` is narrowed to
-    * an IVF probe by the optimizer, no query change needed. */
+    * an IVF probe by the optimizer, no query change needed. Pass
+    * `filterSelectivity` (a measured wave-time statistic) to make the
+    * rule consult the ANN planner on FILTERED top-k queries and leave the
+    * filtered exact scan in place when it wins — the
+    * [[graft.search.AnnPlanner.planKnn]] break-even surfaced at the plain
+    * SQL/DataFrame layer. */
   def registerForRewrite(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      index: IvfIndex, idCol: String, numCandidates: Int): Unit = {
+      index: IvfIndex, idCol: String, numCandidates: Int,
+      filterSelectivity: Option[Double] = None): Unit = {
     org.apache.spark.sql.graftshim.IvfRewrite.install(spark)
     org.apache.spark.sql.graftshim.IvfRewrite.register(
-      tablePath, index.assignments, index.centroids, index.sizes, idCol, numCandidates)
+      tablePath, index.assignments, index.centroids, index.sizes, idCol,
+      numCandidates, filterSelectivity)
   }
 
   /** ANN top-k: probe → candidate scan → exact re-rank. Same contract as

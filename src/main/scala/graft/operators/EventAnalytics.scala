@@ -60,6 +60,25 @@ object EventAnalytics {
     }
   }
 
+  /** [[funnelTimes]] MELTED to one row per (user, reached step) —
+    * (user_id, step_idx, step, ts): the advancement-row shape the
+    * streaming tracker emits
+    * ([[graft.streaming.EventStreams.FunnelProgress]]), so batch truth
+    * and streamed output diff directly (the reconciliation operator's
+    * ground-truth side). Same k−1-join scale shape as [[funnelTimes]];
+    * the melt is k filters over its one result. */
+  def funnelProgressRows(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      maxGapMinutes: Option[Int] = None): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps,
+      maxGapMinutes)
+    steps.zipWithIndex.map { case (step, i) =>
+      times.where(col(s"t$i").isNotNull)
+        .select(col("user").as("user_id"), lit(i).as("step_idx"),
+          lit(step).as("step"), col(s"t$i").as("ts"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Funnel conversion counts: one row per step —
     * (step_idx, step, users) where `users` reached the step in order.
     * Counts are non-increasing by construction ([[funnelTimes]] nulls). */

@@ -195,6 +195,146 @@ object AnnPlanner {
     }
   }
 
+  /** [[AnnDepths]] read from the persisted covering-depth sidecars
+    * ([[graft.index.IndexStore.saveDepth]]) of the index assets a plan
+    * will route through — the production answer to "where does the
+    * measured depth LIVE between measurement and re-plan": each path's
+    * fraction comes from its index's own `depth/` record when one was
+    * measured, falling back to `defaults` (the fixture constants)
+    * otherwise. Pass the same paths whose assets go into [[execute]];
+    * a sidecar whose `measuredAtN` the corpus has since outgrown
+    * ([[graft.index.IndexStore.DepthRecord.staleAt]]) is still USED —
+    * refusing to plan would be worse than planning on the last
+    * measurement — but flagged for a wave-time re-measure via the
+    * returned `stale` list. */
+  def depthsFromSidecars(spark: org.apache.spark.sql.SparkSession,
+      n: Long,
+      ivfPath: Option[String] = None,
+      pqPath: Option[String] = None,
+      prefixPath: Option[String] = None,
+      defaults: AnnDepths = AnnDepths()): (AnnDepths, Seq[String]) = {
+    import graft.index.IndexStore
+    val stale = Seq.newBuilder[String]
+    def f(path: Option[String], what: String, dflt: Double): Double =
+      path.flatMap(IndexStore.loadDepth(spark, _)) match {
+        case Some(d) =>
+          if (d.staleAt(n)) stale += f"$what depth measured at n=${d.measuredAtN}, corpus now $n — re-measure at wave time"
+          d.fraction
+        case None => dflt
+      }
+    (AnnDepths(
+      f(ivfPath, "ivfProbe", defaults.ivfMassFraction),
+      f(pqPath, "pqAdc", defaults.pqOverfetchFraction),
+      f(prefixPath, "mrlPrefix", defaults.mrlOverfetchFraction)),
+      stale.result())
+  }
+
+  /** One executable BATCH kNN-join recommendation ([[planKnnJoin]]).
+    * `numCandidates` is the routed join's probe knob; `probeMass` the
+    * ball-cover pass-1 mass — each 0 where the path has no such knob. */
+  case class KnnJoinPlan(path: String, numCandidates: Int,
+      probeMass: Double, estimatedScanUnits: Double,
+      costs: Seq[(String, Double)], rationale: Seq[String])
+
+  /** Cost-plan the BATCH kNN join — the batch twin of [[planKnn]], for
+    * the workload the single-query planner does not cover (hard-negative
+    * mining, hybrid retrieval joins, dedup candidate joins are all
+    * `nQueries × corpus` top-k joins, not one probe). Three engine paths:
+    *
+    *  - bruteJoin ([[VectorSearch.knnJoin]]): nQ·n·dim — exact, the
+    *    baseline.
+    *  - ballCoverJoin ([[Ivf.knnJoinExact]]): nQ·dim·(nlist + probeMass·n
+    *    + extendFraction·n) — EXACT AT ANY probeMass (the triangle-
+    *    inequality bound extends per-query only to clusters that could
+    *    still win), so unlike the single-query case the exact contract
+    *    still leaves a genuine cost choice. `extendFraction` is the
+    *    MEASURED pass-2 scan fraction (the planner's usual honesty
+    *    boundary: extension volume depends on embedding geometry —
+    *    near-zero on clustered production embeddings, material on the
+    *    driver's near-random fixtures; [[Ivf.ExactJoinStats]] is the
+    *    measuring instrument).
+    *  - ivfRoutedJoin ([[Ivf.knnJoin]]): nQ·dim·(nlist +
+    *    ivfMassFraction·n) — approximate (recall from the measured
+    *    covering depth), considered only under `exact = false`.
+    *
+    * On the fixtures the exact-path margin is thin (covering depth 0.9
+    * leaves ≤10% headroom); at production depths (clustered embeddings
+    * probe 1–5% of mass) the routed and ball-cover paths win by 10–50×
+    * and the argmin is the whole decision. Either way both exact paths
+    * return identical rows, so a caller's exact SQL oracle stays valid
+    * whichever the table picks. */
+  def planKnnJoin(nQueries: Long, n: Long, dim: Int, k: Int,
+      assets: AnnAssets = AnnAssets(),
+      depths: AnnDepths = AnnDepths(),
+      exact: Boolean = true,
+      probeMass: Double = 0.9,
+      extendFraction: Double = 0.05): KnnJoinPlan = {
+    require(nQueries > 0, s"query batch must be non-empty, got $nQueries")
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(k >= 1, s"k must be ≥ 1, got $k")
+    require(probeMass > 0 && probeMass <= 1,
+      s"probeMass in (0,1], got $probeMass")
+    require(extendFraction >= 0 && extendFraction <= 1,
+      s"extendFraction in [0,1], got $extendFraction")
+    val nd = n.toDouble
+    val nq = nQueries.toDouble
+    val costs = Seq.newBuilder[(String, Double)]
+    costs += "bruteJoin" -> nq * nd * dim
+    if (assets.ivfClusters > 0) {
+      costs += "ballCoverJoin" ->
+        (nq * dim * (assets.ivfClusters + probeMass * nd + extendFraction * nd))
+      if (!exact) {
+        val mass = math.ceil(depths.ivfMassFraction * nd)
+        require(mass <= Int.MaxValue,
+          s"ivfRoutedJoin depth ${mass.toLong} exceeds Int.MaxValue — " +
+            "shard the corpus instead of planning one probe over it")
+        costs += "ivfRoutedJoin" ->
+          (nq * dim * (assets.ivfClusters + mass))
+      }
+    }
+    val table = costs.result()
+    val (winner, cost) = table.minBy(_._2)
+    val nc = if (winner == "ivfRoutedJoin")
+      math.max(k, math.ceil(depths.ivfMassFraction * nd).toInt) else 0
+    val pm = if (winner == "ballCoverJoin") probeMass else 0.0
+    KnnJoinPlan(winner, nc, pm, cost, table, Seq(
+      f"argmin of batch scan units over ${table.size}%d paths: " +
+        table.map { case (p, c) => f"$p ${c}%.3g" }.mkString(", "),
+      (if (exact) "exact contract: only bruteJoin and ballCoverJoin " +
+        "considered (ball-cover recall is a theorem at any probeMass)"
+      else f"approximate regime: ivfRoutedJoin at measured covering " +
+        f"fraction ${depths.ivfMassFraction}%.2f"),
+      f"extendFraction $extendFraction%.3f is the MEASURED ball-cover " +
+        "pass-2 fraction — re-measure via Ivf.knnJoinExactWithStats on " +
+        "your embedding geometry"))
+  }
+
+  /** Run a [[KnnJoinPlan]]'s recommended path — the batch twin of
+    * [[execute]], same contract: the asset the plan routes through must
+    * be supplied, a missing one fails loudly. Output is the engines'
+    * shared (query_id, nbr_id, sim, rank) shape. */
+  def executeKnnJoin(plan: KnnJoinPlan, queries: DataFrame,
+      corpus: DataFrame, qIdCol: String, qEmbCol: String, cIdCol: String,
+      cEmbCol: String, k: Int,
+      ivf: Option[Ivf.IvfIndex] = None): DataFrame = plan.path match {
+    case "bruteJoin" =>
+      VectorSearch.knnJoin(queries, corpus, qIdCol, qEmbCol, cIdCol,
+        cEmbCol, k)
+    case "ballCoverJoin" =>
+      Ivf.knnJoinExact(ivf.getOrElse(throw new IllegalArgumentException(
+          "plan routes through ballCoverJoin but no IVF index was supplied")),
+        queries, corpus, qIdCol, qEmbCol, cIdCol, cEmbCol, k,
+        probeMass = plan.probeMass)
+    case "ivfRoutedJoin" =>
+      Ivf.knnJoin(ivf.getOrElse(throw new IllegalArgumentException(
+          "plan routes through ivfRoutedJoin but no IVF index was supplied")),
+        queries, corpus, qIdCol, qEmbCol, cIdCol, cEmbCol, k,
+        numCandidates = plan.numCandidates)
+    case other => throw new IllegalArgumentException(
+      s"unknown kNN-join plan path '$other'")
+  }
+
   /** Run an [[AnnPlan]]'s recommended path — the executable link from
     * plan to engine ([[graft.dedup.Planner.execute]]'s contract): hold
     * one plan object and get the rows it promises. The asset the plan

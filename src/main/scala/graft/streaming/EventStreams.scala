@@ -23,7 +23,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * per event. Sessionization state is one struct per active user; the
   * event-time timeout bounds it. Both shuffle once on their grouping key.
   */
-object EventStreams {
+// Serializable: the stateful transition closures ([[funnelStateful]],
+// [[funnelTrackerSim]]) call the shared [[advanceFunnel]], so executor
+// tasks capture this object
+object EventStreams extends Serializable {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -191,8 +194,9 @@ object EventStreams {
     * (within a batch any order is fine — events are sorted before the
     * scan). A cross-batch late arrival can under-advance the funnel —
     * the standard approximation every un-buffered streaming funnel
-    * makes; exact late-data repair needs the batch operator over the
-    * ledger, which is one `funnelTimes` call away.
+    * makes; the DECLARED repair path is [[funnelReconcile]] /
+    * [[funnelRepaired]] — replay the ledger through the batch operator
+    * and apply the diff (gate-checked by `q_funnel_reconcile`).
     *
     * `maxGapMinutes` is the batch operator's CONVERSION WINDOW (half-open
     * (prev, prev+gap], `EventAnalytics.funnelTimes`): step n advances
@@ -216,17 +220,9 @@ object EventStreams {
         state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        var cur = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
-        val out = Seq.newBuilder[FunnelProgress]
-        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-          val next = cur.step + 1
-          if (next < steps.length && e.event_type == steps(next) &&
-              (cur.step < 0 || (e.ts.getTime > cur.tsMs &&
-                gapMs.forall(g => e.ts.getTime <= cur.tsMs + g)))) {
-            cur = FunnelState(next, e.ts.getTime)
-            out += FunnelProgress(userId, next, steps(next), e.ts)
-          }
-        }
+        val (cur, out) = advanceFunnel(userId,
+          state.getOption.getOrElse(FunnelState(-1, Long.MinValue)),
+          it.toSeq, steps, gapMs)
         if (cur.step >= 0) {
           state.update(cur)
           // clamp past the watermark: an old-but-within-lateness event can
@@ -238,7 +234,7 @@ object EventStreams {
             cur.tsMs + ttlMinutes * 60000L,
             state.getCurrentWatermarkMs() + 1))
         }
-        out.result().iterator
+        out.iterator
       }
     }
 
@@ -246,6 +242,112 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** One greedy in-event-time-order advance over a batch's event slice —
+    * THE streaming-funnel transition function, shared verbatim by the
+    * live tracker ([[funnelStateful]]) and the deterministic replay
+    * ([[funnelTrackerSim]]), so reconciliation measures the SEMANTICS'
+    * divergence (cross-batch late data), never two implementations'. */
+  private[streaming] def advanceFunnel(userId: Long, cur0: FunnelState,
+      evs: Seq[Event], steps: Seq[String], gapMs: Option[Long])
+      : (FunnelState, Seq[FunnelProgress]) = {
+    var cur = cur0
+    val out = Seq.newBuilder[FunnelProgress]
+    evs.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val next = cur.step + 1
+      if (next < steps.length && e.event_type == steps(next) &&
+          (cur.step < 0 || (e.ts.getTime > cur.tsMs &&
+            gapMs.forall(g => e.ts.getTime <= cur.tsMs + g)))) {
+        cur = FunnelState(next, e.ts.getTime)
+        out += FunnelProgress(userId, next, steps(next), e.ts)
+      }
+    }
+    (cur, out.result())
+  }
+
+  /** Deterministic BATCH replay of the streaming funnel tracker under an
+    * explicit micro-batch assignment: each user's events are partitioned
+    * by `batchOf`, batches are folded in ascending order through the SAME
+    * [[advanceFunnel]] transition the live tracker runs, state carried
+    * across batches. This reproduces — exactly and repeatably — the
+    * cross-batch under-advance approximation [[funnelStateful]] documents
+    * (a late event landing in a later batch than a subsequent step's
+    * event is consumed after it, so the funnel can stall below the batch
+    * truth), which makes the repair path testable without a live stream.
+    *
+    * Scope: a reconciliation/test harness, not the production batch
+    * funnel — it collects each user's history per group (bounded by one
+    * user's events, the [[sessionizeStateful]] batch shape), where
+    * [[graft.operators.EventAnalytics.funnelTimes]] is the scale-shaped
+    * batch operator. */
+  def funnelTrackerSim(events: Dataset[Event], steps: Seq[String],
+      batchOf: Event => Long,
+      maxGapMinutes: Option[Int] = None): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapMinutes.forall(_ >= 1),
+      s"maxGapMinutes must be ≥ 1, got $maxGapMinutes")
+    import events.sparkSession.implicits._
+    val gapMs = maxGapMinutes.map(_ * 60000L)
+    events.groupByKey(_.user_id).flatMapGroups {
+      (uid: Long, it: Iterator[Event]) =>
+        var cur = FunnelState(-1, Long.MinValue)
+        val out = Seq.newBuilder[FunnelProgress]
+        it.toSeq.groupBy(batchOf).toSeq.sortBy(_._1).foreach {
+          case (_, evs) =>
+            val (nxt, emitted) = advanceFunnel(uid, cur, evs, steps, gapMs)
+            cur = nxt
+            out ++= emitted
+        }
+        out.result().iterator
+    }
+  }
+
+  /** The shared (user_id, step_idx, step, ts) row shape both the tracker
+    * output and the batch truth melt into. */
+  private val FunnelKeyCols = Seq("user_id", "step_idx", "step", "ts")
+
+  /** LATE-DATA RECONCILIATION for the streaming funnel — the declared
+    * repair operator the [[funnelStateful]] scaladoc promises: replay the
+    * event LEDGER through the batch operator
+    * ([[graft.operators.EventAnalytics.funnelTimes]] — the ground truth
+    * that sees all events regardless of arrival order) and diff its
+    * melted per-(user, step) advancement rows against what the tracker
+    * actually emitted. Output: the tracker's rows to retract (`action =
+    * "retract"` — an advancement whose step time the late data changed)
+    * and the truth rows to add (`action = "add"` — advancements the
+    * under-advanced tracker never emitted). Applying both
+    * ([[funnelRepaired]]) yields exactly the batch truth.
+    *
+    * Scale shape: truth is the funnelTimes join chain (k−1 user-keyed
+    * joins of shrinking relations); the diff is two user-keyed anti-joins
+    * bounded by funnel PARTICIPANTS, not events — run it per
+    * reconciliation window (e.g. daily, after the late-arrival horizon
+    * closes), emit the corrections downstream, leave the live tracker
+    * untouched. */
+  def funnelReconcile(ledger: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], maxGapMinutes: Option[Int],
+      tracked: DataFrame): DataFrame = {
+    val truth = graft.operators.EventAnalytics.funnelProgressRows(
+      ledger, userCol, typeCol, tsCol, steps, maxGapMinutes)
+    val trackedKeys = tracked.select(FunnelKeyCols.map(col): _*)
+    truth.join(trackedKeys, FunnelKeyCols, "left_anti")
+      .withColumn("action", lit("add"))
+      .unionByName(
+        trackedKeys.join(truth, FunnelKeyCols, "left_anti")
+          .withColumn("action", lit("retract")))
+  }
+
+  /** Apply [[funnelReconcile]]'s corrections to the tracker's output:
+    * drop the retractions, add the additions — the repaired relation
+    * equals the batch truth's per-(user, step) advancement rows. */
+  def funnelRepaired(tracked: DataFrame, corrections: DataFrame): DataFrame = {
+    val keyed = tracked.select(FunnelKeyCols.map(col): _*)
+    keyed
+      .join(corrections.where(col("action") === "retract")
+        .select(FunnelKeyCols.map(col): _*), FunnelKeyCols, "left_anti")
+      .unionByName(corrections.where(col("action") === "add")
+        .select(FunnelKeyCols.map(col): _*))
   }
 
   /** Watermarked stream-stream INTERVAL join — event attribution: pair

@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, Literal, SortOrder, Descending}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LocalLimit, GlobalLimit, LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LocalLimit, GlobalLimit, LogicalPlan, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -40,21 +40,33 @@ object IvfRewrite {
     * guard (a plan that already contains it is not rewritten again). */
   val MemberCol = "__ivf_member_id"
 
+  /** `filterSelectivity`: the MEASURED selectivity of predicates over this
+    * table (a wave-time statistic, like the covering-depth sidecars) —
+    * when present, a FILTERED top-k consults [[graft.search.AnnPlanner]]
+    * before rewriting and leaves the exact scan in place when the
+    * filtered scan wins (the break-even `q_ann_plan_filtered` proves,
+    * reachable from the plain SQL/DataFrame surface only through this
+    * rule). Absent, filtered queries rewrite as before (unknown
+    * selectivity — the registered depth is the user's explicit recall
+    * choice). */
   final case class Registered(
       assignments: DataFrame,
       centroids: Map[Int, Array[Double]],
       sizes: Map[Int, Long],
       idCol: String,
-      numCandidates: Int)
+      numCandidates: Int,
+      filterSelectivity: Option[Double] = None)
 
   /** parquet-path → registered index (session-global, driver-side). */
   private val registry = TrieMap.empty[String, Registered]
 
   def register(path: String, assignments: DataFrame,
       centroids: Map[Int, Array[Double]], sizes: Map[Int, Long],
-      idCol: String, numCandidates: Int): Unit =
+      idCol: String, numCandidates: Int,
+      filterSelectivity: Option[Double] = None): Unit =
     registry.put(normalize(path),
-      Registered(assignments, centroids, sizes, idCol, numCandidates))
+      Registered(assignments, centroids, sizes, idCol, numCandidates,
+        filterSelectivity))
 
   def unregister(path: String): Unit = registry.remove(normalize(path))
   def clear(): Unit = registry.clear()
@@ -146,6 +158,48 @@ class IvfRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The FILTERED-ANN break-even, consulted at plan time (round-9 verdict
+    * item 6): a top-k whose subtree filters the registered relation is
+    * rewritten only when [[graft.search.AnnPlanner.planKnn]] — priced
+    * with the registration's own depth (numCandidates/n) and the
+    * registered MEASURED filter selectivity — still picks the probe. A
+    * selective-enough filter flips the winner to the filtered exact scan
+    * (which pushes the predicate into ONE scan, where the probe pays full
+    * coarse depth and filters after the member join), so the rule leaves
+    * the plan alone. Unfiltered queries, and filtered queries with no
+    * measured selectivity registered, rewrite unconditionally as before —
+    * the registered depth is the user's explicit recall/cost choice. */
+  private def rewriteBeatsFilteredScan(child: LogicalPlan,
+      relation: LogicalRelation, reg: Registered,
+      limitExpr: Expression): Boolean = {
+    val filtered = child.collectFirst {
+      case f: Filter if f.collectFirst {
+        case lr: LogicalRelation if lr eq relation => lr }.nonEmpty => f
+    }.nonEmpty
+    if (!filtered) true
+    else reg.filterSelectivity match {
+      case None => true
+      case Some(sel) =>
+        val n = reg.sizes.values.sum
+        val dim = reg.centroids.headOption.map(_._2.length).getOrElse(0)
+        if (n <= 0 || dim <= 0) true
+        else {
+          val k = limitExpr match {
+            case Literal(v: Int, _) => math.max(1, v)
+            case _ => 10
+          }
+          val frac = math.min(1.0,
+            math.max(reg.numCandidates.toDouble / n, 1.0 / n))
+          graft.search.AnnPlanner.planKnn(n, dim, k,
+            assets = graft.search.AnnPlanner.AnnAssets(
+              ivfClusters = reg.centroids.size),
+            depths = graft.search.AnnPlanner.AnnDepths(
+              ivfMassFraction = frac),
+            filterSelectivity = Some(sel)).path == "ivfProbe"
+        }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case gl @ GlobalLimit(_, ll: LocalLimit) if peelToSort(ll.child).nonEmpty =>
       val (sort, rebuild) = peelToSort(ll.child).get
@@ -155,6 +209,7 @@ class IvfRewriteRule extends Rule[LogicalPlan] {
         (embExpr, qvec) <- queryVecOf(order, aliases)
         if !alreadyRewritten(child)
         (relation, reg) <- lookup(child)
+        if rewriteBeatsFilteredScan(child, relation, reg, gl.limitExpr)
         // the scored column must trace back to the registered relation
         if expand(embExpr, aliases).references.exists(relation.outputSet.contains)
         idAttr <- relation.output.find(_.name == reg.idCol)

@@ -120,6 +120,84 @@ class AnnPlannerSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("no PQ index"))
   }
 
+  test("covering-depth sidecar: save/load roundtrip, defaults, staleness") {
+    import graft.index.IndexStore
+    val p = java.nio.file.Files.createTempDirectory("graft_depth").toString
+    assert(IndexStore.loadDepth(spark, p).isEmpty)
+    IndexStore.saveDepth(spark, p, IndexStore.DepthRecord(0.9, n, 10))
+    assert(IndexStore.loadDepth(spark, p) ===
+      Some(IndexStore.DepthRecord(0.9, n, 10)))
+    // a re-measure supersedes
+    IndexStore.saveDepth(spark, p, IndexStore.DepthRecord(0.25, 2 * n, 10))
+    assert(IndexStore.loadDepth(spark, p).get.fraction === 0.25)
+    assert(!IndexStore.DepthRecord(0.9, n, 10).staleAt(2 * n))
+    assert(IndexStore.DepthRecord(0.9, n, 10).staleAt(2 * n + 1))
+    intercept[IllegalArgumentException] {
+      IndexStore.DepthRecord(1.5, n, 10)
+    }
+  }
+
+  test("depthsFromSidecars reads recorded depths, falls back, flags stale") {
+    import graft.index.IndexStore
+    val p = java.nio.file.Files.createTempDirectory("graft_depth2").toString
+    IndexStore.saveDepth(spark, p, IndexStore.DepthRecord(0.33, n, 10))
+    // recorded path read, unrecorded paths fall back to the defaults
+    val (depths, stale) = AnnPlanner.depthsFromSidecars(spark, n,
+      ivfPath = Some(p), pqPath = Some(p + "/nope"))
+    assert(depths.ivfMassFraction === 0.33)
+    assert(depths.pqOverfetchFraction ===
+      AnnPlanner.AnnDepths().pqOverfetchFraction)
+    assert(stale.isEmpty)
+    // a corpus that outgrew the measurement is still planned but flagged
+    val (depths2, stale2) = AnnPlanner.depthsFromSidecars(spark, 3 * n,
+      ivfPath = Some(p))
+    assert(depths2.ivfMassFraction === 0.33)
+    assert(stale2.exists(_.contains("re-measure")))
+  }
+
+  test("planKnnJoin: winner is the argmin; exact contract excludes routed") {
+    val assets = AnnPlanner.AnnAssets(ivfClusters = ivf.centroids.size)
+    val exact = AnnPlanner.planKnnJoin(50L, n, dim, k = 3, assets = assets,
+      exact = true)
+    assert(exact.path === exact.costs.minBy(_._2)._1)
+    assert(exact.costs.map(_._1).toSet === Set("bruteJoin", "ballCoverJoin"))
+    val approx = AnnPlanner.planKnnJoin(50L, n, dim, k = 3, assets = assets,
+      exact = false)
+    assert(approx.costs.map(_._1).toSet ===
+      Set("bruteJoin", "ballCoverJoin", "ivfRoutedJoin"))
+    // no IVF asset -> brute is the only path, exact or not
+    assert(AnnPlanner.planKnnJoin(50L, n, dim, k = 3).costs.map(_._1) ===
+      Seq("bruteJoin"))
+    // at trained (shallow) depths the routed join dominates by ~50x
+    val big = AnnPlanner.planKnnJoin(1000L, 1000000000L, 1024, k = 10,
+      assets = AnnPlanner.AnnAssets(ivfClusters = 31623L),
+      depths = AnnPlanner.AnnDepths(ivfMassFraction = 0.01),
+      exact = false)
+    assert(big.path === "ivfRoutedJoin")
+    assert(big.numCandidates === 10000000)
+  }
+
+  test("executeKnnJoin: the dispatched exact path equals the brute join") {
+    val assets = AnnPlanner.AnnAssets(ivfClusters = ivf.centroids.size)
+    val plan = AnnPlanner.planKnnJoin(10L, n, dim, k = 3, assets = assets,
+      exact = true)
+    val batch = embs.where(col("vec_id") < 10)
+    val got = AnnPlanner.executeKnnJoin(plan, batch, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3,
+        ivf = Some(ivf))
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = VectorSearch.knnJoin(batch, embs,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got === want)
+    // a ball-cover plan without its index fails loudly, never falls back
+    if (plan.path != "bruteJoin")
+      assert(intercept[IllegalArgumentException] {
+        AnnPlanner.executeKnnJoin(plan, batch, embs,
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      }.getMessage.contains("no IVF index"))
+  }
+
   test("degenerate inputs fail loudly") {
     intercept[IllegalArgumentException] {
       AnnPlanner.planKnn(0L, dim, k = 10)

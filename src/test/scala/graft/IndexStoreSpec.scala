@@ -729,6 +729,46 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("never completed"))
   }
 
+  test("streaming prefix upkeep: streamed vectors stay checkable and routed==exact") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("prefixstream").toString
+    val ckpt = Files.createTempDirectory("prefixstreamckpt").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    // offline DDL on the even half…
+    val half1 = embs.where($"vec_id" % 2 === 0)
+    IndexStore.savePrefix(half1, "vec_id", "embedding", prefixDims = 32, dir)
+    // …then the odd half arrives as a stream, split across two batches
+    // (the streamIntoBm25 test shape — this was the ninth family's
+    // missing streaming hook until round 10)
+    val half2 = embs.where($"vec_id" % 2 === 1)
+      .as[(Long, Seq[Double])].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])](spark)
+    val q = IndexStore.streamIntoPrefix(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", dir, ckpt)
+    try {
+      val (b1, b2) = half2.splitAt(half2.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the appended state passes the checked loader against the FULL corpus
+    // (the q_ann_mrl loader contract), and the routed two-stage pass over
+    // it equals the exact scan
+    val prefixRel = IndexStore.loadPrefixChecked(spark, dir, embs,
+      "vec_id", "embedding")
+    val routed = VectorSearch.knnPrefix(embs, "vec_id", "embedding", query,
+        k = 10, prefixDims = 32, overfetch = embs.count().toInt,
+        prefixRel = Some(prefixRel))
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val exact = VectorSearch.knn(embs, "vec_id", "embedding", query, k = 10)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(routed === exact)
+    // and compaction of the streamed batches preserves checkability
+    IndexStore.compactPrefix(spark, dir)
+    assert(IndexStore.loadPrefixChecked(spark, dir, embs,
+      "vec_id", "embedding").count() === embs.count())
+  }
+
   test("IVF staleness guard: append/mutation detected loudly; repair at batch cost keeps probes exact") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("ivfguard").toString

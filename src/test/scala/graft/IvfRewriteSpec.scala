@@ -51,6 +51,45 @@ class IvfRewriteSpec extends AnyFunSuite with SparkTest {
     assert(ids === exact)
   }
 
+  test("registered filter selectivity: selective filtered top-k is NOT rewritten, unfiltered still is") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val index = Ivf.build(Tables.embeddings(spark, Sf0001), "vec_id", "embedding")
+    try {
+      // measured label=3 selectivity ~0.1 on the fixture; the probe depth
+      // (200 of 500 ≈ 0.4·n) cannot beat a 0.1·n filtered exact scan, so
+      // the planner consult must leave the filtered plan alone…
+      Ivf.registerForRewrite(spark, path, index, "vec_id",
+        numCandidates = 200, filterSelectivity = Some(0.1))
+      val filtered = VectorSearch.knn(Tables.embeddings(spark, Sf0001),
+        "vec_id", "embedding", query, k = 10,
+        preFilter = Some(col("label") === 3))
+      assert(!filtered.queryExecution.optimizedPlan.toString
+        .contains(IvfRewrite.MemberCol),
+        "selective filtered top-k must keep the exact scan")
+      // …and the un-rewritten plan IS the exact filtered result
+      val ids = filtered.select("vec_id").as[Long].collect().toSeq
+      IvfRewrite.clear()
+      val exact = VectorSearch.knn(
+          Tables.embeddings(spark, Sf0001).where(col("label") === 3),
+          "vec_id", "embedding", query, k = 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(ids === exact)
+      // the unfiltered query over the same registration still rewrites
+      Ivf.registerForRewrite(spark, path, index, "vec_id",
+        numCandidates = 200, filterSelectivity = Some(0.1))
+      assert(knn().queryExecution.optimizedPlan.toString
+        .contains(IvfRewrite.MemberCol),
+        "unfiltered top-k must still route through the probe")
+      // with NO measured selectivity the filtered query rewrites as before
+      Ivf.registerForRewrite(spark, path, index, "vec_id", numCandidates = 200)
+      assert(VectorSearch.knn(Tables.embeddings(spark, Sf0001),
+          "vec_id", "embedding", query, k = 10,
+          preFilter = Some(col("label") === 3))
+        .queryExecution.optimizedPlan.toString.contains(IvfRewrite.MemberCol))
+    } finally IvfRewrite.clear()
+  }
+
   test("a query on a different table is not rewritten") {
     val index = Ivf.build(Tables.embeddings(spark, Sf0001), "vec_id", "embedding")
     try {
