@@ -697,10 +697,16 @@ object SparkEntry {
     val e = Tables.embeddings(spark, dir)
     val idx = corpusIvfDisk(spark, dir)
     val batch = e.where(col("vec_id") < 50)
+    // the ball-cover pass-2 extension fraction is MEASURED at build time
+    // on this very batch ([[AnnPlanner.measureExtendFraction]]) and
+    // persisted under the IVF index's "extend" sidecar — the planner
+    // prices the exact-join paths from the recorded measurement
+    val extend = measuredRecord(spark, ivfDiskBuilt((spark, dir)),
+      name = "extend").fraction
     val plan = AnnPlanner.planKnnJoin(
       nQueries = batch.count(), n = idx.sizes.values.sum, dim = idx.dim,
       k = 3, assets = AnnPlanner.AnnAssets(ivfClusters = idx.centroids.size),
-      exact = true)
+      exact = true, extendFraction = extend)
     selfChecked(
       AnnPlanner.executeKnnJoin(plan, batch, e,
           "vec_id", "embedding", "vec_id", "embedding", k = 3,
@@ -1656,11 +1662,23 @@ object SparkEntry {
       val idx = corpusIvf(spark, dir)
       IndexStore.saveIvf(idx, p,
         source = Some((Tables.embeddings(spark, dir), "vec_id", "embedding")))
-      // persist the MEASURED covering depth beside the index it describes
-      // ([[IndexStore.saveDepth]]) — the fraction behind [[deepProbeMass]],
-      // measured on this corpus geometry; [[qAnnPlan]] plans from it
-      IndexStore.saveDepth(spark, p, IndexStore.DepthRecord(
-        fraction = 0.9, measuredAtN = idx.sizes.values.sum, k = 10))
+      // MEASURE the covering depth with the in-code instrument and persist
+      // it beside the index it describes ([[AnnPlanner.measureIvfDepth]] →
+      // [[IndexStore.saveDepth]]) — run once per wave at build time, read
+      // back by [[qAnnPlan]]'s re-plan; the flagship probe is in the
+      // sample, so the selfChecked routed==exact gate is a deterministic
+      // consequence of the measurement, not of a constant staying lucky
+      IndexStore.saveDepth(spark, p, AnnPlanner.measureIvfDepth(
+        idx, Tables.embeddings(spark, dir), "vec_id", "embedding",
+        depthSampleQueries(spark, dir), k = 10))
+      // measured ball-cover pass-2 extension fraction on the batch
+      // planner's own query batch, persisted under the "extend" sidecar
+      // ([[AnnPlanner.measureExtendFraction]]) — [[qKnnJoinPlan]] prices
+      // ballCoverJoin from it
+      IndexStore.saveDepth(spark, p, AnnPlanner.measureExtendFraction(
+        idx, Tables.embeddings(spark, dir).where(col("vec_id") < 50),
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        "vec_id", "embedding", k = 3), name = "extend")
       p
     })
     // checked once per wave ([[checkedOncePerWave]]), unchecked per query
@@ -1670,16 +1688,48 @@ object SparkEntry {
       IndexStore.loadIvf(spark, path))
   }
 
-  /** 90% of the indexed mass — measured as the shallowest round fraction
-    * with recall 1 for the flagship probe at every driver SF (0.5 already
-    * loses a top-10 neighbor on these near-random synthetic vectors), while
-    * still skipping the farthest ~10% of clusters so the partition-pruned
-    * index scan genuinely executes (exhaustive depth short-circuits it
-    * away). The consuming queries self-check recall at Verify time
-    * ([[selfChecked]]), so this constant drifting stale fails the
-    * correctness gate loudly, never wrongly. */
-  private def deepProbeMass(idx: Ivf.IvfIndex): Int =
-    math.max(10, (idx.sizes.values.sum * 9 / 10).toInt)
+  /** Deterministic depth-measurement query sample: the flagship probe
+    * (so the declared queries' selfChecked routed==exact gates follow
+    * from the measurement by construction) plus the first four corpus
+    * vectors by vec_id. Bounded driver collect (4 rows), cached per
+    * (session, sfDir) — the instrument runs at wave cadence with it. */
+  private val depthSampleCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, Array[Double])]]
+  private def depthSampleQueries(spark: SparkSession,
+      dir: String): Seq[(Long, Array[Double])] =
+    depthSampleCache.getOrElseUpdate((spark, dir), {
+      val corpus = Tables.embeddings(spark, dir)
+        .orderBy("vec_id").limit(4)
+        .select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      (-1L, flagshipQueryVec) +: corpus
+    })
+
+  /** The measured covering-depth KNOB recorded beside the index at
+    * `path` ([[IndexStore.loadDepth]], written by the build paths'
+    * measurement instruments): ceil(fraction·n), clamped to ≥ k. The
+    * `*_idx` queries probe at the measurement instead of a conservative
+    * constant — shallower on this geometry by 5–40× (SCALE.md round-10
+    * §3) — and the [[selfChecked]] routed==exact gates keep the
+    * measurement honest at Verify time: a depth gone stale fails the
+    * correctness gate loudly, never wrongly. Fails loudly when no record
+    * exists (the build paths always measure). */
+  private val depthRecordCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IndexStore.DepthRecord]
+  private def measuredRecord(spark: SparkSession, path: String,
+      name: String = "depth"): IndexStore.DepthRecord =
+    // sidecar read cached per (session, sidecar) — one tiny parquet read
+    // per wave, not per query (the checkedOncePerWave discipline); a
+    // missing record throws before caching, so it refuses on every attempt
+    depthRecordCache.getOrElseUpdate((spark, s"$path/$name"),
+      IndexStore.loadDepth(spark, path, name).getOrElse(sys.error(
+        s"no measured covering depth recorded at $path/$name — rebuild " +
+          "the index (the build path measures and persists it)")))
+  private def measuredDepthKnob(spark: SparkSession, path: String,
+      n: Long, k: Int): Int =
+    math.max(k, math.ceil(measuredRecord(spark, path).fraction * n).toInt)
 
   /** True under `graft.Verify`, which sets the `graft.selfcheck` system
     * property (local opt-in: `-Dgraft.selfcheck=1`). The routed==exact
@@ -1785,9 +1835,12 @@ object SparkEntry {
       val idx = corpusPq(spark, dir)
       IndexStore.savePq(idx, p,
         source = Some((Tables.embeddings(spark, dir), "vec_id", "embedding")))
-      // measured ADC overfetch covering depth (the n/2 behind qAnnPqIdx)
-      IndexStore.saveDepth(spark, p, IndexStore.DepthRecord(
-        fraction = 0.5, measuredAtN = idx.n, k = 10))
+      // ADC overfetch covering depth, MEASURED by the in-code instrument
+      // ([[AnnPlanner.measurePqDepth]] — max exact-top-k ADC rank over the
+      // flagship + corpus sample) and persisted for [[qAnnPlan]]'s re-plan
+      IndexStore.saveDepth(spark, p, AnnPlanner.measurePqDepth(
+        idx, Tables.embeddings(spark, dir), "vec_id", "embedding",
+        depthSampleQueries(spark, dir), k = 10))
       p
     })
     // STALENESS GUARD ([[IndexStore.loadPqChecked]]): an ADC scan against a
@@ -1811,12 +1864,14 @@ object SparkEntry {
   private def qAnnPqIdx(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val idx = corpusPqDisk(spark, dir)
-    // ADC top-half must contain the true top-10 for the re-rank to recover
-    // them — holds with margin on the synthetic corpora (PqSpec pins recall
-    // at far shallower depth); selfChecked makes drift loud at Verify time.
+    // overfetch = the MEASURED ADC covering depth persisted beside the
+    // index ([[measuredDepthKnob]] — the flagship probe is in the
+    // measurement sample, so the re-rank provably recovers the true
+    // top-10); selfChecked makes drift loud at Verify time
     selfChecked(
       Pq.ann(idx, e, "vec_id", "embedding", flagshipQueryVec,
-          k = 10, overfetch = math.max(100, (idx.n / 2).toInt))
+          k = 10, overfetch = measuredDepthKnob(spark,
+            pqDiskBuilt((spark, dir)), idx.n, 10))
         .select("vec_id", "score"),
       VectorSearch.knn(e, "vec_id", "embedding", flagshipQueryVec, k = 10)
         .select("vec_id", "score"),
@@ -1846,10 +1901,12 @@ object SparkEntry {
         dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       val embs = Tables.embeddings(spark, dir)
       IndexStore.savePrefix(embs, "vec_id", "embedding", MrlPrefixDims, p)
-      // measured coarse-pass overfetch covering depth (the n/2 behind
-      // qAnnMrl — generous on the non-information-ordered fixture)
-      IndexStore.saveDepth(spark, p, IndexStore.DepthRecord(
-        fraction = 0.5, measuredAtN = embs.count(), k = 10))
+      // coarse-pass overfetch covering depth, MEASURED by the in-code
+      // instrument ([[AnnPlanner.measureMrlDepth]] — max exact-top-k
+      // prefix-score rank over the flagship + corpus sample)
+      IndexStore.saveDepth(spark, p, AnnPlanner.measureMrlDepth(
+        embs, "vec_id", "embedding", depthSampleQueries(spark, dir),
+        k = 10, prefixDims = MrlPrefixDims))
       p
     })
     // checked once per wave; the unchecked load mirrors loadPrefixChecked's
@@ -1879,11 +1936,14 @@ object SparkEntry {
   private def qAnnMrl(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
+    val prefixRel = corpusMrlPrefixDisk(spark, dir)
     selfChecked(
       VectorSearch.knnPrefix(e, "vec_id", "embedding", flagshipQueryVec,
           k = 10, prefixDims = MrlPrefixDims,
-          overfetch = math.max(300, (n / 2).toInt),
-          prefixRel = Some(corpusMrlPrefixDisk(spark, dir)))
+          // the MEASURED coarse-pass covering depth (flagship in sample)
+          overfetch = measuredDepthKnob(spark,
+            mrlPrefixDiskBuilt((spark, dir)), n, 10),
+          prefixRel = Some(prefixRel))
         .select("vec_id", "score"),
       VectorSearch.knn(e, "vec_id", "embedding", flagshipQueryVec, k = 10)
         .select("vec_id", "score"),
@@ -1966,6 +2026,32 @@ object SparkEntry {
       .select("vec_id", "score")
   }
 
+  /** The covering-depth MEASUREMENT INSTRUMENT itself, gate-checked
+    * ([[AnnPlanner.coarseRankDepths]] — the relational core the MRL and
+    * PQ instruments summarize): for the first three corpus vectors as
+    * probes, the deepest MRL coarse rank (32-dim prefix score, rounded,
+    * id tie-break — [[VectorSearch.knnPrefix]]'s exact ordering) an exact
+    * top-5 member occupies. The oracle re-derives the same ranks in SQL
+    * (window top-k membership + a rank join counting rows at-or-ahead by
+    * the identical (coarse DESC, id ASC) key), so the instrument whose
+    * output the sidecars persist and the planner re-plans from is itself
+    * hash-verified against an independent engine — the measurement is a
+    * checked computation, not a trusted constant. Per query the rank join
+    * broadcasts k member rows against the corpus: n·k comparisons, no
+    * shuffle of n. */
+  private def qAnnDepth(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qs = e.orderBy("vec_id").limit(3)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    AnnPlanner.coarseRankDepths(e, e, "vec_id", "vec_id", qs, k = 5,
+        qv => round(Vectors.score("cosine", col("embedding"),
+          Vectors.vecLit(qv)), VectorSearch.ScoreDecimals),
+        qv => AnnPlanner.mrlCoarseKey("embedding", qv, MrlPrefixDims))
+      .orderBy("q_id")
+  }
+
   /** Index-backed IVF ANN: same top-k as [[qAnnIvf]], but probed against
     * the PERSISTED on-disk index at SUB-exhaustive depth — the vector twin
     * of [[qBm25Idx]]: the plan scans only the probed clusters' partitions of
@@ -1979,7 +2065,9 @@ object SparkEntry {
     val idx = corpusIvfDisk(spark, dir)
     selfChecked(
       Ivf.ann(idx, e, "vec_id", "embedding", flagshipQueryVec,
-          k = 10, numCandidates = deepProbeMass(idx))
+          // probe at the MEASURED covering mass (flagship in sample)
+          k = 10, numCandidates = measuredDepthKnob(spark,
+            ivfDiskBuilt((spark, dir)), idx.sizes.values.sum, 10))
         .select("vec_id", "score"),
       VectorSearch.knn(e, "vec_id", "embedding", flagshipQueryVec, k = 10)
         .select("vec_id", "score"),
@@ -2304,6 +2392,7 @@ object SparkEntry {
     "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
     "q_ann_plan" -> ((s, dir) => qAnnPlan(s, dir)),
     "q_ann_plan_filtered" -> ((s, dir) => qAnnPlanFiltered(s, dir)),
+    "q_ann_depth" -> ((s, dir) => qAnnDepth(s, dir)),
     "q_rerank" -> ((s, dir) => qRerank(s, dir)),
     "q_mmr" -> ((s, dir) => qMmr(s, dir)),
     "q_hard_negatives" -> ((s, dir) => qHardNegatives(s, dir)),
@@ -2682,6 +2771,36 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // the measurement instrument re-derived independently: exact top-5
+    // membership by windowed (score DESC, id ASC), coarse rank = count of
+    // rows at-or-ahead by the identical MRL (prefix score, zero-guarded,
+    // rounded) key — the deepest member rank per query IS the covering
+    // depth the sidecars persist
+    "q_ann_depth" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+         |), scored AS (
+         |  SELECT q.q_id, e.vec_id AS id,
+         |         round((1.0 + list_cosine_similarity(q.qv, e.embedding::DOUBLE[])) / 2.0, 6) AS exact,
+         |         CASE WHEN list_inner_product((e.embedding::DOUBLE[])[1:$MrlPrefixDims], (e.embedding::DOUBLE[])[1:$MrlPrefixDims]) > 0
+         |              THEN round((1.0 + list_cosine_similarity(q.qv[1:$MrlPrefixDims], (e.embedding::DOUBLE[])[1:$MrlPrefixDims])) / 2.0, 6)
+         |              ELSE 0.5 END AS coarse
+         |  FROM q, embeddings e
+         |), members AS (
+         |  SELECT q_id, id, coarse FROM (
+         |    SELECT q_id, id, coarse,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY exact DESC, id ASC) AS r
+         |    FROM scored)
+         |  WHERE r <= 5
+         |), ranks AS (
+         |  SELECT m.q_id, m.id, count(*) AS rnk
+         |  FROM members m JOIN scored s ON s.q_id = m.q_id
+         |   AND (s.coarse > m.coarse OR (s.coarse = m.coarse AND s.id <= m.id))
+         |  GROUP BY m.q_id, m.id
+         |)
+         |SELECT q_id, max(rnk) AS depth FROM ranks GROUP BY q_id
+         |ORDER BY q_id""".stripMargin,
     // valid because the planner provably picks the filtered exact scan
     // (path require in qAnnPlanFiltered) — filter BEFORE top-k, the
     // q_ann_ivf_filtered placement

@@ -1347,10 +1347,11 @@ object IndexStore {
 
   /** A measured ANN covering depth: the routed path must touch `fraction`
     * of n for recall 1 at `k`, measured on a corpus of `measuredAtN`
-    * rows. */
+    * rows. (Also reused for the ball-cover join's measured pass-2
+    * extension fraction, whose honest floor is 0 — no escalations.) */
   case class DepthRecord(fraction: Double, measuredAtN: Long, k: Int) {
-    require(fraction > 0 && fraction <= 1,
-      s"covering-depth fraction in (0,1], got $fraction")
+    require(fraction >= 0 && fraction <= 1,
+      s"covering-depth fraction in [0,1], got $fraction")
     require(measuredAtN > 0, s"measuredAtN must be positive, got $measuredAtN")
     require(k >= 1, s"k must be ≥ 1, got $k")
     /** Heuristic staleness handle: a measurement taken on a corpus the
@@ -1360,19 +1361,24 @@ object IndexStore {
   }
 
   /** Record a measured covering depth beside the index at `path`
-    * (overwrites any previous record — a measurement supersedes). */
-  def saveDepth(spark: SparkSession, path: String, d: DepthRecord): Unit = {
+    * (overwrites any previous record — a measurement supersedes). `name`
+    * distinguishes multiple measurements on one index (the default
+    * "depth" is the routed covering depth; the ball-cover join persists
+    * its measured pass-2 extension fraction under "extend"). */
+  def saveDepth(spark: SparkSession, path: String, d: DepthRecord,
+      name: String = "depth"): Unit = {
     import spark.implicits._
     Seq((d.fraction, d.measuredAtN, d.k))
       .toDF("fraction", "measured_at_n", "k")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/depth")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$name")
   }
 
   /** The recorded covering depth, when one was ever measured. */
-  def loadDepth(spark: SparkSession, path: String): Option[DepthRecord] =
-    if (!hasDataFiles(spark, s"$path/depth")) None
+  def loadDepth(spark: SparkSession, path: String,
+      name: String = "depth"): Option[DepthRecord] =
+    if (!hasDataFiles(spark, s"$path/$name")) None
     else {
-      val r = spark.read.parquet(s"$path/depth").head()
+      val r = spark.read.parquet(s"$path/$name").head()
       Some(DepthRecord(r.getAs[Double]("fraction"),
         r.getAs[Long]("measured_at_n"), r.getAs[Int]("k")))
     }

@@ -195,20 +195,30 @@ object Ivf {
 
   /** Clusters to probe for `queryVec`, nearest-centroid first, until the
     * cumulative member count reaches numCandidates. */
-  def probeSet(index: IvfIndex, queryVec: Array[Double], numCandidates: Int): Seq[Int] = {
+  /** The probe ORDER — clusters by ascending squared centroid distance,
+    * ties by cid. Shared verbatim by [[probeSet]] and the covering-mass
+    * measurement ([[graft.search.AnnPlanner.measureIvfDepth]]), so a
+    * measured depth replayed as `numCandidates` selects exactly the
+    * clusters the measurement counted. */
+  private[graft] def clusterProbeOrder(index: IvfIndex,
+      queryVec: Array[Double]): Seq[Int] = {
     def dist2(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < c.length) { val d = c(i) - queryVec(i); s += d * d; i += 1 }
       s
     }
-    val ranked = index.centroids.toSeq
+    index.centroids.toSeq
       .map { case (cid, c) => (dist2(c), cid) }
       .sortBy { case (d, cid) => (d, cid) }
+      .map(_._2)
+  }
+
+  def probeSet(index: IvfIndex, queryVec: Array[Double], numCandidates: Int): Seq[Int] = {
     var pool = 0L
     val picked = Seq.newBuilder[Int]
-    val it = ranked.iterator
+    val it = clusterProbeOrder(index, queryVec).iterator
     while (pool < numCandidates && it.hasNext) {
-      val (_, cid) = it.next()
+      val cid = it.next()
       picked += cid
       pool += index.sizes.getOrElse(cid, 0L)
     }
@@ -486,9 +496,14 @@ object Ivf {
     * pruning receipts. `probedClusters` is the union of pass-1 probe
     * sets; `extensionPairs`/`extensionClusters` count the (query,
     * cluster) bound-check escalations (0 ⇒ the final pass scanned no
-    * corpus rows at all); `nonEmptyClusters` is the denominator. */
+    * corpus rows at all); `nonEmptyClusters` is the denominator;
+    * `extensionMass` is the SUM of extended clusters' member counts
+    * across pairs — the pass-2 row-scan volume, and the numerator of the
+    * batch planner's measured `extendFraction`
+    * ([[graft.search.AnnPlanner.measureExtendFraction]]). */
   case class ExactJoinStats(probedClusters: Int, extensionPairs: Int,
-      extensionClusters: Int, nonEmptyClusters: Int)
+      extensionClusters: Int, nonEmptyClusters: Int,
+      extensionMass: Long = 0L)
 
   /** [[knnJoinExact]] plus its [[ExactJoinStats]] — pass-1 runs eagerly
     * inside this call (its kth-best drives the bound check), so the
@@ -573,7 +588,9 @@ object Ivf {
       probedClusters = pass1Pairs.map(_._2).distinct.size,
       extensionPairs = extraPairs.size,
       extensionClusters = extraPairs.map(_._2).distinct.size,
-      nonEmptyClusters = nonEmpty.size)
+      nonEmptyClusters = nonEmpty.size,
+      extensionMass = extraPairs.map { case (_, cid) =>
+        index.sizes.getOrElse(cid, 0L) }.sum)
     (VectorSearch.topKScored(finalScored, k), stats)
   }
 }

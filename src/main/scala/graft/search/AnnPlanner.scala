@@ -1,7 +1,9 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
+import graft.functions.Vectors
 import graft.index.{Ivf, Pq}
 
 /** Cost-based PHYSICAL-PATH PLANNER for single-query vector top-k — the
@@ -362,5 +364,171 @@ object AnnPlanner {
         plan.prefixDims, plan.overfetch, metric, preFilter, prefixRel)
     case other => throw new IllegalArgumentException(
       s"unknown ANN plan path '$other'")
+  }
+
+  // -------------------------------------------- measurement instruments
+  //
+  // The planner's honesty contract makes every approximate path's coarse
+  // depth a MEASURED input. These are the instruments that produce the
+  // measurement IN CODE — per-query relational jobs, run at wave cadence
+  // (build/append time), their output persisted via
+  // [[graft.index.IndexStore.saveDepth]] and read back by
+  // [[depthsFromSidecars]] — so the sidecar records are the output of an
+  // executable procedure, not asserted constants. Definition: for a query
+  // sample Q, the covering depth at k is the deepest COARSE position an
+  // exact top-k member occupies, maximized over Q — the minimal routed
+  // knob (overfetch / probed mass) at which the routed path returns
+  // exactly the exact scan's rows for every sampled query, by the same
+  // (key DESC, id ASC) ordering the engine paths rank with. Cost: |Q|
+  // bounded top-k scans plus |Q| broadcast-k rank joins — work ∝ |Q|·n,
+  // run once per ingest wave, never per query.
+
+  /** Per-query coarse-rank depths — the shared core of the PQ and MRL
+    * instruments, and itself the gate-checked `q_ann_depth` relation.
+    * For each (qid, vec) in `queries`: the exact top-`k` members of
+    * `exactRel` (ranked `exactScoreFor(vec)` DESC, id ASC — the
+    * [[VectorSearch.knn]] ordering, so pass a ROUNDED score), each
+    * member's coarse rank in `coarseRel` (1 + the count of rows strictly
+    * ahead of it by `coarseKeyFor(vec)` DESC, id ASC — i.e. the minimal
+    * coarse top-r that contains it), maximized per query. Output:
+    * (q_id, depth). The rank join broadcasts k member rows against the
+    * coarse relation — n·k comparisons per query, no shuffle of n. */
+  def coarseRankDepths(exactRel: DataFrame, coarseRel: DataFrame,
+      exactIdCol: String, coarseIdCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int,
+      exactScoreFor: Array[Double] => Column,
+      coarseKeyFor: Array[Double] => Column): DataFrame = {
+    require(queries.nonEmpty, "depth measurement needs a query sample")
+    require(k >= 1, s"k must be ≥ 1, got $k")
+    queries.map { case (qid, qv) =>
+      val topk = exactRel
+        .select(col(exactIdCol).cast("long").as("__m_id"),
+          exactScoreFor(qv).as("__m_exact"))
+        .orderBy(col("__m_exact").desc, col("__m_id").asc)
+        .limit(k)
+        .select(col("__m_id"))
+      val coarse = coarseRel.select(
+        col(coarseIdCol).cast("long").as("__c_id"),
+        coarseKeyFor(qv).as("__c_key"))
+      val members = coarse
+        .join(broadcast(topk), col("__c_id") === col("__m_id"))
+        .select(col("__m_id"), col("__c_key").as("__m_key"))
+      coarse.join(broadcast(members),
+          col("__c_key") > col("__m_key") ||
+            (col("__c_key") === col("__m_key") &&
+              col("__c_id") <= col("__m_id")))
+        .groupBy(col("__m_id")).agg(count(lit(1)).as("__rank"))
+        .agg(max(col("__rank")).as("depth"))
+        .select(lit(qid).as("q_id"), col("depth"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[coarseRankDepths]] summarized to the persistable record: covering
+    * fraction = max depth over the sample / n (n = the coarse relation's
+    * row count — the denominator the planner's knobs scale by). */
+  def measureRankDepth(exactRel: DataFrame, coarseRel: DataFrame,
+      exactIdCol: String, coarseIdCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int,
+      exactScoreFor: Array[Double] => Column,
+      coarseKeyFor: Array[Double] => Column): graft.index.IndexStore.DepthRecord = {
+    val n = coarseRel.count()
+    val maxDepth = coarseRankDepths(exactRel, coarseRel, exactIdCol,
+        coarseIdCol, queries, k, exactScoreFor, coarseKeyFor)
+      .agg(max(col("depth"))).head().getLong(0)
+    graft.index.IndexStore.DepthRecord(maxDepth.toDouble / n, n, k)
+  }
+
+  /** The MRL coarse KEY — [[VectorSearch.knnPrefix]]'s `__pre` column
+    * verbatim (rounded, zero-prefix CASE-guarded), so a measured rank r
+    * means exactly "survives `overfetch = r`". Public because the
+    * gate-checked measurement query re-expresses it in the oracle SQL. */
+  def mrlCoarseKey(embCol: String, queryVec: Array[Double],
+      prefixDims: Int, metric: String = "cosine"): Column = {
+    val qPre = queryVec.take(prefixDims)
+    require(metric != "cosine" || qPre.exists(_ != 0.0),
+      s"the first $prefixDims dims of the query vector are all zero — " +
+        "the coarse cosine key is undefined ([[VectorSearch.knnPrefix]] " +
+        "refuses the same probe); measure with a prefix-bearing query")
+    val preVec = slice(col(embCol), 1, prefixDims)
+    val preScore =
+      if (metric == "cosine")
+        when(Vectors.dot(preVec, preVec) > 0,
+          Vectors.score(metric, preVec, Vectors.vecLit(qPre)))
+          .otherwise(lit(0.5))
+      else Vectors.score(metric, preVec, Vectors.vecLit(qPre))
+    round(preScore, VectorSearch.ScoreDecimals)
+  }
+
+  /** Measured MRL covering depth: minimal `overfetch` at which
+    * [[VectorSearch.knnPrefix]] equals [[VectorSearch.knn]] for every
+    * sampled query. */
+  def measureMrlDepth(corpus: DataFrame, idCol: String, embCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int, prefixDims: Int,
+      metric: String = "cosine"): graft.index.IndexStore.DepthRecord =
+    measureRankDepth(corpus, corpus, idCol, idCol, queries, k,
+      qv => round(Vectors.score(metric, col(embCol), Vectors.vecLit(qv)),
+        VectorSearch.ScoreDecimals),
+      qv => mrlCoarseKey(embCol, qv, prefixDims, metric))
+
+  /** Measured PQ ADC covering depth: minimal `overfetch` at which
+    * [[Pq.ann]] equals the exact scan for every sampled query. The
+    * coarse relation is the CODES table ranked by raw ADC score
+    * (`Pq.ann`'s own unrounded ordering). */
+  def measurePqDepth(index: Pq.PqIndex, corpus: DataFrame, idCol: String,
+      embCol: String, queries: Seq[(Long, Array[Double])],
+      k: Int): graft.index.IndexStore.DepthRecord =
+    measureRankDepth(corpus, index.codes, idCol, "id", queries, k,
+      qv => round(Vectors.score(index.metric, col(embCol),
+        Vectors.vecLit(qv)), VectorSearch.ScoreDecimals),
+      qv => Pq.adcScore(index, qv, col("codes")))
+
+  /** Measured IVF covering depth: the minimal probed MASS (the
+    * `numCandidates` knob) at which [[Ivf.ann]] equals the exact scan for
+    * every sampled query. Clusters rank by [[Ivf.clusterProbeOrder]] —
+    * the same order [[Ivf.probeSet]] consumes — and each exact top-k
+    * member costs the cumulative mass through its cluster's rank, so
+    * replaying the measured mass as `numCandidates` probes exactly the
+    * clusters the measurement counted. Driver side holds only centroids
+    * (already driver-resident) and k·|Q| member rows. */
+  def measureIvfDepth(index: Ivf.IvfIndex, corpus: DataFrame,
+      idCol: String, embCol: String, queries: Seq[(Long, Array[Double])],
+      k: Int, metric: String = "cosine"): graft.index.IndexStore.DepthRecord = {
+    require(queries.nonEmpty, "depth measurement needs a query sample")
+    val n = index.sizes.values.sum
+    val needed = queries.map { case (_, qv) =>
+      val order = Ivf.clusterProbeOrder(index, qv)
+      val cumMass = order.scanLeft(0L)(_ + index.sizes.getOrElse(_, 0L)).tail
+      val massAt = order.zip(cumMass).toMap
+      val memberIds = VectorSearch
+        .knn(corpus, idCol, embCol, qv, k, metric)
+        .select(col(idCol).cast("long")).collect().map(_.getLong(0))
+      val clusters = index.assignments
+        .where(col("id").isin(memberIds.map(Long.box): _*))
+        .select(col("cluster")).collect().map(_.getInt(0))
+      require(clusters.nonEmpty, "exact top-k members missing from the " +
+        "index assignments — measure against the indexed corpus")
+      clusters.map(massAt).max
+    }.max
+    graft.index.IndexStore.DepthRecord(needed.toDouble / n, n, k)
+  }
+
+  /** Measured ball-cover pass-2 extension fraction for [[planKnnJoin]]'s
+    * `extendFraction` input: run [[Ivf.knnJoinExactWithStats]] on a query
+    * sample and report extension row-scan volume per (query · corpus
+    * row) — [[Ivf.ExactJoinStats.extensionMass]] / (|Q|·n). Persist under
+    * the "extend" sidecar name and re-measure at wave cadence like the
+    * covering depths (extension volume is geometry-dependent: near 0 on
+    * clustered production embeddings, material on near-random fixtures). */
+  def measureExtendFraction(index: Ivf.IvfIndex, queries: DataFrame,
+      corpus: DataFrame, qIdCol: String, qEmbCol: String, cIdCol: String,
+      cEmbCol: String, k: Int,
+      probeMass: Double = 0.9): graft.index.IndexStore.DepthRecord = {
+    val nq = queries.count()
+    require(nq > 0, "extension measurement needs a non-empty query sample")
+    val (_, stats) = Ivf.knnJoinExactWithStats(index, queries, corpus,
+      qIdCol, qEmbCol, cIdCol, cEmbCol, k, probeMass)
+    val n = index.sizes.values.sum
+    graft.index.IndexStore.DepthRecord(
+      stats.extensionMass.toDouble / (nq.toDouble * n), n, k)
   }
 }

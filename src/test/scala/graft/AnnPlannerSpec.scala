@@ -216,4 +216,115 @@ class AnnPlannerSpec extends AnyFunSuite with SparkTest {
       AnnPlanner.AnnDepths(ivfMassFraction = 0.0)
     }
   }
+
+  // ---- measurement instruments: the measured depth is minimal-covering
+
+  // queryVec ("planner probe") hashes to all-zero on the 32-dim prefix —
+  // exactly the degenerate probe knnPrefix/mrlCoarseKey refuse — so the
+  // measurement sample uses a prefix-bearing embedded query instead
+  private lazy val measureVec =
+    graft.embed.Embedder.default.embed("nuggets para desayuno")
+  private lazy val sampleQueries: Seq[(Long, Array[Double])] =
+    (100L, measureVec) +: embs.orderBy("vec_id").limit(3)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  private def exactIds(qv: Array[Double], k: Int): Seq[Long] =
+    VectorSearch.knn(embs, "vec_id", "embedding", qv, k)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+
+  test("measureMrlDepth: measured overfetch covers every sampled query; one less does not") {
+    val k = 5
+    val d = AnnPlanner.measureMrlDepth(embs, "vec_id", "embedding",
+      sampleQueries, k, prefixDims = 32)
+    assert(d.measuredAtN === n)
+    val depth = math.ceil(d.fraction * n).toInt
+    assert(depth >= k && depth < n, s"degenerate measured depth $depth")
+    for ((_, qv) <- sampleQueries) {
+      val routed = VectorSearch.knnPrefix(embs, "vec_id", "embedding", qv,
+          k, prefixDims = 32, overfetch = depth)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+      assert(routed === exactIds(qv, k), "measured depth must cover")
+    }
+    // minimality: at depth - 1 at least one sampled query loses a member
+    val undershot = sampleQueries.exists { case (_, qv) =>
+      VectorSearch.knnPrefix(embs, "vec_id", "embedding", qv, k,
+          prefixDims = 32, overfetch = depth - 1)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        .toSeq !== exactIds(qv, k)
+    }
+    assert(undershot, "measured depth is the max member rank — one " +
+      "shallower must lose that member for its query")
+  }
+
+  test("measurePqDepth: measured ADC overfetch covers; one less does not") {
+    val k = 5
+    val d = AnnPlanner.measurePqDepth(pq, embs, "vec_id", "embedding",
+      sampleQueries, k)
+    val depth = math.ceil(d.fraction * n).toInt
+    assert(depth >= k && depth < n, s"degenerate measured depth $depth")
+    for ((_, qv) <- sampleQueries) {
+      val routed = Pq.ann(pq, embs, "vec_id", "embedding", qv, k,
+          overfetch = depth, forceRerank = true)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+      assert(routed === exactIds(qv, k), "measured depth must cover")
+    }
+    val undershot = sampleQueries.exists { case (_, qv) =>
+      Pq.ann(pq, embs, "vec_id", "embedding", qv, k,
+          overfetch = depth - 1, forceRerank = true)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        .toSeq !== exactIds(qv, k)
+    }
+    assert(undershot)
+  }
+
+  test("measureIvfDepth: measured probe mass covers; below the last needed cluster does not") {
+    val k = 5
+    val d = AnnPlanner.measureIvfDepth(ivf, embs, "vec_id", "embedding",
+      sampleQueries, k)
+    val mass = math.ceil(d.fraction * n).toInt
+    assert(mass >= k && mass <= n)
+    for ((_, qv) <- sampleQueries) {
+      val routed = Ivf.ann(ivf, embs, "vec_id", "embedding", qv, k,
+          numCandidates = mass)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+      assert(routed === exactIds(qv, k), "measured mass must cover")
+    }
+    // minimality: drop the deepest picked cluster (probe strictly below
+    // the measured mass) — some sampled query must lose a member
+    val undershot = sampleQueries.exists { case (_, qv) =>
+      val picked = Ivf.probeSet(ivf, qv, mass)
+      val below = picked.dropRight(1)
+        .map(cid => ivf.sizes.getOrElse(cid, 0L)).sum.toInt
+      below > 0 && (Ivf.ann(ivf, embs, "vec_id", "embedding", qv, k,
+          numCandidates = below)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+        .toSeq !== exactIds(qv, k))
+    }
+    assert(undershot, "the measured mass ends at some query's deepest " +
+      "member cluster — probing below it must lose that member")
+  }
+
+  test("measureExtendFraction: the recorded fraction prices the pass-2 volume; sidecar roundtrip") {
+    import graft.index.IndexStore
+    val ivfR = Ivf.build(embs, "vec_id", "embedding") // with radii
+    val batch = embs.where(col("vec_id") < 20)
+    val d = AnnPlanner.measureExtendFraction(ivfR, batch, embs,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, probeMass = 0.5)
+    assert(d.fraction >= 0 && d.fraction <= 1)
+    assert(d.measuredAtN === n)
+    // the stats the fraction summarizes: extensionMass is the summed size
+    // of extended clusters, so fraction * (nq * n) reconstructs it
+    val (_, stats) = Ivf.knnJoinExactWithStats(ivfR, batch, embs,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, probeMass = 0.5)
+    assert(math.round(d.fraction * 20 * n) === stats.extensionMass)
+    // named sidecar roundtrip next to a depth record — the two coexist
+    val dir = java.nio.file.Files.createTempDirectory("extsidecar").toString
+    IndexStore.saveDepth(spark, dir,
+      IndexStore.DepthRecord(0.4, n, 3))
+    IndexStore.saveDepth(spark, dir, d, name = "extend")
+    assert(IndexStore.loadDepth(spark, dir).get.fraction === 0.4)
+    assert(IndexStore.loadDepth(spark, dir, name = "extend").get === d)
+  }
 }
