@@ -1404,6 +1404,44 @@ object SparkEntry {
         s"multiProbe=${plan.multiProbe}")
   }
 
+  /** EXACT clone pairs at the same 0.85 floor via BALL-COVER cluster-pair
+    * pruning ([[Dedup.cosinePairsBallCover]]) — the cosine twin of
+    * [[qDedupJaccardPlan]]'s recall-1 contract and the THRESHOLD
+    * SELF-JOIN rendition of [[Ivf.knnJoinExact]]'s exactness discipline:
+    * where the banded paths above promise an analytic MISS BOUND, this
+    * path's recall 1 is a theorem of the triangle inequality (any
+    * qualifying pair's clusters satisfy ‖μ̂ᵢ−μ̂ⱼ‖ ≤ rᵢ + d(t) + rⱼ, so
+    * the screen keeps them), which makes the brute-force SQL a full
+    * oracle with NO self-check needed — the hash compare is the proof.
+    * The IVF over the planted corpus is built once per (session, sfDir)
+    * — wave cadence, like the persisted indexes — and the candidate
+    * mass is driver arithmetic BEFORE launch
+    * ([[Dedup.ballCoverClusterPairs]]); pruning power is
+    * geometry-dependent (strong on clustered production embeddings,
+    * graceful decay to the bucketed all-pairs join on near-random
+    * fixtures — the operator scaladoc's honesty boundary). */
+  private val plantedIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Ivf.IvfIndex]
+  private def qNeardupCosineBall(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedNearClones(spark, dir)
+    val idx = plantedIvfCache.getOrElseUpdate((spark, dir), {
+      val built = Ivf.build(planted, "vec_id", "embedding")
+      // pin the assignments (they are a lazy plan over the kmeans
+      // transform — without this every probe re-runs the assignment job)
+      built.copy(assignments = built.assignments.localCheckpoint(true))
+    })
+    // the planner's EXACT contract picks the path ([[Planner.planCosine]]
+    // with exact = true routes to the ball cover when an index exists)
+    val plan = Planner.planCosine(PlannedThr, planted.count(), EmbDim,
+      ivfAvailable = true, exact = true)
+    require(plan.path == "cosinePairsBallCover",
+      s"q_neardup_cosine_ball expected the exact ball-cover regime, " +
+        s"planner chose ${plan.path}")
+    Planner.executeWithIndex(plan, idx, planted, "vec_id", "embedding",
+        PlannedThr, EmbDim)
+      .orderBy("id1", "id2")
+  }
+
   /** Directed containment pairs ([[Dedup.containmentPairs]]) — the
     * asymmetric-duplication screen (quotes, boilerplate-wrapped copies,
     * subset docs) symmetric Jaccard misses. Like [[qDedupJaccard]] this
@@ -2380,6 +2418,7 @@ object SparkEntry {
     "q_neardup_cosine_sel" -> ((s, dir) => qNeardupCosineSel(s, dir)),
     "q_neardup_cosine_selmp" -> ((s, dir) => qNeardupCosineSelMp(s, dir)),
     "q_neardup_cosine_plan" -> ((s, dir) => qNeardupCosinePlan(s, dir)),
+    "q_neardup_cosine_ball" -> ((s, dir) => qNeardupCosineBall(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => qDedupIncremental(s, dir)),
     "q_dedup_incremental_mp" -> ((s, dir) => qDedupIncrementalMp(s, dir)),
     "q_ann_ivf" -> ((s, dir) => qAnnIvf(s, dir)),
@@ -3387,6 +3426,13 @@ object SparkEntry {
     // is recall-1 on this fixture (selfChecked re-proves routed==brute at
     // Verify time), so the same brute-force planted-CTE SQL is the oracle
     "q_neardup_cosine_plan" ->
+      (s"WITH $plantedNearClonesSql\n" +
+        Dedup.sqlCosinePairs("planted", "vec_id", "embedding", PlannedThr) +
+        "\nORDER BY id1, id2"),
+    // ball-cover screen is recall-1 by the triangle inequality (no
+    // self-check needed — exactness is a theorem, the hash compare the
+    // proof), so the same brute-force planted-CTE SQL is a full oracle
+    "q_neardup_cosine_ball" ->
       (s"WITH $plantedNearClonesSql\n" +
         Dedup.sqlCosinePairs("planted", "vec_id", "embedding", PlannedThr) +
         "\nORDER BY id1, id2"),

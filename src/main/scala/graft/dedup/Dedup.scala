@@ -907,6 +907,123 @@ object Dedup {
       .select("id1", "id2", "sim")
   }
 
+  /** The BALL-COVER cluster-pair screen behind [[cosinePairsBallCover]],
+    * exposed so the candidate MASS is budgetable by arithmetic BEFORE
+    * launch (the `Planner.planJaccard` Σ prefixDf² discipline for the
+    * cosine-exact regime): cluster pair (i, j) survives iff members
+    * could possibly reach the threshold —
+    * ‖μ̂ᵢ−μ̂ⱼ‖ − rᵢ − rⱼ ≤ d(t) where d(t) = √(2−2t) is the unit-sphere
+    * chord length at cosine t and the radii are the index's
+    * normalized-space ball cover ([[graft.index.Ivf.clusterRadii]]).
+    * Degenerate geometry (zero-norm centroid, unknown radius → the
+    * [[graft.index.Ivf.TrivialRadius]] never-prune bound) keeps the
+    * pair. Returns (surviving unordered pairs over non-empty clusters,
+    * candidate mass = Σ |Cᵢ||Cⱼ| pairwise comparisons the verify join
+    * will perform). Driver cost is nlist² bound checks — for PAIRS
+    * workloads size nlist ~ n^(1/3) (so nlist² ≤ n) rather than the
+    * top-k default √n. */
+  def ballCoverClusterPairs(index: graft.index.Ivf.IvfIndex,
+      threshold: Double): (Seq[(Int, Int)], Long) = {
+    require(threshold > -1 && threshold <= 1,
+      s"cosine threshold in (-1, 1], got $threshold")
+    val d = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    val normCents: Map[Int, Array[Double]] = index.centroids.map {
+      case (cid, c) =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        cid -> (if (n == 0) null else c.map(_ / n))
+    }
+    def radius(cid: Int): Double =
+      index.radii.getOrElse(cid, graft.index.Ivf.TrivialRadius)
+    val cids = index.sizes.filter(_._2 > 0).keys.toSeq.sorted
+    val pairs = for {
+      i <- cids
+      j <- cids
+      if i <= j
+      if i == j || {
+        val mi = normCents.getOrElse(i, null)
+        val mj = normCents.getOrElse(j, null)
+        mi == null || mj == null || {
+          var s = 0.0; var x = 0
+          while (x < mi.length) { val dd = mi(x) - mj(x); s += dd * dd; x += 1 }
+          math.sqrt(s) - radius(i) - radius(j) <= d
+        }
+      }
+    } yield (i, j)
+    val mass = pairs.map { case (i, j) =>
+      val si = index.sizes(i); val sj = index.sizes(j)
+      if (i == j) si * (si - 1) / 2 else si * sj
+    }.sum
+    (pairs, mass)
+  }
+
+  /** EXACT cosine-threshold pairs with ball-cover cluster-pair pruning —
+    * the cosine twin of [[jaccardPairsViaContainment]]'s recall-1
+    * contract: output is definitionally identical to [[cosinePairs]]
+    * (so the brute SQL is a full oracle) while the scan is pruned to the
+    * cluster pairs that could possibly hold a qualifying pair. Recall 1
+    * is a THEOREM of the triangle inequality, not a tuning outcome: any
+    * pair with cos(a,b) ≥ t has unit-sphere distance ‖â−b̂‖ ≤ d(t), and
+    * ‖μ̂ᵢ−μ̂ⱼ‖ ≤ rᵢ + ‖â−b̂‖ + rⱼ, so its cluster pair survives the
+    * [[ballCoverClusterPairs]] screen. This is the
+    * [[graft.index.Ivf.knnJoinExact]] exactness discipline applied to
+    * the THRESHOLD SELF-JOIN workload (near-dup detection below the
+    * sign-LSH banding floor, or wherever probabilistic recall is not
+    * acceptable).
+    *
+    * Plan shape: members ⋈ broadcast(surviving cluster pairs) ⋈ members
+    * — two hash joins keyed on cluster, verify work exactly the
+    * candidate mass, never a CartesianProduct. Pruning power is
+    * geometry-dependent (the planner honesty boundary): on clustered
+    * production embeddings most cluster pairs are separated by more
+    * than d(t) and the mass collapses toward Σ|Cᵢ|²; on near-random
+    * fixtures at loose thresholds the screen keeps everything and the
+    * operator degrades gracefully to the bucketed all-pairs join —
+    * budget with [[ballCoverClusterPairs]] BEFORE launch either way.
+    * Each unordered cluster pair enters the join once and member ids are
+    * normalized on emission, so every qualifying pair appears exactly
+    * once and the verify row count IS the candidate mass. Under the
+    * Verify gate
+    * (`graft.selfcheck`) the index must cover the corpus — a member
+    * missing from the assignments would be silently invisible
+    * ([[graft.index.Ivf.coverageHoles]]). */
+  def cosinePairsBallCover(index: graft.index.Ivf.IvfIndex,
+      embs: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    if (sys.props.get("graft.selfcheck").contains("1")) {
+      val holes = graft.index.Ivf.coverageHoles(index, embs, idCol)
+      require(holes.isEmpty,
+        "cosinePairsBallCover: corpus rows missing from the index " +
+          s"assignments would be silently invisible to the pair screen " +
+          s"— e.g. ids ${holes.mkString(", ")}; rebuild or append-repair " +
+          "the index over the current corpus")
+    }
+    val (screen, _) = ballCoverClusterPairs(index, threshold)
+    // each unordered cluster pair enters the join ONCE (the verify row
+    // count is exactly the candidate mass, not double it): cross-cluster
+    // member pairs are id-normalized with least/greatest (sim is
+    // symmetric), same-cluster pairs keep the id1 < id2 filter
+    val pairsDf = broadcast(screen.toDF("__ca", "__cb"))
+    val e = embs
+      .select(col(idCol).cast("long").as("__id"), col(embCol).as("__v"),
+        Vectors.l2norm(col(embCol)).as("__n"))
+      .join(index.assignments.select(col("id").cast("long").as("__id"),
+        col("cluster")), Seq("__id"))
+    val a = e.select(col("__id").as("__ida"), col("__v").as("v1"),
+      col("__n").as("n1"), col("cluster").as("__ca"))
+    val b = e.select(col("__id").as("__idb"), col("__v").as("v2"),
+      col("__n").as("n2"), col("cluster").as("__cb"))
+    a.join(pairsDf, Seq("__ca"))
+      .join(b, Seq("__cb"))
+      .where(col("__ca") =!= col("__cb") || col("__ida") < col("__idb"))
+      .withColumn("sim",
+        round(Vectors.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
+      .where(col("sim") >= threshold)
+      .select(least(col("__ida"), col("__idb")).as("id1"),
+        greatest(col("__ida"), col("__idb")).as("id2"), col("sim"))
+  }
+
   /** Sign-LSH (random-hyperplane) candidate generation for cosine near-dup
     * — the scale-structured path: each vector gets a bands·rows-bit sketch
     * (sign of the dot with deterministic pseudo-random hyperplanes),

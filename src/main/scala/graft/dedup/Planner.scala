@@ -124,14 +124,44 @@ object Planner {
     *  - threshold < floor otherwise: [[Dedup.cosinePairsLsh]] — the
     *    recall-first 2-bit layout, with the measured warning that its
     *    verify join approaches all-pairs (SCALE.md §5: 98.6% at sf0.1);
-    *    the plan says so rather than pretending a prune exists. */
+    *    the plan says so rather than pretending a prune exists.
+    *  - `exact = true` (recall EXACTLY 1 required — no per-pair miss
+    *    bound is acceptable) overrides every banded regime: with an IVF
+    *    index, [[Dedup.cosinePairsBallCover]] — recall 1 is a triangle-
+    *    inequality theorem and the candidate mass is budgetable by
+    *    arithmetic before launch ([[Dedup.ballCoverClusterPairs]]);
+    *    without one, the quadratic [[Dedup.cosinePairs]] baseline is the
+    *    ONLY exact path and the plan says so loudly. */
   def planCosine(threshold: Double, n: Long, dim: Int,
-      missBudget: Double = 1e-3, ivfAvailable: Boolean = false): CosinePlan = {
+      missBudget: Double = 1e-3, ivfAvailable: Boolean = false,
+      exact: Boolean = false): CosinePlan = {
     require(threshold > 0 && threshold < 1.0001,
       s"cosine threshold must be in (0, 1], got $threshold")
     require(missBudget > 0 && missBudget < 1, s"missBudget in (0,1), got $missBudget")
     val pairs = n.toDouble * (n - 1) / 2.0
-    if (threshold >= SelectiveFloor) {
+    if (exact) {
+      if (ivfAvailable)
+        CosinePlan(path = "cosinePairsBallCover", bands = 0, rows = 0,
+          multiProbe = false, missProb = 0.0, randomPairHitProb = Double.NaN,
+          expectedVerifyPairs = Double.NaN, estimatedWork = Double.NaN,
+          rationale = Seq(
+            "exact contract: recall 1 required, so no banded layout (analytic " +
+              "miss bound > 0) qualifies at any threshold",
+            "IVF ball cover available: cluster-pair screen keeps every pair " +
+              "that could reach the threshold (triangle inequality), verify " +
+              "work = Σ|Cᵢ||Cⱼ| over surviving pairs — budget it with " +
+              "Dedup.ballCoverClusterPairs before launch"))
+      else
+        CosinePlan(path = "cosinePairs", bands = 0, rows = 0,
+          multiProbe = false, missProb = 0.0, randomPairHitProb = 1.0,
+          expectedVerifyPairs = pairs,
+          estimatedWork = pairs * dim,
+          rationale = Seq(
+            "exact contract with NO index: the quadratic baseline is the " +
+              f"only exact path — ${pairs}%.3g pair comparisons",
+            "build an IVF over the corpus first (Ivf.build) and re-plan: the " +
+              "ball-cover screen keeps recall 1 while pruning cluster pairs"))
+    } else if (threshold >= SelectiveFloor) {
       val (w, bands, rows, mp) = searchGrid(threshold, missBudget)(
         estimatedWork(n.toDouble, dim, _, _, _))
       CosinePlan(
@@ -194,16 +224,20 @@ object Planner {
     case "cosinePairsLsh" =>
       Dedup.cosinePairsLsh(embs, idCol, embCol, threshold, dim, seed,
         plan.bands, plan.rows)
+    case "cosinePairs" =>
+      Dedup.cosinePairs(embs, idCol, embCol, threshold)
     case other => throw new IllegalArgumentException(
       s"plan path '$other' needs caller-held state (e.g. an IVF index); " +
         "call the Dedup entry point directly, or executeWithIndex")
   }
 
   /** [[execute]] for a caller who HOLDS an IVF index — completes the
-    * plan→engine link for the one [[planCosine]] regime `execute` cannot
+    * plan→engine link for the [[planCosine]] regimes `execute` cannot
     * dispatch: below the selective floor with `ivfAvailable = true` the
     * plan recommends [[Dedup.semanticPairs]] (SemDeDup's cluster-scoped
-    * verify), which needs the index itself, not just (bands, rows).
+    * verify), and under the exact contract
+    * [[Dedup.cosinePairsBallCover]] (recall-1 cluster-pair screen) —
+    * both need the index itself, not just (bands, rows).
     * Index-free plans fall through to [[execute]] unchanged, so a caller
     * with an index can dispatch EVERY [[CosinePlan]] through this one
     * entry point. Plan with `ivfAvailable = true` iff you will call this
@@ -214,6 +248,8 @@ object Planner {
       dim: Int, seed: Long = 42L): DataFrame = plan.path match {
     case "semanticPairs" =>
       Dedup.semanticPairs(index, embs, idCol, embCol, threshold)
+    case "cosinePairsBallCover" =>
+      Dedup.cosinePairsBallCover(index, embs, idCol, embCol, threshold)
     case _ => execute(plan, embs, idCol, embCol, threshold, dim, seed)
   }
 

@@ -708,4 +708,71 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(holed.verifiedPairs < holed.candidatePairs,
       s"dropping vec $someIndexed must surface as a verify shortfall: $holed")
   }
+
+  test("ball-cover cosine pairs equal brute force; no CartesianProduct; coverage hole refuses") {
+    import graft.index.Ivf
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val idx = Ivf.build(e, "vec_id", "embedding")
+    // loose threshold on the near-random fixture: the screen keeps ~every
+    // cluster pair (the documented graceful decay) but the rows are still
+    // exactly brute and the join is bucketed, never all-pairs
+    val brute = Dedup.cosinePairs(e, "vec_id", "embedding", 0.45)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect().toSet
+    val ballDf = Dedup.cosinePairsBallCover(idx, e, "vec_id", "embedding", 0.45)
+    val ball = ballDf.select("id1", "id2", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(ball === brute)
+    assert(!ballDf.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"), "ball-cover path must not be all-pairs")
+    // a corpus row missing from the assignments is invisible to the pair
+    // screen — under the Verify gate the operator must refuse, not miss
+    val prev = sys.props.get("graft.selfcheck")
+    sys.props("graft.selfcheck") = "1"
+    try {
+      val extra = e.limit(1)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      assert(intercept[IllegalArgumentException] {
+        Dedup.cosinePairsBallCover(idx, e.unionByName(extra),
+          "vec_id", "embedding", 0.45).collect()
+      }.getMessage.contains("missing from the index"))
+    } finally prev match {
+      case Some(v) => sys.props("graft.selfcheck") = v
+      case None => sys.props.remove("graft.selfcheck")
+    }
+  }
+
+  test("ball-cover screen prunes on clustered geometry and its mass is the verify work") {
+    import graft.index.Ivf
+    // three tight blobs on the unit sphere, far apart: within-blob cosine
+    // ~1, cross-blob ~0 — the production-embedding geometry the screen is
+    // built for. 30 vectors per blob around orthogonal anchors.
+    val vecs = for {
+      blob <- 0 until 3
+      i <- 0 until 30
+    } yield {
+      val v = Array.fill(8)(0.0)
+      v(blob) = 1.0
+      v((blob + 3) % 8) = 0.01 * (i % 7) // tiny within-blob jitter
+      (blob * 100L + i, v.toSeq)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val idx = Ivf.build(e, "vec_id", "embedding", numClusters = 3)
+    val (screen, mass) = Dedup.ballCoverClusterPairs(idx, 0.85)
+    val n = vecs.size.toLong
+    // the screen must drop every cross-blob cluster pair: candidate mass
+    // collapses to the within-cluster pair count, a third of all pairs
+    val within = idx.sizes.values.map(s => s * (s - 1) / 2).sum
+    assert(mass === within,
+      s"expected within-cluster mass only, got $mass (screen: $screen)")
+    assert(mass < n * (n - 1) / 2 / 2,
+      "pruned mass must be well below the all-pairs count")
+    // and the pruned result still equals brute exactly (recall-1 theorem)
+    val brute = Dedup.cosinePairs(e, "vec_id", "embedding", 0.85)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect().toSet
+    val ball = Dedup.cosinePairsBallCover(idx, e, "vec_id", "embedding", 0.85)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(ball === brute)
+  }
 }

@@ -115,6 +115,35 @@ class PlannerSpec extends AnyFunSuite with SparkTest {
     assert(viaIdx === viaPlain)
   }
 
+  test("exact contract: ball cover with an index, loud quadratic without; dispatch equals brute") {
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val ivf = graft.index.Ivf.build(embs, "vec_id", "embedding")
+    // the exact contract overrides every banded regime at ANY threshold:
+    // a banded layout's analytic miss bound is > 0, so none qualifies
+    val withIdx = Planner.planCosine(0.45, n = embs.count(), dim = 64,
+      ivfAvailable = true, exact = true)
+    assert(withIdx.path === "cosinePairsBallCover")
+    assert(withIdx.missProb === 0.0)
+    val got = Planner.executeWithIndex(withIdx, ivf, embs, "vec_id",
+        "embedding", 0.45, 64)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    val brute = Dedup.cosinePairs(embs, "vec_id", "embedding", 0.45)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(brute.nonEmpty)
+    assert(got === brute)
+    // no index: the quadratic baseline is the only exact path, and the
+    // plan carries the full pair count as its honest work estimate
+    val noIdx = Planner.planCosine(0.45, n = embs.count(), dim = 64,
+      exact = true)
+    assert(noIdx.path === "cosinePairs")
+    assert(noIdx.rationale.exists(_.contains("quadratic")))
+    val viaExec = Planner.execute(noIdx, embs, "vec_id", "embedding",
+        0.45, 64)
+      .orderBy("id1", "id2").as[(Long, Long, Double)].collect().toSeq
+    assert(viaExec === brute)
+  }
+
   test("planIncrementalCosine: budget held in-regime, honest below the floor") {
     for (t <- Seq(0.85, 0.90, 0.95)) {
       val p = Planner.planIncrementalCosine(t, batchN = 10000L,
