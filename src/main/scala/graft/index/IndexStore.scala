@@ -1775,4 +1775,322 @@ object IndexStore {
       .parquet(s"$staged/marks")
     swapStaged(spark, path, staged, Seq("prefix", "meta", "marks"))
   }
+
+  // ------------------------------------------------- field-statistics catalog
+  //
+  // Cardinality statistics as a persisted, appendable catalog — the
+  // ANALYZE-side of the planners. AnnPlanner.planKnn prices the filtered
+  // exact scan from (n, filter selectivity); before this family those two
+  // inputs came from corpus COUNT scans at plan time, which at 100 TB
+  // makes the cost of PLANNING a query proportional to the cost of
+  // RUNNING it — the same anti-pattern the fprint machinery's wave-cadence
+  // contract exists to prevent (round-9 verdict finding 1, applied to
+  // cardinality estimation instead of staleness). The catalog records
+  // per-field value counts for declared LOW-CARDINALITY fields at
+  // ingest-wave cadence; plan-time reads are lookups over a relation
+  // bounded by Σ distinct values, never corpus scans.
+  //
+  // On-disk layout (the sign-LSH batch pattern: base build = batch -1,
+  // streaming micro-batches = their foreachBatch id):
+  //
+  //   stats/batch=N/field=F/  (value, cnt) — per-batch per-field value-count
+  //                                          DELTA (value cast to string)
+  //   fields/                 (field)      — DDL: declared fields, save-time
+  //   fprint/batch=N/         (n, fp)      — staleness sidecar (fprint
+  //                                          machinery; stats of a corpus
+  //                                          that moved on mis-price plans)
+  //   commits/batch=N/        (ok)         — COMMIT MARKER, written last
+  //
+  // Additive by construction: the catalog total is the per-(field, value)
+  // SUM over committed batches, so a daily append writes one bounded delta
+  // (work ∝ batch — one map-side-combinable groupBy) and never rescans the
+  // corpus. Same crash contract as every family: dynamic per-batch
+  // partition overwrite, marker last, foreachBatch replay converges.
+  // [[StatsMaxDistinct]] guards the "low-cardinality" declaration per
+  // WRITE: a free-text field slipping into the catalog would make the
+  // stats relation corpus-sized, which is the failure the catalog exists
+  // to avoid — refuse loudly at write time instead. Merged cardinality is
+  // bounded by cap × committed batches; [[compactStats]] folds through the
+  // same guarded writer, re-asserting the bound on the merged relation.
+
+  /** Per-field distinct-value cap enforced at every stats write: the
+    * catalog is for planner-input fields (labels, languages, sources,
+    * tiers), whose lookup relations must stay driver-bounded. */
+  val StatsMaxDistinct = 10000L
+
+  /** One batch's (field, value, cnt) delta — a single corpus scan for all
+    * declared fields (explode of a per-row field/value struct array, then
+    * one map-side-combinable count). */
+  private def statsDelta(df: org.apache.spark.sql.DataFrame,
+      fields: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(explode(array(fields.map(f =>
+        struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*))
+      .as("fv"))
+      .select(col("fv.field").as("field"), col("fv.value").as("value"))
+      .groupBy("field", "value").agg(count(lit(1)).as("cnt"))
+
+  /** Write one stats delta under its batch partition, enforcing the
+    * low-cardinality declaration ([[StatsMaxDistinct]]) per field. */
+  private def writeStatsBatch(delta: org.apache.spark.sql.DataFrame,
+      path: String, batchId: Long, overwriteAll: Boolean): Unit = {
+    val d = delta.localCheckpoint(true)
+    val card = d.groupBy("field").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((f, c) <- card) require(c <= StatsMaxDistinct,
+      s"field '$f' has $c distinct values in this batch — beyond the " +
+        s"$StatsMaxDistinct low-cardinality cap the stats catalog is " +
+        "declared for; high-cardinality fields belong in a sketch " +
+        "(Sketches.kmvDistinct), not a value-count catalog")
+    val w = d.withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch", "field").parquet(s"$path/stats")
+  }
+
+  /** Build and persist the field-statistics catalog over `corpus` —
+    * Overwrite = S7 `--replace` semantics. `fields` is the catalog's DDL
+    * (each must be low-cardinality — see [[StatsMaxDistinct]]); `idCol` /
+    * `contentCol` feed the staleness fingerprint, so use the same pair the
+    * corpus's other index families fingerprint. Always checkable: the
+    * corpus is in hand by construction. */
+  def saveStats(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      contentCol: String, fields: Seq[String], path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(fields.nonEmpty, "declare at least one stats field")
+    writeStatsBatch(statsDelta(corpus, fields), path, batchId = -1L,
+      overwriteAll = true)
+    fields.toDF("field").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/fields")
+    writeFprintDelta(corpus.select(col(idCol), col(contentCol)), idCol,
+      contentCol, path, batchId = -1L, overwriteAll = true)
+    Seq((1, -1L)).toDF("ok", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$path/commits")
+  }
+
+  /** The catalog's declared fields (its DDL). */
+  private def statsFields(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(s"$path/fields")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Count one micro-batch of NEW rows (R17 skip-existing contract) into a
+    * persisted stats catalog. Work ∝ batch — one groupBy over the batch,
+    * never a corpus rescan. Idempotent at every crash point (marker
+    * commits last; replay dynamically overwrites this batch's
+    * partitions). */
+  def appendBatchStats(batch: org.apache.spark.sql.DataFrame, idCol: String,
+      contentCol: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/commits").contains(batchId)) return
+    writeStatsBatch(statsDelta(batch, statsFields(spark, path)), path,
+      batchId, overwriteAll = false)
+    writeFprintDelta(batch.select(col(idCol), col(contentCol)), idCol,
+      contentCol, path, batchId, overwriteAll = false)
+    Seq((1, batchId)).toDF("ok", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/commits")
+  }
+
+  /** Streaming catalog upkeep — the stats twin of [[streamIntoBm25]]:
+    * incoming rows keep the persisted counts current via `foreachBatch`,
+    * so plan-time selectivity reads stay one ingest wave fresh. */
+  def streamIntoStats(rows: org.apache.spark.sql.DataFrame, idCol: String,
+      contentCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchStats(b, idCol, contentCol, path, id)
+      }
+      .start()
+
+  /** Consistent catalog snapshot at the latest commit markers: committed
+    * per-batch deltas summed to (field, value, cnt). The relation is
+    * bounded by Σ distinct values — safe to collect or broadcast. */
+  def loadStats(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val batches = committedBatches(spark, s"$path/commits")
+    spark.read.parquet(s"$path/stats")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .groupBy("field", "value").agg(sum("cnt").as("cnt"))
+  }
+
+  /** [[loadStats]] with the STALENESS GUARD (fprint machinery): stats of
+    * a corpus that has moved on silently mis-price every plan that reads
+    * them — a selectivity measured before an ingest wave can flip the
+    * planner's filtered-ANN break-even the wrong way with no error and no
+    * wrong hash. Refuse loudly instead, per ingest wave. */
+  def loadStatsChecked(spark: SparkSession, path: String,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      contentCol: String): org.apache.spark.sql.DataFrame = {
+    requireFresh("stats", path,
+      recordedFprint(spark, path, s"$path/commits"), corpus, idCol,
+      contentCol, "appendBatchStats the missing wave or rebuild with " +
+        "saveStats")
+    loadStats(spark, path)
+  }
+
+  /** Fold every committed stats batch back into a single base partition —
+    * same maintenance contract (and offline-window caveat) as
+    * [[compactBm25]]; a recorded fingerprint survives the fold, and the
+    * guarded writer re-asserts the cardinality cap on the MERGED
+    * relation. */
+  def compactStats(spark: SparkSession, path: String): Unit = {
+    val staged = s"$path/.compact"
+    import spark.implicits._
+    writeStatsBatch(loadStats(spark, path), staged, batchId = -1L,
+      overwriteAll = true)
+    spark.read.parquet(s"$path/fields").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staged/fields")
+    val fprintDirs = stageFprint(spark, path, s"$path/commits", staged)
+    Seq((1, -1L)).toDF("ok", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/commits")
+    swapStaged(spark, path, staged,
+      Seq("stats", "fields", "commits") ++ fprintDirs)
+  }
+
+  /** Total rows the catalog covers for `field` (Σ cnt over its values —
+    * includes a NULL-value row if the field has nulls). A lookup over the
+    * bounded stats relation, NOT a corpus scan — the point of the
+    * catalog. Refuses an undeclared field (a silent 0 would price every
+    * downstream plan from garbage). */
+  def statsRows(stats: org.apache.spark.sql.DataFrame,
+      field: String): Long = {
+    val r = stats.where(col("field") === field).agg(sum("cnt")).head()
+    require(!r.isNullAt(0),
+      s"stats catalog has no field '$field' — declare it in saveStats")
+    r.getLong(0)
+  }
+
+  /** Rows where `field` = `value` (0 for a value the catalog never saw —
+    * an honest answer for a declared field). */
+  def statsCount(stats: org.apache.spark.sql.DataFrame, field: String,
+      value: String): Long = {
+    val r = stats.where(col("field") === field && col("value") <=> value)
+      .agg(sum("cnt")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Plan-time filter selectivity from the catalog: fraction of `field`'s
+    * rows with `value` — the [[graft.search.AnnPlanner.planKnn]]
+    * `filterSelectivity` input as a catalog lookup instead of a corpus
+    * COUNT scan. */
+  def statsSelectivity(stats: org.apache.spark.sql.DataFrame, field: String,
+      value: String): Double =
+    statsCount(stats, field, value).toDouble / statsRows(stats, field)
+
+  // ----------------------------------------------------- compaction advisor
+  //
+  // WHEN to fold is the one index-lifecycle decision the families leave
+  // to folklore: every append adds a batch partition, every load opens
+  // all of them, and compact* folds them back — but nothing says when
+  // folding pays. The advisor prices it the way the planners price paths:
+  // read amplification (extra committed batch partitions × per-partition
+  // open cost, × queries per wave) against the fold's rewrite cost
+  // (read + write the whole index), all from the fprint/marks sidecars —
+  // per-batch row counts are already recorded there, so the decision is
+  // driver arithmetic over a few sidecar rows, never an index scan.
+  // (The LSM-tree amortization argument, applied to parquet batch
+  // partitions.)
+
+  /** Per-family marker-dir map — the same dirs the load*Checked guards
+    * key committed batches on. */
+  private val FamilyMarkers: Map[String, String] = Map(
+    "bm25" -> "stats", "sign-lsh" -> "commits", "containment" -> "sizes",
+    "grams" -> "marks", "phrase" -> "marks", "windows" -> "marks",
+    "ivf" -> "sizes", "pq" -> "counts", "prefix" -> "marks",
+    "stats" -> "commits")
+
+  /** Default per-partition open cost in row-units: opening one more batch
+    * partition ≈ footer read + seek ≈ scanning a few thousand rows.
+    * Calibrate per storage tier (object stores run higher). */
+  val OpenCostRows = 4096.0
+
+  /** One fold-or-not recommendation with its receipts: committed batch
+    * count, total indexed rows (Σ per-batch fprint n), both sides of the
+    * amortization inequality, and the break-even wave count. */
+  case class CompactionPlan(family: String, batches: Int, totalRows: Long,
+      perQueryExtraCost: Double, foldCost: Double, savingsPerWave: Double,
+      wavesToBreakEven: Double, recommend: Boolean, rationale: Seq[String])
+
+  /** Price folding the index at `path` now vs carrying its committed
+    * batch partitions, from sidecar rows alone. `queriesPerWave` is the
+    * declared read workload between ingest waves (a compaction window is
+    * a wave-time maintenance action, like the staleness checks);
+    * `horizonWaves` how many waves the fold is amortized over. Requires a
+    * checkable index (per-batch row counts live in the fprint/marks
+    * sidecar) — an uncheckable index can't be priced and must not be
+    * silently priced from nothing. */
+  def planCompaction(spark: SparkSession, path: String, family: String,
+      queriesPerWave: Long, horizonWaves: Double = 1.0,
+      openCostRows: Double = OpenCostRows): CompactionPlan = {
+    require(queriesPerWave >= 0, s"queriesPerWave ≥ 0, got $queriesPerWave")
+    require(horizonWaves > 0, s"horizonWaves > 0, got $horizonWaves")
+    val markerDir = FamilyMarkers.getOrElse(family,
+      throw new IllegalArgumentException(
+        s"unknown index family '$family' — one of ${FamilyMarkers.keys.toSeq.sorted.mkString(", ")}"))
+    val batches = committedBatches(spark, s"$path/$markerDir")
+    // per-batch n: the prefix family's marks double as its fprint table;
+    // every other family keeps a dedicated fprint sidecar
+    val fprintDir = if (family == "prefix") s"$path/marks" else s"$path/fprint"
+    require(hasDataFiles(spark, fprintDir),
+      s"$family index at $path has no fingerprint sidecar — saved without " +
+        "its source corpus, so per-batch row counts are unknown; rebuild " +
+        "with source = ... to make maintenance priceable")
+    val totalRows = spark.read.parquet(fprintDir)
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum("n")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val b = batches.size
+    val perQueryExtra = math.max(0, b - 1).toDouble * openCostRows
+    val foldCost = 2.0 * totalRows // read everything + rewrite everything
+    val savingsPerWave = queriesPerWave.toDouble * perQueryExtra
+    val breakEven =
+      if (savingsPerWave == 0) Double.PositiveInfinity
+      else foldCost / savingsPerWave
+    val recommend = savingsPerWave * horizonWaves >= foldCost && b > 1
+    CompactionPlan(family, b, totalRows, perQueryExtra, foldCost,
+      savingsPerWave, breakEven, recommend, Seq(
+        f"$b%d committed batch partitions; every load opens all of them — " +
+          f"extra per-query cost ${perQueryExtra}%.3g row-units " +
+          f"(${math.max(0, b - 1)}%d extra partitions × $openCostRows%.0f open cost)",
+        f"fold reads + rewrites $totalRows%d rows (${foldCost}%.3g row-units); " +
+          f"$queriesPerWave%d queries/wave save ${savingsPerWave}%.3g/wave → " +
+          f"break-even ${breakEven}%.3g waves vs horizon $horizonWaves%.1f",
+        if (recommend) "fold now: the amortization inequality holds"
+        else "carry the batches: folding costs more than the horizon saves"))
+  }
+
+  /** Execute a [[CompactionPlan]]: dispatch to the family's compact* when
+    * the plan recommends folding; no-op (returning false) otherwise —
+    * the plan→engine link, so maintenance cadence is arithmetic, not
+    * folklore. */
+  def executeCompaction(spark: SparkSession, path: String,
+      plan: CompactionPlan): Boolean = {
+    if (!plan.recommend) return false
+    plan.family match {
+      case "bm25" => compactBm25(spark, path)
+      case "sign-lsh" => compactSignLsh(spark, path)
+      case "containment" => compactContainment(spark, path)
+      case "grams" => compactGrams(spark, path)
+      case "phrase" => compactPhrase(spark, path)
+      case "windows" => compactWindows(spark, path)
+      case "ivf" => compactIvf(spark, path)
+      case "pq" => compactPq(spark, path)
+      case "prefix" => compactPrefix(spark, path)
+      case "stats" => compactStats(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"unknown index family '$other'")
+    }
+    true
+  }
 }

@@ -531,4 +531,86 @@ object AnnPlanner {
     graft.index.IndexStore.DepthRecord(
       stats.extensionMass.toDouble / (nq.toDouble * n), n, k)
   }
+
+  // ------------------------------------------------------- build advisor
+  //
+  // planKnn answers "which path, GIVEN the assets"; adviseBuild answers
+  // the DDL question upstream of it: which assets should EXIST for a
+  // declared workload. Same scan-unit currency, same honesty contract
+  // (depths are measured inputs), one more ledger column: the build cost,
+  // amortized over queries. The reference makes this call by hand
+  // (indexes.py builds both its indexes unconditionally); at 100 TB an
+  // unprofitable index is a k-means bill plus a perpetual append tax, so
+  // the decision deserves the same arithmetic as the probe path.
+
+  /** One build-or-not recommendation with its receipts. `buildCost` and
+    * `perQuerySavings` are scan units (vector components touched);
+    * upkeep (append cost ∝ batch) is EXCLUDED from the ledger and named
+    * in the rationale — it scales with ingest, not with this decision. */
+  case class BuildAdvice(asset: String, buildCost: Double,
+      perQuerySavings: Double, queriesToBreakEven: Double,
+      recommend: Boolean, rationale: Seq[String])
+
+  /** Advise which ANN indexes pay for themselves over `horizonWaves`
+    * ingest waves of `queriesPerWave` top-`k` probes each, for a corpus
+    * of `n`×`dim` vectors. `candidates` declares the index shapes under
+    * consideration (the same knobs [[AnnAssets]] carries); `depths` the
+    * measured covering fractions the probes would run at.
+    *
+    * Build-cost model (scan units, Lloyd-iteration dominated):
+    *  - IVF:    (kmeansIters + 1) · n · nlist · dim   (assign steps + final)
+    *  - PQ:     (kmeansIters + 1) · n · ksub · dim    (m subspaces ×
+    *            n · ksub · dim/m per iteration, plus encode)
+    *  - prefix: n · prefixDims                         (one slice pass)
+    *
+    * Savings come from [[planKnn]]'s own cost table (exactScan minus the
+    * asset's path row), so the two advisors can never disagree about
+    * what a probe costs. A path that loses to the exact scan outright
+    * gets recommend = false with the loss named, whatever the workload. */
+  def adviseBuild(n: Long, dim: Int, k: Int, queriesPerWave: Long,
+      horizonWaves: Double = 1.0,
+      candidates: AnnAssets = AnnAssets(ivfClusters = 0, pqM = 0,
+        prefixDims = 0),
+      depths: AnnDepths = AnnDepths(),
+      pqKsub: Int = 16, kmeansIters: Int = 10): Seq[BuildAdvice] = {
+    require(queriesPerWave >= 0, s"queriesPerWave ≥ 0, got $queriesPerWave")
+    require(horizonWaves > 0, s"horizonWaves > 0, got $horizonWaves")
+    require(kmeansIters >= 1, s"kmeansIters ≥ 1, got $kmeansIters")
+    val table = planKnn(n, dim, k, assets = candidates, depths = depths,
+      pqKsub = pqKsub).costs.toMap
+    val exactCost = table("exactScan")
+    val nd = n.toDouble
+    val builds = Seq.newBuilder[(String, String, Double)]
+    if (candidates.ivfClusters > 0)
+      builds += (("ivf", "ivfProbe",
+        (kmeansIters + 1).toDouble * nd * candidates.ivfClusters * dim))
+    if (candidates.pqM > 0)
+      builds += (("pq", "pqAdc",
+        (kmeansIters + 1).toDouble * nd * pqKsub * dim))
+    if (candidates.prefixDims > 0)
+      builds += (("prefix", "mrlPrefix", nd * candidates.prefixDims))
+    builds.result().map { case (asset, path, buildCost) =>
+      val savings = exactCost - table(path)
+      if (savings <= 0)
+        BuildAdvice(asset, buildCost, savings, Double.PositiveInfinity,
+          recommend = false, Seq(
+            f"$path loses to the exact scan at this shape " +
+              f"(${table(path)}%.3g vs ${exactCost}%.3g scan units/query) — " +
+              "no workload justifies building it; re-measure depths or " +
+              "re-shape the index first"))
+      else {
+        val breakEven = buildCost / savings
+        val horizonQueries = queriesPerWave.toDouble * horizonWaves
+        BuildAdvice(asset, buildCost, savings, breakEven,
+          recommend = horizonQueries >= breakEven, Seq(
+            f"build ${buildCost}%.3g scan units; each probe saves " +
+              f"${savings}%.3g (exact ${exactCost}%.3g − $path ${table(path)}%.3g)",
+            f"break-even ${breakEven}%.3g queries vs " +
+              f"${horizonQueries}%.3g over the horizon " +
+              f"($queriesPerWave%d/wave × $horizonWaves%.1f waves)",
+            "append upkeep (work ∝ batch) excluded — it scales with " +
+              "ingest, not with this decision"))
+      }
+    }
+  }
 }

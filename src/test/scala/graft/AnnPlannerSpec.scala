@@ -327,4 +327,55 @@ class AnnPlannerSpec extends AnyFunSuite with SparkTest {
     assert(IndexStore.loadDepth(spark, dir).get.fraction === 0.4)
     assert(IndexStore.loadDepth(spark, dir, name = "extend").get === d)
   }
+
+  test("adviseBuild: break-even arithmetic, workload flips, losing path never recommended") {
+    val cand = AnnPlanner.AnnAssets(ivfClusters = 100, pqM = 8,
+      prefixDims = 32)
+    // measured-style depths (a trained deployment's shallow fractions) —
+    // at the conservative fixture defaults the MRL path prices exactly
+    // the exact scan (n·32 + n/2·64 = n·64) and saves nothing, which is
+    // itself the advisor's honest answer; the flips need real savings
+    val measured = AnnPlanner.AnnDepths(ivfMassFraction = 0.1,
+      pqOverfetchFraction = 0.05, mrlOverfetchFraction = 0.05)
+    val bigN = 10000000L
+    // consistency with planKnn's own table: savings = exact − path row
+    val table = AnnPlanner.planKnn(bigN, dim, k = 10, assets = cand,
+      depths = measured).costs.toMap
+    val advice = AnnPlanner.adviseBuild(bigN, dim, k = 10,
+      queriesPerWave = 1000L, candidates = cand, depths = measured)
+    assert(advice.map(_.asset).toSet === Set("ivf", "pq", "prefix"))
+    for (a <- advice; if a.perQuerySavings > 0) {
+      val path = Map("ivf" -> "ivfProbe", "pq" -> "pqAdc",
+        "prefix" -> "mrlPrefix")(a.asset)
+      assert(a.perQuerySavings === table("exactScan") - table(path))
+      assert(a.queriesToBreakEven === a.buildCost / a.perQuerySavings)
+    }
+    // the cheap one-pass prefix build amortizes over a small workload...
+    val prefix = advice.find(_.asset == "prefix").get
+    assert(prefix.recommend,
+      s"prefix build should pay at 1000 q/wave: $prefix")
+    // ...and every recommendation flips off when the workload vanishes
+    val idle = AnnPlanner.adviseBuild(bigN, dim, k = 10,
+      queriesPerWave = 0L, candidates = cand, depths = measured)
+    assert(idle.forall(!_.recommend))
+    // a longer horizon amortizes an expensive build the single wave
+    // could not: the IVF k-means bill needs more queries than one wave
+    val ivfOneWave = advice.find(_.asset == "ivf").get
+    assert(!ivfOneWave.recommend,
+      s"the IVF k-means bill should exceed one 1000-query wave: $ivfOneWave")
+    val long = AnnPlanner.adviseBuild(bigN, dim, k = 10,
+      queriesPerWave = 1000L,
+      horizonWaves = 2 * ivfOneWave.queriesToBreakEven / 1000L,
+      candidates = cand, depths = measured)
+    assert(long.find(_.asset == "ivf").get.recommend)
+    // a path priced WORSE than the exact scan is never recommended: at a
+    // tiny corpus the IVF centroid scan alone exceeds one exact pass
+    val losing = AnnPlanner.adviseBuild(64L, dim, k = 10,
+      queriesPerWave = Long.MaxValue / 4, candidates = cand,
+      depths = measured)
+    val lost = losing.filter(_.perQuerySavings <= 0)
+    assert(lost.nonEmpty, s"expected a losing path at n=64: $losing")
+    assert(lost.forall(!_.recommend))
+    assert(lost.forall(_.queriesToBreakEven.isPosInfinity))
+  }
 }

@@ -961,4 +961,156 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
         .getMessage.contains("STALE"), s"$name post-compact original-corpus")
     }
   }
+
+  test("stats catalog: save+append sum to the direct group-by; replay idempotent; helpers look up") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("statscat").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "lang", "source").localCheckpoint(true)
+    val half1 = docs.where($"doc_id" % 2 === 0)
+    val half2 = docs.where($"doc_id" % 2 === 1)
+    IndexStore.saveStats(half1, "doc_id", "text", Seq("lang", "source"), dir)
+    IndexStore.appendBatchStats(half2, "doc_id", "text", dir, batchId = 0L)
+    // foreachBatch retry of a committed batch is a no-op
+    IndexStore.appendBatchStats(half2, "doc_id", "text", dir, batchId = 0L)
+    val stats = IndexStore.loadStats(spark, dir)
+    def direct(f: String) = docs.groupBy(col(f).cast("string")).count()
+      .as[(String, Long)].collect().toSet.map((t: (String, Long)) =>
+        (f, t._1, t._2))
+    assert(stats.as[(String, String, Long)].collect().toSet ===
+      direct("lang") ++ direct("source"))
+    // plan-time lookups: totals, value counts, selectivity, honest zero,
+    // loud refusal of an undeclared field
+    val n = docs.count()
+    val en = docs.where($"lang" === "en").count()
+    assert(IndexStore.statsRows(stats, "lang") === n)
+    assert(IndexStore.statsCount(stats, "lang", "en") === en)
+    assert(IndexStore.statsSelectivity(stats, "lang", "en") ===
+      en.toDouble / n)
+    assert(IndexStore.statsCount(stats, "lang", "tlh") === 0L)
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.statsRows(stats, "no_such_field")
+    }.getMessage.contains("no field"))
+  }
+
+  test("stats staleness guard dance; compaction keeps counts; cardinality cap refuses free text") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("statsguard").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "lang", "source").localCheckpoint(true)
+    val wave = docs.limit(2)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text", $"lang",
+        $"source")
+      .localCheckpoint(true)
+    val grown = docs.unionByName(wave).localCheckpoint(true)
+    IndexStore.saveStats(docs, "doc_id", "text", Seq("lang"), dir)
+    def checked(c: org.apache.spark.sql.DataFrame) =
+      IndexStore.loadStatsChecked(spark, dir, c, "doc_id", "text")
+    checked(docs) // fresh: passes
+    // a selectivity read off stale stats mis-prices every plan — refuse
+    assert(intercept[IllegalStateException] { checked(grown) }
+      .getMessage.contains("STALE"))
+    IndexStore.appendBatchStats(wave, "doc_id", "text", dir, batchId = 0L)
+    checked(grown) // repaired at batch cost
+    IndexStore.compactStats(spark, dir)
+    val folded = checked(grown) // fold preserves the summed fingerprint
+    assert(folded.as[(String, String, Long)].collect().toSet ===
+      grown.groupBy($"lang".cast("string")).count()
+        .as[(String, Long)].collect().toSet
+        .map((t: (String, Long)) => ("lang", t._1, t._2)))
+    assert(intercept[IllegalStateException] { checked(docs) }
+      .getMessage.contains("STALE"))
+    // the low-cardinality DDL cap: a free-text field would make the
+    // catalog corpus-sized — the exact failure it exists to avoid
+    val big = spark.range(IndexStore.StatsMaxDistinct + 1)
+      .select($"id".as("doc_id"), $"id".cast("string").as("txt"))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.saveStats(big, "doc_id", "txt", Seq("txt"),
+        Files.createTempDirectory("statscap").toString)
+    }.getMessage.contains("low-cardinality"))
+  }
+
+  test("streaming stats upkeep equals a full rebuild over the final corpus") {
+    val dir = Files.createTempDirectory("statsinc").toString
+    val ckpt = Files.createTempDirectory("statsckpt").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "lang", "source").localCheckpoint(true)
+    val half1 = docs.where($"doc_id" % 2 === 0)
+    val half2 = docs.where($"doc_id" % 2 === 1)
+      .as[(Long, String, String, String)].collect()
+    IndexStore.saveStats(half1, "doc_id", "text", Seq("lang", "source"), dir)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String)](spark)
+    val q = IndexStore.streamIntoStats(
+      mem.toDF().toDF("doc_id", "text", "lang", "source"),
+      "doc_id", "text", dir, ckpt)
+    try {
+      val (b1, b2) = half2.splitAt(half2.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the streamed state passes the checked loader against the FULL
+    // corpus and its counts equal a fresh single-pass build
+    val streamed = IndexStore
+      .loadStatsChecked(spark, dir, docs, "doc_id", "text")
+      .as[(String, String, Long)].collect().toSet
+    val rebuilt = Files.createTempDirectory("statsfull").toString
+    IndexStore.saveStats(docs, "doc_id", "text", Seq("lang", "source"),
+      rebuilt)
+    assert(streamed === IndexStore.loadStats(spark, rebuilt)
+      .as[(String, String, Long)].collect().toSet)
+  }
+
+  test("compaction advisor: receipts from sidecars, workload flips the fold, execute folds and preserves checkability") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("compadvise").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val base = embs.where($"vec_id" % 3 === 0)
+    val w1 = embs.where($"vec_id" % 3 === 1)
+    val w2 = embs.where($"vec_id" % 3 === 2)
+    IndexStore.saveSignLsh(
+      graft.dedup.Dedup.signLshSketches(base, "vec_id", "embedding", 64),
+      dir, source = Some((base, "vec_id", "embedding")))
+    IndexStore.appendBatchSignLsh(w1, "vec_id", "embedding", 64, dir, 0L)
+    IndexStore.appendBatchSignLsh(w2, "vec_id", "embedding", 64, dir, 1L)
+    // receipts: batch count and total rows come from the fprint sidecar
+    val busy = IndexStore.planCompaction(spark, dir, "sign-lsh",
+      queriesPerWave = 1000L)
+    assert(busy.batches === 3)
+    assert(busy.totalRows === embs.count())
+    assert(busy.foldCost === 2.0 * busy.totalRows)
+    assert(busy.perQueryExtraCost === 2 * IndexStore.OpenCostRows)
+    assert(busy.savingsPerWave === 1000L * busy.perQueryExtraCost)
+    assert(busy.wavesToBreakEven === busy.foldCost / busy.savingsPerWave)
+    // the amortization inequality flips with the workload: a hot index
+    // folds, an idle one carries its batches
+    assert(busy.recommend, s"1000 q/wave should fold 3 batches: $busy")
+    val idle = IndexStore.planCompaction(spark, dir, "sign-lsh",
+      queriesPerWave = 0L)
+    assert(!idle.recommend)
+    assert(idle.wavesToBreakEven.isPosInfinity)
+    // execute: the no-op leaves the batches, the fold collapses them to
+    // one and the fingerprint survives (checked load still passes)
+    assert(!IndexStore.executeCompaction(spark, dir, idle))
+    assert(IndexStore.planCompaction(spark, dir, "sign-lsh", 1000L)
+      .batches === 3)
+    assert(IndexStore.executeCompaction(spark, dir, busy))
+    val folded = IndexStore.planCompaction(spark, dir, "sign-lsh", 1000L)
+    assert(folded.batches === 1)
+    assert(folded.totalRows === busy.totalRows)
+    assert(!folded.recommend) // nothing left to fold
+    IndexStore.loadSignLshChecked(spark, dir, embs, "vec_id", "embedding")
+    // an unknown family and an uncheckable index refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.planCompaction(spark, dir, "btree", 1L)
+    }.getMessage.contains("unknown index family"))
+    val nofp = Files.createTempDirectory("compnofp").toString
+    IndexStore.saveSignLsh(
+      graft.dedup.Dedup.signLshSketches(base, "vec_id", "embedding", 64),
+      nofp) // no source → no fingerprint → unpriceable
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.planCompaction(spark, nofp, "sign-lsh", 1L)
+    }.getMessage.contains("no fingerprint sidecar"))
+  }
 }
