@@ -1725,8 +1725,11 @@ object SparkEntry {
     val path = statsDiskBuilt.getOrElseUpdate((spark, s"$dir#doc"), {
       val p = s"${sys.props("java.io.tmpdir")}/graft_stats_doc_${
         dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // n_chars gets a fixed-boundary histogram (16 × 40-char buckets) —
+      // the range-selectivity input for length-based quality predicates
       IndexStore.saveStats(Tables.documents(spark, dir), "doc_id", "text",
-        Seq("lang", "source"), p)
+        Seq("lang", "source"), p,
+        hists = Map("n_chars" -> IndexStore.HistSpec(0L, 640L, 16)))
       p
     })
     checkedOncePerWave(spark, dir, "stats-doc")(
@@ -1737,10 +1740,12 @@ object SparkEntry {
 
   /** The statistics catalogs' CONTENT, gate-checked: per-field value
     * counts for the embeddings catalog (label) and the documents catalog
-    * (lang, source), summed over committed batches
-    * ([[IndexStore.loadStats]]). The DuckDB oracle re-derives the same
-    * counts with plain GROUP BYs, so the relation every plan-time
-    * selectivity lookup reads ([[qAnnPlanFiltered]]) is itself
+    * (lang, source, plus the n_chars fixed-boundary histogram's bucket
+    * counts), summed over committed batches ([[IndexStore.loadStats]]).
+    * The DuckDB oracle re-derives the same counts with plain GROUP BYs
+    * (the histogram arm as the identical integer-division CASE), so the
+    * relation every plan-time selectivity lookup reads
+    * ([[qAnnPlanFiltered]], [[IndexStore.histSelectivity]]) is itself
     * hash-verified against an independent engine — the catalog is a
     * checked computation, not trusted bookkeeping. */
   private def qFieldStats(spark: SparkSession, dir: String): DataFrame =
@@ -2130,6 +2135,50 @@ object SparkEntry {
       .select("vec_id", "score")
   }
 
+  /** The RANGE-predicate rendition of [[qAnnPlanFiltered]], planned from
+    * the n_chars HISTOGRAM ([[IndexStore.histSelectivity]]): top-k over
+    * embeddings whose document has 240 ≤ n_chars < 320 — a length-gated
+    * retrieval, the quality-filter shape a curation pipeline runs. The
+    * selectivity is estimated from the documents catalog's
+    * fixed-boundary histogram — EXACT here because the range is
+    * bucket-aligned — and applied to the joined corpus under the
+    * independence assumption (which embeddings exist is unrelated to
+    * doc length); the cross-table predicate makes the routed paths
+    * doubly unavailable (no persisted index knows n_chars), and at
+    * ~0.16 estimated selectivity the filtered exact scan wins the cost
+    * table by ~15× — so the require has margin against estimate error,
+    * and the executed plan being exact over the filtered corpus makes
+    * the filtered exact-kNN SQL a full oracle (the [[qAnnPlanFiltered]]
+    * contract). Every plan input — n, the histogram spec, the bucket
+    * counts — is a catalog lookup at wave freshness; nothing scans a
+    * corpus to plan. */
+  private def qAnnPlanRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val d = Tables.documents(spark, dir)
+    val docStats = docStatsDisk(spark, dir)
+    val h = IndexStore.loadHistSpecs(spark,
+      statsDiskBuilt((spark, s"$dir#doc")))("n_chars")
+    val sel = IndexStore.histSelectivity(docStats, "n_chars", h, 240L, 320L)
+    val n = IndexStore.statsRows(embStatsDisk(spark, dir), "label")
+    val ivf = corpusIvfDisk(spark, dir)
+    val pq = corpusPqDisk(spark, dir)
+    val plan = AnnPlanner.planKnn(n, ivf.dim, k = 10,
+      assets = AnnPlanner.AnnAssets(ivfClusters = ivf.centroids.size,
+        pqM = pq.m, prefixDims = MrlPrefixDims),
+      filterSelectivity = Some(sel), pqKsub = pq.ksub)
+    require(plan.path == "exactScan",
+      s"q_ann_plan_range expected the filtered exact scan at estimated " +
+        f"selectivity $sel%.3f, planner chose ${plan.path} — the filtered " +
+        "oracle would not be valid for a sub-exhaustive routed plan")
+    val joined = e.join(d.select(col("doc_id"), col("n_chars")),
+      e("vec_id") === col("doc_id"))
+    AnnPlanner.execute(plan, joined, "vec_id", "embedding",
+        flagshipQueryVec, k = 10,
+        preFilter = Some(col("n_chars") >= 240 && col("n_chars") < 320),
+        ivf = Some(ivf), pq = Some(pq))
+      .select("vec_id", "score")
+  }
+
   /** The covering-depth MEASUREMENT INSTRUMENT itself, gate-checked
     * ([[AnnPlanner.coarseRankDepths]] — the relational core the MRL and
     * PQ instruments summarize): for the first three corpus vectors as
@@ -2497,6 +2546,7 @@ object SparkEntry {
     "q_ann_ivf_rewrite" -> ((s, dir) => qAnnIvfRewrite(s, dir)),
     "q_ann_plan" -> ((s, dir) => qAnnPlan(s, dir)),
     "q_ann_plan_filtered" -> ((s, dir) => qAnnPlanFiltered(s, dir)),
+    "q_ann_plan_range" -> ((s, dir) => qAnnPlanRange(s, dir)),
     "q_field_stats" -> ((s, dir) => qFieldStats(s, dir)),
     "q_ann_depth" -> ((s, dir) => qAnnDepth(s, dir)),
     "q_rerank" -> ((s, dir) => qRerank(s, dir)),
@@ -2918,6 +2968,17 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // executed plan is exact over the range-filtered join (the planner
+    // require pins it), so the filtered exact-kNN SQL is a full oracle
+    "q_ann_plan_range" ->
+      s"""WITH scored AS (
+         |  SELECT e.vec_id,
+         |         round((1.0 + list_cosine_similarity(e.embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.n_chars >= 240 AND d.n_chars < 320
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     // the catalog's committed-batch sums re-derived as plain GROUP BYs —
     // the relation plan-time selectivity lookups read, independently
     // hash-verified
@@ -2931,6 +2992,13 @@ object SparkEntry {
         |  FROM documents GROUP BY 1, 2
         |  UNION ALL
         |  SELECT 'source' AS field, source AS value, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'n_chars' AS field,
+        |         CAST(CASE WHEN n_chars < 0 THEN -1
+        |                   WHEN n_chars >= 640 THEN 16
+        |                   ELSE n_chars // 40 END AS VARCHAR) AS value,
+        |         count(*) AS cnt
         |  FROM documents GROUP BY 1, 2
         |)
         |ORDER BY field, value""".stripMargin,

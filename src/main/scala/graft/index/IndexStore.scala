@@ -1794,8 +1794,12 @@ object IndexStore {
   // streaming micro-batches = their foreachBatch id):
   //
   //   stats/batch=N/field=F/  (value, cnt) — per-batch per-field value-count
-  //                                          DELTA (value cast to string)
+  //                                          DELTA (value cast to string;
+  //                                          histogram fields store the
+  //                                          bucket index as the value)
   //   fields/                 (field)      — DDL: declared fields, save-time
+  //   histmeta/               (field, lo, hi, buckets) — DDL: declared
+  //                                          fixed-boundary histograms
   //   fprint/batch=N/         (n, fp)      — staleness sidecar (fprint
   //                                          machinery; stats of a corpus
   //                                          that moved on mis-price plans)
@@ -1818,16 +1822,55 @@ object IndexStore {
     * tiers), whose lookup relations must stay driver-bounded. */
   val StatsMaxDistinct = 10000L
 
+  /** A fixed-boundary integer histogram for a NUMERIC field — the
+    * catalog's answer to RANGE-predicate selectivity. Boundaries are DDL
+    * (declared at save time), which is what makes per-batch bucket
+    * counts ADDITIVE across appends — an equal-height histogram would
+    * need a re-sort per merge and is exactly the kind of corpus-sized
+    * maintenance the catalog exists to avoid. Bucket b covers
+    * [lo + b·w, lo + (b+1)·w) with w = (hi−lo)/buckets; underflow rows
+    * land in bucket −1, overflow in bucket `buckets`, NULLs in the NULL
+    * value row — so Σ cnt over a field's rows is always the corpus
+    * count and [[statsRows]] stays exact. */
+  case class HistSpec(lo: Long, hi: Long, buckets: Int) {
+    require(hi > lo, s"hist range must be non-empty, got [$lo, $hi)")
+    require(buckets >= 1 && buckets <= StatsMaxDistinct - 2,
+      s"buckets in [1, ${StatsMaxDistinct - 2}], got $buckets")
+    require((hi - lo) % buckets == 0,
+      s"(hi − lo) = ${hi - lo} must divide evenly into $buckets buckets " +
+        "— integer boundaries are what keep the bucket arithmetic exact " +
+        "across engines")
+    val width: Long = (hi - lo) / buckets
+  }
+
+  /** The bucket index of `field` under `h`, as the catalog's string
+    * value. Integer arithmetic only (`div`), so Spark and any oracle
+    * engine agree bit-for-bit; negatives are routed to the underflow
+    * bucket BEFORE the division, where truncating and flooring division
+    * disagree. */
+  private def histBucket(field: String, h: HistSpec)
+      : org.apache.spark.sql.Column =
+    when(col(field) < h.lo, lit(-1L))
+      .when(col(field) >= h.hi, lit(h.buckets.toLong))
+      .otherwise(expr(s"(`$field` - ${h.lo}) div ${h.width}"))
+      .cast("string")
+
   /** One batch's (field, value, cnt) delta — a single corpus scan for all
     * declared fields (explode of a per-row field/value struct array, then
-    * one map-side-combinable count). */
+    * one map-side-combinable count). Categorical fields contribute their
+    * raw value; histogram fields their bucket index. */
   private def statsDelta(df: org.apache.spark.sql.DataFrame,
-      fields: Seq[String]): org.apache.spark.sql.DataFrame =
-    df.select(explode(array(fields.map(f =>
-        struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*))
-      .as("fv"))
+      fields: Seq[String],
+      hists: Map[String, HistSpec]): org.apache.spark.sql.DataFrame = {
+    val structs =
+      fields.map(f =>
+        struct(lit(f).as("field"), col(f).cast("string").as("value"))) ++
+      hists.toSeq.sortBy(_._1).map { case (f, h) =>
+        struct(lit(f).as("field"), histBucket(f, h).as("value")) }
+    df.select(explode(array(structs: _*)).as("fv"))
       .select(col("fv.field").as("field"), col("fv.value").as("value"))
       .groupBy("field", "value").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Write one stats delta under its batch partition, enforcing the
     * low-cardinality declaration ([[StatsMaxDistinct]]) per field. */
@@ -1854,14 +1897,22 @@ object IndexStore {
     * corpus's other index families fingerprint. Always checkable: the
     * corpus is in hand by construction. */
   def saveStats(corpus: org.apache.spark.sql.DataFrame, idCol: String,
-      contentCol: String, fields: Seq[String], path: String): Unit = {
+      contentCol: String, fields: Seq[String], path: String,
+      hists: Map[String, HistSpec] = Map.empty): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    require(fields.nonEmpty, "declare at least one stats field")
-    writeStatsBatch(statsDelta(corpus, fields), path, batchId = -1L,
+    require(fields.nonEmpty || hists.nonEmpty,
+      "declare at least one stats field or histogram")
+    require(fields.toSet.intersect(hists.keySet).isEmpty,
+      "a field is either categorical or a histogram, not both: " +
+        fields.toSet.intersect(hists.keySet).mkString(", "))
+    writeStatsBatch(statsDelta(corpus, fields, hists), path, batchId = -1L,
       overwriteAll = true)
     fields.toDF("field").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/fields")
+    hists.toSeq.map { case (f, h) => (f, h.lo, h.hi, h.buckets) }
+      .toDF("field", "lo", "hi", "buckets").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/histmeta")
     writeFprintDelta(corpus.select(col(idCol), col(contentCol)), idCol,
       contentCol, path, batchId = -1L, overwriteAll = true)
     Seq((1, -1L)).toDF("ok", "batch")
@@ -1874,6 +1925,14 @@ object IndexStore {
     spark.read.parquet(s"$path/fields")
       .collect().map(_.getString(0)).toSeq
 
+  /** The catalog's declared histograms (its DDL). */
+  def loadHistSpecs(spark: SparkSession, path: String)
+      : Map[String, HistSpec] =
+    if (!hasDataFiles(spark, s"$path/histmeta")) Map.empty
+    else spark.read.parquet(s"$path/histmeta").collect().map(r =>
+      r.getAs[String]("field") -> HistSpec(r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"), r.getAs[Int]("buckets"))).toMap
+
   /** Count one micro-batch of NEW rows (R17 skip-existing contract) into a
     * persisted stats catalog. Work ∝ batch — one groupBy over the batch,
     * never a corpus rescan. Idempotent at every crash point (marker
@@ -1885,8 +1944,8 @@ object IndexStore {
     import spark.implicits._
     require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
     if (committedBatches(spark, s"$path/commits").contains(batchId)) return
-    writeStatsBatch(statsDelta(batch, statsFields(spark, path)), path,
-      batchId, overwriteAll = false)
+    writeStatsBatch(statsDelta(batch, statsFields(spark, path),
+      loadHistSpecs(spark, path)), path, batchId, overwriteAll = false)
     writeFprintDelta(batch.select(col(idCol), col(contentCol)), idCol,
       contentCol, path, batchId, overwriteAll = false)
     Seq((1, batchId)).toDF("ok", "batch")
@@ -1948,12 +2007,17 @@ object IndexStore {
       overwriteAll = true)
     spark.read.parquet(s"$path/fields").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$staged/fields")
+    val histDirs = if (!hasDataFiles(spark, s"$path/histmeta")) Nil else {
+      spark.read.parquet(s"$path/histmeta").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$staged/histmeta")
+      Seq("histmeta")
+    }
     val fprintDirs = stageFprint(spark, path, s"$path/commits", staged)
     Seq((1, -1L)).toDF("ok", "batch")
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$staged/commits")
     swapStaged(spark, path, staged,
-      Seq("stats", "fields", "commits") ++ fprintDirs)
+      Seq("stats", "fields", "commits") ++ histDirs ++ fprintDirs)
   }
 
   /** Total rows the catalog covers for `field` (Σ cnt over its values —
@@ -1985,6 +2049,40 @@ object IndexStore {
   def statsSelectivity(stats: org.apache.spark.sql.DataFrame, field: String,
       value: String): Double =
     statsCount(stats, field, value).toDouble / statsRows(stats, field)
+
+  /** ESTIMATED selectivity of the range predicate `qlo ≤ field < qhi`
+    * from the field's histogram — the range twin of [[statsSelectivity]].
+    * Fully-covered buckets count exactly; partially-covered edge buckets
+    * are linearly interpolated (uniform-within-bucket assumption), so a
+    * bucket-boundary-ALIGNED range is exact and a misaligned one is off
+    * by at most the two edge buckets' mass — the honesty boundary, stated
+    * rather than hidden (categorical counts are exact; range estimates
+    * are estimates). The query range must sit within the histogram's
+    * declared [lo, hi): outside it the under/overflow buckets have no
+    * interior boundaries to interpolate against, so the estimator refuses
+    * rather than guessing. NULL rows count in the denominator only (a
+    * NULL satisfies no range predicate). */
+  def histSelectivity(stats: org.apache.spark.sql.DataFrame, field: String,
+      h: HistSpec, qlo: Long, qhi: Long): Double = {
+    require(qlo < qhi, s"empty range [$qlo, $qhi)")
+    require(qlo >= h.lo && qhi <= h.hi,
+      s"range [$qlo, $qhi) outside the histogram's declared " +
+        s"[${h.lo}, ${h.hi}) — widen the DDL or fall back to a scan")
+    val counts = stats.where(col("field") === field)
+      .select(col("value"), col("cnt"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(v => v.toLong -> r.getLong(1)))
+      .toMap
+    val total = statsRows(stats, field)
+    val est = (0 until h.buckets).map { b =>
+      val blo = h.lo + b * h.width
+      val bhi = blo + h.width
+      val overlap = math.min(qhi, bhi) - math.max(qlo, blo)
+      if (overlap <= 0) 0.0
+      else counts.getOrElse(b.toLong, 0L).toDouble * overlap / h.width
+    }.sum
+    est / total
+  }
 
   // ----------------------------------------------------- compaction advisor
   //

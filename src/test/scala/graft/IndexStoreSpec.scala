@@ -1061,6 +1061,59 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       .as[(String, String, Long)].collect().toSet)
   }
 
+  test("histogram stats: bucket counts sum across appends; aligned ranges exact, misaligned bounded by edge mass") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("statshist").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "lang", "n_chars").localCheckpoint(true)
+    val h = IndexStore.HistSpec(0L, 640L, 16)
+    IndexStore.saveStats(docs.where($"doc_id" % 2 === 0), "doc_id", "text",
+      Seq("lang"), dir, hists = Map("n_chars" -> h))
+    IndexStore.appendBatchStats(docs.where($"doc_id" % 2 === 1), "doc_id",
+      "text", dir, batchId = 0L)
+    val stats = IndexStore.loadStats(spark, dir).localCheckpoint(true)
+    // bucket counts equal the direct integer-division group-by
+    val direct = docs.groupBy(expr(
+        "cast(case when n_chars < 0 then -1 when n_chars >= 640 then 16 " +
+          "else n_chars div 40 end as string)").as("value"))
+      .count().as[(String, Long)].collect().toSet
+    assert(stats.where($"field" === "n_chars").select("value", "cnt")
+      .as[(String, Long)].collect().toSet === direct)
+    // a bucket-boundary-ALIGNED range estimate is exact by construction
+    val n = docs.count().toDouble
+    val aligned = docs.where($"n_chars" >= 200 && $"n_chars" < 400)
+      .count() / n
+    assert(IndexStore.histSelectivity(stats, "n_chars", h, 200L, 400L)
+      === aligned)
+    // a misaligned range is off by at most the two edge buckets' mass
+    val truth = docs.where($"n_chars" >= 210 && $"n_chars" < 390)
+      .count() / n
+    val est = IndexStore.histSelectivity(stats, "n_chars", h, 210L, 390L)
+    val edgeMass = docs.where(($"n_chars" >= 200 && $"n_chars" < 240) ||
+      ($"n_chars" >= 360 && $"n_chars" < 400)).count() / n
+    assert(math.abs(est - truth) <= edgeMass,
+      s"estimate $est vs truth $truth beyond edge mass $edgeMass")
+    // DDL + estimator guard rails: non-dividing boundaries, a range
+    // outside the declared [lo, hi), a field declared both ways
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.HistSpec(0L, 100L, 16)
+    }.getMessage.contains("divide evenly"))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.histSelectivity(stats, "n_chars", h, -10L, 20L)
+    }.getMessage.contains("outside the histogram"))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.saveStats(docs, "doc_id", "text", Seq("n_chars"),
+        Files.createTempDirectory("statsboth").toString,
+        hists = Map("n_chars" -> h))
+    }.getMessage.contains("not both"))
+    // compaction preserves the histogram DDL and the folded counts
+    IndexStore.compactStats(spark, dir)
+    assert(IndexStore.loadHistSpecs(spark, dir) === Map("n_chars" -> h))
+    assert(IndexStore.loadStats(spark, dir)
+      .where($"field" === "n_chars").select("value", "cnt")
+      .as[(String, Long)].collect().toSet === direct)
+  }
+
   test("compaction advisor: receipts from sidecars, workload flips the fold, execute folds and preserves checkability") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("compadvise").toString
