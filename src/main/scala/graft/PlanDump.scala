@@ -11,9 +11,15 @@ import org.apache.spark.sql.SparkSession
   * builds, planner lookups). */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // --run: materialize each query first and print the FINAL adaptive
+    // plan — AQE converts small-side sort-merge joins to broadcast at
+    // runtime, so only flags that survive execution are real findings;
+    // the static (pre-adaptive) plan overstates SMJ on bounded relations.
+    val run = args.contains("--run")
+    val rest = args.filterNot(_ == "--run")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val names =
-      if (args.length > 1) args(1).split(',').map(_.trim).toSeq
+      if (rest.length > 1) rest(1).split(',').map(_.trim).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -23,17 +29,38 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // With --run, an executed AdaptiveSparkPlan prints "== Final Plan =="
+    // AND the superseded "== Initial Plan ==" side by side; flags must
+    // scan only what actually ran, or every AQE-converted broadcast join
+    // re-reports the sort-merge join it replaced. An initial-plan block
+    // ends where indentation returns to the marker's level.
+    def stripInitialPlans(plan: String): String = {
+      def indentOf(l: String): Int = l.indexWhere(!_.isWhitespace) match {
+        case -1 => l.length
+        case i  => i
+      }
+      var skipBelow = -1 // indent of the active Initial Plan marker
+      plan.linesIterator.filter { l =>
+        val i = indentOf(l)
+        if (skipBelow >= 0 && i > skipBelow) false
+        else {
+          skipBelow = if (l.contains("== Initial Plan ==")) i else -1
+          skipBelow < 0
+        }
+      }.mkString("\n")
+    }
     for (name <- names) {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
       println(s"==== $name")
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val qe = fn(spark, sfDir).queryExecution
+        if (run) qe.toRdd.count()
+        val plan = qe.executedPlan.toString
+        val effective = if (run) stripInitialPlans(plan) else plan
         val flags = Seq(
-          "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "SortMergeJoin" -> plan.contains("SortMergeJoin"),
-          "single-partition-window" ->
-            plan.contains("WindowExec: No Partition Defined"))
+          "CartesianProduct" -> effective.contains("CartesianProduct"),
+          "SortMergeJoin" -> effective.contains("SortMergeJoin"))
           .collect { case (f, true) => f }
         println(plan)
         println(s"---- $name flags: " +
