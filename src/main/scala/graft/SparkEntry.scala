@@ -154,6 +154,7 @@ object SparkEntry {
     corpusPhraseDisk(spark, dir)
     embStatsDisk(spark, dir).count()
     docStatsDisk(spark, dir).count()
+    eventStatsDisk(spark, dir).count()
   }
 
   // ---------------------------------------------------------------- queries
@@ -1721,6 +1722,21 @@ object SparkEntry {
         "vec_id", "embedding"))(
       IndexStore.loadStats(spark, path))
   }
+  private def eventStatsDisk(spark: SparkSession, dir: String): DataFrame = {
+    val path = statsDiskBuilt.getOrElseUpdate((spark, s"$dir#evt"), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_stats_evt_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // event_type counts are the funnel/sessionization side's
+      // cardinality source (step selectivities, streaming-state sizing)
+      IndexStore.saveStats(Tables.events(spark, dir), "event_id", "props",
+        Seq("event_type"), p)
+      p
+    })
+    checkedOncePerWave(spark, dir, "stats-evt")(
+      IndexStore.loadStatsChecked(spark, path, Tables.events(spark, dir),
+        "event_id", "props"))(
+      IndexStore.loadStats(spark, path))
+  }
   private def docStatsDisk(spark: SparkSession, dir: String): DataFrame = {
     val path = statsDiskBuilt.getOrElseUpdate((spark, s"$dir#doc"), {
       val p = s"${sys.props("java.io.tmpdir")}/graft_stats_doc_${
@@ -1739,9 +1755,11 @@ object SparkEntry {
   }
 
   /** The statistics catalogs' CONTENT, gate-checked: per-field value
-    * counts for the embeddings catalog (label) and the documents catalog
+    * counts for the embeddings catalog (label), the documents catalog
     * (lang, source, plus the n_chars fixed-boundary histogram's bucket
-    * counts), summed over committed batches ([[IndexStore.loadStats]]).
+    * counts), and the events catalog (event_type — the funnel side's
+    * step-selectivity source), summed over committed batches
+    * ([[IndexStore.loadStats]]).
     * The DuckDB oracle re-derives the same counts with plain GROUP BYs
     * (the histogram arm as the identical integer-division CASE), so the
     * relation every plan-time selectivity lookup reads
@@ -1750,6 +1768,7 @@ object SparkEntry {
     * checked computation, not trusted bookkeeping. */
   private def qFieldStats(spark: SparkSession, dir: String): DataFrame =
     embStatsDisk(spark, dir).unionByName(docStatsDisk(spark, dir))
+      .unionByName(eventStatsDisk(spark, dir))
       .orderBy("field", "value")
 
   private val ivfDiskBuilt =
@@ -2993,6 +3012,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'source' AS field, source AS value, count(*) AS cnt
         |  FROM documents GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'event_type' AS field, event_type AS value,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
         |  UNION ALL
         |  SELECT 'n_chars' AS field,
         |         CAST(CASE WHEN n_chars < 0 THEN -1
