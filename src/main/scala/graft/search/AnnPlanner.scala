@@ -566,7 +566,10 @@ object AnnPlanner {
     * Savings come from [[planKnn]]'s own cost table (exactScan minus the
     * asset's path row), so the two advisors can never disagree about
     * what a probe costs. A path that loses to the exact scan outright
-    * gets recommend = false with the loss named, whatever the workload. */
+    * gets recommend = false with the loss named, whatever the workload.
+    * The `kmeansIters` default matches the engine's own training budget
+    * ([[graft.index.Ivf.build]] sets `setMaxIter(10)`), so the default
+    * build price models the build this engine actually runs. */
   def adviseBuild(n: Long, dim: Int, k: Int, queriesPerWave: Long,
       horizonWaves: Double = 1.0,
       candidates: AnnAssets = AnnAssets(ivfClusters = 0, pqM = 0,
