@@ -2064,24 +2064,81 @@ object IndexStore {
     * NULL satisfies no range predicate). */
   def histSelectivity(stats: org.apache.spark.sql.DataFrame, field: String,
       h: HistSpec, qlo: Long, qhi: Long): Double = {
-    require(qlo < qhi, s"empty range [$qlo, $qhi)")
-    require(qlo >= h.lo && qhi <= h.hi,
-      s"range [$qlo, $qhi) outside the histogram's declared " +
-        s"[${h.lo}, ${h.hi}) — widen the DDL or fall back to a scan")
     val counts = stats.where(col("field") === field)
       .select(col("value"), col("cnt"))
       .collect()
       .flatMap(r => Option(r.getString(0)).map(v => v.toLong -> r.getLong(1)))
       .toMap
-    val total = statsRows(stats, field)
+    histSelectivityFromCounts(counts, statsRows(stats, field), h, qlo, qhi)
+  }
+
+  /** The pure arithmetic behind [[histSelectivity]], over already-
+    * collected bucket counts — the form plan-time consumers that hold a
+    * [[CollectedFieldStats]] use (no Spark job inside an optimizer
+    * rule). */
+  def histSelectivityFromCounts(bucketCounts: Map[Long, Long], total: Long,
+      h: HistSpec, qlo: Long, qhi: Long): Double = {
+    require(qlo < qhi, s"empty range [$qlo, $qhi)")
+    require(qlo >= h.lo && qhi <= h.hi,
+      s"range [$qlo, $qhi) outside the histogram's declared " +
+        s"[${h.lo}, ${h.hi}) — widen the DDL or fall back to a scan")
+    require(total > 0, "empty catalog field")
     val est = (0 until h.buckets).map { b =>
       val blo = h.lo + b * h.width
       val bhi = blo + h.width
       val overlap = math.min(qhi, bhi) - math.max(qlo, blo)
       if (overlap <= 0) 0.0
-      else counts.getOrElse(b.toLong, 0L).toDouble * overlap / h.width
+      else bucketCounts.getOrElse(b.toLong, 0L).toDouble * overlap / h.width
     }.sum
     est / total
+  }
+
+  /** The catalog, collected to the driver for plan-time consumers that
+    * must not run Spark jobs (optimizer rules): per-field value counts
+    * (None = the NULL row) plus the declared histograms. Bounded by the
+    * same [[StatsMaxDistinct]] discipline that bounds the relation.
+    * Collect ONCE at registration/wave time, look up per plan. */
+  case class CollectedFieldStats(
+      counts: Map[String, Map[Option[String], Long]],
+      hists: Map[String, HistSpec]) {
+    /** Total rows of a declared field (NULLs included). */
+    def total(field: String): Long = {
+      val m = counts.getOrElse(field, throw new IllegalArgumentException(
+        s"collected stats have no field '$field'"))
+      m.values.sum
+    }
+    /** Exact selectivity of `field = value` (0 for an unseen value). */
+    def eqSelectivity(field: String, value: String): Double =
+      counts.getOrElse(field, throw new IllegalArgumentException(
+        s"collected stats have no field '$field'"))
+        .getOrElse(Some(value), 0L).toDouble / total(field)
+    /** Estimated selectivity of `qlo ≤ field < qhi` — None when the
+      * field has no declared histogram or the range leaves the declared
+      * domain (an optimizer consumer then declines to estimate rather
+      * than guessing; the loud-refusal contract belongs to
+      * [[histSelectivityFromCounts]], which this guards). */
+    def rangeSelectivity(field: String, qlo: Long, qhi: Long)
+        : Option[Double] =
+      hists.get(field).filter(h =>
+          qlo < qhi && qlo >= h.lo && qhi <= h.hi).map { h =>
+        val buckets = counts.getOrElse(field, Map.empty).collect {
+          case (Some(v), c) => v.toLong -> c
+        }
+        histSelectivityFromCounts(buckets, total(field), h, qlo, qhi)
+      }
+  }
+
+  /** Collect a loaded catalog relation ([[loadStats]]) plus its
+    * histogram DDL ([[loadHistSpecs]]) into a [[CollectedFieldStats]]. */
+  def collectStats(stats: org.apache.spark.sql.DataFrame,
+      hists: Map[String, HistSpec] = Map.empty): CollectedFieldStats = {
+    val rows = stats.select(col("field"), col("value"), col("cnt"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+    CollectedFieldStats(
+      rows.groupBy(_._1).map { case (f, rs) =>
+        f -> rs.map(r => r._2 -> r._3).toMap },
+      hists)
   }
 
   // ----------------------------------------------------- compaction advisor

@@ -236,11 +236,12 @@ object Ivf {
     * SQL/DataFrame layer. */
   def registerForRewrite(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       index: IvfIndex, idCol: String, numCandidates: Int,
-      filterSelectivity: Option[Double] = None): Unit = {
+      filterSelectivity: Option[Double] = None,
+      stats: Option[IndexStore.CollectedFieldStats] = None): Unit = {
     org.apache.spark.sql.graftshim.IvfRewrite.install(spark)
     org.apache.spark.sql.graftshim.IvfRewrite.register(
       tablePath, index.assignments, index.centroids, index.sizes, idCol,
-      numCandidates, filterSelectivity)
+      numCandidates, filterSelectivity, stats)
   }
 
   /** ANN top-k: probe → candidate scan → exact re-rank. Same contract as

@@ -55,18 +55,30 @@ object IvfRewrite {
       sizes: Map[Int, Long],
       idCol: String,
       numCandidates: Int,
-      filterSelectivity: Option[Double] = None)
+      filterSelectivity: Option[Double] = None,
+      stats: Option[graft.index.IndexStore.CollectedFieldStats] = None)
 
   /** parquet-path → registered index (session-global, driver-side). */
   private val registry = TrieMap.empty[String, Registered]
 
+  /** `stats`: the table's COLLECTED field-statistics catalog
+    * ([[graft.index.IndexStore.collectStats]] over a wave-fresh
+    * [[graft.index.IndexStore.loadStats]]) — when present, the rule
+    * estimates a filtered top-k's selectivity from the predicate itself
+    * (equality conjuncts from value counts, range conjuncts from the
+    * declared fixed-boundary histograms) instead of needing one scalar
+    * `filterSelectivity` measured for one specific predicate. Collected
+    * at registration time, so the optimizer rule never runs a Spark job
+    * to plan. An explicit `filterSelectivity` overrides the estimate. */
   def register(path: String, assignments: DataFrame,
       centroids: Map[Int, Array[Double]], sizes: Map[Int, Long],
       idCol: String, numCandidates: Int,
-      filterSelectivity: Option[Double] = None): Unit =
+      filterSelectivity: Option[Double] = None,
+      stats: Option[graft.index.IndexStore.CollectedFieldStats] = None)
+      : Unit =
     registry.put(normalize(path),
       Registered(assignments, centroids, sizes, idCol, numCandidates,
-        filterSelectivity))
+        filterSelectivity, stats))
 
   def unregister(path: String): Unit = registry.remove(normalize(path))
   def clear(): Unit = registry.clear()
@@ -169,15 +181,95 @@ class IvfRewriteRule extends Rule[LogicalPlan] {
     * the plan alone. Unfiltered queries, and filtered queries with no
     * measured selectivity registered, rewrite unconditionally as before —
     * the registered depth is the user's explicit recall/cost choice. */
+  /** Estimate a pushed filter's selectivity from the registered
+    * COLLECTED stats catalog — pure map lookups, no Spark job (the rule
+    * runs inside the optimizer). Equality conjuncts on cataloged fields
+    * multiply their exact value-count selectivities; range conjuncts
+    * (>=, >, <, <= against integer literals) on histogram fields
+    * multiply the fixed-boundary estimate; conjuncts the catalog cannot
+    * price contribute factor 1 (an OVER-estimate of selectivity, which
+    * biases toward the probe — the rule's prior default for unknown
+    * filters). None when no conjunct was priceable at all. */
+  private def estimateSelectivity(cond: Expression,
+      st: graft.index.IndexStore.CollectedFieldStats): Option[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThan,
+      GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def litString(l: Literal): String = String.valueOf(l.value)
+    def litLong(l: Literal): Option[Long] = l.value match {
+      case i: Int   => Some(i.toLong)
+      case j: Long  => Some(j)
+      case s: Short => Some(s.toLong)
+      case _        => None
+    }
+    var factor = 1.0
+    var priced = false
+    // accumulated [lo, hi) bounds per histogram field
+    val bounds = scala.collection.mutable.Map
+      .empty[String, (Option[Long], Option[Long])]
+    def tightenLo(f: String, v: Long): Unit = {
+      val (lo, hi) = bounds.getOrElse(f, (None, None))
+      bounds(f) = (Some(lo.fold(v)(math.max(_, v))), hi)
+    }
+    def tightenHi(f: String, v: Long): Unit = {
+      val (lo, hi) = bounds.getOrElse(f, (None, None))
+      bounds(f) = (lo, Some(hi.fold(v)(math.min(_, v))))
+    }
+    conjuncts(cond).foreach {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if st.counts.contains(a.name) =>
+        factor *= st.eqSelectivity(a.name, litString(l)); priced = true
+      case EqualTo(l: Literal, a: AttributeReference)
+          if st.counts.contains(a.name) =>
+        factor *= st.eqSelectivity(a.name, litString(l)); priced = true
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+          if st.hists.contains(a.name) =>
+        litLong(l).foreach(tightenLo(a.name, _))
+      case GreaterThan(a: AttributeReference, l: Literal)
+          if st.hists.contains(a.name) =>
+        litLong(l).foreach(v => tightenLo(a.name, v + 1))
+      case LessThan(a: AttributeReference, l: Literal)
+          if st.hists.contains(a.name) =>
+        litLong(l).foreach(tightenHi(a.name, _))
+      case LessThanOrEqual(a: AttributeReference, l: Literal)
+          if st.hists.contains(a.name) =>
+        litLong(l).foreach(v => tightenHi(a.name, v + 1))
+      // literal-first comparisons flip: lit < a  ⇔  a > lit, etc.
+      case LessThan(l: Literal, a: AttributeReference)
+          if st.hists.contains(a.name) =>
+        litLong(l).foreach(v => tightenLo(a.name, v + 1))
+      case LessThanOrEqual(l: Literal, a: AttributeReference)
+          if st.hists.contains(a.name) =>
+        litLong(l).foreach(tightenLo(a.name, _))
+      case GreaterThan(l: Literal, a: AttributeReference)
+          if st.hists.contains(a.name) =>
+        litLong(l).foreach(tightenHi(a.name, _))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+          if st.hists.contains(a.name) =>
+        litLong(l).foreach(v => tightenHi(a.name, v + 1))
+      case _ => () // unpriceable conjunct: factor 1
+    }
+    for ((f, (lo, hi)) <- bounds) {
+      val h = st.hists(f)
+      st.rangeSelectivity(f, lo.getOrElse(h.lo), hi.getOrElse(h.hi))
+        .foreach { s => factor *= s; priced = true }
+    }
+    if (priced) Some(factor) else None
+  }
+
   private def rewriteBeatsFilteredScan(child: LogicalPlan,
       relation: LogicalRelation, reg: Registered,
       limitExpr: Expression): Boolean = {
-    val filtered = child.collectFirst {
+    val filterNode = child.collectFirst {
       case f: Filter if f.collectFirst {
         case lr: LogicalRelation if lr eq relation => lr }.nonEmpty => f
-    }.nonEmpty
-    if (!filtered) true
-    else reg.filterSelectivity match {
+    }
+    if (filterNode.isEmpty) true
+    else reg.filterSelectivity.orElse(reg.stats.flatMap(st =>
+        estimateSelectivity(filterNode.get.condition, st))) match {
       case None => true
       case Some(sel) =>
         val n = reg.sizes.values.sum
@@ -190,12 +282,15 @@ class IvfRewriteRule extends Rule[LogicalPlan] {
           }
           val frac = math.min(1.0,
             math.max(reg.numCandidates.toDouble / n, 1.0 / n))
+          // an estimated selectivity of exactly 0 (unseen value) still
+          // prices at least one row — planKnn's domain is (0, 1]
+          val clamped = math.min(1.0, math.max(sel, 1.0 / n))
           graft.search.AnnPlanner.planKnn(n, dim, k,
             assets = graft.search.AnnPlanner.AnnAssets(
               ivfClusters = reg.centroids.size),
             depths = graft.search.AnnPlanner.AnnDepths(
               ivfMassFraction = frac),
-            filterSelectivity = Some(sel)).path == "ivfProbe"
+            filterSelectivity = Some(clamped)).path == "ivfProbe"
         }
     }
   }

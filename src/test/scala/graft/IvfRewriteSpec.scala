@@ -90,6 +90,64 @@ class IvfRewriteSpec extends AnyFunSuite with SparkTest {
     } finally IvfRewrite.clear()
   }
 
+  test("registered stats catalog prices the predicate itself: equality and histogram ranges flip the rewrite") {
+    import org.apache.spark.sql.functions.col
+    import graft.index.IndexStore
+    val embs = Tables.embeddings(spark, Sf0001)
+    val index = Ivf.build(embs, "vec_id", "embedding")
+    // catalog with label as a CATEGORICAL field (exact value counts)
+    val cdir = java.nio.file.Files.createTempDirectory("rwcat").toString
+    IndexStore.saveStats(embs, "vec_id", "embedding", Seq("label"), cdir)
+    val cat = IndexStore.collectStats(IndexStore.loadStats(spark, cdir))
+    // catalog with label as a width-1 HISTOGRAM (range estimates)
+    val hdir = java.nio.file.Files.createTempDirectory("rwhist").toString
+    IndexStore.saveStats(embs, "vec_id", "embedding", Seq(), hdir,
+      hists = Map("label" -> IndexStore.HistSpec(0L, 10L, 10)))
+    val hist = IndexStore.collectStats(IndexStore.loadStats(spark, hdir),
+      IndexStore.loadHistSpecs(spark, hdir))
+    def planOf(preFilter: org.apache.spark.sql.Column): String =
+      VectorSearch.knn(embs, "vec_id", "embedding", query, k = 10,
+        preFilter = Some(preFilter)).queryExecution.optimizedPlan.toString
+    try {
+      // EQUALITY pricing: label = 3 is ~10% selective → the filtered
+      // exact scan wins and the rule declines; no scalar selectivity was
+      // registered — the catalog priced the predicate itself
+      Ivf.registerForRewrite(spark, path, index, "vec_id",
+        numCandidates = 200, stats = Some(cat))
+      assert(!planOf(col("label") === 3).contains(IvfRewrite.MemberCol),
+        "catalog-priced selective equality must keep the exact scan")
+      // a predicate the catalog cannot price keeps the prior default
+      // (rewrite on the user's explicit recall choice)
+      assert(planOf(col("vec_id") > 100L).contains(IvfRewrite.MemberCol),
+        "unpriceable predicate must rewrite as before")
+      // and the unfiltered query still routes through the probe
+      assert(knn().queryExecution.optimizedPlan.toString
+        .contains(IvfRewrite.MemberCol))
+      // RANGE pricing from the histogram: a narrow band is ~20%
+      // selective → exact scan; the full domain is ~100% → probe
+      Ivf.registerForRewrite(spark, path, index, "vec_id",
+        numCandidates = 200, stats = Some(hist))
+      assert(!planOf(col("label") >= 2 && col("label") < 4)
+        .contains(IvfRewrite.MemberCol),
+        "histogram-priced narrow range must keep the exact scan")
+      assert(planOf(col("label") >= 0 && col("label") < 10)
+        .contains(IvfRewrite.MemberCol),
+        "a full-domain range is unselective and must still probe")
+      // the kept exact plan returns the exact filtered result
+      Ivf.registerForRewrite(spark, path, index, "vec_id",
+        numCandidates = 200, stats = Some(hist))
+      val kept = VectorSearch.knn(embs, "vec_id", "embedding", query,
+          k = 10, preFilter = Some(col("label") >= 2 && col("label") < 4))
+        .select("vec_id").as[Long].collect().toSeq
+      IvfRewrite.clear()
+      val exact = VectorSearch.knn(
+          embs.where(col("label") >= 2 && col("label") < 4),
+          "vec_id", "embedding", query, k = 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(kept === exact)
+    } finally IvfRewrite.clear()
+  }
+
   test("a query on a different table is not rewritten") {
     val index = Ivf.build(Tables.embeddings(spark, Sf0001), "vec_id", "embedding")
     try {
