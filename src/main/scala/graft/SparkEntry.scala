@@ -1771,6 +1771,26 @@ object SparkEntry {
       .unionByName(eventStatsDisk(spark, dir))
       .orderBy("field", "value")
 
+  /** The histogram range ESTIMATOR itself on its exact regime,
+    * gate-checked: [[IndexStore.histSelectivity]] over the persisted
+    * n_chars histogram for the bucket-ALIGNED range [240, 320) — where
+    * the estimate is exact by construction (full buckets only, no
+    * interpolation) — against the DuckDB oracle computing the true
+    * fraction with a direct filtered count. One row; the number
+    * [[qAnnPlanRange]] plans from is the number an independent engine
+    * derives from the raw table. */
+  private def qHistSelectivity(spark: SparkSession, dir: String): DataFrame = {
+    val docStats = docStatsDisk(spark, dir)
+    val h = IndexStore.loadHistSpecs(spark,
+      statsDiskBuilt((spark, s"$dir#doc")))("n_chars")
+    val sel = IndexStore.histSelectivity(docStats, "n_chars", h, 240L, 320L)
+    import spark.implicits._
+    Seq(("n_chars", 240, 320,
+        BigDecimal(sel).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      .toDF("field", "lo", "hi", "sel")
+  }
+
   private val ivfDiskBuilt =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def corpusIvfDisk(spark: SparkSession, dir: String): Ivf.IvfIndex = {
@@ -2567,6 +2587,7 @@ object SparkEntry {
     "q_ann_plan_filtered" -> ((s, dir) => qAnnPlanFiltered(s, dir)),
     "q_ann_plan_range" -> ((s, dir) => qAnnPlanRange(s, dir)),
     "q_field_stats" -> ((s, dir) => qFieldStats(s, dir)),
+    "q_hist_selectivity" -> ((s, dir) => qHistSelectivity(s, dir)),
     "q_ann_depth" -> ((s, dir) => qAnnDepth(s, dir)),
     "q_rerank" -> ((s, dir) => qRerank(s, dir)),
     "q_mmr" -> ((s, dir) => qMmr(s, dir)),
@@ -2998,6 +3019,14 @@ object SparkEntry {
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // the estimator's exact regime (bucket-aligned range = full buckets,
+    // no interpolation): the catalog-derived selectivity equals the true
+    // fraction an independent engine counts from the raw table
+    "q_hist_selectivity" ->
+      """SELECT 'n_chars' AS field, 240 AS lo, 320 AS hi,
+        |       round(CAST(count(*) FILTER (WHERE n_chars >= 240 AND n_chars < 320) AS DOUBLE)
+        |             / count(*), 6) AS sel
+        |FROM documents""".stripMargin,
     // the catalog's committed-batch sums re-derived as plain GROUP BYs —
     // the relation plan-time selectivity lookups read, independently
     // hash-verified
