@@ -2498,6 +2498,24 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Corpus-wide heavy hitters — every token whose frequency strictly
+    * exceeds n/30 of the corpus token stream, with its EXACT count —
+    * via the bounded-state Misra–Gries screen + exact recount
+    * ([[Sketches.heavyHitters]]): map-side summary state ≤ k per task
+    * regardless of vocabulary, vs the brute token-groupBy whose shuffle
+    * carries every distinct term (the oracle plan — billions of terms
+    * for web-scale text). k=30 sits BELOW this fixture's 31-term
+    * near-uniform vocabulary, so the screen genuinely decrements and
+    * merges at the theorem's edge: the retention floor n/(k+1) = n/31
+    * is just under every term's ~n/31 frequency, and the declared
+    * threshold n/30 is strictly above it — recall of the > n/30 answer
+    * is the mergeable-summaries guarantee, not fixture luck. */
+  private def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+    Sketches.heavyHitters(toks, "term", k = 30, out = "cnt").orderBy("term")
+  }
+
   /** North-star: near-dup by TEXT-derived embeddings — MinHash-LSH
     * candidates verified by cosine over the embed ETL's sparse output
     * (the composed scale pipeline: sketch → candidates → verify). */
@@ -2616,6 +2634,7 @@ object SparkEntry {
     "q_label_centroid" -> ((s, dir) => qLabelCentroid(s, dir)),
     "q_pivot" -> ((s, dir) => qPivot(s, dir)),
     "q_sketches" -> ((s, dir) => qSketches(s, dir)),
+    "q_heavy_hitters" -> ((s, dir) => qHeavyHitters(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
@@ -2860,6 +2879,13 @@ object SparkEntry {
          |SELECT kmv.event_type, kmv_users, p50, p95
          |FROM kmv JOIN qq USING (event_type)
          |ORDER BY event_type""".stripMargin,
+    // brute token groupBy-HAVING — a FULL oracle for the MG screen+verify
+    // (the screen's recall is the mergeable-summaries theorem, so the two
+    // relations are definitionally identical)
+    "q_heavy_hitters" ->
+      (Sketches.sqlHeavyHittersSelect(
+        s"SELECT unnest(${Text.sqlTokens("text")}) AS term FROM documents",
+        "term", 30) + "\nORDER BY term"),
     "q_langid" ->
       s"""SELECT doc_id,
          |       ${TextAnalysis.sqlLangId("text")} AS lang_pred,

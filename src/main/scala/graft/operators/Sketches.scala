@@ -166,4 +166,96 @@ object Sketches {
        |  FROM $table WHERE $valueExpr IS NOT NULL
        |) GROUP BY $groupCol""".stripMargin
   }
+
+  // ---------------------------------------------- Misra–Gries heavy hitters
+
+  /** Bounded-state Misra–Gries frequency summary (Misra & Gries 1982,
+    * "Finding repeated elements"; merge rule from Agarwal et al.,
+    * "Mergeable summaries", PODS 2012): state is ≤ k (item → counter)
+    * entries. Reduce: increment a tracked item, insert while below
+    * capacity, otherwise decrement every counter by one (paying one unit
+    * from each tracked item in lieu of tracking the new one — amortized
+    * O(1) per input). Merge: sum counterparts, then subtract the
+    * (k+1)-th largest counter from all and keep the strictly positive —
+    * at most k survive. The mergeable-summaries theorem: after ANY merge
+    * tree over any partitioning of an n-item stream, each counter
+    * underestimates its item's true count by at most n/(k+1), so every
+    * item with true frequency > n/(k+1) is retained (recall 1 for the
+    * "frequency > n/k" heavy-hitter question; precision restored by an
+    * exact recount of the ≤ k candidates). Property-swept across random
+    * streams / splits / merge orders in SketchSpec. */
+  class MgAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1, s"MG summary capacity must be >= 1, got $k")
+
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      b.get(item) match {
+        case Some(c)            => b.updated(item, c + 1L)
+        case None if b.size < k => b.updated(item, 1L)
+        case None =>
+          b.flatMap { case (s, c) => if (c > 1L) Some(s -> (c - 1L)) else None }
+      }
+
+    def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
+      if (b1.isEmpty) b2
+      else if (b2.isEmpty) b1
+      else {
+        val sum = (b1.keySet ++ b2.keySet).iterator
+          .map(s => s -> (b1.getOrElse(s, 0L) + b2.getOrElse(s, 0L))).toMap
+        if (sum.size <= k) sum
+        else {
+          val vs = sum.valuesIterator.toArray
+          java.util.Arrays.sort(vs)
+          val vk1 = vs(vs.length - (k + 1)) // (k+1)-th largest counter
+          sum.flatMap { case (s, c) => if (c > vk1) Some(s -> (c - vk1)) else None }
+        }
+      }
+
+    def finish(r: Map[String, Long]): Map[String, Long] = r
+
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** EXACT heavy hitters — every item whose frequency strictly exceeds
+    * n/k of the non-null item stream, with its exact count — via the
+    * sketch→verify discipline the dedup family uses: a bounded-state
+    * [[MgAgg]] screen (map-side partial state ≤ k entries per task, one
+    * final merge over numPartitions × k entries — never a shuffle of the
+    * full item vocabulary), then an exact recount restricted to the ≤ k
+    * surviving candidates (broadcast semi-join; map-side combine over ≤ k
+    * keys). Two scans of the input by design — the same candidate/verify
+    * shape as the LSH dedup passes. Recall 1 is the mergeable-MG theorem
+    * (retention floor n/(k+1) < threshold n/k), precision 1 is the exact
+    * recount; the output is definitionally identical to the brute
+    * groupBy-HAVING, which is therefore a full oracle. The 100 TB
+    * contrast is with that brute plan: a corpus-wide token groupBy
+    * shuffles every distinct term (billions for web-scale text); the
+    * screen shuffles ≤ k rows per map task regardless of vocabulary. */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int = DefaultK,
+                   out: String = "cnt"): DataFrame = {
+    val mg = udaf(new MgAgg(k), Encoders.STRING)
+    val items = df.select(col(itemCol).as("__it")).filter(col("__it").isNotNull)
+    val screen = items.agg(count(lit(1)).as("__n"), mg(col("__it")).as("__mg"))
+      .select(col("__n"), explode(map_keys(col("__mg"))).as("__it"))
+    items.join(broadcast(screen), Seq("__it"))
+      .groupBy("__it", "__n")
+      .agg(count(lit(1)).as(out))
+      .where(col(out) * lit(k.toLong) > col("__n"))
+      .select(col("__it").as(itemCol), col(out))
+  }
+
+  /** DuckDB rendition of [[heavyHitters]]: brute groupBy-HAVING over an
+    * items subquery whose column is `itemCol` — a full oracle because the
+    * screen+verify output is definitionally the same relation. */
+  def sqlHeavyHittersSelect(itemsSql: String, itemCol: String, k: Int,
+                            out: String = "cnt"): String =
+    s"""SELECT $itemCol, count(*) AS $out
+       |FROM ($itemsSql) i, (SELECT count($itemCol) AS n FROM ($itemsSql)) tot
+       |WHERE $itemCol IS NOT NULL
+       |GROUP BY $itemCol, n
+       |HAVING count(*) * $k > n""".stripMargin
 }

@@ -69,4 +69,64 @@ class SketchSpec extends AnyFunSuite with SparkTest {
       assert(got(t) === (at(50), at(95)), s"group $t")
     }
   }
+
+  test("MG heavy hitters equal the brute groupBy-HAVING relation on skewed data") {
+    // Zipf-ish: item i appears floor(2000/i) times; vocabulary 200 >> k=16
+    val rows = (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"it$i")).toDF("item")
+      .repartition(7) // exercise the partial/merge paths
+    val hh = Sketches.heavyHitters(rows, "item", k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.count()
+    val brute = rows.groupBy("item").count()
+      .where(col("count") * 16 > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh === brute)
+    assert(hh.nonEmpty)
+  }
+
+  test("MG retention theorem holds under random splits and merge orders") {
+    // every item with true frequency > n/(k+1) survives, counters are
+    // lower bounds within n/(k+1), and the summary never exceeds k —
+    // across random streams, random chunkings, random merge orders
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val k = 1 + rnd.nextInt(12)
+      val n = 50 + rnd.nextInt(2000)
+      val vocab = 1 + rnd.nextInt(60)
+      val xs = Array.fill(n)(s"v${rnd.nextInt(vocab)}")
+      val exact = xs.groupBy(identity).map { case (s, a) => s -> a.length.toLong }
+      val agg = new Sketches.MgAgg(k)
+      val chunks = xs.grouped(1 + rnd.nextInt(math.max(1, n / 4))).toSeq
+      val bufs = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs).foldLeft(agg.zero)(agg.merge)
+      assert(merged.size <= k)
+      exact.foreach { case (s, c) =>
+        val est = merged.getOrElse(s, 0L)
+        assert(est <= c, s"counter $est overestimates true $c for $s")
+        if (c > n.toDouble / (k + 1))
+          assert(merged.contains(s),
+            s"item $s freq $c > n/(k+1)=${n.toDouble / (k + 1)} dropped (k=$k, n=$n)")
+        if (merged.contains(s))
+          assert(c - est <= n.toDouble / (k + 1) + 1e-9,
+            s"error ${c - est} beyond n/(k+1) for $s")
+      }
+      // nothing invented: every summary key exists in the stream
+      merged.keys.foreach(s => assert(exact.contains(s)))
+    }
+  }
+
+  test("MG screen stays bounded when vocab >> k; nulls excluded from n") {
+    // 500 singletons + one hot item: the k=8 screen must keep ≤ 8
+    // candidates and the exact verify must emit exactly the hot item
+    val rows = ((1 to 500).map(i => s"u$i") ++ Seq.fill(300)("hot"))
+      .toDF("item").repartition(5)
+    val hh = Sketches.heavyHitters(rows, "item", k = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hh.toSeq === Seq("hot" -> 300L)) // n=800, threshold 100
+    // nulls: excluded from both the stream and the total
+    val withNulls = Seq(Some("a"), Some("a"), None, Some("b")).toDF("item")
+    val hh2 = Sketches.heavyHitters(withNulls, "item", k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh2 === Map("a" -> 2L)) // n=3 non-null, threshold cnt*2 > 3
+  }
 }
