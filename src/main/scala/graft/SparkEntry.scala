@@ -12,7 +12,7 @@ import graft.pipeline.{Contamination, Curation}
 import graft.search.{AnnPlanner, LateInteraction, Mmr, Negatives, Rerank, ScoreFusion, TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
-import graft.util.Tables
+import graft.util.{Tables, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,7 +94,7 @@ object SparkEntry {
     Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
-        freshnessVerified)
+        zorderDiskBuilt, freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -107,7 +107,7 @@ object SparkEntry {
         signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
-        freshnessVerified)
+        zorderDiskBuilt, freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Staleness verdicts already proven this session, keyed by
@@ -155,6 +155,7 @@ object SparkEntry {
     embStatsDisk(spark, dir).count()
     docStatsDisk(spark, dir).count()
     eventStatsDisk(spark, dir).count()
+    lineitemZorderDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -2516,6 +2517,53 @@ object SparkEntry {
     Sketches.heavyHitters(toks, "term", k = 30, out = "cnt").orderBy("term")
   }
 
+  /** Z-order layout of lineitem on (l_partkey, l_suppkey), built once
+    * per (session, sfDir) — the LAYOUT lifecycle (the once-paid
+    * clustering shuffle that every later box query amortizes); domains
+    * measured from the data at build time (one min/max agg), bits=3 →
+    * 64 z-buckets as parquet partition dirs. */
+  private val ZOrderBits = 3
+  private val zorderDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (String, ZOrder.Dim, ZOrder.Dim)]
+  private def lineitemZorderDisk(spark: SparkSession, dir: String)
+      : (DataFrame, ZOrder.Dim, ZOrder.Dim) = {
+    val (path, dx, dy) = zorderDiskBuilt.getOrElseUpdate((spark, dir), {
+      val li = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val r = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val dx = ZOrder.Dim("l_partkey", r.getLong(0), r.getLong(1))
+      val dy = ZOrder.Dim("l_suppkey", r.getLong(2), r.getLong(3))
+      val p = s"${sys.props("java.io.tmpdir")}/graft_zorder_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      ZOrder.writeLayout(li, dx, dy, ZOrderBits, p)
+      (p, dx, dy)
+    })
+    (ZOrder.readLayout(spark, path), dx, dy)
+  }
+
+  /** Multi-dimensional scan pruning via the z-ordered layout
+    * ([[ZOrder.boxQuery]]): a 2-D box on (l_partkey, l_suppkey) —
+    * [xlo, xlo+(xhi−xlo)/10] × [ylo, ylo+(yhi−ylo)/4], derived from the
+    * measured domains on BOTH sides so the constants agree at every
+    * SF — served from the buckets whose cell rectangle intersects the
+    * box (an IN-list partition filter over ≤ 64 directory ids; 2 of 64
+    * at these domains) plus the exact residual predicate. Grouped per
+    * z-bucket: the oracle recomputes each row's bucket id with the
+    * identical integer-division cells and shift-or-mask interleave —
+    * hash-matching the Morton arithmetic itself, not just the filtered
+    * aggregate. */
+  private def qZorderBox(spark: SparkSession, dir: String): DataFrame = {
+    val (layout, dx, dy) = lineitemZorderDisk(spark, dir)
+    val x1 = dx.lo + (dx.hi - dx.lo) / 10
+    val y1 = dy.lo + (dy.hi - dy.lo) / 4
+    ZOrder.boxQuery(layout, dx, dy, ZOrderBits, dx.lo, x1, dy.lo, y1)
+      .groupBy(col("__zb").cast("long").as("zb"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy("zb")
+  }
+
   /** North-star: near-dup by TEXT-derived embeddings — MinHash-LSH
     * candidates verified by cosine over the embed ETL's sparse output
     * (the composed scale pipeline: sketch → candidates → verify). */
@@ -2635,6 +2683,7 @@ object SparkEntry {
     "q_pivot" -> ((s, dir) => qPivot(s, dir)),
     "q_sketches" -> ((s, dir) => qSketches(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => qHeavyHitters(s, dir)),
+    "q_zorder_box" -> ((s, dir) => qZorderBox(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
@@ -2886,6 +2935,25 @@ object SparkEntry {
       (Sketches.sqlHeavyHittersSelect(
         s"SELECT unnest(${Text.sqlTokens("text")}) AS term FROM documents",
         "term", 30) + "\nORDER BY term"),
+    // recomputes each in-box row's z-bucket with the identical
+    // integer-division cells + shift-or-mask Morton interleave (the
+    // ZOrder sql* twins) — hash-matching the layout arithmetic itself
+    "q_zorder_box" ->
+      s"""WITH dom AS (
+         |  SELECT min(l_partkey)::BIGINT AS xlo, max(l_partkey)::BIGINT AS xhi,
+         |         min(l_suppkey)::BIGINT AS ylo, max(l_suppkey)::BIGINT AS yhi
+         |  FROM lineitem
+         |), sel AS (
+         |  SELECT ${ZOrder.sqlCellExpr("l.l_partkey", "d.xlo", "d.xhi", 3)} AS cx,
+         |         ${ZOrder.sqlCellExpr("l.l_suppkey", "d.ylo", "d.yhi", 3)} AS cy,
+         |         l.l_quantity
+         |  FROM lineitem l, dom d
+         |  WHERE l.l_partkey BETWEEN d.xlo AND d.xlo + (d.xhi - d.xlo) // 10
+         |    AND l.l_suppkey BETWEEN d.ylo AND d.ylo + (d.yhi - d.ylo) // 4
+         |)
+         |SELECT ${ZOrder.sqlZValue("cx", "cy")} AS zb,
+         |       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_langid" ->
       s"""SELECT doc_id,
          |       ${TextAnalysis.sqlLangId("text")} AS lang_pred,
