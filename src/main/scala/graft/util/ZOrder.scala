@@ -173,4 +173,55 @@ object ZOrder {
       .where(col(x.name).cast("long").between(xlo, xhi) &&
              col(y.name).cast("long").between(ylo, yhi))
   }
+
+  // -------------------------------------------------- ownership economics
+
+  /** Measured bucket coverage of a workload's boxes: the mean fraction
+    * of the 4^bits buckets a box touches — driver arithmetic over
+    * [[bucketsForBox]], never data. This is the advisor's honesty
+    * boundary: coverage is workload GEOMETRY, so callers measure it
+    * from their real boxes (the covering-depth discipline of
+    * `graft.search.AnnPlanner`), not from hope. */
+  def measureCoverage(x: Dim, y: Dim, bits: Int,
+      boxes: Seq[(Long, Long, Long, Long)]): Double = {
+    require(boxes.nonEmpty, "measureCoverage needs at least one box")
+    val total = (1L << bits).toDouble * (1L << bits).toDouble
+    boxes.map { case (x0, x1, y0, y1) =>
+      bucketsForBox(x, y, bits, x0, x1, y0, y1).size.toDouble / total
+    }.sum / boxes.size
+  }
+
+  /** Layout-ownership advice: build the z-order layout at all? */
+  final case class LayoutAdvice(
+      layoutCostUnits: Long, perQuerySavingUnits: Long,
+      breakEvenQueries: Long, build: Boolean)
+
+  /** The [[graft.search.AnnPlanner.adviseBuild]] discipline for the
+    * layout decision: one clustering pass (read + clustered write ≈ 2n
+    * scan units) pays for itself once the workload saves more scan than
+    * the clustering cost. Per-box saving ≈ n·(1 − coverage) scan units
+    * — an un-clustered box query scans everything, a clustered one
+    * scans the covered buckets (assumes near-uniform bucket mass, which
+    * the integral-division cells give on near-uniform keys; heavily
+    * skewed keys make coverage an underestimate of mass — stated, not
+    * hidden). Coverage ≥ 1 (boxes span the domain) can never pay:
+    * refused as `build = false` with an infinite break-even rather than
+    * advised from a division by zero. */
+  def adviseLayout(n: Long, coverage: Double,
+      expectedBoxQueries: Long): LayoutAdvice = {
+    require(n > 0, s"adviseLayout: n must be positive, got $n")
+    require(coverage >= 0 && coverage <= 1,
+      s"adviseLayout: coverage is a fraction, got $coverage")
+    require(expectedBoxQueries >= 0,
+      s"adviseLayout: expectedBoxQueries must be >= 0, got $expectedBoxQueries")
+    val layoutCost = 2L * n
+    val saving = math.floor(n.toDouble * (1.0 - coverage)).toLong
+    if (saving <= 0L)
+      LayoutAdvice(layoutCost, 0L, Long.MaxValue, build = false)
+    else {
+      val breakEven = (layoutCost + saving - 1L) / saving // ceil-div
+      LayoutAdvice(layoutCost, saving, breakEven,
+        build = expectedBoxQueries >= breakEven)
+    }
+  }
 }

@@ -66,6 +66,27 @@ class ZOrderSpec extends AnyFunSuite with SparkTest {
       s"expected __zb partition pruning in:\n$plan")
   }
 
+  test("layout advisor: break-even arithmetic, measured coverage, refusals") {
+    // measured coverage of the receipt box: 2 of 64 buckets
+    val cov = ZOrder.measureCoverage(dx, dy, 3, Seq((0L, 199L, 0L, 24L)))
+    assert(cov === 2.0 / 64.0)
+    // n=1000, coverage 2/64: layout 2000 units, saving 968/query →
+    // break-even ceil(2000/968) = 3 queries
+    val a = ZOrder.adviseLayout(1000, cov, expectedBoxQueries = 3)
+    assert(a.layoutCostUnits === 2000L)
+    assert(a.perQuerySavingUnits === 968L)
+    assert(a.breakEvenQueries === 3L)
+    assert(a.build)
+    assert(!ZOrder.adviseLayout(1000, cov, expectedBoxQueries = 2).build)
+    // domain-spanning boxes save nothing: never build, no div-by-zero
+    val never = ZOrder.adviseLayout(1000, 1.0, expectedBoxQueries = 1000000)
+    assert(!never.build && never.breakEvenQueries === Long.MaxValue)
+    intercept[IllegalArgumentException](ZOrder.adviseLayout(0, 0.5, 1))
+    intercept[IllegalArgumentException](ZOrder.adviseLayout(10, 1.5, 1))
+    intercept[IllegalArgumentException](
+      ZOrder.measureCoverage(dx, dy, 3, Seq.empty))
+  }
+
   test("refusals: inverted dim, overflow-risk span, out-of-domain rows") {
     intercept[IllegalArgumentException](ZOrder.Dim("x", 5, 4))
     intercept[IllegalArgumentException](
