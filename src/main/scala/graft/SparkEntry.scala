@@ -9,7 +9,7 @@ import graft.index.{IndexStore, Ivf, Pq}
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
-import graft.search.{AnnPlanner, LateInteraction, Mmr, Negatives, Rerank, ScoreFusion, TextSearch, VectorSearch}
+import graft.search.{AnnPlanner, LateInteraction, Mmr, Negatives, Rerank, ScoreFusion, TextPlanner, TextSearch, VectorSearch}
 import graft.streaming.EventStreams
 import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
 import graft.util.{Tables, ZOrder}
@@ -94,7 +94,7 @@ object SparkEntry {
     Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
-        zorderDiskBuilt, freshnessVerified)
+        zorderDiskBuilt, zorderIncDiskBuilt, freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -107,7 +107,7 @@ object SparkEntry {
         signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
-        zorderDiskBuilt, freshnessVerified)
+        zorderDiskBuilt, zorderIncDiskBuilt, freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Staleness verdicts already proven this session, keyed by
@@ -156,6 +156,7 @@ object SparkEntry {
     docStatsDisk(spark, dir).count()
     eventStatsDisk(spark, dir).count()
     lineitemZorderDisk(spark, dir)
+    lineitemZorderIncDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -482,6 +483,53 @@ object SparkEntry {
         "doc_id", "text", phrases)
       .withColumnRenamed("id", "doc_id")
       .orderBy("phrase_id", "doc_id", "pos")
+  }
+
+  /** PLANNER-CHOSEN phrase lookup ([[TextPlanner.planPhrase]]) — the
+    * text twin of [[qAnnPlan]]: three physical paths (corpus gram scan /
+    * gram-membership screen / positional-index probes) resolve the same
+    * exact (id, pos) contract, and the cost table picks one from catalog
+    * numbers alone — n from the persisted stats catalog (one bounded
+    * lookup, never a COUNT scan at plan time), m = tokens−k+1 from the
+    * phrase itself, bucket mass from uniform hashing (the one analytic
+    * assumption — closed-form-ish, unlike the geometry-dependent ANN
+    * recall that forces measured depths). At every SF the 10-token
+    * phrase prices m=3 bucket probes ≈ 3n/64 doc-gram-stream units vs
+    * the scan's n, so the planner dispatches the positional-index path
+    * (the gram MEMBERSHIP index covers only the %5 subcorpus — index ≙
+    * corpus is the screen's contract — so that asset is honestly absent
+    * from this plan). selfChecked against the scan path under the gate;
+    * the phrase-occurrence SQL is a full oracle. Phrase: the min
+    * doc_id ≡ 1 (mod 3) document's first 10 tokens — present by
+    * construction, distinct from every other phrase fixture's receipt. */
+  private def qPhrasePlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = IndexStore.statsRows(docStatsDisk(spark, dir), "lang")
+    val minId = d.where(col("doc_id") % 3 === 1)
+      .agg(min(col("doc_id")).as("__mid"))
+    val toks = d.join(broadcast(minId), col("doc_id") === col("__mid"))
+      .select(slice(graft.functions.Text.tokens(col("text")), 1, 10).as("p"))
+      .head.getSeq[String](0)
+    val assets = TextPlanner.PhraseAssets(
+      phraseIndex = Some(corpusPhraseDisk(spark, dir)))
+    val plan = TextPlanner.planPhrase(n, toks.size,
+      SubstringDedup.DefaultGramTokens, presentFraction = 1.0, assets)
+    require(plan.chosen == "indexed",
+      s"q_phrase_plan expected the positional-index path at these " +
+        s"inputs (m=${plan.m} probes vs ${plan.buckets} buckets), " +
+        s"got ${plan.chosen} — cost table: ${plan.costs}")
+    selfChecked(
+      TextPlanner.executePhrase(plan, d, "doc_id", "text", toks, assets)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "pos"),
+      {
+        import spark.implicits._
+        TextSearch.phraseOccurrences(d, "doc_id", "text",
+            Seq(toks).toDF("p"), SubstringDedup.DefaultGramTokens)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "pos")
+      },
+      s"q_phrase_plan planned path ${plan.chosen}")
   }
 
   /** North-star language-ID: marker-ratio argmax per document. */
@@ -2564,6 +2612,61 @@ object SparkEntry {
       .orderBy("zb")
   }
 
+  /** INCREMENTAL z-order layout fixture ([[IndexStore.saveZOrder]]
+    * family): the clustered base holds three deterministic quarters of
+    * lineitem (l_orderkey mod 4 ≠ 3), the last quarter lands as TWO
+    * append waves split on l_partkey parity — each wave written with NO
+    * clustering shuffle (work ∝ batch), exactly the 100 TB daily-ingest
+    * shape the tail exists for. Built once per (session, sfDir); the one
+    * wave-time staleness check (summed committed marks vs the corpus
+    * fingerprint) runs at build, per the [[checkedOncePerWave]]
+    * contract — box queries afterwards read unchecked. */
+  private val zorderIncDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (String, ZOrder.Dim, ZOrder.Dim)]
+  private def lineitemZorderIncDisk(spark: SparkSession, dir: String)
+      : (String, ZOrder.Dim, ZOrder.Dim) =
+    zorderIncDiskBuilt.getOrElseUpdate((spark, dir), {
+      val li = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val r = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val dx = ZOrder.Dim("l_partkey", r.getLong(0), r.getLong(1))
+      val dy = ZOrder.Dim("l_suppkey", r.getLong(2), r.getLong(3))
+      val p = s"${sys.props("java.io.tmpdir")}/graft_zorderinc_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val lastQuarter = pmod(col("l_orderkey"), lit(4)) === 3
+      IndexStore.saveZOrder(li.where(!lastQuarter), dx, dy, ZOrderBits, p)
+      IndexStore.appendBatchZOrder(
+        li.where(lastQuarter && pmod(col("l_partkey"), lit(2)) === 0), p, 0L)
+      IndexStore.appendBatchZOrder(
+        li.where(lastQuarter && pmod(col("l_partkey"), lit(2)) === 1), p, 1L)
+      // the wave-time guard: refuses if the committed waves don't cover
+      // exactly this corpus (e.g. a batch written but never committed)
+      IndexStore.loadZOrderChecked(spark, p, li)
+      (p, dx, dy)
+    })
+
+  /** Exact 2-D box query across the layout LIFECYCLE: IN-list-pruned
+    * clustered base ∪ fully-scanned committed tail, residual predicate
+    * on both ([[IndexStore.boxZOrder]]) — exactness under appends is the
+    * family's contract (the tail costs scan width, never correctness),
+    * and the oracle recomputes every surviving row's bucket id with the
+    * identical Morton arithmetic over the RAW table, so a row lost (or
+    * double-read) anywhere in the base/tail/marks lifecycle fails the
+    * hash. Different box than [[qZorderBox]] (a mid-domain rectangle)
+    * so the two rows don't collapse into the same receipt. */
+  private def qZorderBoxInc(spark: SparkSession, dir: String): DataFrame = {
+    val (path, dx, dy) = lineitemZorderIncDisk(spark, dir)
+    val x0 = dx.lo + (dx.hi - dx.lo) / 3
+    val x1 = dx.lo + (dx.hi - dx.lo) / 2
+    val y0 = dy.lo + (dy.hi - dy.lo) / 2
+    IndexStore.boxZOrder(spark, path, x0, x1, y0, dy.hi)
+      .groupBy(col("__zb").cast("long").as("zb"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy("zb")
+  }
+
   /** North-star: near-dup by TEXT-derived embeddings — MinHash-LSH
     * candidates verified by cosine over the embed ETL's sparse output
     * (the composed scale pipeline: sketch → candidates → verify). */
@@ -2594,6 +2697,7 @@ object SparkEntry {
     "q_phrase_find_pos" -> ((s, dir) => qPhraseFindPos(s, dir)),
     "q_phrase_find_join" -> ((s, dir) => qPhraseFindJoin(s, dir)),
     "q_phrase_find_join_pos" -> ((s, dir) => qPhraseFindJoinPos(s, dir)),
+    "q_phrase_plan" -> ((s, dir) => qPhrasePlan(s, dir)),
     "q_fulltext_postfilter" -> ((s, dir) => qFulltextPostfilter(s, dir)),
     "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => qHybridRrf(s, dir)),
@@ -2684,6 +2788,7 @@ object SparkEntry {
     "q_sketches" -> ((s, dir) => qSketches(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => qHeavyHitters(s, dir)),
     "q_zorder_box" -> ((s, dir) => qZorderBox(s, dir)),
+    "q_zorder_box_inc" -> ((s, dir) => qZorderBoxInc(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
@@ -2804,6 +2909,19 @@ object SparkEntry {
       s"""WITH phrase AS (
          |  SELECT list_slice(${graft.functions.Text.sqlTokens("text")}, 1, 8) AS p
          |  FROM documents WHERE doc_id = (SELECT min(doc_id) FROM documents)
+         |)
+         |SELECT id AS doc_id, pos
+         |FROM (${TextSearch.sqlPhraseOccurrences("documents", "doc_id", "text",
+                  "phrase", 8)})
+         |ORDER BY doc_id, pos""".stripMargin,
+    // the planner-dispatched lookup resolves the same exact-occurrence
+    // semantics whichever path the cost table picks, so the scan-shaped
+    // SQL is a full oracle for the PLANNED execution
+    "q_phrase_plan" ->
+      s"""WITH phrase AS (
+         |  SELECT list_slice(${graft.functions.Text.sqlTokens("text")}, 1, 10) AS p
+         |  FROM documents
+         |  WHERE doc_id = (SELECT min(doc_id) FROM documents WHERE doc_id % 3 = 1)
          |)
          |SELECT id AS doc_id, pos
          |FROM (${TextSearch.sqlPhraseOccurrences("documents", "doc_id", "text",
@@ -2950,6 +3068,26 @@ object SparkEntry {
          |  FROM lineitem l, dom d
          |  WHERE l.l_partkey BETWEEN d.xlo AND d.xlo + (d.xhi - d.xlo) // 10
          |    AND l.l_suppkey BETWEEN d.ylo AND d.ylo + (d.yhi - d.ylo) // 4
+         |)
+         |SELECT ${ZOrder.sqlZValue("cx", "cy")} AS zb,
+         |       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the INCREMENTAL layout's lifecycle receipt: the oracle never sees
+    // base/tail/marks — it filters and re-buckets the RAW table, so any
+    // row the base∪committed-tail union lost or double-read fails the hash
+    "q_zorder_box_inc" ->
+      s"""WITH dom AS (
+         |  SELECT min(l_partkey)::BIGINT AS xlo, max(l_partkey)::BIGINT AS xhi,
+         |         min(l_suppkey)::BIGINT AS ylo, max(l_suppkey)::BIGINT AS yhi
+         |  FROM lineitem
+         |), sel AS (
+         |  SELECT ${ZOrder.sqlCellExpr("l.l_partkey", "d.xlo", "d.xhi", 3)} AS cx,
+         |         ${ZOrder.sqlCellExpr("l.l_suppkey", "d.ylo", "d.yhi", 3)} AS cy,
+         |         l.l_quantity
+         |  FROM lineitem l, dom d
+         |  WHERE l.l_partkey BETWEEN d.xlo + (d.xhi - d.xlo) // 3
+         |                        AND d.xlo + (d.xhi - d.xlo) // 2
+         |    AND l.l_suppkey BETWEEN d.ylo + (d.yhi - d.ylo) // 2 AND d.yhi
          |)
          |SELECT ${ZOrder.sqlZValue("cx", "cy")} AS zb,
          |       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty

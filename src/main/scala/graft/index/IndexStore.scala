@@ -2141,6 +2141,314 @@ object IndexStore {
       hists)
   }
 
+  // ------------------------------------------- z-order layout (incremental)
+  //
+  // The LAYOUT member of the persisted-family roster. Unlike the derived
+  // indexes, the z-order layout IS the table — re-clustered on the Morton
+  // interleave of two declared dimensions (graft.util.ZOrder) so 2-D box
+  // queries prune to the buckets their cell rectangle touches. The
+  // clustering shuffle is the whole point AND the whole cost: at 100 TB a
+  // daily ingest wave must NOT pay a full-layout re-sort, so the family
+  // keeps the LSM shape the advisor prices:
+  //
+  //   base/__zb=K/    z-clustered base (save or last fold) — box queries
+  //                   prune it to an IN-list of partition directories
+  //   tail/batch=N/   appended waves, UNclustered (work ∝ batch) — box
+  //                   queries scan the committed tail fully
+  //   meta/           (x_name, x_lo, x_hi, y_name, y_lo, y_hi, bits) DDL
+  //   marks/batch=N/  (n, fp) additive fingerprint delta, written LAST =
+  //                   commit marker (the prefix-family discipline: marks
+  //                   double as the fprint sidecar; batch = -1 is the base)
+  //
+  // Box queries are EXACT at every lifecycle point: base ∪ committed tail
+  // is definitionally the whole table and the residual predicate always
+  // applies, so an unfolded tail costs scan width, never correctness.
+  // Appends ALWAYS validate their rows against the declared domains —
+  // cheap at wave cadence (one pass over the batch), and the alternative
+  // is a later compaction folding out-of-domain rows into edge buckets
+  // where base pruning silently skips them. ZOrder.adviseFold /
+  // [[planZOrderCompaction]] price WHEN to fold the tail back.
+
+  /** The layout's declared dimensions and bits — its DDL. */
+  case class ZOrderMeta(x: graft.util.ZOrder.Dim, y: graft.util.ZOrder.Dim,
+      bits: Int)
+
+  /** (count, Σ xxhash64 over ALL data columns in sorted-name order) — the
+    * layout's fingerprint is content-sensitive on the whole row (a payload
+    * mutation without a re-append is as stale as a missing row), and the
+    * sorted order makes it schema-order-independent so the checked loader
+    * can take the corpus with its columns in any arrangement. */
+  private def zorderFingerprint(df: org.apache.spark.sql.DataFrame)
+      : (Long, java.math.BigDecimal) = {
+    val cols = df.columns.filterNot(_ == "__zb").sorted.map(col)
+    val r = df.agg(count(lit(1)),
+      sum(xxhash64(cols: _*).cast("decimal(38,0)"))).head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  private def writeZOrderMark(df: org.apache.spark.sql.DataFrame,
+      path: String, batchId: Long, overwriteAll: Boolean): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, fp) = zorderFingerprint(df)
+    val w = Seq((n, fp.toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Build and persist the clustered base layout — Overwrite = S7
+    * `--replace` (drops any previous base, tail and marks). `validate`
+    * follows [[graft.util.ZOrder.writeLayout]]'s contract: rows outside
+    * the declared domains make bucket pruning unsound and are refused. */
+  def saveZOrder(df: org.apache.spark.sql.DataFrame,
+      x: graft.util.ZOrder.Dim, y: graft.util.ZOrder.Dim, bits: Int,
+      path: String,
+      validate: Boolean = sys.props.get("graft.selfcheck").contains("1"))
+      : Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // a replaced layout must not carry a previous run's tail partitions:
+    // they are uncommitted under the fresh marks, so no loader reads
+    // them, but leaving them invites a later append wave to collide ids
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tail"), true)
+    graft.util.ZOrder.writeLayout(df, x, y, bits, s"$path/base", validate)
+    Seq((x.name, x.lo, x.hi, y.name, y.lo, y.hi, bits))
+      .toDF("x_name", "x_lo", "x_hi", "y_name", "y_lo", "y_hi", "bits")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // marks commit LAST: a loader needs base + meta, and marks is the
+    // commit the loaders key on
+    writeZOrderMark(df, path, batchId = -1L, overwriteAll = true)
+  }
+
+  def loadZOrderMeta(spark: SparkSession, path: String): ZOrderMeta = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    ZOrderMeta(
+      graft.util.ZOrder.Dim(r.getAs[String]("x_name"),
+        r.getAs[Long]("x_lo"), r.getAs[Long]("x_hi")),
+      graft.util.ZOrder.Dim(r.getAs[String]("y_name"),
+        r.getAs[Long]("y_lo"), r.getAs[Long]("y_hi")),
+      r.getAs[Int]("bits"))
+  }
+
+  /** Append one wave WITHOUT the clustering shuffle — the wave lands as
+    * an unclustered tail partition (work ∝ batch) that box queries scan
+    * fully until the next fold. The batch's `__zb` is still computed
+    * (one codegen'd projection) so the folded rows land in their buckets
+    * without re-deriving domains. Domains are validated ALWAYS (see the
+    * family comment: an out-of-domain row is a delayed pruning bug, not
+    * a tail problem). Idempotent at every crash point: marks commit
+    * last, a replay of a committed batch is a no-op. */
+  def appendBatchZOrder(batch: org.apache.spark.sql.DataFrame,
+      path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    require(hasDataFiles(spark, s"$path/meta"),
+      s"no z-order meta under $path — appendBatchZOrder requires a " +
+        "saveZOrder base (the dims and bits are the layout DDL)")
+    val m = loadZOrderMeta(spark, path)
+    val bad = batch.where(
+        !(col(m.x.name).cast("long").between(m.x.lo, m.x.hi) &&
+          col(m.y.name).cast("long").between(m.y.lo, m.y.hi)))
+      .select(m.x.name, m.y.name).limit(3).collect()
+    require(bad.isEmpty,
+      s"appendBatchZOrder: rows outside declared domains " +
+        s"${m.x.name}∈[${m.x.lo},${m.x.hi}] ${m.y.name}∈[${m.y.lo},${m.y.hi}]" +
+        s" — e.g. ${bad.mkString(", ")}; re-save the layout with wider dims" +
+        " (a later fold would put them in edge buckets where base pruning" +
+        " silently skips them)")
+    batch
+      .withColumn("__zb", graft.util.ZOrder.zbucket(m.x, m.y, m.bits))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tail")
+    writeZOrderMark(batch, path, batchId, overwriteAll = false)
+  }
+
+  /** Streaming layout upkeep: each micro-batch lands as a committed tail
+    * wave via [[appendBatchZOrder]] — the layout twin of the
+    * [[streamIntoBm25]] hook family. */
+  def streamIntoZOrder(rows: org.apache.spark.sql.DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchZOrder(b, path, id)
+      }
+      .start()
+
+  /** The committed tail relation (empty when no waves have landed),
+    * with the bookkeeping `batch` column dropped and `__zb` normalized
+    * to long (the base's partition-directory inference yields int, the
+    * tail's computed column is long — the union must agree). */
+  private def zorderTail(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    if (!hasDataFiles(spark, s"$path/tail")) return None
+    val committed = committedBatches(spark, s"$path/marks").filter(_ >= 0)
+    if (committed.isEmpty) None
+    else Some(spark.read.parquet(s"$path/tail")
+      .where(col("batch").cast("long").isin(committed: _*))
+      .drop("batch")
+      .withColumn("__zb", col("__zb").cast("long")))
+  }
+
+  private def zorderBase(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$path/base")
+      .withColumn("__zb", col("__zb").cast("long"))
+
+  /** The whole table: clustered base ∪ committed tail. */
+  def loadZOrder(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val base = zorderBase(spark, path)
+    zorderTail(spark, path) match {
+      case Some(t) => base.unionByName(t)
+      case None => base
+    }
+  }
+
+  /** [[loadZOrder]] with the STALENESS GUARD: refuses when the summed
+    * committed marks don't cover exactly this corpus — a moved-on corpus
+    * means box queries silently miss every row no wave appended. */
+  def loadZOrderChecked(spark: SparkSession, path: String,
+      corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    require(hasDataFiles(spark, s"$path/meta") &&
+        hasDataFiles(spark, s"$path/marks"),
+      s"no z-order meta/marks under $path — saveZOrder never completed; rebuild")
+    val batches = committedBatches(spark, s"$path/marks")
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+    val recN = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val recFp = if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val (n, fp) = zorderFingerprint(corpus)
+    if (recN != n || recFp.compareTo(fp) != 0)
+      throw new IllegalStateException(
+        s"z-order layout at $path is STALE: committed waves cover " +
+          s"n=$recN fp=$recFp, the corpus is now n=$n fp=$fp — box queries " +
+          "would silently miss every row added or changed since the last " +
+          "commit; appendBatchZOrder the missing wave or re-run saveZOrder")
+    loadZOrder(spark, path)
+  }
+
+  /** Exact 2-D box query across the lifecycle: IN-list partition pruning
+    * on the base (directory pruning over ≤ 4^bits bucket ids — driver
+    * arithmetic, never a data scan to decide) ∪ a full scan of the
+    * committed tail, then the exact residual predicate on both. Equal to
+    * filtering the raw table by construction. */
+  def boxZOrder(spark: SparkSession, path: String,
+      xlo: Long, xhi: Long, ylo: Long, yhi: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val m = loadZOrderMeta(spark, path)
+    val zbs = graft.util.ZOrder.bucketsForBox(
+      m.x, m.y, m.bits, xlo, xhi, ylo, yhi)
+    // prune on the raw partition column BEFORE the long normalization so
+    // the IN-list stays a directory-level PartitionFilter (pinned in
+    // IndexStoreSpec), then normalize for the tail union
+    val base = spark.read.parquet(s"$path/base")
+      .where(col("__zb").isin(zbs: _*))
+      .withColumn("__zb", col("__zb").cast("long"))
+    val scoped = zorderTail(spark, path) match {
+      case Some(t) => base.unionByName(t)
+      case None => base
+    }
+    scoped.where(col(m.x.name).cast("long").between(xlo, xhi) &&
+                 col(m.y.name).cast("long").between(ylo, yhi))
+  }
+
+  /** Fold the committed tail back into the clustered base — the once-paid
+    * re-cluster [[graft.util.ZOrder.adviseFold]] prices. The snapshot's
+    * `__zb` was computed at append time against the same DDL, so the fold
+    * is one repartition + clustered rewrite, no domain re-derivation. The
+    * folded marks carry the summed committed total (a fold must not lose
+    * checkability); the tail dir is deleted AFTER the swap — a crash
+    * between the two leaves orphan tail partitions that are uncommitted
+    * under the folded marks, so no loader reads them. */
+  def compactZOrder(spark: SparkSession, path: String): Unit = {
+    val m = loadZOrderMeta(spark, path)
+    val snapshot = loadZOrder(spark, path)
+    val (n, fp) = {
+      val batches = committedBatches(spark, s"$path/marks")
+      val r = spark.read.parquet(s"$path/marks")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    val staged = s"$path/.compact"
+    import spark.implicits._
+    snapshot
+      .repartition(col("__zb"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__zb")
+      .parquet(s"$staged/base")
+    Seq((m.x.name, m.x.lo, m.x.hi, m.y.name, m.y.lo, m.y.hi, m.bits))
+      .toDF("x_name", "x_lo", "x_hi", "y_name", "y_lo", "y_hi", "bits")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staged/meta")
+    Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/marks")
+    swapStaged(spark, path, staged, Seq("base", "meta", "marks"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tail"), true)
+  }
+
+  /** Price folding the z-order tail, from sidecar rows + the workload's
+    * MEASURED coverage ([[graft.util.ZOrder.measureCoverage]] — geometry
+    * is the caller's honesty boundary, as everywhere). Unlike the generic
+    * [[planCompaction]] (whose per-batch cost is partition-OPEN overhead),
+    * the layout's tail cost is a full tail SCAN per box query — so the
+    * saving is `tailN·(1 − coverage)` rows per query, and the generic
+    * advisor would systematically under-fold a hot box workload. Returns
+    * the same [[CompactionPlan]] shape so [[executeCompaction]]
+    * dispatches it. */
+  def planZOrderCompaction(spark: SparkSession, path: String,
+      coverage: Double, queriesPerWave: Long, horizonWaves: Double = 1.0)
+      : CompactionPlan = {
+    require(queriesPerWave >= 0, s"queriesPerWave ≥ 0, got $queriesPerWave")
+    require(horizonWaves > 0, s"horizonWaves > 0, got $horizonWaves")
+    val batches = committedBatches(spark, s"$path/marks")
+    require(batches.nonEmpty,
+      s"no committed z-order marks under $path — saveZOrder never " +
+        "completed; an unpriceable layout must not be silently priced")
+    val byBatch = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .select(col("batch").cast("long"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseN = byBatch.getOrElse(-1L, 0L)
+    val tailN = byBatch.collect { case (b, n) if b >= 0 => n }.sum
+    val advice = graft.util.ZOrder.adviseFold(baseN, tailN, coverage,
+      // the advisor thinks in query counts; hand it the horizon's worth
+      queriesPerWave * math.ceil(horizonWaves).toLong)
+    val savingsPerWave = queriesPerWave.toDouble * advice.perQuerySavingUnits
+    val breakEven =
+      if (savingsPerWave == 0) Double.PositiveInfinity
+      else advice.foldCostUnits / savingsPerWave
+    val tailBatches = batches.count(_ >= 0)
+    val recommend = advice.fold && tailBatches >= 1
+    CompactionPlan("zorder", batches.size, baseN + tailN,
+      advice.perQuerySavingUnits.toDouble, advice.foldCostUnits.toDouble,
+      savingsPerWave, breakEven, recommend, Seq(
+        f"$tailBatches%d committed tail waves hold $tailN%d unclustered rows" +
+          f" — every box query scans them fully (coverage $coverage%.4f " +
+          f"would prune ${advice.perQuerySavingUnits}%d of them once folded)",
+        f"fold reads + rewrites ${baseN + tailN}%d rows " +
+          f"(${advice.foldCostUnits}%d row-units); $queriesPerWave%d " +
+          f"queries/wave save $savingsPerWave%.3g/wave → break-even " +
+          f"$breakEven%.3g waves vs horizon $horizonWaves%.1f",
+        if (recommend) "fold now: the amortization inequality holds"
+        else "carry the tail: folding costs more than the horizon saves"))
+  }
+
   // ----------------------------------------------------- compaction advisor
   //
   // WHEN to fold is the one index-lifecycle decision the families leave
@@ -2188,6 +2496,10 @@ object IndexStore {
       openCostRows: Double = OpenCostRows): CompactionPlan = {
     require(queriesPerWave >= 0, s"queriesPerWave ≥ 0, got $queriesPerWave")
     require(horizonWaves > 0, s"horizonWaves > 0, got $horizonWaves")
+    require(family != "zorder",
+      "the z-order layout's tail cost is a full tail SCAN per box query, " +
+        "not partition-open overhead — price it with planZOrderCompaction " +
+        "(the generic advisor would systematically under-fold)")
     val markerDir = FamilyMarkers.getOrElse(family,
       throw new IllegalArgumentException(
         s"unknown index family '$family' — one of ${FamilyMarkers.keys.toSeq.sorted.mkString(", ")}"))
@@ -2243,6 +2555,7 @@ object IndexStore {
       case "pq" => compactPq(spark, path)
       case "prefix" => compactPrefix(spark, path)
       case "stats" => compactStats(spark, path)
+      case "zorder" => compactZOrder(spark, path)
       case other => throw new IllegalArgumentException(
         s"unknown index family '$other'")
     }

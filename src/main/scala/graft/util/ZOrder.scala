@@ -224,4 +224,42 @@ object ZOrder {
         build = expectedBoxQueries >= breakEven)
     }
   }
+
+  /** Fold-the-tail advice for an INCREMENTAL layout
+    * ([[graft.index.IndexStore.saveZOrder]] family): appended waves sit
+    * in an unclustered tail that every box query scans FULLY (exactness
+    * is free, pruning is not), so folding the tail back into the
+    * clustered base pays once the workload saves more tail scan than
+    * the re-cluster costs. */
+  final case class FoldAdvice(
+      foldCostUnits: Long, perQuerySavingUnits: Long,
+      breakEvenQueries: Long, fold: Boolean)
+
+  /** Per-query saving ≈ tailN·(1 − coverage): today a box query scans
+    * the whole tail; after the fold it scans only the covered buckets'
+    * share of those rows (same near-uniform-mass assumption as
+    * [[adviseLayout]], stated not hidden). Fold cost = read + rewrite
+    * the whole layout (base AND tail — re-clustering is a full
+    * rewrite, which is exactly why appends don't pay it per wave).
+    * A domain-spanning workload (coverage ≥ 1) can never profit from
+    * folding: refused with an infinite break-even, not divided by
+    * zero. */
+  def adviseFold(baseN: Long, tailN: Long, coverage: Double,
+      expectedBoxQueries: Long): FoldAdvice = {
+    require(baseN >= 0, s"adviseFold: baseN must be >= 0, got $baseN")
+    require(tailN >= 0, s"adviseFold: tailN must be >= 0, got $tailN")
+    require(coverage >= 0 && coverage <= 1,
+      s"adviseFold: coverage is a fraction, got $coverage")
+    require(expectedBoxQueries >= 0,
+      s"adviseFold: expectedBoxQueries must be >= 0, got $expectedBoxQueries")
+    val foldCost = 2L * (baseN + tailN)
+    val saving = math.floor(tailN.toDouble * (1.0 - coverage)).toLong
+    if (saving <= 0L)
+      FoldAdvice(foldCost, 0L, Long.MaxValue, fold = false)
+    else {
+      val breakEven = (foldCost + saving - 1L) / saving // ceil-div
+      FoldAdvice(foldCost, saving, breakEven,
+        fold = expectedBoxQueries >= breakEven)
+    }
+  }
 }
