@@ -2565,6 +2565,87 @@ object SparkEntry {
     Sketches.heavyHitters(toks, "term", k = 30, out = "cnt").orderBy("term")
   }
 
+  /** Persisted mergeable-summary fixtures ([[IndexStore.saveSummary]]
+    * family), built once per (session, sfDir) in THREE deterministic
+    * ingest waves each — the accreted-sketch shape: every wave writes
+    * ≤ kMg + kKmv sketch rows however large the wave is, and the loaded
+    * summary is the fold of the committed deltas. (a) corpus token
+    * summary over documents (waves by doc_id mod 3; kMg=40 so the
+    * 31-term fixture vocabulary exercises merges at the theorem's edge,
+    * kKmv=64); (b) user summary over events (waves by event_id mod 3).
+    * The wave-time staleness check runs at build ([[checkedOncePerWave]]
+    * contract); the cached [[IndexStore.SummaryIndex]] values are
+    * driver-bounded (≤ kMg map entries + kKmv longs each). */
+  private val summaryDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (IndexStore.SummaryIndex, IndexStore.SummaryIndex)]
+  private def corpusSummariesDisk(spark: SparkSession, dir: String)
+      : (IndexStore.SummaryIndex, IndexStore.SummaryIndex) =
+    summaryDiskBuilt.getOrElseUpdate((spark, dir), {
+      val esc = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tokPath = s"${sys.props("java.io.tmpdir")}/graft_summary_toks_$esc"
+      val usrPath = s"${sys.props("java.io.tmpdir")}/graft_summary_users_$esc"
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      IndexStore.saveSummary(toks.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select("term"), "term", kMg = 40, kKmv = 64, tokPath)
+      IndexStore.appendBatchSummary(toks
+        .where(pmod(col("doc_id"), lit(3)) === 1).select("term"), "term",
+        tokPath, 0L)
+      IndexStore.appendBatchSummary(toks
+        .where(pmod(col("doc_id"), lit(3)) === 2).select("term"), "term",
+        tokPath, 1L)
+      val ev = Tables.events(spark, dir).select("event_id", "user_id")
+      IndexStore.saveSummary(ev.where(pmod(col("event_id"), lit(3)) === 0)
+        .select("user_id"), "user_id", kMg = 40, kKmv = 64, usrPath)
+      IndexStore.appendBatchSummary(ev
+        .where(pmod(col("event_id"), lit(3)) === 1).select("user_id"),
+        "user_id", usrPath, 0L)
+      IndexStore.appendBatchSummary(ev
+        .where(pmod(col("event_id"), lit(3)) === 2).select("user_id"),
+        "user_id", usrPath, 1L)
+      // the wave-time guards: refuse if the committed waves don't cover
+      // exactly these item streams
+      (IndexStore.loadSummaryChecked(spark, tokPath,
+          toks.select("term"), "term"),
+        IndexStore.loadSummaryChecked(spark, usrPath,
+          ev.select("user_id"), "user_id"))
+    })
+
+  /** EXACT heavy hitters from the PERSISTED batch-accreted summary
+    * ([[IndexStore.heavyHittersFromSummary]]): the merged per-wave MG
+    * deltas retain every token with frequency > n/32 (kReport=32 ≤
+    * kMg=40, so the mergeable-summaries floor n/41 sits strictly below
+    * the report threshold — recall 1 across ANY wave split), and one
+    * candidate-restricted recount restores exact counts; n comes from
+    * the summed marks, not a corpus count scan. Different threshold
+    * than [[qHeavyHitters]]'s n/30 (the single-pass screen), so the two
+    * receipts don't collapse. The brute groupBy-HAVING SQL is a full
+    * oracle because the output is definitionally that relation. */
+  private def qHeavyHittersInc(spark: SparkSession, dir: String): DataFrame = {
+    val (tokSummary, _) = corpusSummariesDisk(spark, dir)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+    IndexStore.heavyHittersFromSummary(tokSummary, toks, "term",
+        kReport = 32, out = "cnt")
+      .orderBy("term")
+  }
+
+  /** Distinct users from the PERSISTED KMV deltas — pure driver
+    * arithmetic over the ≤ 64 batch-merged minimum hashes (no scan at
+    * report time at all): the k smallest distinct hashes of a union are
+    * the union of per-wave k-mins' k smallest, so the batch-merged
+    * estimate is DEFINITIONALLY the single-pass one, and the oracle
+    * recomputes the same (k−1)·2^60/h_k floor over the same frozen
+    * md5-prefix hash in DuckDB. Exercises both estimator branches
+    * across SFs (sf0.001 has < 64 distinct users → exact-count branch;
+    * larger SFs engage the estimator). */
+  private def qDistinctUsersInc(spark: SparkSession, dir: String): DataFrame = {
+    val (_, usrSummary) = corpusSummariesDisk(spark, dir)
+    import spark.implicits._
+    Seq(usrSummary.distinctEstimate).toDF("kmv_users")
+  }
+
   /** Z-order layout of lineitem on (l_partkey, l_suppkey), built once
     * per (session, sfDir) — the LAYOUT lifecycle (the once-paid
     * clustering shuffle that every later box query amortizes); domains
@@ -2789,6 +2870,8 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) => qHeavyHitters(s, dir)),
     "q_zorder_box" -> ((s, dir) => qZorderBox(s, dir)),
     "q_zorder_box_inc" -> ((s, dir) => qZorderBoxInc(s, dir)),
+    "q_heavy_hitters_inc" -> ((s, dir) => qHeavyHittersInc(s, dir)),
+    "q_distinct_users_inc" -> ((s, dir) => qDistinctUsersInc(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
