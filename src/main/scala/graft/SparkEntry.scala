@@ -94,7 +94,8 @@ object SparkEntry {
     Seq(signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
-        zorderDiskBuilt, zorderIncDiskBuilt, freshnessVerified)
+        zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
+        freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -107,7 +108,8 @@ object SparkEntry {
         signLshBuilt, bm25DiskBuilt, ivfDiskBuilt, pqDiskBuilt,
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
-        zorderDiskBuilt, zorderIncDiskBuilt, freshnessVerified)
+        zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
+        freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Staleness verdicts already proven this session, keyed by
@@ -157,6 +159,7 @@ object SparkEntry {
     eventStatsDisk(spark, dir).count()
     lineitemZorderDisk(spark, dir)
     lineitemZorderIncDisk(spark, dir)
+    corpusSummariesDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -2570,9 +2573,11 @@ object SparkEntry {
     * ingest waves each — the accreted-sketch shape: every wave writes
     * ≤ kMg + kKmv sketch rows however large the wave is, and the loaded
     * summary is the fold of the committed deltas. (a) corpus token
-    * summary over documents (waves by doc_id mod 3; kMg=40 so the
-    * 31-term fixture vocabulary exercises merges at the theorem's edge,
-    * kKmv=64); (b) user summary over events (waves by event_id mod 3).
+    * summary over documents (waves by doc_id mod 3; kMg=40 HOLDS the
+    * fixture's 31-term vocabulary, so these merges run in the lossless
+    * regime — the sub-capacity decrement/merge regime is SummarySpec-
+    * pinned on a 33-distinct stream at kMg=12; kKmv=64); (b) user
+    * summary over events (waves by event_id mod 3).
     * The wave-time staleness check runs at build ([[checkedOncePerWave]]
     * contract); the cached [[IndexStore.SummaryIndex]] values are
     * driver-bounded (≤ kMg map entries + kKmv longs each). */
@@ -3136,6 +3141,29 @@ object SparkEntry {
       (Sketches.sqlHeavyHittersSelect(
         s"SELECT unnest(${Text.sqlTokens("text")}) AS term FROM documents",
         "term", 30) + "\nORDER BY term"),
+    // the batch-accreted summary's report is definitionally the same
+    // HAVING relation (MG merge retains every > n/32 item, the recount
+    // restores exact counts) — only the threshold differs from the
+    // single-pass q_heavy_hitters receipt
+    "q_heavy_hitters_inc" ->
+      (Sketches.sqlHeavyHittersSelect(
+        s"SELECT unnest(${Text.sqlTokens("text")}) AS term FROM documents",
+        "term", 32) + "\nORDER BY term"),
+    // the KMV fold theorem: the k smallest distinct hashes of the union
+    // equal the global k smallest, so the single-pass estimator over the
+    // same frozen md5-prefix hash reproduces the batch-merged estimate
+    // bit-for-bit (identical IEEE division, identical floor)
+    "q_distinct_users_inc" ->
+      s"""WITH mins AS (
+         |  SELECT h FROM (
+         |    SELECT DISTINCT ${Text.sqlHash60("user_id::VARCHAR")} AS h
+         |    FROM events WHERE user_id IS NOT NULL)
+         |  ORDER BY h LIMIT 64
+         |)
+         |SELECT CASE WHEN (SELECT count(*) FROM mins) < 64
+         |            THEN (SELECT count(*) FROM mins)
+         |            ELSE floor(63::DOUBLE * 1152921504606846976.0 / (SELECT max(h) FROM mins)::DOUBLE)::BIGINT
+         |       END AS kmv_users""".stripMargin,
     // recomputes each in-box row's z-bucket with the identical
     // integer-division cells + shift-or-mask Morton interleave (the
     // ZOrder sql* twins) — hash-matching the layout arithmetic itself

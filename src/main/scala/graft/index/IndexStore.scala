@@ -2449,6 +2449,250 @@ object IndexStore {
         else "carry the tail: folding costs more than the horizon saves"))
   }
 
+  // ------------------------------------------- mergeable stream summaries
+  //
+  // The persisted rendition of the [[graft.operators.Sketches]] pair — a
+  // Misra–Gries frequency summary and a KMV distinct sketch accreted as
+  // PER-BATCH DELTAS, so a 100 TB corpus's "top terms / distinct users"
+  // report never rescans history: each ingest wave contributes ≤ kMg
+  // (item, counter) rows and ≤ kKmv hash rows (bounded regardless of the
+  // wave's size), and the loaded summary is the fold of the committed
+  // deltas under each sketch's merge theorem:
+  //
+  //   mg/batch=N/    (item, c) — the wave's MG map (≤ kMg rows). Fold =
+  //                  Agarwal et al. mergeable-summaries rule: after ANY
+  //                  merge tree each counter underestimates by ≤ n/(kMg+1),
+  //                  so every item with true frequency > n/kReport
+  //                  (kReport ≤ kMg) is RETAINED — recall 1 for the
+  //                  heavy-hitter question, precision restored by one
+  //                  exact recount of ≤ kMg candidates at report time.
+  //   kmv/batch=N/   (h) — the wave's ≤ kKmv smallest distinct 60-bit
+  //                  hashes. Fold = k smallest of the union, which equals
+  //                  the k smallest over the WHOLE corpus exactly (any
+  //                  global k-min is a batch k-min of its own batch), so
+  //                  the batch-merged estimate is IDENTICAL to the
+  //                  single-pass one — not approximately, definitionally.
+  //   meta/          (k_mg, k_kmv) DDL
+  //   marks/batch=N/ (n, fp) — n = the wave's NON-NULL item count, fp =
+  //                  Σ xxhash64(item) — additive fingerprint, commit
+  //                  marker (the prefix/zorder discipline: marks double
+  //                  as fprint)
+  //
+  // The report-side contrast at scale: the brute heavy-hitter plan
+  // shuffles every distinct term of the whole corpus per report; this
+  // family pays ≤ k rows per wave at ingest and ONE candidate-restricted
+  // recount scan per report — and the distinct estimate is pure driver
+  // arithmetic over ≤ kKmv longs, no scan at all.
+
+  /** A loaded (batch-merged) summary: the MG candidate map, the sorted
+    * global k-min hashes, the total non-null item count from the marks,
+    * and the DDL. */
+  case class SummaryIndex(mg: Map[String, Long], kmvMins: Array[Long],
+      n: Long, kMg: Int, kKmv: Int) {
+    /** KMV distinct estimate — identical arithmetic to the in-flight
+      * aggregator ([[graft.operators.Sketches.estimate]]). */
+    def distinctEstimate: Long =
+      graft.operators.Sketches.estimate(kmvMins, kKmv)
+  }
+
+  /** The summary's 60-bit item hash — [[graft.functions.Text.hash60]] of
+    * the item's string form, the same frozen twin the KMV oracle SQL
+    * recomputes. */
+  private def summaryHash(itemCol: String): org.apache.spark.sql.Column =
+    graft.functions.Text.hash60(col(itemCol).cast("string"))
+
+  private def summaryFingerprint(items: org.apache.spark.sql.DataFrame,
+      itemCol: String): (Long, java.math.BigDecimal) = {
+    val r = items.where(col(itemCol).isNotNull)
+      .agg(count(lit(1)),
+        sum(xxhash64(col(itemCol).cast("string")).cast("decimal(38,0)")))
+      .head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  private def writeSummaryBatch(items: org.apache.spark.sql.DataFrame,
+      itemCol: String, kMg: Int, kKmv: Int, path: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val clean = items.where(col(itemCol).isNotNull)
+    def writer(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+      (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+        .partitionBy("batch")
+    }
+    // the wave's MG map: one bounded-state aggregation (≤ kMg entries per
+    // map task, one ≤ kMg-entry result row), exploded to rows
+    val mgUdaf = udaf(new graft.operators.Sketches.MgAgg(kMg),
+      org.apache.spark.sql.Encoders.STRING)
+    val mgRows = clean
+      .agg(mgUdaf(col(itemCol).cast("string")).as("__mg"))
+      .select(explode(col("__mg")).as(Seq("item", "c")))
+    writer(mgRows).parquet(s"$path/mg")
+    // the wave's k smallest distinct hashes — bounded top-k, never a
+    // distinct-shuffle of the full item set (TakeOrderedAndProject)
+    val kmvRows = clean.select(summaryHash(itemCol).as("h"))
+      .distinct().orderBy("h").limit(kKmv)
+    writer(kmvRows).parquet(s"$path/kmv")
+    // marks LAST = commit (n + fingerprint delta in one table)
+    val (n, fp) = summaryFingerprint(items, itemCol)
+    val w = Seq((n, fp.toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Build and persist the summary over `items` — Overwrite = S7
+    * `--replace`. */
+  def saveSummary(items: org.apache.spark.sql.DataFrame, itemCol: String,
+      kMg: Int, kKmv: Int, path: String): Unit = {
+    require(kMg >= 1, s"kMg must be >= 1, got $kMg")
+    require(kKmv >= 1, s"kKmv must be >= 1, got $kKmv")
+    val spark = items.sparkSession
+    import spark.implicits._
+    Seq((kMg, kKmv)).toDF("k_mg", "k_kmv")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    writeSummaryBatch(items, itemCol, kMg, kKmv, path, batchId = -1L,
+      overwriteAll = true)
+  }
+
+  private def summaryMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getAs[Int]("k_mg"), r.getAs[Int]("k_kmv"))
+  }
+
+  /** Accrete one ingest wave — ≤ kMg + kKmv rows written however large
+    * the wave is. Idempotent at every crash point (marks commit last). */
+  def appendBatchSummary(items: org.apache.spark.sql.DataFrame,
+      itemCol: String, path: String, batchId: Long): Unit = {
+    val spark = items.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    require(hasDataFiles(spark, s"$path/meta"),
+      s"no summary meta under $path — appendBatchSummary requires a " +
+        "saveSummary base (kMg/kKmv are the summary DDL)")
+    val (kMg, kKmv) = summaryMeta(spark, path)
+    writeSummaryBatch(items, itemCol, kMg, kKmv, path, batchId,
+      overwriteAll = false)
+  }
+
+  /** Streaming summary upkeep — the sketch family's member of the
+    * [[streamIntoBm25]] hook family. */
+  def streamIntoSummary(items: org.apache.spark.sql.DataFrame,
+      itemCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchSummary(b, itemCol, path, id)
+      }
+      .start()
+
+  /** Fold the committed deltas into one [[SummaryIndex]] — driver-side
+    * over ≤ batches·(kMg + kKmv) rows, never a corpus scan. The MG fold
+    * order is the committed-batch order (deterministic; ANY order obeys
+    * the mergeable bound, a fixed one makes reruns identical). */
+  def loadSummary(spark: SparkSession, path: String): SummaryIndex = {
+    val (kMg, kKmv) = summaryMeta(spark, path)
+    val batches = committedBatches(spark, s"$path/marks").sorted
+    val mgByBatch = spark.read.parquet(s"$path/mg")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .select(col("batch").cast("long"), col("item"), col("c"))
+      .collect().groupBy(_.getLong(0))
+    val mg = batches.foldLeft(Map.empty[String, Long]) { (acc, b) =>
+      val m = mgByBatch.getOrElse(b, Array.empty)
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      graft.operators.Sketches.mgMerge(acc, m, kMg)
+    }
+    val mins = spark.read.parquet(s"$path/kmv")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .select(col("h")).distinct().orderBy("h").limit(kKmv)
+      .collect().map(_.getLong(0))
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n"))).head()
+    SummaryIndex(mg, mins, if (r.isNullAt(0)) 0L else r.getLong(0), kMg, kKmv)
+  }
+
+  /** [[loadSummary]] with the STALENESS GUARD: a summary missing an
+    * ingest wave silently under-counts every report — refuse instead. */
+  def loadSummaryChecked(spark: SparkSession, path: String,
+      items: org.apache.spark.sql.DataFrame, itemCol: String)
+      : SummaryIndex = {
+    require(hasDataFiles(spark, s"$path/meta") &&
+        hasDataFiles(spark, s"$path/marks"),
+      s"no summary meta/marks under $path — saveSummary never completed; rebuild")
+    val batches = committedBatches(spark, s"$path/marks")
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+    val recN = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val recFp = if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val (n, fp) = summaryFingerprint(items, itemCol)
+    if (recN != n || recFp.compareTo(fp) != 0)
+      throw new IllegalStateException(
+        s"summary at $path is STALE: committed waves cover n=$recN " +
+          s"fp=$recFp, the item stream is now n=$n fp=$fp — reports would " +
+          "silently under-count every wave not appended; " +
+          "appendBatchSummary the missing wave or re-run saveSummary")
+    loadSummary(spark, path)
+  }
+
+  /** EXACT heavy hitters from the persisted summary — items whose
+    * frequency strictly exceeds n/kReport, with exact counts: the merged
+    * MG candidates (recall 1 for kReport ≤ kMg by the mergeable bound
+    * n/(kMg+1) < n/kReport) are recounted in ONE broadcast-semi-join
+    * scan of `items`, and n comes from the summed marks — no corpus
+    * count scan. `items` must be the exact stream the waves covered
+    * (run [[loadSummaryChecked]] at wave time — the usual contract). */
+  def heavyHittersFromSummary(s: SummaryIndex,
+      items: org.apache.spark.sql.DataFrame, itemCol: String,
+      kReport: Int, out: String = "cnt")
+      : org.apache.spark.sql.DataFrame = {
+    require(kReport >= 1 && kReport <= s.kMg,
+      s"kReport must be in [1, kMg=${s.kMg}], got $kReport — above kMg " +
+        "the retention floor n/(kMg+1) no longer sits below the report " +
+        "threshold n/kReport and recall 1 is lost")
+    val cands = s.mg.keys.toSeq
+    items.where(col(itemCol).isNotNull &&
+        col(itemCol).cast("string").isin(cands: _*))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as(out))
+      .where(col(out) * lit(kReport.toLong) > lit(s.n))
+  }
+
+  /** Fold every committed delta into a single base batch — the merged MG
+    * map and global k-mins become batch=-1, marks carry the summed
+    * total. Reports before and after are identical: the MG fold is the
+    * same merge the loader runs, and the k-min fold is exact. */
+  def compactSummary(spark: SparkSession, path: String): Unit = {
+    val (kMg, kKmv) = summaryMeta(spark, path)
+    val s = loadSummary(spark, path)
+    val batches = committedBatches(spark, s"$path/marks")
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val fp = if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val staged = s"$path/.compact"
+    import spark.implicits._
+    s.mg.toSeq.toDF("item", "c").withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/mg")
+    s.kmvMins.toSeq.toDF("h").withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/kmv")
+    Seq((kMg, kKmv)).toDF("k_mg", "k_kmv")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staged/meta")
+    Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/marks")
+    swapStaged(spark, path, staged, Seq("mg", "kmv", "meta", "marks"))
+  }
+
   // ----------------------------------------------------- compaction advisor
   //
   // WHEN to fold is the one index-lifecycle decision the families leave
@@ -2469,7 +2713,7 @@ object IndexStore {
     "bm25" -> "stats", "sign-lsh" -> "commits", "containment" -> "sizes",
     "grams" -> "marks", "phrase" -> "marks", "windows" -> "marks",
     "ivf" -> "sizes", "pq" -> "counts", "prefix" -> "marks",
-    "stats" -> "commits")
+    "stats" -> "commits", "summary" -> "marks")
 
   /** Default per-partition open cost in row-units: opening one more batch
     * partition ≈ footer read + seek ≈ scanning a few thousand rows.
@@ -2504,9 +2748,11 @@ object IndexStore {
       throw new IllegalArgumentException(
         s"unknown index family '$family' — one of ${FamilyMarkers.keys.toSeq.sorted.mkString(", ")}"))
     val batches = committedBatches(spark, s"$path/$markerDir")
-    // per-batch n: the prefix family's marks double as its fprint table;
-    // every other family keeps a dedicated fprint sidecar
-    val fprintDir = if (family == "prefix") s"$path/marks" else s"$path/fprint"
+    // per-batch n: the prefix and summary families' marks double as their
+    // fprint table; every other family keeps a dedicated fprint sidecar
+    val fprintDir =
+      if (family == "prefix" || family == "summary") s"$path/marks"
+      else s"$path/fprint"
     require(hasDataFiles(spark, fprintDir),
       s"$family index at $path has no fingerprint sidecar — saved without " +
         "its source corpus, so per-batch row counts are unknown; rebuild " +
@@ -2556,6 +2802,7 @@ object IndexStore {
       case "prefix" => compactPrefix(spark, path)
       case "stats" => compactStats(spark, path)
       case "zorder" => compactZOrder(spark, path)
+      case "summary" => compactSummary(spark, path)
       case other => throw new IllegalArgumentException(
         s"unknown index family '$other'")
     }

@@ -34,8 +34,10 @@ object Sketches {
 
   /** Estimate from the sorted k-minimum hash set: fewer than k distinct
     * hashes means we saw the whole set (exact count); otherwise the classic
-    * KMV estimator (k−1)·2^60 / h_k. */
-  private[operators] def estimate(mins: Array[Long], k: Int): Long =
+    * KMV estimator (k−1)·2^60 / h_k. Public so the persisted summary
+    * family ([[graft.index.IndexStore.loadSummary]]) can estimate from
+    * batch-merged mins with the identical arithmetic. */
+  def estimate(mins: Array[Long], k: Int): Long =
     if (mins.length < k) mins.length.toLong
     else math.floor((k - 1).toDouble * TwoPow60 / mins(k - 1).toDouble).toLong
 
@@ -184,6 +186,28 @@ object Sketches {
     * "frequency > n/k" heavy-hitter question; precision restored by an
     * exact recount of the ≤ k candidates). Property-swept across random
     * streams / splits / merge orders in SketchSpec. */
+  /** The Agarwal et al. MG merge, standalone: sum counterparts, subtract
+    * the (k+1)-th largest counter from all, keep the strictly positive —
+    * at most k survive, and the n/(k+1) underestimate bound is preserved
+    * across ANY merge tree. Public so the persisted summary family can
+    * fold batch deltas with the identical rule the in-flight aggregator
+    * uses. */
+  def mgMerge(b1: Map[String, Long], b2: Map[String, Long],
+      k: Int): Map[String, Long] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      val sum = (b1.keySet ++ b2.keySet).iterator
+        .map(s => s -> (b1.getOrElse(s, 0L) + b2.getOrElse(s, 0L))).toMap
+      if (sum.size <= k) sum
+      else {
+        val vs = sum.valuesIterator.toArray
+        java.util.Arrays.sort(vs)
+        val vk1 = vs(vs.length - (k + 1)) // (k+1)-th largest counter
+        sum.flatMap { case (s, c) => if (c > vk1) Some(s -> (c - vk1)) else None }
+      }
+    }
+
   class MgAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     require(k >= 1, s"MG summary capacity must be >= 1, got $k")
 
@@ -198,19 +222,7 @@ object Sketches {
       }
 
     def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
-      if (b1.isEmpty) b2
-      else if (b2.isEmpty) b1
-      else {
-        val sum = (b1.keySet ++ b2.keySet).iterator
-          .map(s => s -> (b1.getOrElse(s, 0L) + b2.getOrElse(s, 0L))).toMap
-        if (sum.size <= k) sum
-        else {
-          val vs = sum.valuesIterator.toArray
-          java.util.Arrays.sort(vs)
-          val vk1 = vs(vs.length - (k + 1)) // (k+1)-th largest counter
-          sum.flatMap { case (s, c) => if (c > vk1) Some(s -> (c - vk1)) else None }
-        }
-      }
+      mgMerge(b1, b2, k)
 
     def finish(r: Map[String, Long]): Map[String, Long] = r
 
