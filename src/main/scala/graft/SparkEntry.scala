@@ -535,6 +535,46 @@ object SparkEntry {
       s"q_phrase_plan planned path ${plan.chosen}")
   }
 
+  /** PLANNER-CHOSEN BATCH phrase locate ([[TextPlanner.planPhraseBatch]])
+    * — the batch twin of [[qPhrasePlan]], closing for text the gap the
+    * round-9 verdict called on the ANN planner (single-query pricing for
+    * a batch workload): the suspect batch (every 89th document's first 8
+    * tokens — disjoint from [[qPhraseFindJoin]]'s %97 receipt) is
+    * collected (bounded, the indexed path's own posture), its touched
+    * bucket set computed driver-side with the frozen hash twin, and the
+    * cost table prices ONE bucket-pruned postings read vs ONE corpus
+    * gram scan vs the never-dispatched per-phrase loop (the
+    * amortization receipt). n comes from the stats catalog. Whichever
+    * path wins, the output is the same exact relation — selfChecked
+    * against the batch scan under the gate, brute per-position SQL as
+    * the full oracle. */
+  private def qPhraseJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val n = IndexStore.statsRows(docStatsDisk(spark, dir), "lang")
+    val phrases = d.where(col("doc_id") % 89 === 0)
+      .select(col("doc_id").as("phrase_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 8).as("p"))
+      .where(size(col("p")) >= 8)
+    val toks = phrases.select("p").collect()
+      .map(_.getSeq[String](0).toSeq).toSeq
+    val assets = TextPlanner.PhraseAssets(
+      phraseIndex = Some(corpusPhraseDisk(spark, dir)))
+    val plan = TextPlanner.planPhraseBatch(n, toks,
+      SubstringDedup.DefaultGramTokens, assets)
+    selfChecked(
+      TextPlanner.executePhraseBatch(plan, d, "doc_id", "text", phrases,
+          assets)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("phrase_id", "doc_id", "pos"),
+      TextSearch.phrasesOccurrences(d, "doc_id", "text", phrases,
+          SubstringDedup.DefaultGramTokens)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("phrase_id", "doc_id", "pos"),
+      s"q_phrase_join_plan planned path ${plan.chosen} " +
+        s"(touched ${plan.touched}/${plan.buckets} buckets, " +
+        s"${plan.nPhrases} phrases)")
+  }
+
   /** North-star language-ID: marker-ratio argmax per document. */
   private def qLangId(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -2784,6 +2824,7 @@ object SparkEntry {
     "q_phrase_find_join" -> ((s, dir) => qPhraseFindJoin(s, dir)),
     "q_phrase_find_join_pos" -> ((s, dir) => qPhraseFindJoinPos(s, dir)),
     "q_phrase_plan" -> ((s, dir) => qPhrasePlan(s, dir)),
+    "q_phrase_join_plan" -> ((s, dir) => qPhraseJoinPlan(s, dir)),
     "q_fulltext_postfilter" -> ((s, dir) => qFulltextPostfilter(s, dir)),
     "q_hybrid" -> ((s, dir) => qHybrid(s, dir)),
     "q_hybrid_rrf" -> ((s, dir) => qHybridRrf(s, dir)),
@@ -3015,6 +3056,19 @@ object SparkEntry {
          |FROM (${TextSearch.sqlPhraseOccurrences("documents", "doc_id", "text",
                   "phrase", 8)})
          |ORDER BY doc_id, pos""".stripMargin,
+    // the batch planner's receipt: whichever path the cost table picks,
+    // the relation is the brute per-position answer for the %89 batch
+    "q_phrase_join_plan" ->
+      s"""SELECT phrase_id, id AS doc_id, pos
+         |FROM (${TextSearch.sqlPhrasesOccurrences("documents", "doc_id",
+                  "text",
+                  s"""SELECT doc_id AS phrase_id,
+                     |       list_slice(${graft.functions.Text.sqlTokens("text")}, 1, 8) AS p
+                     |FROM documents
+                     |WHERE doc_id % 89 = 0
+                     |  AND len(${graft.functions.Text.sqlTokens("text")}) >= 8""".stripMargin,
+                  8)})
+         |ORDER BY phrase_id, doc_id, pos""".stripMargin,
     "q_fulltext_postfilter" ->
       s"""WITH $bm25CorpusCtes
          |SELECT b.id AS doc_id, b.score FROM bm25 b

@@ -103,6 +103,65 @@ class TextPlannerSpec extends AnyFunSuite with SparkTest {
         toks.take(K), both))
   }
 
+  test("batch planner: touched-bucket pricing, amortization receipt, dispatch parity") {
+    val dummyP = TextPlanner.PhraseAssets(
+      phraseIndex = Some(IndexStore.PhraseIndex(null, K)))
+    // a one-gram phrase touches exactly one bucket: indexed = n/64
+    val one = Seq(Seq.fill(K)("tok"))
+    val p1 = TextPlanner.planPhraseBatch(6400, one, K, dummyP)
+    assert(p1.touched === 1)
+    assert(p1.chosen === "batch_indexed")
+    assert(p1.cost("batch_indexed") === 100.0)
+    assert(p1.cost("batch_scan") === 6400.0)
+    // the naive loop rides as a non-executable receipt row
+    assert(p1.cost("per_phrase_loop") === 6400.0)
+    assert(!p1.costs.find(_.path == "per_phrase_loop").get.executable)
+    // without the index the one scan is the only executable batch path
+    assert(TextPlanner.planPhraseBatch(6400, one, K,
+      TextPlanner.PhraseAssets()).chosen === "batch_scan")
+    // a batch whose grams cover every bucket ties with the scan; the
+    // tie breaks toward the narrower postings read
+    val wide = (0 until 1000).map(i => (0 until K).map(j => s"w$i-$j"))
+    val pw = TextPlanner.planPhraseBatch(6400, wide, K, dummyP)
+    assert(pw.touched === 64)
+    assert(pw.cost("batch_indexed") === pw.cost("batch_scan"))
+    assert(pw.chosen === "batch_indexed")
+    // refusals: empty batch, short phrase, width drift
+    intercept[IllegalArgumentException](
+      TextPlanner.planPhraseBatch(6400, Seq.empty, K, dummyP))
+    intercept[IllegalArgumentException](
+      TextPlanner.planPhraseBatch(6400, Seq(Seq("a")), K, dummyP))
+    intercept[IllegalArgumentException](
+      TextPlanner.planPhraseBatch(6400, one, K + 1, dummyP))
+    // dispatch parity on the real corpus: both batch paths return the
+    // same exact relation for a real suspect batch
+    val phrases = docs.orderBy("doc_id").limit(3)
+      .select(col("doc_id").as("phrase_id"),
+        slice(graft.functions.Text.tokens(col("text")), 1, 10).as("p"))
+    val toks = phrases.select("p").collect()
+      .map(_.getSeq[String](0).toSeq).toSeq
+    val n = docs.count()
+    val planIdx = TextPlanner.planPhraseBatch(n, toks, K,
+      TextPlanner.PhraseAssets(phraseIndex = Some(phraseIdx)))
+    assert(planIdx.chosen === "batch_indexed")
+    val planScan = TextPlanner.planPhraseBatch(n, toks, K,
+      TextPlanner.PhraseAssets())
+    val want = TextPlanner.executePhraseBatch(planScan, docs, "doc_id",
+        "text", phrases, both)
+      .orderBy("phrase_id", "id", "pos")
+      .as[(String, String, Int)].collect().toSeq
+    assert(want.nonEmpty)
+    val got = TextPlanner.executePhraseBatch(planIdx, docs, "doc_id",
+        "text", phrases, both)
+      .orderBy("phrase_id", "id", "pos")
+      .as[(String, String, Int)].collect().toSeq
+    assert(got === want)
+    // missing asset fails loudly
+    intercept[IllegalStateException](
+      TextPlanner.executePhraseBatch(planIdx, docs, "doc_id", "text",
+        phrases, TextPlanner.PhraseAssets()))
+  }
+
   test("build advisor: savings from the planner's own table, break-even flips") {
     // without the index the best path is the scan (f=1 makes the screen
     // worthless): saving = n − m·n/64, build cost 2n
