@@ -1035,9 +1035,10 @@ object IndexStore {
   // the trained centroids (new vectors join their nearest cell — the
   // standard IVF insert), so a saveIvf base is a REQUIRED bootstrap; there
   // is no meaningful empty-path first batch (appendBatchIvf fails loudly
-  // without centroids). Centroid drift under sustained appends is handled
-  // the way every IVF deployment handles it: periodic offline re-train
-  // (Ivf.build + saveIvf), not incremental centroid updates.
+  // without centroids). Centroid drift under sustained appends is re-trained
+  // offline, not incrementally updated — and WHEN to retrain is measured
+  // arithmetic, not folklore: the drift monitor below (planRetrain /
+  // executeRetrain) prices it from the per-wave quantization ledger.
 
   /** Persist a built IVF index. Pass `source` — the (embs, idCol, embCol)
     * the index was built FROM — to also record the corpus fingerprint
@@ -1055,11 +1056,33 @@ object IndexStore {
       .withColumn("batch", lit(-1L))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "cluster")
       .parquet(s"$path/assignments")
+    val driftFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     source match {
       case Some((embs, idCol, embCol)) =>
         writeFprintDelta(embs, idCol, embCol, path, batchId = -1L,
           overwriteAll = true)
-      case None => clearFprint(spark, path)
+        // train-time quantization BASELINE (drift ledger — see
+        // planRetrain): mean member-to-assigned-centroid distance over
+        // the training corpus, one join + one map-side-combinable
+        // aggregation at save cadence. Assignments carry no vectors, so
+        // the source is the only place this is measurable; a fresh base
+        // drops any previous ledger (waves included — they described the
+        // OLD centroids).
+        val assigned = index.assignments.join(
+          embs.select(col(idCol).as("id"), col(embCol).as("__v")), "id")
+        val (dn, dsum) = Ivf.quantizationStats(assigned, "cluster", "__v",
+          index.centroids)
+        driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/drift"), true)
+        Seq((dn, dsum)).toDF("n", "sum_dist")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/drift/base")
+      case None =>
+        clearFprint(spark, path)
+        // an index saved without its source has no measurable baseline:
+        // drop any stale ledger rather than mis-price retraining against
+        // a corpus this index wasn't trained on (the clearFprint
+        // discipline)
+        driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/drift"), true)
     }
     index.centroids.toSeq
       .map { case (cid, c) => (cid, c.toSeq) }
@@ -1185,7 +1208,21 @@ object IndexStore {
     val sizesDelta = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val radiiDelta = Ivf.clusterRadii(assigned, "cluster", "__emb", centroids)
+    // the wave's drift receipt (n, Σ dist-to-assigned-centroid) — one
+    // more aggregation on the cached micro-batch, keyed by batchId so a
+    // foreachBatch replay overwrites its own row. Written BEFORE the
+    // sizes marker like the fprint delta: a crash between the two leaves
+    // an orphan drift row that slightly OVER-reports drift — the safe
+    // direction for an advisory monitor (it errs toward retraining,
+    // never toward silently probing drifted geometry).
+    val (dn, dsum) = Ivf.quantizationStats(assigned, "cluster", "__emb",
+      centroids)
     assigned.unpersist()
+    Seq((dn, dsum, batchId)).toDF("n", "sum_dist", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/drift/waves")
     // fingerprint delta BEFORE the sizes commit marker (fprint machinery
     // comment) — hashed from the raw batch, so the checked loader's
     // corpus-side recompute sees identical (id, vector) bytes
@@ -1416,8 +1453,112 @@ object IndexStore {
     val staged = s"$path/.compact"
     saveIvf(snapshot, staged)
     val fprintDirs = stageFprint(spark, path, s"$path/sizes", staged)
+    // the drift ledger is deliberately NOT in the swap list: compaction
+    // is a LAYOUT fold — the centroids stay the training run's — so
+    // "drift since training" must survive it; folding the waves into the
+    // baseline would silently raise it and mask exactly the drift the
+    // ledger exists to expose
     swapStaged(spark, path, staged,
       Seq("assignments", "centroids", "meta", "sizes") ++ fprintDirs)
+  }
+
+  // ------------------------------------------- quantization drift monitor
+  //
+  // WHEN to retrain is the one trained-index lifecycle decision the
+  // families previously left to folklore ("periodic offline re-train"):
+  // IVF appends ASSIGN to trained centroids and PQ appends ENCODE
+  // against frozen codebooks, so under distribution drift both silently
+  // degrade — probes at the measured covering depth under-recall (IVF)
+  // or ADC scores lose fidelity (PQ), with no error and no wrong hash.
+  // The shared ledger makes the drift a NUMBER before it is a recall
+  // incident:
+  //
+  //   drift/base/          (n, sum_dist) — mean quantization error at
+  //                        TRAIN time (IVF: ‖x̂ − μ̂_assigned‖; PQ:
+  //                        ‖x − x̂_reconstructed‖)
+  //   drift/waves/batch=N/ (n, sum_dist) — the same measurement per
+  //                        appended wave (work ∝ batch, one aggregation
+  //                        at append time)
+  //
+  // A wave drawn from the trained distribution averages ≈ the baseline;
+  // a drifted wave measurably exceeds it. The REACTION threshold is the
+  // caller's declared policy (the dedup planner's miss-budget posture:
+  // how much quantization degradation a workload tolerates is a
+  // decision, not a measurement), but the inputs are all measured.
+  // [[planRetrain]] reads either family's ledger; [[executeRetrain]]
+  // (IVF) and [[executeRetrainPq]] dispatch the rebuild.
+
+  /** One retrain-or-not recommendation with its receipts. */
+  case class RetrainPlan(baseN: Long, baseMean: Double, wavesN: Long,
+      wavesMean: Double, ratio: Double, driftFactor: Double,
+      recommend: Boolean, rationale: Seq[String])
+
+  /** Read the drift ledger and compare the appended waves' pooled mean
+    * quantization error against the train-time baseline. Refuses an
+    * index with no baseline (saved without its source) as unpriceable —
+    * never silently priced from nothing. */
+  def planRetrain(spark: SparkSession, path: String,
+      driftFactor: Double = 1.25): RetrainPlan = {
+    require(driftFactor > 0, s"driftFactor > 0, got $driftFactor")
+    require(hasDataFiles(spark, s"$path/drift/base"),
+      s"index at $path has no drift baseline — it was saved without its " +
+        "source corpus, so quantization drift is unmeasurable; rebuild " +
+        "with createIvf / savePq(source = ...) to make retraining " +
+        "priceable")
+    val b = spark.read.parquet(s"$path/drift/base").head()
+    val (baseN, baseSum) = (b.getLong(0), b.getDouble(1))
+    require(baseN > 0, s"index at $path trained on an empty corpus")
+    val baseMean = baseSum / baseN
+    val (wavesN, wavesSum) =
+      if (!hasDataFiles(spark, s"$path/drift/waves")) (0L, 0.0)
+      else {
+        val r = spark.read.parquet(s"$path/drift/waves")
+          .agg(sum(col("n")), sum(col("sum_dist"))).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+      }
+    val wavesMean = if (wavesN == 0) 0.0 else wavesSum / wavesN
+    val ratio =
+      if (wavesN == 0) 1.0
+      else if (baseMean == 0.0) Double.PositiveInfinity
+      else wavesMean / baseMean
+    val recommend = wavesN > 0 && ratio >= driftFactor
+    RetrainPlan(baseN, baseMean, wavesN, wavesMean, ratio, driftFactor,
+      recommend, Seq(
+        f"train-time mean cell distance $baseMean%.4f over $baseN%d members",
+        if (wavesN == 0) "no appended waves since training — nothing to drift"
+        else f"appended waves: mean $wavesMean%.4f over $wavesN%d members " +
+          f"→ ratio $ratio%.3f vs declared factor $driftFactor%.2f",
+        if (recommend)
+          "retrain: appended geometry measurably exceeds the trained cells"
+        else "keep the centroids: appends still quantize like the training set"))
+  }
+
+  /** Execute a [[RetrainPlan]]: rebuild from the (current, full) corpus
+    * when recommended — a fresh [[createIvf]] re-trains centroids,
+    * re-records the fingerprint, and resets the drift ledger (the new
+    * baseline). No-op returning false otherwise — the plan→engine link,
+    * so retraining cadence is measured arithmetic, not folklore. */
+  def executeRetrain(spark: SparkSession, path: String, plan: RetrainPlan,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, numClusters: Int = 0, seed: Long = 42L,
+      metric: String = "cosine"): Boolean = {
+    if (!plan.recommend) return false
+    createIvf(corpus, idCol, embCol, path, numClusters, seed, metric)
+    true
+  }
+
+  /** The PQ rendition of [[executeRetrain]]: re-train codebooks on the
+    * full current corpus when the plan recommends it — fresh fingerprint,
+    * fresh drift baseline. */
+  def executeRetrainPq(spark: SparkSession, path: String,
+      plan: RetrainPlan, corpus: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L, metric: String = "cosine"): Boolean = {
+    if (!plan.recommend) return false
+    savePq(Pq.build(corpus, idCol, embCol, m, ksub, seed, metric), path,
+      source = Some((corpus, idCol, embCol)))
+    true
   }
 
   // -------------------------------------------------------------------- PQ
@@ -1456,11 +1597,23 @@ object IndexStore {
     index.codes
       .withColumn("batch", lit(-1L))
       .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(s"$path/codes")
+    val driftFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     source match {
       case Some((embs, idCol, embCol)) =>
         writeFprintDelta(embs, idCol, embCol, path, batchId = -1L,
           overwriteAll = true)
-      case None => clearFprint(spark, path)
+        // train-time reconstruction baseline (drift ledger — planRetrain):
+        // mean ‖x − x̂‖ over the training corpus; a fresh base drops any
+        // previous ledger (old waves described the OLD codebooks)
+        val (dn, dsum) = Pq.quantizationStats(embs, embCol,
+          index.codebooks, index.dim)
+        driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/drift"), true)
+        Seq((dn, dsum)).toDF("n", "sum_dist")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/drift/base")
+      case None =>
+        clearFprint(spark, path)
+        driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/drift"), true)
     }
     index.codebooks.zipWithIndex
       .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) } }
@@ -1512,6 +1665,17 @@ object IndexStore {
     // encode job a second time just for the marker
     val written = spark.read.parquet(s"$path/codes")
       .where(col("batch") === batchId).count()
+    // the wave's drift receipt (n, Σ ‖x − x̂‖) — one aggregation over the
+    // micro-batch against the frozen codebooks, keyed by batchId so a
+    // replay overwrites its own row; BEFORE the counts marker like the
+    // fprint delta (an orphan row over-reports drift — the safe
+    // direction for an advisory monitor)
+    val (ddn, ddsum) = Pq.quantizationStats(batch, embCol, codebooks, dim)
+    Seq((ddn, ddsum, batchId)).toDF("n", "sum_dist", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/drift/waves")
     // fingerprint delta BEFORE the counts commit marker (fprint machinery)
     writeFprintDelta(batch.select(col(idCol), col(embCol)), idCol, embCol,
       path, batchId, overwriteAll = false)

@@ -112,10 +112,13 @@ object Ivf {
   /** [[clusterRadii]] plus member counts, in the SAME aggregation job —
     * [[build]] needs both and the assignment transform they aggregate over
     * is the expensive part, so they must share one pass. */
-  private[graft] def clusterStats(assigned: DataFrame, clusterCol: String,
-      vecCol: String,
-      centroids: Map[Int, Array[Double]]): Map[Int, (Long, Double)] = {
-    val spark = assigned.sparkSession
+  /** The normalized distance-to-assigned-centroid column ‖x̂ − μ̂_c‖,
+    * shared by the radius aggregation and the drift monitor so the two
+    * can never disagree about what "distance" means. Degenerate inputs
+    * (zero-norm member or centroid) poison to [[TrivialRadius]]. */
+  private def assignedDistCol(spark: org.apache.spark.sql.SparkSession,
+      clusterCol: String, vecCol: String,
+      centroids: Map[Int, Array[Double]]): Column = {
     val normCents = centroids.map { case (cid, c) =>
       val n = math.sqrt(c.map(x => x * x).sum)
       cid -> (if (n == 0) null else c.map(_ / n))
@@ -133,11 +136,32 @@ object Ivf {
         math.min(TrivialRadius, math.sqrt(s))
       }
     }
+    dist(col(clusterCol), col(vecCol).cast("array<double>"))
+  }
+
+  private[graft] def clusterStats(assigned: DataFrame, clusterCol: String,
+      vecCol: String,
+      centroids: Map[Int, Array[Double]]): Map[Int, (Long, Double)] =
     assigned
       .select(col(clusterCol).as("__c"),
-        dist(col(clusterCol), col(vecCol).cast("array<double>")).as("__d"))
+        assignedDistCol(assigned.sparkSession, clusterCol, vecCol,
+          centroids).as("__d"))
       .groupBy("__c").agg(count(lit(1)).as("__n"), max(col("__d")).as("__r"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  /** Global quantization-error receipts of an assigned relation:
+    * (member count, Σ ‖x̂ − μ̂_assigned‖) in one map-side-combinable
+    * aggregation — the drift monitor's per-wave measurement
+    * ([[graft.index.IndexStore.planRetrain]]): a wave drawn from the
+    * trained distribution averages ≈ the base's mean cell distance, a
+    * drifted wave measurably exceeds it. */
+  def quantizationStats(assigned: DataFrame, clusterCol: String,
+      vecCol: String, centroids: Map[Int, Array[Double]]): (Long, Double) = {
+    val r = assigned
+      .select(assignedDistCol(assigned.sparkSession, clusterCol, vecCol,
+        centroids).as("__d"))
+      .agg(count(lit(1)), sum(col("__d"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }
 
   /** Upper bound on cos(query, x) over every member x of cluster `cid`,

@@ -124,6 +124,47 @@ object Pq {
   def reconstruct(index: PqIndex, codes: Seq[Int]): Array[Double] =
     codes.zipWithIndex.flatMap { case (c, j) => index.codebooks(j)(c) }.toArray
 
+  /** Global reconstruction-error receipts: (count, Σ ‖x − x̂‖) where x̂
+    * is each vector's nearest-codeword reconstruction — the PQ drift
+    * monitor's per-wave measurement
+    * ([[graft.index.IndexStore.planRetrain]]): a wave drawn from the
+    * trained distribution averages ≈ the train-time residual, a drifted
+    * wave measurably exceeds it (codebooks trained elsewhere quantize it
+    * badly). One map-side-combinable aggregation; the per-subspace
+    * argmin is the same loop [[encode]] runs. */
+  def quantizationStats(embs: DataFrame, embCol: String,
+      codebooks: Array[Array[Array[Double]]], dim: Int): (Long, Double) = {
+    val spark = embs.sparkSession
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val m = codebooks.length
+    val dsub = dim / m
+    val err = udf { (v: Seq[Double]) =>
+      require(v.length == dim,
+        s"vector dimension ${v.length} != index numDimensions $dim")
+      val arr = v.toArray
+      var total = 0.0
+      var j = 0
+      while (j < m) {
+        val cb = bc.value(j)
+        var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var s = 0.0; var i = 0
+          while (i < dsub) {
+            val d = cb(c)(i) - arr(j * dsub + i); s += d * d; i += 1
+          }
+          if (s < bestD) bestD = s
+          c += 1
+        }
+        total += bestD
+        j += 1
+      }
+      math.sqrt(total)
+    }
+    val r = embs.select(err(col(embCol).cast("array<double>")).as("__e"))
+      .agg(count(lit(1)), sum(col("__e"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+  }
+
   /** ADC approximate score column over a `codes` column, matching the
     * index metric's ranking direction (higher = closer for all three —
     * euclidean is negated squared distance):
