@@ -1863,6 +1863,29 @@ object SparkEntry {
       .unionByName(eventStatsDisk(spark, dir))
       .orderBy("field", "value")
 
+  /** Quantile BRACKETS from the persisted n_chars histogram
+    * ([[IndexStore.histQuantile]]): the [lo, hi) bucket provably
+    * containing each rank-⌈p·n⌉ document length, computed entirely from
+    * catalog rows — a report-time quantile with NO corpus scan (at
+    * 100 TB, length percentiles for quality-gate calibration from a
+    * 16-row relation). The oracle is the strongest possible check: it
+    * finds the TRUE quantile value by sorting the raw table, buckets it
+    * with the identical integer division, and hash-matches the bracket —
+    * so a wrong cumulative walk, a drifted bucket count, or an
+    * off-by-one rank all fail. */
+  private def qHistQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val docStats = docStatsDisk(spark, dir)
+    val h = IndexStore.loadHistSpecs(spark,
+      statsDiskBuilt((spark, s"$dir#doc")))("n_chars")
+    import spark.implicits._
+    Seq(0.25, 0.5, 0.9)
+      .map { p =>
+        val (lo, hi) = IndexStore.histQuantile(docStats, "n_chars", h, p)
+        (p, lo, hi)
+      }
+      .toDF("p", "lo", "hi").orderBy("p")
+  }
+
   /** The histogram range ESTIMATOR itself on its exact regime,
     * gate-checked: [[IndexStore.histSelectivity]] over the persisted
     * n_chars histogram for the bucket-ALIGNED range [240, 320) — where
@@ -2885,6 +2908,7 @@ object SparkEntry {
     "q_ann_plan_range" -> ((s, dir) => qAnnPlanRange(s, dir)),
     "q_field_stats" -> ((s, dir) => qFieldStats(s, dir)),
     "q_hist_selectivity" -> ((s, dir) => qHistSelectivity(s, dir)),
+    "q_hist_quantile" -> ((s, dir) => qHistQuantile(s, dir)),
     "q_ann_depth" -> ((s, dir) => qAnnDepth(s, dir)),
     "q_rerank" -> ((s, dir) => qRerank(s, dir)),
     "q_mmr" -> ((s, dir) => qMmr(s, dir)),
@@ -3424,6 +3448,19 @@ object SparkEntry {
         |       round(CAST(count(*) FILTER (WHERE n_chars >= 240 AND n_chars < 320) AS DOUBLE)
         |             / count(*), 6) AS sel
         |FROM documents""".stripMargin,
+    // the strongest quantile check: find the TRUE rank-⌈p·n⌉ value by
+    // sorting the raw table, bucket it with the identical integer
+    // division, and hash-match the catalog-derived bracket
+    "q_hist_quantile" ->
+      Seq(0.25, 0.5, 0.9).map { p =>
+        s"""SELECT $p::DOUBLE AS p,
+           |       (v::BIGINT // 40) * 40 AS lo,
+           |       ((v::BIGINT // 40) + 1) * 40 AS hi
+           |FROM (
+           |  SELECT n_chars AS v FROM documents ORDER BY n_chars
+           |  LIMIT 1 OFFSET (CAST(ceil($p * (SELECT count(*) FROM documents)) AS BIGINT) - 1)
+           |)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY p"),
     // the catalog's committed-batch sums re-derived as plain GROUP BYs —
     // the relation plan-time selectivity lookups read, independently
     // hash-verified

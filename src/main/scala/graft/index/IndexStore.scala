@@ -2257,6 +2257,50 @@ object IndexStore {
     est / total
   }
 
+  /** Quantile BRACKET from the persisted fixed-boundary histogram: the
+    * [blo, bhi) bucket provably containing the rank-⌈p·n⌉ value — a
+    * report-time quantile with NO corpus scan (the catalog rows are the
+    * only input), at bucket resolution. Exact bracketing is the fixed-
+    * boundary histogram's theorem: per-bucket counts are exact, so the
+    * first bucket whose cumulative count reaches the rank contains the
+    * true quantile — an independent engine can find the true value and
+    * check the bucket, which is exactly what the gate does. A quantile
+    * landing in the underflow/overflow bucket has no finite bracket and
+    * is refused loudly (widen the histogram DDL). */
+  def histQuantileFromCounts(bucketCounts: Map[Long, Long], total: Long,
+      h: HistSpec, p: Double): (Long, Long) = {
+    require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
+    require(total > 0, "empty catalog field")
+    val rank = math.ceil(p * total).toLong
+    var cum = 0L
+    val order = Seq(-1L) ++ (0L until h.buckets.toLong) ++
+      Seq(h.buckets.toLong)
+    for (b <- order) {
+      cum += bucketCounts.getOrElse(b, 0L)
+      if (cum >= rank) {
+        require(b != -1L && b != h.buckets.toLong,
+          s"the p=$p quantile lands in the histogram's " +
+            s"${if (b == -1L) "underflow" else "overflow"} bucket — the " +
+            s"declared domain [${h.lo}, ${h.hi}) doesn't bracket it; " +
+            "widen the DDL or fall back to a scan")
+        return (h.lo + b * h.width, h.lo + (b + 1) * h.width)
+      }
+    }
+    throw new IllegalStateException(
+      s"histogram counts sum below rank $rank — stale or corrupt catalog")
+  }
+
+  /** [[histQuantileFromCounts]] over the catalog relation. */
+  def histQuantile(stats: org.apache.spark.sql.DataFrame, field: String,
+      h: HistSpec, p: Double): (Long, Long) = {
+    val counts = stats.where(col("field") === field)
+      .select(col("value"), col("cnt"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(v => v.toLong -> r.getLong(1)))
+      .toMap
+    histQuantileFromCounts(counts, statsRows(stats, field), h, p)
+  }
+
   /** The catalog, collected to the driver for plan-time consumers that
     * must not run Spark jobs (optimizer rules): per-field value counts
     * (None = the NULL row) plus the declared histograms. Bounded by the

@@ -1114,6 +1114,39 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       .as[(String, Long)].collect().toSet === direct)
   }
 
+  test("histogram quantile: the bracket provably contains the true rank value; edge refusals") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("statsquant").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "n_chars").localCheckpoint(true)
+    val h = IndexStore.HistSpec(0L, 640L, 16)
+    IndexStore.saveStats(docs, "doc_id", "text", Seq.empty, dir,
+      hists = Map("n_chars" -> h))
+    val stats = IndexStore.loadStats(spark, dir).localCheckpoint(true)
+    val n = docs.count()
+    val sorted = docs.select($"n_chars".cast("long")).orderBy("n_chars")
+      .as[Long].collect()
+    for (p <- Seq(0.1, 0.25, 0.5, 0.9, 1.0)) {
+      val (lo, hi) = IndexStore.histQuantile(stats, "n_chars", h, p)
+      val truth = sorted(math.ceil(p * n).toInt - 1)
+      assert(lo <= truth && truth < hi,
+        s"p=$p: true rank value $truth outside bracket [$lo, $hi)")
+      assert(hi - lo === h.width)
+    }
+    // pure-arithmetic refusals: bad p, empty field, out-of-domain rank
+    intercept[IllegalArgumentException](
+      IndexStore.histQuantileFromCounts(Map(0L -> 1L), 1L, h, 0.0))
+    intercept[IllegalArgumentException](
+      IndexStore.histQuantileFromCounts(Map(0L -> 1L), 0L, h, 0.5))
+    // everything in the overflow bucket: no finite bracket, refused
+    val e = intercept[IllegalArgumentException](
+      IndexStore.histQuantileFromCounts(Map(16L -> 10L), 10L, h, 0.5))
+    assert(e.getMessage.contains("overflow"))
+    val e2 = intercept[IllegalArgumentException](
+      IndexStore.histQuantileFromCounts(Map(-1L -> 10L), 10L, h, 0.5))
+    assert(e2.getMessage.contains("underflow"))
+  }
+
   test("compaction advisor: receipts from sidecars, workload flips the fold, execute folds and preserves checkability") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("compadvise").toString
