@@ -840,6 +840,30 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** INCREMENTAL connected components ([[Dedup.componentsIncremental]])
+    * — the dedup graph's daily-ingest shape: the docs whose id ≡ 2
+    * (mod 3) arrive as a second wave, so their SimHash pairs (new↔new
+    * and new↔old) update the first wave's persisted (id, comp) map with
+    * graph work ∝ the wave's touched components (representative
+    * contraction), never a full recompute; the map update is one
+    * broadcast relabel join. The oracle recomputes components over ALL
+    * pairs from scratch — the incremental path's output is
+    * row-identical by the contraction argument, so any merge the
+    * incremental pass misses (or invents) fails the hash. SimHash edges
+    * (not MinHash) so this receipt is disjoint from
+    * [[qDedupComponents]]'s. */
+  private def qDedupComponentsInc(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text"),
+      SimhashMaxDist).localCheckpoint(true)
+    val oldEnd = (c: org.apache.spark.sql.Column) => pmod(c, lit(3)) =!= 2
+    val wave1 = pairs.where(oldEnd(col("id1")) && oldEnd(col("id2")))
+    val wave2 = pairs.where(!(oldEnd(col("id1")) && oldEnd(col("id2"))))
+    Dedup.componentsIncremental(Dedup.components(wave1), wave2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** The composed training-data dedup pipeline (SCALE.md finding 1): exact
     * dedup first (cheap hash-groupBy removes identical texts), THEN
     * MinHash+LSH near-dup over the survivors, THEN connected components —
@@ -2948,6 +2972,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => qAsofJoin(s, dir)),
     "q_range_join" -> ((s, dir) => qRangeJoin(s, dir)),
     "q_dedup_components" -> ((s, dir) => qDedupComponents(s, dir)),
+    "q_dedup_components_inc" -> ((s, dir) => qDedupComponentsInc(s, dir)),
     "q_dedup_pipeline" -> ((s, dir) => qDedupPipeline(s, dir)),
     "q_quant_knn" -> ((s, dir) => qQuantKnn(s, dir)),
     "q_region_revenue" -> ((s, dir) => qRegionRevenue(s, dir)),
@@ -3901,6 +3926,15 @@ object SparkEntry {
     "q_dedup_components" ->
       (Dedup.sqlComponents(
         Dedup.sqlMinhashPairs("documents", "doc_id", "text", JaccardThr))
+        .replace("SELECT id, min(comp) AS comp FROM walk GROUP BY id",
+          "SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id") +
+        "\nORDER BY doc_id"),
+    // the incremental map must be row-identical to the from-scratch
+    // recompute over every pair ever seen — the contraction argument,
+    // hash-checked
+    "q_dedup_components_inc" ->
+      (Dedup.sqlComponents(
+        Dedup.sqlSimhashPairs("documents", "doc_id", "text", SimhashMaxDist))
         .replace("SELECT id, min(comp) AS comp FROM walk GROUP BY id",
           "SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id") +
         "\nORDER BY doc_id"),

@@ -171,6 +171,42 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("incremental components == full recompute on random graphs and splits") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 8) {
+      val n = 8 + rnd.nextInt(40)
+      val edges = (1 to 2 * n).map(_ =>
+        (1L + rnd.nextInt(n).toLong, 1L + rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // random edge split: the wave may merge old components, attach new
+      // nodes, or both
+      val (w2, w1) = edges.partition(_ => rnd.nextBoolean())
+      if (w1.nonEmpty && w2.nonEmpty) {
+        val full = Dedup.components(edges.toDF("id1", "id2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+        val inc = Dedup.componentsIncremental(
+            Dedup.components(w1.toDF("id1", "id2")), w2.toDF("id1", "id2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+        assert(inc === full, s"trial $trial: w1=$w1 w2=$w2")
+      }
+    }
+    // the hand-checkable merge shape: two settled components bridged by
+    // one wave edge relabel to the global min; a fresh chain attaches
+    val oldMap = Dedup.components(Seq((1L, 2L), (10L, 11L)).toDF("id1", "id2"))
+    val updated = Dedup.componentsIncremental(oldMap,
+        Seq((2L, 10L), (11L, 20L), (20L, 21L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(updated === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 1L, 21L -> 1L))
+    // an empty wave is the identity
+    val same = Dedup.componentsIncremental(oldMap,
+        Seq.empty[(Long, Long)].toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("cosine near-dup pairs: identical vector pair detected, threshold respected") {
     val e = Seq(
       (1L, Seq(1.0, 0.0, 0.0)),
