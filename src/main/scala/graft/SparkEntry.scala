@@ -2738,6 +2738,37 @@ object SparkEntry {
     Seq(usrSummary.distinctEstimate).toDF("kmv_users")
   }
 
+  /** JOIN-CARDINALITY pricing from KMV sketches
+    * ([[Sketches.kmvIntersection]], Beyer et al. 2007): how many distinct
+    * users two event segments share, estimated from 2×64 driver-held
+    * hashes BEFORE any join runs — at 100 TB the question "how big is
+    * this join / decontamination overlap" becomes sketch arithmetic
+    * instead of a dry-run join. Each segment's min-set is one bounded
+    * top-k scan (TakeOrderedAndProject over distinct hashes — the
+    * wave-time measurement; production reads them from persisted
+    * summaries, [[IndexStore.SummaryIndex.intersectionEstimate]]). The
+    * oracle replicates the ENTIRE estimator in DuckDB — same frozen
+    * md5-prefix hash, same k-min union, same membership counts, same
+    * IEEE arithmetic order — so both the exact branch (sf0.001: 15
+    * users/segment < k, sketches are complete sets) and the estimator
+    * branch (sf0.01+: 150+ users ≥ k) are hash-checked. */
+  private def qJoinCardKmv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def mins(t: String): Array[Long] = ev
+      .where(col("event_type") === t)
+      .select(Text.hash60(col("user_id").cast("string")).as("h"))
+      .where(col("h").isNotNull)
+      .distinct().orderBy("h").limit(Sketches.DefaultK)
+      .collect().map(_.getLong(0))
+    val a = mins("click")
+    val b = mins("purchase")
+    import spark.implicits._
+    Seq((Sketches.estimate(a, Sketches.DefaultK),
+        Sketches.estimate(b, Sketches.DefaultK),
+        Sketches.kmvIntersection(a, b, Sketches.DefaultK)))
+      .toDF("a_distinct", "b_distinct", "overlap_est")
+  }
+
   /** Z-order layout of lineitem on (l_partkey, l_suppkey), built once
     * per (session, sfDir) — the LAYOUT lifecycle (the once-paid
     * clustering shuffle that every later box query amortizes); domains
@@ -2966,6 +2997,7 @@ object SparkEntry {
     "q_zorder_box_inc" -> ((s, dir) => qZorderBoxInc(s, dir)),
     "q_heavy_hitters_inc" -> ((s, dir) => qHeavyHittersInc(s, dir)),
     "q_distinct_users_inc" -> ((s, dir) => qDistinctUsersInc(s, dir)),
+    "q_join_card_kmv" -> ((s, dir) => qJoinCardKmv(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
@@ -3267,6 +3299,37 @@ object SparkEntry {
          |            THEN (SELECT count(*) FROM mins)
          |            ELSE floor(63::DOUBLE * 1152921504606846976.0 / (SELECT max(h) FROM mins)::DOUBLE)::BIGINT
          |       END AS kmv_users""".stripMargin,
+    // the whole Beyer et al. intersection estimator replicated: same
+    // frozen hash, same k-min union, same membership counts, same IEEE
+    // arithmetic order — both the complete-sets exact branch and the
+    // K-based estimator branch are hash-checked
+    "q_join_card_kmv" ->
+      s"""WITH ma AS (
+         |  SELECT h FROM (SELECT DISTINCT ${Text.sqlHash60("user_id::VARCHAR")} AS h
+         |                 FROM events WHERE event_type = 'click' AND user_id IS NOT NULL)
+         |  ORDER BY h LIMIT 64
+         |), mb AS (
+         |  SELECT h FROM (SELECT DISTINCT ${Text.sqlHash60("user_id::VARCHAR")} AS h
+         |                 FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+         |  ORDER BY h LIMIT 64
+         |), un AS (
+         |  SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ma UNION ALL SELECT h FROM mb))
+         |  ORDER BY h LIMIT 64
+         |), ca AS (SELECT count(*) AS n, max(h) AS mx FROM ma),
+         |   cb AS (SELECT count(*) AS n, max(h) AS mx FROM mb),
+         |   cu AS (SELECT max(h) AS mx FROM un),
+         |   mt AS (SELECT count(*) AS m FROM un
+         |          WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)),
+         |   xab AS (SELECT count(*) AS m FROM ma WHERE h IN (SELECT h FROM mb))
+         |SELECT
+         |  CASE WHEN ca.n < 64 THEN ca.n
+         |       ELSE floor(63::DOUBLE * 1152921504606846976.0 / ca.mx::DOUBLE)::BIGINT END AS a_distinct,
+         |  CASE WHEN cb.n < 64 THEN cb.n
+         |       ELSE floor(63::DOUBLE * 1152921504606846976.0 / cb.mx::DOUBLE)::BIGINT END AS b_distinct,
+         |  CASE WHEN ca.n < 64 AND cb.n < 64 THEN xab.m
+         |       ELSE floor(mt.m::DOUBLE * (63::DOUBLE * 1152921504606846976.0 / cu.mx::DOUBLE) / 64::DOUBLE)::BIGINT
+         |  END AS overlap_est
+         |FROM ca, cb, cu, mt, xab""".stripMargin,
     // recomputes each in-box row's z-bucket with the identical
     // integer-division cells + shift-or-mask Morton interleave (the
     // ZOrder sql* twins) — hash-matching the layout arithmetic itself

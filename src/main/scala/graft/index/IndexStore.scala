@@ -2701,6 +2701,19 @@ object IndexStore {
       * aggregator ([[graft.operators.Sketches.estimate]]). */
     def distinctEstimate: Long =
       graft.operators.Sketches.estimate(kmvMins, kKmv)
+
+    /** Distinct-key OVERLAP estimate against another summary — the
+      * join-cardinality pricing primitive
+      * ([[graft.operators.Sketches.kmvIntersection]]): how many distinct
+      * items two persisted streams share, from 2·k driver-held longs,
+      * before any join runs. Both summaries must share the same KMV k
+      * (the hash is fixed by the family). */
+    def intersectionEstimate(other: SummaryIndex): Long = {
+      require(kKmv == other.kKmv,
+        s"KMV k mismatch: $kKmv vs ${other.kKmv} — rebuilt summaries " +
+          "must share the sketch DDL to be comparable")
+      graft.operators.Sketches.kmvIntersection(kmvMins, other.kmvMins, kKmv)
+    }
   }
 
   /** The summary's 60-bit item hash — [[graft.functions.Text.hash60]] of
@@ -2806,19 +2819,28 @@ object IndexStore {
   def loadSummary(spark: SparkSession, path: String): SummaryIndex = {
     val (kMg, kKmv) = summaryMeta(spark, path)
     val batches = committedBatches(spark, s"$path/marks").sorted
-    val mgByBatch = spark.read.parquet(s"$path/mg")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .select(col("batch").cast("long"), col("item"), col("c"))
-      .collect().groupBy(_.getLong(0))
+    // either sketch dir can be legitimately EMPTY (an MG summary of an
+    // all-singleton stream decrements to nothing — correctly: no item
+    // can exceed any n/kReport threshold; a null-only wave contributes
+    // no hashes), and parquet can't infer a schema from zero partitions
+    val mgByBatch =
+      if (!hasDataFiles(spark, s"$path/mg"))
+        Map.empty[Long, Array[org.apache.spark.sql.Row]]
+      else spark.read.parquet(s"$path/mg")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select(col("batch").cast("long"), col("item"), col("c"))
+        .collect().groupBy(_.getLong(0))
     val mg = batches.foldLeft(Map.empty[String, Long]) { (acc, b) =>
-      val m = mgByBatch.getOrElse(b, Array.empty)
+      val m = mgByBatch.getOrElse(b, Array.empty[org.apache.spark.sql.Row])
         .map(r => r.getString(1) -> r.getLong(2)).toMap
       graft.operators.Sketches.mgMerge(acc, m, kMg)
     }
-    val mins = spark.read.parquet(s"$path/kmv")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .select(col("h")).distinct().orderBy("h").limit(kKmv)
-      .collect().map(_.getLong(0))
+    val mins =
+      if (!hasDataFiles(spark, s"$path/kmv")) Array.empty[Long]
+      else spark.read.parquet(s"$path/kmv")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select(col("h")).distinct().orderBy("h").limit(kKmv)
+        .collect().map(_.getLong(0))
     val r = spark.read.parquet(s"$path/marks")
       .where(col("batch").cast("long").isin(batches: _*))
       .agg(sum(col("n"))).head()

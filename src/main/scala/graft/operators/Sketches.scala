@@ -118,6 +118,39 @@ object Sketches {
           .as(out))
   }
 
+  /** KMV set-INTERSECTION estimate from two k-min sketches (Beyer et al.
+    * 2007, "On synopses for distinct value estimation under multiset
+    * operations") — the join-cardinality pricing primitive: how many
+    * distinct keys two relations share, from 2·k longs, before any join
+    * runs. Membership is testable from the sketches alone: an x among
+    * the k smallest of A∪B that belongs to A is necessarily among A's k
+    * smallest (fewer than k union hashes precede it, so fewer than k of
+    * A's do). Branches, in the engine-frozen arithmetic order the oracle
+    * twin replicates:
+    *  - both sketches complete (< k distinct each): EXACT intersection —
+    *    the sketches ARE the full hash sets;
+    *  - otherwise K = k smallest of the union, and
+    *    |A∩B| ≈ ⌊ matches · ((k−1)·2^60 / max(K)) / k ⌋ where matches =
+    *    |{x ∈ K : x ∈ minsA ∧ x ∈ minsB}| — the Jaccard fraction over K
+    *    scaled by the union estimate.
+    * Inputs must be sorted-ascending distinct min-sets (what [[KmvAgg]]
+    * and a `distinct().orderBy().limit(k)` both produce). */
+  def kmvIntersection(minsA: Array[Long], minsB: Array[Long], k: Int): Long = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minsA.length <= k && minsB.length <= k,
+      s"min-sets exceed k=$k: ${minsA.length}, ${minsB.length}")
+    def in(mins: Array[Long], h: Long): Boolean =
+      java.util.Arrays.binarySearch(mins, h) >= 0
+    if (minsA.length < k && minsB.length < k)
+      minsA.count(in(minsB, _)).toLong
+    else {
+      val union = (minsA ++ minsB).distinct.sorted.take(k)
+      val matches = union.count(h => in(minsA, h) && in(minsB, h))
+      val d = (k - 1).toDouble * TwoPow60 / union.last.toDouble
+      math.floor(matches.toDouble * d / k.toDouble).toLong
+    }
+  }
+
   /** DuckDB rendition of [[kmvDistinct]]: a scalar subquery-free CTE body.
     * `hashExpr` must be the SQL rendition of the same hash fed to the Spark
     * side (see [[graft.functions.Text.sqlHash60]]). Returns (cteSql, colName)

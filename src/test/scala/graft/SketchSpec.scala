@@ -129,4 +129,33 @@ class SketchSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh2 === Map("a" -> 2L)) // n=3 non-null, threshold cnt*2 > 3
   }
+
+  test("KMV intersection: exact when sketches are complete, bounded error when not") {
+    val k = 64
+    def minsOf(hashes: Seq[Long]): Array[Long] =
+      hashes.distinct.sorted.take(k).toArray
+    // complete sketches (< k distinct each): the answer is EXACT
+    val a = Seq(1L, 5L, 9L, 13L, 40L)
+    val b = Seq(5L, 9L, 77L)
+    assert(Sketches.kmvIntersection(minsOf(a), minsOf(b), k) === 2L)
+    assert(Sketches.kmvIntersection(minsOf(a), minsOf(Seq(100L)), k) === 0L)
+    // estimator branch: random 60-bit universes with a planted overlap —
+    // the estimate tracks the truth within KMV's ~1/sqrt(k) regime
+    val rnd = new scala.util.Random(7)
+    def h60() = rnd.nextLong() & ((1L << 60) - 1)
+    for (trial <- 1 to 5) {
+      val shared = Seq.fill(2000)(h60())
+      val onlyA = Seq.fill(3000)(h60())
+      val onlyB = Seq.fill(2500)(h60())
+      val est = Sketches.kmvIntersection(
+        minsOf(shared ++ onlyA), minsOf(shared ++ onlyB), k)
+      assert(est > 1000 && est < 3200,
+        s"trial $trial: overlap estimate $est too far from 2000")
+    }
+    // refusals: oversized min-sets, bad k
+    intercept[IllegalArgumentException](
+      Sketches.kmvIntersection(new Array[Long](65), new Array[Long](3), k))
+    intercept[IllegalArgumentException](
+      Sketches.kmvIntersection(Array(1L), Array(2L), 0))
+  }
 }

@@ -125,6 +125,26 @@ class SummarySpec extends AnyFunSuite with SparkTest {
       .n === before.n)
   }
 
+  test("summary overlap estimate: exact for complete sketches; DDL mismatch refused") {
+    val pa = Files.createTempDirectory("sumixa").toString
+    val pb = Files.createTempDirectory("sumixb").toString
+    // two small streams sharing exactly 10 items — complete sketches at
+    // kKmv=64, so the overlap estimate is the exact intersection
+    val sa = (0 until 30).map(i => s"s$i")
+    val sb = (20 until 45).map(i => s"s$i")
+    IndexStore.saveSummary(sa.toDF("item"), "item", kMg = 8, kKmv = 64, pa)
+    IndexStore.saveSummary(sb.toDF("item"), "item", kMg = 8, kKmv = 64, pb)
+    val a = IndexStore.loadSummary(spark, pa)
+    val b = IndexStore.loadSummary(spark, pb)
+    assert(a.intersectionEstimate(b) === 10L)
+    assert(b.intersectionEstimate(a) === 10L)
+    // mismatched sketch DDL is refused, not silently compared
+    val pc = Files.createTempDirectory("sumixc").toString
+    IndexStore.saveSummary(sa.toDF("item"), "item", kMg = 8, kKmv = 32, pc)
+    intercept[IllegalArgumentException](
+      a.intersectionEstimate(IndexStore.loadSummary(spark, pc)))
+  }
+
   test("streaming summary upkeep commits per-batch deltas") {
     val p = Files.createTempDirectory("sumstream").toString
     val ckpt = Files.createTempDirectory("sumstreamckpt").toString
