@@ -95,7 +95,7 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        freshnessVerified)
+        ivfDeletedBuilt, freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -109,7 +109,7 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        freshnessVerified)
+        ivfDeletedBuilt, freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Staleness verdicts already proven this session, keyed by
@@ -160,6 +160,7 @@ object SparkEntry {
     lineitemZorderDisk(spark, dir)
     lineitemZorderIncDisk(spark, dir)
     corpusSummariesDisk(spark, dir)
+    corpusIvfDeletedDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -2738,6 +2739,56 @@ object SparkEntry {
     Seq(usrSummary.distinctEstimate).toDF("kmv_users")
   }
 
+  /** IVF index with a DELETION WAVE ([[IndexStore.deleteBatchIvf]]) —
+    * the right-to-be-forgotten fixture: the full-corpus index loses the
+    * vec_id ≡ 0 (mod 7) rows as one tombstone wave (work ∝ wave — no
+    * rebuild), after which the additive fingerprint's NEGATIVE delta
+    * makes the checked loader accept exactly the post-delete corpus
+    * (and refuse the pre-delete one). Built once per (session, sfDir);
+    * the one wave-time staleness check runs at build. */
+  private val ivfDeletedBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusIvfDeletedDisk(spark: SparkSession, dir: String)
+      : Ivf.IvfIndex = {
+    val path = ivfDeletedBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivfdel_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      IndexStore.saveIvf(corpusIvf(spark, dir), p,
+        source = Some((e, "vec_id", "embedding")))
+      IndexStore.deleteBatchIvf(
+        e.where(pmod(col("vec_id"), lit(7)) === 0), "vec_id", "embedding",
+        p, 0L)
+      p
+    })
+    val remaining = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+      .where(pmod(col("vec_id"), lit(7)) =!= 0)
+    checkedOncePerWave(spark, dir, "ivf-del")(
+      IndexStore.loadIvfChecked(spark, path, remaining, "vec_id",
+        "embedding"))(
+      IndexStore.loadIvf(spark, path))
+  }
+
+  /** ANN over the post-deletion index: the routed exhaustive probe over
+    * the tombstone-filtered assignments must equal the exact top-k over
+    * the SURVIVING corpus — a deleted row surfacing anywhere (member
+    * join, score, rank) fails both the selfCheck and the oracle hash.
+    * The filtered exact-kNN SQL is a full oracle ([[qAnnIvf]]'s
+    * exhaustive-probe contract, post-delete). */
+  private def qAnnIvfDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .where(pmod(col("vec_id"), lit(7)) =!= 0)
+    val idx = corpusIvfDeletedDisk(spark, dir)
+    selfChecked(
+      Ivf.ann(idx, e, "vec_id", "embedding", flagshipQueryVec, k = 10,
+          numCandidates = Int.MaxValue, forceRoute = true)
+        .select("vec_id", "score"),
+      VectorSearch.knn(e, "vec_id", "embedding", flagshipQueryVec, k = 10)
+        .select("vec_id", "score"),
+      "q_ann_ivf_deleted routed-over-tombstones")
+  }
+
   /** JOIN-CARDINALITY pricing from KMV sketches
     * ([[Sketches.kmvIntersection]], Beyer et al. 2007): how many distinct
     * users two event segments share, estimated from 2×64 driver-held
@@ -2998,6 +3049,7 @@ object SparkEntry {
     "q_heavy_hitters_inc" -> ((s, dir) => qHeavyHittersInc(s, dir)),
     "q_distinct_users_inc" -> ((s, dir) => qDistinctUsersInc(s, dir)),
     "q_join_card_kmv" -> ((s, dir) => qJoinCardKmv(s, dir)),
+    "q_ann_ivf_deleted" -> ((s, dir) => qAnnIvfDeleted(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
@@ -3384,6 +3436,16 @@ object SparkEntry {
          |  SELECT vec_id,
          |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
          |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // post-deletion: the oracle ranks only the SURVIVING corpus — a
+    // tombstoned row surfacing anywhere in the routed plan fails the hash
+    "q_ann_ivf_deleted" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings WHERE vec_id % 7 <> 0
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,

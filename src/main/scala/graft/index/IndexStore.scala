@@ -1058,6 +1058,10 @@ object IndexStore {
       .parquet(s"$path/assignments")
     val driftFs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // a replaced index must not carry a previous run's tombstones: they
+    // are uncommitted under the fresh sizes markers, but leaving them
+    // invites a later delete wave to collide batch ids
+    driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     source match {
       case Some((embs, idCol, embCol)) =>
         writeFprintDelta(embs, idCol, embCol, path, batchId = -1L,
@@ -1237,6 +1241,97 @@ object IndexStore {
       .parquet(s"$path/sizes")
   }
 
+  /** DELETE one wave of rows from a persisted IVF index — the
+    * right-to-be-forgotten shape, with work ∝ wave, never a rebuild:
+    *
+    *   tombstones/batch=N/ (id)   — loaders ANTI-JOIN assignments
+    *                                against the committed tombstones
+    *                                (broadcast: bounded by delete volume;
+    *                                [[compactIvf]] purges them physically)
+    *   fprint/batch=N/            — a NEGATIVE (−n, −Σ xxhash64(id, vec))
+    *                                delta: the additive fingerprint is a
+    *                                sum, so deletion SUBTRACTS, and the
+    *                                checked loader then accepts exactly
+    *                                the post-delete corpus (and refuses
+    *                                the pre-delete one — staleness cuts
+    *                                both ways)
+    *   sizes/batch=N/             — negative per-cluster size deltas
+    *                                (from the rows' RECORDED assignments,
+    *                                one broadcast semi-join), so probe-
+    *                                mass arithmetic counts the survivors;
+    *                                commits LAST, as always
+    *
+    * The wave must carry the rows being deleted (id AND vector): the
+    * fingerprint subtraction only cancels if the bytes hashed at delete
+    * time equal the bytes hashed at index time — a GDPR pipeline has
+    * them from the id-keyed corpus read it performs anyway. Deleting a
+    * row that was never indexed (or whose vector has since changed)
+    * makes the summed fingerprint drift, and the NEXT checked load
+    * refuses — the guard doing its job, not a gap. Radii are left
+    * untouched: a ball that is too wide is sound (less pruning, never a
+    * wrong result), and max() cannot be decremented incrementally. */
+  def deleteBatchIvf(deleted: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/sizes").contains(batchId)) return
+    val rows = deleted.select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .localCheckpoint(true)
+    rows.select(col("id"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombstones")
+    // negative fingerprint delta (same hash bytes as the index-time side)
+    val (n, fp) = corpusFingerprint(rows, "id", "__emb")
+    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/fprint")
+    // negative size deltas from the rows' RECORDED assignments (their
+    // actual cells — re-assigning could disagree after centroid ties);
+    // COMMITTED batches only, so a crashed append's orphan partition
+    // can't contribute a phantom decrement; the deleted wave is bounded,
+    // so this is a broadcast semi-join
+    val committed = committedBatches(spark, s"$path/sizes")
+    val assigned = spark.read.parquet(s"$path/assignments")
+      .where(col("batch").cast("long").isin(committed: _*))
+      .join(broadcast(rows.select("id")), "id")
+      .groupBy("cluster").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    // radius -1.0, NOT TrivialRadius: the loader maxes radii over
+    // batches, and a trivial (never-prune) value here would silently
+    // destroy ball pruning for every touched cluster; -1 never wins a
+    // max against real radii (≥ 0) and is not null (no legacy coalesce).
+    // The cluster=-1 zero sentinel makes the wave COMMIT even when no
+    // deleted id was actually indexed — without it an all-unknown
+    // erasure request would write zero sizes rows, never commit, and
+    // silently no-op while the caller believes the rows are gone; with
+    // it the fingerprint delta becomes visible, drifts the sum, and the
+    // next checked load refuses loudly (the guard, not a gap). The
+    // loader drops non-positive clusters, so the sentinel never reaches
+    // probe arithmetic.
+    (assigned.toSeq.map { case (cid, cnt) => (cid, -cnt, -1.0, batchId) }
+        :+ ((-1, 0L, -1.0, batchId)))
+      .toDF("cluster", "size", "radius", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/sizes")
+  }
+
+  /** The committed tombstone ids (empty relation when none). */
+  private def ivfTombstones(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    if (!hasDataFiles(spark, s"$path/tombstones")) return None
+    val batches = committedBatches(spark, s"$path/sizes")
+    Some(spark.read.parquet(s"$path/tombstones")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .select("id"))
+  }
+
   /** Streaming index upkeep for the vector index — the IVF member of the
     * [[streamIntoBm25]]/[[streamIntoSignLsh]] family: incoming vectors are
     * assigned to their nearest cell as they arrive; each completed batch is
@@ -1267,9 +1362,12 @@ object IndexStore {
     val sizesDf = spark.read.option("mergeSchema", "true")
       .parquet(s"$path/sizes")
       .where(col("batch").cast("long").isin(batches: _*))
+    // non-positive totals drop: a fully-deleted cluster has nothing to
+    // probe, and the delete waves' cluster=-1 commit sentinel must never
+    // reach probe arithmetic
     val sizes = sizesDf
       .groupBy("cluster").agg(sum(col("size")).as("size")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .map(r => r.getInt(0) -> r.getLong(1)).filter(_._2 > 0).toMap
     // radii: max over committed batches (append-only ball growth); an
     // older layout without the column loads as "unknown" — knnJoinExact
     // then probes those clusters instead of pruning them (sound, slower).
@@ -1283,10 +1381,19 @@ object IndexStore {
       else sizesDf.groupBy("cluster")
         .agg(max(coalesce(col("radius"), lit(Ivf.TrivialRadius))).as("r"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        .filter { case (cid, _) => sizes.contains(cid) } // live clusters only
     val ddl = spark.read.parquet(s"$path/meta").head()
+    val live = spark.read.parquet(s"$path/assignments")
+      .where(col("batch").cast("long").isin(batches: _*)).drop("batch")
+    // committed tombstones ([[deleteBatchIvf]]) are anti-joined out —
+    // broadcast by construction (bounded by delete volume; compaction
+    // purges them physically)
+    val assignments = ivfTombstones(spark, path) match {
+      case Some(t) => live.join(broadcast(t), Seq("id"), "left_anti")
+      case None => live
+    }
     Ivf.IvfIndex(
-      spark.read.parquet(s"$path/assignments")
-        .where(col("batch").cast("long").isin(batches: _*)).drop("batch"),
+      assignments,
       centroids, sizes,
       ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"), radii)
   }
@@ -1460,6 +1567,12 @@ object IndexStore {
     // ledger exists to expose
     swapStaged(spark, path, staged,
       Seq("assignments", "centroids", "meta", "sizes") ++ fprintDirs)
+    // tombstones are now physically purged (the snapshot excluded them);
+    // a crash before this delete leaves orphans that the folded sizes
+    // markers no longer commit — no loader reads them
+    val tfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    tfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   // ------------------------------------------- quantization drift monitor

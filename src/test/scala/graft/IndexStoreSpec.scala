@@ -769,6 +769,60 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       "vec_id", "embedding").count() === embs.count())
   }
 
+  test("IVF deletion wave: tombstones at wave cost, fingerprint subtracts, probes exact over survivors") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("ivfdel").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    IndexStore.createIvf(embs, "vec_id", "embedding", dir, numClusters = 8)
+    val before = IndexStore.loadIvf(spark, dir)
+    val doomed = embs.where($"vec_id" % 7 === 0)
+    val remaining = embs.where($"vec_id" % 7 =!= 0).localCheckpoint(true)
+    IndexStore.deleteBatchIvf(doomed, "vec_id", "embedding", dir, 0L)
+    // the negative fingerprint delta flips the acceptance: the checked
+    // loader now takes exactly the post-delete corpus and refuses the
+    // pre-delete one (staleness cuts both ways)
+    val idx = IndexStore.loadIvfChecked(spark, dir, remaining, "vec_id",
+      "embedding")
+    intercept[IllegalStateException](
+      IndexStore.loadIvfChecked(spark, dir, embs, "vec_id", "embedding"))
+    // tombstoned rows are gone from the live assignments; the merged
+    // size deltas count exactly the survivors; radii are untouched (the
+    // delete rows' -1 sentinel never wins a max)
+    assert(idx.assignments.count() === remaining.count())
+    assert(idx.sizes.values.sum === remaining.count())
+    assert(before.sizes.values.sum === embs.count())
+    assert(idx.radii === before.radii)
+    // routed exhaustive == exact over the SURVIVING corpus
+    def routed(i: Ivf.IvfIndex) =
+      Ivf.ann(i, remaining, "vec_id", "embedding", query, k = 10,
+          numCandidates = Int.MaxValue, forceRoute = true)
+        .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val exact = VectorSearch.knn(remaining, "vec_id", "embedding", query,
+        k = 10)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(routed(idx) === exact)
+    // a replayed delete wave is a no-op (marker-keyed idempotence)
+    IndexStore.deleteBatchIvf(doomed, "vec_id", "embedding", dir, 0L)
+    assert(IndexStore.loadIvf(spark, dir).sizes.values.sum
+      === remaining.count())
+    // compaction physically purges the tombstones and the folded index
+    // stays checkable and exact
+    IndexStore.compactIvf(spark, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombstones")))
+    val folded = IndexStore.loadIvfChecked(spark, dir, remaining, "vec_id",
+      "embedding")
+    assert(routed(folded) === exact)
+    // deleting a row that was never indexed drifts the summed fingerprint
+    // and the NEXT checked load refuses — the guard doing its job
+    IndexStore.deleteBatchIvf(
+      Seq((999999L, Seq.fill(before.dim)(0.25))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, 1L)
+    intercept[IllegalStateException](
+      IndexStore.loadIvfChecked(spark, dir, remaining, "vec_id", "embedding"))
+  }
+
   test("IVF staleness guard: append/mutation detected loudly; repair at batch cost keeps probes exact") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("ivfguard").toString
