@@ -95,7 +95,7 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        ivfDeletedBuilt, freshnessVerified)
+        ivfDeletedBuilt, bm25DeletedBuilt, freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -109,7 +109,7 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        ivfDeletedBuilt, freshnessVerified)
+        ivfDeletedBuilt, bm25DeletedBuilt, freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Staleness verdicts already proven this session, keyed by
@@ -161,6 +161,7 @@ object SparkEntry {
     lineitemZorderIncDisk(spark, dir)
     corpusSummariesDisk(spark, dir)
     corpusIvfDeletedDisk(spark, dir)
+    corpusBm25DeletedDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -2789,6 +2790,44 @@ object SparkEntry {
       "q_ann_ivf_deleted routed-over-tombstones")
   }
 
+  /** BM25 index with a DELETION WAVE ([[IndexStore.deleteBatchBm25]]) —
+    * document erasure from search at wave cost: the doc_id ≡ 0 (mod 9)
+    * documents leave as one tombstone wave (postings anti-joined at
+    * load, term_df and stats subtracted from the wave's own re-tokenize,
+    * fingerprint subtracted), after which the merged index IS the
+    * surviving corpus's index — same df, same avgdl — so scores match a
+    * fresh build bit-for-bit and the filtered-corpus BM25 SQL is a full
+    * oracle. Built once per (session, sfDir); the wave-time staleness
+    * check runs on first touch. */
+  private val bm25DeletedBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusBm25DeletedDisk(spark: SparkSession, dir: String)
+      : TextSearch.Bm25Index = {
+    val path = bm25DeletedBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bm25del_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val d = Tables.documents(spark, dir).select("doc_id", "text")
+      IndexStore.createBm25(d, "doc_id", "text", p)
+      IndexStore.deleteBatchBm25(
+        d.where(pmod(col("doc_id"), lit(9)) === 0), "doc_id", "text", p, 0L)
+      p
+    })
+    val remaining = Tables.documents(spark, dir).select("doc_id", "text")
+      .where(pmod(col("doc_id"), lit(9)) =!= 0)
+    checkedOncePerWave(spark, dir, "bm25-del")(
+      IndexStore.loadBm25Checked(spark, path, remaining, "doc_id", "text"))(
+      IndexStore.loadBm25(spark, path))
+  }
+
+  /** Full-text search over the post-deletion index: an erased document
+    * surfacing anywhere in the ranking — or the survivors' scores
+    * drifting from a fresh build's (df/avgdl subtraction exactness) —
+    * fails the oracle hash. */
+  private def qBm25Deleted(spark: SparkSession, dir: String): DataFrame =
+    TextSearch.search(corpusBm25DeletedDisk(spark, dir), flagshipQueryText,
+        k = 10)
+      .withColumnRenamed("id", "doc_id")
+
   /** JOIN-CARDINALITY pricing from KMV sketches
     * ([[Sketches.kmvIntersection]], Beyer et al. 2007): how many distinct
     * users two event segments share, estimated from 2×64 driver-held
@@ -3050,6 +3089,7 @@ object SparkEntry {
     "q_distinct_users_inc" -> ((s, dir) => qDistinctUsersInc(s, dir)),
     "q_join_card_kmv" -> ((s, dir) => qJoinCardKmv(s, dir)),
     "q_ann_ivf_deleted" -> ((s, dir) => qAnnIvfDeleted(s, dir)),
+    "q_bm25_deleted" -> ((s, dir) => qBm25Deleted(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
@@ -3112,6 +3152,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = ListMap(
     "q_bm25" ->
       s"""WITH $bm25DocsCtes
+         |SELECT id AS doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // post-deletion: the oracle builds BM25 over the SURVIVING corpus
+    // from scratch — df/avgdl/postings subtraction must match it exactly
+    "q_bm25_deleted" ->
+      s"""WITH ${TextSearch.oracleCtes(
+             "(SELECT * FROM documents WHERE doc_id % 9 <> 0)",
+             "doc_id", "text", flagshipQueryText)}
          |SELECT id AS doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // positional-index twin: same phrase, same corpus, same relation as

@@ -56,6 +56,11 @@ object IndexStore {
       source: Option[(org.apache.spark.sql.DataFrame, String, String)] = None)
       : Unit = {
     writeBase(index, path)
+    // a replaced index must not carry a previous run's tombstones
+    val spark0 = index.postings.sparkSession
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        spark0.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     source match {
       case Some((docs, idCol, textCol)) =>
         writeFprintDelta(docs, idCol, textCol, path, batchId = -1L,
@@ -180,14 +185,76 @@ object IndexStore {
     val totalDl = stats.map(_.getAs[Double]("total_dl")).sum
     // cast-then-isin on the partition column still partition-prunes (any
     // deterministic predicate over partition attributes does)
-    val postings = spark.read.parquet(s"$path/postings")
+    val live = spark.read.parquet(s"$path/postings")
       .where(col("batch").cast("long").isin(batches: _*)).drop("batch")
+    // committed tombstones ([[deleteBatchBm25]]) are anti-joined out —
+    // broadcast by construction (bounded by delete volume; compaction
+    // purges them physically)
+    val postings =
+      if (!hasDataFiles(spark, s"$path/tombstones")) live
+      else live.join(broadcast(
+        spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long").isin(batches: _*))
+          .select("id")), Seq("id"), "left_anti")
+    // df ≤ 0 terms drop: a term whose every document was deleted has
+    // nothing to rank (and an unknown-doc deletion would otherwise leave
+    // a negative row — the FINGERPRINT is the guard that refuses that
+    // corpus; the filter just keeps the unchecked relation sane)
     val termDf = spark.read.parquet(s"$path/term_df")
       .where(col("batch").cast("long").isin(batches: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
+      .where(col("df") > 0)
     // keep the bucket partition column: TextSearch.search prunes on it
     Bm25Index(postings, termDf, numDocs,
       if (numDocs == 0) 0.0 else totalDl / numDocs)
+  }
+
+  /** DELETE one wave of documents from a persisted BM25 index — the
+    * [[deleteBatchIvf]] discipline for the text side, work ∝ wave:
+    * tombstoned ids are anti-joined out of the postings at load,
+    * `term_df` gains the wave's own document frequencies NEGATED (the
+    * wave is re-tokenized once — exactly the per-batch work an append
+    * pays), the stats marker subtracts (num_docs, total_dl), and the
+    * fingerprint subtracts the wave's (n, Σ xxhash64(id, text)). The
+    * merged index is then EXACTLY the index of the surviving corpus —
+    * same df, same avgdl, same postings — so scores match a fresh build
+    * bit-for-bit, and [[loadBm25Checked]] accepts exactly the
+    * post-delete corpus. The wave must carry (id, text) — the
+    * subtraction only cancels against identical bytes; deleting a
+    * never-indexed document drifts the sum and the next checked load
+    * refuses. Stats commit LAST and always (even an all-unknown wave),
+    * so an erasure request can never silently no-op. */
+  def deleteBatchBm25(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/stats").contains(batchId)) return
+    deleted.select(col(idCol).as("id"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombstones")
+    val delta = TextSearch.buildIndex(deleted, idCol, textCol)
+    delta.termDf.withColumn("df", -col("df"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/term_df")
+    val (n, fp) = corpusFingerprint(
+      deleted.select(col(idCol), col(textCol)), idCol, textCol)
+    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/fprint")
+    Seq((-delta.numDocs, -totalDl(delta), batchId))
+      .toDF("num_docs", "total_dl", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/stats")
   }
 
   /** Build-and-persist in one step (the `indexes.py` CLI shape). Always
@@ -256,6 +323,12 @@ object IndexStore {
     val fprintDirs = stageFprint(spark, path, s"$path/stats", staged)
     swapStaged(spark, path, staged,
       Seq("postings", "term_df", "stats") ++ fprintDirs)
+    // tombstones are physically purged (the snapshot excluded them); a
+    // crash before this delete leaves orphans the folded markers no
+    // longer commit — no loader reads them
+    val tfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    tfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   // -------------------------------------------------------------- sign-LSH
@@ -2911,6 +2984,22 @@ object IndexStore {
     writeSummaryBatch(items, itemCol, kMg, kKmv, path, batchId,
       overwriteAll = false)
   }
+
+  /** Deletion is REFUSED for the summary family — the one family where
+    * erasure waves ([[deleteBatchIvf]]/[[deleteBatchBm25]]) are
+    * mathematically unavailable: an MG counter cannot be decremented
+    * soundly (the decrements that produced it are not recorded), and a
+    * KMV min-set cannot know the (k+1)-th hash a removal should promote.
+    * The honest path is a rebuild over the surviving stream; refusing
+    * loudly here beats silently reporting heavy hitters and distinct
+    * counts that still include erased items. */
+  def deleteBatchSummary(items: org.apache.spark.sql.DataFrame,
+      itemCol: String, path: String, batchId: Long): Unit =
+    throw new UnsupportedOperationException(
+      "mergeable sketches are not invertible: an MG counter cannot be " +
+        "decremented soundly and a KMV min-set cannot recover evicted " +
+        "hashes — rebuild the summary over the surviving stream " +
+        "(saveSummary) instead of deleting from it")
 
   /** Streaming summary upkeep — the sketch family's member of the
     * [[streamIntoBm25]] hook family. */

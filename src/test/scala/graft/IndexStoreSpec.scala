@@ -38,6 +38,55 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       s"expected bucket partition pruning in:\n$plan")
   }
 
+  test("BM25 deletion wave: merged index equals a fresh build of the survivors; guard flips") {
+    val dir = Files.createTempDirectory("bm25del").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").localCheckpoint(true)
+    IndexStore.createBm25(docs, "doc_id", "text", dir)
+    val doomed = docs.where($"doc_id" % 9 === 0)
+    val remaining = docs.where($"doc_id" % 9 =!= 0).localCheckpoint(true)
+    IndexStore.deleteBatchBm25(doomed, "doc_id", "text", dir, 0L)
+    // the negative fingerprint flips acceptance to the post-delete corpus
+    val idx = IndexStore.loadBm25Checked(spark, dir, remaining, "doc_id",
+      "text")
+    intercept[IllegalStateException](
+      IndexStore.loadBm25Checked(spark, dir, docs, "doc_id", "text"))
+    // the merged index IS the survivors' index: same stats, same df sums,
+    // same postings, therefore bit-identical scores
+    val fresh = TextSearch.buildIndex(remaining, "doc_id", "text")
+    assert(idx.numDocs === fresh.numDocs)
+    assert(idx.avgdl === fresh.avgdl)
+    assert(idx.postings.count() === fresh.postings.count())
+    assert(idx.termDf.as[(String, Long)].collect().toSet ===
+      fresh.termDf.as[(String, Long)].collect().toSet)
+    def top(i: TextSearch.Bm25Index) =
+      TextSearch.search(i, "fast table scan merge", 10)
+        .as[(Long, Double)].collect().toSeq
+    assert(top(idx) === top(fresh))
+    assert(top(idx).nonEmpty)
+    // replayed delete wave is a no-op
+    IndexStore.deleteBatchBm25(doomed, "doc_id", "text", dir, 0L)
+    assert(IndexStore.loadBm25(spark, dir).numDocs === fresh.numDocs)
+    // compaction purges the tombstones; the folded index stays checkable
+    // against the survivors and scores unchanged
+    IndexStore.compactBm25(spark, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombstones")))
+    assert(top(IndexStore.loadBm25Checked(spark, dir, remaining, "doc_id",
+      "text")) === top(fresh))
+    // an all-unknown erasure request still COMMITS (never a silent no-op):
+    // the fingerprint drifts and the next checked load refuses
+    IndexStore.deleteBatchBm25(
+      Seq((999999L, "never indexed text")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1L)
+    intercept[IllegalStateException](
+      IndexStore.loadBm25Checked(spark, dir, remaining, "doc_id", "text"))
+    // and the sketch family refuses deletion honestly (not invertible)
+    intercept[UnsupportedOperationException](
+      IndexStore.deleteBatchSummary(doomed.select($"text".as("item")),
+        "item", dir, 0L))
+  }
+
   test("streaming incremental BM25 equals a full rebuild over the final corpus") {
     val dir = Files.createTempDirectory("bm25inc").toString
     val ckpt = Files.createTempDirectory("bm25ckpt").toString
