@@ -1785,6 +1785,8 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("batch").parquet(s"$path/codes")
     val driftFs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // a replaced index must not carry a previous run's tombstones
+    driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     source match {
       case Some((embs, idCol, embCol)) =>
         writeFprintDelta(embs, idCol, embCol, path, batchId = -1L,
@@ -1897,11 +1899,59 @@ object IndexStore {
       .where(col("batch").cast("long").isin(batches: _*))
       .agg(sum(col("n"))).head().getLong(0)
     val ddl = spark.read.parquet(s"$path/meta").head()
-    Pq.PqIndex(
-      spark.read.parquet(s"$path/codes")
-        .where(col("batch").cast("long").isin(batches: _*)).drop("batch"),
+    val live = spark.read.parquet(s"$path/codes")
+      .where(col("batch").cast("long").isin(batches: _*)).drop("batch")
+    // committed tombstones ([[deleteBatchPq]]) are anti-joined out
+    val codes =
+      if (!hasDataFiles(spark, s"$path/tombstones")) live
+      else live.join(broadcast(
+        spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long").isin(batches: _*))
+          .select("id")), Seq("id"), "left_anti")
+    Pq.PqIndex(codes,
       loadPqCodebooks(spark, path),
       ddl.getAs[String]("metric"), ddl.getAs[Int]("dim"), n)
+  }
+
+  /** DELETE one wave of vectors from a persisted PQ index — the
+    * [[deleteBatchIvf]]/[[deleteBatchBm25]] discipline: tombstoned ids
+    * anti-joined out of the codes at load, a NEGATIVE count row (always
+    * written, so an all-unknown erasure still COMMITS instead of
+    * silently no-opping), and a NEGATIVE fingerprint delta — the checked
+    * loader then accepts exactly the post-delete corpus. The wave's
+    * drift receipt is NOT written: deleted rows neither improve nor
+    * degrade codebook fit going forward. */
+  def deleteBatchPq(deleted: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/counts").contains(batchId)) return
+    val rows = deleted.select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .localCheckpoint(true)
+    rows.select("id")
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombstones")
+    val (n, fp) = corpusFingerprint(rows, "id", "__emb")
+    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/fprint")
+    // the count delta subtracts only rows that were actually indexed —
+    // a committed-codes semi-join, broadcast by the wave bound
+    val indexed = spark.read.parquet(s"$path/codes")
+      .where(col("batch").cast("long")
+        .isin(committedBatches(spark, s"$path/counts"): _*))
+      .join(broadcast(rows.select("id")), "id")
+      .count()
+    Seq((-indexed, batchId)).toDF("n", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/counts")
   }
 
   /** [[loadPq]] with the STALENESS GUARD (fprint machinery): an ADC scan
@@ -1929,6 +1979,9 @@ object IndexStore {
     val fprintDirs = stageFprint(spark, path, s"$path/counts", staged)
     swapStaged(spark, path, staged,
       Seq("codes", "codebooks", "meta", "counts") ++ fprintDirs)
+    val tfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    tfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   // ----------------------------------------------------- Matryoshka prefix
@@ -1967,6 +2020,10 @@ object IndexStore {
     require(prefixDims >= 1, s"prefixDims must be ≥ 1, got $prefixDims")
     val spark = embs.sparkSession
     import spark.implicits._
+    // a replaced projection must not carry a previous run's tombstones
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     writePrefixBatch(embs, idCol, embCol, prefixDims, path, batchId = -1L,
       overwriteAll = true)
     Seq(prefixDims).toDF("prefix_dims")
@@ -2023,6 +2080,32 @@ object IndexStore {
       overwriteAll = false)
   }
 
+  /** DELETE one wave of vectors from the prefix projection — tombstones
+    * + one NEGATIVE mark (the marks table doubles as fprint AND commit
+    * marker, so the wave always commits and the checked loader flips to
+    * the post-delete corpus). The coarse ANN pass then never sees the
+    * erased vectors; compaction purges the tombstones physically. */
+  def deleteBatchPrefix(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    val rows = deleted.select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .localCheckpoint(true)
+    rows.select("id")
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombstones")
+    val (n, fp) = corpusFingerprint(rows, "id", "__emb")
+    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
   /** Streaming index upkeep for the Matryoshka prefix — the ninth
     * family's member of the [[streamIntoBm25]]/[[streamIntoIvf]] hook
     * family (until round 10 the one family a streaming ingest pipeline
@@ -2060,9 +2143,14 @@ object IndexStore {
   def loadPrefix(spark: SparkSession, path: String)
       : org.apache.spark.sql.DataFrame = {
     val batches = committedBatches(spark, s"$path/marks")
-    spark.read.parquet(s"$path/prefix")
+    val live = spark.read.parquet(s"$path/prefix")
       .where(col("batch").cast("long").isin(batches: _*))
       .select("id", "embedding")
+    if (!hasDataFiles(spark, s"$path/tombstones")) live
+    else live.join(broadcast(
+      spark.read.parquet(s"$path/tombstones")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select("id")), Seq("id"), "left_anti")
   }
 
   /** The index's recorded fingerprint: Σ of committed batches' (n, fp)
@@ -2124,6 +2212,9 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$staged/marks")
     swapStaged(spark, path, staged, Seq("prefix", "meta", "marks"))
+    val tfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    tfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   // ------------------------------------------------- field-statistics catalog

@@ -872,6 +872,62 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       IndexStore.loadIvfChecked(spark, dir, remaining, "vec_id", "embedding"))
   }
 
+  test("PQ and prefix deletion waves: erased vectors leave the probes; guards flip; compaction purges") {
+    import org.apache.spark.sql.functions._
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val doomed = embs.where($"vec_id" % 7 === 0)
+    val remaining = embs.where($"vec_id" % 7 =!= 0).localCheckpoint(true)
+    // ---- PQ
+    val pqDir = Files.createTempDirectory("pqdel").toString
+    IndexStore.savePq(Pq.build(embs, "vec_id", "embedding", m = 8,
+      ksub = 8), pqDir, source = Some((embs, "vec_id", "embedding")))
+    IndexStore.deleteBatchPq(doomed, "vec_id", "embedding", pqDir, 0L)
+    val pq = IndexStore.loadPqChecked(spark, pqDir, remaining, "vec_id",
+      "embedding")
+    intercept[IllegalStateException](
+      IndexStore.loadPqChecked(spark, pqDir, embs, "vec_id", "embedding"))
+    assert(pq.codes.count() === remaining.count())
+    assert(pq.n === remaining.count())
+    // the exhaustive-overfetch ADC path degenerates to exact over the
+    // SURVIVORS — an erased vector surfacing anywhere fails this
+    val adc = Pq.ann(pq, remaining, "vec_id", "embedding", query, k = 10,
+        overfetch = remaining.count().toInt)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val exact = VectorSearch.knn(remaining, "vec_id", "embedding", query,
+        k = 10)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(adc === exact)
+    IndexStore.compactPq(spark, pqDir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(pqDir, "tombstones")))
+    assert(IndexStore.loadPqChecked(spark, pqDir, remaining, "vec_id",
+      "embedding").n === remaining.count())
+    // an all-unknown erasure still commits: the next checked load refuses
+    IndexStore.deleteBatchPq(
+      Seq((999999L, Seq.fill(pq.dim)(0.25))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", pqDir, 1L)
+    intercept[IllegalStateException](
+      IndexStore.loadPqChecked(spark, pqDir, remaining, "vec_id",
+        "embedding"))
+    // ---- prefix
+    val pfDir = Files.createTempDirectory("prefixdel").toString
+    IndexStore.savePrefix(embs, "vec_id", "embedding", prefixDims = 32,
+      pfDir)
+    IndexStore.deleteBatchPrefix(doomed, "vec_id", "embedding", pfDir, 0L)
+    val rel = IndexStore.loadPrefixChecked(spark, pfDir, remaining,
+      "vec_id", "embedding")
+    assert(rel.count() === remaining.count())
+    intercept[IllegalStateException](
+      IndexStore.loadPrefixChecked(spark, pfDir, embs, "vec_id",
+        "embedding"))
+    IndexStore.compactPrefix(spark, pfDir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(pfDir, "tombstones")))
+    assert(IndexStore.loadPrefixChecked(spark, pfDir, remaining, "vec_id",
+      "embedding").count() === remaining.count())
+  }
+
   test("IVF staleness guard: append/mutation detected loudly; repair at batch cost keeps probes exact") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("ivfguard").toString
