@@ -402,6 +402,25 @@ object IndexStore {
       .parquet(s"$path/commits")
   }
 
+  /** DELETE one wave of vectors from the sketch table — tombstone
+    * anti-joins + the negative fingerprint ([[deleteBatchIvf]]
+    * discipline): erased vectors stop pairing in every dedup screen, and
+    * the checked loader flips to the post-delete corpus. */
+  def deleteBatchSignLsh(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/commits").contains(batchId)) return
+    writeDeleteWave(deleted.select(col(idCol).as("id"),
+      col(embCol).as("__content")), path, batchId, withTombstones = true)
+    Seq((1, batchId)).toDF("ok", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/commits")
+  }
+
   /** Streaming index upkeep for the near-dup sketch table — the sign-LSH
     * twin of [[streamIntoBm25]]: incoming vectors keep the persisted index
     * current via `foreachBatch`; each completed batch is immediately
@@ -422,8 +441,9 @@ object IndexStore {
     * shape (id, sk, band, bkey) with band partition pruning available. */
   def loadSignLsh(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     val batches = committedBatches(spark, s"$path/commits")
-    spark.read.parquet(s"$path/sketches")
-      .where(col("batch").cast("long").isin(batches: _*)).drop("batch")
+    minusTombstones(spark, path, batches,
+      spark.read.parquet(s"$path/sketches")
+        .where(col("batch").cast("long").isin(batches: _*)).drop("batch"))
   }
 
   /** [[loadSignLsh]] with the STALENESS GUARD (fprint machinery): a
@@ -448,6 +468,9 @@ object IndexStore {
     saveSignLsh(loadSignLsh(spark, path), staged)
     val fprintDirs = stageFprint(spark, path, s"$path/commits", staged)
     swapStaged(spark, path, staged, Seq("sketches", "commits") ++ fprintDirs)
+    val tfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    tfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   // ----------------------------------------------------- containment prefix
@@ -572,13 +595,39 @@ object IndexStore {
     * pruning available on postings and prefixes. */
   def loadContainment(spark: SparkSession, path: String): ContainmentIndex = {
     val batches = committedBatches(spark, s"$path/sizes")
-    def committed(dir: String) = spark.read.parquet(s"$path/$dir")
-      .where(col("batch").cast("long").isin(batches: _*))
+    def committed(dir: String) = minusTombstones(spark, path, batches,
+      spark.read.parquet(s"$path/$dir")
+        .where(col("batch").cast("long").isin(batches: _*)))
     ContainmentIndex(
       postings = committed("postings").select("id", "h", "bucket"),
       prefixes = committed("prefixes").select("id", "h", "bucket"),
       sizes = committed("sizes").select("id", "sz"),
       threshold = containmentThreshold(spark, path))
+  }
+
+  /** DELETE one wave of documents from the containment screen —
+    * tombstones anti-join all three id-keyed relations (postings,
+    * prefixes, sizes), so erased documents stop pairing in both screen
+    * directions; recall for the SURVIVORS is untouched (any prefix
+    * subset of the bound's length keeps recall 1 — removing whole
+    * documents removes pairs, never prefix coverage of remaining ones).
+    * The wave's own (id, sz=0) sizes rows carry the commit marker and
+    * are themselves tombstoned, so the wave always commits without
+    * adding live rows. */
+  def deleteBatchContainment(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/sizes").contains(batchId)) return
+    writeDeleteWave(deleted.select(col(idCol).as("id"),
+      col(textCol).as("__content")), path, batchId, withTombstones = true)
+    deleted.select(col(idCol).as("id"), lit(0L).as("sz"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/sizes")
   }
 
   /** Fold every committed batch back into a single base partition — same
@@ -608,6 +657,9 @@ object IndexStore {
     val fprintDirs = stageFprint(spark, path, s"$path/sizes", staged)
     swapStaged(spark, path, staged,
       Seq("postings", "prefixes", "meta", "sizes") ++ fprintDirs)
+    val tfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    tfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   // ----------------------------------------------------------- gram hashes
@@ -716,6 +768,35 @@ object IndexStore {
         .where(col("batch").cast("long").isin(batches: _*))
         .select("h", "bucket"),
       k = gramWidth(spark, path))
+  }
+
+  /** DELETE one wave of documents from the gram MEMBERSHIP index — the
+    * fingerprint-only deletion: the index stores distinct hashes with NO
+    * id linkage (positions and ids are deliberately not persisted), so a
+    * deleted document's grams cannot be removed — another document may
+    * share them. That is SOUND by the family's veto-only contract: a
+    * leftover gram can only fail to veto, which costs the caller a scan
+    * whose exact verify then finds nothing — an over-approximate
+    * membership set never produces a wrong answer, it only weakens
+    * pruning. So the delete wave subtracts the fingerprint (keeping the
+    * checked loader honest about WHICH corpus the index covers) and
+    * commits a zero mark; pruning power is reclaimed by a periodic
+    * rebuild (saveGrams), the family's documented maintenance action.
+    * Contrast [[deleteBatchSummary]], where deletion is REFUSED because
+    * a stale sketch produces WRONG numbers, not just weaker pruning. */
+  def deleteBatchGrams(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    writeDeleteWave(deleted.select(col(idCol).as("id"),
+      col(textCol).as("__content")), path, batchId, withTombstones = false)
+    Seq((0L, batchId)).toDF("n", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/marks")
   }
 
   /** Fold every committed batch back into one base partition, re-running
@@ -841,10 +922,31 @@ object IndexStore {
   def loadPhrase(spark: SparkSession, path: String): PhraseIndex = {
     val batches = committedBatches(spark, s"$path/marks")
     PhraseIndex(
-      postings = spark.read.parquet(s"$path/postings")
-        .where(col("batch").cast("long").isin(batches: _*))
+      postings = minusTombstones(spark, path, batches,
+        spark.read.parquet(s"$path/postings")
+          .where(col("batch").cast("long").isin(batches: _*)))
         .select("id", "pos", "h", "bucket"),
       k = phraseWidth(spark, path))
+  }
+
+  /** DELETE one wave of documents from the positional phrase index —
+    * tombstone anti-joins ([[deleteBatchIvf]] discipline): erased
+    * documents stop matching phrase lookups, the checked loader flips
+    * to the post-delete corpus, and the marks row (0 postings written)
+    * commits the wave unconditionally. */
+  def deleteBatchPhrase(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    writeDeleteWave(deleted.select(col(idCol).as("id"),
+      col(textCol).as("__content")), path, batchId, withTombstones = true)
+    Seq((0L, batchId)).toDF("n", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/marks")
   }
 
   /** Fold every committed batch back into one base partition — same
@@ -870,6 +972,9 @@ object IndexStore {
     val fprintDirs = stageFprint(spark, path, s"$path/marks", staged)
     swapStaged(spark, path, staged,
       Seq("postings", "meta", "marks") ++ fprintDirs)
+    val tfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    tfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   // ---------------------------------------------------------------- windows
@@ -1046,8 +1151,9 @@ object IndexStore {
     val batches = committedBatches(spark, s"$path/marks")
     val windows =
       if (hasDataFiles(spark, s"$path/windows"))
-        spark.read.parquet(s"$path/windows")
-          .where(col("batch").cast("long").isin(batches: _*))
+        minusTombstones(spark, path, batches,
+          spark.read.parquet(s"$path/windows")
+            .where(col("batch").cast("long").isin(batches: _*)))
           .select("id", "w", "dim", "val", "bucket")
       else {
         // empty-corpus base: no data files exist, but meta recorded the
@@ -1080,6 +1186,24 @@ object IndexStore {
     loadWindows(spark, path)
   }
 
+  /** DELETE one wave of documents from the window index — tombstone
+    * anti-joins; the late-interaction rerank then never scores erased
+    * documents, and the marks row commits the wave unconditionally. */
+  def deleteBatchWindows(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    writeDeleteWave(deleted.select(col(idCol).as("id"),
+      col(textCol).as("__content")), path, batchId, withTombstones = true)
+    Seq((0L, batchId)).toDF("n", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/marks")
+  }
+
   def compactWindows(spark: SparkSession, path: String): Unit = {
     val snapshot = loadWindows(spark, path)
     val staged = s"$path/.compact"
@@ -1088,6 +1212,9 @@ object IndexStore {
     val fprintDirs = stageFprint(spark, path, s"$path/marks", staged)
     swapStaged(spark, path, staged,
       Seq("windows", "meta", "marks") ++ fprintDirs)
+    val tfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    tfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   // ------------------------------------------------------------------- IVF
@@ -1244,6 +1371,41 @@ object IndexStore {
     (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
       .partitionBy("batch").parquet(s"$path/fprint")
   }
+
+  /** Shared delete-wave bookkeeping: tombstone ids (optional — the grams
+    * family deletes by fingerprint alone) + the NEGATIVE fingerprint
+    * delta. `rows` must be (id, __content) — the bytes hashed here must
+    * equal the bytes hashed at index time for the subtraction to
+    * cancel. The caller writes its own commit marker LAST. */
+  private def writeDeleteWave(rows: org.apache.spark.sql.DataFrame,
+      path: String, batchId: Long, withTombstones: Boolean): Unit = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    if (withTombstones)
+      rows.select("id")
+        .withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(s"$path/tombstones")
+    val (n, fp) = corpusFingerprint(rows, "id", "__content")
+    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/fprint")
+  }
+
+  /** Anti-join a loaded relation against the committed tombstones —
+    * broadcast by construction (bounded by delete volume; compactions
+    * purge them physically). */
+  private def minusTombstones(spark: SparkSession, path: String,
+      batches: Seq[Long], rel: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (!hasDataFiles(spark, s"$path/tombstones")) rel
+    else rel.join(broadcast(
+      spark.read.parquet(s"$path/tombstones")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select("id")), Seq("id"), "left_anti")
 
   /** Assign one micro-batch of NEW vectors (R17 skip-existing contract) to
     * their nearest trained centroid and append them to a persisted IVF
@@ -2419,6 +2581,41 @@ object IndexStore {
     spark.read.parquet(s"$path/stats")
       .where(col("batch").cast("long").isin(batches: _*))
       .groupBy("field", "value").agg(sum("cnt").as("cnt"))
+      // a fully-deleted value nets to zero and drops — the merged catalog
+      // is then row-identical to a fresh ANALYZE of the surviving corpus
+      // (deleteBatchStats); all-positive catalogs are unaffected
+      .where(col("cnt") > 0)
+  }
+
+  /** DELETE one wave of rows from the stats catalog — the
+    * [[deleteBatchBm25]] shape: the wave's own per-field value counts
+    * (and histogram bucket counts) are re-derived once and NEGATED, the
+    * fingerprint subtracts, and the commit marker lands last and always.
+    * The merged catalog is then exactly the surviving corpus's catalog,
+    * so plan-time selectivities and quantile brackets price the
+    * survivors, not ghosts. */
+  def deleteBatchStats(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, contentCol: String, path: String,
+      batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/commits").contains(batchId)) return
+    val negated = statsDelta(deleted, statsFields(spark, path),
+        loadHistSpecs(spark, path))
+      .withColumn("cnt", -col("cnt"))
+    writeStatsBatch(negated, path, batchId, overwriteAll = false)
+    val (n, fp) = corpusFingerprint(
+      deleted.select(col(idCol), col(contentCol)), idCol, contentCol)
+    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/fprint")
+    Seq((1, batchId)).toDF("ok", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/commits")
   }
 
   /** [[loadStats]] with the STALENESS GUARD (fprint machinery): stats of

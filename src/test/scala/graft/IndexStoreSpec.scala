@@ -928,6 +928,92 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       "embedding").count() === remaining.count())
   }
 
+  test("deletion waves across the remaining families: id-keyed tombstones, fingerprint-only grams, exact stats subtraction") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint(true)
+    val doomedDocs = docs.where($"doc_id" % 9 === 0)
+    val remainingDocs = docs.where($"doc_id" % 9 =!= 0).localCheckpoint(true)
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val doomedEmbs = embs.where($"vec_id" % 7 === 0)
+    val remainingEmbs = embs.where($"vec_id" % 7 =!= 0).localCheckpoint(true)
+    // ---- sign-LSH: erased vectors leave the sketch relation
+    val slDir = Files.createTempDirectory("sldel").toString
+    IndexStore.saveSignLsh(
+      graft.dedup.Dedup.signLshSketches(embs, "vec_id", "embedding", 64),
+      slDir, source = Some((embs, "vec_id", "embedding")))
+    IndexStore.deleteBatchSignLsh(doomedEmbs, "vec_id", "embedding",
+      slDir, 0L)
+    val sl = IndexStore.loadSignLshChecked(spark, slDir, remainingEmbs,
+      "vec_id", "embedding")
+    assert(sl.select("id").distinct().count() === remainingEmbs.count())
+    intercept[IllegalStateException](IndexStore.loadSignLshChecked(spark,
+      slDir, embs, "vec_id", "embedding"))
+    IndexStore.compactSignLsh(spark, slDir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(slDir, "tombstones")))
+    assert(IndexStore.loadSignLshChecked(spark, slDir, remainingEmbs,
+      "vec_id", "embedding").select("id").distinct().count()
+      === remainingEmbs.count())
+    // ---- phrase: erased docs stop matching lookups
+    val phDir = Files.createTempDirectory("phdel").toString
+    IndexStore.savePhrase(docs, "doc_id", "text", 8, phDir)
+    IndexStore.deleteBatchPhrase(doomedDocs, "doc_id", "text", phDir, 0L)
+    val ph = IndexStore.loadPhraseChecked(spark, phDir, remainingDocs,
+      "doc_id", "text")
+    assert(ph.postings.select("id").distinct().count()
+      === remainingDocs.count())
+    intercept[IllegalStateException](IndexStore.loadPhraseChecked(spark,
+      phDir, docs, "doc_id", "text"))
+    // ---- windows: the rerank never scores erased docs
+    val wDir = Files.createTempDirectory("wdel").toString
+    IndexStore.saveWindows(docs, "doc_id", "text", 8, wDir)
+    IndexStore.deleteBatchWindows(doomedDocs, "doc_id", "text", wDir, 0L)
+    assert(IndexStore.loadWindowsChecked(spark, wDir, remainingDocs,
+      "doc_id", "text").windows.select("id").distinct().count()
+      === remainingDocs.count())
+    // ---- containment: both screen directions lose the erased docs
+    val cDir = Files.createTempDirectory("cdel").toString
+    IndexStore.saveContainment(docs, "doc_id", "text", 0.5, cDir)
+    IndexStore.deleteBatchContainment(doomedDocs, "doc_id", "text", cDir, 0L)
+    val ci = IndexStore.loadContainmentChecked(spark, cDir, remainingDocs,
+      "doc_id", "text")
+    assert(ci.sizes.count() === remainingDocs.count())
+    assert(ci.postings.select("id").distinct().count()
+      === remainingDocs.count())
+    intercept[IllegalStateException](IndexStore.loadContainmentChecked(
+      spark, cDir, docs, "doc_id", "text"))
+    // ---- grams: fingerprint-only (membership is veto-only, so leftover
+    // hashes cost a scan, never a wrong answer); checked loader flips
+    val gDir = Files.createTempDirectory("gdel").toString
+    IndexStore.saveGrams(docs, "doc_id", "text", 8, gDir)
+    val hashesBefore = IndexStore.loadGrams(spark, gDir).hashes.count()
+    IndexStore.deleteBatchGrams(doomedDocs, "doc_id", "text", gDir, 0L)
+    assert(IndexStore.loadGramsChecked(spark, gDir, remainingDocs,
+      "doc_id", "text").hashes.count() === hashesBefore)
+    intercept[IllegalStateException](IndexStore.loadGramsChecked(spark,
+      gDir, docs, "doc_id", "text"))
+    // ---- stats: the merged catalog equals a fresh ANALYZE of survivors
+    val sDir = Files.createTempDirectory("statsdel").toString
+    IndexStore.saveStats(docs, "doc_id", "text", Seq("lang", "source"),
+      sDir, hists = Map("n_chars" -> IndexStore.HistSpec(0L, 640L, 16)))
+    IndexStore.deleteBatchStats(doomedDocs, "doc_id", "text", sDir, 0L)
+    val merged = IndexStore.loadStatsChecked(spark, sDir, remainingDocs,
+        "doc_id", "text")
+      .as[(String, String, Long)].collect().toSet
+    intercept[IllegalStateException](IndexStore.loadStatsChecked(spark,
+      sDir, docs, "doc_id", "text"))
+    val freshDir = Files.createTempDirectory("statsfresh").toString
+    IndexStore.saveStats(remainingDocs, "doc_id", "text",
+      Seq("lang", "source"), freshDir,
+      hists = Map("n_chars" -> IndexStore.HistSpec(0L, 640L, 16)))
+    val fresh = IndexStore.loadStats(spark, freshDir)
+      .as[(String, String, Long)].collect().toSet
+    assert(merged === fresh)
+  }
+
   test("IVF staleness guard: append/mutation detected loudly; repair at batch cost keeps probes exact") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("ivfguard").toString
