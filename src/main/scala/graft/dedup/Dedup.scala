@@ -964,6 +964,13 @@ object Dedup {
     * ‖μ̂ᵢ−μ̂ⱼ‖ − rᵢ − rⱼ ≤ d(t) where d(t) = √(2−2t) is the unit-sphere
     * chord length at cosine t and the radii are the index's
     * normalized-space ball cover ([[graft.index.Ivf.clusterRadii]]).
+    * The bound is evaluated at t − 5e-7, not t: the verify filter
+    * ([[cosinePairsBallCover]], matching the brute oracle) accepts
+    * round(sim, 6) ≥ t, so a pair whose TRUE cosine sits in
+    * [t − 5e-7, t) still passes verify — the geometric screen must
+    * cover everything the rounded filter can accept, or a qualifying
+    * pair at the rounding boundary could be pruned and the recall-1
+    * contract silently broken.
     * Degenerate geometry (zero-norm centroid, unknown radius → the
     * [[graft.index.Ivf.TrivialRadius]] never-prune bound) keeps the
     * pair. Returns (surviving unordered pairs over non-empty clusters,
@@ -975,7 +982,9 @@ object Dedup {
       threshold: Double): (Seq[(Int, Int)], Long) = {
     require(threshold > -1 && threshold <= 1,
       s"cosine threshold in (-1, 1], got $threshold")
-    val d = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    // widened to the verify filter's rounding granularity (scaladoc):
+    // the screen must cover every cosine that can round UP to threshold
+    val d = math.sqrt(math.max(0.0, 2.0 - 2.0 * (threshold - 5e-7)))
     val normCents: Map[Int, Array[Double]] = index.centroids.map {
       case (cid, c) =>
         val n = math.sqrt(c.map(x => x * x).sum)

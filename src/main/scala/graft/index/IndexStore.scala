@@ -223,33 +223,40 @@ object IndexStore {
     * subtraction only cancels against identical bytes; deleting a
     * never-indexed document drifts the sum and the next checked load
     * refuses. Stats commit LAST and always (even an all-unknown wave),
-    * so an erasure request can never silently no-op. */
+    * so an erasure request can never silently no-op: the wave commits
+    * under [[deleteMarkerId]] (its own namespace, never swallowed by an
+    * append's idempotency guard), and already-erased ids are anti-joined
+    * out first ([[minusPriorErased]]) so a repeated request never
+    * double-subtracts df/stats/fingerprint. */
   def deleteBatchBm25(deleted: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, path: String, batchId: Long): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/stats").contains(batchId)) return
-    deleted.select(col(idCol).as("id"))
-      .withColumn("batch", lit(batchId))
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/stats").contains(mid)) return
+    val rows = minusPriorErased(spark, path, s"$path/stats",
+        deleted.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .localCheckpoint(true)
+    rows.select(col("id"))
+      .withColumn("batch", lit(mid))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
       .parquet(s"$path/tombstones")
-    val delta = TextSearch.buildIndex(deleted, idCol, textCol)
+    val delta = TextSearch.buildIndex(rows, "id", "__text")
     delta.termDf.withColumn("df", -col("df"))
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", lit(mid))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
       .parquet(s"$path/term_df")
-    val (n, fp) = corpusFingerprint(
-      deleted.select(col(idCol), col(textCol)), idCol, textCol)
-    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+    val (n, fp) = corpusFingerprint(rows, "id", "__text")
+    Seq((-n, fp.negate().toString, mid)).toDF("n", "fp", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$path/fprint")
-    Seq((-delta.numDocs, -totalDl(delta), batchId))
+    Seq((-delta.numDocs, -totalDl(delta), mid))
       .toDF("num_docs", "total_dl", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -411,10 +418,12 @@ object IndexStore {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/commits").contains(batchId)) return
-    writeDeleteWave(deleted.select(col(idCol).as("id"),
-      col(embCol).as("__content")), path, batchId, withTombstones = true)
-    Seq((1, batchId)).toDF("ok", "batch")
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/commits").contains(mid)) return
+    writeDeleteWave(minusPriorErased(spark, path, s"$path/commits",
+      deleted.select(col(idCol).as("id"), col(embCol).as("__content"))),
+      path, mid, withTombstones = true)
+    Seq((1, mid)).toDF("ok", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
@@ -601,7 +610,10 @@ object IndexStore {
     ContainmentIndex(
       postings = committed("postings").select("id", "h", "bucket"),
       prefixes = committed("prefixes").select("id", "h", "bucket"),
-      sizes = committed("sizes").select("id", "sz"),
+      // null ids are delete-wave commit sentinels ([[deleteBatchContainment]]),
+      // not documents — the live relation is exactly the survivors
+      sizes = committed("sizes").select("id", "sz")
+        .where(col("id").isNotNull),
       threshold = containmentThreshold(spark, path))
   }
 
@@ -612,18 +624,27 @@ object IndexStore {
     * subset of the bound's length keeps recall 1 — removing whole
     * documents removes pairs, never prefix coverage of remaining ones).
     * The wave's own (id, sz=0) sizes rows carry the commit marker and
-    * are themselves tombstoned, so the wave always commits without
-    * adding live rows. */
+    * are themselves tombstoned, so the wave commits without adding live
+    * rows; a null-id sentinel row is always unioned in so even a wave
+    * whose every id was ALREADY erased ([[minusPriorErased]] empties it)
+    * still commits — a null id never equi-joins, so the sentinel can
+    * never pair. Commits under [[deleteMarkerId]] (own namespace). */
   def deleteBatchContainment(deleted: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, path: String, batchId: Long): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/sizes").contains(batchId)) return
-    writeDeleteWave(deleted.select(col(idCol).as("id"),
-      col(textCol).as("__content")), path, batchId, withTombstones = true)
-    deleted.select(col(idCol).as("id"), lit(0L).as("sz"))
-      .withColumn("batch", lit(batchId))
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/sizes").contains(mid)) return
+    val rows = minusPriorErased(spark, path, s"$path/sizes",
+        deleted.select(col(idCol).as("id"), col(textCol).as("__content")))
+      .localCheckpoint(true)
+    writeDeleteWave(rows, path, mid, withTombstones = true)
+    val idType = rows.schema("id").dataType
+    rows.select(col("id"), lit(0L).as("sz"))
+      .unionByName(spark.range(1)
+        .select(lit(null).cast(idType).as("id"), lit(0L).as("sz")))
+      .withColumn("batch", lit(mid))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
@@ -789,10 +810,17 @@ object IndexStore {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/marks").contains(mid)) return
+    // no tombstones, so no [[minusPriorErased]] dedupe is possible here:
+    // membership has no id linkage. Submitting the SAME wave id twice is
+    // idempotent (the marker guard above); submitting an id under TWO
+    // DIFFERENT wave ids double-subtracts the fingerprint and the next
+    // checked load refuses until rebuild — the family's documented
+    // fingerprint-only deletion boundary, stated rather than hidden.
     writeDeleteWave(deleted.select(col(idCol).as("id"),
-      col(textCol).as("__content")), path, batchId, withTombstones = false)
-    Seq((0L, batchId)).toDF("n", "batch")
+      col(textCol).as("__content")), path, mid, withTombstones = false)
+    Seq((0L, mid)).toDF("n", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
@@ -939,10 +967,12 @@ object IndexStore {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
-    writeDeleteWave(deleted.select(col(idCol).as("id"),
-      col(textCol).as("__content")), path, batchId, withTombstones = true)
-    Seq((0L, batchId)).toDF("n", "batch")
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/marks").contains(mid)) return
+    writeDeleteWave(minusPriorErased(spark, path, s"$path/marks",
+      deleted.select(col(idCol).as("id"), col(textCol).as("__content"))),
+      path, mid, withTombstones = true)
+    Seq((0L, mid)).toDF("n", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
@@ -1194,10 +1224,12 @@ object IndexStore {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
-    writeDeleteWave(deleted.select(col(idCol).as("id"),
-      col(textCol).as("__content")), path, batchId, withTombstones = true)
-    Seq((0L, batchId)).toDF("n", "batch")
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/marks").contains(mid)) return
+    writeDeleteWave(minusPriorErased(spark, path, s"$path/marks",
+      deleted.select(col(idCol).as("id"), col(textCol).as("__content"))),
+      path, mid, withTombstones = true)
+    Seq((0L, mid)).toDF("n", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
@@ -1372,11 +1404,38 @@ object IndexStore {
       .partitionBy("batch").parquet(s"$path/fprint")
   }
 
+  /** Delete waves get their OWN commit-marker id namespace: the caller's
+    * non-negative wave id N maps to marker id −(N+2), disjoint from both
+    * append/stream ids (foreachBatch ids are 0, 1, 2, …) and the
+    * compaction base (−1). Without this, a delete requested with a wave
+    * id a streaming append had already committed would hit the
+    * idempotency guard and SILENTLY NO-OP — the one failure an erasure
+    * pipeline must never have. With it, delete idempotency is judged
+    * only against prior DELETE waves, and the negative partition values
+    * flow through [[committedBatches]]/`isin` filtering unchanged (the
+    * delete wave's tombstone/fprint/size partitions carry the mapped id,
+    * so loaders pick them up exactly like any committed batch). */
+  private def deleteMarkerId(batchId: Long): Long = -(batchId + 2L)
+
+  /** The sub-wave of `rows` NOT already erased: anti-join the wave's ids
+    * against the committed tombstones under `path`. Repeated erasure
+    * requests for the same id are a GDPR-pipeline normal case (two
+    * requests naming one user), and double-counting them would
+    * double-decrement sizes/counts/df AND double-subtract the
+    * fingerprint — permanently poisoning the checked loader until a
+    * rebuild. Only genuinely-new ids may contribute deltas; the wave
+    * still commits (possibly empty) so the request never no-ops. */
+  private def minusPriorErased(spark: SparkSession, path: String,
+      markerDir: String, rows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    minusTombstones(spark, path, committedBatches(spark, markerDir), rows)
+
   /** Shared delete-wave bookkeeping: tombstone ids (optional — the grams
     * family deletes by fingerprint alone) + the NEGATIVE fingerprint
     * delta. `rows` must be (id, __content) — the bytes hashed here must
     * equal the bytes hashed at index time for the subtraction to
-    * cancel. The caller writes its own commit marker LAST. */
+    * cancel. `batchId` is the MAPPED [[deleteMarkerId]]. The caller
+    * writes its own commit marker LAST. */
   private def writeDeleteWave(rows: org.apache.spark.sql.DataFrame,
       path: String, batchId: Long, withTombstones: Boolean): Unit = {
     val spark = rows.sparkSession
@@ -1504,24 +1563,32 @@ object IndexStore {
     * makes the summed fingerprint drift, and the NEXT checked load
     * refuses — the guard doing its job, not a gap. Radii are left
     * untouched: a ball that is too wide is sound (less pruning, never a
-    * wrong result), and max() cannot be decremented incrementally. */
+    * wrong result), and max() cannot be decremented incrementally.
+    *
+    * The wave commits under [[deleteMarkerId]] (its own namespace — a
+    * delete can never be swallowed by an append's idempotency guard),
+    * and ids already erased by a PRIOR delete wave are anti-joined out
+    * before any delta is computed ([[minusPriorErased]]) — repeated
+    * erasure requests are idempotent, never a double decrement. */
   def deleteBatchIvf(deleted: org.apache.spark.sql.DataFrame, idCol: String,
       embCol: String, path: String, batchId: Long): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/sizes").contains(batchId)) return
-    val rows = deleted.select(col(idCol).as("id"), col(embCol).as("__emb"))
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/sizes").contains(mid)) return
+    val rows = minusPriorErased(spark, path, s"$path/sizes",
+        deleted.select(col(idCol).as("id"), col(embCol).as("__emb")))
       .localCheckpoint(true)
     rows.select(col("id"))
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", lit(mid))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
       .parquet(s"$path/tombstones")
     // negative fingerprint delta (same hash bytes as the index-time side)
     val (n, fp) = corpusFingerprint(rows, "id", "__emb")
-    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+    Seq((-n, fp.negate().toString, mid)).toDF("n", "fp", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$path/fprint")
@@ -1548,8 +1615,8 @@ object IndexStore {
     // next checked load refuses loudly (the guard, not a gap). The
     // loader drops non-positive clusters, so the sentinel never reaches
     // probe arithmetic.
-    (assigned.toSeq.map { case (cid, cnt) => (cid, -cnt, -1.0, batchId) }
-        :+ ((-1, 0L, -1.0, batchId)))
+    (assigned.toSeq.map { case (cid, cnt) => (cid, -cnt, -1.0, mid) }
+        :+ ((-1, 0L, -1.0, mid)))
       .toDF("cluster", "size", "radius", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
@@ -2088,17 +2155,19 @@ object IndexStore {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/counts").contains(batchId)) return
-    val rows = deleted.select(col(idCol).as("id"), col(embCol).as("__emb"))
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/counts").contains(mid)) return
+    val rows = minusPriorErased(spark, path, s"$path/counts",
+        deleted.select(col(idCol).as("id"), col(embCol).as("__emb")))
       .localCheckpoint(true)
     rows.select("id")
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", lit(mid))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
       .parquet(s"$path/tombstones")
     val (n, fp) = corpusFingerprint(rows, "id", "__emb")
-    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+    Seq((-n, fp.negate().toString, mid)).toDF("n", "fp", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$path/fprint")
@@ -2109,7 +2178,7 @@ object IndexStore {
         .isin(committedBatches(spark, s"$path/counts"): _*))
       .join(broadcast(rows.select("id")), "id")
       .count()
-    Seq((-indexed, batchId)).toDF("n", "batch")
+    Seq((-indexed, mid)).toDF("n", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
@@ -2252,17 +2321,19 @@ object IndexStore {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
-    val rows = deleted.select(col(idCol).as("id"), col(embCol).as("__emb"))
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/marks").contains(mid)) return
+    val rows = minusPriorErased(spark, path, s"$path/marks",
+        deleted.select(col(idCol).as("id"), col(embCol).as("__emb")))
       .localCheckpoint(true)
     rows.select("id")
-      .withColumn("batch", lit(batchId))
+      .withColumn("batch", lit(mid))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
       .parquet(s"$path/tombstones")
     val (n, fp) = corpusFingerprint(rows, "id", "__emb")
-    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+    Seq((-n, fp.negate().toString, mid)).toDF("n", "fp", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$path/marks")
@@ -2518,6 +2589,10 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/histmeta")
     writeFprintDelta(corpus.select(col(idCol), col(contentCol)), idCol,
       contentCol, path, batchId = -1L, overwriteAll = true)
+    // a replaced catalog must not carry a previous run's erasure ledger
+    org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     Seq((1, -1L)).toDF("ok", "batch")
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$path/commits")
@@ -2593,25 +2668,52 @@ object IndexStore {
     * fingerprint subtracts, and the commit marker lands last and always.
     * The merged catalog is then exactly the surviving corpus's catalog,
     * so plan-time selectivities and quantile brackets price the
-    * survivors, not ghosts. */
+    * survivors, not ghosts. Commits under [[deleteMarkerId]] (own
+    * namespace — never swallowed by an append's idempotency guard), and
+    * keeps an id TOMBSTONE LEDGER purely to make repeated erasure
+    * requests idempotent: loaders never read it (counts subtract, they
+    * don't anti-join), but without it a re-submitted id would
+    * double-subtract its value counts AND the fingerprint, poisoning
+    * the checked loader until rebuild. */
   def deleteBatchStats(deleted: org.apache.spark.sql.DataFrame,
       idCol: String, contentCol: String, path: String,
       batchId: Long): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/commits").contains(batchId)) return
-    val negated = statsDelta(deleted, statsFields(spark, path),
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/commits").contains(mid)) return
+    // anti-join on the caller's id column (statsDelta needs the wave's
+    // ORIGINAL field columns, so the shared (id, __content) rename of
+    // minusPriorErased doesn't fit here)
+    val rows0 =
+      if (!hasDataFiles(spark, s"$path/tombstones")) deleted
+      else {
+        val ts = spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long")
+            .isin(committedBatches(spark, s"$path/commits"): _*))
+          .select(col("id").as("__erased_id"))
+        deleted.join(broadcast(ts),
+          deleted(idCol) === col("__erased_id"), "left_anti")
+      }
+    val rows = rows0.localCheckpoint(true)
+    rows.select(col(idCol).as("id"))
+      .withColumn("batch", lit(mid))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombstones")
+    val negated = statsDelta(rows, statsFields(spark, path),
         loadHistSpecs(spark, path))
       .withColumn("cnt", -col("cnt"))
-    writeStatsBatch(negated, path, batchId, overwriteAll = false)
+    writeStatsBatch(negated, path, mid, overwriteAll = false)
     val (n, fp) = corpusFingerprint(
-      deleted.select(col(idCol), col(contentCol)), idCol, contentCol)
-    Seq((-n, fp.negate().toString, batchId)).toDF("n", "fp", "batch")
+      rows.select(col(idCol), col(contentCol)), idCol, contentCol)
+    Seq((-n, fp.negate().toString, mid)).toDF("n", "fp", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$path/fprint")
-    Seq((1, batchId)).toDF("ok", "batch")
+    Seq((1, mid)).toDF("ok", "batch")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
@@ -2656,6 +2758,14 @@ object IndexStore {
       .parquet(s"$staged/commits")
     swapStaged(spark, path, staged,
       Seq("stats", "fields", "commits") ++ histDirs ++ fprintDirs)
+    // the erasure-dedupe ledger is purged with the fold, like every
+    // family's tombstones: the counts are physically merged, so the
+    // idempotency window is between compactions (a post-fold re-delete
+    // of a long-gone id drifts the fingerprint and the checked loader
+    // refuses — the guard, not a gap)
+    org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** Total rows the catalog covers for `field` (Σ cnt over its values —
@@ -2740,7 +2850,15 @@ object IndexStore {
     * true quantile — an independent engine can find the true value and
     * check the bucket, which is exactly what the gate does. A quantile
     * landing in the underflow/overflow bucket has no finite bracket and
-    * is refused loudly (widen the histogram DDL). */
+    * is refused loudly (widen the histogram DDL).
+    *
+    * `total` must be the NON-NULL row count (= Σ bucketCounts): NULL
+    * rows never appear in any bucket, so ranking over a NULL-inclusive
+    * total would shift every high-p quantile upward — or overshoot the
+    * bucket sum entirely and blame the catalog. A quantile is a
+    * statement about the values that exist; NULLs are not values.
+    * ([[histSelectivityFromCounts]] differs deliberately: a selectivity
+    * is a fraction of ROWS, so there NULLs count in the denominator.) */
   def histQuantileFromCounts(bucketCounts: Map[Long, Long], total: Long,
       h: HistSpec, p: Double): (Long, Long) = {
     require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
@@ -2761,10 +2879,14 @@ object IndexStore {
       }
     }
     throw new IllegalStateException(
-      s"histogram counts sum below rank $rank — stale or corrupt catalog")
+      s"histogram counts sum below rank $rank — either the catalog is " +
+        "stale/corrupt, or `total` included NULL rows (it must be the " +
+        "non-null count; NULLs never land in a bucket)")
   }
 
-  /** [[histQuantileFromCounts]] over the catalog relation. */
+  /** [[histQuantileFromCounts]] over the catalog relation. The rank is
+    * computed over the NON-NULL count (Σ bucket cnt, excluding the
+    * catalog's NULL-value row) — see the arithmetic form's contract. */
   def histQuantile(stats: org.apache.spark.sql.DataFrame, field: String,
       h: HistSpec, p: Double): (Long, Long) = {
     val counts = stats.where(col("field") === field)
@@ -2772,7 +2894,9 @@ object IndexStore {
       .collect()
       .flatMap(r => Option(r.getString(0)).map(v => v.toLong -> r.getLong(1)))
       .toMap
-    histQuantileFromCounts(counts, statsRows(stats, field), h, p)
+    require(counts.nonEmpty,
+      s"stats catalog has no non-null values for field '$field'")
+    histQuantileFromCounts(counts, counts.values.sum, h, p)
   }
 
   /** The catalog, collected to the driver for plan-time consumers that

@@ -811,4 +811,31 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(brute.nonEmpty)
     assert(ball === brute)
   }
+
+  test("ball-cover screen covers the verify filter's rounding boundary") {
+    import graft.index.Ivf
+    // a pair whose TRUE cosine sits 2.5e-7 BELOW the threshold: the
+    // verify filter (round(sim, 6) ≥ t, matching the brute oracle)
+    // accepts it, so the geometric screen must too — a bound evaluated
+    // at the unrounded t would prune this cluster pair and silently
+    // break the recall-1 contract at the rounding boundary
+    val cos0 = 0.79999975
+    val sin0 = math.sqrt(1 - cos0 * cos0)
+    val e = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(cos0, sin0)))
+      .toDF("vec_id", "embedding")
+    val idx = Ivf.IvfIndex(
+      assignments = Seq((1L, 0), (2L, 1)).toDF("id", "cluster"),
+      centroids = Map(0 -> Array(1.0, 0.0), 1 -> Array(cos0, sin0)),
+      sizes = Map(0 -> 1L, 1 -> 1L), metric = "cosine", dim = 2,
+      radii = Map(0 -> 0.0, 1 -> 0.0))
+    val (screen, _) = Dedup.ballCoverClusterPairs(idx, 0.8)
+    assert(screen.contains((0, 1)),
+      "the screen must keep a cluster pair whose members round up to t")
+    val brute = Dedup.cosinePairs(e, "vec_id", "embedding", 0.8)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect().toSet
+    val ball = Dedup.cosinePairsBallCover(idx, e, "vec_id", "embedding", 0.8)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(brute === Set((1L, 2L, 0.8)))
+    assert(ball === brute)
+  }
 }

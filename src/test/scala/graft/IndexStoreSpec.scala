@@ -1390,6 +1390,100 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     val e2 = intercept[IllegalArgumentException](
       IndexStore.histQuantileFromCounts(Map(-1L -> 10L), 10L, h, 0.5))
     assert(e2.getMessage.contains("underflow"))
+    // a NULL-bearing field: the rank is over the NON-NULL count (NULLs
+    // never land in a bucket), so a high-p quantile brackets the true
+    // value instead of shifting upward or blaming the catalog
+    val nullDir = Files.createTempDirectory("statsquantnull").toString
+    val hv = IndexStore.HistSpec(0L, 100L, 10)
+    val withNulls = spark.range(100).select($"id",
+      when($"id" < 80, $"id").otherwise(lit(null)).cast("long").as("v"),
+      concat(lit("t"), $"id").as("txt"))
+    IndexStore.saveStats(withNulls, "id", "txt", Seq.empty, nullDir,
+      hists = Map("v" -> hv))
+    val nullStats = IndexStore.loadStats(spark, nullDir)
+    // values are 0..79 uniform; p=0.95 over the 80 NON-NULL rows is rank
+    // 76 → value 75 → bucket [70, 80). Over the NULL-inclusive 100 the
+    // rank would be 95 — past every bucket, the misleading
+    // "corrupt catalog" failure this pins against.
+    assert(IndexStore.histQuantile(nullStats, "v", hv, 0.95) === (70L, 80L))
+    assert(IndexStore.histQuantile(nullStats, "v", hv, 1.0) === (70L, 80L))
+  }
+
+  test("delete waves own their marker namespace; overlapping erasure requests are idempotent") {
+    import org.apache.spark.sql.functions._
+    // ---- IVF: a delete wave id that COLLIDES with an already-committed
+    // append/stream batch id must still take effect (pre-fix: the shared
+    // idempotency guard silently no-opped the erasure)
+    val dir = Files.createTempDirectory("ivfdelns").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    IndexStore.createIvf(embs.where($"vec_id" % 2 === 0), "vec_id",
+      "embedding", dir, numClusters = 8)
+    IndexStore.appendBatchIvf(embs.where($"vec_id" % 2 === 1), "vec_id",
+      "embedding", dir, batchId = 0L)
+    val doomed = embs.where($"vec_id" % 7 === 0).localCheckpoint(true)
+    val remaining = embs.where($"vec_id" % 7 =!= 0).localCheckpoint(true)
+    IndexStore.deleteBatchIvf(doomed, "vec_id", "embedding", dir,
+      batchId = 0L) // same id as the committed append — must NOT no-op
+    val idx = IndexStore.loadIvfChecked(spark, dir, remaining, "vec_id",
+      "embedding")
+    assert(idx.assignments.count() === remaining.count())
+    assert(idx.sizes.values.sum === remaining.count())
+    // ---- overlapping waves: re-requesting already-erased ids under a
+    // NEW wave id must not double-decrement sizes or re-subtract the
+    // fingerprint (pre-fix: permanent checked-loader refusal + phantom
+    // negative cluster mass)
+    val doomed2 = embs.where($"vec_id" % 7 === 0 || $"vec_id" % 11 === 0)
+      .localCheckpoint(true)
+    val remaining2 = embs
+      .where($"vec_id" % 7 =!= 0 && $"vec_id" % 11 =!= 0)
+      .localCheckpoint(true)
+    IndexStore.deleteBatchIvf(doomed2, "vec_id", "embedding", dir,
+      batchId = 1L)
+    val idx2 = IndexStore.loadIvfChecked(spark, dir, remaining2, "vec_id",
+      "embedding")
+    assert(idx2.assignments.count() === remaining2.count())
+    assert(idx2.sizes.values.sum === remaining2.count())
+    // ---- BM25 (count-subtraction family): overlapping waves still merge
+    // to EXACTLY the survivors' fresh build — df subtracted once, not twice
+    val bDir = Files.createTempDirectory("bm25delns").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").localCheckpoint(true)
+    IndexStore.createBm25(docs, "doc_id", "text", bDir)
+    IndexStore.deleteBatchBm25(docs.where($"doc_id" % 9 === 0), "doc_id",
+      "text", bDir, 0L)
+    IndexStore.deleteBatchBm25(
+      docs.where($"doc_id" % 9 === 0 || $"doc_id" % 13 === 0), "doc_id",
+      "text", bDir, 1L)
+    val rem = docs.where($"doc_id" % 9 =!= 0 && $"doc_id" % 13 =!= 0)
+      .localCheckpoint(true)
+    val merged = IndexStore.loadBm25Checked(spark, bDir, rem, "doc_id",
+      "text")
+    val fresh = TextSearch.buildIndex(rem, "doc_id", "text")
+    assert(merged.numDocs === fresh.numDocs)
+    assert(merged.avgdl === fresh.avgdl)
+    assert(merged.termDf.as[(String, Long)].collect().toSet ===
+      fresh.termDf.as[(String, Long)].collect().toSet)
+    // ---- stats catalog: the erasure ledger makes overlapping waves
+    // idempotent; the merged catalog equals a fresh ANALYZE of survivors
+    val sDir = Files.createTempDirectory("statsdelns").toString
+    val cat = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "lang", "source").localCheckpoint(true)
+    IndexStore.saveStats(cat, "doc_id", "text", Seq("lang", "source"), sDir)
+    IndexStore.deleteBatchStats(cat.where($"doc_id" % 9 === 0), "doc_id",
+      "text", sDir, 0L)
+    IndexStore.deleteBatchStats(
+      cat.where($"doc_id" % 9 === 0 || $"doc_id" % 13 === 0), "doc_id",
+      "text", sDir, 1L)
+    val sRem = cat.where($"doc_id" % 9 =!= 0 && $"doc_id" % 13 =!= 0)
+      .localCheckpoint(true)
+    val mergedCat = IndexStore.loadStatsChecked(spark, sDir, sRem,
+      "doc_id", "text").as[(String, String, Long)].collect().toSet
+    val freshDir = Files.createTempDirectory("statsdelnsfresh").toString
+    IndexStore.saveStats(sRem, "doc_id", "text", Seq("lang", "source"),
+      freshDir)
+    assert(mergedCat === IndexStore.loadStats(spark, freshDir)
+      .as[(String, String, Long)].collect().toSet)
   }
 
   test("compaction advisor: receipts from sidecars, workload flips the fold, execute folds and preserves checkability") {
