@@ -95,7 +95,8 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        ivfDeletedBuilt, bm25DeletedBuilt, freshnessVerified)
+        ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
+        freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -109,7 +110,8 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        ivfDeletedBuilt, bm25DeletedBuilt, freshnessVerified)
+        ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
+        freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Staleness verdicts already proven this session, keyed by
@@ -162,6 +164,7 @@ object SparkEntry {
     corpusSummariesDisk(spark, dir)
     corpusIvfDeletedDisk(spark, dir)
     corpusBm25DeletedDisk(spark, dir)
+    corpusQuantileDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -2828,6 +2831,90 @@ object SparkEntry {
         k = 10)
       .withColumnRenamed("id", "doc_id")
 
+  /** Quantile sample sketch over the documents corpus
+    * ([[IndexStore.saveQuantile]]) with the FULL lifecycle exercised:
+    * base build on two-thirds of the corpus, one append wave (merge
+    * theorem: fold == single pass, definitionally), one deletion wave
+    * (the sample shrinks by exactly the erased rows — sound, unlike the
+    * refused MG/KMV erasure). Built once per (session, sfDir); the
+    * wave-time staleness check runs on first touch. */
+  private val quantileDiskBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusQuantileDisk(spark: SparkSession, dir: String)
+      : IndexStore.QuantileSketch = {
+    val path = quantileDiskBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_qsketch_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val d = Tables.documents(spark, dir).select("doc_id", "n_chars")
+      IndexStore.saveQuantile(d.where(pmod(col("doc_id"), lit(3)) =!= 2),
+        "doc_id", "n_chars", k = 1024, p)
+      IndexStore.appendBatchQuantile(
+        d.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "n_chars",
+        p, 0L)
+      IndexStore.deleteBatchQuantile(
+        d.where(pmod(col("doc_id"), lit(9)) === 0), "doc_id", "n_chars",
+        p, 0L)
+      p
+    })
+    val survivors = Tables.documents(spark, dir)
+      .select("doc_id", "n_chars")
+      .where(pmod(col("doc_id"), lit(9)) =!= 0)
+    checkedOncePerWave(spark, dir, "quantile")(
+      IndexStore.loadQuantileChecked(spark, path, survivors, "doc_id",
+        "n_chars"))(
+      IndexStore.loadQuantile(spark, path))
+  }
+
+  /** Distribution questions from the persisted sample — rank-⌈p·m⌉
+    * quantiles of doc length as DRIVER ARITHMETIC over ≤ k (hash, value)
+    * pairs: no corpus scan at report time, no [lo, hi) histogram DDL
+    * ([[IndexStore.histQuantile]]'s one constraint this family drops).
+    * The gate pins the COMPLETE regime (k = 1024 ≥ the sf0.01 corpus —
+    * selfCheck-enforced): the sample is the surviving corpus's multiset,
+    * so the oracle recomputes the identical rank rule over the survivors
+    * in SQL and the values must match exactly, through the append's
+    * merge AND the erasure wave. At 100 TB the sampled regime applies
+    * instead — a uniform bottom-k-by-id-hash sample with O(1/√k) rank
+    * error, maintained at ≤ k rows per ingest wave (the
+    * [[IndexStore]] quantile family comment). */
+  private def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = corpusQuantileDisk(spark, dir)
+    if (sys.props.get("graft.selfcheck").contains("1"))
+      require(s.complete,
+        "q_quantile_sketch declares the complete (exact) regime at the " +
+          s"gate SF but the sketch holds ${s.m} of ${s.n} rows — raise k " +
+          "or the oracle comparison is sample-vs-exact")
+    Seq(0.1, 0.5, 0.9, 0.99).map(p => (p, s.quantile(p))).toDF("p", "val")
+  }
+
+  /** ERASURE AUDIT over the deletion-wave fixtures
+    * ([[IndexStore.erasureAudit]]) — the verification step that closes
+    * the right-to-be-forgotten loop: after the `q_ann_ivf_deleted` /
+    * `q_bm25_deleted` waves, PROVE through each family's own live loader
+    * (the same tombstone-filtered, commit-marker-scoped relation every
+    * query reads) that zero erased ids remain visible. `erased_n` is the
+    * wave size the oracle recomputes from the corpus; `residual` = 0 is
+    * the certificate — earned by probing the actual index state, so a
+    * half-applied wave or a missed family surfaces as a positive
+    * residual and fails the hash. One narrow id-projection scan per
+    * family per wave: the compliance cadence, never per query. */
+  private def qErasureAudit(spark: SparkSession, dir: String): DataFrame = {
+    corpusIvfDeletedDisk(spark, dir)
+    corpusBm25DeletedDisk(spark, dir)
+    val ivfPath = ivfDeletedBuilt((spark, dir))
+    val bmPath = bm25DeletedBuilt((spark, dir))
+    val doomedDocs = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(9)) === 0).select("doc_id")
+    val doomedVecs = Tables.embeddings(spark, dir)
+      .where(pmod(col("vec_id"), lit(7)) === 0).select("vec_id")
+    IndexStore.erasureAudit(spark, doomedDocs, "doc_id",
+        Seq("bm25" -> bmPath))
+      .unionByName(IndexStore.erasureAudit(spark, doomedVecs, "vec_id",
+        Seq("ivf" -> ivfPath)))
+      .orderBy("family")
+  }
+
   /** JOIN-CARDINALITY pricing from KMV sketches
     * ([[Sketches.kmvIntersection]], Beyer et al. 2007): how many distinct
     * users two event segments share, estimated from 2×64 driver-held
@@ -3090,6 +3177,8 @@ object SparkEntry {
     "q_join_card_kmv" -> ((s, dir) => qJoinCardKmv(s, dir)),
     "q_ann_ivf_deleted" -> ((s, dir) => qAnnIvfDeleted(s, dir)),
     "q_bm25_deleted" -> ((s, dir) => qBm25Deleted(s, dir)),
+    "q_erasure_audit" -> ((s, dir) => qErasureAudit(s, dir)),
+    "q_quantile_sketch" -> ((s, dir) => qQuantileSketch(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
@@ -3162,6 +3251,35 @@ object SparkEntry {
              "doc_id", "text", flagshipQueryText)}
          |SELECT id AS doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // the complete-regime contract: the sketch holds every surviving row,
+    // so the oracle recomputes the same rank-⌈p·n⌉ rule over the
+    // survivors (post-append, post-erasure) and values match exactly
+    "q_quantile_sketch" ->
+      """WITH ranked AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS val,
+        |         row_number() OVER (ORDER BY n_chars) AS rk
+        |  FROM documents WHERE doc_id % 9 <> 0
+        |), nn AS (SELECT count(*) AS c FROM documents WHERE doc_id % 9 <> 0),
+        |ps(p) AS (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |                 (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+        |SELECT p, val FROM ps, nn, ranked
+        |WHERE rk = CAST(ceil(p * c) AS BIGINT)
+        |ORDER BY p""".stripMargin,
+    // erasure certificate: erased_n is real corpus arithmetic; the zero
+    // residual is EARNED on the Spark side by probing each family's live
+    // tombstone-filtered loader — a half-applied wave or missed family
+    // yields a positive residual and fails the hash
+    "q_erasure_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'bm25' AS family,
+        |         (SELECT count(*) FROM documents WHERE doc_id % 9 = 0)
+        |           AS erased_n,
+        |         CAST(0 AS BIGINT) AS residual
+        |  UNION ALL
+        |  SELECT 'ivf',
+        |         (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0),
+        |         CAST(0 AS BIGINT)
+        |) ORDER BY family""".stripMargin,
     // positional-index twin: same phrase, same corpus, same relation as
     // q_phrase_find — only the PLAN differs (bucket probes, no scan)
     "q_phrase_find_pos" ->

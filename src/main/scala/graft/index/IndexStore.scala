@@ -1466,6 +1466,72 @@ object IndexStore {
         .where(col("batch").cast("long").isin(batches: _*))
         .select("id")), Seq("id"), "left_anti")
 
+  /** COMPLIANCE AUDIT for erasure waves — the verification step the
+    * deletion-wave machinery (deleteBatchIvf/Bm25/Pq/...) deliberately
+    * separates from the deletion itself: given the erased ids, PROVE that
+    * no id-linked persisted family still surfaces them. Each family is
+    * probed through its own LIVE loader (the same tombstone-filtered,
+    * commit-marker-scoped relation every query reads — auditing raw
+    * parquet would measure the wrong thing: tombstoned rows legitimately
+    * persist on disk until compaction), and the residual is the count of
+    * erased ids still visible there. A GDPR pipeline runs this once per
+    * erasure wave and archives the (family, erased_n, residual) rows as
+    * its certificate; a non-zero residual is the loudest possible signal
+    * that a family was missed or a delete wave half-applied.
+    *
+    * Cost: one narrow id-projection scan per family, per audit — the
+    * compliance cadence (per erasure wave), never per query. The erased
+    * set rides a broadcast (bounded by the wave).
+    *
+    * Families with NO id linkage are refused loudly rather than reported
+    * as a meaningless zero: grams (membership hashes carry no ids — its
+    * deletion is fingerprint-only and veto-only by contract), summary
+    * (sketches are not invertible; deletion itself is refused), stats
+    * (value counts, not rows). Their erasure story is documented at
+    * their delete functions; an audit "pass" here would claim a
+    * guarantee the family cannot give. */
+  def erasureAudit(spark: SparkSession,
+      erased: org.apache.spark.sql.DataFrame, idCol: String,
+      families: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ids = erased.select(col(idCol).cast("long").as("__erased"))
+      .distinct().localCheckpoint(true)
+    val erasedN = ids.count()
+    def liveIds(family: String, path: String)
+        : org.apache.spark.sql.DataFrame = family match {
+      case "ivf" => loadIvf(spark, path).assignments.select(col("id"))
+      case "pq" => loadPq(spark, path).codes.select(col("id"))
+      case "prefix" => loadPrefix(spark, path).select(col("id"))
+      case "signlsh" => loadSignLsh(spark, path).select(col("id"))
+      case "bm25" => loadBm25(spark, path).postings.select(col("id"))
+      case "phrase" => loadPhrase(spark, path).postings.select(col("id"))
+      case "windows" => loadWindows(spark, path).windows.select(col("id"))
+      case "containment" =>
+        val c = loadContainment(spark, path)
+        c.postings.select(col("id"))
+          .unionByName(c.prefixes.select(col("id")))
+          .unionByName(c.sizes.select(col("id")))
+      case "grams" | "summary" | "stats" =>
+        throw new IllegalArgumentException(
+          s"the $family family has no id linkage — its erasure story is " +
+            "documented at its deleteBatch function and cannot be " +
+            "audited by id; auditing it would certify a guarantee the " +
+            "family cannot give")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown family '$other' — auditable families: ivf, pq, " +
+            "prefix, signlsh, bm25, phrase, windows, containment")
+    }
+    val rows = families.map { case (family, path) =>
+      val residual = liveIds(family, path)
+        .select(col("id").cast("long").as("id")).where(col("id").isNotNull)
+        .join(broadcast(ids), col("id") === col("__erased"), "left_semi")
+        .select(col("id")).distinct().count()
+      (family, erasedN, residual)
+    }
+    rows.toDF("family", "erased_n", "residual")
+  }
+
   /** Assign one micro-batch of NEW vectors (R17 skip-existing contract) to
     * their nearest trained centroid and append them to a persisted IVF
     * index. Work ∝ batch × numClusters (the standard IVF insert cost) —
@@ -3535,6 +3601,265 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$staged/marks")
     swapStaged(spark, path, staged, Seq("mg", "kmv", "meta", "marks"))
+  }
+
+  // ------------------------------------------------ quantile sample sketch
+  //
+  // Mergeable QUANTILE summary as a persisted family: a bottom-k-by-id-hash
+  // VALUE sample. Each ingest wave keeps the ≤ k rows whose hash60(id) is
+  // smallest — one bounded TakeOrderedAndProject over the wave, never a
+  // global sort — with the row's numeric value riding along:
+  //
+  //   q/batch=N/          (h, v) — the wave's ≤ k smallest (hash60(id),
+  //                       value) rows
+  //   meta/               (k) DDL
+  //   tombstones/batch=M/ (h) — erasure ledger (hashes only: the family
+  //                       retains no direct identifier for erased rows)
+  //   marks/batch=N/      (n, fp) — non-null row count + additive
+  //                       Σ xxhash64(id, value) fingerprint; commit marker
+  //                       (marks double as fprint — the prefix/summary
+  //                       discipline)
+  //
+  // Merge theorem (the KMV argument applied to rows): every row of the
+  // union's global bottom-k lies in its own wave's bottom-k — if some
+  // wave held k rows all hashing below it, the global kth would too — so
+  // "k smallest of the per-wave keeps" EQUALS the single-pass bottom-k,
+  // definitionally. The hash is uniform and independent of the value, so
+  // the kept rows are a uniform sample of the corpus rows fixed by the
+  // data itself: no RNG, no seed, stable under repartitioning and corpus
+  // growth, reproducible by an independent engine (the id-hash
+  // split/sampling discipline). Quantile reports are then driver
+  // arithmetic over ≤ k (h, v) pairs:
+  //
+  //   complete regime (k ≥ live rows): the sample IS the corpus multiset —
+  //     rank-⌈p·m⌉ quantiles are EXACT, and the gate recomputes them from
+  //     the same rank rule in DuckDB (the [[histQuantile]] exact-regime
+  //     discipline, without that family's [lo, hi) domain DDL: the sample
+  //     adapts to any value range, which is the point).
+  //   sampled regime (k < live rows): the rank-⌈p·m⌉ value of the m kept
+  //     rows — a uniform-sample estimate whose rank error is the standard
+  //     O(√(log(1/δ)/m)) DKW bound, stated rather than hidden.
+  //
+  // DELETION is this family's distinguishing honesty story. MG counters
+  // and KMV min-sets are not invertible ([[deleteBatchSummary]] refuses);
+  // removing rows from a hash-threshold sample is SOUND: what remains is
+  // exactly {survivors with h ≤ τ}, a (smaller) uniform sample of the
+  // surviving corpus. Deletion SHRINKS the sample — wider error bars,
+  // never bias. The load-time order is what makes this true: the merged
+  // bottom-k is taken FIRST (fixing the threshold τ from the pre-erasure
+  // union, where the merge theorem holds), and tombstones are anti-joined
+  // out AFTER — erasing before the take-k would mix per-wave truncation
+  // thresholds and bias the sample toward newer waves.
+
+  /** A loaded quantile sample: `sample` = the (h, v) rows below the merged
+    * hash threshold, `n` = live row count (appends minus erasures, from
+    * the marks), `k` = the DDL. */
+  case class QuantileSketch(sample: Array[(Long, Double)], n: Long, k: Int) {
+    /** Kept rows — ≤ k; < k after erasures or on a small corpus. */
+    def m: Int = sample.length
+    /** The sample covers every live row — quantiles are exact. */
+    def complete: Boolean = m.toLong == n
+    /** Rank-⌈p·m⌉ smallest value of the kept rows — exact when
+      * [[complete]], else the uniform-sample estimate. */
+    def quantile(p: Double): Double = {
+      require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
+      require(m > 0, "empty quantile sample — nothing has been ingested " +
+        "(or everything was erased); rebuild or append a wave")
+      val byValue = sample.map(_._2).sorted
+      byValue(math.ceil(p * m).toInt - 1)
+    }
+  }
+
+  /** The wave's bottom-k rows + commit mark. `batchId` is the FINAL
+    * marker id (delete waves pass their mapped id). */
+  private def writeQuantileBatch(rows: org.apache.spark.sql.DataFrame,
+      idCol: String, valueCol: String, k: Int, path: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val clean = rows
+      .where(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), col(valueCol).cast("double").as("v"))
+    val kept = clean.select(
+        graft.functions.Text.hash60(col("__id").cast("string")).as("h"),
+        col("v"))
+      .orderBy("h").limit(k) // bounded TakeOrderedAndProject, no full sort
+    val w = kept.withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/q")
+    // marks LAST = commit; fp hashes (id, value-as-double) — the delete
+    // side must subtract identical bytes
+    val (n, fp) = corpusFingerprint(clean, "__id", "v")
+    val mw = Seq((n, fp.toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) mw else mw.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Build and persist the quantile sample over `rows` — Overwrite = S7
+    * `--replace`. `k` trades precision for footprint: the complete regime
+    * (exact quantiles) holds while the corpus stays ≤ k rows; beyond it
+    * the rank error decays as O(1/√k). */
+  def saveQuantile(rows: org.apache.spark.sql.DataFrame, idCol: String,
+      valueCol: String, k: Int, path: String): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    Seq(k).toDF("k").write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // a replaced sketch must not carry a previous run's erasure ledger
+    org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    writeQuantileBatch(rows, idCol, valueCol, k, path, batchId = -1L,
+      overwriteAll = true)
+  }
+
+  /** Accrete one ingest wave — ≤ k sample rows written however large the
+    * wave is. Idempotent at every crash point (marks commit last). */
+  def appendBatchQuantile(rows: org.apache.spark.sql.DataFrame,
+      idCol: String, valueCol: String, path: String, batchId: Long): Unit = {
+    val spark = rows.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    require(hasDataFiles(spark, s"$path/meta"),
+      s"no quantile meta under $path — appendBatchQuantile requires a " +
+        "saveQuantile base (k is the sketch DDL)")
+    val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
+    writeQuantileBatch(rows, idCol, valueCol, k, path, batchId,
+      overwriteAll = false)
+  }
+
+  /** DELETE one wave of rows from the quantile sample — the one sketch
+    * where erasure is mathematically sound (family comment): tombstoned
+    * hashes leave the sample at load, the marks subtract (n, fp), and the
+    * checked loader flips to the surviving corpus. Commits under
+    * [[deleteMarkerId]]; already-erased ids are anti-joined out first so
+    * overlapping requests never double-subtract. The wave must carry
+    * (id, value) — the fingerprint subtraction cancels only against the
+    * bytes hashed at append time. */
+  def deleteBatchQuantile(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, valueCol: String, path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/marks").contains(mid)) return
+    val wave = deleted
+      .where(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), col(valueCol).cast("double").as("v"))
+      .withColumn("h",
+        graft.functions.Text.hash60(col("__id").cast("string")))
+    // dedupe against prior erasures by hash (the ledger keeps no ids)
+    val rows = (if (!hasDataFiles(spark, s"$path/tombstones")) wave
+      else wave.join(broadcast(
+        spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long")
+            .isin(committedBatches(spark, s"$path/marks"): _*))
+          .select("h")), Seq("h"), "left_anti"))
+      .localCheckpoint(true)
+    rows.select("h").withColumn("batch", lit(mid))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/tombstones")
+    val (n, fp) = corpusFingerprint(rows, "__id", "v")
+    Seq((-n, fp.negate().toString, mid)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Streaming sketch upkeep — the quantile member of the
+    * [[streamIntoBm25]] hook family. */
+  def streamIntoQuantile(rows: org.apache.spark.sql.DataFrame,
+      idCol: String, valueCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchQuantile(b, idCol, valueCol, path, id)
+      }
+      .start()
+
+  /** Fold the committed deltas into one [[QuantileSketch]] — bounded
+    * driver work: ≤ batches·k rows ever shuffle, the final take-k rides a
+    * TakeOrderedAndProject, and the collect is ≤ k rows. Order matters
+    * (family comment): merged bottom-k FIRST, erasures removed AFTER. */
+  def loadQuantile(spark: SparkSession, path: String): QuantileSketch = {
+    val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
+    val batches = committedBatches(spark, s"$path/marks")
+    val merged = spark.read.parquet(s"$path/q")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .select("h", "v")
+      .orderBy("h").limit(k)
+    val live =
+      if (!hasDataFiles(spark, s"$path/tombstones")) merged
+      else merged.join(broadcast(
+        spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long").isin(batches: _*))
+          .select("h")), Seq("h"), "left_anti")
+    val sample = live.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n"))).head()
+    QuantileSketch(sample, if (r.isNullAt(0)) 0L else r.getLong(0), k)
+  }
+
+  /** [[loadQuantile]] with the STALENESS GUARD (fprint machinery, marks
+    * doubling as fprint): quantiles of a corpus that has moved on
+    * silently mis-state every distribution question — refuse loudly, per
+    * ingest wave. */
+  def loadQuantileChecked(spark: SparkSession, path: String,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      valueCol: String): QuantileSketch = {
+    val clean = corpus
+      .where(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), col(valueCol).cast("double").as("v"))
+    requireFresh("quantile", path,
+      Some(quantileRecordedFingerprint(spark, path)), clean, "__id", "v",
+      "appendBatchQuantile the missing wave or rebuild with saveQuantile")
+    loadQuantile(spark, path)
+  }
+
+  private def quantileRecordedFingerprint(spark: SparkSession,
+      path: String): (Long, java.math.BigDecimal) = {
+    val batches = committedBatches(spark, s"$path/marks")
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  /** Fold every committed batch back into a single base partition. The
+    * erased rows are physically purged, which forces an honesty choice
+    * the other families don't face: an INCOMPLETE sample that lost rows
+    * to erasure cannot re-expand its hash threshold (the discarded rows
+    * are gone), so the folded DDL k narrows to the surviving sample size
+    * — the post-fold sketch keeps the uniform-threshold-sample guarantee
+    * at reduced precision, and a rebuild ([[saveQuantile]] over the
+    * survivors) is the way to restore k. A COMPLETE sample keeps its k:
+    * nothing was ever truncated, so future waves merge at full width. */
+  def compactQuantile(spark: SparkSession, path: String): Unit = {
+    val s = loadQuantile(spark, path)
+    val (n, fp) = quantileRecordedFingerprint(spark, path)
+    val staged = s"$path/.compact"
+    import spark.implicits._
+    val newK = if (s.complete) s.k else s.m
+    s.sample.toSeq.toDF("h", "v").withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/q")
+    Seq(newK).toDF("k").write.mode(SaveMode.Overwrite)
+      .parquet(s"$staged/meta")
+    Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/marks")
+    swapStaged(spark, path, staged, Seq("q", "meta", "marks"))
+    org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   // ----------------------------------------------------- compaction advisor

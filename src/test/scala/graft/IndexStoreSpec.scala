@@ -1409,6 +1409,60 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(IndexStore.histQuantile(nullStats, "v", hv, 1.0) === (70L, 80L))
   }
 
+  test("erasure audit: residuals through the live loaders; zero only after the wave; no-linkage families refuse") {
+    import org.apache.spark.sql.functions._
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").localCheckpoint(true)
+    val doomedVecs = embs.where($"vec_id" % 7 === 0).localCheckpoint(true)
+    val doomedDocs = docs.where($"doc_id" % 9 === 0).localCheckpoint(true)
+    val ivfDir = Files.createTempDirectory("auditivf").toString
+    val bmDir = Files.createTempDirectory("auditbm").toString
+    val phDir = Files.createTempDirectory("auditph").toString
+    IndexStore.createIvf(embs, "vec_id", "embedding", ivfDir,
+      numClusters = 8)
+    IndexStore.createBm25(docs, "doc_id", "text", bmDir)
+    IndexStore.savePhrase(docs, "doc_id", "text", 8, phDir)
+    // BEFORE any delete wave: the audit reports the full wave as residual
+    // (every erased id is still visible) — the detection side of the
+    // certificate
+    def auditVecs() = IndexStore.erasureAudit(spark, doomedVecs, "vec_id",
+        Seq("ivf" -> ivfDir))
+      .as[(String, Long, Long)].collect().toSeq
+    def auditDocs() = IndexStore.erasureAudit(spark, doomedDocs, "doc_id",
+        Seq("bm25" -> bmDir, "phrase" -> phDir))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val nVecs = doomedVecs.count(); val nDocs = doomedDocs.count()
+    assert(auditVecs() === Seq(("ivf", nVecs, nVecs)))
+    assert(auditDocs() === Seq(("bm25", nDocs, nDocs),
+      ("phrase", nDocs, nDocs)))
+    // apply the waves — the audit flips to the zero-residual certificate
+    IndexStore.deleteBatchIvf(doomedVecs, "vec_id", "embedding", ivfDir, 0L)
+    IndexStore.deleteBatchBm25(doomedDocs, "doc_id", "text", bmDir, 0L)
+    IndexStore.deleteBatchPhrase(doomedDocs, "doc_id", "text", phDir, 0L)
+    assert(auditVecs() === Seq(("ivf", nVecs, 0L)))
+    assert(auditDocs() === Seq(("bm25", nDocs, 0L), ("phrase", nDocs, 0L)))
+    // a HALF-APPLIED erasure (one family missed) is exactly what the
+    // certificate catches: a second doc wave deletes from BM25 only
+    val doomed2 = docs.where($"doc_id" % 13 === 0 && $"doc_id" % 9 =!= 0)
+      .localCheckpoint(true)
+    IndexStore.deleteBatchBm25(doomed2, "doc_id", "text", bmDir, 1L)
+    val partial = IndexStore.erasureAudit(spark, doomed2, "doc_id",
+        Seq("bm25" -> bmDir, "phrase" -> phDir))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(partial === Seq(("bm25", doomed2.count(), 0L),
+      ("phrase", doomed2.count(), doomed2.count())))
+    // families with no id linkage refuse rather than certify
+    for (fam <- Seq("grams", "summary", "stats"))
+      assert(intercept[IllegalArgumentException](
+        IndexStore.erasureAudit(spark, doomedDocs, "doc_id",
+          Seq(fam -> bmDir))).getMessage.contains("no id linkage"))
+    intercept[IllegalArgumentException](
+      IndexStore.erasureAudit(spark, doomedDocs, "doc_id",
+        Seq("nope" -> bmDir)))
+  }
+
   test("delete waves own their marker namespace; overlapping erasure requests are idempotent") {
     import org.apache.spark.sql.functions._
     // ---- IVF: a delete wave id that COLLIDES with an already-committed
@@ -1484,6 +1538,89 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       freshDir)
     assert(mergedCat === IndexStore.loadStats(spark, freshDir)
       .as[(String, String, Long)].collect().toSet)
+  }
+
+  test("quantile sketch: exact in the complete regime, merge equals single-pass, deletion shrinks without bias") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "n_chars").localCheckpoint(true)
+    val n = docs.count()
+    val sortedVals = docs.select($"n_chars".cast("double"))
+      .as[Double].collect().sorted
+    // ---- complete regime (k ≥ n): quantiles are EXACT by rank rule
+    val dir = Files.createTempDirectory("qsketch").toString
+    IndexStore.saveQuantile(docs, "doc_id", "n_chars", k = 2048, dir)
+    val s = IndexStore.loadQuantileChecked(spark, dir, docs, "doc_id",
+      "n_chars")
+    assert(s.complete && s.n === n && s.m.toLong === n)
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99, 1.0))
+      assert(s.quantile(p) === sortedVals(math.ceil(p * n).toInt - 1),
+        s"p=$p")
+    // ---- merge theorem: three waves at k < n fold to the SAME sample a
+    // single pass over the whole corpus keeps (definitional, not
+    // approximate)
+    val mDir = Files.createTempDirectory("qsketchm").toString
+    IndexStore.saveQuantile(docs.where($"doc_id" % 3 === 0), "doc_id",
+      "n_chars", k = 64, mDir)
+    IndexStore.appendBatchQuantile(docs.where($"doc_id" % 3 === 1),
+      "doc_id", "n_chars", mDir, 0L)
+    IndexStore.appendBatchQuantile(docs.where($"doc_id" % 3 === 2),
+      "doc_id", "n_chars", mDir, 1L)
+    // replayed append is a no-op
+    IndexStore.appendBatchQuantile(docs.where($"doc_id" % 3 === 2),
+      "doc_id", "n_chars", mDir, 1L)
+    val folded = IndexStore.loadQuantileChecked(spark, mDir, docs,
+      "doc_id", "n_chars")
+    val singlePass = docs
+      .select(graft.functions.Text.hash60($"doc_id".cast("string")).as("h"),
+        $"n_chars".cast("double").as("v"))
+      .orderBy("h").limit(64)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(folded.sample.toSeq === singlePass.toSeq)
+    assert(!folded.complete && folded.n === n && folded.m === 64)
+    // ---- staleness guard: an unappended wave refuses; append repairs
+    intercept[IllegalStateException](IndexStore.loadQuantileChecked(spark,
+      mDir, docs.where($"doc_id" % 3 =!= 2), "doc_id", "n_chars"))
+    // ---- deletion: the surviving sample is exactly {survivors with
+    // h ≤ pre-erasure threshold} — shrunken, never re-thresholded
+    val doomed = docs.where($"doc_id" % 5 === 0).localCheckpoint(true)
+    val remaining = docs.where($"doc_id" % 5 =!= 0).localCheckpoint(true)
+    IndexStore.deleteBatchQuantile(doomed, "doc_id", "n_chars", mDir, 0L)
+    val afterDel = IndexStore.loadQuantileChecked(spark, mDir, remaining,
+      "doc_id", "n_chars")
+    intercept[IllegalStateException](IndexStore.loadQuantileChecked(spark,
+      mDir, docs, "doc_id", "n_chars"))
+    val doomedHashes = doomed
+      .select(graft.functions.Text.hash60($"doc_id".cast("string")).as("h"))
+      .as[Long].collect().toSet
+    assert(afterDel.sample.toSeq ===
+      singlePass.filterNot(hv => doomedHashes(hv._1)).toSeq)
+    assert(afterDel.n === remaining.count() && !afterDel.complete)
+    // overlapping erasure is idempotent (no double fp subtraction)
+    IndexStore.deleteBatchQuantile(doomed, "doc_id", "n_chars", mDir, 1L)
+    assert(IndexStore.loadQuantileChecked(spark, mDir, remaining,
+      "doc_id", "n_chars").sample.length === afterDel.m)
+    // ---- compaction: the incomplete, erased sample narrows k to m (the
+    // threshold cannot re-expand without the discarded rows); the folded
+    // sketch answers identically and the ledger is purged
+    IndexStore.compactQuantile(spark, mDir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(mDir, "tombstones")))
+    val foldedDel = IndexStore.loadQuantileChecked(spark, mDir, remaining,
+      "doc_id", "n_chars")
+    assert(foldedDel.k === afterDel.m)
+    assert(foldedDel.sample.toSeq === afterDel.sample.toSeq)
+    // a complete sample keeps its DDL k through the fold
+    IndexStore.compactQuantile(spark, dir)
+    val foldedFull = IndexStore.loadQuantileChecked(spark, dir, docs,
+      "doc_id", "n_chars")
+    assert(foldedFull.k === 2048 && foldedFull.complete)
+    assert(foldedFull.quantile(0.5) === sortedVals(
+      math.ceil(0.5 * n).toInt - 1))
+    // edge refusals
+    intercept[IllegalArgumentException](foldedFull.quantile(0.0))
+    intercept[IllegalArgumentException](
+      IndexStore.saveQuantile(docs, "doc_id", "n_chars", 0, dir))
   }
 
   test("compaction advisor: receipts from sidecars, workload flips the fold, execute folds and preserves checkability") {
