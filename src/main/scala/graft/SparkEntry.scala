@@ -96,7 +96,7 @@ object SparkEntry {
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
         ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
-        freshnessVerified)
+        ivfSplitBuilt, freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -111,7 +111,7 @@ object SparkEntry {
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
         ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
-        freshnessVerified)
+        ivfSplitBuilt, freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Staleness verdicts already proven this session, keyed by
@@ -165,6 +165,7 @@ object SparkEntry {
     corpusIvfDeletedDisk(spark, dir)
     corpusBm25DeletedDisk(spark, dir)
     corpusQuantileDisk(spark, dir)
+    corpusIvfSplitDisk(spark, dir)
   }
 
   // ---------------------------------------------------------------- queries
@@ -2831,6 +2832,53 @@ object SparkEntry {
         k = 10)
       .withColumnRenamed("id", "doc_id")
 
+  /** IVF index with a HOT-CELL SPLIT ([[IndexStore.splitClusterIvf]]) —
+    * the maintenance middle path between tolerating a hot cell's probe
+    * cost and a corpus-sized retrain: the advised largest cell
+    * ([[IndexStore.adviseSplitIvf]], sizes arithmetic alone) is
+    * re-clustered into two children at cell cost, with the centroid
+    * table rewrite as the probe switch. Built once per (session, sfDir);
+    * the wave-time staleness check runs on first touch. */
+  private val ivfSplitBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusIvfSplitDisk(spark: SparkSession, dir: String)
+      : Ivf.IvfIndex = {
+    val path = ivfSplitBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivfsplit_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      IndexStore.saveIvf(corpusIvf(spark, dir), p,
+        source = Some((e, "vec_id", "embedding")))
+      val advice = IndexStore.adviseSplitIvf(IndexStore.loadIvf(spark, p),
+        factor = 1.0001)
+      IndexStore.splitClusterIvf(e, "vec_id", "embedding", p,
+        advice.cluster, batchId = 0L)
+      p
+    })
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    checkedOncePerWave(spark, dir, "ivf-split")(
+      IndexStore.loadIvfChecked(spark, path, e, "vec_id", "embedding"))(
+      IndexStore.loadIvf(spark, path))
+  }
+
+  /** ANN over the post-split index: the routed exhaustive probe over the
+    * nlist+1 cells must equal the exact top-k — a member lost (old cell
+    * unreachable too early) or doubled (old rows still routed) by the
+    * split fails both the selfCheck and the oracle hash. The corpus did
+    * not change, so the exact-kNN SQL is the same full oracle as
+    * `q_ann_ivf`; only the physical layout moved. */
+  private def qAnnIvfSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val idx = corpusIvfSplitDisk(spark, dir)
+    selfChecked(
+      Ivf.ann(idx, e, "vec_id", "embedding", flagshipQueryVec, k = 10,
+          numCandidates = Int.MaxValue, forceRoute = true)
+        .select("vec_id", "score"),
+      VectorSearch.knn(e, "vec_id", "embedding", flagshipQueryVec, k = 10)
+        .select("vec_id", "score"),
+      "q_ann_ivf_split routed-over-split-cells")
+  }
+
   /** Quantile sample sketch over the documents corpus
     * ([[IndexStore.saveQuantile]]) with the FULL lifecycle exercised:
     * base build on two-thirds of the corpus, one append wave (merge
@@ -3179,6 +3227,7 @@ object SparkEntry {
     "q_bm25_deleted" -> ((s, dir) => qBm25Deleted(s, dir)),
     "q_erasure_audit" -> ((s, dir) => qErasureAudit(s, dir)),
     "q_quantile_sketch" -> ((s, dir) => qQuantileSketch(s, dir)),
+    "q_ann_ivf_split" -> ((s, dir) => qAnnIvfSplit(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
     "q_clean_text" -> ((s, dir) => qCleanText(s, dir)),
@@ -3598,6 +3647,16 @@ object SparkEntry {
          |       ${TextAnalysis.sqlFingerprintMax("text")} AS fp_max
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ann_ivf" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // post-split: the corpus did not change, only the physical layout —
+    // the exact-kNN oracle is identical to q_ann_ivf's
+    "q_ann_ivf_split" ->
       s"""WITH scored AS (
          |  SELECT vec_id,
          |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score

@@ -1290,10 +1290,11 @@ object IndexStore {
       .parquet(s"$path/assignments")
     val driftFs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    // a replaced index must not carry a previous run's tombstones: they
-    // are uncommitted under the fresh sizes markers, but leaving them
-    // invites a later delete wave to collide batch ids
+    // a replaced index must not carry a previous run's tombstones or
+    // split sidecars: they are uncommitted under the fresh sizes markers,
+    // but leaving them invites a later wave to collide batch ids
     driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/splits"), true)
     source match {
       case Some((embs, idCol, embCol)) =>
         writeFprintDelta(embs, idCol, embCol, path, batchId = -1L,
@@ -1404,18 +1405,22 @@ object IndexStore {
       .partitionBy("batch").parquet(s"$path/fprint")
   }
 
-  /** Delete waves get their OWN commit-marker id namespace: the caller's
-    * non-negative wave id N maps to marker id −(N+2), disjoint from both
-    * append/stream ids (foreachBatch ids are 0, 1, 2, …) and the
-    * compaction base (−1). Without this, a delete requested with a wave
-    * id a streaming append had already committed would hit the
-    * idempotency guard and SILENTLY NO-OP — the one failure an erasure
-    * pipeline must never have. With it, delete idempotency is judged
-    * only against prior DELETE waves, and the negative partition values
-    * flow through [[committedBatches]]/`isin` filtering unchanged (the
-    * delete wave's tombstone/fprint/size partitions carry the mapped id,
+  /** Maintenance waves get their OWN commit-marker id namespaces,
+    * disjoint from append/stream ids (foreachBatch ids are 0, 1, 2, …)
+    * and from the compaction base (−1): delete wave N commits at
+    * −(2N+2) = −2, −4, −6, …; split wave N at −(2N+3) = −3, −5, −7, ….
+    * Without this, a delete (or split) requested with a wave id a
+    * streaming append had already committed would hit the idempotency
+    * guard and SILENTLY NO-OP — the one failure an erasure pipeline must
+    * never have. With the mapping, each wave kind's idempotency is
+    * judged only against its own prior waves, and the negative partition
+    * values flow through [[committedBatches]]/`isin` filtering unchanged
+    * (the wave's tombstone/fprint/size partitions carry the mapped id,
     * so loaders pick them up exactly like any committed batch). */
-  private def deleteMarkerId(batchId: Long): Long = -(batchId + 2L)
+  private def deleteMarkerId(batchId: Long): Long = -(2L * batchId + 2L)
+
+  /** Split waves' marker namespace — see [[deleteMarkerId]]. */
+  private def splitMarkerId(batchId: Long): Long = -(2L * batchId + 3L)
 
   /** The sub-wave of `rows` NOT already erased: anti-join the wave's ids
     * against the committed tombstones under `path`. Repeated erasure
@@ -1690,6 +1695,158 @@ object IndexStore {
       .parquet(s"$path/sizes")
   }
 
+  /** SPLIT one hot IVF cell in place — the maintenance middle path
+    * between doing nothing (per-probe scan cost grows with the cell) and
+    * a full retrain ([[executeRetrain]]: corpus-sized). Work ∝ cell
+    * size, never the corpus: the cell's live members are re-clustered
+    * into two children (deterministic 2-means over the members only,
+    * same seed discipline as [[graft.index.Ivf.build]]), and the
+    * CENTROID TABLE REWRITE is the switch that flips probes from the old
+    * cell to the children. Routing is centroid-driven, so old assignment
+    * rows become unreachable the moment their cluster id leaves the
+    * centroids — there is no window where a member is visible twice or
+    * not at all:
+    *
+    *   1. child assignments (fresh cluster ids — NEVER the old id, which
+    *      would make rows double-visible) + a ZERO fprint delta (the
+    *      corpus did not change; the delta only keeps
+    *      [[recordedFprint]]'s every-committed-batch coverage) + the
+    *      sizes wave [(old, −sz, −1), (cidA, nA, rA), (cidB, nB, rB)] —
+    *      the commit. Children now have mass but no centroid: probes
+    *      still route to the old cell and scan its still-present rows.
+    *   2. centroids rewrite (old out, children in) — the switch.
+    *   3. the old cell's assignment partition dirs deleted — physical
+    *      cleanup of rows already unreachable since step 2.
+    *
+    * Run in the index's maintenance window (the [[swapStaged]]
+    * offline-window contract); a crash anywhere is repaired by
+    * re-running with the same batchId — the marker guard detects the
+    * committed wave, recovers the children from their own committed
+    * rows, and re-executes the idempotent switch + cleanup. Child radii
+    * are measured from their members, so [[graft.index.Ivf.knnJoinExact]]
+    * ball bounds stay sound. The drift ledger is deliberately untouched:
+    * members now fit their (nearer) child centroids, so the ledger can
+    * only OVER-report drift — the safe direction for an advisory
+    * monitor. Commits under [[splitMarkerId]] (own namespace). */
+  def splitClusterIvf(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      embCol: String, path: String, cluster: Int, batchId: Long): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"split batch ids are non-negative, got $batchId")
+    val mid = splitMarkerId(batchId)
+    val committed = committedBatches(spark, s"$path/sizes")
+    val already = committed.contains(mid)
+    // members: the cell's LIVE rows (tombstones out) — or, on a repair
+    // re-run, the committed child rows (the old partitions may be gone)
+    val memberIds =
+      if (already)
+        spark.read.parquet(s"$path/assignments")
+          .where(col("batch").cast("long") === mid).select("id")
+      else {
+        val idx = loadIvf(spark, path)
+        require(idx.sizes.contains(cluster),
+          s"cluster $cluster is not a live cell of the index at $path " +
+            s"(live: ${idx.sizes.keys.toSeq.sorted.mkString(", ")})")
+        idx.assignments.where(col("cluster") === cluster).select("id")
+      }
+    val members = corpus
+      .select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .join(memberIds, "id").localCheckpoint(true)
+    val sz = members.count()
+    require(sz == memberIds.count(),
+      s"corpus does not cover cluster $cluster's members — a member " +
+        "missing from the corpus would silently vanish from the index")
+    require(sz >= 2, s"cluster $cluster has $sz live members — not splittable")
+    // THE WAVE (first run only): deterministic 2-means over the members,
+    // fresh child ids minted past the sizes table's max (sentinels
+    // excluded), assignments + zero fprint delta + centroid sidecar
+    // written before the sizes commit. The sidecar is what makes a
+    // repair re-run install the EXACT vectors the committed radii were
+    // measured against — recomputing member means would drift from the
+    // 2-means centers (Lloyd's last update precedes the final
+    // assignment) and silently understate a ball radius, breaking
+    // knnJoinExact's bound.
+    val childCentroids: Map[Int, Array[Double]] =
+      if (already)
+        spark.read.parquet(s"$path/splits")
+          .where(col("batch").cast("long") === mid)
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      else {
+        val metric = spark.read.parquet(s"$path/meta").head()
+          .getAs[String]("metric")
+        val sub = Ivf.build(members, "id", "__emb", numClusters = 2,
+          metric = metric)
+        val used = spark.read.parquet(s"$path/sizes")
+          .where(col("cluster") =!= -1)
+          .agg(max(col("cluster"))).head().getInt(0)
+        val (cidA, cidB) = (used + 1, used + 2)
+        val childAssigned = sub.assignments
+          .select(col("id"),
+            when(col("cluster") === 0, lit(cidA)).otherwise(lit(cidB))
+              .as("cluster"))
+        childAssigned.withColumn("batch", lit(mid))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "cluster")
+          .parquet(s"$path/assignments")
+        Seq((0L, "0", mid)).toDF("n", "fp", "batch")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$path/fprint")
+        val kids = Map(cidA -> sub.centroids(0), cidB -> sub.centroids(1))
+        kids.toSeq.map { case (cid, c) => (cid, c.toSeq, mid) }
+          .toDF("cluster", "centroid", "batch")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$path/splits")
+        val kidStats = Ivf.clusterStats(
+          childAssigned.join(members, "id"), "cluster", "__emb", kids)
+        (Seq((cluster, -sz, -1.0, mid)) ++ kidStats.toSeq.map {
+            case (cid, (n, r)) => (cid, n, r, mid) })
+          .toDF("cluster", "size", "radius", "batch")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(s"$path/sizes")
+        kids
+      }
+    val oldCentroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val newCentroids = (oldCentroids - cluster) ++ childCentroids
+    newCentroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cluster", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    // cleanup: the old cell's rows, unreachable since the switch
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (b <- committedBatches(spark, s"$path/sizes"); if b != mid)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/assignments/batch=$b/cluster=$cluster"), true)
+    members.unpersist()
+  }
+
+  /** Advise WHICH cell to split, from sizes arithmetic alone (driver
+    * maps, no scan): the largest live cell, its even share n/nlist, and
+    * the imbalance factor between them. A top-k probe that routes into
+    * the hot cell scans `size` rows where an even layout would scan
+    * n/nlist; an even split halves the hot cell's scan at the cost of
+    * one more centroid comparison per probe (nlist+1 — negligible until
+    * nlist approaches the scan budget). The decision threshold `factor`
+    * is policy; the inputs are measurements — the
+    * [[adviseFold]]/[[planRetrain]] discipline. */
+  final case class SplitAdvice(cluster: Int, size: Long, evenShare: Double,
+      imbalance: Double, advise: Boolean)
+  def adviseSplitIvf(index: Ivf.IvfIndex, factor: Double = 2.0)
+      : SplitAdvice = {
+    require(index.sizes.nonEmpty, "empty index — nothing to split")
+    require(factor > 1, s"split factor must exceed 1, got $factor")
+    val n = index.sizes.values.sum
+    val (cid, sz) = index.sizes.maxBy { case (c, s) => (s, -c) }
+    val even = n.toDouble / index.sizes.size
+    SplitAdvice(cid, sz, even, sz / even, sz / even >= factor)
+  }
+
   /** The committed tombstone ids (empty relation when none). */
   private def ivfTombstones(spark: SparkSession, path: String)
       : Option[org.apache.spark.sql.DataFrame] = {
@@ -1937,10 +2094,14 @@ object IndexStore {
       Seq("assignments", "centroids", "meta", "sizes") ++ fprintDirs)
     // tombstones are now physically purged (the snapshot excluded them);
     // a crash before this delete leaves orphans that the folded sizes
-    // markers no longer commit — no loader reads them
+    // markers no longer commit — no loader reads them. The split-wave
+    // centroid sidecars go the same way: the fold wrote their children's
+    // centroids into the base table, and their wave ids are no longer
+    // committed.
     val tfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     tfs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    tfs.delete(new org.apache.hadoop.fs.Path(s"$path/splits"), true)
   }
 
   // ------------------------------------------- quantization drift monitor

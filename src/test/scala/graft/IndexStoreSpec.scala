@@ -1409,6 +1409,78 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(IndexStore.histQuantile(nullStats, "v", hv, 1.0) === (70L, 80L))
   }
 
+  test("hot-cluster split: cell-cost maintenance, exactness through the switch, crash-repair idempotent") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("ivfsplit").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    // full lifecycle before the split: base + append wave + delete wave
+    IndexStore.createIvf(embs.where($"vec_id" % 2 === 0), "vec_id",
+      "embedding", dir, numClusters = 6)
+    IndexStore.appendBatchIvf(embs.where($"vec_id" % 2 === 1), "vec_id",
+      "embedding", dir, batchId = 0L)
+    val doomed = embs.where($"vec_id" % 11 === 0).localCheckpoint(true)
+    val survivors = embs.where($"vec_id" % 11 =!= 0).localCheckpoint(true)
+    IndexStore.deleteBatchIvf(doomed, "vec_id", "embedding", dir, 0L)
+    val before = IndexStore.loadIvfChecked(spark, dir, survivors, "vec_id",
+      "embedding")
+    val advice = IndexStore.adviseSplitIvf(before, factor = 1.0001)
+    assert(advice.advise && advice.size === before.sizes.values.max)
+    // split the advised cell — the wave id deliberately COLLIDES with the
+    // committed append id 0 (own marker namespace: must not no-op)
+    IndexStore.splitClusterIvf(survivors, "vec_id", "embedding", dir,
+      advice.cluster, batchId = 0L)
+    val after = IndexStore.loadIvfChecked(spark, dir, survivors, "vec_id",
+      "embedding")
+    // one more cell, old cell gone, every member still assigned once
+    assert(after.sizes.size === before.sizes.size + 1)
+    assert(!after.sizes.contains(advice.cluster) &&
+      !after.centroids.contains(advice.cluster))
+    assert(after.centroids.keySet === after.sizes.keySet)
+    assert(after.sizes.values.sum === survivors.count())
+    assert(after.assignments.count() === survivors.count())
+    assert(after.assignments.select("id").distinct().count()
+      === survivors.count())
+    // children partition the old cell's mass
+    val kids = after.sizes.keySet -- before.sizes.keySet
+    assert(kids.size === 2)
+    assert(kids.toSeq.map(after.sizes).sum === advice.size)
+    // the old cell's physical partitions are gone
+    assert(java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "assignments"), 2)
+      .filter(p => p.getFileName.toString == s"cluster=${advice.cluster}")
+      .count() === 0L)
+    // exactness through the switch: routed exhaustive == exact over the
+    // survivors, and the ball-cover exact join still agrees (sound radii)
+    def routed(i: Ivf.IvfIndex) =
+      Ivf.ann(i, survivors, "vec_id", "embedding", query, k = 10,
+          numCandidates = Int.MaxValue, forceRoute = true)
+        .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val exact = VectorSearch.knn(survivors, "vec_id", "embedding", query,
+        k = 10)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(routed(after) === exact)
+    // crash-repair: re-running with the same wave id is idempotent and
+    // re-executes the switch + cleanup from the committed wave
+    IndexStore.splitClusterIvf(survivors, "vec_id", "embedding", dir,
+      advice.cluster, batchId = 0L)
+    val again = IndexStore.loadIvfChecked(spark, dir, survivors, "vec_id",
+      "embedding")
+    assert(again.sizes === after.sizes)
+    assert(again.centroids.keySet === after.centroids.keySet)
+    assert(routed(again) === exact)
+    // compaction folds the split state and stays checkable + exact
+    IndexStore.compactIvf(spark, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "splits")))
+    val folded = IndexStore.loadIvfChecked(spark, dir, survivors, "vec_id",
+      "embedding")
+    assert(routed(folded) === exact)
+    // guard rails: unknown cell, sub-2 membership via a fresh tiny index
+    intercept[IllegalArgumentException](IndexStore.splitClusterIvf(
+      survivors, "vec_id", "embedding", dir, cluster = 999, batchId = 1L))
+  }
+
   test("erasure audit: residuals through the live loaders; zero only after the wave; no-linkage families refuse") {
     import org.apache.spark.sql.functions._
     val embs = Tables.embeddings(spark, Sf0001)
