@@ -96,7 +96,7 @@ object SparkEntry {
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
         ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
-        ivfSplitBuilt, freshnessVerified)
+        groupedQuantileBuilt, ivfSplitBuilt, freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -111,7 +111,7 @@ object SparkEntry {
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
         ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
-        ivfSplitBuilt, freshnessVerified)
+        groupedQuantileBuilt, ivfSplitBuilt, freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Staleness verdicts already proven this session, keyed by
@@ -165,6 +165,7 @@ object SparkEntry {
     corpusIvfDeletedDisk(spark, dir)
     corpusBm25DeletedDisk(spark, dir)
     corpusQuantileDisk(spark, dir)
+    corpusGroupedQuantileDisk(spark, dir)
     corpusIvfSplitDisk(spark, dir)
   }
 
@@ -2936,6 +2937,60 @@ object SparkEntry {
     Seq(0.1, 0.5, 0.9, 0.99).map(p => (p, s.quantile(p))).toDF("p", "val")
   }
 
+  /** Grouped quantile sample sketch — the per-group twin of
+    * [[corpusQuantileDisk]] over (source → n_chars), same lifecycle
+    * (save two-thirds, append one-third, erase the mod-9 wave). */
+  private val groupedQuantileBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusGroupedQuantileDisk(spark: SparkSession, dir: String)
+      : IndexStore.GroupedQuantileSketch = {
+    val path = groupedQuantileBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_gqsketch_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val d = Tables.documents(spark, dir)
+        .select("doc_id", "source", "n_chars")
+      IndexStore.saveGroupedQuantile(
+        d.where(pmod(col("doc_id"), lit(3)) =!= 2), "doc_id", "source",
+        "n_chars", k = 1024, p)
+      IndexStore.appendBatchGroupedQuantile(
+        d.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "source",
+        "n_chars", p, 0L)
+      IndexStore.deleteBatchGroupedQuantile(
+        d.where(pmod(col("doc_id"), lit(9)) === 0), "doc_id", "source",
+        "n_chars", p, 0L)
+      p
+    })
+    val survivors = Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars")
+      .where(pmod(col("doc_id"), lit(9)) =!= 0)
+    checkedOncePerWave(spark, dir, "grouped-quantile")(
+      IndexStore.loadGroupedQuantileChecked(spark, path, survivors,
+        "doc_id", "source", "n_chars"))(
+      IndexStore.loadGroupedQuantile(spark, path))
+  }
+
+  /** PER-GROUP distribution questions from the persisted grouped sample
+    * ([[IndexStore.saveGroupedQuantile]]): "median and p90 doc length per
+    * source" — the curation question every mixing/quality decision needs
+    * — as driver arithmetic over ≤ groups × k (hash, value) pairs, no
+    * corpus scan and no histogram DDL at report time. The gate pins the
+    * complete regime per group (selfCheck), so the oracle recomputes the
+    * identical per-group rank rule over the survivors; at 100 TB the
+    * uniform per-group sample applies, maintained at ≤ groups × k rows
+    * per ingest wave. */
+  private def qQuantileBySource(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val s = corpusGroupedQuantileDisk(spark, dir)
+    if (sys.props.get("graft.selfcheck").contains("1"))
+      s.groups.foreach(g => require(s.complete(g),
+        s"q_quantile_by_source declares the complete regime but group " +
+          s"'$g' holds ${s.m(g)} of ${s.nByGroup(g)} rows"))
+    s.groups.toSeq.sorted.flatMap(g =>
+        Seq(0.5, 0.9).map(p => (g, p, s.quantile(g, p))))
+      .toDF("source", "p", "val")
+  }
+
   /** ERASURE AUDIT over the deletion-wave fixtures
     * ([[IndexStore.erasureAudit]]) — the verification step that closes
     * the right-to-be-forgotten loop: after the `q_ann_ivf_deleted` /
@@ -3227,6 +3282,7 @@ object SparkEntry {
     "q_bm25_deleted" -> ((s, dir) => qBm25Deleted(s, dir)),
     "q_erasure_audit" -> ((s, dir) => qErasureAudit(s, dir)),
     "q_quantile_sketch" -> ((s, dir) => qQuantileSketch(s, dir)),
+    "q_quantile_by_source" -> ((s, dir) => qQuantileBySource(s, dir)),
     "q_ann_ivf_split" -> ((s, dir) => qAnnIvfSplit(s, dir)),
     "q_neardup_text_cosine" -> ((s, dir) => qNeardupTextCosine(s, dir)),
     "q_chunk" -> ((s, dir) => qChunk(s, dir)),
@@ -3314,6 +3370,19 @@ object SparkEntry {
         |SELECT p, val FROM ps, nn, ranked
         |WHERE rk = CAST(ceil(p * c) AS BIGINT)
         |ORDER BY p""".stripMargin,
+    // per-group complete regime: the oracle recomputes the identical
+    // per-group rank rule over the survivors
+    "q_quantile_by_source" ->
+      """WITH ranked AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS val,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |           AS rk,
+        |         count(*) OVER (PARTITION BY source) AS c
+        |  FROM documents WHERE doc_id % 9 <> 0 AND source IS NOT NULL
+        |), ps(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+        |SELECT source, p, val FROM ps, ranked
+        |WHERE rk = CAST(ceil(p * c) AS BIGINT)
+        |ORDER BY source, p""".stripMargin,
     // erasure certificate: erased_n is real corpus arithmetic; the zero
     // residual is EARNED on the Spark side by probing each family's live
     // tombstone-filtered loader — a half-applied wave or missed family

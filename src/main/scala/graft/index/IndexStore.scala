@@ -1857,6 +1857,38 @@ object IndexStore {
       .select("id"))
   }
 
+  /** Streaming ERASURE upkeep — the delete-side twin of
+    * [[streamIntoIvf]]: each micro-batch of (id, vector) rows to forget
+    * lands as one delete wave ([[deleteBatchIvf]], the foreachBatch id
+    * as the wave id — the delete marker namespace keeps it disjoint
+    * from any APPEND stream sharing the index, so the two streams can
+    * run with the same checkpoint-assigned ids without colliding). A
+    * GDPR request queue then IS a stream: erasure lands at micro-batch
+    * cadence and cost, and each completed wave is invisible to the next
+    * [[loadIvf]]. */
+  def streamDeletesIntoIvf(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        deleteBatchIvf(b, idCol, embCol, path, id)
+      }
+      .start()
+
+  /** [[streamDeletesIntoIvf]] for the text index. */
+  def streamDeletesIntoBm25(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        deleteBatchBm25(b, idCol, textCol, path, id)
+      }
+      .start()
+
   /** Streaming index upkeep for the vector index — the IVF member of the
     * [[streamIntoBm25]]/[[streamIntoSignLsh]] family: incoming vectors are
     * assigned to their nearest cell as they arrive; each completed batch is
@@ -3992,6 +4024,291 @@ object IndexStore {
       .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
     (if (r.isNullAt(0)) 0L else r.getLong(0),
       if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  // ---- grouped variant: per-group bottom-k — the "p95 doc length per
+  // source / language" shape a curation pipeline asks constantly. The
+  // same theorems apply PER GROUP (the hash is group-independent, so
+  // each group's kept rows are a uniform threshold sample of that
+  // group's rows): merge = per-group k-smallest-of-union = the
+  // single-pass per-group bottom-k; deletion shrinks a group's sample
+  // without bias. Extra layout vs the ungrouped family: q rows carry
+  // the group, and a gn/batch=N (g, n) table accretes per-group live
+  // counts (bounded by the group cardinality — capped at
+  // [[StatsMaxDistinct]] like the stats catalog, and for the same
+  // reason: "grouped" means low-cardinality dimensions, not free text).
+
+  /** A loaded grouped sample: per-group (h, v) rows below each group's
+    * merged threshold + per-group live counts. */
+  case class GroupedQuantileSketch(
+      samples: Map[String, Array[(Long, Double)]],
+      nByGroup: Map[String, Long], k: Int) {
+    /** Live groups (positive surviving count). */
+    def groups: Set[String] = nByGroup.keySet
+    def m(g: String): Int = samples.getOrElse(g, Array.empty).length
+    /** The group's sample covers its every live row — exact. */
+    def complete(g: String): Boolean =
+      nByGroup.get(g).contains(m(g).toLong)
+    /** Rank-⌈p·m_g⌉ value of group `g`'s kept rows. */
+    def quantile(g: String, p: Double): Double = {
+      require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
+      require(m(g) > 0, s"group '$g' has no sampled rows")
+      val byValue = samples(g).map(_._2).sorted
+      byValue(math.ceil(p * m(g)).toInt - 1)
+    }
+  }
+
+  private def groupedClean(rows: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, valueCol: String)
+      : org.apache.spark.sql.DataFrame =
+    rows.where(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+
+  /** (non-null count, Σ xxhash64(id, group, value)) — three columns, so
+    * a row whose GROUP moved is as stale as a changed value. */
+  private def groupedFingerprint(clean: org.apache.spark.sql.DataFrame)
+      : (Long, java.math.BigDecimal) = {
+    val r = clean.agg(count(lit(1)),
+      sum(xxhash64(col("__id"), col("g"), col("v"))
+        .cast("decimal(38,0)"))).head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  private def writeGroupedQuantileBatch(
+      rows: org.apache.spark.sql.DataFrame, idCol: String, groupCol: String,
+      valueCol: String, k: Int, path: String, batchId: Long,
+      overwriteAll: Boolean): Unit = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val clean = groupedClean(rows, idCol, groupCol, valueCol)
+      .localCheckpoint(true)
+    val gCounts = clean.groupBy("g").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    require(gCounts.count() <= StatsMaxDistinct,
+      s"grouped quantile sketch caps group cardinality at " +
+        s"$StatsMaxDistinct — a free-text group column would turn the " +
+        "bounded sketch into a corpus mirror; bucket or drop the column")
+    // per-group bottom-k: a window rank over the WAVE only (shuffle ∝
+    // wave, bounded output ∝ groups × k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    val kept = clean.select(col("g"),
+        graft.functions.Text.hash60(col("__id").cast("string")).as("h"),
+        col("v"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+    def writer(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+      val wr = df.withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+      (if (overwriteAll) wr
+       else wr.option("partitionOverwriteMode", "dynamic"))
+        .partitionBy("batch").parquet(s"$path/$dir")
+    }
+    writer(kept, "q")
+    writer(gCounts, "gn")
+    val (n, fp) = groupedFingerprint(clean)
+    writer(Seq((n, fp.toString)).toDF("n", "fp"), "marks")
+    clean.unpersist(); gCounts.unpersist()
+  }
+
+  /** Build and persist the grouped sample — Overwrite = S7 `--replace`. */
+  def saveGroupedQuantile(rows: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, valueCol: String, k: Int,
+      path: String): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    Seq((k, groupCol)).toDF("k", "group_col")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    writeGroupedQuantileBatch(rows, idCol, groupCol, valueCol, k, path,
+      batchId = -1L, overwriteAll = true)
+  }
+
+  /** Accrete one ingest wave — ≤ groups × k sample rows + ≤ groups count
+    * rows written however large the wave is. */
+  def appendBatchGroupedQuantile(rows: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, valueCol: String, path: String,
+      batchId: Long): Unit = {
+    val spark = rows.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    require(hasDataFiles(spark, s"$path/meta"),
+      s"no grouped-quantile meta under $path — append requires a " +
+        "saveGroupedQuantile base")
+    val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
+    writeGroupedQuantileBatch(rows, idCol, groupCol, valueCol, k, path,
+      batchId, overwriteAll = false)
+  }
+
+  /** DELETE one wave — [[deleteBatchQuantile]] semantics per group:
+    * tombstoned hashes leave their group's sample, the group counts and
+    * the fingerprint subtract, and erasure SHRINKS samples without bias.
+    * Commits under [[deleteMarkerId]]; overlap-idempotent by hash. */
+  def deleteBatchGroupedQuantile(deleted: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, valueCol: String, path: String,
+      batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/marks").contains(mid)) return
+    val wave = groupedClean(deleted, idCol, groupCol, valueCol)
+      .withColumn("h",
+        graft.functions.Text.hash60(col("__id").cast("string")))
+    val rows = (if (!hasDataFiles(spark, s"$path/tombstones")) wave
+      else wave.join(broadcast(
+        spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long")
+            .isin(committedBatches(spark, s"$path/marks"): _*))
+          .select("h")), Seq("h"), "left_anti"))
+      .localCheckpoint(true)
+    rows.select("h").withColumn("batch", lit(mid))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/tombstones")
+    rows.groupBy("g").agg((-count(lit(1))).as("n"))
+      .withColumn("batch", lit(mid))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/gn")
+    val (n, fp) = groupedFingerprint(rows)
+    Seq((-n, fp.negate().toString, mid)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Streaming upkeep — the grouped member of the [[streamIntoBm25]]
+    * hook family. */
+  def streamIntoGroupedQuantile(rows: org.apache.spark.sql.DataFrame,
+      idCol: String, groupCol: String, valueCol: String, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchGroupedQuantile(b, idCol, groupCol, valueCol, path, id)
+      }
+      .start()
+
+  /** Fold the committed deltas — per-group merged bottom-k FIRST (each
+    * group's threshold fixed where the merge theorem holds), tombstoned
+    * hashes out AFTER, collect bounded by groups × k. */
+  def loadGroupedQuantile(spark: SparkSession, path: String)
+      : GroupedQuantileSketch = {
+    val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
+    val batches = committedBatches(spark, s"$path/marks")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    val merged = spark.read.parquet(s"$path/q")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .select("g", "h", "v")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+    val live =
+      if (!hasDataFiles(spark, s"$path/tombstones")) merged
+      else merged.join(broadcast(
+        spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long").isin(batches: _*))
+          .select("h")), Seq("h"), "left_anti")
+    // the anti-join moves its key first — pin the projection
+    val samples = live.select("g", "h", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
+    val nByGroup = spark.read.parquet(s"$path/gn")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .groupBy("g").agg(sum(col("n")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).filter(_._2 > 0).toMap
+    GroupedQuantileSketch(samples, nByGroup, k)
+  }
+
+  /** [[loadGroupedQuantile]] with the STALENESS GUARD — the
+    * [[loadSummaryChecked]] shape (marks double as fprint; the hash
+    * covers (id, group, value), so a row whose group moved refuses). */
+  def loadGroupedQuantileChecked(spark: SparkSession, path: String,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, valueCol: String): GroupedQuantileSketch = {
+    val batches = committedBatches(spark, s"$path/marks")
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+    val recN = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val recFp =
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val (n, fp) = groupedFingerprint(
+      groupedClean(corpus, idCol, groupCol, valueCol))
+    if (recN != n || recFp.compareTo(fp) != 0)
+      throw new IllegalStateException(
+        s"grouped quantile sketch at $path is STALE: committed waves " +
+          s"cover n=$recN fp=$recFp, the corpus is now n=$n fp=$fp — " +
+          "appendBatchGroupedQuantile the missing wave or rebuild with " +
+          "saveGroupedQuantile")
+    loadGroupedQuantile(spark, path)
+  }
+
+  /** Fold every committed batch back into a single base partition — the
+    * [[compactQuantile]] honesty rule applied per group, with one
+    * refusal the scalar family avoids by narrowing k: a single DDL k
+    * cannot narrow per group, so the fold REFUSES when any live group is
+    * both incomplete (its threshold was truncating) and erased — its
+    * fold could fix a sample that under-covers its own threshold band
+    * and bias future merges (conservative: an erasure that only touched
+    * rows above the threshold would fold fine, but the hash-only ledger
+    * cannot tell, and a wrong fold is silent bias). Every
+    * other state folds losslessly: complete groups (erased or not) hold
+    * their full multiset, and incomplete-but-unerased groups keep their
+    * truncation threshold intact. */
+  def compactGroupedQuantile(spark: SparkSession, path: String): Unit = {
+    val s = loadGroupedQuantile(spark, path)
+    val batches = committedBatches(spark, s"$path/marks")
+    val erasedGroups =
+      if (!hasDataFiles(spark, s"$path/gn")) Set.empty[String]
+      else spark.read.parquet(s"$path/gn")
+        .where(col("batch").cast("long").isin(batches: _*) &&
+          col("n") < 0)
+        .select("g").distinct().collect().map(_.getString(0)).toSet
+    val stuck = erasedGroups.filter(g =>
+      s.nByGroup.contains(g) && !s.complete(g))
+    require(stuck.isEmpty,
+      s"cannot fold: group(s) ${stuck.toSeq.sorted.mkString(", ")} are " +
+        "incomplete AND erased — their hash thresholds cannot be " +
+        "re-expanded without the discarded rows, and one DDL k cannot " +
+        "narrow per group; rebuild with saveGroupedQuantile over the " +
+        "survivors")
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val fp =
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val gc = spark.read.parquet(s"$path/meta").head()
+      .getAs[String]("group_col")
+    val staged = s"$path/.compact"
+    import spark.implicits._
+    s.samples.toSeq
+      .flatMap { case (g, rs) => rs.map { case (h, v) => (g, h, v) } }
+      .toDF("g", "h", "v").withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/q")
+    s.nByGroup.toSeq.toDF("g", "n").withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/gn")
+    Seq((s.k, gc)).toDF("k", "group_col")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staged/meta")
+    Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/marks")
+    swapStaged(spark, path, staged, Seq("q", "gn", "meta", "marks"))
+    org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** Fold every committed batch back into a single base partition. The

@@ -1695,6 +1695,98 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       IndexStore.saveQuantile(docs, "doc_id", "n_chars", 0, dir))
   }
 
+  test("grouped quantile sketch: per-group exactness, merge, erasure shrink, fold refusal on stuck groups") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "n_chars").localCheckpoint(true)
+    val dir = Files.createTempDirectory("gqsketch").toString
+    // lifecycle: base two-thirds, one append wave, one erasure wave
+    IndexStore.saveGroupedQuantile(docs.where($"doc_id" % 3 =!= 2),
+      "doc_id", "source", "n_chars", k = 1024, dir)
+    IndexStore.appendBatchGroupedQuantile(docs.where($"doc_id" % 3 === 2),
+      "doc_id", "source", "n_chars", dir, 0L)
+    IndexStore.deleteBatchGroupedQuantile(docs.where($"doc_id" % 9 === 0),
+      "doc_id", "source", "n_chars", dir, 0L)
+    val survivors = docs.where($"doc_id" % 9 =!= 0).localCheckpoint(true)
+    val s = IndexStore.loadGroupedQuantileChecked(spark, dir, survivors,
+      "doc_id", "source", "n_chars")
+    intercept[IllegalStateException](IndexStore.loadGroupedQuantileChecked(
+      spark, dir, docs, "doc_id", "source", "n_chars"))
+    // complete per group at this scale → per-group quantiles exact
+    val truth = survivors.where($"source".isNotNull)
+      .select($"source", $"n_chars".cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(_._2).sorted }
+    assert(s.groups === truth.keySet)
+    for (g <- s.groups) {
+      assert(s.complete(g), g)
+      for (p <- Seq(0.5, 0.9))
+        assert(s.quantile(g, p) ===
+          truth(g)(math.ceil(p * truth(g).length).toInt - 1), s"$g p=$p")
+    }
+    // complete-everywhere folds fine and answers identically
+    IndexStore.compactGroupedQuantile(spark, dir)
+    val folded = IndexStore.loadGroupedQuantileChecked(spark, dir,
+      survivors, "doc_id", "source", "n_chars")
+    assert(folded.groups === s.groups)
+    for (g <- s.groups)
+      assert(folded.quantile(g, 0.9) === s.quantile(g, 0.9))
+    // merge theorem per group at k < group size: fold == single pass
+    val mDir = Files.createTempDirectory("gqsketchm").toString
+    IndexStore.saveGroupedQuantile(docs.where($"doc_id" % 2 === 0),
+      "doc_id", "source", "n_chars", k = 4, mDir)
+    IndexStore.appendBatchGroupedQuantile(docs.where($"doc_id" % 2 === 1),
+      "doc_id", "source", "n_chars", mDir, 0L)
+    val m = IndexStore.loadGroupedQuantile(spark, mDir)
+    val onePass = docs.where($"source".isNotNull)
+      .select($"source".as("g"),
+        graft.functions.Text.hash60($"doc_id".cast("string")).as("h"),
+        $"n_chars".cast("double").as("v"))
+      .as[(String, Long, Double)].collect().groupBy(_._1)
+      .map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sortBy(_._1).take(4) }
+    for (g <- m.groups) assert(m.samples(g).toSeq === onePass(g).toSeq, g)
+    // an incomplete group that loses erased rows jams the fold — refusal
+    // names it; a rebuild is the way out
+    val victim = m.samples.keys.head
+    IndexStore.deleteBatchGroupedQuantile(
+      docs.where($"source" === victim).limit(1), "doc_id", "source",
+      "n_chars", mDir, 0L)
+    val e = intercept[IllegalArgumentException](
+      IndexStore.compactGroupedQuantile(spark, mDir))
+    assert(e.getMessage.contains("incomplete AND erased"))
+  }
+
+  test("streaming erasure: a GDPR queue as a stream of delete waves") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("ivfstreamdel").toString
+    val ckpt = Files.createTempDirectory("ivfstreamdelckpt").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    IndexStore.createIvf(embs, "vec_id", "embedding", dir, numClusters = 8)
+    val doomed = embs.where($"vec_id" % 7 === 0)
+      .as[(Long, Seq[Double])].collect()
+    val remaining = embs.where($"vec_id" % 7 =!= 0).localCheckpoint(true)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])](spark)
+    val q = IndexStore.streamDeletesIntoIvf(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      ckpt)
+    try {
+      val (w1, w2) = doomed.splitAt(doomed.length / 2)
+      mem.addData(w1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(w2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // two streamed waves erased exactly the doomed rows; checked loader
+    // flips to the survivors and the audit certifies zero residual
+    val idx = IndexStore.loadIvfChecked(spark, dir, remaining, "vec_id",
+      "embedding")
+    assert(idx.assignments.count() === remaining.count())
+    assert(IndexStore.erasureAudit(spark,
+        embs.where($"vec_id" % 7 === 0).select("vec_id"), "vec_id",
+        Seq("ivf" -> dir))
+      .as[(String, Long, Long)].head()._3 === 0L)
+  }
+
   test("compaction advisor: receipts from sidecars, workload flips the fold, execute folds and preserves checkability") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("compadvise").toString
