@@ -2854,6 +2854,13 @@ object SparkEntry {
         factor = 1.0001)
       IndexStore.splitClusterIvf(e, "vec_id", "embedding", p,
         advice.cluster, batchId = 0L)
+      // and the twin maintenance op: fuse the two smallest cells — the
+      // fixture then carries BOTH layout waves, and the exactness
+      // contract must hold through the pair
+      val m = IndexStore.adviseMergeIvf(IndexStore.loadIvf(spark, p),
+        factor = 100.0)
+      IndexStore.mergeClustersIvf(e, "vec_id", "embedding", p,
+        m.clusterA, m.clusterB, batchId = 0L)
       p
     })
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
@@ -2862,12 +2869,13 @@ object SparkEntry {
       IndexStore.loadIvf(spark, path))
   }
 
-  /** ANN over the post-split index: the routed exhaustive probe over the
-    * nlist+1 cells must equal the exact top-k — a member lost (old cell
-    * unreachable too early) or doubled (old rows still routed) by the
-    * split fails both the selfCheck and the oracle hash. The corpus did
-    * not change, so the exact-kNN SQL is the same full oracle as
-    * `q_ann_ivf`; only the physical layout moved. */
+  /** ANN over the post-split, post-merge index: the routed exhaustive
+    * probe over the re-laid-out cells must equal the exact top-k — a
+    * member lost (old cell unreachable too early) or doubled (old rows
+    * still routed) by EITHER maintenance wave fails both the selfCheck
+    * and the oracle hash. The corpus did not change, so the exact-kNN
+    * SQL is the same full oracle as `q_ann_ivf`; only the physical
+    * layout moved — twice. */
   private def qAnnIvfSplit(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val idx = corpusIvfSplitDisk(spark, dir)

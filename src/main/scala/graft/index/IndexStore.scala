@@ -1406,21 +1406,27 @@ object IndexStore {
   }
 
   /** Maintenance waves get their OWN commit-marker id namespaces,
-    * disjoint from append/stream ids (foreachBatch ids are 0, 1, 2, …)
-    * and from the compaction base (−1): delete wave N commits at
-    * −(2N+2) = −2, −4, −6, …; split wave N at −(2N+3) = −3, −5, −7, ….
-    * Without this, a delete (or split) requested with a wave id a
-    * streaming append had already committed would hit the idempotency
-    * guard and SILENTLY NO-OP — the one failure an erasure pipeline must
-    * never have. With the mapping, each wave kind's idempotency is
-    * judged only against its own prior waves, and the negative partition
-    * values flow through [[committedBatches]]/`isin` filtering unchanged
-    * (the wave's tombstone/fprint/size partitions carry the mapped id,
-    * so loaders pick them up exactly like any committed batch). */
-  private def deleteMarkerId(batchId: Long): Long = -(2L * batchId + 2L)
+    * disjoint from append/stream ids (foreachBatch ids are 0, 1, 2, …),
+    * from the compaction base (−1), and from EACH OTHER: delete wave N
+    * commits at −(3N+2) = −2, −5, −8, …; split wave N at −(3N+3) = −3,
+    * −6, −9, …; merge wave N at −(3N+4) = −4, −7, −10, …. Without this,
+    * a delete (or split, or merge) requested with a wave id another
+    * wave kind had already committed would hit the idempotency guard
+    * and SILENTLY NO-OP — for erasure the one failure a GDPR pipeline
+    * must never have, and for the layout waves a repair re-run would
+    * recover the WRONG wave's children. With the mapping, each wave
+    * kind's idempotency is judged only against its own prior waves, and
+    * the negative partition values flow through
+    * [[committedBatches]]/`isin` filtering unchanged (the wave's
+    * tombstone/fprint/size partitions carry the mapped id, so loaders
+    * pick them up exactly like any committed batch). */
+  private def deleteMarkerId(batchId: Long): Long = -(3L * batchId + 2L)
 
   /** Split waves' marker namespace — see [[deleteMarkerId]]. */
-  private def splitMarkerId(batchId: Long): Long = -(2L * batchId + 3L)
+  private def splitMarkerId(batchId: Long): Long = -(3L * batchId + 3L)
+
+  /** Merge waves' marker namespace — see [[deleteMarkerId]]. */
+  private def mergeMarkerId(batchId: Long): Long = -(3L * batchId + 4L)
 
   /** The sub-wave of `rows` NOT already erased: anti-join the wave's ids
     * against the committed tombstones under `path`. Repeated erasure
@@ -1525,13 +1531,33 @@ object IndexStore {
       case other =>
         throw new IllegalArgumentException(
           s"unknown family '$other' — auditable families: ivf, pq, " +
-            "prefix, signlsh, bm25, phrase, windows, containment")
+            "prefix, signlsh, bm25, phrase, windows, containment, " +
+            "quantile, gquantile")
     }
+    // the quantile samples are hash-keyed, not id-keyed: an erased id's
+    // row may legitimately be absent (never sampled), but a SAMPLED row
+    // still carrying the erased id's hash60 is a retained value — the
+    // residual counts those. Bounded driver work: the sample is ≤ k
+    // (≤ groups × k) pairs and the wave's hash set is broadcast-sized.
+    lazy val erasedHashes: Set[Long] = ids
+      .select(graft.functions.Text.hash60(col("__erased").cast("string")))
+      .collect().map(_.getLong(0)).toSet
     val rows = families.map { case (family, path) =>
-      val residual = liveIds(family, path)
-        .select(col("id").cast("long").as("id")).where(col("id").isNotNull)
-        .join(broadcast(ids), col("id") === col("__erased"), "left_semi")
-        .select(col("id")).distinct().count()
+      val residual = family match {
+        case "quantile" =>
+          loadQuantile(spark, path).sample
+            .count(hv => erasedHashes(hv._1)).toLong
+        case "gquantile" =>
+          loadGroupedQuantile(spark, path).samples.values
+            .map(_.count(hv => erasedHashes(hv._1))).sum.toLong
+        case _ =>
+          liveIds(family, path)
+            .select(col("id").cast("long").as("id"))
+            .where(col("id").isNotNull)
+            .join(broadcast(ids), col("id") === col("__erased"),
+              "left_semi")
+            .select(col("id")).distinct().count()
+      }
       (family, erasedN, residual)
     }
     rows.toDF("family", "erased_n", "residual")
@@ -1847,6 +1873,139 @@ object IndexStore {
     SplitAdvice(cid, sz, even, sz / even, sz / even >= factor)
   }
 
+  /** MERGE two cold IVF cells in place — [[splitClusterIvf]]'s twin, the
+    * maintenance answer to the OPPOSITE drift: deletion waves and skewed
+    * ingest leave near-empty cells, and every one of them costs a
+    * centroid comparison per probe (nlist × dim routing work) plus a
+    * partition directory, for almost no scan pruning in return. Work ∝
+    * the two cells' member count: both member sets land under the
+    * merged cell (centroid = the members' mean — no re-clustering; a
+    * merged cell needs a COVERING ball, not a tight one, and the radius
+    * is measured from the members against that mean), and the same
+    * centroid-table-rewrite switch flips probes atomically: the wave
+    * commits (children have mass, no centroid — probes still route to
+    * the old cells), the centroid rewrite drops both old cells and adds
+    * the merged one, and the cleanup deletes the old cells' partition
+    * dirs, already unreachable. Exactness (routed exhaustive == exact)
+    * holds through every stage for the same reason as the split: rows
+    * are only ever reachable through exactly one live centroid. Same
+    * offline-window + re-run-repairs contract ([[splitClusterIvf]]);
+    * commits under [[mergeMarkerId]] (own namespace, so a split and a
+    * merge with the same wave id can never recover each other's
+    * children). */
+  def mergeClustersIvf(corpus: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, path: String, clusterA: Int,
+      clusterB: Int, batchId: Long): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"merge batch ids are non-negative, got $batchId")
+    require(clusterA != clusterB, "merging a cell with itself is a no-op")
+    val mid = mergeMarkerId(batchId)
+    val committed = committedBatches(spark, s"$path/sizes")
+    val already = committed.contains(mid)
+    val (memberIds, szA, szB) =
+      if (already)
+        (spark.read.parquet(s"$path/assignments")
+          .where(col("batch").cast("long") === mid).select("id"), -1L, -1L)
+      else {
+        val idx = loadIvf(spark, path)
+        for (c <- Seq(clusterA, clusterB))
+          require(idx.sizes.contains(c),
+            s"cluster $c is not a live cell of the index at $path " +
+              s"(live: ${idx.sizes.keys.toSeq.sorted.mkString(", ")})")
+        (idx.assignments
+           .where(col("cluster").isin(clusterA, clusterB)).select("id"),
+         idx.sizes(clusterA), idx.sizes(clusterB))
+      }
+    val members = corpus
+      .select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .join(memberIds, "id").localCheckpoint(true)
+    val sz = members.count()
+    require(sz == memberIds.count(),
+      s"corpus does not cover the cells' members — a member missing " +
+        "from the corpus would silently vanish from the index")
+    val mergedCentroid: (Int, Array[Double]) =
+      if (already) {
+        val r = spark.read.parquet(s"$path/splits")
+          .where(col("batch").cast("long") === mid).head()
+        r.getInt(0) -> r.getSeq[Double](1).toArray
+      } else {
+        val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
+        val c = members
+          .select(col("__emb").cast("array<double>").as("v"))
+          .agg(array((0 until dim).map(i => avg(col("v")(i))): _*))
+          .head().getSeq[Double](0).toArray
+        val used = spark.read.parquet(s"$path/sizes")
+          .where(col("cluster") =!= -1)
+          .agg(max(col("cluster"))).head().getInt(0)
+        val cid = used + 1
+        members.select(col("id"), lit(cid).as("cluster"))
+          .withColumn("batch", lit(mid))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch", "cluster")
+          .parquet(s"$path/assignments")
+        Seq((0L, "0", mid)).toDF("n", "fp", "batch")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$path/fprint")
+        // the merged centroid rides the wave sidecar for the same
+        // reason as the split's: repair must install the vectors the
+        // radius was measured against
+        Seq((cid, c.toSeq, mid)).toDF("cluster", "centroid", "batch")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$path/splits")
+        val stats = Ivf.clusterStats(
+          members.select(col("id"), lit(cid).as("cluster"), col("__emb")),
+          "cluster", "__emb", Map(cid -> c))
+        val (mn, mr) = stats(cid)
+        Seq((clusterA, -szA, -1.0, mid), (clusterB, -szB, -1.0, mid),
+            (cid, mn, mr, mid))
+          .toDF("cluster", "size", "radius", "batch")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch")
+          .parquet(s"$path/sizes")
+        cid -> c
+      }
+    val oldCentroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val newCentroids =
+      (oldCentroids - clusterA - clusterB) + mergedCentroid
+    newCentroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cluster", "centroid")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (b <- committedBatches(spark, s"$path/sizes"); if b != mid;
+         c <- Seq(clusterA, clusterB))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/assignments/batch=$b/cluster=$c"), true)
+    members.unpersist()
+  }
+
+  /** Advise WHICH two cells to merge — [[adviseSplitIvf]]'s twin, sizes
+    * arithmetic alone: the two smallest live cells, advised when their
+    * COMBINED mass still sits at or below `factor` × the even share
+    * (the merged cell then costs a probe no more than an average cell
+    * would, while the index sheds one centroid comparison per probe and
+    * one partition directory). Threshold is policy; inputs are
+    * measurements. */
+  final case class MergeAdvice(clusterA: Int, clusterB: Int,
+      combinedSize: Long, evenShare: Double, advise: Boolean)
+  def adviseMergeIvf(index: Ivf.IvfIndex, factor: Double = 1.0)
+      : MergeAdvice = {
+    require(index.sizes.size >= 3,
+      "need at least three live cells — merging below two cells would " +
+        "degenerate the index to a single full scan")
+    require(factor > 0, s"merge factor must be positive, got $factor")
+    val bySize = index.sizes.toSeq.sortBy { case (c, s) => (s, c) }
+    val (ca, sa) = bySize(0); val (cb, sb) = bySize(1)
+    val even = index.sizes.values.sum.toDouble / index.sizes.size
+    MergeAdvice(ca, cb, sa + sb, even, (sa + sb) <= factor * even)
+  }
+
   /** The committed tombstone ids (empty relation when none). */
   private def ivfTombstones(spark: SparkSession, path: String)
       : Option[org.apache.spark.sql.DataFrame] = {
@@ -1888,6 +2047,82 @@ object IndexStore {
         deleteBatchBm25(b, idCol, textCol, path, id)
       }
       .start()
+
+  // [[streamDeletesIntoIvf]] twins for the remaining deletable families
+  // — every family with an append stream hook gets the erasure stream
+  // hook, so a GDPR queue drains into ALL of a corpus's indexes with the
+  // same plumbing. The one deliberate exception: grams has NO hook —
+  // its fingerprint-only deletion cannot dedupe repeated ids, and a
+  // queue-fed stream is exactly where repeats happen (two requests
+  // naming one user); wave-at-a-time calls keep that boundary visible.
+  // The summary family refuses deletion outright ([[deleteBatchSummary]]).
+
+  private def deleteStream(deletes: org.apache.spark.sql.DataFrame,
+      checkpoint: String)(
+      apply: (org.apache.spark.sql.DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        apply(b, id)
+      }
+      .start()
+
+  def streamDeletesIntoSignLsh(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchSignLsh(_, idCol, embCol, path, _))
+
+  def streamDeletesIntoPq(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchPq(_, idCol, embCol, path, _))
+
+  def streamDeletesIntoPrefix(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, embCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchPrefix(_, idCol, embCol, path, _))
+
+  def streamDeletesIntoPhrase(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchPhrase(_, idCol, textCol, path, _))
+
+  def streamDeletesIntoWindows(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchWindows(_, idCol, textCol, path, _))
+
+  def streamDeletesIntoContainment(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchContainment(_, idCol, textCol, path, _))
+
+  def streamDeletesIntoStats(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, contentCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchStats(_, idCol, contentCol, path, _))
+
+  def streamDeletesIntoQuantile(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, valueCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchQuantile(_, idCol, valueCol, path, _))
+
+  def streamDeletesIntoGroupedQuantile(
+      deletes: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, valueCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchGroupedQuantile(_, idCol, groupCol, valueCol, path, _))
 
   /** Streaming index upkeep for the vector index — the IVF member of the
     * [[streamIntoBm25]]/[[streamIntoSignLsh]] family: incoming vectors are

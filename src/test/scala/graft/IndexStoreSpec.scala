@@ -1479,6 +1479,47 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     // guard rails: unknown cell, sub-2 membership via a fresh tiny index
     intercept[IllegalArgumentException](IndexStore.splitClusterIvf(
       survivors, "vec_id", "embedding", dir, cluster = 999, batchId = 1L))
+    // ---- merge: the split's twin — fuse the two smallest cells, same
+    // switch discipline, routed==exact through and after, repair-idempotent
+    val preMerge = IndexStore.loadIvfChecked(spark, dir, survivors,
+      "vec_id", "embedding")
+    val mAdvice = IndexStore.adviseMergeIvf(preMerge, factor = 100.0)
+    assert(mAdvice.advise)
+    assert(mAdvice.combinedSize === preMerge.sizes(mAdvice.clusterA) +
+      preMerge.sizes(mAdvice.clusterB))
+    IndexStore.mergeClustersIvf(survivors, "vec_id", "embedding", dir,
+      mAdvice.clusterA, mAdvice.clusterB, batchId = 0L)
+    val merged = IndexStore.loadIvfChecked(spark, dir, survivors,
+      "vec_id", "embedding")
+    assert(merged.sizes.size === preMerge.sizes.size - 1)
+    assert(!merged.sizes.contains(mAdvice.clusterA) &&
+      !merged.sizes.contains(mAdvice.clusterB))
+    assert(merged.centroids.keySet === merged.sizes.keySet)
+    assert(merged.sizes.values.sum === survivors.count())
+    assert(merged.assignments.select("id").distinct().count()
+      === survivors.count())
+    val mergedCell = (merged.sizes.keySet -- preMerge.sizes.keySet).head
+    assert(merged.sizes(mergedCell) === mAdvice.combinedSize)
+    assert(routed(merged) === exact)
+    // repair re-run is idempotent
+    IndexStore.mergeClustersIvf(survivors, "vec_id", "embedding", dir,
+      mAdvice.clusterA, mAdvice.clusterB, batchId = 0L)
+    val mergedAgain = IndexStore.loadIvfChecked(spark, dir, survivors,
+      "vec_id", "embedding")
+    assert(mergedAgain.sizes === merged.sizes)
+    assert(routed(mergedAgain) === exact)
+    // the old cells' physical partitions are gone
+    for (c <- Seq(mAdvice.clusterA, mAdvice.clusterB))
+      assert(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(dir, "assignments"), 2)
+        .filter(p => p.getFileName.toString == s"cluster=$c")
+        .count() === 0L)
+    // compaction folds the merged state and stays checkable + exact
+    IndexStore.compactIvf(spark, dir)
+    assert(routed(IndexStore.loadIvfChecked(spark, dir, survivors,
+      "vec_id", "embedding")) === exact)
+    intercept[IllegalArgumentException](IndexStore.mergeClustersIvf(
+      survivors, "vec_id", "embedding", dir, 5, 5, batchId = 1L))
   }
 
   test("erasure audit: residuals through the live loaders; zero only after the wave; no-linkage families refuse") {
@@ -1525,6 +1566,26 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(partial === Seq(("bm25", doomed2.count(), 0L),
       ("phrase", doomed2.count(), doomed2.count())))
+    // hash-keyed quantile samples audit by id-hash: complete samples
+    // hold every erased row pre-delete (residual = wave) and none after
+    val qDir = Files.createTempDirectory("auditq").toString
+    val gqDir = Files.createTempDirectory("auditgq").toString
+    val docsN = Tables.documents(spark, Sf0001)
+      .select("doc_id", "source", "n_chars").localCheckpoint(true)
+    IndexStore.saveQuantile(docsN, "doc_id", "n_chars", 2048, qDir)
+    IndexStore.saveGroupedQuantile(docsN, "doc_id", "source", "n_chars",
+      2048, gqDir)
+    def auditQ() = IndexStore.erasureAudit(spark, doomedDocs, "doc_id",
+        Seq("quantile" -> qDir, "gquantile" -> gqDir))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(auditQ() === Seq(("gquantile", nDocs, nDocs),
+      ("quantile", nDocs, nDocs)))
+    IndexStore.deleteBatchQuantile(doomedDocs
+      .join(docsN, "doc_id"), "doc_id", "n_chars", qDir, 0L)
+    IndexStore.deleteBatchGroupedQuantile(doomedDocs
+      .join(docsN, "doc_id"), "doc_id", "source", "n_chars", gqDir, 0L)
+    assert(auditQ() === Seq(("gquantile", nDocs, 0L),
+      ("quantile", nDocs, 0L)))
     // families with no id linkage refuse rather than certify
     for (fam <- Seq("grams", "summary", "stats"))
       assert(intercept[IllegalArgumentException](
@@ -1784,6 +1845,31 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(IndexStore.erasureAudit(spark,
         embs.where($"vec_id" % 7 === 0).select("vec_id"), "vec_id",
         Seq("ivf" -> dir))
+      .as[(String, Long, Long)].head()._3 === 0L)
+    // the quantile sample drains the same kind of queue
+    val qDir = Files.createTempDirectory("qstreamdel").toString
+    val qCkpt = Files.createTempDirectory("qstreamdelckpt").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"n_chars".cast("long").as("n_chars"))
+      .localCheckpoint(true)
+    IndexStore.saveQuantile(docs, "doc_id", "n_chars", 2048, qDir)
+    val doomedDocs = docs.where($"doc_id" % 9 === 0)
+      .as[(Long, Long)].collect()
+    val qmem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)](spark)
+    val qq = IndexStore.streamDeletesIntoQuantile(
+      qmem.toDF().toDF("doc_id", "n_chars"), "doc_id", "n_chars", qDir,
+      qCkpt)
+    try {
+      val (w1, w2) = doomedDocs.splitAt(doomedDocs.length / 2)
+      qmem.addData(w1.toIndexedSeq); qq.processAllAvailable()
+      qmem.addData(w2.toIndexedSeq); qq.processAllAvailable()
+    } finally qq.stop()
+    val qs = IndexStore.loadQuantileChecked(spark, qDir,
+      docs.where($"doc_id" % 9 =!= 0), "doc_id", "n_chars")
+    assert(qs.complete && qs.n === docs.where($"doc_id" % 9 =!= 0).count())
+    assert(IndexStore.erasureAudit(spark,
+        docs.where($"doc_id" % 9 === 0).select("doc_id"), "doc_id",
+        Seq("quantile" -> qDir))
       .as[(String, Long, Long)].head()._3 === 0L)
   }
 
