@@ -1420,13 +1420,13 @@ object IndexStore {
     * [[committedBatches]]/`isin` filtering unchanged (the wave's
     * tombstone/fprint/size partitions carry the mapped id, so loaders
     * pick them up exactly like any committed batch). */
-  private def deleteMarkerId(batchId: Long): Long = -(3L * batchId + 2L)
+  private[graft] def deleteMarkerId(batchId: Long): Long = -(3L * batchId + 2L)
 
   /** Split waves' marker namespace — see [[deleteMarkerId]]. */
-  private def splitMarkerId(batchId: Long): Long = -(3L * batchId + 3L)
+  private[graft] def splitMarkerId(batchId: Long): Long = -(3L * batchId + 3L)
 
   /** Merge waves' marker namespace — see [[deleteMarkerId]]. */
-  private def mergeMarkerId(batchId: Long): Long = -(3L * batchId + 4L)
+  private[graft] def mergeMarkerId(batchId: Long): Long = -(3L * batchId + 4L)
 
   /** The sub-wave of `rows` NOT already erased: anti-join the wave's ids
     * against the committed tombstones under `path`. Repeated erasure

@@ -56,6 +56,31 @@ class ArithmeticPropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("maintenance-wave marker namespaces are pairwise disjoint and avoid append/compaction ids") {
+    // the whole deletion/split/merge safety argument rests on this
+    // arithmetic: no delete, split, or merge wave id can ever collide
+    // with an append/stream id (≥ 0), the compaction base (−1), or a
+    // wave of ANOTHER kind — a collision would either silently no-op an
+    // erasure or make a layout repair recover the wrong wave's children
+    val rnd = new Random(44)
+    val seen = scala.collection.mutable.Map.empty[Long, String]
+    for (i <- 1 to 3000) {
+      val n = if (i <= 100) (i - 1).toLong else math.abs(rnd.nextLong()) % (1L << 40)
+      for ((kind, mid) <- Seq(
+          "delete" -> IndexStore.deleteMarkerId(n),
+          "split" -> IndexStore.splitMarkerId(n),
+          "merge" -> IndexStore.mergeMarkerId(n))) {
+        assert(mid <= -2, s"$kind($n)=$mid must sit below the " +
+          "compaction base")
+        val key = s"$kind#$n"
+        seen.get(mid).foreach(prev =>
+          assert(prev == key, s"collision: $prev and $key both map " +
+            s"to marker $mid"))
+        seen(mid) = key
+      }
+    }
+  }
+
   test("planCosine: exact contract has zero miss; banded regimes hold the declared budget") {
     val rnd = new Random(43)
     for (i <- 1 to 300) {
