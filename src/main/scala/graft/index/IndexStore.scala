@@ -1477,6 +1477,76 @@ object IndexStore {
         .where(col("batch").cast("long").isin(batches: _*))
         .select("id")), Seq("id"), "left_anti")
 
+  /** Operational state of one persisted family, counted from its COMMIT
+    * MARKERS alone — driver-bounded reads, never a data scan. The 100 TB
+    * operations question this answers is "what state is this index in,
+    * and is maintenance due?": how many waves of each kind are
+    * committed (append/delete/split/merge decoded from the marker-id
+    * namespaces), whether a compacted base exists, how many rows the
+    * fingerprint currently covers (appends minus erasures — the live
+    * count the checked loader will demand), and whether an erasure
+    * ledger is pending physical purge (a compaction's job). Feed the
+    * wave counts to [[planCompaction]]/[[adviseFold]] for the
+    * WHEN-to-fold arithmetic; this is the WHAT-is-there inventory. */
+  final case class FamilyState(family: String, base: Boolean,
+      appends: Long, deletes: Long, splits: Long, merges: Long,
+      fingerprintN: Option[Long], tombstonesPending: Boolean)
+
+  /** Each family's commit-marker table — the one source of truth for
+    * "committed" everywhere in this store. */
+  private val familyMarkerDir = Map(
+    "ivf" -> "sizes", "bm25" -> "stats", "pq" -> "counts",
+    "prefix" -> "marks", "signlsh" -> "commits",
+    "containment" -> "sizes", "grams" -> "marks", "phrase" -> "marks",
+    "windows" -> "marks", "stats" -> "commits", "summary" -> "marks",
+    "zorder" -> "marks", "quantile" -> "marks", "gquantile" -> "marks")
+
+  def describeFamily(spark: SparkSession, family: String, path: String)
+      : FamilyState = {
+    val marker = familyMarkerDir.getOrElse(family,
+      throw new IllegalArgumentException(
+        s"unknown family '$family' — known: " +
+          familyMarkerDir.keys.toSeq.sorted.mkString(", ")))
+    // distinct: marker tables carry one row per cluster/field/group, not
+    // one per batch
+    val batches = committedBatches(spark, s"$path/$marker").distinct
+    // the maintenance namespaces ([[deleteMarkerId]] doc): id ≤ −2 with
+    // ((−id)+1) mod 3 = 0 → delete, 1 → split, 2 → merge
+    def waves(kind: Int): Long =
+      batches.count(b => b <= -2 && ((-b) + 1) % 3 == kind).toLong
+    val fpN: Option[Long] =
+      if (hasDataFiles(spark, s"$path/fprint")) {
+        val r = spark.read.parquet(s"$path/fprint")
+          .where(col("batch").cast("long").isin(batches: _*))
+          .agg(sum(col("n"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      } else if (hasDataFiles(spark, s"$path/$marker")) {
+        val df = spark.read.parquet(s"$path/$marker")
+        if (!df.columns.contains("n") || !df.columns.contains("fp")) None
+        else {
+          val r = df.where(col("batch").cast("long").isin(batches: _*))
+            .agg(sum(col("n"))).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }
+      } else None
+    FamilyState(family, batches.contains(-1L),
+      batches.count(_ >= 0).toLong, waves(0), waves(1), waves(2), fpN,
+      hasDataFiles(spark, s"$path/tombstones"))
+  }
+
+  /** [[describeFamily]] over a fleet of families as one relation — the
+    * operations dashboard's input. */
+  def describeFamilies(spark: SparkSession,
+      families: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    families.map { case (f, p) =>
+      val s = describeFamily(spark, f, p)
+      (s.family, s.base, s.appends, s.deletes, s.splits, s.merges,
+        s.fingerprintN.getOrElse(-1L), s.tombstonesPending)
+    }.toDF("family", "base", "appends", "deletes", "splits", "merges",
+      "fingerprint_n", "tombstones_pending")
+  }
+
   /** COMPLIANCE AUDIT for erasure waves — the verification step the
     * deletion-wave machinery (deleteBatchIvf/Bm25/Pq/...) deliberately
     * separates from the deletion itself: given the erased ids, PROVE that
@@ -4095,6 +4165,21 @@ object IndexStore {
         "(or everything was erased); rebuild or append a wave")
       val byValue = sample.map(_._2).sorted
       byValue(math.ceil(p * m).toInt - 1)
+    }
+
+    /** Selectivity of `lo ≤ v < hi` as the sample fraction — the
+      * planner input ([[histSelectivityFromCounts]]'s role) for a field
+      * with NO histogram DDL: exact when [[complete]], else an unbiased
+      * uniform-sample estimate within the DKW band O(√(ln(1/δ)/m)) —
+      * and unlike the fixed-boundary histogram there is no declared
+      * [lo, hi) domain to fall outside of, so it never refuses. NULLs
+      * were never sampled, matching the histogram's "a NULL satisfies
+      * no range predicate" numerator; callers wanting NULL-inclusive
+      * denominators scale by their own null fraction. */
+    def rangeSelectivity(lo: Double, hi: Double): Double = {
+      require(lo < hi, s"empty range [$lo, $hi)")
+      require(m > 0, "empty quantile sample")
+      sample.count(hv => hv._2 >= lo && hv._2 < hi).toDouble / m
     }
   }
 

@@ -1522,6 +1522,44 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       survivors, "vec_id", "embedding", dir, 5, 5, batchId = 1L))
   }
 
+  test("family-state catalog: wave inventory from markers alone; compaction resets it") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("famstate").toString
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    IndexStore.createIvf(embs.where($"vec_id" % 2 === 0), "vec_id",
+      "embedding", dir, numClusters = 6)
+    IndexStore.appendBatchIvf(embs.where($"vec_id" % 2 === 1), "vec_id",
+      "embedding", dir, 0L)
+    val doomed = embs.where($"vec_id" % 11 === 0).localCheckpoint(true)
+    val survivors = embs.where($"vec_id" % 11 =!= 0).localCheckpoint(true)
+    IndexStore.deleteBatchIvf(doomed, "vec_id", "embedding", dir, 0L)
+    val adv = IndexStore.adviseSplitIvf(
+      IndexStore.loadIvf(spark, dir), factor = 1.0001)
+    IndexStore.splitClusterIvf(survivors, "vec_id", "embedding", dir,
+      adv.cluster, 0L)
+    val madv = IndexStore.adviseMergeIvf(
+      IndexStore.loadIvf(spark, dir), factor = 100.0)
+    IndexStore.mergeClustersIvf(survivors, "vec_id", "embedding", dir,
+      madv.clusterA, madv.clusterB, 0L)
+    val st = IndexStore.describeFamily(spark, "ivf", dir)
+    assert(st === IndexStore.FamilyState("ivf", base = true, appends = 1,
+      deletes = 1, splits = 1, merges = 1,
+      fingerprintN = Some(survivors.count()), tombstonesPending = true))
+    // compaction folds everything to the base and purges the ledger —
+    // the inventory shows maintenance is done
+    IndexStore.compactIvf(spark, dir)
+    assert(IndexStore.describeFamily(spark, "ivf", dir) ===
+      IndexStore.FamilyState("ivf", base = true, appends = 0,
+        deletes = 0, splits = 0, merges = 0,
+        fingerprintN = Some(survivors.count()), tombstonesPending = false))
+    // the fleet view is one relation; unknown families refuse
+    assert(IndexStore.describeFamilies(spark, Seq("ivf" -> dir)).count()
+      === 1L)
+    intercept[IllegalArgumentException](
+      IndexStore.describeFamily(spark, "nope", dir))
+  }
+
   test("erasure audit: residuals through the live loaders; zero only after the wave; no-linkage families refuse") {
     import org.apache.spark.sql.functions._
     val embs = Tables.embeddings(spark, Sf0001)
@@ -1750,6 +1788,14 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(foldedFull.k === 2048 && foldedFull.complete)
     assert(foldedFull.quantile(0.5) === sortedVals(
       math.ceil(0.5 * n).toInt - 1))
+    // range selectivity: exact in the complete regime (the planner
+    // input for fields with no histogram DDL), never domain-refusing
+    val lo = sortedVals(n.toInt / 4); val hi = sortedVals(3 * n.toInt / 4)
+    assert(foldedFull.rangeSelectivity(lo, hi) ===
+      sortedVals.count(v => v >= lo && v < hi).toDouble / n)
+    assert(foldedFull.rangeSelectivity(-1e18, 1e18) === 1.0)
+    intercept[IllegalArgumentException](
+      foldedFull.rangeSelectivity(5.0, 5.0))
     // edge refusals
     intercept[IllegalArgumentException](foldedFull.quantile(0.0))
     intercept[IllegalArgumentException](
