@@ -1598,6 +1598,13 @@ object IndexStore {
             "documented at its deleteBatch function and cannot be " +
             "audited by id; auditing it would certify a guarantee the " +
             "family cannot give")
+      case "zorder" =>
+        throw new IllegalArgumentException(
+          "the zorder layout is CONTENT-addressed, not id-addressed — " +
+            "erasure removes rows by whole-content hash " +
+            "(deleteBatchZOrder), so the verification surface is " +
+            "loadZOrderChecked over the surviving corpus, not an id " +
+            "residual probe")
       case other =>
         throw new IllegalArgumentException(
           s"unknown family '$other' — auditable families: ivf, pq, " +
@@ -2193,6 +2200,11 @@ object IndexStore {
       : org.apache.spark.sql.streaming.StreamingQuery =
     deleteStream(deletes, checkpoint)(
       deleteBatchGroupedQuantile(_, idCol, groupCol, valueCol, path, _))
+
+  def streamDeletesIntoZOrder(deletes: org.apache.spark.sql.DataFrame,
+      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(deleteBatchZOrder(_, path, _))
 
   /** Streaming index upkeep for the vector index — the IVF member of the
     * [[streamIntoBm25]]/[[streamIntoSignLsh]] family: incoming vectors are
@@ -3585,6 +3597,7 @@ object IndexStore {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tail"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     graft.util.ZOrder.writeLayout(df, x, y, bits, s"$path/base", validate)
     Seq((x.name, x.lo, x.hi, y.name, y.lo, y.hi, bits))
       .toDF("x_name", "x_lo", "x_hi", "y_name", "y_lo", "y_hi", "bits")
@@ -3654,6 +3667,85 @@ object IndexStore {
       }
       .start()
 
+  /** The layout's content-address: xxhash64 over ALL data columns in
+    * sorted-name order — the SAME per-row bytes [[zorderFingerprint]]
+    * sums, so content-addressed erasure and the staleness guard can
+    * never disagree about what a row "is". */
+  private def zorderRowHash(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Column = {
+    val cols = df.columns
+      .filterNot(c => c == "__zb" || c == "batch").sorted.map(col)
+    xxhash64(cols: _*)
+  }
+
+  /** DELETE one wave of rows from the layout — CONTENT-ADDRESSED
+    * erasure for the one family with no id column: the layout IS the
+    * table, its rows carry whatever schema the caller declared, so the
+    * tombstone is the row's whole-content hash. Loaders anti-join live
+    * rows' computed hashes against the committed ledger (one codegen'd
+    * hash + a broadcast anti-join, and only when a ledger exists — a
+    * nonexistent dir is one filesystem probe); marks subtract the
+    * wave's (n, Σ hash); the checked loader flips to the survivors;
+    * compaction purges the ledger physically.
+    *
+    * CONTRACT: the wave must be the EXACT LIVE MULTISET being erased —
+    * obtain it by filtering the layout/table itself (e.g. every row of
+    * one customer), which a GDPR pipeline does anyway. Content
+    * addressing removes EVERY live copy of a hashed row, so a wave that
+    * misses a duplicate copy subtracts fewer rows than the anti-join
+    * removes and the summed fingerprint drifts — the next checked load
+    * refuses loudly (the guard, not a gap; spec-pinned). Duplicates
+    * WITHIN the wave land as one tombstone but their full count in the
+    * subtraction, keeping the sum consistent. Commits under
+    * [[deleteMarkerId]]; already-erased contents are anti-joined out,
+    * so overlapping erasure requests are idempotent. */
+  def deleteBatchZOrder(deleted: org.apache.spark.sql.DataFrame,
+      path: String, batchId: Long): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/marks").contains(mid)) return
+    val wave0 = deleted.drop("__zb").drop("batch")
+    val withH = wave0.withColumn("__h", zorderRowHash(wave0))
+    val rows = (if (!hasDataFiles(spark, s"$path/tombstones")) withH
+      else withH.join(broadcast(
+        spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long")
+            .isin(committedBatches(spark, s"$path/marks"): _*))
+          .select(col("h").as("__h"))), Seq("__h"), "left_anti"))
+      .localCheckpoint(true)
+    rows.select(col("__h").as("h")).distinct()
+      .withColumn("batch", lit(mid))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/tombstones")
+    val r = rows.agg(count(lit(1)),
+      sum(col("__h").cast("decimal(38,0)"))).head()
+    val n = r.getLong(0)
+    val fp =
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    Seq((-n, fp.negate().toString, mid)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Anti-join a layout relation against the committed content
+    * tombstones — free when no ledger exists. */
+  private def minusZOrderTombstones(spark: SparkSession, path: String,
+      rel: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (!hasDataFiles(spark, s"$path/tombstones")) rel
+    else {
+      val ts = spark.read.parquet(s"$path/tombstones")
+        .where(col("batch").cast("long")
+          .isin(committedBatches(spark, s"$path/marks"): _*))
+        .select(col("h").as("__ts_h"))
+      rel.join(broadcast(ts), zorderRowHash(rel) === col("__ts_h"),
+        "left_anti")
+    }
+
   /** The committed tail relation (empty when no waves have landed),
     * with the bookkeeping `batch` column dropped and `__zb` normalized
     * to long (the base's partition-directory inference yields int, the
@@ -3674,14 +3766,15 @@ object IndexStore {
     spark.read.parquet(s"$path/base")
       .withColumn("__zb", col("__zb").cast("long"))
 
-  /** The whole table: clustered base ∪ committed tail. */
+  /** The whole LIVE table: clustered base ∪ committed tail, minus any
+    * content-tombstoned rows ([[deleteBatchZOrder]]). */
   def loadZOrder(spark: SparkSession, path: String)
       : org.apache.spark.sql.DataFrame = {
     val base = zorderBase(spark, path)
-    zorderTail(spark, path) match {
+    minusZOrderTombstones(spark, path, zorderTail(spark, path) match {
       case Some(t) => base.unionByName(t)
       case None => base
-    }
+    })
   }
 
   /** [[loadZOrder]] with the STALENESS GUARD: refuses when the summed
@@ -3726,10 +3819,11 @@ object IndexStore {
     val base = spark.read.parquet(s"$path/base")
       .where(col("__zb").isin(zbs: _*))
       .withColumn("__zb", col("__zb").cast("long"))
-    val scoped = zorderTail(spark, path) match {
-      case Some(t) => base.unionByName(t)
-      case None => base
-    }
+    val scoped = minusZOrderTombstones(spark, path,
+      zorderTail(spark, path) match {
+        case Some(t) => base.unionByName(t)
+        case None => base
+      })
     scoped.where(col(m.x.name).cast("long").between(xlo, xhi) &&
                  col(m.y.name).cast("long").between(ylo, yhi))
   }
@@ -3770,6 +3864,9 @@ object IndexStore {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tail"), true)
+    // the content-tombstone ledger is physically purged — the folded
+    // base excluded its rows (loadZOrder anti-joins before the fold)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** Price folding the z-order tail, from sidecar rows + the workload's

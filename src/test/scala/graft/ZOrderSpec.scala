@@ -245,4 +245,72 @@ class ZOrderSpec extends AnyFunSuite with SparkTest {
     assert(got.getLong(0) === want.getLong(0))
     assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6)
   }
+
+  test("content-addressed erasure: delete wave, box exactness over survivors, guard flips, fold purges") {
+    val rnd = new scala.util.Random(47)
+    val df = Seq.fill(3000)(
+        (rnd.nextInt(2000).toLong, rnd.nextInt(100).toLong, rnd.nextDouble()))
+      .toDF("x", "y", "v").localCheckpoint(true)
+    val p = Files.createTempDirectory("zorderdel").toString
+    IndexStore.saveZOrder(df.where($"x" % 5 =!= 4), dx, dy, 3, p,
+      validate = true)
+    IndexStore.appendBatchZOrder(df.where($"x" % 5 === 4), p, 0L)
+    // the erased wave spans base AND tail; the survivors are its complement
+    val doomed = df.where($"y" % 7 === 0).localCheckpoint(true)
+    val survivors = df.where($"y" % 7 =!= 0).localCheckpoint(true)
+    IndexStore.deleteBatchZOrder(doomed, p, 0L)
+    assert(IndexStore.loadZOrderChecked(spark, p, survivors).count()
+      === survivors.count())
+    intercept[IllegalStateException](
+      IndexStore.loadZOrderChecked(spark, p, df))
+    // box queries are exact over the SURVIVORS at every lifecycle point
+    def boxesMatch(corpus: org.apache.spark.sql.DataFrame): Unit =
+      for (_ <- 1 to 4) {
+        val x0 = rnd.nextInt(2000).toLong; val x1 = x0 + rnd.nextInt(600)
+        val y0 = rnd.nextInt(100).toLong; val y1 = y0 + rnd.nextInt(40)
+        val got = IndexStore.boxZOrder(spark, p, x0, x1, y0, y1)
+          .agg(count(lit(1)), sum("v")).head()
+        val want = corpus
+          .where(col("x").between(x0, x1) && col("y").between(y0, y1))
+          .agg(count(lit(1)), sum("v")).head()
+        assert(got.getLong(0) === want.getLong(0),
+          s"box [$x0,$x1]x[$y0,$y1]")
+        if (want.getLong(0) > 0)
+          assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6)
+      }
+    boxesMatch(survivors)
+    // replayed wave is a no-op; an OVERLAPPING wave is idempotent per
+    // content (already-erased rows are anti-joined out of the deltas)
+    IndexStore.deleteBatchZOrder(doomed, p, 0L)
+    assert(IndexStore.loadZOrder(spark, p).count() === survivors.count())
+    val survivors2 = df.where($"y" % 7 =!= 0 && $"y" % 11 =!= 0)
+      .localCheckpoint(true)
+    IndexStore.deleteBatchZOrder(
+      df.where($"y" % 7 === 0 || $"y" % 11 === 0), p, 1L)
+    assert(IndexStore.loadZOrderChecked(spark, p, survivors2).count()
+      === survivors2.count())
+    // the fold excludes erased rows and purges the ledger; still exact
+    IndexStore.compactZOrder(spark, p)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p, "tombstones")))
+    assert(IndexStore.loadZOrderChecked(spark, p, survivors2).count()
+      === survivors2.count())
+    boxesMatch(survivors2)
+    // the multiset contract: content addressing removes EVERY live copy,
+    // so erasing the full duplicate multiset is accepted while a wave
+    // that misses one copy drifts the sum and the guard refuses
+    val dup = Seq((1L, 1L, 1.0), (1L, 1L, 1.0), (2L, 2L, 2.0))
+      .toDF("x", "y", "v")
+    val dims = (ZOrder.Dim("x", 0, 7), ZOrder.Dim("y", 0, 7))
+    val pFull = Files.createTempDirectory("zorderdupfull").toString
+    IndexStore.saveZOrder(dup, dims._1, dims._2, 2, pFull, validate = true)
+    IndexStore.deleteBatchZOrder(dup.where($"x" === 1), pFull, 0L)
+    assert(IndexStore.loadZOrderChecked(spark, pFull,
+      dup.where($"x" =!= 1)).count() === 1L)
+    val pHalf = Files.createTempDirectory("zorderduphalf").toString
+    IndexStore.saveZOrder(dup, dims._1, dims._2, 2, pHalf, validate = true)
+    IndexStore.deleteBatchZOrder(dup.where($"x" === 1).limit(1), pHalf, 0L)
+    intercept[IllegalStateException](IndexStore.loadZOrderChecked(spark,
+      pHalf, dup.where($"x" =!= 1)))
+  }
 }
