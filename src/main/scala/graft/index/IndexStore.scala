@@ -1575,7 +1575,20 @@ object IndexStore {
       erased: org.apache.spark.sql.DataFrame, idCol: String,
       families: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val ids = erased.select(col(idCol).cast("long").as("__erased"))
+    // ids are compared by their STRING rendering — the family-neutral
+    // canonical form every persisted hash already uses
+    // (hash60(cast(id as string))), so long, int and string id columns
+    // all audit exactly. A long cast here would NULL a string id on BOTH
+    // sides of the join and certify a false-clean zero residual — the
+    // one failure mode a compliance certificate must never have. Supply
+    // ids in the type they were ingested with (a double-typed 5.0
+    // renders "5.0", not long 5's "5"); NULL ids address no row and are
+    // refused rather than silently dropped into a smaller erased_n.
+    require(erased.where(col(idCol).isNull).isEmpty,
+      s"erasureAudit: NULL values in erased id column '$idCol' — a NULL " +
+        "id addresses no row; an audit that silently dropped it would " +
+        "certify a wave it never checked")
+    val ids = erased.select(col(idCol).cast("string").as("__erased"))
       .distinct().localCheckpoint(true)
     val erasedN = ids.count()
     def liveIds(family: String, path: String)
@@ -1614,10 +1627,12 @@ object IndexStore {
     // the quantile samples are hash-keyed, not id-keyed: an erased id's
     // row may legitimately be absent (never sampled), but a SAMPLED row
     // still carrying the erased id's hash60 is a retained value — the
-    // residual counts those. Bounded driver work: the sample is ≤ k
+    // residual counts those. `__erased` is already the string rendering,
+    // so this is byte-identical to the append-time
+    // hash60(cast(id as string)). Bounded driver work: the sample is ≤ k
     // (≤ groups × k) pairs and the wave's hash set is broadcast-sized.
     lazy val erasedHashes: Set[Long] = ids
-      .select(graft.functions.Text.hash60(col("__erased").cast("string")))
+      .select(graft.functions.Text.hash60(col("__erased")))
       .collect().map(_.getLong(0)).toSet
     val rows = families.map { case (family, path) =>
       val residual = family match {
@@ -1628,9 +1643,10 @@ object IndexStore {
           loadGroupedQuantile(spark, path).samples.values
             .map(_.count(hv => erasedHashes(hv._1))).sum.toLong
         case _ =>
+          // string-rendered on both sides: a cast that could NULL either
+          // side would under-count the residual (see the contract above)
           liveIds(family, path)
-            .select(col("id").cast("long").as("id"))
-            .where(col("id").isNotNull)
+            .select(col("id").cast("string").as("id"))
             .join(broadcast(ids), col("id") === col("__erased"),
               "left_semi")
             .select(col("id")).distinct().count()
@@ -2062,25 +2078,61 @@ object IndexStore {
     members.unpersist()
   }
 
-  /** Advise WHICH two cells to merge — [[adviseSplitIvf]]'s twin, sizes
-    * arithmetic alone: the two smallest live cells, advised when their
-    * COMBINED mass still sits at or below `factor` × the even share
-    * (the merged cell then costs a probe no more than an average cell
-    * would, while the index sheds one centroid comparison per probe and
-    * one partition directory). Threshold is policy; inputs are
-    * measurements. */
+  /** Advise WHICH two cells to merge — [[adviseSplitIvf]]'s twin. Mass
+    * qualifies a pair (COMBINED size at or below `factor` × the even
+    * share, so the merged cell costs a probe no more than an average
+    * cell would while the index sheds one centroid comparison per probe
+    * and one partition directory); PROXIMITY picks among qualifiers —
+    * the CLOSEST pair by normalized-centroid distance, the same
+    * geometry the ball-cover radii are measured in. Mass alone would
+    * happily fuse two distant clouds: routed-exhaustive exactness
+    * survives (every member still reachable through the merged cell),
+    * but the member-mean centroid lands far from BOTH clouds, degrading
+    * approximate (nprobe < nlist) recall and inflating the covering
+    * radius that [[Ivf.knnJoinExact]]'s triangle bound prunes with.
+    * `centroidDist` rides the advice so a policy layer can veto a merge
+    * whose best qualifying pair is still geometrically absurd. Driver
+    * arithmetic over the already-collected centroid map — O(nlist²)
+    * pairs with nlist ≈ √N, never a data scan. Threshold is policy;
+    * inputs are measurements. When NO pair qualifies, the two smallest
+    * cells are surfaced (the report a human would ask for) with
+    * advise = false. */
   final case class MergeAdvice(clusterA: Int, clusterB: Int,
-      combinedSize: Long, evenShare: Double, advise: Boolean)
+      combinedSize: Long, evenShare: Double, centroidDist: Double,
+      advise: Boolean)
   def adviseMergeIvf(index: Ivf.IvfIndex, factor: Double = 1.0)
       : MergeAdvice = {
     require(index.sizes.size >= 3,
       "need at least three live cells — merging below two cells would " +
         "degenerate the index to a single full scan")
     require(factor > 0, s"merge factor must be positive, got $factor")
-    val bySize = index.sizes.toSeq.sortBy { case (c, s) => (s, c) }
-    val (ca, sa) = bySize(0); val (cb, sb) = bySize(1)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val units = index.centroids.map { case (c, v) => c -> unit(v) }
+    def dist(a: Int, b: Int): Double = (units.get(a), units.get(b)) match {
+      // an unknown centroid prunes nothing and advises nothing useful —
+      // maximally-distant keeps it from ever winning the argmin
+      case (Some(ua), Some(ub)) =>
+        math.sqrt(ua.zip(ub).map { case (x, y) => (x - y) * (x - y) }.sum)
+      case _ => Double.MaxValue
+    }
     val even = index.sizes.values.sum.toDouble / index.sizes.size
-    MergeAdvice(ca, cb, sa + sb, even, (sa + sb) <= factor * even)
+    val cells = index.sizes.keys.toSeq.sorted
+    val qualifying = for {
+      i <- cells.indices; j <- (i + 1) until cells.size
+      if index.sizes(cells(i)) + index.sizes(cells(j)) <= factor * even
+    } yield (cells(i), cells(j))
+    if (qualifying.nonEmpty) {
+      val (ca, cb) = qualifying.minBy { case (a, b) => (dist(a, b), a, b) }
+      MergeAdvice(ca, cb, index.sizes(ca) + index.sizes(cb), even,
+        dist(ca, cb), advise = true)
+    } else {
+      val bySize = index.sizes.toSeq.sortBy { case (c, s) => (s, c) }
+      val (ca, sa) = bySize(0); val (cb, sb) = bySize(1)
+      MergeAdvice(ca, cb, sa + sb, even, dist(ca, cb), advise = false)
+    }
   }
 
   /** The committed tombstone ids (empty relation when none). */
@@ -3644,6 +3696,9 @@ object IndexStore {
         s" — e.g. ${bad.mkString(", ")}; re-save the layout with wider dims" +
         " (a later fold would put them in edge buckets where base pruning" +
         " silently skips them)")
+    requireNoResurrectedHashes(spark, path,
+      batch.select(zorderRowHash(batch).as("h")), "z-order",
+      "compactZOrder")
     batch
       .withColumn("__zb", graft.util.ZOrder.zbucket(m.x, m.y, m.bits))
       .withColumn("batch", lit(batchId))
@@ -3729,6 +3784,38 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Refuse an append wave that re-ingests hashes still sitting in a
+    * HASH-ADDRESSED tombstone ledger (z-order content hashes, quantile
+    * id-hashes). Re-appending a tombstoned hash before compaction is a
+    * SILENT correctness hole, not a staleness the fprint guard can see:
+    * the append's +fp mark exactly cancels the erasure wave's −fp, so
+    * the checked loader passes, while the ledger's anti-join keeps
+    * hiding the legitimately re-appended LIVE row from every query. The
+    * ledger cannot tell "erased copy" from "re-ingest" (that ambiguity
+    * is what content/hash addressing trades for id-freedom), so the
+    * family refuses loudly: fold first (compaction purges the ledger),
+    * then append. Cost: one broadcast semi-join per APPEND WAVE, and
+    * only when a ledger exists (a nonexistent dir is one FS probe) —
+    * wave-time work ∝ batch, never a per-query cost. */
+  private def requireNoResurrectedHashes(spark: SparkSession, path: String,
+      waveHashes: org.apache.spark.sql.DataFrame, family: String,
+      compactHint: String): Unit = {
+    if (!hasDataFiles(spark, s"$path/tombstones")) return
+    val ledger = spark.read.parquet(s"$path/tombstones")
+      .where(col("batch").cast("long")
+        .isin(committedBatches(spark, s"$path/marks"): _*))
+      .select(col("h").as("__ts_h"))
+    val hit = waveHashes
+      .join(broadcast(ledger), col("h") === col("__ts_h"), "left_semi")
+      .limit(1).count() > 0
+    require(!hit,
+      s"$family append at $path re-ingests rows whose hashes are still " +
+        "tombstoned: the wave's +fp mark would cancel the erasure's −fp " +
+        "(the checked loader passes) while the ledger's anti-join keeps " +
+        "hiding the re-appended LIVE rows from every query — run " +
+        s"$compactHint first (the fold purges the ledger), then append")
   }
 
   /** Anti-join a layout relation against the committed content
@@ -4335,6 +4422,10 @@ object IndexStore {
     require(hasDataFiles(spark, s"$path/meta"),
       s"no quantile meta under $path — appendBatchQuantile requires a " +
         "saveQuantile base (k is the sketch DDL)")
+    requireNoResurrectedHashes(spark, path,
+      rows.where(col(idCol).isNotNull).select(
+        graft.functions.Text.hash60(col(idCol).cast("string")).as("h")),
+      "quantile", "compactQuantile")
     val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
     writeQuantileBatch(rows, idCol, valueCol, k, path, batchId,
       overwriteAll = false)
@@ -4399,18 +4490,26 @@ object IndexStore {
   def loadQuantile(spark: SparkSession, path: String): QuantileSketch = {
     val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
     val batches = committedBatches(spark, s"$path/marks")
-    val merged = spark.read.parquet(s"$path/q")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .select("h", "v")
-      .orderBy("h").limit(k)
-    val live =
-      if (!hasDataFiles(spark, s"$path/tombstones")) merged
-      else merged.join(broadcast(
-        spark.read.parquet(s"$path/tombstones")
-          .where(col("batch").cast("long").isin(batches: _*))
-          .select("h")), Seq("h"), "left_anti")
-    val sample = live.collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // a fully-erased-then-compacted sketch has a committed marks row but
+    // NO q data files (the fold wrote an empty sample) — an empty sketch
+    // is a legal state, not a schema-inference crash; quantile(p) still
+    // refuses descriptively on m = 0
+    val sample = if (!hasDataFiles(spark, s"$path/q"))
+      Array.empty[(Long, Double)]
+    else {
+      val merged = spark.read.parquet(s"$path/q")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select("h", "v")
+        .orderBy("h").limit(k)
+      val live =
+        if (!hasDataFiles(spark, s"$path/tombstones")) merged
+        else merged.join(broadcast(
+          spark.read.parquet(s"$path/tombstones")
+            .where(col("batch").cast("long").isin(batches: _*))
+            .select("h")), Seq("h"), "left_anti")
+      live.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    }
     val r = spark.read.parquet(s"$path/marks")
       .where(col("batch").cast("long").isin(batches: _*))
       .agg(sum(col("n"))).head()
@@ -4558,6 +4657,10 @@ object IndexStore {
     require(hasDataFiles(spark, s"$path/meta"),
       s"no grouped-quantile meta under $path — append requires a " +
         "saveGroupedQuantile base")
+    requireNoResurrectedHashes(spark, path,
+      rows.where(col(idCol).isNotNull).select(
+        graft.functions.Text.hash60(col(idCol).cast("string")).as("h")),
+      "grouped-quantile", "compactGroupedQuantile")
     val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
     writeGroupedQuantileBatch(rows, idCol, groupCol, valueCol, k, path,
       batchId, overwriteAll = false)
@@ -4621,25 +4724,33 @@ object IndexStore {
       : GroupedQuantileSketch = {
     val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
     val batches = committedBatches(spark, s"$path/marks")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("g").orderBy("h")
-    val merged = spark.read.parquet(s"$path/q")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .select("g", "h", "v")
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k).drop("__rk")
-    val live =
-      if (!hasDataFiles(spark, s"$path/tombstones")) merged
-      else merged.join(broadcast(
-        spark.read.parquet(s"$path/tombstones")
-          .where(col("batch").cast("long").isin(batches: _*))
-          .select("h")), Seq("h"), "left_anti")
-    // the anti-join moves its key first — pin the projection
-    val samples = live.select("g", "h", "v").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      .groupBy(_._1)
-      .map { case (g, rs) => g -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
-    val nByGroup = spark.read.parquet(s"$path/gn")
+    // empty q/gn (everything erased, then folded) is a legal state — the
+    // scalar family's loadQuantile guard, per directory
+    val samples = if (!hasDataFiles(spark, s"$path/q"))
+      Map.empty[String, Array[(Long, Double)]]
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("h")
+      val merged = spark.read.parquet(s"$path/q")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select("g", "h", "v")
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= k).drop("__rk")
+      val live =
+        if (!hasDataFiles(spark, s"$path/tombstones")) merged
+        else merged.join(broadcast(
+          spark.read.parquet(s"$path/tombstones")
+            .where(col("batch").cast("long").isin(batches: _*))
+            .select("h")), Seq("h"), "left_anti")
+      // the anti-join moves its key first — pin the projection
+      live.select("g", "h", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
+    }
+    val nByGroup = if (!hasDataFiles(spark, s"$path/gn"))
+      Map.empty[String, Long]
+    else spark.read.parquet(s"$path/gn")
       .where(col("batch").cast("long").isin(batches: _*))
       .groupBy("g").agg(sum(col("n")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).filter(_._2 > 0).toMap
