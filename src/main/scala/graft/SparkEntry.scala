@@ -318,6 +318,21 @@ object SparkEntry {
     CorpusAnalysis.dupNgramProfile(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("id")
 
+  /** North-star SOURCE-OVERLAP MATRIX: exact per-source-pair shingle-set
+    * intersection / Jaccard / both directed containments — "which
+    * datasets copy which" at corpus level, the pre-mixing read-out
+    * ([[CorpusAnalysis.sourceOverlap]]; the directed containment is what
+    * catches a crawl that swallowed a smaller dataset whole). Linear in
+    * distinct (source, shingle) pairs — the per-shingle source-SET
+    * formulation, never a postings self-join; output ≤ nSources² rows.
+    * The KMV-sketched twin ([[CorpusAnalysis.sourceOverlapSketched]],
+    * spec-pinned) answers the same matrix from ≤ nSources × k persisted
+    * minima when even one corpus scan is too much. */
+  private def qSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    CorpusAnalysis.sourceOverlap(Tables.documents(spark, dir), "text",
+        "source")
+      .orderBy("src_a", "src_b")
+
   /** North-star PII scrub: typed redaction (email/IP/phone/digit-run) with
     * per-doc counts, one codegen'd narrow projection
     * ([[PiiScrub.scrub]]). The corpus text is synthetic prose with no PII,
@@ -3200,6 +3215,7 @@ object SparkEntry {
     "q_vocab_stats" -> ((s, dir) => qVocabStats(s, dir)),
     "q_lm_score" -> ((s, dir) => qLmScore(s, dir)),
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
+    "q_source_overlap" -> ((s, dir) => qSourceOverlap(s, dir)),
     "q_pii_scrub" -> ((s, dir) => qPiiScrub(s, dir)),
     "q_source_stats" -> ((s, dir) => qSourceStats(s, dir)),
     "q_corpus_rollup" -> ((s, dir) => qCorpusRollup(s, dir)),
@@ -3584,6 +3600,9 @@ object SparkEntry {
     "q_dup_ngram_profile" ->
       (CorpusAnalysis.sqlDupNgramProfile("documents", "doc_id", "text") +
         "\nORDER BY id"),
+    "q_source_overlap" ->
+      (CorpusAnalysis.sqlSourceOverlap("documents", "text", "source") +
+        "\nORDER BY src_a, src_b"),
     // direct groupBy SQL: the salted two-phase plan must produce the
     // identical relation (that equivalence is the operator's contract)
     "q_source_stats" ->

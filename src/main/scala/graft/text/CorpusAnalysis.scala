@@ -245,4 +245,131 @@ object CorpusAnalysis {
        |       round(sum(CASE WHEN rk <= $topK THEN cnt ELSE 0 END)::DOUBLE
        |             / sum(cnt), 6) AS top100_coverage
        |FROM ranked""".stripMargin
+
+  /** SOURCE-OVERLAP MATRIX: for every pair of sources that share at least
+    * one distinct [[TextAnalysis.ShingleSize]]-token shingle, the exact
+    * shingle-set intersection, both set sizes, Jaccard, and BOTH directed
+    * containments — the corpus-level read-out of "which datasets copy
+    * which" that a curation run consults before mixing sources
+    * ([[dupNgramProfile]] answers it per document; this answers it per
+    * SOURCE). `cont_a` = the fraction of A's shingle vocabulary that also
+    * appears in B: a crawl that swallowed a whole smaller dataset shows
+    * cont_small→big ≈ 1 at low Jaccard — the asymmetry Jaccard alone
+    * hides, and exactly the case where dropping the contained source is
+    * free training data savings.
+    *
+    * Scale shape — deliberately NOT the postings self-join: distinct
+    * (source, shingle) pairs explode once (one shuffle); the per-shingle
+    * source SET is collected (bounded by the SOURCE cardinality — a
+    * dimension column by contract, like the grouped-quantile group; a
+    * hot shingle present in every source contributes one nSources-wide
+    * row here vs nDocs² join rows in a doc-pair formulation); pairs
+    * explode from each set (≤ nSources²/2 per shingle, tiny) and
+    * aggregate map-side. Work is linear in distinct (source, shingle)
+    * pairs at 100 TB; the output is ≤ nSources² rows. For the cadence
+    * where even one corpus scan is too much, [[sourceOverlapSketched]]
+    * answers the same matrix from persisted-size KMV min-sets. */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+      k: Int = TextAnalysis.ShingleSize): DataFrame = {
+    val p = docs
+      .select(col(srcCol).cast("string").as("src"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("src"),
+        explode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as("sh"))
+      .select(col("src"), Text.hash60(col("sh")).as("h"))
+      .distinct()
+    val sizes = p.groupBy("src").agg(count(lit(1)).as("sz"))
+    // per-shingle source set, sorted so pair explosion emits src_a < src_b
+    // exactly once — the same lexicographic order the SQL twin's
+    // a.src < b.src join predicate walks
+    val bySh = p.groupBy("h")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+    val pairs = bySh
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("pr"))
+      .groupBy(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("sz").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("sz").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"), col("n_a"),
+        col("n_b"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"),
+        round(col("inter").cast("double") / col("n_a"), 6).as("cont_a"),
+        round(col("inter").cast("double") / col("n_b"), 6).as("cont_b"))
+  }
+
+  def sqlSourceOverlap(docsTable: String, textExpr: String,
+      srcExpr: String): String =
+    s"""WITH p AS (
+       |  SELECT DISTINCT src, ${Text.sqlHash60("sh")} AS h FROM (
+       |    SELECT $srcExpr AS src, unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
+       |    FROM $docsTable)
+       |), sizes AS (SELECT src, count(*) AS sz FROM p GROUP BY 1),
+       |inter AS (
+       |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS inter
+       |  FROM p a JOIN p b ON a.h = b.h AND a.src < b.src
+       |  GROUP BY 1, 2
+       |)
+       |SELECT src_a, src_b, inter, s1.sz AS n_a, s2.sz AS n_b,
+       |       round(inter::DOUBLE / (s1.sz + s2.sz - inter), 6) AS jaccard,
+       |       round(inter::DOUBLE / s1.sz, 6) AS cont_a,
+       |       round(inter::DOUBLE / s2.sz, 6) AS cont_b
+       |FROM inter JOIN sizes s1 ON src_a = s1.src
+       |           JOIN sizes s2 ON src_b = s2.src""".stripMargin
+
+  /** [[sourceOverlap]] from KMV min-sets instead of the full postings —
+    * the sketch regime for when the matrix must be answered WITHOUT a
+    * corpus-sized shuffle (or from persisted per-source summaries with no
+    * scan at all): one bounded per-source bottom-`sketchK` pass over the
+    * distinct shingle hashes (the [[graft.operators.Sketches]] KMV
+    * discipline — k smallest of a union is computable per source and
+    * mergeable, so production reads per-wave persisted min-sets), then
+    * the whole pair matrix is DRIVER ARITHMETIC over ≤ nSources × k
+    * hashes: set sizes via the k-th-minimum estimator, intersections via
+    * [[graft.operators.Sketches.kmvIntersection]]. EXACT while every
+    * source holds < k distinct shingles (min-sets are complete sets);
+    * O(1/√k) relative error beyond. Same schema as [[sourceOverlap]]
+    * with estimated counts — a pair whose sketches share no hash is
+    * reported with inter = 0 rather than dropped, because at sketch
+    * resolution "no shared minimum" is evidence, not proof, of
+    * disjointness. */
+  def sourceOverlapSketched(docs: DataFrame, textCol: String,
+      srcCol: String, sketchK: Int = graft.operators.Sketches.DefaultK,
+      k: Int = TextAnalysis.ShingleSize): DataFrame = {
+    import graft.operators.Sketches
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = docs
+      .select(col(srcCol).cast("string").as("src"),
+        Text.tokens(col(textCol)).as("toks"))
+      .select(col("src"),
+        explode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as("sh"))
+      .select(col("src"), Text.hash60(col("sh")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("src").orderBy("h")
+    val mins: Map[String, Array[Long]] = p
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= sketchK)
+      .select("src", "h").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
+    val srcs = mins.keys.toSeq.sorted
+    val rows = for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      a = mins(srcs(i)); b = mins(srcs(j))
+      inter = Sketches.kmvIntersection(a, b, sketchK)
+      na = Sketches.estimate(a, sketchK)
+      nb = Sketches.estimate(b, sketchK)
+    } yield (srcs(i), srcs(j), inter, na, nb,
+      if (na + nb - inter <= 0) 0.0
+      else BigDecimal(inter.toDouble / (na + nb - inter).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    rows.toDF("src_a", "src_b", "inter", "n_a", "n_b", "jaccard")
+  }
 }

@@ -38,6 +38,53 @@ class CorpusAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(got(6L) === ((0L, 0.0, 0.0, 0L)))
   }
 
+  test("source overlap: hand-built pair matrix; sketched twin exact in the complete regime") {
+    val docs = Seq(
+      // srcA's two docs share shingles — the per-source set is DISTINCT,
+      // so the second doc must not inflate n_a
+      ("A", "a b c d"), ("A", "a b c"),
+      ("B", "b c d e"),
+      ("C", "x y"),
+    ).toDF("source", "text")
+    // 2-token shingles: A = {a b, b c, c d}, B = {b c, c d, d e}, C = {x y}
+    val got = CorpusAnalysis.sourceOverlap(docs, "text", "source", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    // only the sharing pair appears; inter=2 (b c, c d), |A|=|B|=3 →
+    // jaccard 2/(3+3-2)=0.5, both containments 2/3
+    assert(got.toSeq === Seq(
+      ("A", "B", 2L, 3L, 3L, 0.5, 0.666667, 0.666667)))
+    // sketched twin in the COMPLETE regime (k ≥ every source's set):
+    // min-sets are the whole sets, so counts are exact — and DISJOINT
+    // pairs are reported with inter=0 rather than dropped
+    val sk = CorpusAnalysis.sourceOverlapSketched(docs, "text", "source",
+        sketchK = 64, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq.sorted
+    assert(sk === Seq(
+      ("A", "B", 2L, 3L, 3L, 0.5),
+      ("A", "C", 0L, 3L, 1L, 0.0),
+      ("B", "C", 0L, 3L, 1L, 0.0)))
+    // real-corpus complete regime: a sketch wide enough to hold every
+    // source's distinct shingles reproduces the exact matrix's counts
+    val corpus = Tables.documents(spark, Sf0001).select("source", "text")
+    val exact = CorpusAnalysis.sourceOverlap(corpus, "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val wide = CorpusAnalysis.sourceOverlapSketched(corpus, "text",
+        "source", sketchK = 1 << 20)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(exact.nonEmpty) // the fixture corpus really does cross-share
+    for ((pair, (inter, na, nb)) <- exact)
+      assert(wide(pair) === ((inter, na, nb)), s"pair $pair")
+    for ((pair, (inter, _, _)) <- wide if !exact.contains(pair))
+      assert(inter === 0L, s"pair $pair sketched non-zero but absent exact")
+  }
+
   test("vocab stats: totals, hapaxes, head coverage with deterministic top-k") {
     val docs = Seq(
       (1L, "a a a b b c"),
