@@ -3025,6 +3025,45 @@ object SparkEntry {
     * half-applied wave or a missed family surfaces as a positive
     * residual and fails the hash. One narrow id-projection scan per
     * family per wave: the compliance cadence, never per query. */
+  /** FLEET ERASURE WAVE ([[IndexStore.executeErasureWave]]): one call
+    * drains a GDPR wave (doc_id ≡ 0 mod 6) into THREE families built over
+    * the same corpus — BM25, the scalar quantile sample, the per-source
+    * grouped sample — and the returned relation IS the compliance
+    * certificate: per family, the wave size and the residual counted
+    * through each family's LIVE loader. The oracle pins residual = 0 and
+    * erased_n = the wave's distinct ids; a half-applied wave (one family
+    * missed, a broken anti-join, a double subtraction on the replay this
+    * query performs every run — the wave commits once, re-invocations are
+    * fleet-wide no-ops) fails the hash. Wave + audit run at erasure-wave
+    * cadence: each family's delete is work ∝ wave, the audit one narrow
+    * id projection per family. */
+  private val erasureWaveBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      Seq[IndexStore.ErasureTarget]]
+  private def qErasureWave(spark: SparkSession, dir: String): DataFrame = {
+    val targets = erasureWaveBuilt.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = sys.props("java.io.tmpdir")
+      val d = Tables.documents(spark, dir)
+        .select("doc_id", "text", "source", "n_chars")
+      val bm = s"$tmp/graft_wavebm_$tag"
+      val q = s"$tmp/graft_waveq_$tag"
+      val gq = s"$tmp/graft_wavegq_$tag"
+      IndexStore.createBm25(d, "doc_id", "text", bm)
+      IndexStore.saveQuantile(d, "doc_id", "n_chars", k = 1024, q)
+      IndexStore.saveGroupedQuantile(d, "doc_id", "source", "n_chars",
+        1024, gq)
+      Seq(IndexStore.ErasureTarget("bm25", bm, Seq("text")),
+        IndexStore.ErasureTarget("quantile", q, Seq("n_chars")),
+        IndexStore.ErasureTarget("gquantile", gq, Seq("source", "n_chars")))
+    })
+    val doomed = Tables.documents(spark, dir)
+      .select("doc_id", "text", "source", "n_chars")
+      .where(pmod(col("doc_id"), lit(6)) === 0)
+    IndexStore.executeErasureWave(doomed, "doc_id", targets, batchId = 0L)
+      .orderBy("family")
+  }
+
   private def qErasureAudit(spark: SparkSession, dir: String): DataFrame = {
     corpusIvfDeletedDisk(spark, dir)
     corpusBm25DeletedDisk(spark, dir)
@@ -3305,6 +3344,7 @@ object SparkEntry {
     "q_ann_ivf_deleted" -> ((s, dir) => qAnnIvfDeleted(s, dir)),
     "q_bm25_deleted" -> ((s, dir) => qBm25Deleted(s, dir)),
     "q_erasure_audit" -> ((s, dir) => qErasureAudit(s, dir)),
+    "q_erasure_wave" -> ((s, dir) => qErasureWave(s, dir)),
     "q_quantile_sketch" -> ((s, dir) => qQuantileSketch(s, dir)),
     "q_quantile_by_source" -> ((s, dir) => qQuantileBySource(s, dir)),
     "q_ann_ivf_split" -> ((s, dir) => qAnnIvfSplit(s, dir)),
@@ -3422,6 +3462,14 @@ object SparkEntry {
         |         (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0),
         |         CAST(0 AS BIGINT)
         |) ORDER BY family""".stripMargin,
+    // the engine's zeros must come out of the LIVE loaders after a real
+    // fleet-wide delete — the SQL states the certificate the wave must earn
+    "q_erasure_wave" ->
+      """SELECT family, n AS erased_n, CAST(0 AS BIGINT) AS residual
+        |FROM (SELECT count(DISTINCT doc_id) AS n FROM documents
+        |      WHERE doc_id % 6 = 0),
+        |     (SELECT unnest(['bm25', 'gquantile', 'quantile']) AS family)
+        |ORDER BY family""".stripMargin,
     // positional-index twin: same phrase, same corpus, same relation as
     // q_phrase_find — only the PLAN differs (bucket probes, no scan)
     "q_phrase_find_pos" ->

@@ -4885,10 +4885,12 @@ object IndexStore {
   /** Per-family marker-dir map — the same dirs the load*Checked guards
     * key committed batches on. */
   private val FamilyMarkers: Map[String, String] = Map(
-    "bm25" -> "stats", "sign-lsh" -> "commits", "containment" -> "sizes",
+    "bm25" -> "stats", "sign-lsh" -> "commits", "signlsh" -> "commits",
+    "containment" -> "sizes",
     "grams" -> "marks", "phrase" -> "marks", "windows" -> "marks",
     "ivf" -> "sizes", "pq" -> "counts", "prefix" -> "marks",
-    "stats" -> "commits", "summary" -> "marks")
+    "stats" -> "commits", "summary" -> "marks",
+    "quantile" -> "marks", "gquantile" -> "marks")
 
   /** Default per-partition open cost in row-units: opening one more batch
     * partition ≈ footer read + seek ≈ scanning a few thousand rows.
@@ -4923,10 +4925,12 @@ object IndexStore {
       throw new IllegalArgumentException(
         s"unknown index family '$family' — one of ${FamilyMarkers.keys.toSeq.sorted.mkString(", ")}"))
     val batches = committedBatches(spark, s"$path/$markerDir")
-    // per-batch n: the prefix and summary families' marks double as their
-    // fprint table; every other family keeps a dedicated fprint sidecar
+    // per-batch n: the prefix, summary and quantile families' marks double
+    // as their fprint table; every other family keeps a dedicated fprint
+    // sidecar
     val fprintDir =
-      if (family == "prefix" || family == "summary") s"$path/marks"
+      if (Set("prefix", "summary", "quantile", "gquantile")(family))
+        s"$path/marks"
       else s"$path/fprint"
     require(hasDataFiles(spark, fprintDir),
       s"$family index at $path has no fingerprint sidecar — saved without " +
@@ -4967,7 +4971,7 @@ object IndexStore {
     if (!plan.recommend) return false
     plan.family match {
       case "bm25" => compactBm25(spark, path)
-      case "sign-lsh" => compactSignLsh(spark, path)
+      case "sign-lsh" | "signlsh" => compactSignLsh(spark, path)
       case "containment" => compactContainment(spark, path)
       case "grams" => compactGrams(spark, path)
       case "phrase" => compactPhrase(spark, path)
@@ -4978,9 +4982,140 @@ object IndexStore {
       case "stats" => compactStats(spark, path)
       case "zorder" => compactZOrder(spark, path)
       case "summary" => compactSummary(spark, path)
+      case "quantile" => compactQuantile(spark, path)
+      case "gquantile" => compactGroupedQuantile(spark, path)
       case other => throw new IllegalArgumentException(
         s"unknown index family '$other'")
     }
     true
+  }
+
+  // ------------------------------------------------------ fleet-wave ops
+  //
+  // The two wave-cadence actions a production corpus runs on a SCHEDULE —
+  // GDPR erasure and index maintenance — each as ONE declared call over a
+  // catalog of (family, path) targets, so the cadence is a loop over a
+  // table instead of folklore about which families exist. Both return a
+  // receipts relation: archives, dashboards, and alerts read receipts,
+  // not logs.
+
+  /** One erasure target: a persisted family, its path, and the data
+    * column(s) its delete wave re-derives postings/hashes from —
+    * embedding column for the vector families (ivf, pq, prefix,
+    * signlsh), text column for the text families (bm25, phrase, windows,
+    * containment), value column for quantile, (group, value) for
+    * gquantile. */
+  final case class ErasureTarget(family: String, path: String,
+      cols: Seq[String])
+
+  /** Drain ONE GDPR erasure wave into every id-linked persisted family
+    * and return the zero-residual certificate — the fleet composition of
+    * [[deleteBatchIvf]]/[[deleteBatchBm25]]/… followed by
+    * [[erasureAudit]]: each family's delete wave commits in the shared
+    * delete-marker namespace under the SAME `batchId` (idempotent per
+    * family — a replayed wave is a no-op, so a crash mid-fleet re-runs
+    * safely), then the audit probes every target through its LIVE loader
+    * and the returned (family, erased_n, residual) rows ARE the
+    * compliance certificate (residual 0 everywhere = done; a positive
+    * residual names the half-applied family).
+    *
+    * `erased` must carry `idCol` plus every column any target's `cols`
+    * names — i.e. the erased rows of the master corpus, which a GDPR
+    * pipeline has anyway (the delete waves must subtract the exact bytes
+    * appended; ids alone cannot re-derive postings). Families whose
+    * erasure is NOT id-addressed are refused loudly rather than silently
+    * skipped — a wave that "succeeded" while leaving a family untouched
+    * is the one lie a compliance run must never tell: zorder is
+    * content-addressed ([[deleteBatchZOrder]] + [[loadZOrderChecked]]
+    * over the survivors is its erasure story), grams is fingerprint-only
+    * and veto-only ([[deleteBatchGrams]]), summary sketches are not
+    * invertible ([[deleteBatchSummary]] refuses by contract).
+    *
+    * Cost: per family, one delete wave (work ∝ wave — the family
+    * machinery's own bound) plus the audit's one narrow id-projection
+    * scan; all at erasure-wave cadence, never per query. */
+  def executeErasureWave(erased: org.apache.spark.sql.DataFrame,
+      idCol: String, targets: Seq[ErasureTarget], batchId: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = erased.sparkSession
+    require(targets.nonEmpty, "empty target catalog — an erasure wave " +
+      "over nothing would still print a certificate")
+    def one(t: ErasureTarget): Unit = {
+      def c(i: Int): String = {
+        require(t.cols.length > i, s"family '${t.family}' at ${t.path} " +
+          s"needs ${i + 1} data column(s), got ${t.cols}")
+        t.cols(i)
+      }
+      t.family match {
+        case "ivf" => deleteBatchIvf(erased, idCol, c(0), t.path, batchId)
+        case "pq" => deleteBatchPq(erased, idCol, c(0), t.path, batchId)
+        case "prefix" =>
+          deleteBatchPrefix(erased, idCol, c(0), t.path, batchId)
+        case "signlsh" =>
+          deleteBatchSignLsh(erased, idCol, c(0), t.path, batchId)
+        case "bm25" => deleteBatchBm25(erased, idCol, c(0), t.path, batchId)
+        case "phrase" =>
+          deleteBatchPhrase(erased, idCol, c(0), t.path, batchId)
+        case "windows" =>
+          deleteBatchWindows(erased, idCol, c(0), t.path, batchId)
+        case "containment" =>
+          deleteBatchContainment(erased, idCol, c(0), t.path, batchId)
+        case "quantile" =>
+          deleteBatchQuantile(erased, idCol, c(0), t.path, batchId)
+        case "gquantile" =>
+          deleteBatchGroupedQuantile(erased, idCol, c(0), c(1), t.path,
+            batchId)
+        case "zorder" | "grams" | "summary" | "stats" =>
+          throw new IllegalArgumentException(
+            s"the ${t.family} family's erasure is not id-addressed and " +
+              "cannot ride an id-keyed wave: zorder is content-addressed " +
+              "(deleteBatchZOrder; verify via loadZOrderChecked over the " +
+              "survivors), grams is fingerprint-only/veto-only " +
+              "(deleteBatchGrams), stats subtracts value counts " +
+              "(deleteBatchStats), summary refuses deletion " +
+              "(deleteBatchSummary) — drive those at their own functions " +
+              "rather than let a fleet wave claim an erasure it cannot " +
+              "certify")
+        case other => throw new IllegalArgumentException(
+          s"unknown family '$other'")
+      }
+    }
+    targets.foreach(one)
+    erasureAudit(spark, erased, idCol,
+      targets.map(t => t.family -> t.path))
+  }
+
+  /** One MAINTENANCE sweep over a catalog of persisted families: price
+    * each family's fold with [[planCompaction]], execute the folds the
+    * arithmetic recommends (when `execute`), and return one receipts
+    * relation — (family, path-tail, committed batches, live rows, fold
+    * cost, break-even waves, recommend, folded). The scheduled-job twin
+    * of the dashboards' [[describeFamilies]]: that inventories wave
+    * state from markers, this ACTS on it, so "is maintenance due and did
+    * it run" is one relation per wave instead of per-family folklore.
+    * The z-order layout is deliberately NOT accepted: its tail cost is a
+    * full scan per box query, not partition-open overhead, and pricing
+    * it needs the workload's MEASURED box coverage
+    * ([[planZOrderCompaction]]) — a generic sweep would systematically
+    * under-fold it (the same honesty boundary that function documents).
+    *
+    * Cost: per family, a few sidecar-row reads (driver arithmetic) plus
+    * the folds actually executed — maintenance-wave cadence by
+    * construction. */
+  def maintenanceWave(spark: SparkSession,
+      targets: Seq[(String, String)], queriesPerWave: Long,
+      horizonWaves: Double = 1.0, openCostRows: Double = OpenCostRows,
+      execute: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    require(targets.nonEmpty, "empty target catalog")
+    val rows = targets.map { case (family, path) =>
+      val plan = planCompaction(spark, path, family, queriesPerWave,
+        horizonWaves, openCostRows)
+      val folded = execute && executeCompaction(spark, path, plan)
+      (plan.family, path, plan.batches, plan.totalRows, plan.foldCost,
+        plan.wavesToBreakEven, plan.recommend, folded)
+    }
+    rows.toDF("family", "path", "batches", "total_rows", "fold_cost",
+      "break_even_waves", "recommend", "folded")
   }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.index.IndexStore
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fleet-wave operations: one erasure wave drains into every id-linked
+  * family and returns the zero-residual certificate; one maintenance
+  * sweep prices and executes the folds the amortization arithmetic
+  * recommends. */
+class OpsWaveSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("erasure wave: one call, every family, zero-residual certificate; replay idempotent") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "source", "n_chars").localCheckpoint(true)
+    val doomed = docs.where($"doc_id" % 6 === 0).localCheckpoint(true)
+    val survivors = docs.where($"doc_id" % 6 =!= 0).localCheckpoint(true)
+    val bm = Files.createTempDirectory("wavebm").toString
+    val ph = Files.createTempDirectory("waveph").toString
+    val q = Files.createTempDirectory("waveq").toString
+    val gq = Files.createTempDirectory("wavegq").toString
+    IndexStore.createBm25(docs, "doc_id", "text", bm)
+    IndexStore.savePhrase(docs, "doc_id", "text", 8, ph)
+    IndexStore.saveQuantile(docs, "doc_id", "n_chars", 2048, q)
+    IndexStore.saveGroupedQuantile(docs, "doc_id", "source", "n_chars",
+      2048, gq)
+    val targets = Seq(
+      IndexStore.ErasureTarget("bm25", bm, Seq("text")),
+      IndexStore.ErasureTarget("phrase", ph, Seq("text")),
+      IndexStore.ErasureTarget("quantile", q, Seq("n_chars")),
+      IndexStore.ErasureTarget("gquantile", gq, Seq("source", "n_chars")))
+    val cert = IndexStore.executeErasureWave(doomed, "doc_id", targets, 0L)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val n = doomed.count()
+    assert(cert === Seq(("bm25", n, 0L), ("gquantile", n, 0L),
+      ("phrase", n, 0L), ("quantile", n, 0L)))
+    // the post-wave indexes ARE the survivors' indexes: checked loaders
+    // accept the surviving corpus (the wave really subtracted everywhere)
+    IndexStore.loadBm25Checked(spark, bm, survivors, "doc_id", "text")
+    IndexStore.loadQuantileChecked(spark, q, survivors, "doc_id",
+      "n_chars")
+    // replaying the SAME wave id is a fleet-wide no-op: certificate still
+    // zero, checked loaders still accept (no double subtraction)
+    val again = IndexStore.executeErasureWave(doomed, "doc_id", targets, 0L)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(again === cert)
+    IndexStore.loadQuantileChecked(spark, q, survivors, "doc_id",
+      "n_chars")
+    // non-id-addressed families are refused, not silently skipped — a
+    // fleet wave must never claim an erasure it cannot certify
+    for (fam <- Seq("zorder", "grams", "summary", "stats"))
+      assert(intercept[IllegalArgumentException](
+        IndexStore.executeErasureWave(doomed, "doc_id",
+          Seq(IndexStore.ErasureTarget(fam, bm, Seq("text"))), 1L))
+        .getMessage.contains("not id-addressed"))
+    // arity guard: gquantile needs (group, value)
+    intercept[IllegalArgumentException](
+      IndexStore.executeErasureWave(doomed, "doc_id",
+        Seq(IndexStore.ErasureTarget("gquantile", gq, Seq("n_chars"))), 2L))
+    intercept[IllegalArgumentException](
+      IndexStore.executeErasureWave(doomed, "doc_id", Seq.empty, 3L))
+  }
+
+  test("maintenance wave: folds where the arithmetic says so, receipts relation, state resets") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text", "n_chars").localCheckpoint(true)
+    val q = Files.createTempDirectory("mwq").toString
+    val bm = Files.createTempDirectory("mwbm").toString
+    // quantile: base + two appended waves → 3 committed batches, a hot
+    // read workload → the amortization inequality recommends folding
+    IndexStore.saveQuantile(docs.where($"doc_id" % 3 === 0), "doc_id",
+      "n_chars", 2048, q)
+    IndexStore.appendBatchQuantile(docs.where($"doc_id" % 3 === 1),
+      "doc_id", "n_chars", q, 0L)
+    IndexStore.appendBatchQuantile(docs.where($"doc_id" % 3 === 2),
+      "doc_id", "n_chars", q, 1L)
+    // bm25: fresh base only → nothing to fold, recommend = false
+    IndexStore.createBm25(docs, "doc_id", "text", bm)
+    val receipts = IndexStore.maintenanceWave(spark,
+        Seq("quantile" -> q, "bm25" -> bm), queriesPerWave = 50L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(2), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(receipts("quantile") === ((3, true, true)))
+    assert(receipts("bm25") === ((1, false, false)))
+    // the fold really ran: one base batch, append count reset, still the
+    // same live corpus under the checked loader
+    val st = IndexStore.describeFamily(spark, "quantile", q)
+    assert(st.base && st.appends === 0L)
+    val s = IndexStore.loadQuantileChecked(spark, q, docs, "doc_id",
+      "n_chars")
+    assert(s.n === docs.count())
+    // dry-run mode prices without acting
+    val dry = IndexStore.maintenanceWave(spark, Seq("bm25" -> bm),
+      queriesPerWave = 50L, execute = false)
+      .collect().head
+    assert(!dry.getBoolean(7))
+    // the layout family refuses the generic sweep (its cost model is a
+    // tail scan per box query, priced by planZOrderCompaction)
+    intercept[IllegalArgumentException](
+      IndexStore.maintenanceWave(spark, Seq("zorder" -> q), 50L))
+  }
+}
