@@ -342,9 +342,7 @@ object CorpusAnalysis {
   def sourceOverlapSketched(docs: DataFrame, textCol: String,
       srcCol: String, sketchK: Int = graft.operators.Sketches.DefaultK,
       k: Int = TextAnalysis.ShingleSize): DataFrame = {
-    import graft.operators.Sketches
     val spark = docs.sparkSession
-    import spark.implicits._
     val p = docs
       .select(col(srcCol).cast("string").as("src"),
         Text.tokens(col(textCol)).as("toks"))
@@ -359,17 +357,62 @@ object CorpusAnalysis {
       .select("src", "h").collect()
       .groupBy(_.getString(0))
       .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
-    val srcs = mins.keys.toSeq.sorted
+    kmvOverlapMatrix(spark, mins.toSeq, sketchK)
+  }
+
+  /** The pairwise KMV matrix from per-source min-sets — pure driver
+    * arithmetic, shared by the one-pass sketch path and the persisted
+    * path. */
+  private def kmvOverlapMatrix(spark: org.apache.spark.sql.SparkSession,
+      mins: Seq[(String, Array[Long])], k: Int): DataFrame = {
+    import graft.operators.Sketches
+    import spark.implicits._
+    val bySrc = mins.sortBy(_._1)
     val rows = for {
-      i <- srcs.indices; j <- (i + 1) until srcs.size
-      a = mins(srcs(i)); b = mins(srcs(j))
-      inter = Sketches.kmvIntersection(a, b, sketchK)
-      na = Sketches.estimate(a, sketchK)
-      nb = Sketches.estimate(b, sketchK)
-    } yield (srcs(i), srcs(j), inter, na, nb,
+      i <- bySrc.indices; j <- (i + 1) until bySrc.size
+      (srcA, a) = bySrc(i); (srcB, b) = bySrc(j)
+      inter = Sketches.kmvIntersection(a, b, k)
+      na = Sketches.estimate(a, k)
+      nb = Sketches.estimate(b, k)
+    } yield (srcA, srcB, inter, na, nb,
       if (na + nb - inter <= 0) 0.0
       else BigDecimal(inter.toDouble / (na + nb - inter).toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     rows.toDF("src_a", "src_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** The shingle ITEM stream of a corpus slice — one `sh` string row per
+    * shingle occurrence, the relation a per-source persisted summary
+    * ingests ([[graft.index.IndexStore.saveSummary]] hashes items with
+    * the same hash60-of-string the in-memory paths use, so persisted KMV
+    * minima and [[sourceOverlapSketched]]'s are byte-comparable). KMV
+    * keeps distinct minima, so occurrence multiplicity costs nothing. */
+  def shingleItems(docs: DataFrame, textCol: String,
+      k: Int = TextAnalysis.ShingleSize): DataFrame =
+    docs.select(Text.tokens(col(textCol)).as("toks"))
+      .select(explode(TextAnalysis.shinglesFromTokens(col("toks"), k))
+        .as("sh"))
+
+  /** [[sourceOverlapSketched]] with NO scan at all: the matrix from
+    * already-persisted per-source summaries
+    * ([[graft.index.IndexStore.SummaryIndex]] — one summary family per
+    * source, fed per ingest wave via `appendBatchSummary`/
+    * `streamIntoSummary` over [[shingleItems]]). At 100 TB this is the
+    * production cadence: each source's KMV min-set accretes at wave
+    * cost, and "which datasets copy which" is answered from
+    * ≤ nSources × k driver-held longs at report time. All summaries
+    * must share the KMV k (the [[graft.index.IndexStore.SummaryIndex
+    * .intersectionEstimate]] comparability contract). */
+  def sourceOverlapFromSummaries(spark: org.apache.spark.sql.SparkSession,
+      summaries: Seq[(String, graft.index.IndexStore.SummaryIndex)])
+      : DataFrame = {
+    require(summaries.nonEmpty, "no summaries — an empty matrix would " +
+      "read as 'no overlap anywhere'")
+    val ks = summaries.map(_._2.kKmv).distinct
+    require(ks.size == 1,
+      s"KMV k mismatch across sources: ${ks.sorted.mkString(", ")} — " +
+        "summaries must share the sketch DDL to be comparable")
+    kmvOverlapMatrix(spark,
+      summaries.map { case (s, su) => s -> su.kmvMins }, ks.head)
   }
 }

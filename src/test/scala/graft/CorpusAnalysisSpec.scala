@@ -85,6 +85,49 @@ class CorpusAnalysisSpec extends AnyFunSuite with SparkTest {
       assert(inter === 0L, s"pair $pair sketched non-zero but absent exact")
   }
 
+  test("source overlap from persisted per-source summaries equals the one-pass sketch") {
+    import graft.index.IndexStore
+    val docs = Seq(
+      ("A", "a b c d"), ("A", "a b c"),
+      ("B", "b c d e"),
+      ("C", "x y"),
+    ).toDF("source", "text")
+    // one persisted summary per source over its shingle item stream —
+    // the wave-fed production shape; hash60-of-string on both paths
+    val summaries = Seq("A", "B", "C").map { s =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"overlapsum$s").toString
+      IndexStore.saveSummary(
+        CorpusAnalysis.shingleItems(
+          docs.where($"source" === s), "text", k = 2),
+        "sh", kMg = 8, kKmv = 64, dir)
+      s -> IndexStore.loadSummary(spark, dir)
+    }
+    val fromSummaries = CorpusAnalysis
+      .sourceOverlapFromSummaries(spark, summaries)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq.sorted
+    val oneTrip = CorpusAnalysis
+      .sourceOverlapSketched(docs, "text", "source", sketchK = 64, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq.sorted
+    assert(fromSummaries === oneTrip)
+    // comparability contract: a mismatched KMV k refuses
+    val odd = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("overlapsumodd").toString
+      IndexStore.saveSummary(
+        CorpusAnalysis.shingleItems(
+          docs.where($"source" === "A"), "text", k = 2),
+        "sh", kMg = 8, kKmv = 32, dir)
+      "D" -> IndexStore.loadSummary(spark, dir)
+    }
+    intercept[IllegalArgumentException](
+      CorpusAnalysis.sourceOverlapFromSummaries(spark, summaries :+ odd))
+    intercept[IllegalArgumentException](
+      CorpusAnalysis.sourceOverlapFromSummaries(spark, Seq.empty))
+  }
+
   test("vocab stats: totals, hapaxes, head coverage with deterministic top-k") {
     val docs = Seq(
       (1L, "a a a b b c"),
