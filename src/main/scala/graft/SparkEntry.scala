@@ -2865,14 +2865,21 @@ object SparkEntry {
       val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
       IndexStore.saveIvf(corpusIvf(spark, dir), p,
         source = Some((e, "vec_id", "embedding")))
-      val advice = IndexStore.adviseSplitIvf(IndexStore.loadIvf(spark, p),
-        factor = 1.0001)
+      val preSplit = IndexStore.loadIvf(spark, p)
+      val advice = IndexStore.adviseSplitIvf(preSplit, factor = 1.0001)
       IndexStore.splitClusterIvf(e, "vec_id", "embedding", p,
         advice.cluster, batchId = 0L)
-      // and the twin maintenance op: fuse the two smallest cells — the
-      // fixture then carries BOTH layout waves, and the exactness
+      // and the twin maintenance op on cells OTHER than the fresh
+      // children: proximity-aware advice would otherwise pick the two
+      // 2-means children (the closest pair in the index by
+      // construction) and the merge wave would just undo the split
+      // wave — the fixture must carry BOTH layouts, and the exactness
       // contract must hold through the pair
-      val m = IndexStore.adviseMergeIvf(IndexStore.loadIvf(spark, p),
+      val postSplit = IndexStore.loadIvf(spark, p)
+      val children = postSplit.sizes.keySet -- preSplit.sizes.keySet
+      val m = IndexStore.adviseMergeIvf(
+        postSplit.copy(sizes = postSplit.sizes -- children,
+          centroids = postSplit.centroids -- children),
         factor = 100.0)
       IndexStore.mergeClustersIvf(e, "vec_id", "embedding", p,
         m.clusterA, m.clusterB, batchId = 0L)

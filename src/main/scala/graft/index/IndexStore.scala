@@ -1494,9 +1494,13 @@ object IndexStore {
 
   /** Each family's commit-marker table — the one source of truth for
     * "committed" everywhere in this store. */
+  // the ONE family → marker-dir map (describeFamily, planCompaction): a
+  // second copy would drift — a family priceable but not inventoriable,
+  // or vice versa. "sign-lsh"/"signlsh" are accepted as spellings of the
+  // same family.
   private val familyMarkerDir = Map(
     "ivf" -> "sizes", "bm25" -> "stats", "pq" -> "counts",
-    "prefix" -> "marks", "signlsh" -> "commits",
+    "prefix" -> "marks", "signlsh" -> "commits", "sign-lsh" -> "commits",
     "containment" -> "sizes", "grams" -> "marks", "phrase" -> "marks",
     "windows" -> "marks", "stats" -> "commits", "summary" -> "marks",
     "zorder" -> "marks", "quantile" -> "marks", "gquantile" -> "marks")
@@ -1582,14 +1586,17 @@ object IndexStore {
     // sides of the join and certify a false-clean zero residual — the
     // one failure mode a compliance certificate must never have. Supply
     // ids in the type they were ingested with (a double-typed 5.0
-    // renders "5.0", not long 5's "5"); NULL ids address no row and are
-    // refused rather than silently dropped into a smaller erased_n.
-    require(erased.where(col(idCol).isNull).isEmpty,
+    // renders "5.0", not long 5's "5"). NULL ids address no row and are
+    // refused rather than silently dropped into a smaller erased_n — the
+    // probe rides the already-checkpointed distinct set (string cast
+    // preserves exactly the source NULLs), so the refusal costs no extra
+    // pass over the wave.
+    val ids = erased.select(col(idCol).cast("string").as("__erased"))
+      .distinct().localCheckpoint(true)
+    require(ids.where(col("__erased").isNull).isEmpty,
       s"erasureAudit: NULL values in erased id column '$idCol' — a NULL " +
         "id addresses no row; an audit that silently dropped it would " +
         "certify a wave it never checked")
-    val ids = erased.select(col(idCol).cast("string").as("__erased"))
-      .distinct().localCheckpoint(true)
     val erasedN = ids.count()
     def liveIds(family: String, path: String)
         : org.apache.spark.sql.DataFrame = family match {
@@ -2092,11 +2099,12 @@ object IndexStore {
     * radius that [[Ivf.knnJoinExact]]'s triangle bound prunes with.
     * `centroidDist` rides the advice so a policy layer can veto a merge
     * whose best qualifying pair is still geometrically absurd. Driver
-    * arithmetic over the already-collected centroid map — O(nlist²)
-    * pairs with nlist ≈ √N, never a data scan. Threshold is policy;
-    * inputs are measurements. When NO pair qualifies, the two smallest
-    * cells are surfaced (the report a human would ask for) with
-    * advise = false. */
+    * arithmetic over the already-collected centroid map — a streamed
+    * argmin over candidate² pairs (candidates = cells whose own mass
+    * fits the gate), O(1) memory, never a data scan. Threshold is
+    * policy; inputs are measurements. When NO pair qualifies, the two
+    * smallest cells are surfaced (the report a human would ask for)
+    * with advise = false. */
   final case class MergeAdvice(clusterA: Int, clusterB: Int,
       combinedSize: Long, evenShare: Double, centroidDist: Double,
       advise: Boolean)
@@ -2119,19 +2127,38 @@ object IndexStore {
       case _ => Double.MaxValue
     }
     val even = index.sizes.values.sum.toDouble / index.sizes.size
-    val cells = index.sizes.keys.toSeq.sorted
-    val qualifying = for {
-      i <- cells.indices; j <- (i + 1) until cells.size
-      if index.sizes(cells(i)) + index.sizes(cells(j)) <= factor * even
-    } yield (cells(i), cells(j))
-    if (qualifying.nonEmpty) {
-      val (ca, cb) = qualifying.minBy { case (a, b) => (dist(a, b), a, b) }
-      MergeAdvice(ca, cb, index.sizes(ca) + index.sizes(cb), even,
-        dist(ca, cb), advise = true)
-    } else {
+    // only cells that can BE in a qualifying pair (size ≤ factor × even)
+    // enter the pair loop, and the argmin STREAMS — nothing pair-sized is
+    // ever materialized, so a permissive factor over a 10⁵-cell index
+    // costs candidate² distance evaluations but O(1) memory
+    val cells = index.sizes.collect {
+      case (c, s) if s <= factor * even => c
+    }.toArray.sorted
+    var best = -1.0; var bestA = -1; var bestB = -1
+    var i = 0
+    while (i < cells.length) {
+      var j = i + 1
+      while (j < cells.length) {
+        val (a, b) = (cells(i), cells(j))
+        if (index.sizes(a) + index.sizes(b) <= factor * even) {
+          val d = dist(a, b)
+          if (bestA < 0 || d < best ||
+              (d == best && (a < bestA || (a == bestA && b < bestB)))) {
+            best = d; bestA = a; bestB = b
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (bestA >= 0)
+      MergeAdvice(bestA, bestB, index.sizes(bestA) + index.sizes(bestB),
+        even, best, advise = true)
+    else {
       val bySize = index.sizes.toSeq.sortBy { case (c, s) => (s, c) }
-      val (ca, sa) = bySize(0); val (cb, sb) = bySize(1)
-      MergeAdvice(ca, cb, sa + sb, even, dist(ca, cb), advise = false)
+      val (ca, _) = bySize(0); val (cb, _) = bySize(1)
+      MergeAdvice(ca, cb, index.sizes(ca) + index.sizes(cb), even,
+        dist(ca, cb), advise = false)
     }
   }
 
@@ -4882,24 +4909,16 @@ object IndexStore {
   // (The LSM-tree amortization argument, applied to parquet batch
   // partitions.)
 
-  /** Per-family marker-dir map — the same dirs the load*Checked guards
-    * key committed batches on. */
-  private val FamilyMarkers: Map[String, String] = Map(
-    "bm25" -> "stats", "sign-lsh" -> "commits", "signlsh" -> "commits",
-    "containment" -> "sizes",
-    "grams" -> "marks", "phrase" -> "marks", "windows" -> "marks",
-    "ivf" -> "sizes", "pq" -> "counts", "prefix" -> "marks",
-    "stats" -> "commits", "summary" -> "marks",
-    "quantile" -> "marks", "gquantile" -> "marks")
-
   /** Default per-partition open cost in row-units: opening one more batch
     * partition ≈ footer read + seek ≈ scanning a few thousand rows.
     * Calibrate per storage tier (object stores run higher). */
   val OpenCostRows = 4096.0
 
   /** One fold-or-not recommendation with its receipts: committed batch
-    * count, total indexed rows (Σ per-batch fprint n), both sides of the
-    * amortization inequality, and the break-even wave count. */
+    * count, total rows the fold reads + rewrites (Σ per-batch fprint n;
+    * for the quantile families the committed PERSISTED sample rows — see
+    * [[planCompaction]]), both sides of the amortization inequality, and
+    * the break-even wave count. */
   case class CompactionPlan(family: String, batches: Int, totalRows: Long,
       perQueryExtraCost: Double, foldCost: Double, savingsPerWave: Double,
       wavesToBreakEven: Double, recommend: Boolean, rationale: Seq[String])
@@ -4921,9 +4940,9 @@ object IndexStore {
       "the z-order layout's tail cost is a full tail SCAN per box query, " +
         "not partition-open overhead — price it with planZOrderCompaction " +
         "(the generic advisor would systematically under-fold)")
-    val markerDir = FamilyMarkers.getOrElse(family,
+    val markerDir = familyMarkerDir.getOrElse(family,
       throw new IllegalArgumentException(
-        s"unknown index family '$family' — one of ${FamilyMarkers.keys.toSeq.sorted.mkString(", ")}"))
+        s"unknown index family '$family' — one of ${familyMarkerDir.keys.toSeq.sorted.mkString(", ")}"))
     val batches = committedBatches(spark, s"$path/$markerDir")
     // per-batch n: the prefix, summary and quantile families' marks double
     // as their fprint table; every other family keeps a dedicated fprint
@@ -4936,12 +4955,25 @@ object IndexStore {
       s"$family index at $path has no fingerprint sidecar — saved without " +
         "its source corpus, so per-batch row counts are unknown; rebuild " +
         "with source = ... to make maintenance priceable")
-    val totalRows = spark.read.parquet(fprintDir)
-      .where(col("batch").cast("long").isin(batches: _*))
-      .agg(sum("n")).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    // what the fold actually reads + rewrites. The quantile families'
+    // marks n counts CORPUS rows per wave (the staleness contract), but
+    // their fold touches only the PERSISTED sample — ≤ batches × k
+    // (× groups) rows, the family's whole disk footprint, itself
+    // sidecar-scale — so they are priced from the committed q rows on
+    // disk; pricing a 10⁹-row corpus against a 10⁵-row rewrite would
+    // leave a large sketch unfolded forever, the same systematic
+    // under-fold the z-order refusal above exists to prevent.
+    val totalRows =
+      if (family == "quantile" || family == "gquantile") {
+        if (!hasDataFiles(spark, s"$path/q")) 0L
+        else spark.read.parquet(s"$path/q")
+          .where(col("batch").cast("long").isin(batches: _*)).count()
+      } else spark.read.parquet(fprintDir)
+        .where(col("batch").cast("long").isin(batches: _*))
+        .agg(sum("n")).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
     val b = batches.size
     val perQueryExtra = math.max(0, b - 1).toDouble * openCostRows
     val foldCost = 2.0 * totalRows // read everything + rewrite everything
@@ -5040,6 +5072,15 @@ object IndexStore {
     val spark = erased.sparkSession
     require(targets.nonEmpty, "empty target catalog — an erasure wave " +
       "over nothing would still print a certificate")
+    // refuse BEFORE any family mutates: the per-family delete waves
+    // silently isNotNull-filter a NULL id, so without this gate a bad
+    // wave would commit fleet-wide and only THEN fail in the audit —
+    // mutations done, certificate never produced. One wave-bounded scan
+    // at erasure cadence.
+    require(erased.where(col(idCol).isNull).isEmpty,
+      s"executeErasureWave: NULL values in erased id column '$idCol' — " +
+        "a NULL id addresses no row; refusing before any family's " +
+        "delete wave commits")
     def one(t: ErasureTarget): Unit = {
       def c(i: Int): String = {
         require(t.cols.length > i, s"family '${t.family}' at ${t.path} " +

@@ -367,6 +367,8 @@ object CorpusAnalysis {
       mins: Seq[(String, Array[Long])], k: Int): DataFrame = {
     import graft.operators.Sketches
     import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val bySrc = mins.sortBy(_._1)
     val rows = for {
       i <- bySrc.indices; j <- (i + 1) until bySrc.size
@@ -376,9 +378,14 @@ object CorpusAnalysis {
       nb = Sketches.estimate(b, k)
     } yield (srcA, srcB, inter, na, nb,
       if (na + nb - inter <= 0) 0.0
-      else BigDecimal(inter.toDouble / (na + nb - inter).toDouble)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    rows.toDF("src_a", "src_b", "inter", "n_a", "n_b", "jaccard")
+      else r6(inter.toDouble / (na + nb - inter).toDouble),
+      // the directed containments are the feature's headline signal
+      // (cont ≈ 1 at low Jaccard = swallowed dataset) — free arithmetic
+      // on values already in hand, same schema as the exact matrix
+      if (na <= 0) 0.0 else r6(inter.toDouble / na.toDouble),
+      if (nb <= 0) 0.0 else r6(inter.toDouble / nb.toDouble))
+    rows.toDF("src_a", "src_b", "inter", "n_a", "n_b", "jaccard",
+      "cont_a", "cont_b")
   }
 
   /** The shingle ITEM stream of a corpus slice — one `sh` string row per

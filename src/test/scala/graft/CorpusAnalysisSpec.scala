@@ -56,16 +56,18 @@ class CorpusAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(got.toSeq === Seq(
       ("A", "B", 2L, 3L, 3L, 0.5, 0.666667, 0.666667)))
     // sketched twin in the COMPLETE regime (k ≥ every source's set):
-    // min-sets are the whole sets, so counts are exact — and DISJOINT
+    // min-sets are the whole sets, so counts are exact — SAME schema as
+    // the exact matrix (incl. the directed containments), and DISJOINT
     // pairs are reported with inter=0 rather than dropped
     val sk = CorpusAnalysis.sourceOverlapSketched(docs, "text", "source",
         sketchK = 64, k = 2)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq.sorted
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSeq.sorted
     assert(sk === Seq(
-      ("A", "B", 2L, 3L, 3L, 0.5),
-      ("A", "C", 0L, 3L, 1L, 0.0),
-      ("B", "C", 0L, 3L, 1L, 0.0)))
+      ("A", "B", 2L, 3L, 3L, 0.5, 0.666667, 0.666667),
+      ("A", "C", 0L, 3L, 1L, 0.0, 0.0, 0.0),
+      ("B", "C", 0L, 3L, 1L, 0.0, 0.0, 0.0)))
     // real-corpus complete regime: a sketch wide enough to hold every
     // source's distinct shingles reproduces the exact matrix's counts
     val corpus = Tables.documents(spark, Sf0001).select("source", "text")

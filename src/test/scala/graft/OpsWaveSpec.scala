@@ -102,5 +102,21 @@ class OpsWaveSpec extends AnyFunSuite with SparkTest {
     // tail scan per box query, priced by planZOrderCompaction)
     intercept[IllegalArgumentException](
       IndexStore.maintenanceWave(spark, Seq("zorder" -> q), 50L))
+    // quantile folds are priced from the PERSISTED sample, not the
+    // corpus the marks fingerprint: with k=50 each of the 3 waves keeps
+    // 50 rows, so the fold reads/rewrites 150 rows — pricing it at the
+    // ~500 ingested corpus rows would leave a large sketch (tiny sample,
+    // huge corpus) unfolded forever
+    val qs = Files.createTempDirectory("mwqsmall").toString
+    IndexStore.saveQuantile(docs.where($"doc_id" % 3 === 0), "doc_id",
+      "n_chars", 50, qs)
+    IndexStore.appendBatchQuantile(docs.where($"doc_id" % 3 === 1),
+      "doc_id", "n_chars", qs, 0L)
+    IndexStore.appendBatchQuantile(docs.where($"doc_id" % 3 === 2),
+      "doc_id", "n_chars", qs, 1L)
+    val plan = IndexStore.planCompaction(spark, qs, "quantile",
+      queriesPerWave = 50L)
+    assert(plan.totalRows === 150L)
+    assert(plan.foldCost === 300.0)
   }
 }
