@@ -3071,6 +3071,41 @@ object SparkEntry {
       .orderBy("family")
   }
 
+  /** FLEET MAINTENANCE PRICING ([[IndexStore.maintenanceWave]], dry-run):
+    * the compaction advisor's arithmetic under the gate. The fixture is a
+    * quantile sketch accreted in THREE waves (base + two appends) with
+    * k = 50, so the persisted sample holds exactly min(wave, 50) rows per
+    * wave — the oracle recomputes that sum from the raw table (the
+    * fold-cost honesty pin: the advisor must price the PERSISTED sample,
+    * never the ingested corpus the marks fingerprint counts) and states
+    * the recommendation the amortization inequality forces at 50
+    * queries/wave. Dry-run (`execute = false`) so the receipts are
+    * deterministic across invocations — pricing is repeatable; acting
+    * would fold once and change the second read's batch count. */
+  private val maintWaveBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def qMaintenanceWave(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val path = maintWaveBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_maintq_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val d = Tables.documents(spark, dir).select("doc_id", "n_chars")
+      IndexStore.saveQuantile(d.where(pmod(col("doc_id"), lit(3)) === 0),
+        "doc_id", "n_chars", k = 50, p)
+      IndexStore.appendBatchQuantile(
+        d.where(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "n_chars",
+        p, 0L)
+      IndexStore.appendBatchQuantile(
+        d.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "n_chars",
+        p, 1L)
+      p
+    })
+    IndexStore.maintenanceWave(spark, Seq("quantile" -> path),
+        queriesPerWave = 50L, execute = false)
+      .select(col("family"), col("batches"), col("total_rows"),
+        col("recommend"), col("folded"))
+  }
+
   private def qErasureAudit(spark: SparkSession, dir: String): DataFrame = {
     corpusIvfDeletedDisk(spark, dir)
     corpusBm25DeletedDisk(spark, dir)
@@ -3352,6 +3387,7 @@ object SparkEntry {
     "q_bm25_deleted" -> ((s, dir) => qBm25Deleted(s, dir)),
     "q_erasure_audit" -> ((s, dir) => qErasureAudit(s, dir)),
     "q_erasure_wave" -> ((s, dir) => qErasureWave(s, dir)),
+    "q_maintenance_wave" -> ((s, dir) => qMaintenanceWave(s, dir)),
     "q_quantile_sketch" -> ((s, dir) => qQuantileSketch(s, dir)),
     "q_quantile_by_source" -> ((s, dir) => qQuantileBySource(s, dir)),
     "q_ann_ivf_split" -> ((s, dir) => qAnnIvfSplit(s, dir)),
@@ -3469,6 +3505,18 @@ object SparkEntry {
         |         (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 0),
         |         CAST(0 AS BIGINT)
         |) ORDER BY family""".stripMargin,
+    // the advisor must price the PERSISTED sample (Σ min(wave, k)) — the
+    // oracle recomputes that sum from the raw table and states the
+    // recommendation the amortization inequality forces
+    "q_maintenance_wave" ->
+      """WITH w AS (
+        |  SELECT doc_id % 3 AS wv, count(*) AS n FROM documents GROUP BY 1
+        |)
+        |SELECT 'quantile' AS family,
+        |       3 AS batches,
+        |       (SELECT sum(least(n, 50)) FROM w)::BIGINT AS total_rows,
+        |       true AS recommend,
+        |       false AS folded""".stripMargin,
     // the engine's zeros must come out of the LIVE loaders after a real
     // fleet-wide delete — the SQL states the certificate the wave must earn
     "q_erasure_wave" ->
