@@ -96,7 +96,8 @@ object SparkEntry {
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
         ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
-        groupedQuantileBuilt, ivfSplitBuilt, freshnessVerified)
+        groupedQuantileBuilt, ivfSplitBuilt, erasureWaveBuilt,
+        maintWaveBuilt, freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
   }
 
@@ -111,7 +112,8 @@ object SparkEntry {
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
         ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
-        groupedQuantileBuilt, ivfSplitBuilt, freshnessVerified)
+        groupedQuantileBuilt, ivfSplitBuilt, erasureWaveBuilt,
+        maintWaveBuilt, freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
 
   /** Staleness verdicts already proven this session, keyed by

@@ -1603,7 +1603,8 @@ object IndexStore {
       case "ivf" => loadIvf(spark, path).assignments.select(col("id"))
       case "pq" => loadPq(spark, path).codes.select(col("id"))
       case "prefix" => loadPrefix(spark, path).select(col("id"))
-      case "signlsh" => loadSignLsh(spark, path).select(col("id"))
+      case "signlsh" | "sign-lsh" =>
+        loadSignLsh(spark, path).select(col("id"))
       case "bm25" => loadBm25(spark, path).postings.select(col("id"))
       case "phrase" => loadPhrase(spark, path).postings.select(col("id"))
       case "windows" => loadWindows(spark, path).windows.select(col("id"))
@@ -1628,8 +1629,8 @@ object IndexStore {
       case other =>
         throw new IllegalArgumentException(
           s"unknown family '$other' — auditable families: ivf, pq, " +
-            "prefix, signlsh, bm25, phrase, windows, containment, " +
-            "quantile, gquantile")
+            "prefix, signlsh/sign-lsh, bm25, phrase, windows, " +
+            "containment, quantile, gquantile")
     }
     // the quantile samples are hash-keyed, not id-keyed: an erased id's
     // row may legitimately be absent (never sampled), but a SAMPLED row
@@ -4449,8 +4450,12 @@ object IndexStore {
     require(hasDataFiles(spark, s"$path/meta"),
       s"no quantile meta under $path — appendBatchQuantile requires a " +
         "saveQuantile base (k is the sketch DDL)")
+    // hash only the rows the append would actually INGEST
+    // (writeQuantileBatch drops NULL ids AND NULL values) — a
+    // tombstoned id riding a NULL-value row contributes nothing to the
+    // sample or the fingerprint and must not refuse the wave
     requireNoResurrectedHashes(spark, path,
-      rows.where(col(idCol).isNotNull).select(
+      rows.where(col(idCol).isNotNull && col(valueCol).isNotNull).select(
         graft.functions.Text.hash60(col(idCol).cast("string")).as("h")),
       "quantile", "compactQuantile")
     val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
@@ -4684,8 +4689,11 @@ object IndexStore {
     require(hasDataFiles(spark, s"$path/meta"),
       s"no grouped-quantile meta under $path — append requires a " +
         "saveGroupedQuantile base")
+    // ingested rows only (groupedClean drops NULL id/group/value) — the
+    // scalar guard's contract
     requireNoResurrectedHashes(spark, path,
-      rows.where(col(idCol).isNotNull).select(
+      rows.where(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull).select(
         graft.functions.Text.hash60(col(idCol).cast("string")).as("h")),
       "grouped-quantile", "compactGroupedQuantile")
     val k = spark.read.parquet(s"$path/meta").head().getAs[Int]("k")
@@ -4881,6 +4889,16 @@ object IndexStore {
     val staged = s"$path/.compact"
     import spark.implicits._
     val newK = if (s.complete) s.k else s.m
+    // the grouped family's 'stuck' refusal, hit only in the scalar
+    // family's worst corner: an INCOMPLETE sketch whose every sampled
+    // row was erased would fold to k = 0 — a bricked sketch that
+    // accepts appends (limit(0) keeps nothing) while the checked loader
+    // passes. A COMPLETE all-erased sketch folds fine (k survives).
+    require(newK >= 1,
+      s"cannot fold the quantile sketch at $path: the sample is " +
+        "incomplete AND every sampled row was erased, so the hash " +
+        "threshold cannot re-expand and the folded k would be 0 — " +
+        "rebuild with saveQuantile over the survivors")
     s.sample.toSeq.toDF("h", "v").withColumn("batch", lit(-1L))
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$staged/q")
@@ -5072,12 +5090,16 @@ object IndexStore {
     val spark = erased.sparkSession
     require(targets.nonEmpty, "empty target catalog — an erasure wave " +
       "over nothing would still print a certificate")
+    // ONE materialization of the wave: the GDPR shape is an expensive
+    // upstream query (join/filter over the master corpus), and without
+    // the checkpoint it would re-execute for the NULL gate, per family
+    // delete, and the audit — ~(targets + 2) times
+    val wave = erased.localCheckpoint(true)
     // refuse BEFORE any family mutates: the per-family delete waves
     // silently isNotNull-filter a NULL id, so without this gate a bad
     // wave would commit fleet-wide and only THEN fail in the audit —
-    // mutations done, certificate never produced. One wave-bounded scan
-    // at erasure cadence.
-    require(erased.where(col(idCol).isNull).isEmpty,
+    // mutations done, certificate never produced.
+    require(wave.where(col(idCol).isNull).isEmpty,
       s"executeErasureWave: NULL values in erased id column '$idCol' — " +
         "a NULL id addresses no row; refusing before any family's " +
         "delete wave commits")
@@ -5088,23 +5110,23 @@ object IndexStore {
         t.cols(i)
       }
       t.family match {
-        case "ivf" => deleteBatchIvf(erased, idCol, c(0), t.path, batchId)
-        case "pq" => deleteBatchPq(erased, idCol, c(0), t.path, batchId)
+        case "ivf" => deleteBatchIvf(wave, idCol, c(0), t.path, batchId)
+        case "pq" => deleteBatchPq(wave, idCol, c(0), t.path, batchId)
         case "prefix" =>
-          deleteBatchPrefix(erased, idCol, c(0), t.path, batchId)
-        case "signlsh" =>
-          deleteBatchSignLsh(erased, idCol, c(0), t.path, batchId)
-        case "bm25" => deleteBatchBm25(erased, idCol, c(0), t.path, batchId)
+          deleteBatchPrefix(wave, idCol, c(0), t.path, batchId)
+        case "signlsh" | "sign-lsh" =>
+          deleteBatchSignLsh(wave, idCol, c(0), t.path, batchId)
+        case "bm25" => deleteBatchBm25(wave, idCol, c(0), t.path, batchId)
         case "phrase" =>
-          deleteBatchPhrase(erased, idCol, c(0), t.path, batchId)
+          deleteBatchPhrase(wave, idCol, c(0), t.path, batchId)
         case "windows" =>
-          deleteBatchWindows(erased, idCol, c(0), t.path, batchId)
+          deleteBatchWindows(wave, idCol, c(0), t.path, batchId)
         case "containment" =>
-          deleteBatchContainment(erased, idCol, c(0), t.path, batchId)
+          deleteBatchContainment(wave, idCol, c(0), t.path, batchId)
         case "quantile" =>
-          deleteBatchQuantile(erased, idCol, c(0), t.path, batchId)
+          deleteBatchQuantile(wave, idCol, c(0), t.path, batchId)
         case "gquantile" =>
-          deleteBatchGroupedQuantile(erased, idCol, c(0), c(1), t.path,
+          deleteBatchGroupedQuantile(wave, idCol, c(0), c(1), t.path,
             batchId)
         case "zorder" | "grams" | "summary" | "stats" =>
           throw new IllegalArgumentException(
@@ -5118,11 +5140,13 @@ object IndexStore {
               "rather than let a fleet wave claim an erasure it cannot " +
               "certify")
         case other => throw new IllegalArgumentException(
-          s"unknown family '$other'")
+          s"unknown family '$other' — id-addressed families: ivf, pq, " +
+            "prefix, signlsh/sign-lsh, bm25, phrase, windows, " +
+            "containment, quantile, gquantile")
       }
     }
     targets.foreach(one)
-    erasureAudit(spark, erased, idCol,
+    erasureAudit(spark, wave, idCol,
       targets.map(t => t.family -> t.path))
   }
 

@@ -269,15 +269,26 @@ object CorpusAnalysis {
     * pairs at 100 TB; the output is ≤ nSources² rows. For the cadence
     * where even one corpus scan is too much, [[sourceOverlapSketched]]
     * answers the same matrix from persisted-size KMV min-sets. */
-  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
-      k: Int = TextAnalysis.ShingleSize): DataFrame = {
-    val p = docs
+  /** Distinct (src, shingle-hash) pairs — the ONE shingling/hashing
+    * pipeline both matrix paths read, so the exact and sketched
+    * renditions can never silently diverge (the byte-comparability
+    * contract the KMV scaladoc depends on). NULL sources are dropped:
+    * they name no dataset, and the sketched path would otherwise carry
+    * a null key to the driver. */
+  private def srcShingleHashes(docs: DataFrame, textCol: String,
+      srcCol: String, k: Int): DataFrame =
+    docs
+      .where(col(srcCol).isNotNull)
       .select(col(srcCol).cast("string").as("src"),
         Text.tokens(col(textCol)).as("toks"))
       .select(col("src"),
         explode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as("sh"))
       .select(col("src"), Text.hash60(col("sh")).as("h"))
       .distinct()
+
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+      k: Int = TextAnalysis.ShingleSize): DataFrame = {
+    val p = srcShingleHashes(docs, textCol, srcCol, k)
     val sizes = p.groupBy("src").agg(count(lit(1)).as("sz"))
     // per-shingle source set, sorted so pair explosion emits src_a < src_b
     // exactly once — the same lexicographic order the SQL twin's
@@ -343,13 +354,7 @@ object CorpusAnalysis {
       srcCol: String, sketchK: Int = graft.operators.Sketches.DefaultK,
       k: Int = TextAnalysis.ShingleSize): DataFrame = {
     val spark = docs.sparkSession
-    val p = docs
-      .select(col(srcCol).cast("string").as("src"),
-        Text.tokens(col(textCol)).as("toks"))
-      .select(col("src"),
-        explode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as("sh"))
-      .select(col("src"), Text.hash60(col("sh")).as("h"))
-      .distinct()
+    val p = srcShingleHashes(docs, textCol, srcCol, k)
     val w = Window.partitionBy("src").orderBy("h")
     val mins: Map[String, Array[Long]] = p
       .withColumn("__rk", row_number().over(w))

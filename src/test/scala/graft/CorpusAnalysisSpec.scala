@@ -45,6 +45,9 @@ class CorpusAnalysisSpec extends AnyFunSuite with SparkTest {
       ("A", "a b c d"), ("A", "a b c"),
       ("B", "b c d e"),
       ("C", "x y"),
+      // a NULL source names no dataset: both paths must drop it, not
+      // crash (the sketched driver map would otherwise carry a null key)
+      (null.asInstanceOf[String], "b c d"),
     ).toDF("source", "text")
     // 2-token shingles: A = {a b, b c, c d}, B = {b c, c d, d e}, C = {x y}
     val got = CorpusAnalysis.sourceOverlap(docs, "text", "source", k = 2)

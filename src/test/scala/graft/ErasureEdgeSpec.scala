@@ -131,6 +131,37 @@ class ErasureEdgeSpec extends AnyFunSuite with SparkTest {
     IndexStore.compactGroupedQuantile(spark, p3)
     val gEmpty = IndexStore.loadGroupedQuantile(spark, p3)
     assert(gEmpty.groups.isEmpty)
+    // a tombstoned id riding a NULL-VALUE row is never ingested
+    // (writeQuantileBatch drops it), so it must not refuse the wave
+    val p4 = Files.createTempDirectory("qnullval").toString
+    IndexStore.saveQuantile(docs, "doc_id", "n_chars", 64, p4)
+    IndexStore.deleteBatchQuantile(doomed, "doc_id", "n_chars", p4, 0L)
+    val nullVal = doomed.limit(2)
+      .select($"doc_id", lit(null).cast("double").as("n_chars"))
+      .unionByName(Seq((999999L, 42.0)).toDF("doc_id", "n_chars"))
+    IndexStore.appendBatchQuantile(nullVal, "doc_id", "n_chars", p4, 1L)
+  }
+
+  test("compactQuantile refuses the incomplete-and-fully-erased fold (k would brick to 0)") {
+    import graft.functions.Text
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "n_chars").localCheckpoint(true)
+    val p = Files.createTempDirectory("qbrick").toString
+    // k = 3 over the full corpus: INCOMPLETE; the sample holds exactly
+    // the 3 ids with the smallest hash60(doc_id) — erase those
+    IndexStore.saveQuantile(docs, "doc_id", "n_chars", 3, p)
+    val sampled = docs.collect()
+      .map(r => r.getLong(0))
+      .sortBy(id => Text.hash60Local(id.toString)).take(3).toSet
+    val doomed = docs.where($"doc_id".isin(sampled.toSeq: _*))
+    IndexStore.deleteBatchQuantile(doomed, "doc_id", "n_chars", p, 0L)
+    val s = IndexStore.loadQuantile(spark, p)
+    assert(s.m === 0 && s.n > 0 && !s.complete)
+    // folding would write k = 0: a sketch that accepts appends but
+    // keeps nothing, forever — refuse toward a rebuild instead
+    assert(intercept[IllegalArgumentException](
+      IndexStore.compactQuantile(spark, p))
+      .getMessage.contains("rebuild with saveQuantile"))
   }
 
   test("merge advice prefers the CLOSEST qualifying pair, not the two globally smallest") {

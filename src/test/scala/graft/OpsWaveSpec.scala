@@ -119,4 +119,26 @@ class OpsWaveSpec extends AnyFunSuite with SparkTest {
     assert(plan.totalRows === 150L)
     assert(plan.foldCost === 300.0)
   }
+
+  test("both sign-lsh spellings ride the erasure wave, the audit, and the maintenance sweep") {
+    import graft.dedup.Dedup
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val dir = Files.createTempDirectory("wavesignlsh").toString
+    IndexStore.saveSignLsh(
+      Dedup.signLshSketches(embs, "vec_id", "embedding", dim = 64), dir,
+      source = Some((embs, "vec_id", "embedding")))
+    val doomed = embs.where($"vec_id" % 5 === 0).localCheckpoint(true)
+    // the catalog spelling the family-map comment blesses must work
+    // end-to-end, not just in the maintenance twin
+    val cert = IndexStore.executeErasureWave(doomed, "vec_id",
+        Seq(IndexStore.ErasureTarget("sign-lsh", dir, Seq("embedding"))),
+        0L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(cert === Seq(("sign-lsh", doomed.count(), 0L)))
+    assert(IndexStore.maintenanceWave(spark, Seq("sign-lsh" -> dir),
+      queriesPerWave = 10L, execute = false).count() === 1L)
+    assert(IndexStore.describeFamily(spark, "sign-lsh", dir).deletes
+      === 1L)
+  }
 }
