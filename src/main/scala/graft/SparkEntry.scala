@@ -11,7 +11,7 @@ import graft.operators.{AsOfJoin, RangeJoin, Sketches}
 import graft.pipeline.{Contamination, Curation}
 import graft.search.{AnnPlanner, LateInteraction, Mmr, Negatives, Rerank, ScoreFusion, TextPlanner, TextSearch, VectorSearch}
 import graft.streaming.EventStreams
-import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis}
+import graft.text.{CorpusAnalysis, LanguageModel, PiiScrub, TextAnalysis, Vocab}
 import graft.util.{Tables, ZOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -95,7 +95,7 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
+        ivfDeletedBuilt, bm25DeletedBuilt, bm25AsofBuilt, quantileDiskBuilt,
         groupedQuantileBuilt, ivfSplitBuilt, erasureWaveBuilt,
         maintWaveBuilt, freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
@@ -111,7 +111,7 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        ivfDeletedBuilt, bm25DeletedBuilt, quantileDiskBuilt,
+        ivfDeletedBuilt, bm25DeletedBuilt, bm25AsofBuilt, quantileDiskBuilt,
         groupedQuantileBuilt, ivfSplitBuilt, erasureWaveBuilt,
         maintWaveBuilt, freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
@@ -630,6 +630,11 @@ object SparkEntry {
     * longer 32×12-bit layout earns its ×13 probe fanout). */
   private val SelectiveThr = 0.95
   private val SelectiveMpThr = 0.90
+  /** Raw-cosine cut for the SEMANTIC contamination screens: low enough to
+    * flag the synthetic corpora's nearest cross-split neighbors at every
+    * SF (best cross-split cosine ≈ 0.41/0.45/0.50 at sf0.001/0.01/0.1),
+    * high enough to stay selective (2 / 2 / 42 flagged). */
+  private val SemanticContamThr = 0.40
   /** Embedding dimensionality of the testdata embeddings table. */
   private val EmbDim = 64
 
@@ -1085,6 +1090,83 @@ object SparkEntry {
         d.where(pmod(col("doc_id"), lit(20L)) === 0),
         "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** North-star SEMANTIC eval-set decontamination
+    * ([[Contamination.semanticOverlap]]): per training embedding, the
+    * best raw cosine against the (tiny, disjoint) eval split and whether
+    * it crosses [[SemanticContamThr]] — the paraphrase-robust complement
+    * of [[qContamination]]'s n-gram screen. Plan: the eval split rides as
+    * a LITERAL struct array, so the training side is ONE narrow scan with
+    * a codegen'd per-row max — zero joins, zero shuffles (PlanSpec-worthy
+    * shape; the orderBy is the dump determinism, not the operator). */
+  private def qContaminationSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Contamination.semanticOverlap(
+        e.where(pmod(col("vec_id"), lit(41L)) =!= 0),
+        e.where(pmod(col("vec_id"), lit(41L)) === 0),
+        "vec_id", "embedding", SemanticContamThr)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  }
+
+  /** The INDEX-routed twin: the flagged (eval, train) pairs through
+    * [[Ivf.rangeJoinExact]] over the PERSISTED IVF — an exact cosine
+    * range join whose corpus scan is pruned to clusters whose ball-cover
+    * bound ([[Ivf.cosUpperBound]]) clears the threshold. Recall is a
+    * theorem (any qualifying member contradicts a skipped cluster's
+    * bound), so the brute-force pair SQL is a full oracle with no
+    * selfCheck needed — the [[qKnnJoinIvf]] exactness contract, minus
+    * even its probe-mass knob. On the synthetic corpus the spread-out
+    * geometry prunes little (bounds sit near 1); IvfSpec pins real
+    * pruning on clustered fixtures, and the receipts
+    * ([[Ivf.RangeJoinStats]]) make the volume a number either way. */
+  private def qContaminationSemanticIdx(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ivf.rangeJoinExact(corpusIvfDisk(spark, dir),
+        e.where(pmod(col("vec_id"), lit(41L)) === 0),
+        e.where(pmod(col("vec_id"), lit(41L)) =!= 0),
+        "vec_id", "embedding", "vec_id", "embedding", SemanticContamThr)
+      .select(col("query_id").as("eval_id"), col("nbr_id").as("vec_id"),
+        col("sim"))
+      .orderBy("eval_id", "vec_id")
+  }
+
+  /** North-star BPE vocabulary learning, stage-1 statistic gate-checked
+    * ([[Vocab.pairCounts]]): the adjacent-character pair-count relation
+    * the FIRST merge is argmax'd from, top-20 under the learner's own
+    * deterministic (cnt DESC, l, r) order. One corpus scan builds the
+    * vocabulary-bounded word-count table; the pair explosion runs on
+    * THAT, never on the corpus. */
+  private def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    Vocab.pairCounts(
+        Vocab.wordCounts(Tables.documents(spark, dir), "text")
+          .select(Vocab.encodeChars(col("word")).as("enc"), col("cnt")))
+      .orderBy(desc("cnt"), asc("l"), asc("r"))
+      .limit(20)
+
+  /** The BPE learn LOOP itself under the gate ([[Vocab.learnBpe]]): three
+    * merges learned from the documents corpus, hash-checked against a
+    * DuckDB rendition that unrolls the same three iterations in CTEs
+    * (same ¬-separated encoding, same non-overlapping replace, same
+    * tie-break — see the [[Vocab]] scaladoc for why that replace IS
+    * greedy BPE application). */
+  private def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Vocab.learnBpe(Tables.documents(spark, dir), "text", 3).toDF()
+  }
+
+  /** Learn-then-APPLY end to end: per-document subword token counts under
+    * the three learned merges ([[Vocab.tokenizeBpe]] — chained literal
+    * replaces in one codegen'd corpus scan; the merges are baked in as
+    * literals, production-tokenizer style). The oracle re-learns the same
+    * merges and re-applies them per document in one statement. */
+  private def qBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Vocab.learnBpe(Tables.documents(spark, dir), "text", 3)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(Vocab.tokenizeBpe(col("text"), merges)).cast("long").as("n_bpe"))
       .orderBy("doc_id")
   }
 
@@ -2850,6 +2932,46 @@ object SparkEntry {
         k = 10)
       .withColumnRenamed("id", "doc_id")
 
+  /** TIME-TRAVEL fixture: base build over thirds split A (doc_id%3=0),
+    * then append waves 0 (B) and 1 (C). The tip holds A∪B∪C; the as-of
+    * horizon at wave 0 must reconstruct exactly A∪B. Tip freshness runs
+    * once per session against the FULL corpus ([[checkedOncePerWave]]) —
+    * time travel is a view over a healthy index, not a substitute for
+    * the staleness guard. */
+  private val bm25AsofBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusBm25AsofDisk(spark: SparkSession, dir: String)
+      : TextSearch.Bm25Index = {
+    val path = bm25AsofBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_bm25asof_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val d = Tables.documents(spark, dir).select("doc_id", "text")
+      IndexStore.createBm25(
+        d.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", p)
+      IndexStore.appendBatchBm25(
+        d.where(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", p, 0L)
+      IndexStore.appendBatchBm25(
+        d.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", p, 1L)
+      p
+    })
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    checkedOncePerWave(spark, dir, "bm25-asof")(
+      { IndexStore.loadBm25Checked(spark, path, d, "doc_id", "text"); () })(())
+    IndexStore.loadBm25AsOf(spark, path, throughWave = 0L)
+  }
+
+  /** Full-text search AS OF wave 0 ([[IndexStore.loadBm25AsOf]]): the
+    * horizon snapshot must score EXACTLY like an index that had simply
+    * stopped after wave 0 — the oracle rebuilds BM25 from scratch over
+    * A∪B (doc_id%3 ≠ 2), so a leaked wave-1 posting, a df/avgdl
+    * contribution from C, or any horizon-filter drift fails the hash.
+    * Same plan shape as [[qBm25Idx]]: the as-of filter only changes
+    * WHICH marker partitions the scan reads. */
+  private def qBm25Asof(spark: SparkSession, dir: String): DataFrame =
+    TextSearch.search(corpusBm25AsofDisk(spark, dir), flagshipQueryText,
+        k = 10)
+      .withColumnRenamed("id", "doc_id")
+
   /** IVF index with a HOT-CELL SPLIT ([[IndexStore.splitClusterIvf]]) —
     * the maintenance middle path between tolerating a hot cell's probe
     * cost and a corpus-sized retrain: the advised largest cell
@@ -3313,6 +3435,7 @@ object SparkEntry {
     "q_late_interaction" -> ((s, dir) => qLateInteraction(s, dir)),
     "q_late_interaction_pruned" -> ((s, dir) => qLateInteractionPruned(s, dir)),
     "q_bm25_idx" -> ((s, dir) => qBm25Idx(s, dir)),
+    "q_bm25_asof" -> ((s, dir) => qBm25Asof(s, dir)),
     "q_bm25_join" -> ((s, dir) => qBm25Join(s, dir)),
     "q_hybrid_join" -> ((s, dir) => qHybridJoin(s, dir)),
     "q_hybrid_join_dense" -> ((s, dir) => qHybridJoinDense(s, dir)),
@@ -3408,6 +3531,11 @@ object SparkEntry {
     "q_corpus_diff" -> ((s, dir) => qCorpusDiff(s, dir)),
     "q_contamination" -> ((s, dir) => qContamination(s, dir)),
     "q_contamination_bloom" -> ((s, dir) => qContaminationBloom(s, dir)),
+    "q_contamination_semantic" -> ((s, dir) => qContaminationSemantic(s, dir)),
+    "q_contamination_semantic_idx" -> ((s, dir) => qContaminationSemanticIdx(s, dir)),
+    "q_bpe_pairs" -> ((s, dir) => qBpePairs(s, dir)),
+    "q_bpe_merges" -> ((s, dir) => qBpeMerges(s, dir)),
+    "q_bpe_tokenize" -> ((s, dir) => qBpeTokenize(s, dir)),
     "q_intake_pipeline" -> ((s, dir) => qIntakePipeline(s, dir)),
     "q_dedup_vectors" -> ((s, dir) => qDedupVectors(s, dir)),
   )
@@ -3455,6 +3583,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = ListMap(
     "q_bm25" ->
       s"""WITH $bm25DocsCtes
+         |SELECT id AS doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // time travel: the oracle builds BM25 from scratch over exactly the
+    // waves at-or-below the horizon (A∪B = doc_id%3 ≠ 2) — a leaked
+    // wave-1 contribution to postings, df, or avgdl fails the hash
+    "q_bm25_asof" ->
+      s"""WITH ${TextSearch.oracleCtes(
+             "(SELECT * FROM documents WHERE doc_id % 3 <> 2)",
+             "doc_id", "text", flagshipQueryText)}
          |SELECT id AS doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // post-deletion: the oracle builds BM25 over the SURVIVING corpus
@@ -4562,6 +4699,31 @@ object SparkEntry {
                   "(SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0)",
                   "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)",
                   "doc_id", "text")})
+         |ORDER BY doc_id""".stripMargin,
+    "q_contamination_semantic" ->
+      s"""SELECT id AS vec_id, best_eval_id, best_cos, contaminated
+         |FROM (${Contamination.sqlSemanticOverlap(
+                  "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 <> 0)",
+                  "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 = 0)",
+                  "vec_id", "embedding", SemanticContamThr)})
+         |ORDER BY vec_id""".stripMargin,
+    // the routed range join is EXACT by the ball-cover bound theorem
+    // (Ivf.rangeJoinExact scaladoc), so the brute-force pair SQL is a
+    // full oracle — no probe-mass caveat, no selfCheck
+    "q_contamination_semantic_idx" ->
+      s"""SELECT v.vec_id AS eval_id, t.vec_id,
+         |       round(list_cosine_similarity(t.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS sim
+         |FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 <> 0) t
+         |CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 = 0) v
+         |WHERE round(list_cosine_similarity(t.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) >= $SemanticContamThr
+         |ORDER BY eval_id, t.vec_id""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""SELECT l, r, cnt FROM (${Vocab.sqlPairCounts("documents", "text")})
+         |ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
+    "q_bpe_merges" -> Vocab.sqlLearnBpe("documents", "text", 3),
+    "q_bpe_tokenize" ->
+      s"""SELECT id AS doc_id, n_bpe
+         |FROM (${Vocab.sqlTokenizeCounts("documents", "doc_id", "text", 3)})
          |ORDER BY doc_id""".stripMargin,
     "q_intake_pipeline" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),

@@ -56,11 +56,13 @@ object IndexStore {
       source: Option[(org.apache.spark.sql.DataFrame, String, String)] = None)
       : Unit = {
     writeBase(index, path)
-    // a replaced index must not carry a previous run's tombstones
+    // a replaced index must not carry a previous run's tombstones — or
+    // its as-of floor (a fresh base's full history starts at wave −1)
     val spark0 = index.postings.sparkSession
-    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-        spark0.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark0.sparkContext.hadoopConfiguration)
+    fs0.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs0.delete(new org.apache.hadoop.fs.Path(s"$path/asof_floor"), true)
     source match {
       case Some((docs, idCol, textCol)) =>
         writeFprintDelta(docs, idCol, textCol, path, batchId = -1L,
@@ -113,6 +115,44 @@ object IndexStore {
     if (!fs.exists(new org.apache.hadoop.fs.Path(markerDir))) Seq.empty
     else spark.read.parquet(markerDir)
       .select(col("batch").cast("long")).collect().map(_.getLong(0)).toSeq
+  }
+
+  /** The ORIGINAL ingest-wave id a commit marker belongs to: append waves
+    * are their own id, the base fold is −1, and the delete/split/merge
+    * namespaces decode back to the wave that issued them (the inverse of
+    * [[deleteMarkerId]]/[[splitMarkerId]]/[[mergeMarkerId]]). The wave id
+    * is the index's logical clock — waves are issued in ingest order
+    * (foreachBatch ids are monotonic), so "state as of wave W" is
+    * well-defined across appends AND their same-wave maintenance. */
+  private[graft] def originalWave(batch: Long): Long =
+    if (batch >= -1L) batch
+    else {
+      val k = -batch
+      (k % 3) match {
+        case 2 => (k - 2) / 3 // delete wave
+        case 0 => (k - 3) / 3 // split wave
+        case _ => (k - 4) / 3 // merge wave
+      }
+    }
+
+  /** Is commit marker `batch` part of the index state AS OF wave
+    * `through`? (Base −1 is always visible; everything else by its
+    * [[originalWave]].) `Long.MaxValue` = the live tip. */
+  private[graft] def visibleAsOf(batch: Long, through: Long): Boolean =
+    originalWave(batch) <= through
+
+  /** Wave horizon a compaction erased history below: time travel cannot
+    * reach past a fold (the folded base is one batch=−1 partition — the
+    * per-wave deltas are gone). Absent sidecar = never compacted = −1. */
+  private[graft] def asofFloor(spark: SparkSession, path: String): Long =
+    if (!hasDataFiles(spark, s"$path/asof_floor")) -1L
+    else spark.read.parquet(s"$path/asof_floor").head().getAs[Long]("floor")
+
+  private def writeAsofFloor(spark: SparkSession, floor: Long,
+      dir: String): Unit = {
+    import spark.implicits._
+    Seq(floor).toDF("floor").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
   /** Apply one micro-batch of NEW documents (R17 skip-existing contract:
@@ -177,9 +217,36 @@ object IndexStore {
   /** Consistent snapshot at the latest commit marker: only committed
     * batches are visible (partition-pruned `batch IN (...)`), so loading
     * concurrently with an in-flight appendBatchBm25 is safe. */
-  def loadBm25(spark: SparkSession, path: String): Bm25Index = {
+  def loadBm25(spark: SparkSession, path: String): Bm25Index =
+    loadBm25AsOf(spark, path, Long.MaxValue)
+
+  /** TIME-TRAVEL load: the index state AS OF ingest wave `throughWave` —
+    * the base plus every append/delete wave whose [[originalWave]] is ≤
+    * the horizon, reconstructed EXACTLY (every table is additive deltas
+    * keyed by commit marker, so dropping later markers drops later waves
+    * and nothing else: same postings, same df, same avgdl as an index
+    * that had simply stopped at that wave). The reproducibility operator
+    * a training pipeline needs: re-run wave W's retrieval/dedup decisions
+    * months later, audit what a model trained at wave W could have seen.
+    *
+    * Cost: identical to [[loadBm25]] — the wave filter changes WHICH
+    * marker partitions are read, never how many rows each contributes;
+    * no history replay, no extra scan. Compaction bounds the horizon
+    * (the fold collapses per-wave deltas into one base): a horizon below
+    * the recorded [[asofFloor]] is REFUSED loudly rather than silently
+    * answered with the folded (too-new) state — vacuum-bounded time
+    * travel, the standard lakehouse contract. */
+  def loadBm25AsOf(spark: SparkSession, path: String,
+      throughWave: Long): Bm25Index = {
+    val floor = if (throughWave == Long.MaxValue) -1L else asofFloor(spark, path)
+    require(throughWave >= floor,
+      s"BM25 as-of wave $throughWave predates the last compaction " +
+        s"(horizon floor $floor): the folded base no longer carries " +
+        "per-wave deltas. Reload from a pre-compaction copy or raise the " +
+        "horizon.")
     val stats = spark.read.parquet(s"$path/stats")
       .withColumn("batch", col("batch").cast("long")).collect()
+      .filter(r => visibleAsOf(r.getAs[Long]("batch"), throughWave))
     val batches = stats.map(_.getAs[Long]("batch"))
     val numDocs = stats.map(_.getAs[Long]("num_docs")).sum
     val totalDl = stats.map(_.getAs[Double]("total_dl")).sum
@@ -325,11 +392,17 @@ object IndexStore {
 
   def compactBm25(spark: SparkSession, path: String): Unit = {
     val snapshot = loadBm25(spark, path)
+    // the fold erases per-wave history: record the as-of horizon floor
+    // (max original wave folded in) so loadBm25AsOf refuses earlier
+    // horizons instead of silently answering with the folded state
+    val floor = (committedBatches(spark, s"$path/stats").map(originalWave) :+
+      asofFloor(spark, path)).max
     val staged = s"$path/.compact"
     writeBase(snapshot, staged)
+    writeAsofFloor(spark, floor, s"$staged/asof_floor")
     val fprintDirs = stageFprint(spark, path, s"$path/stats", staged)
     swapStaged(spark, path, staged,
-      Seq("postings", "term_df", "stats") ++ fprintDirs)
+      Seq("postings", "term_df", "stats", "asof_floor") ++ fprintDirs)
     // tombstones are physically purged (the snapshot excluded them); a
     // crash before this delete leaves orphans the folded markers no
     // longer commit — no loader reads them

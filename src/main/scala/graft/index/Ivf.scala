@@ -618,4 +618,87 @@ object Ivf {
         index.sizes.getOrElse(cid, 0L) }.sum)
     (VectorSearch.topKScored(finalScored, k), stats)
   }
+
+  /** How much corpus the range join's bound pruning skipped:
+    * `candidatePairs` is the number of (query, cluster) probes that
+    * survived the bound (the routed scan volume driver);
+    * `candidateMass` their summed member counts (the row-scan volume —
+    * vs `totalMass` × |batch| for the un-pruned scan);
+    * `nonEmptyClusters` the per-query denominator. */
+  case class RangeJoinStats(candidatePairs: Int, candidateMass: Long,
+      nonEmptyClusters: Int, totalMass: Long)
+
+  /** EXACT cosine RANGE join: every (query, corpus) pair with
+    * cos ≥ `threshold` — the radius-search twin of [[knnJoinExact]], and
+    * the retrieval primitive behind semantic eval-set decontamination and
+    * SemDeDup-style semantic dedup (Abbas et al. 2023), where the
+    * question is "which corpus rows are within ε of ANY probe", not
+    * "the k nearest".
+    *
+    * One routed pass suffices (simpler than the kNN's two): the cut is a
+    * CONSTANT, so the bound check needs no pass-1 kth-best — a cluster
+    * can hold a qualifying member only if its [[cosUpperBound]] ≥
+    * threshold − 1e-6 (margin covers [[VectorSearch.scoreCandidates]]'s
+    * rounding). Any member x with cos(q,x) ≥ threshold contradicts a
+    * skipped cluster's bound, so recall is exactly 1 at any geometry —
+    * pruning quality degrades gracefully, correctness never (the
+    * [[knnJoinExact]] theorem, minus its extension machinery). Unknown
+    * radii bound at 1.0: never pruned, never unsound. The corpus scan
+    * stays pruned to candidate clusters' members (cluster-partitioned
+    * parquet under [[IndexStore.saveIvf]] → PartitionFilters); the query
+    * side is a bounded broadcast batch ([[VectorSearch.MaxQueryBatch]]).
+    * Self-pairs (query_id == nbr_id) are excluded, matching the batch
+    * kNN joins. Output: (query_id, nbr_id, sim ≥ threshold). */
+  def rangeJoinExact(index: IvfIndex, queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
+      threshold: Double): DataFrame =
+    rangeJoinExactWithStats(index, queries, corpus,
+      qIdCol, qEmbCol, cIdCol, cEmbCol, threshold)._1
+
+  /** [[rangeJoinExact]] plus its [[RangeJoinStats]] pruning receipts. */
+  def rangeJoinExactWithStats(index: IvfIndex, queries: DataFrame,
+      corpus: DataFrame, qIdCol: String, qEmbCol: String,
+      cIdCol: String, cEmbCol: String,
+      threshold: Double): (DataFrame, RangeJoinStats) = {
+    require(index.metric == "cosine",
+      s"rangeJoinExact scores cosine; index was created with similarity " +
+        s"'${index.metric}' (rebuild with Ivf.build(..., metric = \"cosine\"))")
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"cosine range threshold must be in (-1, 1], got $threshold")
+    VectorSearch.requireBoundedBatch(queries, "Ivf.rangeJoinExact")
+    maybeVerifyCoverage(index, corpus, cIdCol, "Ivf.rangeJoinExact")
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
+      .collect()
+    val nonEmpty = index.sizes.filter(_._2 > 0).keySet
+    val pairs = qRows.toSeq.flatMap { r =>
+      require(!r.isNullAt(1),
+        s"query ${r.getLong(0)} has a null $qEmbCol — IVF routing needs a " +
+          "vector for every query row (filter nulls upstream)")
+      val qv = r.getSeq[Double](1).toArray
+      require(index.dim < 0 || qv.length == index.dim,
+        s"query vector dimension ${qv.length} != index numDimensions ${index.dim}")
+      var n2 = 0.0
+      qv.foreach(x => n2 += x * x)
+      val qNorm = if (n2 == 0) null else qv.map(_ / math.sqrt(n2))
+      nonEmpty.toSeq
+        .filter(cid => cosUpperBound(index, qNorm, cid) >= threshold - 1e-6)
+        .map(r.getLong(0) -> _)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val out =
+      if (pairs.isEmpty)
+        Seq.empty[(Long, Long, Double)].toDF("query_id", "nbr_id", "sim")
+      else
+        routedScored(index, qRows, corpus, cIdCol, cEmbCol, pairs)
+          .where(col("sim") >= threshold)
+    val stats = RangeJoinStats(
+      candidatePairs = pairs.size,
+      candidateMass = pairs.map { case (_, cid) =>
+        index.sizes.getOrElse(cid, 0L) }.sum,
+      nonEmptyClusters = nonEmpty.size,
+      totalMass = index.sizes.values.sum)
+    (out, stats)
+  }
 }

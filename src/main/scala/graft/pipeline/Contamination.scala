@@ -148,4 +148,80 @@ object Contamination {
        |       coalesce(p.n_contaminated, 0) > 0 AS contaminated
        |FROM (SELECT $idExpr AS id FROM $trainTable) b
        |LEFT JOIN per_doc p USING (id)""".stripMargin
+
+  /** SEMANTIC eval-set decontamination (north-star addition): flag
+    * training documents whose EMBEDDING sits within cosine `threshold` of
+    * any evaluation document — the paraphrase-robust complement of
+    * [[ngramOverlap]] (n-gram collision misses reworded benchmark
+    * leakage entirely; that blind spot is the documented motivation for
+    * embedding-space checks — SemDeDup, Abbas et al. 2023). Output per
+    * training row: (id, best_eval_id, best_cos, contaminated), where
+    * best is the max RAW cosine over the eval set (ties broken toward
+    * the larger eval id) rounded to
+    * [[graft.search.VectorSearch.ScoreDecimals]].
+    *
+    * Scale shape — ZERO shuffle, zero join: the eval set is
+    * benchmark-sized (KBs–MBs vs 100 TB), so it rides into the plan as a
+    * LITERAL array of (id, vector) structs ([[VectorSearch.MaxQueryBatch]]
+    * guard; the same bounded-batch discipline as the kNN joins, one step
+    * stronger than a broadcast — no hash relation, no join operator at
+    * all). The training side is then ONE narrow (id, vec) scan with a
+    * per-row `transform` + `array_max` over the literal: max over a
+    * lexicographic (cos, eval_id) struct, entirely inside whole-stage
+    * codegen. A corpus row with a NULL vector reports best_cos NULL,
+    * contaminated false (it has no position in embedding space to
+    * collide from).
+    *
+    * When the "eval" side outgrows a literal (corpus-vs-corpus
+    * semantics), this is the wrong tool by construction — use
+    * [[graft.index.Ivf.rangeJoinExact]] (cluster-pruned, exact) or the
+    * LSH pair screens in [[graft.dedup.Dedup]]. */
+  def semanticOverlap(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    import graft.search.VectorSearch
+    VectorSearch.requireBoundedBatch(eval, "Contamination.semanticOverlap")
+    val evalRows = eval
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(evalRows.nonEmpty,
+      "Contamination.semanticOverlap: empty eval set — nothing to screen against")
+    require(evalRows.forall(!_.isNullAt(1)),
+      "Contamination.semanticOverlap: eval rows must all carry a vector")
+    val evalLit = array(evalRows.map { r =>
+      struct(lit(r.getLong(0)).as("eid"),
+        Vectors.vecLit(r.getSeq[Double](1).toArray).as("v"))
+    }.toIndexedSeq: _*)
+    val best = array_max(transform(evalLit, e =>
+      struct(
+        round(Vectors.cosine(col(vecCol), e.getField("v")),
+          VectorSearch.ScoreDecimals).as("c"),
+        e.getField("eid").as("eid"))))
+    train
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("__b", when(col(vecCol).isNotNull, best))
+      .select(col("id"),
+        col("__b.eid").as("best_eval_id"),
+        col("__b.c").as("best_cos"),
+        coalesce(col("__b.c") >= threshold, lit(false)).as("contaminated"))
+  }
+
+  /** Oracle rendition of [[semanticOverlap]]; `trainTable`/`evalTable`
+    * produce ($idExpr, $vecExpr) rows. Quadratic cross join — it is the
+    * oracle, not the plan. */
+  def sqlSemanticOverlap(trainTable: String, evalTable: String,
+      idExpr: String, vecExpr: String, threshold: Double): String =
+    s"""WITH pairs AS (
+       |  SELECT t.$idExpr AS id, v.$idExpr AS eval_id,
+       |         round(list_cosine_similarity(t.$vecExpr::DOUBLE[], v.$vecExpr::DOUBLE[]), 6) AS c
+       |  FROM $trainTable t CROSS JOIN $evalTable v
+       |), ranked AS (
+       |  SELECT id, eval_id, c,
+       |         row_number() OVER (PARTITION BY id ORDER BY c DESC, eval_id DESC) AS rn
+       |  FROM pairs
+       |)
+       |SELECT id, eval_id AS best_eval_id, c AS best_cos,
+       |       c >= $threshold AS contaminated
+       |FROM ranked WHERE rn = 1""".stripMargin
 }

@@ -1,0 +1,212 @@
+package graft.text
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary learning (north-star addition): learn
+  * byte-pair-encoding merges from a corpus and tokenize with them — the
+  * subword-vocabulary step every LLM training pipeline runs before
+  * anything else (Sennrich, Haddow & Birch 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units"). The reference has no
+  * tokenizer surface (its text side is Atlas `$search`); this module is
+  * mandated by the north star, next to [[TextAnalysis.bpeTokenCount]]'s
+  * fixed-heuristic counter.
+  *
+  * Scale shape — the classic BPE trick, kept intact on Spark: merges are
+  * learned from the WORD-FREQUENCY table, never from the corpus. One
+  * corpus scan builds (word, count) with a map-side-combinable groupBy
+  * (distinct words are vocabulary-bounded — a few 100M rows at 100 TB vs
+  * the corpus' trillions of tokens); every learn iteration after that is
+  * one aggregation over that bounded relation, and the result is
+  * localCheckpoint'd per step so iteration k never replays steps 1..k−1
+  * (the corpus is NEVER rescanned). Applying learned merges to the corpus
+  * ([[tokenizeBpe]]) is ONE narrow scan with a chain of literal
+  * `replace`s inside whole-stage codegen — zero joins, zero shuffles.
+  *
+  * == Symbol-sequence encoding ==
+  *
+  * A word's current symbol sequence is ONE string: each symbol prefixed
+  * by [[Sep]] (`¬a¬b¬c` for [a,b,c]). `¬` cannot occur inside a symbol
+  * ([[Text.tokens]] words are `[a-z0-9]+`), so applying merge (l, r) is
+  * exactly `replace(enc, "¬l¬r", "¬lr")`: both Spark's `replace` and
+  * DuckDB's scan left-to-right non-overlapping, which IS greedy BPE
+  * application — and because the pattern starts at l's LEADING separator
+  * and does not consume the following symbol's, consecutive occurrences
+  * chain correctly (`¬a¬a¬a¬a` --(a,a)--> `¬aa¬aa`, not `¬aa¬a¬a`) and a
+  * match can never start inside a multi-character symbol (every symbol
+  * boundary is a `¬` the pattern must consume). The same encoding runs
+  * verbatim in the DuckDB oracle ([[sqlLearnBpe]]), so the learned merge
+  * table is hash-checked end to end — deliberate representation
+  * mirroring, not an implementation leak.
+  */
+object Vocab {
+
+  /** Symbol separator — outside the token alphabet `[a-z0-9]+`. */
+  val Sep = "¬"
+
+  /** (word, cnt) from one corpus scan: tokenize ([[Text.tokens]] —
+    * lowercased `[a-z0-9]+` runs), explode, count. Map-side combinable;
+    * output is vocabulary-bounded. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Initial encoding of a word: every character its own symbol —
+    * `¬` before each char. */
+  def encodeChars(word: Column): Column =
+    regexp_replace(word, "(.)", s"$Sep$$1")
+
+  /** Decode an encoded symbol string back to its symbol array. */
+  def symbols(enc: Column): Column =
+    filter(split(enc, Sep), s => s =!= lit(""))
+
+  /** Apply ONE merge to an encoded symbol string (greedy left-to-right —
+    * see the object doc for why plain non-overlapping `replace` is
+    * exact). */
+  def applyMerge(enc: Column, l: String, r: String): Column =
+    replace(enc, lit(s"$Sep$l$Sep$r"), lit(s"$Sep$l$r"))
+
+  /** Adjacent-symbol pair counts over an encoded word table
+    * ((enc, cnt) rows): (l, r, cnt) where cnt sums word counts over
+    * every occurrence (a pair appearing twice in one word counts its
+    * word twice — the standard BPE statistic). One shuffle, map-side
+    * combined, over the vocabulary-bounded relation. */
+  def pairCounts(encWords: DataFrame): DataFrame = {
+    val syms = symbols(col("enc"))
+    encWords
+      .select(explode(zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"),
+        col("cnt"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** One learned merge: step (1-based), the pair, and its count at the
+    * moment it was chosen. */
+  final case class Merge(step: Int, l: String, r: String, cnt: Long)
+
+  /** Learn `nMerges` BPE merges from a corpus. Deterministic: ties break
+    * on (l ASC, r ASC) after count DESC — no RNG, reproducible under any
+    * partitioning. Stops early if no adjacent pair remains (every word
+    * fused to one symbol). Each iteration is one pair-count aggregation
+    * + a 1-row argmax collect over the word table; the encoded table is
+    * localCheckpoint'd per step, so plans stay flat and the corpus scan
+    * happens exactly once (inside [[wordCounts]]). */
+  def learnBpe(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var enc = wordCounts(docs, textCol)
+      .select(encodeChars(col("word")).as("enc"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = pairCounts(enc)
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(step, l, r, c)
+        enc = enc
+          .select(applyMerge(col("enc"), l, r).as("enc"), col("cnt"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** BPE-tokenize a text column with learned merges: per word, encode to
+    * characters and chain the merges' literal `replace`s in learned
+    * order, then flatten the per-word symbol arrays. Pure expression
+    * tree — one corpus scan, whole-stage codegen, no join against a
+    * merge table (the merges are literals, exactly how production
+    * tokenizers bake vocab into the binary). */
+  def tokenizeBpe(textCol: Column, merges: Seq[Merge]): Column =
+    flatten(transform(Text.tokens(textCol), w =>
+      symbols(merges.foldLeft(encodeChars(w)) { (e, m) =>
+        applyMerge(e, m.l, m.r)
+      })))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB CTE chain producing the word-count relation `wc(word, cnt)`
+    * from `$table.$textExpr`. */
+  private def sqlWordCounts(table: String, textExpr: String): String =
+    s"""w AS (SELECT unnest(${Text.sqlTokens(textExpr)}) AS word FROM $table),
+       |wc AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of iteration-1 [[pairCounts]] over `$table.$textExpr`
+    * (symbols = characters): the relation the first merge is argmax'd
+    * from. */
+  def sqlPairCounts(table: String, textExpr: String): String =
+    s"""WITH ${sqlWordCounts(table, textExpr)},
+       |px AS (SELECT unnest(generate_series(1, length(word) - 1)) AS i, word, cnt FROM wc)
+       |SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+       |       sum(cnt)::BIGINT AS cnt
+       |FROM px GROUP BY 1, 2""".stripMargin
+
+  /** The CTE chain learning `nMerges` merges: defines `e1..e{n}` (encoded
+    * word tables) and `t1..t{n}` (1-row argmax picks). Callers compose a
+    * final SELECT over the `t` CTEs ([[sqlLearnBpe]]) or over the last
+    * `e` ([[sqlTokenizeBpe]] recomputes encodings per doc instead). */
+  private def sqlLearnCtes(table: String, textExpr: String,
+      nMerges: Int): String = {
+    val steps = (1 to nMerges).map { k =>
+      val src = if (k == 1) s"""e1 AS (
+         |  SELECT regexp_replace(word, '(.)', '$Sep\\1', 'g') AS enc, cnt FROM wc)"""
+        else s"""e$k AS (
+         |  SELECT replace(enc, (SELECT '$Sep' || l || '$Sep' || r FROM t${k - 1}),
+         |                      (SELECT '$Sep' || l || r FROM t${k - 1})) AS enc, cnt
+         |  FROM e${k - 1})"""
+      s"""$src,
+         |s$k AS (SELECT list_filter(string_split(enc, '$Sep'), s -> s <> '') AS s, cnt FROM e$k),
+         |x$k AS (SELECT unnest(generate_series(1, len(s) - 1)) AS i, s, cnt FROM s$k),
+         |p$k AS (SELECT s[i] AS l, s[i + 1] AS r, sum(cnt)::BIGINT AS cnt FROM x$k GROUP BY 1, 2),
+         |t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)"""
+    }
+    (sqlWordCounts(table, textExpr) +: steps).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[learnBpe]]: (step, l, r, cnt) for `nMerges`
+    * unrolled iterations. */
+  def sqlLearnBpe(table: String, textExpr: String, nMerges: Int): String = {
+    val union = (1 to nMerges)
+      .map(k => s"SELECT $k AS step, l, r, cnt FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${sqlLearnCtes(table, textExpr, nMerges)}
+       |$union""".stripMargin
+  }
+
+  /** DuckDB twin of per-doc [[tokenizeBpe]] COUNTS: (id, n_bpe) where
+    * n_bpe is the number of subword symbols after applying the `nMerges`
+    * merges this same query learns from `$table` — the end-to-end
+    * learn-then-apply pipeline in one statement. Docs with no tokens
+    * report 0. */
+  def sqlTokenizeCounts(table: String, idExpr: String, textExpr: String,
+      nMerges: Int): String = {
+    val applied = (1 to nMerges).foldLeft("enc0") { (e, k) =>
+      s"replace($e, (SELECT '$Sep' || l || '$Sep' || r FROM t$k), (SELECT '$Sep' || l || r FROM t$k))"
+    }
+    s"""WITH ${sqlLearnCtes(table, textExpr, nMerges)},
+       |dw AS (
+       |  SELECT $idExpr AS id, unnest(${Text.sqlTokens(textExpr)}) AS word
+       |  FROM $table),
+       |de AS (
+       |  SELECT id, regexp_replace(word, '(.)', '$Sep\\1', 'g') AS enc0 FROM dw),
+       |dn AS (
+       |  SELECT id, sum(len(list_filter(string_split($applied, '$Sep'), s -> s <> '')))::BIGINT AS n_bpe
+       |  FROM de GROUP BY 1)
+       |SELECT b.id, coalesce(dn.n_bpe, 0)::BIGINT AS n_bpe
+       |FROM (SELECT $idExpr AS id FROM $table) b
+       |LEFT JOIN dn USING (id)""".stripMargin
+  }
+}

@@ -169,6 +169,47 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       rows(Contamination.ngramOverlap(toyTrain, toyEval, "id", "text")))
   }
 
+  test("semanticOverlap: hand-built geometry, tie-break, null vector, zero-shuffle plan") {
+    import graft.pipeline.Contamination
+    val train = Seq(
+      (1L, Seq(1.0, 0.0)),          // cos 1.0 against e100
+      (2L, Seq(0.8, 0.6)),          // cos 0.8 vs e100, 0.6 vs e101
+      (3L, Seq(0.0, 1.0)),          // cos 1.0 against e101
+      (4L, Seq(-1.0, 0.0)),         // best is the LESS bad eval: 0.0 vs e101
+      (5L, null: Seq[Double]),      // no position in embedding space
+    ).toDF("id", "vec")
+    val eval = Seq(
+      (100L, Seq(1.0, 0.0)),
+      (101L, Seq(0.0, 1.0)),
+    ).toDF("id", "vec")
+    val got = Contamination.semanticOverlap(train, eval, "id", "vec", 0.75)
+    val rows = got.collect().map(r => r.getLong(0) ->
+      ((if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    assert(rows(1L) === ((100L, 1.0, true)))
+    assert(rows(2L) === ((100L, 0.8, true)))
+    assert(rows(3L) === ((101L, 1.0, true)))
+    assert(rows(4L)._1 === 101L)      // argmax picks the 0.0-cos eval
+    assert(rows(4L)._3 === false)
+    assert(rows(5L)._1 === -1L)       // null vec: no best, clean
+    assert(rows(5L)._3 === false)
+    // cos ties break toward the larger eval id (both engines' rule)
+    val tied = Contamination.semanticOverlap(
+      Seq((9L, Seq(1.0, 1.0))).toDF("id", "vec"), eval, "id", "vec", 0.9)
+    assert(tied.head().getLong(1) === 101L)
+    // the scale contract: a literal-array scan — no join, no shuffle
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"semanticOverlap must be a single zero-shuffle scan:\n$plan")
+    // empty and oversized eval sets are refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Contamination.semanticOverlap(train,
+        eval.where($"id" < 0), "id", "vec", 0.5)
+    }
+    assert(e.getMessage.contains("empty eval set"))
+  }
+
   test("salted two-phase aggregation equals direct aggregation (skew path)") {
     import graft.util.{Skew, Tables}
     val ev = Tables.events(spark, Sf0001)

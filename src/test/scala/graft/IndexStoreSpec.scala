@@ -38,6 +38,52 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       s"expected bucket partition pruning in:\n$plan")
   }
 
+  test("BM25 as-of wave: every horizon reconstructs a fresh build exactly; compaction bounds it") {
+    val dir = Files.createTempDirectory("bm25asof").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").localCheckpoint(true)
+    val a = docs.where($"doc_id" % 3 === 0)
+    val b = docs.where($"doc_id" % 3 === 1)
+    val c = docs.where($"doc_id" % 3 === 2)
+    IndexStore.createBm25(a, "doc_id", "text", dir)
+    IndexStore.appendBatchBm25(b, "doc_id", "text", dir, batchId = 0L)
+    IndexStore.appendBatchBm25(c, "doc_id", "text", dir, batchId = 1L)
+    // delete wave 2 erases part of A — visible only at horizons ≥ 2
+    val doomed = a.where($"doc_id" % 9 === 0)
+    IndexStore.deleteBatchBm25(doomed, "doc_id", "text", dir, 2L)
+    def top(i: TextSearch.Bm25Index) =
+      TextSearch.search(i, "fast table scan merge", 10)
+        .as[(Long, Double)].collect().toSeq
+    def sameAsFresh(asOf: Long,
+        corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val got = IndexStore.loadBm25AsOf(spark, dir, asOf)
+      val fresh = TextSearch.buildIndex(corpus, "doc_id", "text")
+      assert(got.numDocs === fresh.numDocs, s"numDocs at asOf=$asOf")
+      assert(got.avgdl === fresh.avgdl, s"avgdl at asOf=$asOf")
+      assert(got.termDf.as[(String, Long)].collect().toSet ===
+        fresh.termDf.as[(String, Long)].collect().toSet, s"df at asOf=$asOf")
+      assert(top(got) === top(fresh), s"scores at asOf=$asOf")
+    }
+    sameAsFresh(-1L, a)                         // base only
+    sameAsFresh(0L, a.union(b))                 // + wave 0
+    sameAsFresh(1L, docs)                       // + wave 1, delete not yet
+    sameAsFresh(2L, docs.where($"doc_id" % 9 =!= 0 || $"doc_id" % 3 =!= 0))
+    // the tip IS the max horizon
+    assert(top(IndexStore.loadBm25(spark, dir)) ===
+      top(IndexStore.loadBm25AsOf(spark, dir, Long.MaxValue)))
+    // compaction erases per-wave history: the floor is the max folded
+    // wave (2 — the delete), horizons below it refuse loudly, at/above
+    // it the folded state answers
+    IndexStore.compactBm25(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      IndexStore.loadBm25AsOf(spark, dir, 1L))
+    assert(e.getMessage.contains("predates the last compaction"))
+    sameAsFresh(2L, docs.where($"doc_id" % 9 =!= 0 || $"doc_id" % 3 =!= 0))
+    // a replace resets the horizon: fresh base = full history again
+    IndexStore.saveBm25(TextSearch.buildIndex(a, "doc_id", "text"), dir)
+    assert(IndexStore.loadBm25AsOf(spark, dir, -1L).numDocs === a.count())
+  }
+
   test("BM25 deletion wave: merged index equals a fresh build of the survivors; guard flips") {
     val dir = Files.createTempDirectory("bm25del").toString
     val docs = Tables.documents(spark, Sf0001)

@@ -287,4 +287,83 @@ class IvfSpec extends AnyFunSuite with SparkTest {
         "vec_id", "embedding", k = 3, numCandidates = 50).collect()
     } finally sys.props.remove("graft.selfcheck")
   }
+
+  private def bruteRangePairs(queries: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, qId: String, qEmb: String,
+      cId: String, cEmb: String, thr: Double): Set[(Long, Long, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    queries
+      .select(col(qId).cast("long").as("query_id"),
+        col(qEmb).cast("array<double>").as("__qv"))
+      .crossJoin(corpus.select(col(cId).cast("long").as("nbr_id"),
+        col(cEmb).cast("array<double>").as("__cv")))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(Vectors.cosine(col("__qv"), col("__cv")), 6).as("sim"))
+      .where(col("sim") >= thr)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("rangeJoinExact equals the brute-force cosine range join at every threshold") {
+    import org.apache.spark.sql.functions.col
+    val queries = embs.where(col("vec_id") % 41 === 0)
+    for (thr <- Seq(0.2, 0.4, 0.6)) {
+      val brute = bruteRangePairs(queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", thr)
+      val (routed, stats) = Ivf.rangeJoinExactWithStats(index, queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", thr)
+      val got = routed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === brute, s"range join diverged from brute at thr=$thr ($stats)")
+      // receipts are coherent: candidate volume never exceeds the
+      // un-pruned scan, and the mass sums real member counts
+      assert(stats.candidateMass <= stats.totalMass * queries.count())
+      assert(stats.nonEmptyClusters === index.sizes.count(_._2 > 0))
+    }
+  }
+
+  test("rangeJoinExact prunes far clusters when geometry allows, exactness intact") {
+    // the knnJoinExact two-group fixture, range-search rendition: at a
+    // high threshold, group-B clusters' ball bounds sit far below the
+    // cut for group-A queries, so the routed scan must skip them — and
+    // still return exactly the brute pairs
+    val rows =
+      (0 until 40).map { i => (i.toLong,
+        Seq(1.0, 0.05 * (i % 5), 0.03 * (i % 3))) } ++
+      (40 until 80).map { i => (i.toLong,
+        Seq(-1.0, -0.05 * (i % 5), 0.03 * (i % 3))) }
+    val df = rows.toDF("id", "emb")
+    val idx = Ivf.build(df, "id", "emb", numClusters = 8)
+    val queries = df.where($"id" < 5)
+    val thr = 0.9
+    val brute = bruteRangePairs(queries, df, "id", "emb", "id", "emb", thr)
+    assert(brute.nonEmpty, "fixture must have qualifying pairs")
+    val (routed, stats) = Ivf.rangeJoinExactWithStats(idx, queries, df,
+      "id", "emb", "id", "emb", thr)
+    val got = routed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute, s"pruned range join diverged ($stats)")
+    assert(stats.candidatePairs < 5 * stats.nonEmptyClusters,
+      s"group-B clusters must be pruned by the bound: $stats")
+    assert(stats.candidateMass < stats.totalMass * 5,
+      s"pruned scan mass must undercut the full scan: $stats")
+  }
+
+  test("rangeJoinExact refuses a non-cosine index and out-of-range thresholds") {
+    import org.apache.spark.sql.functions.col
+    val queries = embs.where(col("vec_id") < 3)
+    val dot = index.copy(metric = "dotProduct")
+    val e1 = intercept[IllegalArgumentException] {
+      Ivf.rangeJoinExact(dot, queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", 0.4)
+    }
+    assert(e1.getMessage.contains("cosine"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.rangeJoinExact(index, queries, embs,
+        "vec_id", "embedding", "vec_id", "embedding", 1.5)
+    }
+    assert(e2.getMessage.contains("threshold"))
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.text.Vocab
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE vocabulary learning: hand-computed merges, greedy-application
+  * semantics of the ¬-separated encoding (the property the DuckDB oracle
+  * mirroring rests on), learn-loop determinism, tokenizer application. */
+class VocabSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private val toy = Seq(
+    (1L, "low low low lower lowest"),
+    (2L, "new newer newest low"),
+  ).toDF("doc_id", "text")
+
+  test("learnBpe matches the hand computation (counts, order, tie-breaks)") {
+    // word counts: low 4, lower 1, lowest 1, new 1, newer 1, newest 1
+    // iter 1 pairs: (l,o) 6 and (o,w) 6 tie → l ASC picks (l,o)
+    // iter 2: (lo,w) 6
+    // iter 3: (e,w) 3 and (n,e) 3 tie → (e,w)
+    val merges = Vocab.learnBpe(toy, "text", 3)
+    assert(merges === Seq(
+      Vocab.Merge(1, "l", "o", 6L),
+      Vocab.Merge(2, "lo", "w", 6L),
+      Vocab.Merge(3, "e", "w", 3L)))
+  }
+
+  test("learnBpe is deterministic under repartitioning") {
+    val base = Vocab.learnBpe(toy, "text", 3)
+    assert(Vocab.learnBpe(toy.repartition(7), "text", 3) === base)
+  }
+
+  test("learnBpe stops early when every word is fused to one symbol") {
+    val tiny = Seq((1L, "ab ab b")).toDF("id", "text")
+    // merge 1 fuses 'ab'; no adjacent pair remains anywhere after that
+    val merges = Vocab.learnBpe(tiny, "text", 5)
+    assert(merges === Seq(Vocab.Merge(1, "a", "b", 2L)))
+  }
+
+  test("applyMerge on the ¬ encoding IS greedy left-to-right BPE application") {
+    def applied(seq: Seq[String], l: String, r: String): Seq[String] = {
+      val enc = Vocab.Sep + seq.mkString(Vocab.Sep)
+      Seq(enc).toDF("enc")
+        .select(Vocab.symbols(Vocab.applyMerge(col("enc"), l, r)))
+        .head().getSeq[String](0)
+    }
+    // run chaining: consecutive occurrences merge pairwise left-to-right
+    assert(applied(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(applied(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    // a match can never start inside a multi-character symbol
+    assert(applied(Seq("aa", "a"), "a", "a") === Seq("aa", "a"))
+    // the freshly merged symbol does not re-participate in the same pass
+    assert(applied(Seq("a", "b", "b"), "a", "b") === Seq("ab", "b"))
+    // disjoint occurrences all merge
+    assert(applied(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
+    // multi-character operands
+    assert(applied(Seq("lo", "w", "e", "r"), "lo", "w") === Seq("low", "e", "r"))
+  }
+
+  test("tokenizeBpe applies merges in learned order and flattens per word") {
+    val merges = Vocab.learnBpe(toy, "text", 3)
+    val toks = Seq("lower newest").toDF("text")
+      .select(Vocab.tokenizeBpe(col("text"), merges))
+      .head().getSeq[String](0)
+    // lower → [low, e, r]; newest → [n, ew, e, s, t] (e+w merged)
+    assert(toks === Seq("low", "e", "r", "n", "ew", "e", "s", "t"))
+    // no merges = plain characters; empty text = zero symbols
+    assert(Seq("ab c").toDF("text")
+      .select(Vocab.tokenizeBpe(col("text"), Seq.empty))
+      .head().getSeq[String](0) === Seq("a", "b", "c"))
+    assert(Seq("").toDF("text")
+      .select(size(Vocab.tokenizeBpe(col("text"), merges)))
+      .head().getInt(0) === 0)
+  }
+
+  test("wordCounts runs off one corpus scan and the learn loop off the checkpoint") {
+    // fixture-level sanity on real data: merges exist, counts are
+    // positive and non-increasing is NOT required (later merges can
+    // count higher than earlier ones only if earlier merges created
+    // them; step-1 vs step-2 of the same chain must not increase)
+    val merges = Vocab.learnBpe(Tables.documents(spark, Sf0001), "text", 2)
+    assert(merges.map(_.step) === Seq(1, 2))
+    assert(merges.forall(_.cnt > 0))
+  }
+}
