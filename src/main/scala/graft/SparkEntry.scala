@@ -95,7 +95,8 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        ivfDeletedBuilt, bm25DeletedBuilt, bm25AsofBuilt, quantileDiskBuilt,
+        ivfDeletedBuilt, bm25DeletedBuilt, bm25AsofBuilt, ivfAsofBuilt,
+        wordCountsBuilt, quantileDiskBuilt,
         groupedQuantileBuilt, ivfSplitBuilt, erasureWaveBuilt,
         maintWaveBuilt, freshnessVerified)
       .foreach(_.filterInPlace((k, _) => k._1 != spark))
@@ -111,7 +112,8 @@ object SparkEntry {
         containmentDiskBuilt, gramsDiskBuilt, windowsDiskBuilt,
         mrlPrefixDiskBuilt, phraseDiskBuilt, statsDiskBuilt,
         zorderDiskBuilt, zorderIncDiskBuilt, summaryDiskBuilt,
-        ivfDeletedBuilt, bm25DeletedBuilt, bm25AsofBuilt, quantileDiskBuilt,
+        ivfDeletedBuilt, bm25DeletedBuilt, bm25AsofBuilt, ivfAsofBuilt,
+        wordCountsBuilt, quantileDiskBuilt,
         groupedQuantileBuilt, ivfSplitBuilt, erasureWaveBuilt,
         maintWaveBuilt, freshnessVerified)
       .map(_.keys.count(_._1 == spark)).sum
@@ -169,6 +171,9 @@ object SparkEntry {
     corpusQuantileDisk(spark, dir)
     corpusGroupedQuantileDisk(spark, dir)
     corpusIvfSplitDisk(spark, dir)
+    corpusBm25AsofDisk(spark, dir)
+    corpusIvfAsofDisk(spark, dir)
+    corpusWordCountsDisk(spark, dir).count()
   }
 
   // ---------------------------------------------------------------- queries
@@ -2960,6 +2965,87 @@ object SparkEntry {
     IndexStore.loadBm25AsOf(spark, path, throughWave = 0L)
   }
 
+  /** IVF TIME-TRAVEL fixture, the [[corpusBm25AsofDisk]] shape on the
+    * vector side: base IVF trained on thirds split A (vec_id%3=0), then
+    * append waves 0 (B) and 1 (C) assigned to the frozen centroids. The
+    * horizon at wave 0 must surface exactly A∪B's members. */
+  private val ivfAsofBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusIvfAsofDisk(spark: SparkSession, dir: String)
+      : Ivf.IvfIndex = {
+    val path = ivfAsofBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_ivfasof_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val a = e.where(pmod(col("vec_id"), lit(3)) === 0)
+      IndexStore.saveIvf(Ivf.build(a, "vec_id", "embedding"), p,
+        source = Some((a, "vec_id", "embedding")))
+      IndexStore.appendBatchIvf(
+        e.where(pmod(col("vec_id"), lit(3)) === 1), "vec_id", "embedding",
+        p, 0L)
+      IndexStore.appendBatchIvf(
+        e.where(pmod(col("vec_id"), lit(3)) === 2), "vec_id", "embedding",
+        p, 1L)
+      p
+    })
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    checkedOncePerWave(spark, dir, "ivf-asof")(
+      { IndexStore.loadIvfChecked(spark, path, e, "vec_id", "embedding"); () })(())
+    IndexStore.loadIvfAsOf(spark, path, throughWave = 0L)
+  }
+
+  /** Persisted WORD-COUNT (vocab) family fixture — the same thirds-wave
+    * shape as [[corpusBm25AsofDisk]]: base wave A, appends B (wave 0)
+    * and C (wave 1). The fold must equal a from-scratch
+    * [[Vocab.wordCounts]] over the full corpus. */
+  private val wordCountsBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusWordCountsDisk(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val path = wordCountsBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_wc_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val d = Tables.documents(spark, dir).select("doc_id", "text")
+      IndexStore.saveWordCounts(
+        d.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", p)
+      IndexStore.appendBatchWordCounts(
+        d.where(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", p, 0L)
+      IndexStore.appendBatchWordCounts(
+        d.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", p, 1L)
+      p
+    })
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    checkedOncePerWave(spark, dir, "word-counts")(
+      IndexStore.loadWordCountsChecked(spark, path, d, "doc_id", "text"))(
+      IndexStore.loadWordCounts(spark, path))
+  }
+
+  /** BPE learning at WAVE CADENCE ([[Vocab.learnBpeFromCounts]] over the
+    * persisted word-count family's fold): the learn loop runs with ZERO
+    * corpus scans — the waves paid the tokenize at append time — and
+    * must produce EXACTLY the merges the from-scratch [[qBpeMerges]]
+    * learns, so it shares that query's oracle verbatim (the fold ≡
+    * fresh-wordCounts contract, hash-checked). */
+  private def qBpeMergesInc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Vocab.learnBpeFromCounts(corpusWordCountsDisk(spark, dir), 3).toDF()
+  }
+
+  /** ANN AS OF wave 0 ([[IndexStore.loadIvfAsOf]]): exhaustive routed
+    * top-k over the horizon snapshot must equal the exact kNN over
+    * exactly A∪B (vec_id%3 ≠ 2) — a wave-1 member surfacing (horizon
+    * leak) or a wave-0 member missing (over-filtering) fails the hash.
+    * Exhaustive depth + forceRoute keep the filtered exact-kNN SQL a
+    * full oracle (every as-of member sits in a probed cluster, so
+    * routed == exact with recall 1 — the [[qAnnIvfFiltered]] contract). */
+  private def qAnnAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Ivf.ann(corpusIvfAsofDisk(spark, dir), e, "vec_id", "embedding",
+        flagshipQueryVec, k = 10, numCandidates = Int.MaxValue,
+        forceRoute = true)
+      .select("vec_id", "score")
+  }
+
   /** Full-text search AS OF wave 0 ([[IndexStore.loadBm25AsOf]]): the
     * horizon snapshot must score EXACTLY like an index that had simply
     * stopped after wave 0 — the oracle rebuilds BM25 from scratch over
@@ -3436,6 +3522,8 @@ object SparkEntry {
     "q_late_interaction_pruned" -> ((s, dir) => qLateInteractionPruned(s, dir)),
     "q_bm25_idx" -> ((s, dir) => qBm25Idx(s, dir)),
     "q_bm25_asof" -> ((s, dir) => qBm25Asof(s, dir)),
+    "q_ann_asof" -> ((s, dir) => qAnnAsof(s, dir)),
+    "q_bpe_merges_inc" -> ((s, dir) => qBpeMergesInc(s, dir)),
     "q_bm25_join" -> ((s, dir) => qBm25Join(s, dir)),
     "q_hybrid_join" -> ((s, dir) => qHybridJoin(s, dir)),
     "q_hybrid_join_dense" -> ((s, dir) => qHybridJoinDense(s, dir)),
@@ -3989,6 +4077,16 @@ object SparkEntry {
          |  SELECT vec_id,
          |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
          |  FROM embeddings
+         |)
+         |SELECT vec_id, score FROM scored
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // time travel: exact kNN over exactly the waves at-or-below the
+    // horizon (A∪B = vec_id%3 ≠ 2)
+    "q_ann_asof" ->
+      s"""WITH scored AS (
+         |  SELECT vec_id,
+         |         round((1.0 + list_cosine_similarity(embedding::DOUBLE[], $flagshipQueryVecSql)) / 2.0, 6) AS score
+         |  FROM embeddings WHERE vec_id % 3 <> 2
          |)
          |SELECT vec_id, score FROM scored
          |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
@@ -4721,6 +4819,9 @@ object SparkEntry {
       s"""SELECT l, r, cnt FROM (${Vocab.sqlPairCounts("documents", "text")})
          |ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
     "q_bpe_merges" -> Vocab.sqlLearnBpe("documents", "text", 3),
+    // the wave-cadence twin learns from the persisted word-count fold,
+    // which must equal a fresh corpus scan's counts — SAME oracle
+    "q_bpe_merges_inc" -> Vocab.sqlLearnBpe("documents", "text", 3),
     "q_bpe_tokenize" ->
       s"""SELECT id AS doc_id, n_bpe
          |FROM (${Vocab.sqlTokenizeCounts("documents", "doc_id", "text", 3)})

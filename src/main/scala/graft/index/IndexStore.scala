@@ -1368,6 +1368,9 @@ object IndexStore {
     // but leaving them invites a later wave to collide batch ids
     driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/splits"), true)
+    // and a previous layout's as-of floor: a fresh base's history starts
+    // at wave -1
+    driftFs.delete(new org.apache.hadoop.fs.Path(s"$path/asof_floor"), true)
     source match {
       case Some((embs, idCol, embCol)) =>
         writeFprintDelta(embs, idCol, embCol, path, batchId = -1L,
@@ -2237,10 +2240,9 @@ object IndexStore {
   }
 
   /** The committed tombstone ids (empty relation when none). */
-  private def ivfTombstones(spark: SparkSession, path: String)
-      : Option[org.apache.spark.sql.DataFrame] = {
+  private def ivfTombstones(spark: SparkSession, path: String,
+      batches: Seq[Long]): Option[org.apache.spark.sql.DataFrame] = {
     if (!hasDataFiles(spark, s"$path/tombstones")) return None
-    val batches = committedBatches(spark, s"$path/sizes")
     Some(spark.read.parquet(s"$path/tombstones")
       .where(col("batch").cast("long").isin(batches: _*))
       .select("id"))
@@ -2378,8 +2380,42 @@ object IndexStore {
     * [[loadBm25]]): only committed batches' assignments are visible, and
     * cluster sizes are the merged per-batch deltas — so probe-depth math
     * (`probeSet`'s mass accumulation) counts appended vectors too. */
-  def loadIvf(spark: SparkSession, path: String): Ivf.IvfIndex = {
-    val batches = committedBatches(spark, s"$path/sizes")
+  def loadIvf(spark: SparkSession, path: String): Ivf.IvfIndex =
+    loadIvfAsOf(spark, path, Long.MaxValue)
+
+  /** TIME-TRAVEL load — the [[loadBm25AsOf]] contract for the vector
+    * family: the index state AS OF ingest wave `throughWave`,
+    * reconstructed exactly from the per-wave marker deltas (sizes,
+    * assignments, tombstones — same cost as a tip load, no history
+    * replay), with two honesty guards. (1) Compaction folds the deltas:
+    * horizons below the recorded [[asofFloor]] refuse. (2) Split/merge
+    * maintenance REWRITES the centroid table in place (the probe-switch
+    * design, [[splitClusterIvf]]), so the pre-maintenance probe geometry
+    * is unrecoverable from this layout: a maintenance wave committed
+    * BEYOND the horizon refuses loudly rather than routing horizon-era
+    * members through post-maintenance centroids. Maintenance at-or-below
+    * the horizon is fine — its rewrite is part of the wave being asked
+    * for. */
+  def loadIvfAsOf(spark: SparkSession, path: String,
+      throughWave: Long): Ivf.IvfIndex = {
+    val all = committedBatches(spark, s"$path/sizes")
+    if (throughWave != Long.MaxValue) {
+      val floor = asofFloor(spark, path)
+      require(throughWave >= floor,
+        s"IVF as-of wave $throughWave predates the last compaction " +
+          s"(horizon floor $floor): the folded base no longer carries " +
+          "per-wave deltas.")
+      val laterMaint = all.filter(b =>
+        b < -1L && (-b) % 3 != 2 && originalWave(b) > throughWave)
+      require(laterMaint.isEmpty,
+        s"IVF as-of wave $throughWave is unreachable: split/merge wave(s) " +
+          s"${laterMaint.map(originalWave).distinct.sorted.mkString(",")} " +
+          "rewrote the centroid table after the horizon, and the " +
+          "pre-maintenance geometry is not retained. Time-travel from a " +
+          "pre-maintenance copy, or choose a horizon at/after the " +
+          "maintenance wave.")
+    }
+    val batches = all.filter(visibleAsOf(_, throughWave))
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     // mergeSchema: a pre-radius base overlaid with post-radius append
@@ -2415,7 +2451,7 @@ object IndexStore {
     // committed tombstones ([[deleteBatchIvf]]) are anti-joined out —
     // broadcast by construction (bounded by delete volume; compaction
     // purges them physically)
-    val assignments = ivfTombstones(spark, path) match {
+    val assignments = ivfTombstones(spark, path, batches) match {
       case Some(t) => live.join(broadcast(t), Seq("id"), "left_anti")
       case None => live
     }
@@ -2584,8 +2620,14 @@ object IndexStore {
     * checkability). */
   def compactIvf(spark: SparkSession, path: String): Unit = {
     val snapshot = loadIvf(spark, path)
+    // the fold erases per-wave history: record the as-of horizon floor
+    // (max original wave folded in) so loadIvfAsOf refuses earlier
+    // horizons instead of silently answering with the folded state
+    val floor = (committedBatches(spark, s"$path/sizes").map(originalWave) :+
+      asofFloor(spark, path)).max
     val staged = s"$path/.compact"
     saveIvf(snapshot, staged)
+    writeAsofFloor(spark, floor, s"$staged/asof_floor")
     val fprintDirs = stageFprint(spark, path, s"$path/sizes", staged)
     // the drift ledger is deliberately NOT in the swap list: compaction
     // is a LAYOUT fold — the centroids stay the training run's — so
@@ -2593,7 +2635,8 @@ object IndexStore {
     // baseline would silently raise it and mask exactly the drift the
     // ledger exists to expose
     swapStaged(spark, path, staged,
-      Seq("assignments", "centroids", "meta", "sizes") ++ fprintDirs)
+      Seq("assignments", "centroids", "meta", "sizes", "asof_floor") ++
+        fprintDirs)
     // tombstones are now physically purged (the snapshot excluded them);
     // a crash before this delete leaves orphans that the folded sizes
     // markers no longer commit — no loader reads them. The split-wave
@@ -4384,6 +4427,196 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$staged/marks")
     swapStaged(spark, path, staged, Seq("mg", "kmv", "meta", "marks"))
+  }
+
+  // ---------------------------------------------- word-count vocab family
+  //
+  // EXACT corpus word counts as a persisted, appendable family — the
+  // relation BPE vocabulary learning runs on ([[graft.text.Vocab]]), kept
+  // fresh at wave cadence so a tokenizer refresh NEVER rescans the
+  // corpus. Counts are trivially mergeable (sum) and — unlike the MG/KMV
+  // sketches — exactly INVERTIBLE, so this family supports the full
+  // lifecycle including deletion waves:
+  //
+  //   wc/batch=N/   (word, cnt) — the wave's word counts (vocabulary-
+  //                 bounded rows, one map-side-combined aggregation over
+  //                 the wave); delete waves write NEGATED counts
+  //   marks/batch=N (n, fp, batch) — wave doc count + additive
+  //                 (id, text) fingerprint delta; written LAST = commit
+  //
+  // load = groupBy word, sum(cnt), drop ≤ 0 — the folded table equals a
+  // from-scratch wordCounts over exactly the committed corpus, so
+  // [[graft.text.Vocab.learnBpeFromCounts]] over the loaded relation
+  // learns the SAME merges a full rescan would (gate-checked:
+  // q_bpe_merges_inc shares q_bpe_merges' oracle).
+
+  private def wordCountMarks(spark: SparkSession, path: String,
+      batches: Seq[Long]): (Long, java.math.BigDecimal) = {
+    val r = spark.read.parquet(s"$path/marks")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+  }
+
+  private def writeWordCountBatch(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long,
+      overwriteAll: Boolean, negate: Boolean): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def writer(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+      (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+        .partitionBy("batch")
+    }
+    val sign = if (negate) -1L else 1L
+    val wc = graft.text.Vocab.wordCounts(docs, textCol)
+      .select(col("word"), (col("cnt") * lit(sign)).as("cnt"))
+    writer(wc).parquet(s"$path/wc")
+    // marks LAST = commit (doc n + (id, text) fingerprint delta)
+    val (n, fp) = corpusFingerprint(
+      docs.select(col(idCol), col(textCol)), idCol, textCol)
+    val row = Seq((sign * n, new java.math.BigDecimal(sign)
+      .multiply(fp).toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) row
+     else row.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Build and persist the word-count family over `docs` — Overwrite =
+    * S7 `--replace`. */
+  def saveWordCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    writeWordCountBatch(docs, idCol, textCol, path, batchId = -1L,
+      overwriteAll = true, negate = false)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/asof_floor"), true)
+  }
+
+  /** Accrete one ingest wave — work ∝ wave (one tokenize + aggregate);
+    * the persisted table is never rescanned. Idempotent at every crash
+    * point (marks commit last; replay of a committed id is a no-op). */
+  def appendBatchWordCounts(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    writeWordCountBatch(docs, idCol, textCol, path, batchId,
+      overwriteAll = false, negate = false)
+  }
+
+  /** DELETE one wave — exact counts are invertible (the BM25 df
+    * discipline): the wave is re-tokenized once and its counts land
+    * NEGATED, the fingerprint subtracts the wave's (id, text) delta, and
+    * the folded table equals a fresh build over the survivors. The wave
+    * must carry the documents' original text — subtraction only cancels
+    * against identical bytes; a drifted delete poisons the fingerprint
+    * and the next checked load refuses (the loud path). Commits under
+    * [[deleteMarkerId]]'s namespace; replays of the SAME wave id are
+    * no-ops. Unlike [[deleteBatchBm25]] there is no per-id tombstone
+    * ledger (the wc table has no id column to anti-join), so the same
+    * document erased under TWO different wave ids double-subtracts —
+    * the checked loader then refuses the survivors' corpus rather than
+    * silently under-counting: de-duplicate erasure requests upstream.
+    * (For the same reason this family is NOT in [[executeErasureWave]]'s
+    * catalog: its fold has no id column, so the erasure audit could not
+    * name residual ids — the wave would be unable to EARN its
+    * certificate. Erase here explicitly; the checked loader against the
+    * survivors is the verification.) */
+  def deleteBatchWordCounts(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    val mid = deleteMarkerId(batchId)
+    if (committedBatches(spark, s"$path/marks").contains(mid)) return
+    writeWordCountBatch(docs, idCol, textCol, path, mid,
+      overwriteAll = false, negate = true)
+  }
+
+  /** Streaming vocab upkeep — the word-count member of the
+    * [[streamIntoBm25]] hook family. */
+  def streamIntoWordCounts(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchWordCounts(b, idCol, textCol, path, id)
+      }
+      .start()
+
+  /** The folded (word, cnt) relation over the committed waves — equals a
+    * from-scratch [[graft.text.Vocab.wordCounts]] over exactly the
+    * committed corpus (sums cancel deleted waves; words at ≤ 0 drop).
+    * One aggregation over the vocabulary-bounded delta table — never a
+    * corpus scan. */
+  def loadWordCounts(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    loadWordCountsAsOf(spark, path, Long.MaxValue)
+
+  /** TIME-TRAVEL fold — the [[loadBm25AsOf]] contract for the vocab
+    * family: the word-count state as of ingest wave `throughWave` (the
+    * tokenizer-reproducibility operator: re-learn exactly the vocab a
+    * wave-W training run saw). Compaction records the usual
+    * [[asofFloor]]; earlier horizons refuse. */
+  def loadWordCountsAsOf(spark: SparkSession, path: String,
+      throughWave: Long): org.apache.spark.sql.DataFrame = {
+    if (throughWave != Long.MaxValue) {
+      val floor = asofFloor(spark, path)
+      require(throughWave >= floor,
+        s"word-count as-of wave $throughWave predates the last compaction " +
+          s"(horizon floor $floor): the folded base no longer carries " +
+          "per-wave deltas.")
+    }
+    val batches = committedBatches(spark, s"$path/marks")
+      .filter(visibleAsOf(_, throughWave))
+    spark.read.parquet(s"$path/wc")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .groupBy("word").agg(sum(col("cnt")).as("cnt"))
+      .where(col("cnt") > 0)
+  }
+
+  /** [[loadWordCounts]] with the STALENESS GUARD: a vocab missing an
+    * ingest wave silently learns yesterday's merges — refuse instead. */
+  def loadWordCountsChecked(spark: SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(hasDataFiles(spark, s"$path/marks"),
+      s"no word-count marks under $path — saveWordCounts never completed; rebuild")
+    val batches = committedBatches(spark, s"$path/marks")
+    val (recN, recFp) = wordCountMarks(spark, path, batches)
+    val (n, fp) = corpusFingerprint(
+      docs.select(col(idCol), col(textCol)), idCol, textCol)
+    if (recN != n || recFp.compareTo(fp) != 0)
+      throw new IllegalStateException(
+        s"word counts at $path are STALE: committed waves cover n=$recN " +
+          s"fp=$recFp, the corpus is now n=$n fp=$fp — a vocab learned " +
+          "from this table would miss every word of the gap; " +
+          "appendBatchWordCounts the missing wave or re-run saveWordCounts")
+    loadWordCounts(spark, path)
+  }
+
+  /** Fold the committed deltas into one base batch; the usual as-of
+    * floor discipline ([[compactBm25]]). */
+  def compactWordCounts(spark: SparkSession, path: String): Unit = {
+    val folded = loadWordCounts(spark, path)
+    val batches = committedBatches(spark, s"$path/marks")
+    val (n, fp) = wordCountMarks(spark, path, batches)
+    val floor = (batches.map(originalWave) :+ asofFloor(spark, path)).max
+    val staged = s"$path/.compact"
+    import spark.implicits._
+    folded.withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/wc")
+    Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/marks")
+    writeAsofFloor(spark, floor, s"$staged/asof_floor")
+    swapStaged(spark, path, staged, Seq("wc", "marks", "asof_floor"))
   }
 
   // ------------------------------------------------ quantile sample sketch

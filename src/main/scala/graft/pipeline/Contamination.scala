@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  /** Max eval rows [[semanticOverlap]] will inline as a plan literal. */
+  val MaxLiteralEval = 4096
+
   /** Per-training-doc contamination stats against `eval`:
     * (id, n_shingles, n_contaminated, contamination_ratio, contaminated).
     * Docs shorter than one shingle carry a single whole-text shingle (the
@@ -186,6 +189,15 @@ object Contamination {
       .collect()
     require(evalRows.nonEmpty,
       "Contamination.semanticOverlap: empty eval set — nothing to screen against")
+    // the LITERAL path's own, tighter bound: the eval set rides in the
+    // expression tree (constant-folded to one array Literal), and a
+    // 65k-row batch that a broadcast join would tolerate is far past what
+    // a plan literal should carry
+    require(evalRows.length <= MaxLiteralEval,
+      s"Contamination.semanticOverlap: eval set has ${evalRows.length} " +
+        s"rows > $MaxLiteralEval — too large to ride as a plan literal. " +
+        "Use Ivf.rangeJoinExact (exact, cluster-pruned) for eval sets " +
+        "beyond benchmark size")
     require(evalRows.forall(!_.isNullAt(1)),
       "Contamination.semanticOverlap: eval rows must all carry a vector")
     val evalLit = array(evalRows.map { r =>

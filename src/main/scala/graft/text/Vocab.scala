@@ -97,9 +97,19 @@ object Vocab {
     * + a 1-row argmax collect over the word table; the encoded table is
     * localCheckpoint'd per step, so plans stay flat and the corpus scan
     * happens exactly once (inside [[wordCounts]]). */
-  def learnBpe(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def learnBpe(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
+    learnBpeFromCounts(wordCounts(docs, textCol), nMerges)
+
+  /** [[learnBpe]] over an ALREADY-BUILT (word, cnt) relation — the
+    * wave-cadence path: feed it
+    * [[graft.index.IndexStore.loadWordCounts]]'s fold of the persisted
+    * vocab family and the learn loop runs with ZERO corpus scans (the
+    * waves already paid the tokenize at append time). Same merges as the
+    * from-scratch path by construction (the fold equals a fresh
+    * wordCounts over the committed corpus). */
+  def learnBpeFromCounts(wc: DataFrame, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var enc = wordCounts(docs, textCol)
+    var enc = wc
       .select(encodeChars(col("word")).as("enc"), col("cnt"))
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]

@@ -208,6 +208,14 @@ class CurationSpec extends AnyFunSuite with SparkTest {
         eval.where($"id" < 0), "id", "vec", 0.5)
     }
     assert(e.getMessage.contains("empty eval set"))
+    // beyond benchmark size the literal path refuses and names the
+    // range-join alternative
+    val big = spark.range(Contamination.MaxLiteralEval + 1)
+      .select($"id", array(lit(1.0), lit(0.0)).as("vec"))
+    val e2 = intercept[IllegalArgumentException] {
+      Contamination.semanticOverlap(train, big, "id", "vec", 0.5)
+    }
+    assert(e2.getMessage.contains("rangeJoinExact"))
   }
 
   test("salted two-phase aggregation equals direct aggregation (skew path)") {

@@ -84,6 +84,104 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
     assert(IndexStore.loadBm25AsOf(spark, dir, -1L).numDocs === a.count())
   }
 
+  test("word-count family: fold equals fresh counts through append/delete/compact; guard flips") {
+    import graft.text.Vocab
+    val dir = Files.createTempDirectory("wcfam").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").localCheckpoint(true)
+    val a = docs.where($"doc_id" % 3 === 0)
+    val b = docs.where($"doc_id" % 3 === 1)
+    val c = docs.where($"doc_id" % 3 === 2)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long)].collect().toMap
+    def fresh(d: org.apache.spark.sql.DataFrame) =
+      counts(Vocab.wordCounts(d, "text"))
+    IndexStore.saveWordCounts(a, "doc_id", "text", dir)
+    IndexStore.appendBatchWordCounts(b, "doc_id", "text", dir, 0L)
+    IndexStore.appendBatchWordCounts(c, "doc_id", "text", dir, 1L)
+    assert(counts(IndexStore.loadWordCounts(spark, dir)) === fresh(docs))
+    // replay is a no-op; checked load accepts the full corpus, refuses a gap
+    IndexStore.appendBatchWordCounts(b, "doc_id", "text", dir, 0L)
+    assert(counts(IndexStore.loadWordCounts(spark, dir)) === fresh(docs))
+    assert(counts(IndexStore.loadWordCountsChecked(spark, dir, docs,
+      "doc_id", "text")) === fresh(docs))
+    intercept[IllegalStateException](
+      IndexStore.loadWordCountsChecked(spark, dir, a, "doc_id", "text"))
+    // learn-from-counts over the fold == learn-from-scratch
+    assert(Vocab.learnBpeFromCounts(
+        IndexStore.loadWordCounts(spark, dir), 3) ===
+      Vocab.learnBpe(docs, "text", 3))
+    // deletion: negated counts cancel exactly; guard flips to survivors
+    IndexStore.deleteBatchWordCounts(c, "doc_id", "text", dir, 2L)
+    val surv = docs.where($"doc_id" % 3 =!= 2)
+    assert(counts(IndexStore.loadWordCounts(spark, dir)) === fresh(surv))
+    assert(counts(IndexStore.loadWordCountsChecked(spark, dir, surv,
+      "doc_id", "text")) === fresh(surv))
+    intercept[IllegalStateException](
+      IndexStore.loadWordCountsChecked(spark, dir, docs, "doc_id", "text"))
+    // as-of horizons: base / +wave0 / +wave1 / post-delete
+    assert(counts(IndexStore.loadWordCountsAsOf(spark, dir, -1L)) === fresh(a))
+    assert(counts(IndexStore.loadWordCountsAsOf(spark, dir, 0L)) ===
+      fresh(a.union(b)))
+    assert(counts(IndexStore.loadWordCountsAsOf(spark, dir, 1L)) === fresh(docs))
+    assert(counts(IndexStore.loadWordCountsAsOf(spark, dir, 2L)) === fresh(surv))
+    // compaction folds to base, bounds time travel, keeps checkability
+    IndexStore.compactWordCounts(spark, dir)
+    assert(counts(IndexStore.loadWordCounts(spark, dir)) === fresh(surv))
+    assert(counts(IndexStore.loadWordCountsChecked(spark, dir, surv,
+      "doc_id", "text")) === fresh(surv))
+    val eF = intercept[IllegalArgumentException](
+      IndexStore.loadWordCountsAsOf(spark, dir, 1L))
+    assert(eF.getMessage.contains("predates the last compaction"))
+  }
+
+  test("IVF as-of wave: horizons reconstruct membership; maintenance beyond the horizon refuses") {
+    val dir = Files.createTempDirectory("ivfasof").toString
+    val e = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val a = e.where($"vec_id" % 3 === 0)
+    val b = e.where($"vec_id" % 3 === 1)
+    val c = e.where($"vec_id" % 3 === 2)
+    IndexStore.saveIvf(Ivf.build(a, "vec_id", "embedding"), dir,
+      source = Some((a, "vec_id", "embedding")))
+    IndexStore.appendBatchIvf(b, "vec_id", "embedding", dir, 0L)
+    IndexStore.appendBatchIvf(c, "vec_id", "embedding", dir, 1L)
+    val doomed = b.where($"vec_id" % 9 === 1)
+    IndexStore.deleteBatchIvf(doomed, "vec_id", "embedding", dir, 2L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id".cast("long")).as[Long].collect().toSet
+    def memberIds(asOf: Long) =
+      IndexStore.loadIvfAsOf(spark, dir, asOf).assignments
+        .select($"id".cast("long")).as[Long].collect().toSet
+    assert(memberIds(-1L) === ids(a))
+    assert(memberIds(0L) === ids(a) ++ ids(b))
+    assert(memberIds(1L) === ids(e))
+    assert(memberIds(2L) === ids(e) -- ids(doomed))
+    // sizes track the horizon too (probe-mass math sees the era's counts)
+    val at0 = IndexStore.loadIvfAsOf(spark, dir, 0L)
+    assert(at0.sizes.values.sum === (ids(a) ++ ids(b)).size.toLong)
+    // tip == MaxValue horizon
+    assert(memberIds(Long.MaxValue) ===
+      ids(IndexStore.loadIvf(spark, dir).assignments
+        .withColumnRenamed("id", "vec_id")))
+    // a split at wave 3 rewrites the centroid table in place: horizons
+    // BEFORE it are unreachable and refuse loudly; at/after it, fine
+    val advice = IndexStore.adviseSplitIvf(
+      IndexStore.loadIvf(spark, dir), factor = 1.0001)
+    IndexStore.splitClusterIvf(e, "vec_id", "embedding", dir,
+      advice.cluster, batchId = 3L)
+    val eMaint = intercept[IllegalArgumentException](
+      IndexStore.loadIvfAsOf(spark, dir, 2L))
+    assert(eMaint.getMessage.contains("rewrote the centroid table"))
+    assert(memberIds(3L) === ids(e) -- ids(doomed))
+    // compaction folds history: the floor is the max folded wave (3)
+    IndexStore.compactIvf(spark, dir)
+    val eFloor = intercept[IllegalArgumentException](
+      IndexStore.loadIvfAsOf(spark, dir, 2L))
+    assert(eFloor.getMessage.contains("predates the last compaction"))
+    assert(memberIds(3L) === ids(e) -- ids(doomed))
+  }
+
   test("BM25 deletion wave: merged index equals a fresh build of the survivors; guard flips") {
     val dir = Files.createTempDirectory("bm25del").toString
     val docs = Tables.documents(spark, Sf0001)
