@@ -3031,6 +3031,23 @@ object SparkEntry {
     Vocab.learnBpeFromCounts(corpusWordCountsDisk(spark, dir), 3).toDF()
   }
 
+  /** The composition receipt: BPE merges learned from the vocab AS OF
+    * wave 0 ([[IndexStore.loadWordCountsAsOf]] over the persisted
+    * word-count family) — "re-learn exactly the tokenizer a wave-0
+    * training run saw", with the oracle re-deriving the same merges
+    * from scratch over exactly the horizon corpus (A∪B = doc_id%3 ≠ 2).
+    * Zero corpus scans on the Spark side; the horizon filter is a
+    * marker filter. */
+  private def qBpeVocabAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // tip freshness once per session (the fixture accessor's usual
+    // guard), then the horizon fold
+    corpusWordCountsDisk(spark, dir)
+    Vocab.learnBpeFromCounts(
+      IndexStore.loadWordCountsAsOf(spark,
+        wordCountsBuilt((spark, dir)), throughWave = 0L), 3).toDF()
+  }
+
   /** ANN AS OF wave 0 ([[IndexStore.loadIvfAsOf]]): exhaustive routed
     * top-k over the horizon snapshot must equal the exact kNN over
     * exactly A∪B (vec_id%3 ≠ 2) — a wave-1 member surfacing (horizon
@@ -3524,6 +3541,7 @@ object SparkEntry {
     "q_bm25_asof" -> ((s, dir) => qBm25Asof(s, dir)),
     "q_ann_asof" -> ((s, dir) => qAnnAsof(s, dir)),
     "q_bpe_merges_inc" -> ((s, dir) => qBpeMergesInc(s, dir)),
+    "q_bpe_vocab_asof" -> ((s, dir) => qBpeVocabAsof(s, dir)),
     "q_bm25_join" -> ((s, dir) => qBm25Join(s, dir)),
     "q_hybrid_join" -> ((s, dir) => qHybridJoin(s, dir)),
     "q_hybrid_join_dense" -> ((s, dir) => qHybridJoinDense(s, dir)),
@@ -4822,6 +4840,10 @@ object SparkEntry {
     // the wave-cadence twin learns from the persisted word-count fold,
     // which must equal a fresh corpus scan's counts — SAME oracle
     "q_bpe_merges_inc" -> Vocab.sqlLearnBpe("documents", "text", 3),
+    // time travel x vocab: merges as of wave 0 — the oracle learns from
+    // scratch over exactly the horizon corpus
+    "q_bpe_vocab_asof" -> Vocab.sqlLearnBpe(
+      "(SELECT * FROM documents WHERE doc_id % 3 <> 2)", "text", 3),
     "q_bpe_tokenize" ->
       s"""SELECT id AS doc_id, n_bpe
          |FROM (${Vocab.sqlTokenizeCounts("documents", "doc_id", "text", 3)})

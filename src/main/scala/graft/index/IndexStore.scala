@@ -401,8 +401,12 @@ object IndexStore {
     writeBase(snapshot, staged)
     writeAsofFloor(spark, floor, s"$staged/asof_floor")
     val fprintDirs = stageFprint(spark, path, s"$path/stats", staged)
+    // asof_floor swaps FIRST: a crash mid-swap then over-refuses
+    // (floor advanced, history still intact) instead of serving folded
+    // data under a stale floor — the silent wrong answer the floor
+    // exists to prevent
     swapStaged(spark, path, staged,
-      Seq("postings", "term_df", "stats", "asof_floor") ++ fprintDirs)
+      Seq("asof_floor", "postings", "term_df", "stats") ++ fprintDirs)
     // tombstones are physically purged (the snapshot excluded them); a
     // crash before this delete leaves orphans the folded markers no
     // longer commit — no loader reads them
@@ -2634,8 +2638,9 @@ object IndexStore {
     // "drift since training" must survive it; folding the waves into the
     // baseline would silently raise it and mask exactly the drift the
     // ledger exists to expose
+    // asof_floor first — see compactBm25's fail-safe ordering note
     swapStaged(spark, path, staged,
-      Seq("assignments", "centroids", "meta", "sizes", "asof_floor") ++
+      Seq("asof_floor", "assignments", "centroids", "meta", "sizes") ++
         fprintDirs)
     // tombstones are now physically purged (the snapshot excluded them);
     // a crash before this delete leaves orphans that the folded sizes
@@ -3160,15 +3165,22 @@ object IndexStore {
 
   /** The index's recorded fingerprint: Σ of committed batches' (n, fp)
     * deltas — additive by construction, so appends never rescan. */
-  private def prefixRecordedFingerprint(spark: SparkSession,
-      path: String): (Long, java.math.BigDecimal) = {
-    val batches = committedBatches(spark, s"$path/marks")
-    val r = spark.read.parquet(s"$path/marks")
+  /** Σ(n), Σ(fp) over given committed rows of a `(n, fp, batch)` marks
+    * table — the ONE fingerprint-record read every marks-carrying family
+    * shares (prefix/z-order/summary/quantile/grouped/word-count). */
+  private def summedMarks(spark: SparkSession, marksDir: String,
+      batches: Seq[Long]): (Long, java.math.BigDecimal) = {
+    val r = spark.read.parquet(marksDir)
       .where(col("batch").cast("long").isin(batches: _*))
       .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
     (if (r.isNullAt(0)) 0L else r.getLong(0),
       if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
   }
+
+  private def prefixRecordedFingerprint(spark: SparkSession,
+      path: String): (Long, java.math.BigDecimal) =
+    summedMarks(spark, s"$path/marks",
+      committedBatches(spark, s"$path/marks"))
 
   /** [[loadPrefix]] with the STALENESS GUARD: recomputes the fingerprint
     * of `corpus` and refuses — loudly, with the rebuild instruction — if
@@ -4017,12 +4029,8 @@ object IndexStore {
     require(hasDataFiles(spark, s"$path/meta") &&
         hasDataFiles(spark, s"$path/marks"),
       s"no z-order meta/marks under $path — saveZOrder never completed; rebuild")
-    val batches = committedBatches(spark, s"$path/marks")
-    val r = spark.read.parquet(s"$path/marks")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
-    val recN = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val recFp = if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val (recN, recFp) = summedMarks(spark, s"$path/marks",
+      committedBatches(spark, s"$path/marks"))
     val (n, fp) = zorderFingerprint(corpus)
     if (recN != n || recFp.compareTo(fp) != 0)
       throw new IllegalStateException(
@@ -4070,14 +4078,8 @@ object IndexStore {
   def compactZOrder(spark: SparkSession, path: String): Unit = {
     val m = loadZOrderMeta(spark, path)
     val snapshot = loadZOrder(spark, path)
-    val (n, fp) = {
-      val batches = committedBatches(spark, s"$path/marks")
-      val r = spark.read.parquet(s"$path/marks")
-        .where(col("batch").cast("long").isin(batches: _*))
-        .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
-      (if (r.isNullAt(0)) 0L else r.getLong(0),
-        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
+    val (n, fp) = summedMarks(spark, s"$path/marks",
+      committedBatches(spark, s"$path/marks"))
     val staged = s"$path/.compact"
     import spark.implicits._
     snapshot
@@ -4361,12 +4363,8 @@ object IndexStore {
     require(hasDataFiles(spark, s"$path/meta") &&
         hasDataFiles(spark, s"$path/marks"),
       s"no summary meta/marks under $path — saveSummary never completed; rebuild")
-    val batches = committedBatches(spark, s"$path/marks")
-    val r = spark.read.parquet(s"$path/marks")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
-    val recN = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val recFp = if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val (recN, recFp) = summedMarks(spark, s"$path/marks",
+      committedBatches(spark, s"$path/marks"))
     val (n, fp) = summaryFingerprint(items, itemCol)
     if (recN != n || recFp.compareTo(fp) != 0)
       throw new IllegalStateException(
@@ -4407,12 +4405,8 @@ object IndexStore {
   def compactSummary(spark: SparkSession, path: String): Unit = {
     val (kMg, kKmv) = summaryMeta(spark, path)
     val s = loadSummary(spark, path)
-    val batches = committedBatches(spark, s"$path/marks")
-    val r = spark.read.parquet(s"$path/marks")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
-    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val fp = if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val (n, fp) = summedMarks(spark, s"$path/marks",
+      committedBatches(spark, s"$path/marks"))
     val staged = s"$path/.compact"
     import spark.implicits._
     s.mg.toSeq.toDF("item", "c").withColumn("batch", lit(-1L))
@@ -4451,13 +4445,8 @@ object IndexStore {
   // q_bpe_merges_inc shares q_bpe_merges' oracle).
 
   private def wordCountMarks(spark: SparkSession, path: String,
-      batches: Seq[Long]): (Long, java.math.BigDecimal) = {
-    val r = spark.read.parquet(s"$path/marks")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
-    (if (r.isNullAt(0)) 0L else r.getLong(0),
-      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-  }
+      batches: Seq[Long]): (Long, java.math.BigDecimal) =
+    summedMarks(spark, s"$path/marks", batches)
 
   private def writeWordCountBatch(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, path: String, batchId: Long,
@@ -4616,7 +4605,8 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$staged/marks")
     writeAsofFloor(spark, floor, s"$staged/asof_floor")
-    swapStaged(spark, path, staged, Seq("wc", "marks", "asof_floor"))
+    // asof_floor first — see compactBm25's fail-safe ordering note
+    swapStaged(spark, path, staged, Seq("asof_floor", "wc", "marks"))
   }
 
   // ------------------------------------------------ quantile sample sketch
@@ -4871,14 +4861,9 @@ object IndexStore {
   }
 
   private def quantileRecordedFingerprint(spark: SparkSession,
-      path: String): (Long, java.math.BigDecimal) = {
-    val batches = committedBatches(spark, s"$path/marks")
-    val r = spark.read.parquet(s"$path/marks")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
-    (if (r.isNullAt(0)) 0L else r.getLong(0),
-      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-  }
+      path: String): (Long, java.math.BigDecimal) =
+    summedMarks(spark, s"$path/marks",
+      committedBatches(spark, s"$path/marks"))
 
   // ---- grouped variant: per-group bottom-k — the "p95 doc length per
   // source / language" shape a curation pipeline asks constantly. The
@@ -5104,13 +5089,8 @@ object IndexStore {
   def loadGroupedQuantileChecked(spark: SparkSession, path: String,
       corpus: org.apache.spark.sql.DataFrame, idCol: String,
       groupCol: String, valueCol: String): GroupedQuantileSketch = {
-    val batches = committedBatches(spark, s"$path/marks")
-    val r = spark.read.parquet(s"$path/marks")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
-    val recN = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val recFp =
-      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val (recN, recFp) = summedMarks(spark, s"$path/marks",
+      committedBatches(spark, s"$path/marks"))
     val (n, fp) = groupedFingerprint(
       groupedClean(corpus, idCol, groupCol, valueCol))
     if (recN != n || recFp.compareTo(fp) != 0)
@@ -5151,12 +5131,7 @@ object IndexStore {
         "re-expanded without the discarded rows, and one DDL k cannot " +
         "narrow per group; rebuild with saveGroupedQuantile over the " +
         "survivors")
-    val r = spark.read.parquet(s"$path/marks")
-      .where(col("batch").cast("long").isin(batches: _*))
-      .agg(sum(col("n")), sum(col("fp").cast("decimal(38,0)"))).head()
-    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val fp =
-      if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1)
+    val (n, fp) = summedMarks(spark, s"$path/marks", batches)
     val gc = spark.read.parquet(s"$path/meta").head()
       .getAs[String]("group_col")
     val staged = s"$path/.compact"

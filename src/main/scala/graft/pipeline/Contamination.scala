@@ -200,19 +200,34 @@ object Contamination {
         "beyond benchmark size")
     require(evalRows.forall(!_.isNullAt(1)),
       "Contamination.semanticOverlap: eval rows must all carry a vector")
+    // eval norms are CONSTANTS — compute them once on the driver (same
+    // left-to-right accumulation as the codegen'd DotProduct, so the
+    // quotient is bit-identical to Vectors.cosine) and hoist the
+    // training row's own norm into one staged column: the hot scan then
+    // pays exactly ONE dot product per (row, eval) pair instead of
+    // three (the VectorSearch.scoreCandidates __qn/__cn discipline)
     val evalLit = array(evalRows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      var s2 = 0.0
+      v.foreach(x => s2 += x * x)
+      val en = math.sqrt(s2)
+      require(en > 0,
+        s"Contamination.semanticOverlap: eval row ${r.getLong(0)} has a " +
+          "zero-norm vector — cosine against it is undefined")
       struct(lit(r.getLong(0)).as("eid"),
-        Vectors.vecLit(r.getSeq[Double](1).toArray).as("v"))
+        Vectors.vecLit(v).as("v"), lit(en).as("en"))
     }.toIndexedSeq: _*)
-    val best = array_max(transform(evalLit, e =>
+    def best(n: org.apache.spark.sql.Column) =
+      array_max(transform(evalLit, e =>
       struct(
-        round(Vectors.cosine(col(vecCol), e.getField("v")),
-          VectorSearch.ScoreDecimals).as("c"),
+        round(Vectors.dot(col(vecCol), e.getField("v")) /
+          (n * e.getField("en")), VectorSearch.ScoreDecimals).as("c"),
         e.getField("eid").as("eid"))))
     train
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as(vecCol))
-      .withColumn("__b", when(col(vecCol).isNotNull, best))
+      .withColumn("__n", Vectors.l2norm(col(vecCol)))
+      .withColumn("__b", when(col(vecCol).isNotNull, best(col("__n"))))
       .select(col("id"),
         col("__b.eid").as("best_eval_id"),
         col("__b.c").as("best_cos"),

@@ -26,24 +26,32 @@ import org.apache.spark.sql.functions._
   *
   * == Symbol-sequence encoding ==
   *
-  * A word's current symbol sequence is ONE string: each symbol prefixed
-  * by [[Sep]] (`¬a¬b¬c` for [a,b,c]). `¬` cannot occur inside a symbol
-  * ([[Text.tokens]] words are `[a-z0-9]+`), so applying merge (l, r) is
-  * exactly `replace(enc, "¬l¬r", "¬lr")`: both Spark's `replace` and
+  * A word's current symbol sequence is ONE string: each symbol wrapped
+  * as [[Open]]sym[[Close]] (`¬a·¬b·¬c·` for [a,b,c]). Neither wrapper
+  * can occur inside a symbol ([[Text.tokens]] words are `[a-z0-9]+`),
+  * so applying merge (l, r) is exactly
+  * `replace(enc, "¬l·¬r·", "¬lr·")`: both Spark's `replace` and
   * DuckDB's scan left-to-right non-overlapping, which IS greedy BPE
-  * application — and because the pattern starts at l's LEADING separator
-  * and does not consume the following symbol's, consecutive occurrences
-  * chain correctly (`¬a¬a¬a¬a` --(a,a)--> `¬aa¬aa`, not `¬aa¬a¬a`) and a
-  * match can never start inside a multi-character symbol (every symbol
-  * boundary is a `¬` the pattern must consume). The same encoding runs
+  * application. BOTH operand ends are anchored — `¬` pins each
+  * symbol's start (a match can never begin inside a multi-character
+  * symbol) and `·` pins each symbol's END (merge (e, f) can never fire
+  * on the sequence [e, fg], where an end-unanchored pattern would eat
+  * `f` out of `fg`) — and adjacent matches share NO characters, so
+  * consecutive occurrences chain correctly
+  * (`¬a·¬a·¬a·¬a·` --(a,a)--> `¬aa·¬aa·`). The same encoding runs
   * verbatim in the DuckDB oracle ([[sqlLearnBpe]]), so the learned merge
   * table is hash-checked end to end — deliberate representation
   * mirroring, not an implementation leak.
   */
 object Vocab {
 
-  /** Symbol separator — outside the token alphabet `[a-z0-9]+`. */
-  val Sep = "¬"
+  /** Symbol-start wrapper — outside the token alphabet `[a-z0-9]+`. */
+  val Open = "¬"
+
+  /** Symbol-end wrapper — also outside the token alphabet; anchoring
+    * BOTH ends is what makes the non-overlapping replace exact (see the
+    * object doc's [e, fg] case). */
+  val Close = "\u00b7" // '·'
 
   /** (word, cnt) from one corpus scan: tokenize ([[Text.tokens]] —
     * lowercased `[a-z0-9]+` runs), explode, count. Map-side combinable;
@@ -55,19 +63,20 @@ object Vocab {
       .agg(count(lit(1)).as("cnt"))
 
   /** Initial encoding of a word: every character its own symbol —
-    * `¬` before each char. */
+    * each char wrapped `¬c·`. */
   def encodeChars(word: Column): Column =
-    regexp_replace(word, "(.)", s"$Sep$$1")
+    regexp_replace(word, "(.)", s"$Open$$1$Close")
 
   /** Decode an encoded symbol string back to its symbol array. */
   def symbols(enc: Column): Column =
-    filter(split(enc, Sep), s => s =!= lit(""))
+    filter(split(enc, s"[$Open$Close]"), s => s =!= lit(""))
 
   /** Apply ONE merge to an encoded symbol string (greedy left-to-right —
     * see the object doc for why plain non-overlapping `replace` is
     * exact). */
   def applyMerge(enc: Column, l: String, r: String): Column =
-    replace(enc, lit(s"$Sep$l$Sep$r"), lit(s"$Sep$l$r"))
+    replace(enc, lit(s"$Open$l$Close$Open$r$Close"),
+      lit(s"$Open$l$r$Close"))
 
   /** Adjacent-symbol pair counts over an encoded word table
     * ((enc, cnt) rows): (l, r, cnt) where cnt sums word counts over
@@ -125,9 +134,15 @@ object Vocab {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(step, l, r, c)
+        val prev = enc
         enc = enc
           .select(applyMerge(col("enc"), l, r).as("enc"), col("cnt"))
           .localCheckpoint()
+        // the superseded checkpoint would otherwise pin every
+        // iteration's copy of the word table in executor storage for
+        // the loop's lifetime (real BPE runs are 10k+ merges) — release
+        // it as soon as its successor is materialized
+        prev.unpersist()
         step += 1
       }
     }
@@ -172,13 +187,13 @@ object Vocab {
       nMerges: Int): String = {
     val steps = (1 to nMerges).map { k =>
       val src = if (k == 1) s"""e1 AS (
-         |  SELECT regexp_replace(word, '(.)', '$Sep\\1', 'g') AS enc, cnt FROM wc)"""
+         |  SELECT regexp_replace(word, '(.)', '$Open\\1$Close', 'g') AS enc, cnt FROM wc)"""
         else s"""e$k AS (
-         |  SELECT replace(enc, (SELECT '$Sep' || l || '$Sep' || r FROM t${k - 1}),
-         |                      (SELECT '$Sep' || l || r FROM t${k - 1})) AS enc, cnt
+         |  SELECT replace(enc, (SELECT '$Open' || l || '$Close$Open' || r || '$Close' FROM t${k - 1}),
+         |                      (SELECT '$Open' || l || r || '$Close' FROM t${k - 1})) AS enc, cnt
          |  FROM e${k - 1})"""
       s"""$src,
-         |s$k AS (SELECT list_filter(string_split(enc, '$Sep'), s -> s <> '') AS s, cnt FROM e$k),
+         |s$k AS (SELECT list_filter(string_split_regex(enc, '[$Open$Close]'), s -> s <> '') AS s, cnt FROM e$k),
          |x$k AS (SELECT unnest(generate_series(1, len(s) - 1)) AS i, s, cnt FROM s$k),
          |p$k AS (SELECT s[i] AS l, s[i + 1] AS r, sum(cnt)::BIGINT AS cnt FROM x$k GROUP BY 1, 2),
          |t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)"""
@@ -204,16 +219,17 @@ object Vocab {
   def sqlTokenizeCounts(table: String, idExpr: String, textExpr: String,
       nMerges: Int): String = {
     val applied = (1 to nMerges).foldLeft("enc0") { (e, k) =>
-      s"replace($e, (SELECT '$Sep' || l || '$Sep' || r FROM t$k), (SELECT '$Sep' || l || r FROM t$k))"
+      s"replace($e, (SELECT '$Open' || l || '$Close$Open' || r || '$Close' FROM t$k), " +
+        s"(SELECT '$Open' || l || r || '$Close' FROM t$k))"
     }
     s"""WITH ${sqlLearnCtes(table, textExpr, nMerges)},
        |dw AS (
        |  SELECT $idExpr AS id, unnest(${Text.sqlTokens(textExpr)}) AS word
        |  FROM $table),
        |de AS (
-       |  SELECT id, regexp_replace(word, '(.)', '$Sep\\1', 'g') AS enc0 FROM dw),
+       |  SELECT id, regexp_replace(word, '(.)', '$Open\\1$Close', 'g') AS enc0 FROM dw),
        |dn AS (
-       |  SELECT id, sum(len(list_filter(string_split($applied, '$Sep'), s -> s <> '')))::BIGINT AS n_bpe
+       |  SELECT id, sum(len(list_filter(string_split_regex($applied, '[$Open$Close]'), s -> s <> '')))::BIGINT AS n_bpe
        |  FROM de GROUP BY 1)
        |SELECT b.id, coalesce(dn.n_bpe, 0)::BIGINT AS n_bpe
        |FROM (SELECT $idExpr AS id FROM $table) b

@@ -42,7 +42,7 @@ class VocabSpec extends AnyFunSuite with SparkTest {
 
   test("applyMerge on the ¬ encoding IS greedy left-to-right BPE application") {
     def applied(seq: Seq[String], l: String, r: String): Seq[String] = {
-      val enc = Vocab.Sep + seq.mkString(Vocab.Sep)
+      val enc = seq.map(sym => Vocab.Open + sym + Vocab.Close).mkString
       Seq(enc).toDF("enc")
         .select(Vocab.symbols(Vocab.applyMerge(col("enc"), l, r)))
         .head().getSeq[String](0)
@@ -52,12 +52,34 @@ class VocabSpec extends AnyFunSuite with SparkTest {
     assert(applied(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
     // a match can never start inside a multi-character symbol
     assert(applied(Seq("aa", "a"), "a", "a") === Seq("aa", "a"))
+    // ... nor END partway into one: merge (e, f) must NOT fire on
+    // [e, fg] (the end-anchoring the Close wrapper exists for)
+    assert(applied(Seq("e", "fg"), "e", "f") === Seq("e", "fg"))
+    assert(applied(Seq("e", "f"), "e", "f") === Seq("ef"))
     // the freshly merged symbol does not re-participate in the same pass
     assert(applied(Seq("a", "b", "b"), "a", "b") === Seq("ab", "b"))
     // disjoint occurrences all merge
     assert(applied(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
     // multi-character operands
     assert(applied(Seq("lo", "w", "e", "r"), "lo", "w") === Seq("low", "e", "r"))
+  }
+
+  test("learn diverges correctly on the prefix-collision corpus (end-anchoring regression)") {
+    // 'fg' x10, 'ef' x5, 'efg' x1: merge 1 = (f,g) 11, then 'efg' is
+    // [e, fg] — merge 2 = (e,f) 5 must NOT touch it (an end-unanchored
+    // pattern would eat the f out of fg), leaving merge 3 = (e,fg) 1
+    val docs = Seq((1L, (Seq.fill(10)("fg") ++ Seq.fill(5)("ef") :+ "efg")
+      .mkString(" "))).toDF("id", "text")
+    val merges = Vocab.learnBpe(docs, "text", 3)
+    assert(merges === Seq(
+      Vocab.Merge(1, "f", "g", 11L),
+      Vocab.Merge(2, "e", "f", 5L),
+      Vocab.Merge(3, "e", "fg", 1L)))
+    // and tokenization with only the first two merges keeps [e, fg]
+    val toks = Seq("efg").toDF("text")
+      .select(Vocab.tokenizeBpe(col("text"), merges.take(2)))
+      .head().getSeq[String](0)
+    assert(toks === Seq("e", "fg"))
   }
 
   test("tokenizeBpe applies merges in learned order and flattens per word") {
