@@ -3163,8 +3163,6 @@ object IndexStore {
         .select("id")), Seq("id"), "left_anti")
   }
 
-  /** The index's recorded fingerprint: Σ of committed batches' (n, fp)
-    * deltas — additive by construction, so appends never rescan. */
   /** Σ(n), Σ(fp) over given committed rows of a `(n, fp, batch)` marks
     * table — the ONE fingerprint-record read every marks-carrying family
     * shares (prefix/z-order/summary/quantile/grouped/word-count). */
@@ -3177,6 +3175,9 @@ object IndexStore {
       if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
   }
 
+  /** The prefix index's recorded fingerprint: Σ of committed batches'
+    * (n, fp) deltas — additive by construction, so appends never
+    * rescan. */
   private def prefixRecordedFingerprint(spark: SparkSession,
       path: String): (Long, java.math.BigDecimal) =
     summedMarks(spark, s"$path/marks",

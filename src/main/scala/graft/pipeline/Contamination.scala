@@ -171,9 +171,10 @@ object Contamination {
     * all). The training side is then ONE narrow (id, vec) scan with a
     * per-row `transform` + `array_max` over the literal: max over a
     * lexicographic (cos, eval_id) struct, entirely inside whole-stage
-    * codegen. A corpus row with a NULL vector reports best_cos NULL,
-    * contaminated false (it has no position in embedding space to
-    * collide from).
+    * codegen. A corpus row with a NULL or zero-norm vector reports
+    * best_cos NULL, contaminated false (it has no position/direction in
+    * embedding space to collide from); a zero-norm EVAL vector is
+    * refused loudly (screening against it is undefined).
     *
     * When the "eval" side outgrows a literal (corpus-vs-corpus
     * semantics), this is the wrong tool by construction — use
@@ -223,11 +224,16 @@ object Contamination {
         round(Vectors.dot(col(vecCol), e.getField("v")) /
           (n * e.getField("en")), VectorSearch.ScoreDecimals).as("c"),
         e.getField("eid").as("eid"))))
+    // __n > 0 gate: a zero-norm training vector has no direction, so
+    // its cosine is 0/0 — without the gate the NaN would compare
+    // GREATER than every threshold (Spark NaN ordering) and silently
+    // flag the row; it reports like the null-vector case instead
     train
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("__n", Vectors.l2norm(col(vecCol)))
-      .withColumn("__b", when(col(vecCol).isNotNull, best(col("__n"))))
+      .withColumn("__b",
+        when(col(vecCol).isNotNull && col("__n") > 0, best(col("__n"))))
       .select(col("id"),
         col("__b.eid").as("best_eval_id"),
         col("__b.c").as("best_cos"),

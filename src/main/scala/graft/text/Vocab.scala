@@ -142,12 +142,27 @@ object Vocab {
         // iteration's copy of the word table in executor storage for
         // the loop's lifetime (real BPE runs are 10k+ merges) — release
         // it as soon as its successor is materialized
-        prev.unpersist()
+        releaseCheckpoint(prev)
         step += 1
       }
     }
+    releaseCheckpoint(enc)
     merges.result()
   }
+
+  /** Release a localCheckpoint'd dataset's persisted blocks NOW.
+    * `Dataset.unpersist` only reaches `cache()`-registered plans (it
+    * goes through the CacheManager) — a localCheckpoint persists at the
+    * RDD level, invisible to the cache manager — so freeing a
+    * superseded checkpoint means unpersisting the underlying
+    * checkpointed RDD itself (the LogicalRDD the checkpoint's plan
+    * wraps). A non-checkpoint plan is left untouched. */
+  private def releaseCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** BPE-tokenize a text column with learned merges: per word, encode to
     * characters and chain the merges' literal `replace`s in learned

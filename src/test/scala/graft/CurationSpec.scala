@@ -177,6 +177,7 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       (3L, Seq(0.0, 1.0)),          // cos 1.0 against e101
       (4L, Seq(-1.0, 0.0)),         // best is the LESS bad eval: 0.0 vs e101
       (5L, null: Seq[Double]),      // no position in embedding space
+      (6L, Seq(0.0, 0.0)),          // no DIRECTION: 0/0 cos must not flag
     ).toDF("id", "vec")
     val eval = Seq(
       (100L, Seq(1.0, 0.0)),
@@ -194,6 +195,8 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(rows(4L)._3 === false)
     assert(rows(5L)._1 === -1L)       // null vec: no best, clean
     assert(rows(5L)._3 === false)
+    assert(rows(6L)._1 === -1L)       // zero-norm vec: NaN gated out, clean
+    assert(rows(6L)._3 === false)
     // cos ties break toward the larger eval id (both engines' rule)
     val tied = Contamination.semanticOverlap(
       Seq((9L, Seq(1.0, 1.0))).toDF("id", "vec"), eval, "id", "vec", 0.9)

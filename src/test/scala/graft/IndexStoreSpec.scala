@@ -231,6 +231,33 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
         "item", dir, 0L))
   }
 
+  test("streaming word counts equal a full rebuild; checked load accepts the final corpus") {
+    import graft.text.Vocab
+    val dir = Files.createTempDirectory("wcinc").toString
+    val ckpt = Files.createTempDirectory("wcckpt").toString
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").cache()
+    val half1 = docs.where($"doc_id" % 2 === 0)
+    val half2 = docs.where($"doc_id" % 2 === 1).as[(Long, String)].collect()
+    IndexStore.saveWordCounts(half1, "doc_id", "text", dir)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = IndexStore.streamIntoWordCounts(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, ckpt)
+    try {
+      val (b1, b2) = half2.splitAt(half2.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val inc = IndexStore.loadWordCountsChecked(spark, dir, docs,
+      "doc_id", "text").as[(String, Long)].collect().toMap
+    val full = Vocab.wordCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(inc === full)
+    // and the vocab learned from the streamed fold matches from-scratch
+    assert(Vocab.learnBpeFromCounts(
+        IndexStore.loadWordCounts(spark, dir), 2) ===
+      Vocab.learnBpe(docs, "text", 2))
+  }
+
   test("streaming incremental BM25 equals a full rebuild over the final corpus") {
     val dir = Files.createTempDirectory("bm25inc").toString
     val ckpt = Files.createTempDirectory("bm25ckpt").toString

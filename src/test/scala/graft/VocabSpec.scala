@@ -98,6 +98,17 @@ class VocabSpec extends AnyFunSuite with SparkTest {
       .head().getInt(0) === 0)
   }
 
+  test("learn loop releases every checkpoint (no persistent-RDD accumulation)") {
+    // Dataset.unpersist is a no-op for localCheckpoint'd plans (it only
+    // reaches the CacheManager) — the loop must unpersist the underlying
+    // checkpointed RDDs, or a 10k-merge run pins 10k copies of the word
+    // table in executor storage
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Vocab.learnBpe(toy, "text", 4)
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "superseded/final learn-loop checkpoints must be unpersisted")
+  }
+
   test("wordCounts runs off one corpus scan and the learn loop off the checkpoint") {
     // fixture-level sanity on real data: merges exist, counts are
     // positive and non-increasing is NOT required (later merges can
