@@ -3048,6 +3048,22 @@ object SparkEntry {
         wordCountsBuilt((spark, dir)), throughWave = 0L), 3).toDF()
   }
 
+  /** VOCABULARY DRIFT between the wave-0 horizon and the tip of the
+    * persisted word-count family ([[Vocab.countsDiff]]) — the
+    * measurement [[Vocab.planRefresh]] prices tokenizer relearning
+    * from: top-20 words by absolute count delta. Both sides are
+    * marker-filtered folds of the SAME persisted deltas (no corpus
+    * scan); the oracle recomputes both vocabularies from scratch. */
+  private def qVocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    corpusWordCountsDisk(spark, dir) // build fixture + tip freshness
+    val path = wordCountsBuilt((spark, dir))
+    Vocab.countsDiff(
+        IndexStore.loadWordCountsAsOf(spark, path, throughWave = 0L),
+        IndexStore.loadWordCounts(spark, path))
+      .orderBy(abs(col("delta")).desc, col("word"))
+      .limit(20)
+  }
+
   /** ANN AS OF wave 0 ([[IndexStore.loadIvfAsOf]]): exhaustive routed
     * top-k over the horizon snapshot must equal the exact kNN over
     * exactly A∪B (vec_id%3 ≠ 2) — a wave-1 member surfacing (horizon
@@ -3542,6 +3558,7 @@ object SparkEntry {
     "q_ann_asof" -> ((s, dir) => qAnnAsof(s, dir)),
     "q_bpe_merges_inc" -> ((s, dir) => qBpeMergesInc(s, dir)),
     "q_bpe_vocab_asof" -> ((s, dir) => qBpeVocabAsof(s, dir)),
+    "q_vocab_drift" -> ((s, dir) => qVocabDrift(s, dir)),
     "q_bm25_join" -> ((s, dir) => qBm25Join(s, dir)),
     "q_hybrid_join" -> ((s, dir) => qHybridJoin(s, dir)),
     "q_hybrid_join_dense" -> ((s, dir) => qHybridJoinDense(s, dir)),
@@ -4844,6 +4861,12 @@ object SparkEntry {
     // scratch over exactly the horizon corpus
     "q_bpe_vocab_asof" -> Vocab.sqlLearnBpe(
       "(SELECT * FROM documents WHERE doc_id % 3 <> 2)", "text", 3),
+    // vocabulary drift: both horizons recomputed from scratch
+    "q_vocab_drift" ->
+      s"""SELECT * FROM (${Vocab.sqlCountsDiff(
+             "(SELECT * FROM documents WHERE doc_id % 3 <> 2)",
+             "documents", "text")})
+         |ORDER BY abs(delta) DESC, word LIMIT 20""".stripMargin,
     "q_bpe_tokenize" ->
       s"""SELECT id AS doc_id, n_bpe
          |FROM (${Vocab.sqlTokenizeCounts("documents", "doc_id", "text", 3)})

@@ -176,6 +176,54 @@ object Vocab {
         applyMerge(e, m.l, m.r)
       })))
 
+  /** Word-level drift between two vocab states (e.g. two
+    * [[graft.index.IndexStore.loadWordCountsAsOf]] horizons): one row per
+    * word present in either, with both counts and the signed delta.
+    * FULL OUTER on the word key over two vocabulary-bounded relations —
+    * never a corpus scan; the corpus-drift monitor for tokenizer
+    * refresh, the BPE analog of the quantization-drift ledger. */
+  def countsDiff(thenCounts: DataFrame, nowCounts: DataFrame): DataFrame =
+    thenCounts.select(col("word"), col("cnt").as("cnt_then"))
+      .join(nowCounts.select(col("word"), col("cnt").as("cnt_now")),
+        Seq("word"), "full_outer")
+      .select(col("word"),
+        coalesce(col("cnt_then"), lit(0L)).as("cnt_then"),
+        coalesce(col("cnt_now"), lit(0L)).as("cnt_now"))
+      .withColumn("delta", col("cnt_now") - col("cnt_then"))
+
+  /** One refresh-or-not recommendation with its receipts — the
+    * [[graft.index.IndexStore.planRetrain]] posture for the tokenizer:
+    * a BPE vocab learned at wave W silently mis-segments text whose
+    * word distribution has moved (no error, no wrong hash — just worse
+    * tokens), so WHEN to relearn should be measured arithmetic, not
+    * folklore. `changedMass` is Σ|delta| (mass added + removed +
+    * shifted); the ratio against the current mass is compared to the
+    * caller-declared tolerance (threshold = policy, inputs =
+    * measurements). One aggregation over the vocabulary-bounded diff. */
+  final case class RefreshPlan(massThen: Long, massNow: Long,
+      changedMass: Long, ratio: Double, tolerance: Double,
+      recommend: Boolean, rationale: String)
+
+  def planRefresh(diff: DataFrame, tolerance: Double): RefreshPlan = {
+    require(tolerance > 0, s"tolerance must be > 0, got $tolerance")
+    val r = diff.agg(
+      sum(col("cnt_then")), sum(col("cnt_now")), sum(abs(col("delta"))))
+      .head()
+    val (mt, mn, cm) = (
+      if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+    require(mn > 0,
+      "planRefresh: current vocab mass is zero — nothing to tokenize, " +
+        "nothing to price")
+    val ratio = cm.toDouble / mn
+    RefreshPlan(mt, mn, cm, ratio, tolerance,
+      recommend = ratio > tolerance,
+      rationale = f"changed token mass $cm (|delta| sum) is $ratio%.4f " +
+        f"of current mass $mn vs tolerance $tolerance%.4f — " +
+        (if (ratio > tolerance) "relearn merges" else "vocab still current"))
+  }
+
   // ------------------------------------------------------------- oracle SQL
 
   /** DuckDB CTE chain producing the word-count relation `wc(word, cnt)`
@@ -183,6 +231,20 @@ object Vocab {
   private def sqlWordCounts(table: String, textExpr: String): String =
     s"""w AS (SELECT unnest(${Text.sqlTokens(textExpr)}) AS word FROM $table),
        |wc AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of [[countsDiff]] over two corpus renditions (fresh
+    * word counts each side — it is the oracle, not the plan). */
+  def sqlCountsDiff(thenTable: String, nowTable: String,
+      textExpr: String): String =
+    s"""WITH tw AS (SELECT unnest(${Text.sqlTokens(textExpr)}) AS word FROM $thenTable),
+       |tc AS (SELECT word, count(*)::BIGINT AS cnt FROM tw GROUP BY 1),
+       |nw AS (SELECT unnest(${Text.sqlTokens(textExpr)}) AS word FROM $nowTable),
+       |nc AS (SELECT word, count(*)::BIGINT AS cnt FROM nw GROUP BY 1)
+       |SELECT coalesce(t.word, n.word) AS word,
+       |       coalesce(t.cnt, 0)::BIGINT AS cnt_then,
+       |       coalesce(n.cnt, 0)::BIGINT AS cnt_now,
+       |       (coalesce(n.cnt, 0) - coalesce(t.cnt, 0))::BIGINT AS delta
+       |FROM tc t FULL OUTER JOIN nc n ON t.word = n.word""".stripMargin
 
   /** DuckDB twin of iteration-1 [[pairCounts]] over `$table.$textExpr`
     * (symbols = characters): the relation the first merge is argmax'd

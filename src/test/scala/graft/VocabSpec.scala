@@ -98,6 +98,30 @@ class VocabSpec extends AnyFunSuite with SparkTest {
       .head().getInt(0) === 0)
   }
 
+  test("countsDiff and planRefresh: hand-built drift, tolerance boundary, receipts") {
+    val thenC = Seq(("low", 10L), ("new", 5L), ("old", 3L)).toDF("word", "cnt")
+    val nowC = Seq(("low", 10L), ("new", 9L), ("wow", 2L)).toDF("word", "cnt")
+    val d = Vocab.countsDiff(thenC, nowC)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (w, a, b, dl) => w -> ((a, b, dl)) }.toMap
+    assert(d("low") === ((10L, 10L, 0L)))   // unchanged
+    assert(d("new") === ((5L, 9L, 4L)))     // grew
+    assert(d("old") === ((3L, 0L, -3L)))    // vanished
+    assert(d("wow") === ((0L, 2L, 2L)))     // appeared
+    // changedMass = 0+4+3+2 = 9; massNow = 21 → ratio 9/21 ≈ 0.4286
+    val diff = Vocab.countsDiff(thenC, nowC)
+    val stay = Vocab.planRefresh(diff, tolerance = 0.5)
+    assert(stay.changedMass === 9L && stay.massNow === 21L && !stay.recommend)
+    val go = Vocab.planRefresh(diff, tolerance = 0.4)
+    assert(go.recommend && go.ratio === 9.0 / 21.0)
+    // zero current mass is unpriceable, not "never refresh"
+    val e = intercept[IllegalArgumentException] {
+      Vocab.planRefresh(Vocab.countsDiff(thenC,
+        nowC.where($"cnt" < 0)), tolerance = 0.5)
+    }
+    assert(e.getMessage.contains("mass is zero"))
+  }
+
   test("learn loop releases every checkpoint (no persistent-RDD accumulation)") {
     // Dataset.unpersist is a no-op for localCheckpoint'd plans (it only
     // reaches the CacheManager) — the loop must unpersist the underlying
