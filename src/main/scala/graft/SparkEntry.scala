@@ -3053,7 +3053,13 @@ object SparkEntry {
     * measurement [[Vocab.planRefresh]] prices tokenizer relearning
     * from: top-20 words by absolute count delta. Both sides are
     * marker-filtered folds of the SAME persisted deltas (no corpus
-    * scan); the oracle recomputes both vocabularies from scratch. */
+    * scan); the oracle recomputes both vocabularies from scratch.
+    *
+    * Plan note: the FULL OUTER word join surfaces as a SortMergeJoin in
+    * the plan audit — correct by design: both sides are
+    * vocabulary-sized (≫ broadcast at 100 TB) and Spark cannot
+    * broadcast a full-outer side regardless; equality-keyed SMJ is the
+    * right physical join here. */
   private def qVocabDrift(spark: SparkSession, dir: String): DataFrame = {
     corpusWordCountsDisk(spark, dir) // build fixture + tip freshness
     val path = wordCountsBuilt((spark, dir))
