@@ -98,6 +98,45 @@ class VocabSpec extends AnyFunSuite with SparkTest {
       .head().getInt(0) === 0)
   }
 
+  test("applyMerge equals the reference greedy fold on seeded random symbol sequences") {
+    // ground truth: non-overlapping left-to-right greedy merge — the
+    // definition BPE application must satisfy. The string-encoding
+    // rendition must agree on EVERY sequence, not just the hand-picked
+    // cases above (this is the property the end-anchoring bug violated:
+    // encodings can look right on examples and still diverge on
+    // prefix-collision geometry).
+    def greedy(seq: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.Buffer[String]()
+      var i = 0
+      while (i < seq.length) {
+        if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += seq(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // alphabet chosen adversarially: symbols that are prefixes,
+    // suffixes, and concatenations of each other
+    val alphabet = Vector("a", "b", "ab", "ba", "aa", "aab", "bba")
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("a", "ab"),
+      ("ab", "a"), ("ab", "ba"), ("aa", "b"), ("a", "aab"), ("bba", "a"))
+    for ((l, r) <- pairs) {
+      val cases = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(9))(alphabet(rnd.nextInt(alphabet.size))))
+      }
+      val encoded = cases.map { case (i, seq) =>
+        (i, seq.map(sym => Vocab.Open + sym + Vocab.Close).mkString)
+      }.toDF("i", "enc")
+      val got = encoded
+        .select($"i", Vocab.symbols(Vocab.applyMerge($"enc", l, r)).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      for ((i, seq) <- cases)
+        assert(got(i) === greedy(seq, l, r),
+          s"divergence on seq=$seq merge=($l,$r)")
+    }
+  }
+
   test("countsDiff and planRefresh: hand-built drift, tolerance boundary, receipts") {
     val thenC = Seq(("low", 10L), ("new", 5L), ("old", 3L)).toDF("word", "cnt")
     val nowC = Seq(("low", 10L), ("new", 9L), ("wow", 2L)).toDF("word", "cnt")
