@@ -3282,17 +3282,22 @@ object SparkEntry {
     * residual and fails the hash. One narrow id-projection scan per
     * family per wave: the compliance cadence, never per query. */
   /** FLEET ERASURE WAVE ([[IndexStore.executeErasureWave]]): one call
-    * drains a GDPR wave (doc_id ≡ 0 mod 6) into THREE families built over
+    * drains a GDPR wave (doc_id ≡ 0 mod 6) into FOUR families built over
     * the same corpus — BM25, the scalar quantile sample, the per-source
-    * grouped sample — and the returned relation IS the compliance
-    * certificate: per family, the wave size and the residual counted
-    * through each family's LIVE loader. The oracle pins residual = 0 and
-    * erased_n = the wave's distinct ids; a half-applied wave (one family
-    * missed, a broken anti-join, a double subtraction on the replay this
-    * query performs every run — the wave commits once, re-invocations are
-    * fleet-wide no-ops) fails the hash. Wave + audit run at erasure-wave
-    * cadence: each family's delete is work ∝ wave, the audit one narrow
-    * id projection per family. */
+    * grouped sample, and (round 13) the word-count vocab family, admitted
+    * by its new erased-id ledger ([[IndexStore.deleteBatchWordCounts]]:
+    * overlapping requests dedupe instead of double-subtracting, and the
+    * ledger IS the family's certificate — erased ids with no committed
+    * ledger entry count as residual). The returned relation IS the
+    * compliance certificate: per family, the wave size and the residual
+    * (live-loader probe for the id-keyed families, ledger probe for
+    * wordcount). The oracle pins residual = 0 and erased_n = the wave's
+    * distinct ids; a half-applied wave (one family missed, a broken
+    * anti-join, a double subtraction on the replay this query performs
+    * every run — the wave commits once, re-invocations are fleet-wide
+    * no-ops) fails the hash. Wave + audit run at erasure-wave cadence:
+    * each family's delete is work ∝ wave, the audit one narrow
+    * projection per family. */
   private val erasureWaveBuilt =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       Seq[IndexStore.ErasureTarget]]
@@ -3305,13 +3310,16 @@ object SparkEntry {
       val bm = s"$tmp/graft_wavebm_$tag"
       val q = s"$tmp/graft_waveq_$tag"
       val gq = s"$tmp/graft_wavegq_$tag"
+      val wc = s"$tmp/graft_wavewc_$tag"
       IndexStore.createBm25(d, "doc_id", "text", bm)
       IndexStore.saveQuantile(d, "doc_id", "n_chars", k = 1024, q)
       IndexStore.saveGroupedQuantile(d, "doc_id", "source", "n_chars",
         1024, gq)
+      IndexStore.saveWordCounts(d, "doc_id", "text", wc)
       Seq(IndexStore.ErasureTarget("bm25", bm, Seq("text")),
         IndexStore.ErasureTarget("quantile", q, Seq("n_chars")),
-        IndexStore.ErasureTarget("gquantile", gq, Seq("source", "n_chars")))
+        IndexStore.ErasureTarget("gquantile", gq, Seq("source", "n_chars")),
+        IndexStore.ErasureTarget("wordcount", wc, Seq("text")))
     })
     val doomed = Tables.documents(spark, dir)
       .select("doc_id", "text", "source", "n_chars")
@@ -3791,7 +3799,7 @@ object SparkEntry {
       """SELECT family, n AS erased_n, CAST(0 AS BIGINT) AS residual
         |FROM (SELECT count(DISTINCT doc_id) AS n FROM documents
         |      WHERE doc_id % 6 = 0),
-        |     (SELECT unnest(['bm25', 'gquantile', 'quantile']) AS family)
+        |     (SELECT unnest(['bm25', 'gquantile', 'quantile', 'wordcount']) AS family)
         |ORDER BY family""".stripMargin,
     // positional-index twin: same phrase, same corpus, same relation as
     // q_phrase_find — only the PLAN differs (bucket probes, no scan)

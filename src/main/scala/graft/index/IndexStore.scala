@@ -155,6 +155,35 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
+  /** Enforce the LOGICAL-CLOCK contract the time-travel surfaces
+    * ([[loadBm25AsOf]]/[[loadIvfAsOf]]/[[loadWordCountsAsOf]]) depend on
+    * but the append/delete writers previously only documented: an
+    * incoming wave id must (1) exceed the compaction horizon
+    * [[asofFloor]] — a reused low id after a fold (the classic case: a
+    * fresh stream checkpoint restarting at 0) would be ACCEPTED and its
+    * data silently surface at every historical horizon ≥ its id, i.e.
+    * the folded base would claim post-compaction ingests happened in the
+    * folded past — and (2) be ≥ every committed marker's
+    * [[originalWave]], so waves land in ingest order (equality is legal:
+    * same-wave maintenance — the delete/split/merge markers of wave W —
+    * shares W by design). Violations refuse loudly, the family
+    * discipline everywhere else. Cost: one sidecar read (the committed
+    * set is already in hand at every call site). */
+  private def requireMonotonicWave(spark: SparkSession, path: String,
+      committed: Seq[Long], batchId: Long, kind: String): Unit = {
+    val floor = asofFloor(spark, path)
+    require(batchId > floor,
+      s"$kind wave $batchId does not exceed the compaction horizon floor " +
+        s"$floor at $path: the fold collapsed per-wave history through " +
+        s"that wave, so a reused id would surface NEW data at historical " +
+        "as-of horizons — restart the stream with batch ids past the floor")
+    val maxWave = committed.map(originalWave).foldLeft(-1L)(math.max)
+    require(batchId >= maxWave,
+      s"$kind wave $batchId is behind the max committed wave $maxWave at " +
+        s"$path: wave ids are the index's logical clock (as-of horizons " +
+        "reconstruct state by them) — issue waves in ingest order")
+  }
+
   /** Apply one micro-batch of NEW documents (R17 skip-existing contract:
     * ids must not already be indexed — updates are a drop/recreate, S7) to
     * a persisted BM25 index. Work ∝ batch size — the 100 TB postings table
@@ -172,7 +201,9 @@ object IndexStore {
     val spark = batch.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/stats").contains(batchId)) return
+    val committed0 = committedBatches(spark, s"$path/stats")
+    if (committed0.contains(batchId)) return
+    requireMonotonicWave(spark, path, committed0, batchId, "BM25 append")
     val delta = TextSearch.buildIndex(batch, idCol, textCol)
     delta.postings
       .withColumn("batch", lit(batchId))
@@ -301,7 +332,9 @@ object IndexStore {
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
     val mid = deleteMarkerId(batchId)
-    if (committedBatches(spark, s"$path/stats").contains(mid)) return
+    val committed0 = committedBatches(spark, s"$path/stats")
+    if (committed0.contains(mid)) return
+    requireMonotonicWave(spark, path, committed0, batchId, "BM25 delete")
     val rows = minusPriorErased(spark, path, s"$path/stats",
         deleted.select(col(idCol).as("id"), col(textCol).as("__text")))
       .localCheckpoint(true)
@@ -1583,7 +1616,8 @@ object IndexStore {
     "prefix" -> "marks", "signlsh" -> "commits", "sign-lsh" -> "commits",
     "containment" -> "sizes", "grams" -> "marks", "phrase" -> "marks",
     "windows" -> "marks", "stats" -> "commits", "summary" -> "marks",
-    "zorder" -> "marks", "quantile" -> "marks", "gquantile" -> "marks")
+    "zorder" -> "marks", "quantile" -> "marks", "gquantile" -> "marks",
+    "wordcount" -> "marks", "wc" -> "marks")
 
   def describeFamily(spark: SparkSession, family: String, path: String)
       : FamilyState = {
@@ -1710,7 +1744,7 @@ object IndexStore {
         throw new IllegalArgumentException(
           s"unknown family '$other' — auditable families: ivf, pq, " +
             "prefix, signlsh/sign-lsh, bm25, phrase, windows, " +
-            "containment, quantile, gquantile")
+            "containment, quantile, gquantile, wordcount")
     }
     // the quantile samples are hash-keyed, not id-keyed: an erased id's
     // row may legitimately be absent (never sampled), but a SAMPLED row
@@ -1724,6 +1758,24 @@ object IndexStore {
       .collect().map(_.getLong(0)).toSet
     val rows = families.map { case (family, path) =>
       val residual = family match {
+        case "wordcount" | "wc" =>
+          // the wc fold has no id column, so "still visible in the live
+          // loader" is not probeable — the certificate is LEDGER-based
+          // instead: an erased id is certified iff a COMMITTED delete
+          // wave recorded its tombstone (the ledger is also what keeps
+          // its counts subtracted exactly once — deleteBatchWordCounts),
+          // so residual = requested ids with NO committed ledger entry
+          // (a half-applied or missed wave surfaces as a positive
+          // count). Content-level verification remains the checked
+          // loader over the survivors ([[loadWordCountsChecked]]).
+          val committed = committedBatches(spark, s"$path/marks")
+          if (!hasDataFiles(spark, s"$path/tombstones")) erasedN
+          else ids.join(
+              spark.read.parquet(s"$path/tombstones")
+                .where(col("batch").cast("long").isin(committed: _*))
+                .select(col("id").cast("string").as("__erased")),
+              Seq("__erased"), "left_semi")
+            .count() match { case m => erasedN - m }
         case "quantile" =>
           loadQuantile(spark, path).sample
             .count(hv => erasedHashes(hv._1)).toLong
@@ -1759,7 +1811,9 @@ object IndexStore {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")),
       s"no trained IVF base at $path — appendBatchIvf assigns to existing " +
         "centroids; bootstrap with Ivf.build + IndexStore.saveIvf first")
-    if (committedBatches(spark, s"$path/sizes").contains(batchId)) return
+    val committed0 = committedBatches(spark, s"$path/sizes")
+    if (committed0.contains(batchId)) return
+    requireMonotonicWave(spark, path, committed0, batchId, "IVF append")
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     val dim = spark.read.parquet(s"$path/meta").head().getAs[Int]("dim")
@@ -1854,7 +1908,9 @@ object IndexStore {
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
     val mid = deleteMarkerId(batchId)
-    if (committedBatches(spark, s"$path/sizes").contains(mid)) return
+    val committed0 = committedBatches(spark, s"$path/sizes")
+    if (committed0.contains(mid)) return
+    requireMonotonicWave(spark, path, committed0, batchId, "IVF delete")
     val rows = minusPriorErased(spark, path, s"$path/sizes",
         deleted.select(col(idCol).as("id"), col(embCol).as("__emb")))
       .localCheckpoint(true)
@@ -4484,6 +4540,8 @@ object IndexStore {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       docs.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/asof_floor"), true)
+    // a replaced vocab must not carry a previous run's erased-id ledger
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** Accrete one ingest wave — work ∝ wave (one tokenize + aggregate);
@@ -4493,7 +4551,31 @@ object IndexStore {
       idCol: String, textCol: String, path: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
     require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
-    if (committedBatches(spark, s"$path/marks").contains(batchId)) return
+    val committed0 = committedBatches(spark, s"$path/marks")
+    if (committed0.contains(batchId)) return
+    requireMonotonicWave(spark, path, committed0, batchId,
+      "word-count append")
+    // re-ingesting a LEDGERED id is refused loudly (the zorder
+    // tombstoned-hash re-ingest contract): the erased-id ledger is what
+    // dedupes overlapping erasure requests, so a re-ingested id's NEXT
+    // erasure request would dedupe against its old entry and silently
+    // never subtract — the one lie the ledger exists to prevent. Cost:
+    // one wave-sized anti-probe against the broadcast ledger.
+    if (hasDataFiles(spark, s"$path/tombstones")) {
+      val offender = docs.select(col(idCol).cast("string").as("id"))
+        .join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long").isin(committed0: _*))
+          .select(col("id").cast("string").as("id"))),
+          Seq("id"), "left_semi")
+        .limit(1).collect()
+      require(offender.isEmpty,
+        s"word-count append wave $batchId re-ingests erased id " +
+          s"'${offender.headOption.map(_.getString(0)).getOrElse("")}' — " +
+          "an id in the erased-id ledger cannot re-enter (its next " +
+          "erasure request would dedupe against the old entry and " +
+          "silently never subtract); rebuild with saveWordCounts if the " +
+          "id legitimately returns")
+    }
     writeWordCountBatch(docs, idCol, textCol, path, batchId,
       overwriteAll = false, negate = false)
   }
@@ -4506,23 +4588,58 @@ object IndexStore {
     * against identical bytes; a drifted delete poisons the fingerprint
     * and the next checked load refuses (the loud path). Commits under
     * [[deleteMarkerId]]'s namespace; replays of the SAME wave id are
-    * no-ops. Unlike [[deleteBatchBm25]] there is no per-id tombstone
-    * ledger (the wc table has no id column to anti-join), so the same
-    * document erased under TWO different wave ids double-subtracts —
-    * the checked loader then refuses the survivors' corpus rather than
-    * silently under-counting: de-duplicate erasure requests upstream.
-    * (For the same reason this family is NOT in [[executeErasureWave]]'s
-    * catalog: its fold has no id column, so the erasure audit could not
-    * name residual ids — the wave would be unable to EARN its
-    * certificate. Erase here explicitly; the checked loader against the
-    * survivors is the verification.) */
+    * no-ops.
+    *
+    * ERASED-ID LEDGER (round 13 — what admitted the family to
+    * [[executeErasureWave]]): the wc fold has no id column, so the
+    * [[minusPriorErased]] dedupe the other families get for free was
+    * unavailable, and the same document erased under TWO wave ids
+    * double-subtracted. Each delete wave now (a) anti-joins its docs
+    * against the committed `tombstones/` ledger (string-rendered ids —
+    * the [[erasureAudit]] canonical form), so only genuinely-new ids
+    * contribute negative counts and fingerprint deltas; (b) records the
+    * surviving ids under its own marker partition, commit-scoped like
+    * every other sidecar. The ledger SURVIVES compaction (unlike the
+    * id-keyed families, whose folded snapshot physically excludes
+    * tombstoned rows, the fold here cannot re-derive which ids were
+    * erased — the ledger is the only thing keeping post-fold overlapping
+    * requests single-subtract), and [[appendBatchWordCounts]] refuses
+    * re-ingest of a ledgered id for the same reason. The audit
+    * certificate is ledger-based: see [[erasureAudit]]'s wordcount
+    * case. */
   def deleteBatchWordCounts(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, path: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
+    import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
     val mid = deleteMarkerId(batchId)
-    if (committedBatches(spark, s"$path/marks").contains(mid)) return
-    writeWordCountBatch(docs, idCol, textCol, path, mid,
+    val committed0 = committedBatches(spark, s"$path/marks")
+    if (committed0.contains(mid)) return
+    requireMonotonicWave(spark, path, committed0, batchId,
+      "word-count delete")
+    // only ids with NO committed ledger entry may subtract — overlapping
+    // erasure requests (two GDPR tickets naming one user) are a normal
+    // case, and double-subtraction would poison the fold until rebuild.
+    // localCheckpoint: three consumers follow (ledger write, counts,
+    // fingerprint) and the anti-join must not re-execute per consumer.
+    // the ledger joins on the STRING rendering (the erasureAudit
+    // canonical form) but the fingerprint must hash the ORIGINAL id type
+    // — xxhash64 is type-sensitive, and the append side hashed the raw
+    // column, so a string-cast here would stop the subtraction from
+    // cancelling and poison the checked loader
+    val fresh = minusTombstones(spark, path, committed0,
+        docs.select(col(idCol).cast("string").as("id"),
+          col(idCol).as("__origid"), col(textCol).as("__text")))
+      .localCheckpoint(true)
+    // ledger BEFORE marks (marks are the commit): a crash in between
+    // leaves orphan ledger rows no committed marker scopes in — unread
+    fresh.select("id")
+      .withColumn("batch", lit(mid))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombstones")
+    writeWordCountBatch(fresh, "__origid", "__text", path, mid,
       overwriteAll = false, negate = true)
   }
 
@@ -4605,9 +4722,25 @@ object IndexStore {
     Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$staged/marks")
+    // the erased-id ledger SURVIVES the fold, re-based under the folded
+    // batch=-1 marker: the id-keyed families purge their tombstones here
+    // because the compacted snapshot physically excludes those rows, but
+    // the wc fold carries no ids — without the ledger, a post-fold
+    // repeat of an already-served erasure request would double-subtract
+    // (and appendBatchWordCounts could silently re-admit an erased id).
+    // Bounded by total erasure volume, the family's usual broadcast size.
+    val hasLedger = hasDataFiles(spark, s"$path/tombstones")
+    if (hasLedger)
+      spark.read.parquet(s"$path/tombstones")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select(col("id").cast("string").as("id")).distinct()
+        .withColumn("batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch")
+        .parquet(s"$staged/tombstones")
     writeAsofFloor(spark, floor, s"$staged/asof_floor")
     // asof_floor first — see compactBm25's fail-safe ordering note
-    swapStaged(spark, path, staged, Seq("asof_floor", "wc", "marks"))
+    swapStaged(spark, path, staged, Seq("asof_floor", "wc", "marks") ++
+      (if (hasLedger) Seq("tombstones") else Seq.empty))
   }
 
   // ------------------------------------------------ quantile sample sketch
@@ -5248,7 +5381,8 @@ object IndexStore {
     // as their fprint table; every other family keeps a dedicated fprint
     // sidecar
     val fprintDir =
-      if (Set("prefix", "summary", "quantile", "gquantile")(family))
+      if (Set("prefix", "summary", "quantile", "gquantile", "wordcount",
+          "wc")(family))
         s"$path/marks"
       else s"$path/fprint"
     require(hasDataFiles(spark, fprintDir),
@@ -5267,6 +5401,14 @@ object IndexStore {
       if (family == "quantile" || family == "gquantile") {
         if (!hasDataFiles(spark, s"$path/q")) 0L
         else spark.read.parquet(s"$path/q")
+          .where(col("batch").cast("long").isin(batches: _*)).count()
+      } else if (family == "wordcount" || family == "wc") {
+        // the marks n counts corpus DOCS per wave (the staleness
+        // contract) but the fold reads + rewrites the vocabulary-bounded
+        // wc deltas — price what the fold touches (the quantile honesty
+        // boundary above)
+        if (!hasDataFiles(spark, s"$path/wc")) 0L
+        else spark.read.parquet(s"$path/wc")
           .where(col("batch").cast("long").isin(batches: _*)).count()
       } else spark.read.parquet(fprintDir)
         .where(col("batch").cast("long").isin(batches: _*))
@@ -5316,6 +5458,7 @@ object IndexStore {
       case "summary" => compactSummary(spark, path)
       case "quantile" => compactQuantile(spark, path)
       case "gquantile" => compactGroupedQuantile(spark, path)
+      case "wordcount" | "wc" => compactWordCounts(spark, path)
       case other => throw new IllegalArgumentException(
         s"unknown index family '$other'")
     }
@@ -5410,6 +5553,8 @@ object IndexStore {
         case "gquantile" =>
           deleteBatchGroupedQuantile(wave, idCol, c(0), c(1), t.path,
             batchId)
+        case "wordcount" | "wc" =>
+          deleteBatchWordCounts(wave, idCol, c(0), t.path, batchId)
         case "zorder" | "grams" | "summary" | "stats" =>
           throw new IllegalArgumentException(
             s"the ${t.family} family's erasure is not id-addressed and " +
@@ -5424,7 +5569,7 @@ object IndexStore {
         case other => throw new IllegalArgumentException(
           s"unknown family '$other' — id-addressed families: ivf, pq, " +
             "prefix, signlsh/sign-lsh, bm25, phrase, windows, " +
-            "containment, quantile, gquantile")
+            "containment, quantile, gquantile, wordcount")
       }
     }
     targets.foreach(one)

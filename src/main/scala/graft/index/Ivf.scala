@@ -658,8 +658,11 @@ object Ivf {
   /** [[rangeJoinExact]] plus its [[RangeJoinStats]] pruning receipts. */
   def rangeJoinExactWithStats(index: IvfIndex, queries: DataFrame,
       corpus: DataFrame, qIdCol: String, qEmbCol: String,
-      cIdCol: String, cEmbCol: String,
-      threshold: Double): (DataFrame, RangeJoinStats) = {
+      cIdCol: String, cEmbCol: String, threshold: Double,
+      maxPairsPerSlice: Int = MaxProbePairsPerSlice)
+      : (DataFrame, RangeJoinStats) = {
+    require(maxPairsPerSlice >= 1,
+      s"maxPairsPerSlice must be >= 1, got $maxPairsPerSlice")
     require(index.metric == "cosine",
       s"rangeJoinExact scores cosine; index was created with similarity " +
         s"'${index.metric}' (rebuild with Ivf.build(..., metric = \"cosine\"))")
@@ -671,7 +674,16 @@ object Ivf {
       .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
       .collect()
     val nonEmpty = index.sizes.filter(_._2 > 0).keySet
-    val pairs = qRows.toSeq.flatMap { r =>
+    // LAZY pair stream, consumed in bounded slices (below): unlike the
+    // kNN joins, whose pass-1 probe volume is capped by probeMass, the
+    // range join's constant-cut bound check can survive EVERY
+    // (query, cluster) pair under degenerate geometry (spread-out
+    // corpus, low threshold — every bound sits near 1), and at
+    // MaxQueryBatch queries that is |Q|·|clusters| tuples; materializing
+    // them in one driver Seq + one broadcast is exactly how the driver
+    // dies. Slicing costs nothing when pruning works (one slice = the
+    // old plan) and degrades to more routed scans when it doesn't.
+    val pairIt = qRows.iterator.flatMap { r =>
       require(!r.isNullAt(1),
         s"query ${r.getLong(0)} has a null $qEmbCol — IVF routing needs a " +
           "vector for every query row (filter nulls upstream)")
@@ -680,25 +692,57 @@ object Ivf {
         s"query vector dimension ${qv.length} != index numDimensions ${index.dim}")
       var n2 = 0.0
       qv.foreach(x => n2 += x * x)
-      val qNorm = if (n2 == 0) null else qv.map(_ / math.sqrt(n2))
+      // a zero-norm query has no direction: its cosine against every
+      // corpus row is 0/0 — NaN under non-ANSI Spark, which compares
+      // GREATER than any threshold, so every probed pair would be
+      // SILENTLY emitted as contaminated (cosUpperBound's qNorm==null
+      // never-prune path would even probe everything). Refuse loudly —
+      // the [[graft.pipeline.Contamination.semanticOverlap]] eval-side
+      // contract this indexed twin must honor.
+      require(n2 > 0,
+        s"Ivf.rangeJoinExact: query ${r.getLong(0)} has a zero-norm " +
+          s"$qEmbCol — cosine range search against it is undefined; " +
+          "filter zero-norm probes upstream")
+      val qNorm = qv.map(_ / math.sqrt(n2))
       nonEmpty.toSeq
         .filter(cid => cosUpperBound(index, qNorm, cid) >= threshold - 1e-6)
         .map(r.getLong(0) -> _)
     }
+    // zero-norm (or null) CORPUS rows report clean rather than flagged:
+    // their cosine is 0/0 — NaN > threshold under non-ANSI ordering, a
+    // DIVIDE_BY_ZERO raise under ANSI — the semanticOverlap train-side
+    // gate, fused by codegen into the routed candidate scan.
+    val cleanCorpus = corpus.where(col(cEmbCol).isNotNull &&
+      Vectors.l2norm(col(cEmbCol).cast("array<double>")) > 0)
     val spark = corpus.sparkSession
     import spark.implicits._
+    var nPairs = 0L
+    var mass = 0L
+    val slices = Seq.newBuilder[DataFrame]
+    pairIt.grouped(maxPairsPerSlice).foreach { slice =>
+      nPairs += slice.size
+      slice.foreach { case (_, cid) => mass += index.sizes.getOrElse(cid, 0L) }
+      slices += routedScored(index, qRows, cleanCorpus, cIdCol, cEmbCol, slice)
+    }
+    val built = slices.result()
     val out =
-      if (pairs.isEmpty)
+      if (built.isEmpty)
         Seq.empty[(Long, Long, Double)].toDF("query_id", "nbr_id", "sim")
       else
-        routedScored(index, qRows, corpus, cIdCol, cEmbCol, pairs)
-          .where(col("sim") >= threshold)
+        built.reduce(_ unionByName _).where(col("sim") >= threshold)
     val stats = RangeJoinStats(
-      candidatePairs = pairs.size,
-      candidateMass = pairs.map { case (_, cid) =>
-        index.sizes.getOrElse(cid, 0L) }.sum,
+      candidatePairs = math.min(nPairs, Int.MaxValue.toLong).toInt,
+      candidateMass = mass,
       nonEmptyClusters = nonEmpty.size,
       totalMass = index.sizes.values.sum)
     (out, stats)
   }
+
+  /** Max (query, cluster) probe pairs one [[rangeJoinExactWithStats]]
+    * slice materializes on the driver and broadcasts into its routed
+    * scan. The union of per-slice outputs is exactly the un-sliced
+    * output — range-join rows are a plain per-pair threshold filter,
+    * with no cross-pair aggregation a split could break — so degenerate
+    * geometry degrades to more scan slices, never to driver exhaustion. */
+  val MaxProbePairsPerSlice: Int = 1 << 20
 }

@@ -2142,4 +2142,65 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       IndexStore.planCompaction(spark, nofp, "sign-lsh", 1L)
     }.getMessage.contains("no fingerprint sidecar"))
   }
+
+  test("wave ids are a logical clock: post-compaction reuse and out-of-order waves refuse") {
+    // ADVICE r12: append/delete used to accept ANY uncommitted batchId >= 0,
+    // so a fresh stream checkpoint restarting at 0 after a compaction
+    // (asof floor = W) would land data that loadBm25AsOf/loadWordCountsAsOf
+    // then surface at HISTORICAL horizons — silently corrupting the as-of
+    // reconstruction. The writers now enforce the clock loudly.
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val a = docs.where($"doc_id" % 3 === 0)
+    val b = docs.where($"doc_id" % 3 === 1)
+    val c = docs.where($"doc_id" % 3 === 2)
+
+    // BM25: out-of-order append (behind the max committed wave) refuses
+    val bmDir = Files.createTempDirectory("monobm").toString
+    IndexStore.createBm25(a, "doc_id", "text", bmDir)
+    IndexStore.appendBatchBm25(b, "doc_id", "text", bmDir, 5L)
+    val e1 = intercept[IllegalArgumentException] {
+      IndexStore.appendBatchBm25(c, "doc_id", "text", bmDir, 3L)
+    }
+    assert(e1.getMessage.contains("logical clock"))
+    // same-wave maintenance stays legal (delete wave shares the append's id)
+    IndexStore.deleteBatchBm25(b, "doc_id", "text", bmDir, 5L)
+    // replay of a committed wave stays a silent no-op (idempotency wins
+    // over the clock check — the guard fires only for NEW waves)
+    IndexStore.appendBatchBm25(b, "doc_id", "text", bmDir, 5L)
+    // post-compaction: floor = 5, so a reused low id (fresh checkpoint
+    // restarting at 0) refuses instead of polluting horizons <= 5
+    IndexStore.compactBm25(spark, bmDir)
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStore.appendBatchBm25(c, "doc_id", "text", bmDir, 0L)
+    }
+    assert(e2.getMessage.contains("horizon floor"))
+    IndexStore.appendBatchBm25(c, "doc_id", "text", bmDir, 6L) // past it: fine
+    IndexStore.loadBm25Checked(spark, bmDir,
+      a.unionByName(c), "doc_id", "text")
+
+    // word counts: same contract (the family the as-of vocab relearn reads)
+    val wcDir = Files.createTempDirectory("monowc").toString
+    IndexStore.saveWordCounts(a, "doc_id", "text", wcDir)
+    IndexStore.appendBatchWordCounts(b, "doc_id", "text", wcDir, 4L)
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.appendBatchWordCounts(c, "doc_id", "text", wcDir, 2L)
+    }.getMessage.contains("logical clock"))
+    IndexStore.compactWordCounts(spark, wcDir)
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.deleteBatchWordCounts(b, "doc_id", "text", wcDir, 0L)
+    }.getMessage.contains("horizon floor"))
+
+    // IVF: same contract on the vector side
+    val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val ivfDir = Files.createTempDirectory("monoivf").toString
+    IndexStore.saveIvf(
+      Ivf.build(embs.where($"vec_id" % 2 === 0), "vec_id", "embedding"),
+      ivfDir)
+    IndexStore.appendBatchIvf(embs.where($"vec_id" % 2 === 1),
+      "vec_id", "embedding", ivfDir, 3L)
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.appendBatchIvf(embs.where($"vec_id" % 2 === 1),
+        "vec_id", "embedding", ivfDir, 1L)
+    }.getMessage.contains("logical clock"))
+  }
 }

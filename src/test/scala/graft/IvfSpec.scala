@@ -351,6 +351,58 @@ class IvfSpec extends AnyFunSuite with SparkTest {
       s"pruned scan mass must undercut the full scan: $stats")
   }
 
+  test("rangeJoinExact refuses zero-norm queries; zero-norm corpus rows report clean") {
+    // ADVICE r12: a zero-norm query (qNorm null, bound 1.0, never pruned)
+    // or zero-norm corpus row used to reach scoreCandidates with a 0/0
+    // cosine — NaN under non-ANSI Spark, which compares GREATER than any
+    // threshold, silently flagging every probed pair as contaminated.
+    val rows = (0 until 30).map { i =>
+      (i.toLong, Seq(1.0 + 0.01 * (i % 5), 0.02 * (i % 3), 0.01 * i))
+    } :+ (30L, Seq(0.0, 0.0, 0.0)) // zero-norm corpus row
+    val df = rows.toDF("id", "emb")
+    val idx = Ivf.build(df, "id", "emb", numClusters = 4)
+    // query side: the zero-norm probe refuses loudly
+    val zq = Seq((99L, Seq(0.0, 0.0, 0.0))).toDF("id", "emb")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.rangeJoinExact(idx, zq, df, "id", "emb", "id", "emb", 0.5)
+        .collect()
+    }
+    assert(e.getMessage.contains("zero-norm"))
+    // corpus side: the zero-norm member must report CLEAN (absent), and
+    // every well-formed pair must still match brute force exactly
+    val queries = df.where($"id" < 3)
+    val clean = df.where($"id" < 30)
+    val brute = bruteRangePairs(queries, clean, "id", "emb", "id", "emb", 0.5)
+    val (routed, _) = Ivf.rangeJoinExactWithStats(idx, queries, df,
+      "id", "emb", "id", "emb", 0.5)
+    val got = routed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(!got.exists(_._2 == 30L),
+      "zero-norm corpus row must never be flagged (its cosine is 0/0)")
+    assert(got === brute)
+  }
+
+  test("rangeJoinExact slicing: bounded probe-pair slices reproduce the one-slice output") {
+    // ADVICE r12: degenerate geometry can make EVERY (query, cluster)
+    // pair survive the bound — the pair list must never materialize
+    // unbounded on the driver. Sliced execution is a plain union of
+    // per-pair filters, so any slice size yields identical rows.
+    import org.apache.spark.sql.functions.col
+    val queries = embs.where(col("vec_id") % 41 === 0)
+    val (one, statsOne) = Ivf.rangeJoinExactWithStats(index, queries, embs,
+      "vec_id", "embedding", "vec_id", "embedding", 0.4)
+    val (sliced, statsSliced) = Ivf.rangeJoinExactWithStats(index, queries,
+      embs, "vec_id", "embedding", "vec_id", "embedding", 0.4,
+      maxPairsPerSlice = 7)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(set(sliced) === set(one))
+    // receipts are slice-invariant: same pair count, same scanned mass
+    assert(statsSliced.candidatePairs === statsOne.candidatePairs)
+    assert(statsSliced.candidateMass === statsOne.candidateMass)
+    assert(statsOne.candidatePairs > 7, "fixture must actually slice")
+  }
+
   test("rangeJoinExact refuses a non-cosine index and out-of-range thresholds") {
     import org.apache.spark.sql.functions.col
     val queries = embs.where(col("vec_id") < 3)

@@ -23,26 +23,31 @@ class OpsWaveSpec extends AnyFunSuite with SparkTest {
     val ph = Files.createTempDirectory("waveph").toString
     val q = Files.createTempDirectory("waveq").toString
     val gq = Files.createTempDirectory("wavegq").toString
+    val wc = Files.createTempDirectory("wavewc").toString
     IndexStore.createBm25(docs, "doc_id", "text", bm)
     IndexStore.savePhrase(docs, "doc_id", "text", 8, ph)
     IndexStore.saveQuantile(docs, "doc_id", "n_chars", 2048, q)
     IndexStore.saveGroupedQuantile(docs, "doc_id", "source", "n_chars",
       2048, gq)
+    IndexStore.saveWordCounts(docs, "doc_id", "text", wc)
     val targets = Seq(
       IndexStore.ErasureTarget("bm25", bm, Seq("text")),
       IndexStore.ErasureTarget("phrase", ph, Seq("text")),
       IndexStore.ErasureTarget("quantile", q, Seq("n_chars")),
-      IndexStore.ErasureTarget("gquantile", gq, Seq("source", "n_chars")))
+      IndexStore.ErasureTarget("gquantile", gq, Seq("source", "n_chars")),
+      IndexStore.ErasureTarget("wordcount", wc, Seq("text")))
     val cert = IndexStore.executeErasureWave(doomed, "doc_id", targets, 0L)
       .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
     val n = doomed.count()
     assert(cert === Seq(("bm25", n, 0L), ("gquantile", n, 0L),
-      ("phrase", n, 0L), ("quantile", n, 0L)))
+      ("phrase", n, 0L), ("quantile", n, 0L), ("wordcount", n, 0L)))
     // the post-wave indexes ARE the survivors' indexes: checked loaders
     // accept the surviving corpus (the wave really subtracted everywhere)
     IndexStore.loadBm25Checked(spark, bm, survivors, "doc_id", "text")
     IndexStore.loadQuantileChecked(spark, q, survivors, "doc_id",
       "n_chars")
+    IndexStore.loadWordCountsChecked(spark, wc, survivors, "doc_id",
+      "text")
     // replaying the SAME wave id is a fleet-wide no-op: certificate still
     // zero, checked loaders still accept (no double subtraction)
     val again = IndexStore.executeErasureWave(doomed, "doc_id", targets, 0L)
@@ -50,6 +55,8 @@ class OpsWaveSpec extends AnyFunSuite with SparkTest {
     assert(again === cert)
     IndexStore.loadQuantileChecked(spark, q, survivors, "doc_id",
       "n_chars")
+    IndexStore.loadWordCountsChecked(spark, wc, survivors, "doc_id",
+      "text")
     // non-id-addressed families are refused, not silently skipped — a
     // fleet wave must never claim an erasure it cannot certify
     for (fam <- Seq("zorder", "grams", "summary", "stats"))
@@ -140,5 +147,57 @@ class OpsWaveSpec extends AnyFunSuite with SparkTest {
       queriesPerWave = 10L, execute = false).count() === 1L)
     assert(IndexStore.describeFamily(spark, "sign-lsh", dir).deletes
       === 1L)
+  }
+
+  test("word-count erased-id ledger: overlapping waves dedupe, audit names the gap, re-ingest refuses, fold keeps the ledger") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").localCheckpoint(true)
+    val dir = Files.createTempDirectory("wcledger").toString
+    IndexStore.saveWordCounts(docs, "doc_id", "text", dir)
+    // two OVERLAPPING erasure requests under DIFFERENT wave ids (two GDPR
+    // tickets naming one user) — before the ledger this double-subtracted
+    // and poisoned the fold until rebuild
+    val w1 = docs.where($"doc_id" % 6 === 0)
+    val w2 = docs.where($"doc_id" % 4 === 0) // overlaps w1 at % 12 == 0
+    IndexStore.deleteBatchWordCounts(w1, "doc_id", "text", dir, 0L)
+    IndexStore.deleteBatchWordCounts(w2, "doc_id", "text", dir, 1L)
+    val survivors = docs.where($"doc_id" % 6 =!= 0 && $"doc_id" % 4 =!= 0)
+    // the fold equals a fresh build over the survivors — the overlap
+    // subtracted exactly once (checked loader recomputes the fingerprint)
+    IndexStore.loadWordCountsChecked(spark, dir, survivors, "doc_id",
+      "text")
+    // audit certificate: all requested ids carry committed ledger entries
+    val ok = IndexStore.erasureAudit(spark,
+        w1.unionByName(w2).select("doc_id"), "doc_id",
+        Seq("wordcount" -> dir))
+      .as[(String, Long, Long)].collect().head
+    assert(ok._3 === 0L, s"residual must be zero after both waves: $ok")
+    // a request naming an id NO wave ever served surfaces as residual
+    val ghost = IndexStore.erasureAudit(spark,
+        docs.where($"doc_id" % 6 === 1).limit(3).select("doc_id"),
+        "doc_id", Seq("wordcount" -> dir))
+      .as[(String, Long, Long)].collect().head
+    assert(ghost._3 === ghost._2 && ghost._2 > 0,
+      s"unserved ids must count as residual: $ghost")
+    // re-ingesting a ledgered id refuses loudly (its next erasure request
+    // would dedupe against the old entry and silently never subtract)
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.appendBatchWordCounts(w1.limit(1), "doc_id", "text",
+        dir, 7L)
+    }
+    assert(e.getMessage.contains("re-ingests erased id"))
+    // compaction PRESERVES the ledger (the fold cannot re-derive which
+    // ids were erased): a post-fold replay of an already-served request
+    // still dedupes to a no-op and the checked loader still accepts
+    IndexStore.compactWordCounts(spark, dir)
+    IndexStore.deleteBatchWordCounts(w1, "doc_id", "text", dir, 9L)
+    IndexStore.loadWordCountsChecked(spark, dir, survivors, "doc_id",
+      "text")
+    assert(IndexStore.erasureAudit(spark, w1.select("doc_id"), "doc_id",
+        Seq("wordcount" -> dir))
+      .as[(String, Long, Long)].collect().head._3 === 0L)
+    // and the maintenance sweep prices + folds the family like any other
+    assert(IndexStore.maintenanceWave(spark, Seq("wordcount" -> dir),
+      queriesPerWave = 10L, execute = false).count() === 1L)
   }
 }
