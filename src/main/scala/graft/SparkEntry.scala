@@ -340,6 +340,49 @@ object SparkEntry {
         "source")
       .orderBy("src_a", "src_b")
 
+  /** The source-overlap matrix at PRODUCTION cadence
+    * ([[CorpusAnalysis.sourceOverlapFromSummaries]] — VERDICT r12 item
+    * 6): one persisted summary family PER SOURCE, each accreted in two
+    * waves (base + append), and the whole matrix answered at report time
+    * from ≤ nSources × k driver-held KMV minima — NO corpus scan. The
+    * KMV fold theorem (k smallest of a union = k smallest of the
+    * per-wave keeps) makes the two-wave min-sets equal a single-pass
+    * build, so the oracle replicates the ENTIRE Beyer et al. estimator
+    * in DuckDB from scratch — same frozen md5-prefix hash, same per-pair
+    * union-k-min, same membership counts, same IEEE arithmetic order
+    * (the `q_join_card_kmv` pattern, lifted to the full pair matrix
+    * with the directed containments). */
+  private val overlapSummariesBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      Seq[(String, String)]]
+  private def qSourceOverlapInc(spark: SparkSession, dir: String): DataFrame = {
+    val srcPaths = overlapSummariesBuilt.getOrElseUpdate((spark, dir), {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = sys.props("java.io.tmpdir")
+      val d = Tables.documents(spark, dir).select("doc_id", "source", "text")
+        .where(col("source").isNotNull)
+      val sources = d.select(col("source").cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      sources.map { src =>
+        val p = s"$tmp/graft_ovsum_${tag}_${
+          src.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val mine = d.where(col("source") === src)
+        IndexStore.saveSummary(
+          CorpusAnalysis.shingleItems(
+            mine.where(pmod(col("doc_id"), lit(2)) === 0), "text"),
+          "sh", kMg = 32, kKmv = Sketches.DefaultK, p)
+        IndexStore.appendBatchSummary(
+          CorpusAnalysis.shingleItems(
+            mine.where(pmod(col("doc_id"), lit(2)) === 1), "text"),
+          "sh", p, batchId = 0L)
+        src -> p
+      }
+    })
+    CorpusAnalysis.sourceOverlapFromSummaries(spark,
+        srcPaths.map { case (src, p) => src -> IndexStore.loadSummary(spark, p) })
+      .orderBy("src_a", "src_b")
+  }
+
   /** North-star PII scrub: typed redaction (email/IP/phone/digit-run) with
     * per-doc counts, one codegen'd narrow projection
     * ([[PiiScrub.scrub]]). The corpus text is synthetic prose with no PII,
@@ -1138,6 +1181,50 @@ object SparkEntry {
       .orderBy("eval_id", "vec_id")
   }
 
+  /** The RANGE-JOIN PLANNER executed ([[AnnPlanner.planRange]] →
+    * [[AnnPlanner.executeRange]] — VERDICT r12 item 4, closing the last
+    * hand-dispatched regime): the same semantic-decontamination radius
+    * workload as [[qContaminationSemanticIdx]], but no human picks the
+    * path — the cost table does, from (nQ, n, dim), the declared IVF
+    * asset, and the MEASURED surviving-mass fraction
+    * ([[AnnPlanner.measureRangeMassFraction]] — centroid arithmetic
+    * only, no corpus touch). On this spread-out fixture the bounds
+    * barely prune (fraction ≈ 1), so the literal scan wins — the
+    * genuinely right call at benchmark-sized eval sets — and the
+    * [[selfChecked]] gate runs the OTHER exact path
+    * ([[Ivf.rangeJoinExact]]) and requires row identity, so the
+    * dispatcher, both engines, and the measurement are all checked
+    * against one cross-join oracle. AnnPlannerSpec pins the flip to
+    * ballCoverRange on clustered geometry / oversized eval sets. */
+  private def qContaminationSemanticPlan(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val evalQ = e.where(pmod(col("vec_id"), lit(41L)) === 0)
+    val train = e.where(pmod(col("vec_id"), lit(41L)) =!= 0)
+    val ivf = corpusIvfDisk(spark, dir)
+    // n from the stats catalog (train is n·40/41 — same argmin either
+    // way, both paths scale with n); nQ counted from the bounded eval
+    // side the literal path collects anyway
+    val n = IndexStore.statsRows(embStatsDisk(spark, dir), "label")
+    val nq = evalQ.count()
+    val frac = AnnPlanner.measureRangeMassFraction(ivf, evalQ,
+      "vec_id", "embedding", SemanticContamThr)
+    val plan = AnnPlanner.planRange(nq, n, ivf.dim, SemanticContamThr,
+      assets = AnnPlanner.AnnAssets(ivfClusters = ivf.centroids.size),
+      candidateMassFraction = frac)
+    def shaped(df: DataFrame) = df
+      .select(col("query_id").as("eval_id"), col("nbr_id").as("vec_id"),
+        col("sim"))
+      .orderBy("eval_id", "vec_id")
+    selfChecked(
+      shaped(AnnPlanner.executeRange(plan, evalQ, train,
+        "vec_id", "embedding", "vec_id", "embedding", SemanticContamThr,
+        ivf = Some(ivf))),
+      shaped(Ivf.rangeJoinExact(ivf, evalQ, train,
+        "vec_id", "embedding", "vec_id", "embedding", SemanticContamThr)),
+      s"q_contamination_semantic_plan planned path ${plan.path}")
+  }
+
   /** North-star BPE vocabulary learning, stage-1 statistic gate-checked
     * ([[Vocab.pairCounts]]): the adjacent-character pair-count relation
     * the FIRST merge is argmax'd from, top-20 under the learner's own
@@ -1163,10 +1250,12 @@ object SparkEntry {
   }
 
   /** Learn-then-APPLY end to end: per-document subword token counts under
-    * the three learned merges ([[Vocab.tokenizeBpe]] — chained literal
-    * replaces in one codegen'd corpus scan; the merges are baked in as
-    * literals, production-tokenizer style). The oracle re-learns the same
-    * merges and re-applies them per document in one statement. */
+    * the three learned merges ([[Vocab.tokenizeBpe]] — at gate size the
+    * dispatch lands on the chained-literal-replace rendition, the
+    * DuckDB-twinnable form; the ≥ 1k-merge production path is the
+    * compiled single-node expression, output-equality property-pinned in
+    * VocabSpec). The oracle re-learns the same merges and re-applies
+    * them per document in one statement. */
   private def qBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
     val merges = Vocab.learnBpe(Tables.documents(spark, dir), "text", 3)
     Tables.documents(spark, dir)
@@ -3028,7 +3117,11 @@ object SparkEntry {
     * fresh-wordCounts contract, hash-checked). */
   private def qBpeMergesInc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Vocab.learnBpeFromCounts(corpusWordCountsDisk(spark, dir), 3).toDF()
+    // the FAST loop (incremental pair-count maintenance,
+    // [[Vocab.learnBpeFastFromCounts]]) runs here so the production
+    // learner is itself gate-checked — output-identical to the naive
+    // loop by construction, so the SAME unrolled DuckDB oracle applies
+    Vocab.learnBpeFastFromCounts(corpusWordCountsDisk(spark, dir), 3).toDF()
   }
 
   /** The composition receipt: BPE merges learned from the vocab AS OF
@@ -3068,6 +3161,39 @@ object SparkEntry {
         IndexStore.loadWordCounts(spark, path))
       .orderBy(abs(col("delta")).desc, col("word"))
       .limit(20)
+  }
+
+  /** Tolerance for the gate-checked tokenizer-refresh decision: waves B
+    * and C each add ≈ a third of the tip's token mass, so the wave-0 →
+    * tip changed-mass ratio sits near 2/3 at every SF — 0.25 leaves the
+    * RECOMMEND branch a wide margin (the stay branch is boundary-pinned
+    * in VocabSpec). Policy input, measured everything else. */
+  private val VocabRefreshTol = 0.25
+
+  /** The REFRESH ADVISOR'S ARITHMETIC under the gate
+    * ([[Vocab.planRefresh]] — VERDICT r12 item 5, the
+    * `q_hist_selectivity` pattern of gating the estimator itself): one
+    * row of (mass_then, mass_now, changed_mass, ratio, recommend)
+    * between the wave-0 horizon and the tip of the persisted word-count
+    * family, with the oracle recomputing all five measurements from the
+    * two horizon corpora from scratch. The Spark side prices from the
+    * marker-filtered FOLDS (zero corpus scans — the whole point of the
+    * family); a drifted fold, a wrong |delta| sum, or a flipped
+    * recommendation fails the hash. */
+  private def qVocabRefreshPlan(spark: SparkSession, dir: String): DataFrame = {
+    corpusWordCountsDisk(spark, dir) // build fixture + tip freshness
+    val path = wordCountsBuilt((spark, dir))
+    val plan = Vocab.planRefresh(
+      Vocab.countsDiff(
+        IndexStore.loadWordCountsAsOf(spark, path, throughWave = 0L),
+        IndexStore.loadWordCounts(spark, path)),
+      tolerance = VocabRefreshTol)
+    import spark.implicits._
+    Seq((plan.massThen, plan.massNow, plan.changedMass,
+        BigDecimal(plan.ratio).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        plan.recommend))
+      .toDF("mass_then", "mass_now", "changed_mass", "ratio", "recommend")
   }
 
   /** ANN AS OF wave 0 ([[IndexStore.loadIvfAsOf]]): exhaustive routed
@@ -3554,6 +3680,7 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) => qLmScore(s, dir)),
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
     "q_source_overlap" -> ((s, dir) => qSourceOverlap(s, dir)),
+    "q_source_overlap_inc" -> ((s, dir) => qSourceOverlapInc(s, dir)),
     "q_pii_scrub" -> ((s, dir) => qPiiScrub(s, dir)),
     "q_source_stats" -> ((s, dir) => qSourceStats(s, dir)),
     "q_corpus_rollup" -> ((s, dir) => qCorpusRollup(s, dir)),
@@ -3573,6 +3700,7 @@ object SparkEntry {
     "q_bpe_merges_inc" -> ((s, dir) => qBpeMergesInc(s, dir)),
     "q_bpe_vocab_asof" -> ((s, dir) => qBpeVocabAsof(s, dir)),
     "q_vocab_drift" -> ((s, dir) => qVocabDrift(s, dir)),
+    "q_vocab_refresh_plan" -> ((s, dir) => qVocabRefreshPlan(s, dir)),
     "q_bm25_join" -> ((s, dir) => qBm25Join(s, dir)),
     "q_hybrid_join" -> ((s, dir) => qHybridJoin(s, dir)),
     "q_hybrid_join_dense" -> ((s, dir) => qHybridJoinDense(s, dir)),
@@ -3670,6 +3798,7 @@ object SparkEntry {
     "q_contamination_bloom" -> ((s, dir) => qContaminationBloom(s, dir)),
     "q_contamination_semantic" -> ((s, dir) => qContaminationSemantic(s, dir)),
     "q_contamination_semantic_idx" -> ((s, dir) => qContaminationSemanticIdx(s, dir)),
+    "q_contamination_semantic_plan" -> ((s, dir) => qContaminationSemanticPlan(s, dir)),
     "q_bpe_pairs" -> ((s, dir) => qBpePairs(s, dir)),
     "q_bpe_merges" -> ((s, dir) => qBpeMerges(s, dir)),
     "q_bpe_tokenize" -> ((s, dir) => qBpeTokenize(s, dir)),
@@ -3982,6 +4111,69 @@ object SparkEntry {
     "q_source_overlap" ->
       (CorpusAnalysis.sqlSourceOverlap("documents", "text", "source") +
         "\nORDER BY src_a, src_b"),
+    // the whole KMV pair-matrix estimator replicated from scratch: same
+    // frozen hash, per-source k-min sets, per-pair union-k-min +
+    // membership counts, same estimate/intersection arithmetic order as
+    // Sketches.estimate / Sketches.kmvIntersection — both the complete
+    // exact branch and the estimator branch hash-checked
+    "q_source_overlap_inc" ->
+      s"""WITH p AS (
+         |  SELECT DISTINCT src, ${graft.functions.Text.sqlHash60("sh")} AS h FROM (
+         |    SELECT source AS src, unnest(${graft.text.TextAnalysis.sqlShingles("text")}) AS sh
+         |    FROM documents WHERE source IS NOT NULL)
+         |), mins AS (
+         |  SELECT src, h FROM (
+         |    SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h) AS rk
+         |    FROM p) WHERE rk <= 64
+         |), st AS (
+         |  SELECT src, count(*) AS n, max(h) AS mx FROM mins GROUP BY 1
+         |), pr AS (
+         |  SELECT a.src AS src_a, b.src AS src_b, a.n AS ca, a.mx AS mxa,
+         |         b.n AS cb, b.mx AS mxb
+         |  FROM st a JOIN st b ON a.src < b.src
+         |), ph AS (
+         |  SELECT DISTINCT pr.src_a, pr.src_b, m.h
+         |  FROM pr JOIN mins m ON m.src = pr.src_a OR m.src = pr.src_b
+         |), unkk AS (
+         |  SELECT src_a, src_b, h FROM (
+         |    SELECT src_a, src_b, h,
+         |           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+         |    FROM ph) WHERE rk <= 64
+         |), um AS (
+         |  SELECT src_a, src_b, max(h) AS umx FROM unkk GROUP BY 1, 2
+         |), mt AS (
+         |  SELECT u.src_a, u.src_b, count(*) AS m
+         |  FROM unkk u
+         |  JOIN mins a ON a.src = u.src_a AND a.h = u.h
+         |  JOIN mins b ON b.src = u.src_b AND b.h = u.h
+         |  GROUP BY 1, 2
+         |), xab AS (
+         |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS m
+         |  FROM mins a JOIN mins b ON a.h = b.h AND a.src < b.src
+         |  GROUP BY 1, 2
+         |), calc AS (
+         |  SELECT pr.src_a, pr.src_b,
+         |    CASE WHEN pr.ca < 64 THEN pr.ca
+         |         ELSE floor(63::DOUBLE * 1152921504606846976.0 / pr.mxa::DOUBLE)::BIGINT END AS n_a,
+         |    CASE WHEN pr.cb < 64 THEN pr.cb
+         |         ELSE floor(63::DOUBLE * 1152921504606846976.0 / pr.mxb::DOUBLE)::BIGINT END AS n_b,
+         |    CASE WHEN pr.ca < 64 AND pr.cb < 64 THEN coalesce(xab.m, 0)
+         |         ELSE floor(coalesce(mt.m, 0)::DOUBLE * (63::DOUBLE * 1152921504606846976.0 / um.umx::DOUBLE) / 64::DOUBLE)::BIGINT
+         |    END AS inter
+         |  FROM pr
+         |  JOIN um USING (src_a, src_b)
+         |  LEFT JOIN mt USING (src_a, src_b)
+         |  LEFT JOIN xab USING (src_a, src_b)
+         |)
+         |SELECT src_a, src_b, inter, n_a, n_b,
+         |  CASE WHEN n_a + n_b - inter <= 0 THEN 0.0
+         |       ELSE round(inter::DOUBLE / (n_a + n_b - inter), 6) END AS jaccard,
+         |  CASE WHEN n_a <= 0 THEN 0.0
+         |       ELSE round(inter::DOUBLE / n_a, 6) END AS cont_a,
+         |  CASE WHEN n_b <= 0 THEN 0.0
+         |       ELSE round(inter::DOUBLE / n_b, 6) END AS cont_b
+         |FROM calc
+         |ORDER BY src_a, src_b""".stripMargin,
     // direct groupBy SQL: the salted two-phase plan must produce the
     // identical relation (that equivalence is the operator's contract)
     "q_source_stats" ->
@@ -4864,6 +5056,16 @@ object SparkEntry {
          |CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 = 0) v
          |WHERE round(list_cosine_similarity(t.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) >= $SemanticContamThr
          |ORDER BY eval_id, t.vec_id""".stripMargin,
+    // the planner-dispatched radius workload: BOTH dispatchable paths
+    // are exact and selfChecked row-identical, so the brute cross-join
+    // is a full oracle whichever the cost table picks
+    "q_contamination_semantic_plan" ->
+      s"""SELECT v.vec_id AS eval_id, t.vec_id,
+         |       round(list_cosine_similarity(t.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) AS sim
+         |FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 <> 0) t
+         |CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 = 0) v
+         |WHERE round(list_cosine_similarity(t.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6) >= $SemanticContamThr
+         |ORDER BY eval_id, t.vec_id""".stripMargin,
     "q_bpe_pairs" ->
       s"""SELECT l, r, cnt FROM (${Vocab.sqlPairCounts("documents", "text")})
          |ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
@@ -4881,6 +5083,19 @@ object SparkEntry {
              "(SELECT * FROM documents WHERE doc_id % 3 <> 2)",
              "documents", "text")})
          |ORDER BY abs(delta) DESC, word LIMIT 20""".stripMargin,
+    // the refresh advisor's five measurements recomputed from the two
+    // horizon corpora from scratch (the Spark side reads only the
+    // persisted folds); recommend applies the same declared tolerance
+    // to the UNROUNDED ratio on both sides
+    "q_vocab_refresh_plan" ->
+      s"""SELECT sum(cnt_then)::BIGINT AS mass_then,
+         |       sum(cnt_now)::BIGINT AS mass_now,
+         |       sum(abs(delta))::BIGINT AS changed_mass,
+         |       round(sum(abs(delta))::DOUBLE / sum(cnt_now), 6) AS ratio,
+         |       (sum(abs(delta))::DOUBLE / sum(cnt_now)) > 0.25 AS recommend
+         |FROM (${Vocab.sqlCountsDiff(
+             "(SELECT * FROM documents WHERE doc_id % 3 <> 2)",
+             "documents", "text")})""".stripMargin,
     "q_bpe_tokenize" ->
       s"""SELECT id AS doc_id, n_bpe
          |FROM (${Vocab.sqlTokenizeCounts("documents", "doc_id", "text", 3)})

@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.dedup.Dedup
 import graft.functions.Text
 import graft.text.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark-contamination detection (north-star addition): flag training
@@ -238,6 +238,68 @@ object Contamination {
         col("__b.eid").as("best_eval_id"),
         col("__b.c").as("best_cos"),
         coalesce(col("__b.c") >= threshold, lit(false)).as("contaminated"))
+  }
+
+  /** The PAIR-shaped rendition of [[semanticOverlap]] — every
+    * (eval, train) pair with cosine ≥ `threshold`, as
+    * (query_id, nbr_id, sim): the same relation
+    * [[graft.index.Ivf.rangeJoinExact]] emits, so the two are
+    * interchangeable physical paths for one radius workload and
+    * [[graft.search.AnnPlanner.planRange]] can dispatch between them on
+    * cost. Same plan shape as [[semanticOverlap]] (eval set as ONE
+    * constant-folded literal, training side a single narrow scan, zero
+    * joins/shuffles — the per-row transform keeps only pairs clearing
+    * the cut before exploding, so sub-threshold pairs never become
+    * rows), same guards (bounded + ≤ [[MaxLiteralEval]] eval batch,
+    * zero-norm eval refused, zero-norm/null train rows report clean),
+    * and the same rounding/accumulation as the routed twin — IEEE
+    * multiplication is commutative, so `dot / (trainNorm · evalNorm)`
+    * is bit-identical to the routed plan's `dot / (qn · cn)` and the
+    * outputs hash-match. Self-pairs are excluded, matching the routed
+    * twin. */
+  def semanticOverlapPairs(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    import graft.search.VectorSearch
+    VectorSearch.requireBoundedBatch(eval, "Contamination.semanticOverlapPairs")
+    val evalRows = eval
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(evalRows.nonEmpty,
+      "Contamination.semanticOverlapPairs: empty eval set — nothing to screen against")
+    require(evalRows.length <= MaxLiteralEval,
+      s"Contamination.semanticOverlapPairs: eval set has ${evalRows.length} " +
+        s"rows > $MaxLiteralEval — too large to ride as a plan literal. " +
+        "Use Ivf.rangeJoinExact (exact, cluster-pruned) for eval sets " +
+        "beyond benchmark size")
+    require(evalRows.forall(!_.isNullAt(1)),
+      "Contamination.semanticOverlapPairs: eval rows must all carry a vector")
+    val evalLit = array(evalRows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      var s2 = 0.0
+      v.foreach(x => s2 += x * x)
+      val en = math.sqrt(s2)
+      require(en > 0,
+        s"Contamination.semanticOverlapPairs: eval row ${r.getLong(0)} has " +
+          "a zero-norm vector — cosine against it is undefined")
+      struct(lit(r.getLong(0)).as("eid"),
+        Vectors.vecLit(v).as("v"), lit(en).as("en"))
+    }.toIndexedSeq: _*)
+    def hits(n: Column) = filter(
+      transform(evalLit, e => struct(
+        e.getField("eid").as("query_id"),
+        round(Vectors.dot(col(vecCol), e.getField("v")) /
+          (n * e.getField("en")), VectorSearch.ScoreDecimals).as("sim"))),
+      p => p.getField("sim") >= threshold)
+    train
+      .select(col(idCol).cast("long").as("nbr_id"),
+        col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("__n", Vectors.l2norm(col(vecCol)))
+      .where(col(vecCol).isNotNull && col("__n") > 0)
+      .select(col("nbr_id"), explode(hits(col("__n"))).as("p"))
+      .where(col("p.query_id") =!= col("nbr_id"))
+      .select(col("p.query_id").as("query_id"), col("nbr_id"),
+        col("p.sim").as("sim"))
   }
 
   /** Oracle rendition of [[semanticOverlap]]; `trainTable`/`evalTable`

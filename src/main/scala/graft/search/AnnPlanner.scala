@@ -366,6 +366,137 @@ object AnnPlanner {
       s"unknown ANN plan path '$other'")
   }
 
+  /** One executable RANGE (radius) retrieval recommendation
+    * ([[planRange]]): every (query, corpus) pair with cosine ≥ threshold.
+    * Both dispatched paths are EXACT, so like [[planKnnJoin]]'s exact
+    * regime the cost table is the whole decision and a caller's
+    * cross-join SQL oracle stays valid whichever wins. */
+  case class RangePlan(path: String, estimatedScanUnits: Double,
+      costs: Seq[(String, Double)], rationale: Seq[String])
+
+  /** Cost-plan the cosine RANGE JOIN — the radius-search regime
+    * (semantic eval-set decontamination, SemDeDup-style neighborhoods)
+    * that was the last hand-dispatched workload (VERDICT r12): two
+    * exact engine paths, one decision.
+    *
+    *  - literalScan ([[graft.pipeline.Contamination.semanticOverlapPairs]]):
+    *    nQ·n·dim — the eval set rides as ONE constant-folded plan
+    *    literal over a single narrow corpus scan, zero joins/shuffles.
+    *    Structurally unavailable past
+    *    [[graft.pipeline.Contamination.MaxLiteralEval]] query rows (a
+    *    plan literal is not a broadcast).
+    *  - ballCoverRange ([[graft.index.Ivf.rangeJoinExact]]):
+    *    nQ·dim·nlist (bound checks) + massFraction·nQ·n·dim (the probed
+    *    members) — exact at ANY geometry by the cosUpperBound theorem.
+    *    `candidateMassFraction` is the MEASURED surviving-mass fraction
+    *    (the usual honesty boundary: pruning quality is
+    *    geometry-dependent — near 0 on clustered embeddings above the
+    *    cut, ≈ 1 on spread-out fixtures); measure it with
+    *    [[measureRangeMassFraction]], which costs centroid arithmetic
+    *    only — no corpus touch.
+    *
+    * The sign-LSH pair screens price a THIRD regime (very high
+    * thresholds, corpus-vs-itself) with analytic recall floors — they
+    * emit candidate pairs for a verify stage rather than scored range
+    * rows, so they live behind [[graft.dedup.Planner.planCosine]]'s
+    * dispatcher, not this one; the rationale names the boundary. */
+  def planRange(nQueries: Long, n: Long, dim: Int, threshold: Double,
+      assets: AnnAssets = AnnAssets(),
+      candidateMassFraction: Double = 1.0): RangePlan = {
+    require(nQueries > 0, s"query batch must be non-empty, got $nQueries")
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(threshold > -1.0 && threshold <= 1.0,
+      s"cosine range threshold must be in (-1, 1], got $threshold")
+    require(candidateMassFraction >= 0 && candidateMassFraction <= 1,
+      s"candidateMassFraction in [0,1], got $candidateMassFraction")
+    val nd = n.toDouble
+    val nq = nQueries.toDouble
+    val costs = Seq.newBuilder[(String, Double)]
+    val literalOk = nQueries <= graft.pipeline.Contamination.MaxLiteralEval
+    if (literalOk) costs += "literalScan" -> (nq * nd * dim)
+    if (assets.ivfClusters > 0)
+      costs += "ballCoverRange" ->
+        (nq * dim * (assets.ivfClusters + candidateMassFraction * nd))
+    val table = costs.result()
+    require(table.nonEmpty,
+      s"no range path available: $nQueries queries exceed the literal " +
+        s"cap (${graft.pipeline.Contamination.MaxLiteralEval}) and no " +
+        "IVF index was declared — build one (Ivf.build + saveIvf) to " +
+        "unlock the ball-cover range join")
+    val (winner, cost) = table.minBy(_._2)
+    RangePlan(winner, cost, table, Seq(
+      f"argmin of batch scan units over ${table.size}%d exact paths: " +
+        table.map { case (p, c) => f"$p ${c}%.3g" }.mkString(", ") +
+        (if (!literalOk) f" (literalScan unavailable: $nQueries%d queries " +
+          "exceed the plan-literal cap)" else ""),
+      f"candidateMassFraction $candidateMassFraction%.3f is the MEASURED " +
+        "surviving-mass fraction under the ball-cover bound at threshold " +
+        f"$threshold%.2f — centroid arithmetic only, re-measure per " +
+        "workload (measureRangeMassFraction)",
+      "both paths are exact (recall is the cosUpperBound theorem / a " +
+        "plan literal), so the cross-join oracle is valid either way; " +
+        "corpus-vs-itself screens at very high thresholds belong to " +
+        "dedup.Planner.planCosine's sign-LSH regime (candidates + " +
+        "verify), not scored range output"))
+  }
+
+  /** MEASURE [[planRange]]'s `candidateMassFraction` for a concrete
+    * query batch: the fraction of (query × indexed-member) mass whose
+    * cluster survives the [[graft.index.Ivf.cosUpperBound]] check at
+    * `threshold`. Pure driver arithmetic over the collected batch and
+    * the centroid table — the corpus is never touched, so measuring
+    * before every dispatch is free by construction (unlike the kNN
+    * depths, which need a real probe and therefore persist in
+    * sidecars). */
+  def measureRangeMassFraction(index: Ivf.IvfIndex, queries: DataFrame,
+      qIdCol: String, qEmbCol: String, threshold: Double): Double = {
+    VectorSearch.requireBoundedBatch(queries, "measureRangeMassFraction")
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qEmbCol).cast("array<double>"))
+      .collect()
+    require(qRows.nonEmpty, "range-mass measurement needs a query sample")
+    val nonEmpty = index.sizes.filter(_._2 > 0)
+    val total = nonEmpty.values.sum
+    if (total == 0) return 0.0
+    var mass = 0.0
+    qRows.foreach { r =>
+      require(!r.isNullAt(1), "range-mass measurement needs a vector per query")
+      val qv = r.getSeq[Double](1).toArray
+      var n2 = 0.0
+      qv.foreach(x => n2 += x * x)
+      require(n2 > 0,
+        s"measureRangeMassFraction: query ${r.getLong(0)} has a zero-norm " +
+          "vector — the range join itself refuses it; filter upstream")
+      val qNorm = qv.map(_ / math.sqrt(n2))
+      nonEmpty.foreach { case (cid, sz) =>
+        if (Ivf.cosUpperBound(index, qNorm, cid) >= threshold - 1e-6)
+          mass += sz.toDouble
+      }
+    }
+    mass / (qRows.length.toDouble * total)
+  }
+
+  /** Run a [[RangePlan]]'s recommended path — same contract as
+    * [[execute]]/[[executeKnnJoin]]: the asset the plan routes through
+    * must be supplied, a missing one fails loudly. Output is the shared
+    * (query_id, nbr_id, sim ≥ threshold) pair relation. */
+  def executeRange(plan: RangePlan, queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qEmbCol: String, cIdCol: String, cEmbCol: String,
+      threshold: Double,
+      ivf: Option[Ivf.IvfIndex] = None): DataFrame = plan.path match {
+    case "literalScan" =>
+      graft.pipeline.Contamination.semanticOverlapPairs(
+        corpus.select(col(cIdCol).as(qIdCol), col(cEmbCol).as(qEmbCol)),
+        queries, qIdCol, qEmbCol, threshold)
+    case "ballCoverRange" =>
+      Ivf.rangeJoinExact(ivf.getOrElse(throw new IllegalArgumentException(
+          "plan routes through ballCoverRange but no IVF index was supplied")),
+        queries, corpus, qIdCol, qEmbCol, cIdCol, cEmbCol, threshold)
+    case other => throw new IllegalArgumentException(
+      s"unknown range plan path '$other'")
+  }
+
   // -------------------------------------------- measurement instruments
   //
   // The planner's honesty contract makes every approximate path's coarse

