@@ -379,7 +379,7 @@ object SparkEntry {
       }
     })
     CorpusAnalysis.sourceOverlapFromSummaries(spark,
-        srcPaths.map { case (src, p) => src -> IndexStore.loadSummary(spark, p) })
+        IndexStore.loadSummaries(spark, srcPaths))
       .orderBy("src_a", "src_b")
   }
 

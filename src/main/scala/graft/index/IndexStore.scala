@@ -2421,6 +2421,17 @@ object IndexStore {
       : org.apache.spark.sql.streaming.StreamingQuery =
     deleteStream(deletes, checkpoint)(deleteBatchZOrder(_, path, _))
 
+  /** Streaming erasure for the word-count vocab family — unlockable
+    * since the round-13 erased-id ledger: a GDPR queue's repeated ids
+    * across micro-batches now dedupe per wave instead of
+    * double-subtracting (exactly the repeat shape a queue feeds), so
+    * the family joins the [[streamDeletesIntoIvf]] hook roster. */
+  def streamDeletesIntoWordCounts(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchWordCounts(_, idCol, textCol, path, _))
+
   /** Streaming index upkeep for the vector index — the IVF member of the
     * [[streamIntoBm25]]/[[streamIntoSignLsh]] family: incoming vectors are
     * assigned to their nearest cell as they arrive; each completed batch is
@@ -4410,6 +4421,27 @@ object IndexStore {
       .where(col("batch").cast("long").isin(batches: _*))
       .agg(sum(col("n"))).head()
     SummaryIndex(mg, mins, if (r.isNullAt(0)) 0L else r.getLong(0), kMg, kKmv)
+  }
+
+  /** Load a FLEET of summary families concurrently — the report-time
+    * entry point for per-source matrices
+    * ([[graft.text.CorpusAnalysis.sourceOverlapFromSummaries]]): each
+    * [[loadSummary]] is a handful of tiny sidecar reads (meta, marks,
+    * mg, kmv — milliseconds of work each), so loading N sources
+    * SEQUENTIALLY pays N × per-job scheduling latency — at 20 sources
+    * that was the single most expensive line of the whole report (10+ s
+    * of driver round-trips for ~0 bytes of data). Spark job submission
+    * is thread-safe; submitting the loads concurrently collapses the
+    * wall-clock to ~the slowest single load. Returns in input order. */
+  def loadSummaries(spark: SparkSession, paths: Seq[(String, String)])
+      : Seq[(String, SummaryIndex)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.traverse(paths) { case (name, path) =>
+        Future(name -> loadSummary(spark, path))
+      }, Duration.Inf)
   }
 
   /** [[loadSummary]] with the STALENESS GUARD: a summary missing an

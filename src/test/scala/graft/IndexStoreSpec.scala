@@ -2088,6 +2088,32 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
         docs.where($"doc_id" % 9 === 0).select("doc_id"), "doc_id",
         Seq("quantile" -> qDir))
       .as[(String, Long, Long)].head()._3 === 0L)
+    // the word-count vocab family drains the same queue — including the
+    // queue's signature REPEATS: wave 2 re-requests part of wave 1's
+    // ids, and the r13 erased-id ledger dedupes them to ONE subtraction
+    // (the exact shape that kept this family off the hook roster before)
+    val wcDir = Files.createTempDirectory("wcstreamdel").toString
+    val wcCkpt = Files.createTempDirectory("wcstreamdelckpt").toString
+    val dText = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").localCheckpoint(true)
+    IndexStore.saveWordCounts(dText, "doc_id", "text", wcDir)
+    val doomedText = dText.where($"doc_id" % 8 === 0)
+      .as[(Long, String)].collect()
+    val wmem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val wq = IndexStore.streamDeletesIntoWordCounts(
+      wmem.toDF().toDF("doc_id", "text"), "doc_id", "text", wcDir, wcCkpt)
+    try {
+      val (w1, w2) = doomedText.splitAt(doomedText.length / 2)
+      wmem.addData(w1.toIndexedSeq); wq.processAllAvailable()
+      wmem.addData((w2 ++ w1.take(w1.length / 2)).toIndexedSeq)
+      wq.processAllAvailable()
+    } finally wq.stop()
+    IndexStore.loadWordCountsChecked(spark, wcDir,
+      dText.where($"doc_id" % 8 =!= 0), "doc_id", "text")
+    assert(IndexStore.erasureAudit(spark,
+        dText.where($"doc_id" % 8 === 0).select("doc_id"), "doc_id",
+        Seq("wordcount" -> wcDir))
+      .as[(String, Long, Long)].head()._3 === 0L)
   }
 
   test("compaction advisor: receipts from sidecars, workload flips the fold, execute folds and preserves checkability") {
