@@ -317,6 +317,66 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** The quality-filter LM as a PERSISTED family ([[IndexStore.saveLm]]):
+    * bigram + unigram count deltas accreted per ingest wave (both
+    * invertible sums — the word-count family's discipline one level up:
+    * prefix counts are DERIVED from the bigram fold so they can never
+    * drift, vocab size is the unigram fold's surviving support), with
+    * the erased-id ledger, logical-clock waves, staleness fingerprint,
+    * compaction, and as-of horizons every persisted family carries. */
+  private val lmBuilt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusLmDisk(spark: SparkSession, dir: String)
+      : LanguageModel.BigramLm = {
+    val path = lmBuilt.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_lm_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val d = Tables.documents(spark, dir).select("doc_id", "text")
+      IndexStore.saveLm(
+        d.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", p)
+      IndexStore.appendBatchLm(
+        d.where(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", p, 0L)
+      IndexStore.appendBatchLm(
+        d.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", p, 1L)
+      p
+    })
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    checkedOncePerWave(spark, dir, "lm")(
+      IndexStore.loadLmChecked(spark, path, d, "doc_id", "text"))(
+      IndexStore.loadLm(spark, path))
+  }
+
+  /** Perplexity scoring from the PERSISTED LM fold ([[corpusLmDisk]] —
+    * three committed waves): the folded model must equal a fresh
+    * [[LanguageModel.train]] over the committed corpus, so this shares
+    * `q_lm_score`'s self-score oracle verbatim — a drifted bigram fold,
+    * a prefix count disagreeing with its bigrams, or a wrong vocab size
+    * all fail the hash. Scoring cost is unchanged (two count-table
+    * joins); what the family buys is the TRAIN side: the model tracks
+    * the corpus at wave cost instead of a per-refresh rescan. */
+  private def qLmScoreInc(spark: SparkSession, dir: String): DataFrame =
+    LanguageModel.score(corpusLmDisk(spark, dir),
+        Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** LM TIME TRAVEL ([[IndexStore.loadLmAsOf]]): score TODAY'S corpus
+    * under the LM the BASE build saw (horizon −1 — the earliest legal
+    * horizon, exercising the boundary) — the frozen-trusted-LM
+    * production pattern (quality gates deliberately pin the scoring
+    * model while the corpus moves) as a marker filter instead of a
+    * snapshot copy. The oracle trains on exactly the horizon corpus
+    * (doc_id %% 3 = 0) and LEFT-join-scores the full table, so the
+    * unseen-bigram smoothing path is hash-checked too. */
+  private def qLmScoreAsof(spark: SparkSession, dir: String): DataFrame = {
+    corpusLmDisk(spark, dir) // build fixture + tip freshness
+    LanguageModel.score(
+        IndexStore.loadLmAsOf(spark, lmBuilt((spark, dir)), throughWave = -1L),
+        Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** North-star cross-document duplicate-n-gram profile: per document, the
     * share of its distinct shingles repeated elsewhere in the corpus — the
     * linear-cost boilerplate read-out pairwise near-dup detection can't
@@ -3408,10 +3468,11 @@ object SparkEntry {
     * residual and fails the hash. One narrow id-projection scan per
     * family per wave: the compliance cadence, never per query. */
   /** FLEET ERASURE WAVE ([[IndexStore.executeErasureWave]]): one call
-    * drains a GDPR wave (doc_id ≡ 0 mod 6) into FOUR families built over
+    * drains a GDPR wave (doc_id ≡ 0 mod 6) into FIVE families built over
     * the same corpus — BM25, the scalar quantile sample, the per-source
-    * grouped sample, and (round 13) the word-count vocab family, admitted
-    * by its new erased-id ledger ([[IndexStore.deleteBatchWordCounts]]:
+    * grouped sample, and (round 13) the word-count vocab family AND the
+    * bigram LM, both admitted by the erased-id ledger
+    * ([[IndexStore.deleteBatchWordCounts]]/[[IndexStore.deleteBatchLm]]:
     * overlapping requests dedupe instead of double-subtracting, and the
     * ledger IS the family's certificate — erased ids with no committed
     * ledger entry count as residual). The returned relation IS the
@@ -3437,12 +3498,15 @@ object SparkEntry {
       val q = s"$tmp/graft_waveq_$tag"
       val gq = s"$tmp/graft_wavegq_$tag"
       val wc = s"$tmp/graft_wavewc_$tag"
+      val lmp = s"$tmp/graft_wavelm_$tag"
       IndexStore.createBm25(d, "doc_id", "text", bm)
       IndexStore.saveQuantile(d, "doc_id", "n_chars", k = 1024, q)
       IndexStore.saveGroupedQuantile(d, "doc_id", "source", "n_chars",
         1024, gq)
       IndexStore.saveWordCounts(d, "doc_id", "text", wc)
+      IndexStore.saveLm(d, "doc_id", "text", lmp)
       Seq(IndexStore.ErasureTarget("bm25", bm, Seq("text")),
+        IndexStore.ErasureTarget("lm", lmp, Seq("text")),
         IndexStore.ErasureTarget("quantile", q, Seq("n_chars")),
         IndexStore.ErasureTarget("gquantile", gq, Seq("source", "n_chars")),
         IndexStore.ErasureTarget("wordcount", wc, Seq("text")))
@@ -3678,6 +3742,8 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) => qRepetition(s, dir)),
     "q_vocab_stats" -> ((s, dir) => qVocabStats(s, dir)),
     "q_lm_score" -> ((s, dir) => qLmScore(s, dir)),
+    "q_lm_score_inc" -> ((s, dir) => qLmScoreInc(s, dir)),
+    "q_lm_score_asof" -> ((s, dir) => qLmScoreAsof(s, dir)),
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
     "q_source_overlap" -> ((s, dir) => qSourceOverlap(s, dir)),
     "q_source_overlap_inc" -> ((s, dir) => qSourceOverlapInc(s, dir)),
@@ -3928,7 +3994,7 @@ object SparkEntry {
       """SELECT family, n AS erased_n, CAST(0 AS BIGINT) AS residual
         |FROM (SELECT count(DISTINCT doc_id) AS n FROM documents
         |      WHERE doc_id % 6 = 0),
-        |     (SELECT unnest(['bm25', 'gquantile', 'quantile', 'wordcount']) AS family)
+        |     (SELECT unnest(['bm25', 'gquantile', 'lm', 'quantile', 'wordcount']) AS family)
         |ORDER BY family""".stripMargin,
     // positional-index twin: same phrase, same corpus, same relation as
     // q_phrase_find — only the PLAN differs (bucket probes, no scan)
@@ -4103,6 +4169,21 @@ object SparkEntry {
       CorpusAnalysis.sqlVocabStats("documents", "text"),
     "q_lm_score" ->
       s"""WITH ${LanguageModel.sqlSelfScoreCtes("documents", "doc_id", "text")}
+         |SELECT id AS doc_id, lm_nlp, ppl, n_bigrams
+         |FROM lmscore ORDER BY doc_id""".stripMargin,
+    // the persisted fold must equal a fresh train over the committed
+    // corpus — SAME self-score arithmetic as q_lm_score
+    "q_lm_score_inc" ->
+      s"""WITH ${LanguageModel.sqlSelfScoreCtes("documents", "doc_id", "text")}
+         |SELECT id AS doc_id, lm_nlp, ppl, n_bigrams
+         |FROM lmscore ORDER BY doc_id""".stripMargin,
+    // LM as of the base wave scoring the FULL corpus: the oracle trains
+    // on exactly the horizon subset and LEFT-join-scores everything, so
+    // the unseen-bigram smoothing path is hash-checked too
+    "q_lm_score_asof" ->
+      s"""WITH ${LanguageModel.sqlScoreCtes(
+             "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+             "documents", "doc_id", "text")}
          |SELECT id AS doc_id, lm_nlp, ppl, n_bigrams
          |FROM lmscore ORDER BY doc_id""".stripMargin,
     "q_dup_ngram_profile" ->

@@ -1617,7 +1617,7 @@ object IndexStore {
     "containment" -> "sizes", "grams" -> "marks", "phrase" -> "marks",
     "windows" -> "marks", "stats" -> "commits", "summary" -> "marks",
     "zorder" -> "marks", "quantile" -> "marks", "gquantile" -> "marks",
-    "wordcount" -> "marks", "wc" -> "marks")
+    "wordcount" -> "marks", "wc" -> "marks", "lm" -> "marks")
 
   def describeFamily(spark: SparkSession, family: String, path: String)
       : FamilyState = {
@@ -1744,7 +1744,7 @@ object IndexStore {
         throw new IllegalArgumentException(
           s"unknown family '$other' — auditable families: ivf, pq, " +
             "prefix, signlsh/sign-lsh, bm25, phrase, windows, " +
-            "containment, quantile, gquantile, wordcount")
+            "containment, quantile, gquantile, wordcount, lm")
     }
     // the quantile samples are hash-keyed, not id-keyed: an erased id's
     // row may legitimately be absent (never sampled), but a SAMPLED row
@@ -1758,7 +1758,7 @@ object IndexStore {
       .collect().map(_.getLong(0)).toSet
     val rows = families.map { case (family, path) =>
       val residual = family match {
-        case "wordcount" | "wc" =>
+        case "wordcount" | "wc" | "lm" =>
           // the wc fold has no id column, so "still visible in the live
           // loader" is not probeable — the certificate is LEDGER-based
           // instead: an erased id is certified iff a COMMITTED delete
@@ -4512,6 +4512,83 @@ object IndexStore {
     swapStaged(spark, path, staged, Seq("mg", "kmv", "meta", "marks"))
   }
 
+  // -------------------------------------- fold-only-family erased-id ledger
+  //
+  // Shared machinery for families whose persisted relations carry NO id
+  // column (word counts, bigram LM): their folds cannot anti-join
+  // tombstones at load, so the ledger's job is different from the
+  // id-keyed families' — it DEDUPES erasure requests (the same id under
+  // two wave ids must subtract once, or the fold is poisoned until
+  // rebuild) and is therefore LOAD-BEARING FOREVER: it survives
+  // compaction (the fold cannot re-derive which ids were erased) and
+  // vetoes re-ingest of a ledgered id (whose next erasure request would
+  // dedupe against the old entry and silently never subtract).
+
+  /** Refuse an append wave that re-ingests a ledgered id (one
+    * wave-sized anti-probe against the broadcast ledger — only when a
+    * ledger exists). */
+  private def ledgerRefuseReingest(spark: SparkSession, path: String,
+      committed: Seq[Long], docs: org.apache.spark.sql.DataFrame,
+      idCol: String, family: String, batchId: Long): Unit =
+    if (hasDataFiles(spark, s"$path/tombstones")) {
+      val offender = docs.select(col(idCol).cast("string").as("id"))
+        .join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .where(col("batch").cast("long").isin(committed: _*))
+          .select(col("id").cast("string").as("id"))),
+          Seq("id"), "left_semi")
+        .limit(1).collect()
+      require(offender.isEmpty,
+        s"$family append wave $batchId re-ingests erased id " +
+          s"'${offender.headOption.map(_.getString(0)).getOrElse("")}' — " +
+          "an id in the erased-id ledger cannot re-enter (its next " +
+          "erasure request would dedupe against the old entry and " +
+          "silently never subtract); rebuild the family if the id " +
+          "legitimately returns")
+    }
+
+  /** Dedupe a delete wave against the committed ledger: rows whose
+    * string-rendered id (the [[erasureAudit]] canonical form) has NO
+    * committed ledger entry, carrying the ORIGINAL id column as
+    * `__origid` — xxhash64 fingerprints are type-sensitive, and the
+    * append side hashed the raw column, so the delta must hash the same
+    * bytes. localCheckpoint'd: three consumers follow (ledger write,
+    * count deltas, fingerprint). */
+  private def ledgerDedupe(spark: SparkSession, path: String,
+      committed: Seq[Long], docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    minusTombstones(spark, path, committed,
+        docs.select(col(idCol).cast("string").as("id"),
+          col(idCol).as("__origid"), col(textCol).as("__text")))
+      .localCheckpoint(true)
+
+  /** Record the deduped wave's ids under its marker partition — BEFORE
+    * the family's marks commit (a crash in between leaves orphan ledger
+    * rows no committed marker scopes in — unread). */
+  private def ledgerWrite(fresh: org.apache.spark.sql.DataFrame,
+      path: String, mid: Long): Unit =
+    fresh.select("id")
+      .withColumn("batch", lit(mid))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombstones")
+
+  /** Re-base the committed ledger under the folded batch=-1 marker —
+    * the compaction step that keeps post-fold dedupe working. Returns
+    * whether a ledger was staged (callers extend their swap list). */
+  private def ledgerStageForCompaction(spark: SparkSession, path: String,
+      batches: Seq[Long], staged: String): Boolean = {
+    val hasLedger = hasDataFiles(spark, s"$path/tombstones")
+    if (hasLedger)
+      spark.read.parquet(s"$path/tombstones")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .select(col("id").cast("string").as("id")).distinct()
+        .withColumn("batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch")
+        .parquet(s"$staged/tombstones")
+    hasLedger
+  }
+
   // ---------------------------------------------- word-count vocab family
   //
   // EXACT corpus word counts as a persisted, appendable family — the
@@ -4588,26 +4665,10 @@ object IndexStore {
     requireMonotonicWave(spark, path, committed0, batchId,
       "word-count append")
     // re-ingesting a LEDGERED id is refused loudly (the zorder
-    // tombstoned-hash re-ingest contract): the erased-id ledger is what
-    // dedupes overlapping erasure requests, so a re-ingested id's NEXT
-    // erasure request would dedupe against its old entry and silently
-    // never subtract — the one lie the ledger exists to prevent. Cost:
-    // one wave-sized anti-probe against the broadcast ledger.
-    if (hasDataFiles(spark, s"$path/tombstones")) {
-      val offender = docs.select(col(idCol).cast("string").as("id"))
-        .join(broadcast(spark.read.parquet(s"$path/tombstones")
-          .where(col("batch").cast("long").isin(committed0: _*))
-          .select(col("id").cast("string").as("id"))),
-          Seq("id"), "left_semi")
-        .limit(1).collect()
-      require(offender.isEmpty,
-        s"word-count append wave $batchId re-ingests erased id " +
-          s"'${offender.headOption.map(_.getString(0)).getOrElse("")}' — " +
-          "an id in the erased-id ledger cannot re-enter (its next " +
-          "erasure request would dedupe against the old entry and " +
-          "silently never subtract); rebuild with saveWordCounts if the " +
-          "id legitimately returns")
-    }
+    // tombstoned-hash re-ingest contract; see the fold-only-family
+    // ledger section above)
+    ledgerRefuseReingest(spark, path, committed0, docs, idCol,
+      "word-count", batchId)
     writeWordCountBatch(docs, idCol, textCol, path, batchId,
       overwriteAll = false, negate = false)
   }
@@ -4654,23 +4715,10 @@ object IndexStore {
     // case, and double-subtraction would poison the fold until rebuild.
     // localCheckpoint: three consumers follow (ledger write, counts,
     // fingerprint) and the anti-join must not re-execute per consumer.
-    // the ledger joins on the STRING rendering (the erasureAudit
-    // canonical form) but the fingerprint must hash the ORIGINAL id type
-    // — xxhash64 is type-sensitive, and the append side hashed the raw
-    // column, so a string-cast here would stop the subtraction from
-    // cancelling and poison the checked loader
-    val fresh = minusTombstones(spark, path, committed0,
-        docs.select(col(idCol).cast("string").as("id"),
-          col(idCol).as("__origid"), col(textCol).as("__text")))
-      .localCheckpoint(true)
-    // ledger BEFORE marks (marks are the commit): a crash in between
-    // leaves orphan ledger rows no committed marker scopes in — unread
-    fresh.select("id")
-      .withColumn("batch", lit(mid))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch")
-      .parquet(s"$path/tombstones")
+    // only ids with NO committed ledger entry may subtract (overlapping
+    // GDPR requests are the normal case); ledger BEFORE marks
+    val fresh = ledgerDedupe(spark, path, committed0, docs, idCol, textCol)
+    ledgerWrite(fresh, path, mid)
     writeWordCountBatch(fresh, "__origid", "__text", path, mid,
       overwriteAll = false, negate = true)
   }
@@ -4754,25 +4802,235 @@ object IndexStore {
     Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(s"$staged/marks")
-    // the erased-id ledger SURVIVES the fold, re-based under the folded
-    // batch=-1 marker: the id-keyed families purge their tombstones here
-    // because the compacted snapshot physically excludes those rows, but
-    // the wc fold carries no ids — without the ledger, a post-fold
-    // repeat of an already-served erasure request would double-subtract
-    // (and appendBatchWordCounts could silently re-admit an erased id).
-    // Bounded by total erasure volume, the family's usual broadcast size.
-    val hasLedger = hasDataFiles(spark, s"$path/tombstones")
-    if (hasLedger)
-      spark.read.parquet(s"$path/tombstones")
-        .where(col("batch").cast("long").isin(batches: _*))
-        .select(col("id").cast("string").as("id")).distinct()
-        .withColumn("batch", lit(-1L))
-        .write.mode(SaveMode.Overwrite).partitionBy("batch")
-        .parquet(s"$staged/tombstones")
+    // the erased-id ledger SURVIVES the fold (fold-only-family ledger
+    // section above): re-based under the folded batch=-1 marker
+    val hasLedger = ledgerStageForCompaction(spark, path, batches, staged)
     writeAsofFloor(spark, floor, s"$staged/asof_floor")
     // asof_floor first — see compactBm25's fail-safe ordering note
     swapStaged(spark, path, staged, Seq("asof_floor", "wc", "marks") ++
       (if (hasLedger) Seq("tombstones") else Seq.empty))
+  }
+
+  // ------------------------------------------------- bigram LM family
+  //
+  // The CCNet-style quality-filter LM ([[graft.text.LanguageModel]]) as
+  // a persisted, appendable family — the model that SCORES every wave
+  // should itself track the corpus at wave cadence instead of being
+  // retrained by a full rescan. Both relations the model needs are
+  // invertible sums over per-doc events (the word-count family's
+  // discipline, one level up):
+  //
+  //   bg/batch=N/   (w1, w2, c) — the wave's bigram counts (delete waves
+  //                 write NEGATED counts); prefix counts cc(w1) are
+  //                 DERIVED at load as Σ_w2 c(w1,w2), so they can never
+  //                 drift from the bigrams
+  //   uni/batch=N/  (word, cnt) — the wave's unigram counts; the vocab
+  //                 size V is the fold's surviving-word count (distinct
+  //                 counts don't sum, but signed unigram counts do —
+  //                 and their > 0 support IS the distinct set)
+  //   marks/batch=N (n, fp)     — doc count + additive (id, text)
+  //                 fingerprint delta; written LAST = commit
+  //   tombstones/   erased-id ledger (fold-only-family discipline above)
+  //
+  // load = fold both tables, derive prefixes and V → a [[graft.text
+  // .LanguageModel.BigramLm]] that EQUALS [[graft.text.LanguageModel
+  // .train]] over exactly the committed corpus (gate-checked:
+  // q_lm_score_inc shares q_lm_score's arithmetic; q_lm_score_asof
+  // scores the tip under the LM a wave-0 run saw — the frozen-trusted-LM
+  // production pattern, as reproducible time travel).
+
+  private def writeLmBatch(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long,
+      overwriteAll: Boolean, negate: Boolean): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def writer(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+      (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+        .partitionBy("batch")
+    }
+    val sign = if (negate) -1L else 1L
+    // bg and uni aggregate DIFFERENT explosions of the same wave — each
+    // is one map-side-combined pass; both stay vocabulary-bounded
+    val bg = graft.text.LanguageModel.pairs(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg((count(lit(1)) * lit(sign)).as("c"))
+    writer(bg).parquet(s"$path/bg")
+    val uni = graft.text.Vocab.wordCounts(docs, textCol)
+      .select(col("word"), (col("cnt") * lit(sign)).as("cnt"))
+    writer(uni).parquet(s"$path/uni")
+    // marks LAST = commit (doc n + (id, text) fingerprint delta)
+    val (n, fp) = corpusFingerprint(
+      docs.select(col(idCol), col(textCol)), idCol, textCol)
+    val row = Seq((sign * n, new java.math.BigDecimal(sign)
+      .multiply(fp).toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) row
+     else row.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Build and persist the bigram-LM family over `docs` — Overwrite =
+    * S7 `--replace`. */
+  def saveLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    writeLmBatch(docs, idCol, textCol, path, batchId = -1L,
+      overwriteAll = true, negate = false)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/asof_floor"), true)
+    // a replaced LM must not carry a previous run's erased-id ledger
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
+  /** Accrete one ingest wave — work ∝ wave (one tokenize + two
+    * aggregations); the persisted tables are never rescanned.
+    * Idempotent at every crash point (marks commit last); wave ids obey
+    * the logical clock; ledgered ids refuse re-ingest. */
+  def appendBatchLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    val committed0 = committedBatches(spark, s"$path/marks")
+    if (committed0.contains(batchId)) return
+    requireMonotonicWave(spark, path, committed0, batchId, "LM append")
+    ledgerRefuseReingest(spark, path, committed0, docs, idCol, "LM",
+      batchId)
+    writeLmBatch(docs, idCol, textCol, path, batchId,
+      overwriteAll = false, negate = false)
+  }
+
+  /** DELETE one wave — bigram and unigram counts are invertible, so the
+    * wave lands NEGATED and the folded model equals a fresh train over
+    * the survivors. Ledger-deduped like [[deleteBatchWordCounts]]
+    * (fold-only-family discipline); commits under [[deleteMarkerId]];
+    * the wave must carry the documents' original text. */
+  def deleteBatchLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    val mid = deleteMarkerId(batchId)
+    val committed0 = committedBatches(spark, s"$path/marks")
+    if (committed0.contains(mid)) return
+    requireMonotonicWave(spark, path, committed0, batchId, "LM delete")
+    val fresh = ledgerDedupe(spark, path, committed0, docs, idCol, textCol)
+    ledgerWrite(fresh, path, mid)
+    writeLmBatch(fresh, "__origid", "__text", path, mid,
+      overwriteAll = false, negate = true)
+  }
+
+  /** Streaming LM upkeep — the [[streamIntoBm25]] hook family. */
+  def streamIntoLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchLm(b, idCol, textCol, path, id)
+      }
+      .start()
+
+  /** Streaming erasure for the LM family — safe for queue repeats by the
+    * erased-id ledger, like [[streamDeletesIntoWordCounts]]. */
+  def streamDeletesIntoLm(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchLm(_, idCol, textCol, path, _))
+
+  /** The folded model over the committed waves — equals
+    * [[graft.text.LanguageModel.train]] over exactly the committed
+    * corpus: bigram fold (sum, drop ≤ 0), prefix counts DERIVED from the
+    * fold, vocab size = the unigram fold's surviving-word count. Two
+    * aggregations over vocabulary-bounded delta tables + one bounded
+    * count — never a corpus scan. */
+  def loadLm(spark: SparkSession, path: String)
+      : graft.text.LanguageModel.BigramLm =
+    loadLmAsOf(spark, path, Long.MaxValue)
+
+  /** TIME-TRAVEL fold — the LM state as of ingest wave `throughWave`:
+    * score today's corpus under the LM a wave-W training run saw (the
+    * frozen-trusted-LM pattern: quality gates often deliberately pin the
+    * LM while the corpus moves — here that is a marker filter, not a
+    * snapshot copy). Compaction floors refuse as usual. */
+  def loadLmAsOf(spark: SparkSession, path: String, throughWave: Long)
+      : graft.text.LanguageModel.BigramLm = {
+    if (throughWave != Long.MaxValue) {
+      val floor = asofFloor(spark, path)
+      require(throughWave >= floor,
+        s"LM as-of wave $throughWave predates the last compaction " +
+          s"(horizon floor $floor): the folded base no longer carries " +
+          "per-wave deltas.")
+    }
+    val batches = committedBatches(spark, s"$path/marks")
+      .filter(visibleAsOf(_, throughWave))
+    val bg = spark.read.parquet(s"$path/bg")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .groupBy("w1", "w2").agg(sum(col("c")).as("c"))
+      .where(col("c") > 0)
+    // derived, never stored — prefix counts that could drift from the
+    // bigrams would silently skew every conditional
+    val prefix = bg.groupBy("w1").agg(sum(col("c")).as("cc"))
+    val vocab = spark.read.parquet(s"$path/uni")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .groupBy("word").agg(sum(col("cnt")).as("cnt"))
+      .where(col("cnt") > 0)
+      .count()
+    graft.text.LanguageModel.BigramLm(bg, prefix, vocab)
+  }
+
+  /** [[loadLm]] with the STALENESS GUARD: a quality gate scoring under
+    * an LM missing an ingest wave silently mis-prices every document —
+    * refuse instead. */
+  def loadLmChecked(spark: SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : graft.text.LanguageModel.BigramLm = {
+    require(hasDataFiles(spark, s"$path/marks"),
+      s"no LM marks under $path — saveLm never completed; rebuild")
+    val batches = committedBatches(spark, s"$path/marks")
+    val (recN, recFp) = summedMarks(spark, s"$path/marks", batches)
+    val (n, fp) = corpusFingerprint(
+      docs.select(col(idCol), col(textCol)), idCol, textCol)
+    if (recN != n || recFp.compareTo(fp) != 0)
+      throw new IllegalStateException(
+        s"LM at $path is STALE: committed waves cover n=$recN fp=$recFp, " +
+          s"the corpus is now n=$n fp=$fp — scores would come from " +
+          "yesterday's model; appendBatchLm the missing wave or re-run " +
+          "saveLm")
+    loadLm(spark, path)
+  }
+
+  /** Fold the committed deltas into one base batch; ledger survives
+    * (fold-only-family discipline); the usual as-of floor. */
+  def compactLm(spark: SparkSession, path: String): Unit = {
+    val batches = committedBatches(spark, s"$path/marks")
+    val (n, fp) = summedMarks(spark, s"$path/marks", batches)
+    val floor = (batches.map(originalWave) :+ asofFloor(spark, path)).max
+    val staged = s"$path/.compact"
+    import spark.implicits._
+    spark.read.parquet(s"$path/bg")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .groupBy("w1", "w2").agg(sum(col("c")).as("c"))
+      .where(col("c") > 0)
+      .withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/bg")
+    spark.read.parquet(s"$path/uni")
+      .where(col("batch").cast("long").isin(batches: _*))
+      .groupBy("word").agg(sum(col("cnt")).as("cnt"))
+      .where(col("cnt") > 0)
+      .withColumn("batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/uni")
+    Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/marks")
+    val hasLedger = ledgerStageForCompaction(spark, path, batches, staged)
+    writeAsofFloor(spark, floor, s"$staged/asof_floor")
+    // asof_floor first — see compactBm25's fail-safe ordering note
+    swapStaged(spark, path, staged, Seq("asof_floor", "bg", "uni", "marks")
+      ++ (if (hasLedger) Seq("tombstones") else Seq.empty))
   }
 
   // ------------------------------------------------ quantile sample sketch
@@ -5414,7 +5672,7 @@ object IndexStore {
     // sidecar
     val fprintDir =
       if (Set("prefix", "summary", "quantile", "gquantile", "wordcount",
-          "wc")(family))
+          "wc", "lm")(family))
         s"$path/marks"
       else s"$path/fprint"
     require(hasDataFiles(spark, fprintDir),
@@ -5442,6 +5700,14 @@ object IndexStore {
         if (!hasDataFiles(spark, s"$path/wc")) 0L
         else spark.read.parquet(s"$path/wc")
           .where(col("batch").cast("long").isin(batches: _*)).count()
+      } else if (family == "lm") {
+        // same honesty boundary: the fold touches the bigram + unigram
+        // delta tables, not the corpus docs the marks fingerprint counts
+        Seq("bg", "uni").map { d =>
+          if (!hasDataFiles(spark, s"$path/$d")) 0L
+          else spark.read.parquet(s"$path/$d")
+            .where(col("batch").cast("long").isin(batches: _*)).count()
+        }.sum
       } else spark.read.parquet(fprintDir)
         .where(col("batch").cast("long").isin(batches: _*))
         .agg(sum("n")).head() match {
@@ -5491,6 +5757,7 @@ object IndexStore {
       case "quantile" => compactQuantile(spark, path)
       case "gquantile" => compactGroupedQuantile(spark, path)
       case "wordcount" | "wc" => compactWordCounts(spark, path)
+      case "lm" => compactLm(spark, path)
       case other => throw new IllegalArgumentException(
         s"unknown index family '$other'")
     }
@@ -5587,6 +5854,8 @@ object IndexStore {
             batchId)
         case "wordcount" | "wc" =>
           deleteBatchWordCounts(wave, idCol, c(0), t.path, batchId)
+        case "lm" =>
+          deleteBatchLm(wave, idCol, c(0), t.path, batchId)
         case "zorder" | "grams" | "summary" | "stats" =>
           throw new IllegalArgumentException(
             s"the ${t.family} family's erasure is not id-addressed and " +
@@ -5601,7 +5870,7 @@ object IndexStore {
         case other => throw new IllegalArgumentException(
           s"unknown family '$other' — id-addressed families: ivf, pq, " +
             "prefix, signlsh/sign-lsh, bm25, phrase, windows, " +
-            "containment, quantile, gquantile, wordcount")
+            "containment, quantile, gquantile, wordcount, lm")
       }
     }
     targets.foreach(one)

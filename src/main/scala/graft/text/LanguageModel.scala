@@ -48,8 +48,11 @@ object LanguageModel {
 
   /** Per-document bigram pairs: (id, w1, w2) — one row per ADJACENT token
     * pair, built narrowly from the staged token array (zip_with of the two
-    * shifted slices; no self-join, no window). */
-  private def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * shifted slices; no self-join, no window). `private[graft]`: the
+    * persisted LM family ([[graft.index.IndexStore.saveLm]]) builds its
+    * per-wave count deltas from the same relation, so the two can never
+    * disagree about what a bigram is. */
+  private[graft] def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(zip_with(
@@ -91,6 +94,46 @@ object LanguageModel {
     * shape: outlier documents stand out against the corpus's own LM). */
   def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     score(train(docs, idCol, textCol), docs, idCol, textCol)
+
+  /** DuckDB rendition with SEPARATE train and score corpora, ending in a
+    * `lmscore(id, lm_nlp, ppl, n_bigrams)` relation — the oracle for the
+    * persisted-family queries (fold scoring, as-of scoring), where the
+    * scored corpus can contain bigrams/prefixes the training horizon
+    * never saw: LEFT joins + coalesce(0) reproduce [[score]]'s smoothing
+    * exactly (identical arithmetic to the inner-join self-score when
+    * train = score). Paste after `WITH `. */
+  def sqlScoreCtes(trainTable: String, scoreTable: String, idExpr: String,
+      textExpr: String): String =
+    s"""lmtoks AS (
+       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS toks FROM $trainTable
+       |), lmbg AS (
+       |  SELECT id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z FROM lmtoks
+       |), lmpairs AS (
+       |  SELECT id, z[1] AS w1, z[2] AS w2 FROM lmbg
+       |), lmbgc AS (
+       |  SELECT w1, w2, count(*) AS c FROM lmpairs GROUP BY 1, 2
+       |), lmctx AS (
+       |  SELECT w1, count(*) AS cc FROM lmpairs GROUP BY 1
+       |), lmvocab AS (
+       |  SELECT count(DISTINCT t)::DOUBLE AS v FROM (SELECT unnest(toks) AS t FROM lmtoks)
+       |), lmstoks AS (
+       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS toks FROM $scoreTable
+       |), lmsbg AS (
+       |  SELECT id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z FROM lmstoks
+       |), lmspairs AS (
+       |  SELECT id, z[1] AS w1, z[2] AS w2 FROM lmsbg
+       |), lmnlp AS (
+       |  SELECT p.id, -ln((coalesce(b.c, 0) + 1.0) / (coalesce(x.cc, 0) + lmvocab.v)) AS nlp
+       |  FROM lmspairs p
+       |  LEFT JOIN lmbgc b USING (w1, w2)
+       |  LEFT JOIN lmctx x USING (w1)
+       |  CROSS JOIN lmvocab
+       |), lmscore AS (
+       |  SELECT id, round(avg(nlp), $ScoreDecimals) AS lm_nlp,
+       |         round(exp(avg(nlp)), $ScoreDecimals) AS ppl,
+       |         count(*) AS n_bigrams
+       |  FROM lmnlp GROUP BY 1
+       |)""".stripMargin
 
   /** DuckDB rendition, ending in a `lmscore(id, lm_nlp, ppl, n_bigrams)`
     * relation (train = score corpus, matching [[selfScore]]). Paste after

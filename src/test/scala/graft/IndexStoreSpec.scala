@@ -2229,4 +2229,84 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
         "vec_id", "embedding", ivfDir, 1L)
     }.getMessage.contains("logical clock"))
   }
+
+  test("bigram-LM family: fold == fresh train through append/delete/ledger/compaction/as-of") {
+    import graft.text.LanguageModel
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .localCheckpoint(true)
+    val a = docs.where($"doc_id" % 3 === 0)
+    val b = docs.where($"doc_id" % 3 === 1)
+    val c = docs.where($"doc_id" % 3 === 2)
+    val dir = Files.createTempDirectory("lmfam").toString
+    def rows(lm: LanguageModel.BigramLm,
+        scored: org.apache.spark.sql.DataFrame) =
+      LanguageModel.score(lm, scored, "doc_id", "text")
+        .as[(Long, Double, Double, Long)].collect().toSet
+    // save + append: the fold scores EXACTLY like a fresh train over the
+    // committed corpus (prefix counts derived, vocab from the unigram
+    // support — any drift in either flips scores)
+    IndexStore.saveLm(a, "doc_id", "text", dir)
+    IndexStore.appendBatchLm(b, "doc_id", "text", dir, 0L)
+    val ab = a.unionByName(b)
+    assert(rows(IndexStore.loadLmChecked(spark, dir, ab, "doc_id", "text"),
+        docs)
+      === rows(LanguageModel.train(ab, "doc_id", "text"), docs))
+    // staleness: the corpus moved on (wave c exists) -> checked refuses
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadLmChecked(spark, dir, docs, "doc_id", "text")
+    }.getMessage.contains("STALE"))
+    IndexStore.appendBatchLm(c, "doc_id", "text", dir, 1L)
+    IndexStore.loadLmChecked(spark, dir, docs, "doc_id", "text")
+    // as-of: the base-wave model scores today's corpus like a fresh
+    // train on A alone (unseen-bigram smoothing included)
+    assert(rows(IndexStore.loadLmAsOf(spark, dir, throughWave = -1L), docs)
+      === rows(LanguageModel.train(a, "doc_id", "text"), docs))
+    // delete + ledger: erase B under wave 2; an OVERLAPPING request
+    // under wave 3 dedupes to a no-op (no double subtraction); the fold
+    // equals a fresh train over the survivors
+    IndexStore.deleteBatchLm(b, "doc_id", "text", dir, 2L)
+    IndexStore.deleteBatchLm(b.limit(20), "doc_id", "text", dir, 3L)
+    val ac = a.unionByName(c)
+    assert(rows(IndexStore.loadLmChecked(spark, dir, ac, "doc_id", "text"),
+        docs)
+      === rows(LanguageModel.train(ac, "doc_id", "text"), docs))
+    // ledger-based certificate + re-ingest refusal + logical clock
+    assert(IndexStore.erasureAudit(spark, b.select("doc_id"), "doc_id",
+        Seq("lm" -> dir))
+      .as[(String, Long, Long)].collect().head._3 === 0L)
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.appendBatchLm(b.limit(1), "doc_id", "text", dir, 9L)
+    }.getMessage.contains("re-ingests erased id"))
+    // wave 2 is UNCOMMITTED as an append (only its delete marker is),
+    // and sits behind the max committed wave (3) — the clock refuses;
+    // a replay of committed wave 1 would instead no-op by idempotency
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.appendBatchLm(c, "doc_id", "text", dir, 2L)
+    }.getMessage.contains("logical clock"))
+    IndexStore.appendBatchLm(c, "doc_id", "text", dir, 1L) // replay: no-op
+    // compaction: reports unchanged, ledger survives (post-fold replay
+    // of a served request still dedupes), early horizons refuse
+    IndexStore.compactLm(spark, dir)
+    assert(rows(IndexStore.loadLmChecked(spark, dir, ac, "doc_id", "text"),
+        docs)
+      === rows(LanguageModel.train(ac, "doc_id", "text"), docs))
+    IndexStore.deleteBatchLm(b, "doc_id", "text", dir, 11L)
+    IndexStore.loadLmChecked(spark, dir, ac, "doc_id", "text")
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadLmAsOf(spark, dir, throughWave = 0L)
+    }.getMessage.contains("horizon floor"))
+    // fleet admission: the maintenance sweep prices it; the erasure wave
+    // dispatches it (one-family wave, certificate earned)
+    assert(IndexStore.maintenanceWave(spark, Seq("lm" -> dir),
+      queriesPerWave = 10L, execute = false).count() === 1L)
+    val dir2 = Files.createTempDirectory("lmfam2").toString
+    IndexStore.saveLm(docs, "doc_id", "text", dir2)
+    val cert = IndexStore.executeErasureWave(
+        docs.where($"doc_id" % 5 === 0), "doc_id",
+        Seq(IndexStore.ErasureTarget("lm", dir2, Seq("text"))), 0L)
+      .as[(String, Long, Long)].collect().head
+    assert(cert._1 === "lm" && cert._3 === 0L)
+    IndexStore.loadLmChecked(spark, dir2,
+      docs.where($"doc_id" % 5 =!= 0), "doc_id", "text")
+  }
 }
