@@ -4838,6 +4838,13 @@ object IndexStore {
   // q_lm_score_inc shares q_lm_score's arithmetic; q_lm_score_asof
   // scores the tip under the LM a wave-0 run saw — the frozen-trusted-LM
   // production pattern, as reproducible time travel).
+  //
+  // WHEN to refresh a pinned LM is the same measured arithmetic as the
+  // tokenizer's ([[graft.text.Vocab.planRefresh]] over two horizons of
+  // THIS family's unigram fold — the relation is shape-identical to the
+  // word-count fold, so the drift advisor applies verbatim): a frozen LM
+  // silently mis-scores drifted text with no error and no wrong hash,
+  // so the decision should be a number, not folklore.
 
   private def writeLmBatch(docs: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, path: String, batchId: Long,
