@@ -462,6 +462,78 @@ object SparkEntry {
     PiiScrub.scrub(augmented, "doc_id", "text").orderBy("id")
   }
 
+  /** Deterministic MULTILINGUAL augmentation of the documents table —
+    * the [[qPiiScrub]] planted-fixture precedent: the driver corpus is
+    * lowercase ASCII, so non-Latin tokenization is exercised on text both
+    * engines construct identically in-query. Appends per doc: a
+    * Greek-prefixed digit token, a CJK ideograph run (ONE token under
+    * [[Text.UnicodeSplitRe]] — ideographs have no separators), an ascii
+    * ref token, and a CAPITALIZED Cyrillic word (doc_id-indexed, so
+    * Unicode lowercasing is load-bearing, not constant). */
+  private val cyrWords = Seq("Привет", "Мир", "Данные", "Модель")
+  private val cjkWords = Seq("你好世界", "数据模型", "训练语料")
+  private def multilingualDocs(spark: SparkSession, dir: String): DataFrame = {
+    val cyr = array(cyrWords.map(lit): _*)
+    val cjk = array(cjkWords.map(lit): _*)
+    Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"), lit(" ΔΞ7 "),
+        element_at(cjk, (pmod(col("doc_id"), lit(3L)) + 1L).cast("int")),
+        lit(" ref"), col("doc_id").cast("string"), lit(" "),
+        element_at(cyr, (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")))
+        .as("text"))
+  }
+  private val multilingualDocsSql: String = {
+    val cyr = cyrWords.map(w => s"'$w'").mkString(", ")
+    val cjk = cjkWords.map(w => s"'$w'").mkString(", ")
+    // single line ON PURPOSE: this subquery embeds into outer
+    // .stripMargin oracle strings, where a continuation line starting
+    // with `||` would lose its first pipe to the outer margin strip
+    s"(SELECT doc_id, text || ' ΔΞ7 ' || ([$cjk])[1 + CAST(doc_id % 3 AS INT)] || " +
+      s"' ref' || CAST(doc_id AS VARCHAR) || ' ' || " +
+      s"([$cyr])[1 + CAST(doc_id % 4 AS INT)] AS text FROM documents)"
+  }
+
+  /** UNICODE tokenization gate ([[Text.tokensUnicode]], north-star: the
+    * frozen `[a-z0-9]` alphabet silently tokenizes ALL non-Latin text to
+    * [] — the majority of a real crawl — across BM25/dedup/LM/BPE). Per
+    * doc: token counts under BOTH alphabets (the planted non-Latin tokens
+    * vanish from n_ascii, count in n_uni) and the LAST Unicode token —
+    * the lowercased form of a CAPITALIZED Cyrillic word, so Spark and
+    * DuckDB must agree on \p{L}/\p{N} class splitting AND Unicode
+    * lowercasing, not just ASCII. */
+  private def qTextUnicode(spark: SparkSession, dir: String): DataFrame =
+    multilingualDocs(spark, dir).select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("n_ascii"),
+      size(Text.tokensUnicode(col("text"))).cast("long").as("n_uni"),
+      element_at(Text.tokensUnicode(col("text")), -1).as("last_tok"))
+      .orderBy("doc_id")
+
+  /** The vocab family under the Unicode alphabet ([[Vocab.wordCounts]]
+    * threading): exact counts of every planted non-Latin word — corpus
+    * arithmetic both engines recompute from the augmentation rule. The
+    * non-ascii filter keeps the gate row focused on the tokens the frozen
+    * alphabet loses. */
+  private def qWordCountsUnicode(spark: SparkSession, dir: String)
+      : DataFrame =
+    Vocab.wordCounts(multilingualDocs(spark, dir), "text",
+        Text.UnicodeSplitRe)
+      .where(col("word").rlike("[^a-z0-9]"))
+      .orderBy("word")
+
+  /** BM25 over a MULTILINGUAL corpus: index built and queried under
+    * [[Text.UnicodeSplitRe]] (threaded through [[TextSearch.buildIndex]]/
+    * [[TextSearch.search]]). The query mixes Cyrillic (capitalized — the
+    * query-side lowercase must agree too) and a CJK run; the oracle
+    * rebuilds the same index in SQL with the same alphabet. Under the
+    * frozen alphabet this query would find NOTHING. */
+  private val uniQueryText = "Привет данные 你好世界"
+  private def qBm25Unicode(spark: SparkSession, dir: String): DataFrame =
+    TextSearch.search(
+        TextSearch.buildIndex(multilingualDocs(spark, dir), "doc_id",
+          "text", Text.UnicodeSplitRe),
+        uniQueryText, 10, Text.UnicodeSplitRe)
+      .withColumnRenamed("id", "doc_id")
+
   /** Per-source corpus statistics through the SKEW-SAFE salted aggregation
     * ([[graft.util.Skew.saltedSumCount]]): phase 1 spreads each source over
     * 16 salted sub-groups, phase 2 merges 16 partials per source — the
@@ -3184,6 +3256,20 @@ object SparkEntry {
     Vocab.learnBpeFastFromCounts(corpusWordCountsDisk(spark, dir), 3).toDF()
   }
 
+  /** The PLAN-DISPATCHED learn loop under the gate
+    * ([[Vocab.learnBpeAutoFromCounts]]): [[Vocab.planLearn]] prices the
+    * word table and — at gate scale as at most production scales, the
+    * table being vocabulary-bounded — picks the DRIVER-LOCAL regime
+    * (collect once, learn in-process, 2 Spark jobs total instead of
+    * 3·nMerges sequential driver-blocking jobs — the ~1000× wall-clock
+    * fix for 10k-merge production vocabularies). Output-identical to
+    * both distributed loops by construction, so the SAME unrolled
+    * DuckDB oracle applies verbatim. */
+  private def qBpeMergesLocal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Vocab.learnBpeAutoFromCounts(corpusWordCountsDisk(spark, dir), 3).toDF()
+  }
+
   /** The composition receipt: BPE merges learned from the vocab AS OF
     * wave 0 ([[IndexStore.loadWordCountsAsOf]] over the persisted
     * word-count family) — "re-learn exactly the tokenizer a wave-0
@@ -3739,6 +3825,9 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, dir) => qHybridRrf(s, dir)),
     "q_flatten" -> ((s, dir) => qFlatten(s, dir)),
     "q_text_stats" -> ((s, dir) => qTextStats(s, dir)),
+    "q_text_unicode" -> ((s, dir) => qTextUnicode(s, dir)),
+    "q_wordcounts_unicode" -> ((s, dir) => qWordCountsUnicode(s, dir)),
+    "q_bm25_unicode" -> ((s, dir) => qBm25Unicode(s, dir)),
     "q_repetition" -> ((s, dir) => qRepetition(s, dir)),
     "q_vocab_stats" -> ((s, dir) => qVocabStats(s, dir)),
     "q_lm_score" -> ((s, dir) => qLmScore(s, dir)),
@@ -3764,6 +3853,7 @@ object SparkEntry {
     "q_bm25_asof" -> ((s, dir) => qBm25Asof(s, dir)),
     "q_ann_asof" -> ((s, dir) => qAnnAsof(s, dir)),
     "q_bpe_merges_inc" -> ((s, dir) => qBpeMergesInc(s, dir)),
+    "q_bpe_merges_local" -> ((s, dir) => qBpeMergesLocal(s, dir)),
     "q_bpe_vocab_asof" -> ((s, dir) => qBpeVocabAsof(s, dir)),
     "q_vocab_drift" -> ((s, dir) => qVocabDrift(s, dir)),
     "q_vocab_refresh_plan" -> ((s, dir) => qVocabRefreshPlan(s, dir)),
@@ -4162,6 +4252,29 @@ object SparkEntry {
          |       ${TextAnalysis.sqlBpeTokenCount("text")} AS bpe_tokens,
          |       ${TextAnalysis.sqlQualityPpm("text")} AS quality_ppm
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // both alphabets over the SAME planted multilingual text: the frozen
+    // count drops every non-Latin token, the Unicode count keeps them,
+    // and last_tok pins Unicode lowercasing (Привет → привет) across
+    // engines
+    "q_text_unicode" ->
+      s"""SELECT doc_id,
+         |       len(${Text.sqlTokens("text")}) AS n_ascii,
+         |       len(${Text.sqlTokensUnicode("text")}) AS n_uni,
+         |       (${Text.sqlTokensUnicode("text")})[-1] AS last_tok
+         |FROM $multilingualDocsSql ORDER BY doc_id""".stripMargin,
+    "q_wordcounts_unicode" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(${Text.sqlTokensUnicode("text")}) AS word
+         |      FROM $multilingualDocsSql)
+         |WHERE regexp_matches(word, '[^a-z0-9]')
+         |GROUP BY word ORDER BY word""".stripMargin,
+    // the full BM25 arithmetic rebuilt in SQL under the Unicode alphabet
+    // (same CTE builder as q_bm25, different tokenizer + corpus)
+    "q_bm25_unicode" ->
+      s"""WITH ${TextSearch.oracleCtes(multilingualDocsSql, "doc_id",
+             "text", uniQueryText, Text.UnicodeSplitRe)}
+         |SELECT id AS doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_repetition" ->
       (CorpusAnalysis.sqlRepetitionStats("documents", "doc_id", "text") +
         "\nORDER BY id"),
@@ -5154,6 +5267,9 @@ object SparkEntry {
     // the wave-cadence twin learns from the persisted word-count fold,
     // which must equal a fresh corpus scan's counts — SAME oracle
     "q_bpe_merges_inc" -> Vocab.sqlLearnBpe("documents", "text", 3),
+    // the driver-local regime is output-identical by construction —
+    // same unrolled oracle as the distributed loops
+    "q_bpe_merges_local" -> Vocab.sqlLearnBpe("documents", "text", 3),
     // time travel x vocab: merges as of wave 0 — the oracle learns from
     // scratch over exactly the horizon corpus
     "q_bpe_vocab_asof" -> Vocab.sqlLearnBpe(

@@ -140,11 +140,13 @@ object Dedup {
   /** Distinct-shingle postings: (id, shingle-hash). The base relation for
     * Jaccard and MinHash. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = TextAnalysis.ShingleSize): DataFrame =
+      k: Int = TextAnalysis.ShingleSize,
+      splitRe: String = Text.SplitRe): DataFrame =
     docs
       // stage tokens as a column so the shingle lambda references an
       // attribute instead of re-tokenizing per position (O(n²) otherwise)
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(col(textCol), splitRe).as("toks"))
       .select(col("id"), explode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as("sh"))
       .select(col("id"), Text.hash60(col("sh")).as("h"))
 

@@ -17,14 +17,41 @@ object Text {
     * `string_split_regex`. */
   val SplitRe = "[^a-z0-9]+"
 
+  /** UNICODE split regex — any run of non-letter/non-digit code points
+    * (general categories L and N, which Java regex and DuckDB's RE2
+    * implement identically for the planted fixtures the gate checks).
+    * The frozen [[SplitRe]] silently tokenizes ALL non-Latin text to []
+    * — the majority of a real multilingual crawl would dedup, score and
+    * vocab-learn as EMPTY — so every text consumer accepts an alphabet
+    * parameter defaulting to the frozen rule, with this as the variant a
+    * real corpus run passes. CJK has no word separators, so an ideograph
+    * run is ONE token under this rule (deterministic; real segmentation
+    * is a tokenizer-model concern, not the engine's). */
+  val UnicodeSplitRe = "[^\\p{L}\\p{N}]+"
+
   /** tokens(text): array<string> of non-empty lowercase tokens. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), SplitRe), t => t =!= lit(""))
+  def tokens(text: Column): Column = tokens(text, SplitRe)
+
+  /** [[tokens]] under an explicit split alphabet. */
+  def tokens(text: Column, splitRe: String): Column =
+    filter(split(lower(text), splitRe), t => t =!= lit(""))
+
+  /** [[tokens]] under [[UnicodeSplitRe]] — non-Latin text tokenizes
+    * non-empty (lowercasing is Unicode-aware in both engines). */
+  def tokensUnicode(text: Column): Column = tokens(text, UnicodeSplitRe)
 
   /** DuckDB rendition of [[tokens]] for oracle SQL (an expression producing
     * a VARCHAR[]; typically fed to unnest). */
-  def sqlTokens(textExpr: String): String =
-    s"list_filter(string_split_regex(lower($textExpr), '$SplitRe'), t -> t <> '')"
+  def sqlTokens(textExpr: String): String = sqlTokens(textExpr, SplitRe)
+
+  /** DuckDB rendition of [[tokens]] under an explicit split alphabet. */
+  def sqlTokens(textExpr: String, splitRe: String): String =
+    s"list_filter(string_split_regex(lower($textExpr), '$splitRe'), t -> t <> '')"
+
+  /** DuckDB rendition of [[tokensUnicode]] (RE2 shares Java's \\p{L}/\\p{N}
+    * general-category classes). */
+  def sqlTokensUnicode(textExpr: String): String =
+    sqlTokens(textExpr, UnicodeSplitRe)
 
   /** A 60-bit integer hash of a string: first 15 hex chars of md5, as a
     * BIGINT. md5 is the one hash both Spark and DuckDB expose with identical

@@ -184,6 +184,41 @@ object IndexStore {
         "reconstruct state by them) — issue waves in ingest order")
   }
 
+  /** Map a DELETE stream's checkpoint batch id onto the family's logical
+    * clock. An erasure queue is its own stream with its own checkpoint,
+    * so its batch ids start at 0 regardless of how far the family's
+    * INGEST waves have advanced — under the raw [[requireMonotonicWave]]
+    * contract every such micro-batch would refuse ("wave 0 is behind the
+    * max committed wave N") and the erasure stream would crash-loop on
+    * the same batch id forever, permanently blocking GDPR erasure
+    * against any index that was ever batch-loaded or fed by a separate
+    * append stream. The fix is the clock seeding the contract doc always
+    * implied: a delete is an event AFTER everything already committed,
+    * so a behind-the-clock id is remapped to the first wave past the
+    * committed horizon (`max(maxCommittedWave + 1, floor + 1)`) instead
+    * of refused. Ids already AT or AHEAD of the clock pass through
+    * unchanged — same-wave maintenance (delete markers of wave W issued
+    * by wave W itself) and the single-shared-checkpoint topology the
+    * existing tests pin keep their exact ids.
+    *
+    * Replay safety: the mapping is a pure function of the committed
+    * marker set, which only advances when a wave COMMITS (markers land
+    * last), so a crash-and-replay of an uncommitted micro-batch
+    * recomputes the same effective wave and overwrites its own partial
+    * partitions. The one divergent replay — the function succeeded but
+    * the checkpoint ack was lost — maps the replay to a FRESH wave, and
+    * the per-family erased-id dedupe ([[minusPriorErased]] /
+    * [[ledgerDedupe]]) empties it: the replayed wave commits a zero
+    * marker, never a double subtraction. */
+  private[graft] def resolveDeleteWave(spark: SparkSession, path: String,
+      committed: Seq[Long], batchId: Long): Long = {
+    val floor = asofFloor(spark, path)
+    val maxWave = committed.map(originalWave).foldLeft(-1L)(math.max)
+    val lo = math.max(maxWave, floor + 1L)
+    if (batchId >= lo) batchId
+    else math.max(maxWave + 1L, floor + 1L)
+  }
+
   /** Apply one micro-batch of NEW documents (R17 skip-existing contract:
     * ids must not already be indexed — updates are a drop/recreate, S7) to
     * a persisted BM25 index. Work ∝ batch size — the 100 TB postings table
@@ -331,10 +366,14 @@ object IndexStore {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    val mid = deleteMarkerId(batchId)
     val committed0 = committedBatches(spark, s"$path/stats")
+    // an independent erasure queue's checkpoint ids start at 0 — remap
+    // behind-the-clock ids onto the family's logical clock instead of
+    // crash-looping the stream ([[resolveDeleteWave]])
+    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val mid = deleteMarkerId(wave)
     if (committed0.contains(mid)) return
-    requireMonotonicWave(spark, path, committed0, batchId, "BM25 delete")
+    requireMonotonicWave(spark, path, committed0, wave, "BM25 delete")
     val rows = minusPriorErased(spark, path, s"$path/stats",
         deleted.select(col(idCol).as("id"), col(textCol).as("__text")))
       .localCheckpoint(true)
@@ -1907,10 +1946,12 @@ object IndexStore {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    val mid = deleteMarkerId(batchId)
     val committed0 = committedBatches(spark, s"$path/sizes")
+    // remap behind-the-clock erasure-queue ids ([[resolveDeleteWave]])
+    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val mid = deleteMarkerId(wave)
     if (committed0.contains(mid)) return
-    requireMonotonicWave(spark, path, committed0, batchId, "IVF delete")
+    requireMonotonicWave(spark, path, committed0, wave, "IVF delete")
     val rows = minusPriorErased(spark, path, s"$path/sizes",
         deleted.select(col(idCol).as("id"), col(embCol).as("__emb")))
       .localCheckpoint(true)
@@ -2311,9 +2352,11 @@ object IndexStore {
   /** Streaming ERASURE upkeep — the delete-side twin of
     * [[streamIntoIvf]]: each micro-batch of (id, vector) rows to forget
     * lands as one delete wave ([[deleteBatchIvf]], the foreachBatch id
-    * as the wave id — the delete marker namespace keeps it disjoint
-    * from any APPEND stream sharing the index, so the two streams can
-    * run with the same checkpoint-assigned ids without colliding). A
+    * seeding the wave id — [[resolveDeleteWave]] remaps ids behind the
+    * family's committed clock onto it, so a FRESH erasure checkpoint
+    * (batch ids from 0) against an index whose ingest waves are already
+    * ahead drains instead of crash-looping; the delete marker namespace
+    * keeps committed ids disjoint from any APPEND stream's). A
     * GDPR request queue then IS a stream: erasure lands at micro-batch
     * cadence and cost, and each completed wave is invisible to the next
     * [[loadIvf]]. */
@@ -4705,18 +4748,17 @@ object IndexStore {
     val spark = docs.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    val mid = deleteMarkerId(batchId)
     val committed0 = committedBatches(spark, s"$path/marks")
+    // remap behind-the-clock erasure-queue ids ([[resolveDeleteWave]])
+    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val mid = deleteMarkerId(wave)
     if (committed0.contains(mid)) return
-    requireMonotonicWave(spark, path, committed0, batchId,
+    requireMonotonicWave(spark, path, committed0, wave,
       "word-count delete")
     // only ids with NO committed ledger entry may subtract — overlapping
     // erasure requests (two GDPR tickets naming one user) are a normal
-    // case, and double-subtraction would poison the fold until rebuild.
-    // localCheckpoint: three consumers follow (ledger write, counts,
-    // fingerprint) and the anti-join must not re-execute per consumer.
-    // only ids with NO committed ledger entry may subtract (overlapping
-    // GDPR requests are the normal case); ledger BEFORE marks
+    // case, and double-subtraction would poison the fold until rebuild;
+    // ledger BEFORE marks
     val fresh = ledgerDedupe(spark, path, committed0, docs, idCol, textCol)
     ledgerWrite(fresh, path, mid)
     writeWordCountBatch(fresh, "__origid", "__text", path, mid,
@@ -4916,10 +4958,12 @@ object IndexStore {
       textCol: String, path: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
-    val mid = deleteMarkerId(batchId)
     val committed0 = committedBatches(spark, s"$path/marks")
+    // remap behind-the-clock erasure-queue ids ([[resolveDeleteWave]])
+    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val mid = deleteMarkerId(wave)
     if (committed0.contains(mid)) return
-    requireMonotonicWave(spark, path, committed0, batchId, "LM delete")
+    requireMonotonicWave(spark, path, committed0, wave, "LM delete")
     val fresh = ledgerDedupe(spark, path, committed0, docs, idCol, textCol)
     ledgerWrite(fresh, path, mid)
     writeLmBatch(fresh, "__origid", "__text", path, mid,

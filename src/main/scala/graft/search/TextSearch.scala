@@ -45,8 +45,16 @@ object TextSearch {
   /** Inverted-index side tables (reference S6 DDL → batch build job). */
   final case class Bm25Index(postings: DataFrame, termDf: DataFrame, numDocs: Long, avgdl: Double)
 
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
-    val toks = docs.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("term"))
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index =
+    buildIndex(docs, idCol, textCol, Text.SplitRe)
+
+  /** [[buildIndex]] under an explicit token alphabet (e.g.
+    * [[Text.UnicodeSplitRe]] for a multilingual corpus — the frozen
+    * default indexes non-Latin documents as EMPTY). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      splitRe: String): Bm25Index = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol), splitRe)).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     val postings = tf.join(dl, "id")
@@ -59,7 +67,13 @@ object TextSearch {
   }
 
   def queryTerms(queryText: String): Seq[String] =
-    queryText.toLowerCase.split(Text.SplitRe).filter(_.nonEmpty).distinct.toSeq
+    queryTerms(queryText, Text.SplitRe)
+
+  /** [[queryTerms]] under an explicit token alphabet (ROOT-locale
+    * lowercase — the engine-side `lower` is locale-independent too). */
+  def queryTerms(queryText: String, splitRe: String): Seq[String] =
+    queryText.toLowerCase(java.util.Locale.ROOT)
+      .split(splitRe).filter(_.nonEmpty).distinct.toSeq
 
   /** Scored matches (id, score). With a finite `k`: ranked score DESC,
     * id ASC, top k (a TakeOrderedAndProject — no full sort). With
@@ -69,8 +83,15 @@ object TextSearch {
     * post-filtering/fusion anyway ([[graft.api.FoodFinder]],
     * [[ScoreFusion.fuse]]), so an internal global sort would be a dead
     * Sort+Exchange in the plan. */
-  def search(index: Bm25Index, queryText: String, k: Int = Int.MaxValue): DataFrame = {
-    val terms = queryTerms(queryText)
+  def search(index: Bm25Index, queryText: String, k: Int = Int.MaxValue): DataFrame =
+    search(index, queryText, k, Text.SplitRe)
+
+  /** [[search]] under an explicit token alphabet — must match the one the
+    * index was built with (a Unicode query against a frozen-alphabet
+    * index finds nothing, and vice versa). */
+  def search(index: Bm25Index, queryText: String, k: Int,
+      splitRe: String): DataFrame = {
+    val terms = queryTerms(queryText, splitRe)
     if (terms.isEmpty)
       return index.postings.select(col("id"), lit(0.0).as("score")).where(lit(false))
     // a persisted index exposes the bucket partition column — pruning it
@@ -202,10 +223,16 @@ object TextSearch {
     * callers compose post-filters / fusion / limits around it exactly like
     * the Spark side does. Paste after `WITH `. */
   def oracleCtes(docsTable: String, idExpr: String, textExpr: String,
-      queryText: String): String = {
-    val terms = queryTerms(queryText).map(t => s"'$t'").mkString(", ")
+      queryText: String): String =
+    oracleCtes(docsTable, idExpr, textExpr, queryText, Text.SplitRe)
+
+  /** [[oracleCtes]] under an explicit token alphabet (must match the
+    * alphabet the Spark-side [[buildIndex]] was given). */
+  def oracleCtes(docsTable: String, idExpr: String, textExpr: String,
+      queryText: String, splitRe: String): String = {
+    val terms = queryTerms(queryText, splitRe).map(t => s"'$t'").mkString(", ")
     s"""toks AS (
-       |  SELECT $idExpr AS id, unnest(${Text.sqlTokens(textExpr)}) AS term FROM $docsTable
+       |  SELECT $idExpr AS id, unnest(${Text.sqlTokens(textExpr, splitRe)}) AS term FROM $docsTable
        |), tf AS (
        |  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2
        |), dl AS (

@@ -59,8 +59,15 @@ object Vocab {
     * lowercased `[a-z0-9]+` runs), explode, count. Map-side combinable;
     * output is vocabulary-bounded. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    wordCounts(docs, textCol, Text.SplitRe)
+
+  /** [[wordCounts]] under an explicit token alphabet
+    * ([[Text.UnicodeSplitRe]] for a multilingual corpus — the frozen
+    * default counts non-Latin documents as zero words). */
+  def wordCounts(docs: DataFrame, textCol: String, splitRe: String)
+      : DataFrame =
     docs
-      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .select(explode(Text.tokens(col(textCol), splitRe)).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
@@ -221,6 +228,154 @@ object Vocab {
     merges.result()
   }
 
+  /** Driver-memory budget — total SYMBOLS (characters) across the word
+    * table — under which [[planLearn]] dispatches the learn loop to the
+    * DRIVER-LOCAL regime ([[learnBpeLocalFromCounts]]). The word table
+    * is vocabulary-bounded by construction (distinct words, not corpus
+    * tokens), so it usually fits: 32M symbols is ~4M words at web-crawl
+    * average length, comfortably a driver heap. Why a local regime at
+    * all: the distributed loop is SEQUENTIAL by nature — 3 driver-
+    * blocking Spark jobs per merge, so a 10k-merge production vocabulary
+    * costs ~30k jobs of pure scheduling latency (hours) over data that
+    * fits in memory. The local loop runs the same incremental algorithm
+    * in-process: identical merges, 2 Spark jobs total (the pricing
+    * aggregation + one collect), ~1000× the wall-clock at production
+    * merge counts. */
+  val DefaultLocalLearnSymbolBudget: Long = 32L * 1024 * 1024
+
+  /** [[learnBpeFromCounts]] in DRIVER-LOCAL execution: collect the
+    * (vocabulary-bounded) word table once and run the incremental
+    * pair-count algorithm in-process. OUTPUT-IDENTICAL to the
+    * distributed loops by construction — same pair statistic (every
+    * adjacent occurrence counts its word's cnt), same greedy
+    * left-to-right non-overlapping merge application, same argmax order
+    * (cnt DESC, then l, r ascending in UTF-8 BYTE order, which is
+    * exactly Spark's string ordering — Java's compareTo would diverge
+    * on supplementary characters) — property-pinned in VocabSpec and
+    * gate-checked against the same unrolled DuckDB oracle
+    * (q_bpe_merges_local). Cost: one collect, zero jobs per merge;
+    * per-step work ∝ words containing the merged pair (the maintained
+    * occurrence index), argmax O(log |pairs|) from a TreeSet. */
+  def learnBpeLocalFromCounts(wc: DataFrame, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    import scala.collection.mutable
+    val rows = wc.select(col("word").cast("string"), col("cnt").cast("long"))
+      .collect()
+    // one symbol per CODE POINT — the encodeChars("(.)") contract
+    val words = new Array[mutable.ArrayBuffer[String]](rows.length)
+    val wcnts = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val w = rows(i).getString(0)
+      val buf = new mutable.ArrayBuffer[String](w.length)
+      var j = 0
+      while (j < w.length) {
+        val n = Character.charCount(w.codePointAt(j))
+        buf += w.substring(j, j + n)
+        j += n
+      }
+      words(i) = buf
+      wcnts(i) = rows(i).getLong(1)
+      i += 1
+    }
+    // Spark string order = memcmp over UTF-8 bytes
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var k = 0
+      while (k < n) {
+        val d = (x(k) & 0xff) - (y(k) & 0xff)
+        if (d != 0) return d
+        k += 1
+      }
+      x.length - y.length
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val sorted = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
+          else {
+            val d = utf8Cmp(a._2, b._2)
+            if (d != 0) d else utf8Cmp(a._3, b._3)
+          }
+        }
+      })
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) sorted.remove((old, p._1, p._2))
+      val nv = old + delta
+      if (nv != 0L) {
+        counts(p) = nv
+        sorted.add((nv, p._1, p._2))
+      } else counts.remove(p)
+    }
+    // sign=+1 registers a word's pairs (and occurrence-index rows);
+    // sign=-1 withdraws them — always reading the word's CURRENT symbols
+    def account(wi: Int, sign: Long): Unit = {
+      val s = words(wi)
+      val c = wcnts(wi) * sign
+      var k = 0
+      while (k < s.length - 1) {
+        val p = (s(k), s(k + 1))
+        bump(p, c)
+        if (sign > 0) index.getOrElseUpdate(p, mutable.Set.empty) += wi
+        else index.get(p).foreach(_ -= wi)
+        k += 1
+      }
+    }
+    i = 0
+    while (i < words.length) { account(i, 1L); i += 1 }
+    def applyMergeLocal(s: mutable.ArrayBuffer[String], l: String,
+        r: String): mutable.ArrayBuffer[String] = {
+      val out = new mutable.ArrayBuffer[String](s.length)
+      var k = 0
+      while (k < s.length) {
+        if (k < s.length - 1 && s(k) == l && s(k + 1) == r) {
+          out += l + r
+          k += 2
+        } else {
+          out += s(k)
+          k += 1
+        }
+      }
+      out
+    }
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    while (step <= nMerges && !sorted.isEmpty) {
+      val (c, l, r) = sorted.first()
+      merges += Merge(step, l, r, c)
+      // snapshot: account() mutates the index sets mid-loop
+      val affected = index.getOrElse((l, r), mutable.Set.empty).toArray
+      java.util.Arrays.sort(affected) // determinism is free; keep it
+      for (wi <- affected) {
+        account(wi, -1L)
+        words(wi) = applyMergeLocal(words(wi), l, r)
+        account(wi, 1L)
+      }
+      step += 1
+    }
+    merges.result()
+  }
+
+  /** The PLAN-DISPATCHED learn loop: price with [[planLearn]], then run
+    * the regime it chose — driver-local when the word table's symbol
+    * mass fits `localSymbolBudget` (it virtually always does: the table
+    * is vocabulary-bounded), the distributed incremental loop
+    * ([[learnBpeFastFromCounts]]) otherwise. Identical merges either
+    * way. */
+  def learnBpeAutoFromCounts(wc: DataFrame, nMerges: Int,
+      localSymbolBudget: Long = DefaultLocalLearnSymbolBudget)
+      : Seq[Merge] = {
+    val plan = planLearn(wc, nMerges, localSymbolBudget)
+    if (plan.regime == "driver-local") learnBpeLocalFromCounts(wc, nMerges)
+    else learnBpeFastFromCounts(wc, nMerges)
+  }
+
   /** Release a localCheckpoint'd dataset's persisted blocks NOW.
     * `Dataset.unpersist` only reaches `cache()`-registered plans (it
     * goes through the CacheManager) — a localCheckpoint persists at the
@@ -304,29 +459,42 @@ object Vocab {
     * reads too high. */
   final case class LearnPlan(nMerges: Int, vocabWords: Long,
       vocabSymbols: Long, corpusScans: Int, sparkJobs: Long,
-      scanMassUpperBound: Double, rationale: Seq[String])
+      scanMassUpperBound: Double, regime: String, rationale: Seq[String])
 
-  def planLearn(wc: DataFrame, nMerges: Int): LearnPlan = {
+  def planLearn(wc: DataFrame, nMerges: Int,
+      localSymbolBudget: Long = DefaultLocalLearnSymbolBudget): LearnPlan = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val r = wc.agg(count(lit(1)), sum(length(col("word")))).head()
     val words = r.getLong(0)
     val syms = if (r.isNullAt(1)) 0L else r.getLong(1)
-    val jobs = 1L + 3L * nMerges
+    val local = syms <= localSymbolBudget
+    val regime = if (local) "driver-local" else "distributed"
+    // local: this pricing aggregation + ONE collect; distributed: 3
+    // sequential driver-blocking jobs per merge after the table build
+    val jobs = if (local) 2L else 1L + 3L * nMerges
     val mass = nMerges.toDouble * syms
-    LearnPlan(nMerges, words, syms, 1, jobs, mass, Seq(
+    LearnPlan(nMerges, words, syms, 1, jobs, mass, regime, Seq(
       f"ONE corpus scan total (wordCounts builds the $words%d-word table " +
         f"carrying $syms%d initial symbols); the loop never rescans the corpus",
-      f"$nMerges%d sequential merges × (pair-count aggregation + 1-row " +
-        f"argmax collect + checkpointed re-encode) ≈ $jobs%d " +
-        "driver-blocking Spark jobs — wall-clock is job-latency-bound, " +
-        "not data-bound",
+      (if (local)
+        f"symbol mass $syms%d fits the driver budget $localSymbolBudget%d " +
+          f"→ DRIVER-LOCAL regime: collect the word table and learn " +
+          f"in-process ($jobs%d Spark jobs TOTAL — the sequential " +
+          "per-merge job latency disappears; identical merges by " +
+          "construction)"
+      else
+        f"symbol mass $syms%d exceeds the driver budget " +
+          f"$localSymbolBudget%d → DISTRIBUTED regime: $nMerges%d " +
+          f"sequential merges × (pair-count aggregation + 1-row argmax " +
+          f"collect + checkpointed re-encode) ≈ $jobs%d driver-blocking " +
+          "Spark jobs — wall-clock is job-latency-bound, not data-bound"),
       f"loop scan-mass upper bound ${mass}%.3g symbol-units " +
         "(per-step mass only shrinks as merges fuse symbols)",
-      "the fast loop ([[learnBpeFastFromCounts]]) maintains pair counts " +
-        "incrementally (only pairs in words containing the merged pair " +
-        "change), so its per-step explosion is ∝ affected words — this " +
-        "bound prices the naive re-count; the job COUNT is the same " +
-        "either way (the loop is sequential by nature)"))
+      "the distributed fast loop ([[learnBpeFastFromCounts]]) maintains " +
+        "pair counts incrementally (only pairs in words containing the " +
+        "merged pair change), so its per-step explosion is ∝ affected " +
+        "words; the local regime runs the same incremental algorithm " +
+        "in-process"))
   }
 
   /** Word-level drift between two vocab states (e.g. two

@@ -2,6 +2,7 @@ package graft
 
 import graft.embed.{Embedder, HashingEmbedder}
 import graft.functions.{Text, Vectors}
+import graft.search.TextSearch
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -131,6 +132,41 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     val got = Seq("Fast, FAST sort!! 2x").toDF("t")
       .select(Text.tokens(col("t"))).head().getSeq[String](0)
     assert(got === Seq("fast", "fast", "sort", "2x"))
+  }
+
+  test("unicode tokenizer: hand-computed truth on multilingual text") {
+    // hand-computed, NOT oracle-mirrored (the oracle only proves the two
+    // engines AGREE): Cyrillic lowercases, a CJK ideograph run is ONE
+    // token, Greek letters are letters, digits glue to letters, and the
+    // frozen ASCII alphabet loses every non-Latin token
+    def uni(s: String): Seq[String] = Seq(s).toDF("t")
+      .select(Text.tokensUnicode(col("t"))).head().getSeq[String](0)
+    assert(uni("Привет, МИР! 你好世界 — abc123 ΔΞ7 a-б") ===
+      Seq("привет", "мир", "你好世界", "abc123", "δξ7", "a", "б"))
+    assert(uni("Ёжик ёжик") === Seq("ёжик", "ёжик"))
+    val ascii = Seq("Привет 你好 x9").toDF("t")
+      .select(Text.tokens(col("t"))).head().getSeq[String](0)
+    assert(ascii === Seq("x9"))
+    // query-side tokenization agrees with the engine-side rule
+    assert(TextSearch.queryTerms("Привет данные 你好世界",
+      Text.UnicodeSplitRe) === Seq("привет", "данные", "你好世界"))
+    // a BM25 index built under the Unicode alphabet answers a Cyrillic
+    // query; the frozen alphabet finds nothing on the same corpus
+    val docs = Seq((1L, "машинное обучение на данных"),
+      (2L, "данные и модели"), (3L, "plain ascii text")).toDF("id", "text")
+    val idxU = TextSearch.buildIndex(docs, "id", "text",
+      Text.UnicodeSplitRe)
+    val hitsU = TextSearch.search(idxU, "Данные данных", 10,
+        Text.UnicodeSplitRe)
+      .select("id").as[Long].collect().toSet
+    assert(hitsU === Set(1L, 2L))
+    val idxA = TextSearch.buildIndex(docs, "id", "text")
+    assert(TextSearch.search(idxA, "Данные", 10).isEmpty)
+    // wordCounts under the Unicode alphabet sees the non-Latin vocab
+    val wc = graft.text.Vocab.wordCounts(docs, "text",
+        Text.UnicodeSplitRe)
+      .as[(String, Long)].collect().toMap
+    assert(wc("данные") === 1L && wc("данных") === 1L && wc("text") === 1L)
   }
 
   test("hash60 is non-negative and stable") {

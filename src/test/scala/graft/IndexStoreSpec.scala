@@ -2116,6 +2116,81 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       .as[(String, Long, Long)].head()._3 === 0L)
   }
 
+  test("delete waves from a fresh checkpoint drain against a family whose ingest waves are ahead") {
+    // THE r13-advice topology: the erasure queue is its own stream, so
+    // its checkpoint batch ids start at 0 while the family's ingest
+    // waves are already at 5/7 — under the raw monotonic-wave check
+    // every micro-batch refused and the GDPR stream crash-looped
+    // forever. resolveDeleteWave remaps behind-the-clock ids past the
+    // committed horizon instead.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("bm25behind").toString
+    val ckpt = Files.createTempDirectory("bm25behindckpt").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").localCheckpoint(true)
+    val base = docs.where($"doc_id" % 3 === 0)
+    IndexStore.saveBm25(TextSearch.buildIndex(base, "doc_id", "text"), dir,
+      source = Some((base, "doc_id", "text")))
+    // ingest waves 5 and 7: the clock is far ahead of a fresh checkpoint
+    IndexStore.appendBatchBm25(docs.where($"doc_id" % 3 === 1), "doc_id",
+      "text", dir, 5L)
+    IndexStore.appendBatchBm25(docs.where($"doc_id" % 3 === 2), "doc_id",
+      "text", dir, 7L)
+    val preDelete = IndexStore.loadBm25(spark, dir).numDocs
+    assert(preDelete === docs.count())
+    val doomed = docs.where($"doc_id" % 5 === 0)
+      .as[(Long, String)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = IndexStore.streamDeletesIntoBm25(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir, ckpt)
+    try {
+      // two micro-batches (checkpoint ids 0 and 1, both behind wave 7)
+      val (w1, w2) = doomed.splitAt(doomed.length / 2)
+      mem.addData(w1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(w2.toIndexedSeq); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
+    val survivors = docs.where($"doc_id" % 5 =!= 0)
+    val idx = IndexStore.loadBm25Checked(spark, dir, survivors, "doc_id",
+      "text")
+    assert(idx.numDocs === survivors.count())
+    assert(IndexStore.erasureAudit(spark,
+        docs.where($"doc_id" % 5 === 0).select("doc_id"), "doc_id",
+        Seq("bm25" -> dir))
+      .as[(String, Long, Long)].head()._3 === 0L)
+    // the logical clock stays truthful: the remapped deletes landed
+    // AFTER wave 7, so the as-of horizon at wave 7 still shows the full
+    // pre-delete corpus
+    assert(IndexStore.loadBm25AsOf(spark, dir, 7L).numDocs === preDelete)
+    // same topology direct-call, word-count family: two behind-the-clock
+    // waves naming OVERLAPPING ids (the GDPR repeat shape) remap to
+    // distinct fresh waves and the ledger keeps a single subtraction
+    val wcDir = Files.createTempDirectory("wcbehind").toString
+    IndexStore.saveWordCounts(base, "doc_id", "text", wcDir)
+    IndexStore.appendBatchWordCounts(docs.where($"doc_id" % 3 === 1),
+      "doc_id", "text", wcDir, 5L)
+    IndexStore.appendBatchWordCounts(docs.where($"doc_id" % 3 === 2),
+      "doc_id", "text", wcDir, 7L)
+    val wcDoomed = docs.where($"doc_id" % 5 === 0).localCheckpoint(true)
+    IndexStore.deleteBatchWordCounts(wcDoomed, "doc_id", "text", wcDir, 0L)
+    IndexStore.deleteBatchWordCounts(wcDoomed, "doc_id", "text", wcDir, 1L)
+    IndexStore.loadWordCountsChecked(spark, wcDir, survivors, "doc_id",
+      "text")
+  }
+
+  test("resolveDeleteWave: pass-through at/above the clock, remap below, floor respected") {
+    val dir = Files.createTempDirectory("resolvewave").toString
+    // no committed markers, no floor: ids pass through
+    assert(IndexStore.resolveDeleteWave(spark, dir, Seq.empty, 0L) === 0L)
+    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L), 3L) === 3L)
+    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L), 9L) === 9L)
+    // behind the clock: first wave past the committed horizon
+    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L), 0L) === 4L)
+    // a committed DELETE marker advances the clock too (wave 4's marker)
+    assert(IndexStore.resolveDeleteWave(spark, dir,
+      Seq(-1L, 3L, -(3L * 4L + 2L)), 1L) === 5L)
+  }
+
   test("compaction advisor: receipts from sidecars, workload flips the fold, execute folds and preserves checkability") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("compadvise").toString
@@ -2212,9 +2287,14 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
       IndexStore.appendBatchWordCounts(c, "doc_id", "text", wcDir, 2L)
     }.getMessage.contains("logical clock"))
     IndexStore.compactWordCounts(spark, wcDir)
-    assert(intercept[IllegalArgumentException] {
-      IndexStore.deleteBatchWordCounts(b, "doc_id", "text", wcDir, 0L)
-    }.getMessage.contains("horizon floor"))
+    // DELETES differ from appends since the r13-advice fix: a
+    // behind-the-floor id from a fresh erasure checkpoint REMAPS past
+    // the committed horizon (resolveDeleteWave) instead of refusing —
+    // an append reusing a stale id corrupts history, but a GDPR delete
+    // refusing forever was the worse bug. The wave drains and the fold
+    // equals a fresh build over the survivors.
+    IndexStore.deleteBatchWordCounts(b, "doc_id", "text", wcDir, 0L)
+    IndexStore.loadWordCountsChecked(spark, wcDir, a, "doc_id", "text")
 
     // IVF: same contract on the vector side
     val embs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")

@@ -319,7 +319,7 @@ class VocabSpec extends AnyFunSuite with SparkTest {
     assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
 
-  test("planLearn declares the loop cost from the word table, before launch") {
+  test("planLearn declares the loop cost AND regime from the word table, before launch") {
     // toy vocabulary: 6 words, symbol mass = total characters
     val wc = Vocab.wordCounts(toy, "text")
     val plan = Vocab.planLearn(wc, nMerges = 3)
@@ -328,12 +328,49 @@ class VocabSpec extends AnyFunSuite with SparkTest {
       .map(_.length).sum
     assert(plan.vocabSymbols === expectSyms.toLong)
     assert(plan.corpusScans === 1)
-    assert(plan.sparkJobs === 1L + 3L * 3L)
+    // the toy table fits the driver budget → local regime, 2 jobs total
+    assert(plan.regime === "driver-local")
+    assert(plan.sparkJobs === 2L)
     assert(plan.scanMassUpperBound === 3.0 * expectSyms)
-    assert(plan.rationale.exists(_.contains("incremental")))
+    assert(plan.rationale.exists(_.contains("DRIVER-LOCAL")))
+    // a zero budget forces the distributed regime and its job count
+    val dist = Vocab.planLearn(wc, nMerges = 3, localSymbolBudget = 0L)
+    assert(dist.regime === "distributed")
+    assert(dist.sparkJobs === 1L + 3L * 3L)
+    assert(dist.rationale.exists(_.contains("driver-blocking")))
     // and the declared merges price-checks against the loop it prices:
     // same word table, same output as the from-scratch learner
     assert(Vocab.learnBpeFromCounts(wc, 3) === Vocab.learnBpe(toy, "text", 3))
     intercept[IllegalArgumentException](Vocab.planLearn(wc, 0))
+  }
+
+  test("driver-local learn ≡ distributed learn (property, random corpora)") {
+    // the local regime must produce IDENTICAL merges — counts, order,
+    // tie-breaks — to both distributed loops on arbitrary corpora
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 4) {
+      val docs = (1 to 24).map { i =>
+        val words = (1 to 3 + rnd.nextInt(5)).map { _ =>
+          val len = 1 + rnd.nextInt(5)
+          (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("id", "text")
+      val wc = Vocab.wordCounts(docs, "text").localCheckpoint(true)
+      val n = 2 + rnd.nextInt(5)
+      val local = Vocab.learnBpeLocalFromCounts(wc, n)
+      assert(local === Vocab.learnBpeFromCounts(wc, n), s"trial $trial (naive)")
+      assert(local === Vocab.learnBpeFastFromCounts(wc, n), s"trial $trial (fast)")
+    }
+    // the dispatcher picks local under the default budget and the
+    // distributed loop under a zero budget — same merges either way
+    val wc = Vocab.wordCounts(toy, "text")
+    assert(Vocab.learnBpeAutoFromCounts(wc, 3) ===
+      Vocab.learnBpeAutoFromCounts(wc, 3, localSymbolBudget = 0L))
+    // exhaustion: more merges than pairs stops early, identically
+    val tiny = Seq((1L, "ab ab")).toDF("id", "text")
+    val twc = Vocab.wordCounts(tiny, "text")
+    assert(Vocab.learnBpeLocalFromCounts(twc, 10) ===
+      Vocab.learnBpeFromCounts(twc, 10))
   }
 }
