@@ -377,6 +377,55 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** ORDER-3 quality LM with stupid backoff
+    * ([[LanguageModel.train3]]/[[LanguageModel.score3]], Brants et al.
+    * 2007): the CCNet-style gate at the order the add-one bigram can't
+    * reach. All arithmetic is exact integer counts + a fixed α = 0.4 —
+    * the oracle rebuilds the identical three count tables and CASE
+    * backoff in SQL, so every branch (observed trigram, bigram backoff,
+    * unigram floor) is hash-checked. */
+  private def qLm3Score(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    LanguageModel.score3(LanguageModel.train3(d, "doc_id", "text"),
+        d, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** The order-3 LM as the SIXTEENTH persisted family
+    * ([[IndexStore.saveLm3]]): trigram/bigram/unigram count deltas per
+    * ingest wave (all invertible sums), N and V derived from the
+    * unigram fold, ledger/clock/fingerprint/as-of like every family.
+    * The fold must equal a fresh [[LanguageModel.train3]] over the
+    * committed corpus — shares `q_lm3_score`'s oracle verbatim. */
+  private val lm3Built =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def corpusLm3Disk(spark: SparkSession, dir: String)
+      : LanguageModel.TrigramLm = {
+    val path = lm3Built.getOrElseUpdate((spark, dir), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_lm3_${
+        dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val d = Tables.documents(spark, dir).select("doc_id", "text")
+      IndexStore.saveLm3(
+        d.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", p)
+      IndexStore.appendBatchLm3(
+        d.where(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text", p, 0L)
+      IndexStore.appendBatchLm3(
+        d.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", p, 1L)
+      p
+    })
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    checkedOncePerWave(spark, dir, "lm3")(
+      IndexStore.loadLm3Checked(spark, path, d, "doc_id", "text"))(
+      IndexStore.loadLm3(spark, path))
+  }
+
+  private def qLm3ScoreInc(spark: SparkSession, dir: String): DataFrame =
+    LanguageModel.score3(corpusLm3Disk(spark, dir),
+        Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** North-star cross-document duplicate-n-gram profile: per document, the
     * share of its distinct shingles repeated elsewhere in the corpus — the
     * linear-cost boilerplate read-out pairwise near-dup detection can't
@@ -2773,6 +2822,24 @@ object SparkEntry {
       .toDF()
       .orderBy("asset_id")
 
+  /** REAL image decode under the gate ([[Multimodal.decodeImageStats]]
+    * via JDK ImageIO): one planted PNG per document — dims and every
+    * pixel a pure function of doc_id ([[Multimodal.plantedImageAssets]])
+    * — is encoded and decoded THROUGH A REAL CODEC on executors, and the
+    * oracle recomputes the decoded per-channel sums from the
+    * construction arithmetic alone (generate_series over the pixel
+    * grid). A codec that lied about dimensions, channel order, or any
+    * pixel value hash-mismatches. Narrow typed maps end to end — zero
+    * shuffle; at 100 TB each executor decodes its own splits. */
+  private def qMultimodalDecode(spark: SparkSession, dir: String)
+      : DataFrame =
+    Multimodal.imageStats(
+        Multimodal.plantedImageAssets(Tables.documents(spark, dir),
+          "doc_id"))
+      .toDF()
+      .withColumnRenamed("asset_id", "doc_id")
+      .orderBy("doc_id")
+
   /** Query histogram for [[qMultimodalKnn]]: the 4-bin byte histogram of a
     * fixed probe payload, computed through the SAME featurizer the corpus
     * runs ([[Multimodal.extractFeatures]]) so query and corpus features
@@ -3585,20 +3652,33 @@ object SparkEntry {
       val gq = s"$tmp/graft_wavegq_$tag"
       val wc = s"$tmp/graft_wavewc_$tag"
       val lmp = s"$tmp/graft_wavelm_$tag"
+      val iv = s"$tmp/graft_waveivf_$tag"
       IndexStore.createBm25(d, "doc_id", "text", bm)
       IndexStore.saveQuantile(d, "doc_id", "n_chars", k = 1024, q)
       IndexStore.saveGroupedQuantile(d, "doc_id", "source", "n_chars",
         1024, gq)
       IndexStore.saveWordCounts(d, "doc_id", "text", wc)
       IndexStore.saveLm(d, "doc_id", "text", lmp)
+      // the VECTOR-keyed family: a user's docs AND their embeddings
+      // erase in ONE wave — the real GDPR shape spans both id spaces
+      // (doc_id ≡ vec_id in the fixture corpus, as in any 1:1 enrich)
+      IndexStore.createIvf(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        "vec_id", "embedding", iv, numClusters = 8)
       Seq(IndexStore.ErasureTarget("bm25", bm, Seq("text")),
+        IndexStore.ErasureTarget("ivf", iv, Seq("embedding")),
         IndexStore.ErasureTarget("lm", lmp, Seq("text")),
         IndexStore.ErasureTarget("quantile", q, Seq("n_chars")),
         IndexStore.ErasureTarget("gquantile", gq, Seq("source", "n_chars")),
         IndexStore.ErasureTarget("wordcount", wc, Seq("text")))
     })
-    val doomed = Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir)
       .select("doc_id", "text", "source", "n_chars")
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // ONE wave carrying every column any family re-derives from: text/
+    // value columns for the doc-keyed families, the exact stored vector
+    // for the embedding-keyed one (ids align 1:1)
+    val doomed = d.join(e, d("doc_id") === e("vec_id")).drop("vec_id")
       .where(pmod(col("doc_id"), lit(6)) === 0)
     IndexStore.executeErasureWave(doomed, "doc_id", targets, batchId = 0L)
       .orderBy("family")
@@ -3833,6 +3913,8 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) => qLmScore(s, dir)),
     "q_lm_score_inc" -> ((s, dir) => qLmScoreInc(s, dir)),
     "q_lm_score_asof" -> ((s, dir) => qLmScoreAsof(s, dir)),
+    "q_lm3_score" -> ((s, dir) => qLm3Score(s, dir)),
+    "q_lm3_score_inc" -> ((s, dir) => qLm3ScoreInc(s, dir)),
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
     "q_source_overlap" -> ((s, dir) => qSourceOverlap(s, dir)),
     "q_source_overlap_inc" -> ((s, dir) => qSourceOverlapInc(s, dir)),
@@ -3902,6 +3984,7 @@ object SparkEntry {
     "q_quality_tiers" -> ((s, dir) => qQualityTiers(s, dir)),
     "q_mix_sources" -> ((s, dir) => qMixSources(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
+    "q_multimodal_decode" -> ((s, dir) => qMultimodalDecode(s, dir)),
     "q_multimodal_knn" -> ((s, dir) => qMultimodalKnn(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_attribution" -> ((s, dir) => qAttribution(s, dir)),
@@ -4079,12 +4162,14 @@ object SparkEntry {
         |       true AS recommend,
         |       false AS folded""".stripMargin,
     // the engine's zeros must come out of the LIVE loaders after a real
-    // fleet-wide delete — the SQL states the certificate the wave must earn
+    // fleet-wide delete — the SQL states the certificate the wave must
+    // earn. The catalog spans BOTH id spaces: doc-keyed families plus
+    // the embedding-keyed ivf (vec_id ≡ doc_id, 1:1), erased in ONE wave
     "q_erasure_wave" ->
       """SELECT family, n AS erased_n, CAST(0 AS BIGINT) AS residual
         |FROM (SELECT count(DISTINCT doc_id) AS n FROM documents
         |      WHERE doc_id % 6 = 0),
-        |     (SELECT unnest(['bm25', 'gquantile', 'lm', 'quantile', 'wordcount']) AS family)
+        |     (SELECT unnest(['bm25', 'gquantile', 'ivf', 'lm', 'quantile', 'wordcount']) AS family)
         |ORDER BY family""".stripMargin,
     // positional-index twin: same phrase, same corpus, same relation as
     // q_phrase_find — only the PLAN differs (bucket probes, no scan)
@@ -4299,6 +4384,19 @@ object SparkEntry {
              "documents", "doc_id", "text")}
          |SELECT id AS doc_id, lm_nlp, ppl, n_bigrams
          |FROM lmscore ORDER BY doc_id""".stripMargin,
+    // the order-3 stupid-backoff gate: identical CASE backoff over the
+    // identical exact counts — every branch hash-checked
+    "q_lm3_score" ->
+      s"""WITH ${LanguageModel.sqlScore3Ctes("documents", "documents",
+             "doc_id", "text")}
+         |SELECT id AS doc_id, lm3_nlp, ppl3, n_trigrams
+         |FROM lm3score ORDER BY doc_id""".stripMargin,
+    // the persisted fold must equal a fresh order-3 train — same oracle
+    "q_lm3_score_inc" ->
+      s"""WITH ${LanguageModel.sqlScore3Ctes("documents", "documents",
+             "doc_id", "text")}
+         |SELECT id AS doc_id, lm3_nlp, ppl3, n_trigrams
+         |FROM lm3score ORDER BY doc_id""".stripMargin,
     "q_dup_ngram_profile" ->
       (CorpusAnalysis.sqlDupNgramProfile("documents", "doc_id", "text") +
         "\nORDER BY id"),
@@ -4939,6 +5037,28 @@ object SparkEntry {
         |       len(list_filter(cs, c -> c // 64 = 2))::BIGINT AS h2,
         |       len(list_filter(cs, c -> c // 64 = 3))::BIGINT AS h3
         |FROM chars ORDER BY asset_id""".stripMargin,
+    // the REAL-codec gate: expected decode output recomputed from the
+    // planted construction arithmetic (w = 3+id%4, h = 2+id%3,
+    // r=(id+x)%256, g=(id+y)%256, b=(id+x*y)%256) — no image library on
+    // the oracle side at all, which is the point: the codec's output
+    // must equal pure arithmetic
+    "q_multimodal_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h
+        |  FROM documents
+        |), xs AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+        |  FROM dims
+        |), px AS (
+        |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        |  FROM xs
+        |)
+        |SELECT doc_id, any_value(w)::BIGINT AS width,
+        |       any_value(h)::BIGINT AS height,
+        |       sum((doc_id + x) % 256)::BIGINT AS sum_r,
+        |       sum((doc_id + y) % 256)::BIGINT AS sum_g,
+        |       sum((doc_id + x * y) % 256)::BIGINT AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same featurization CTE as q_multimodal; the second stage is the
     // exact-kNN shape every vector oracle uses
     "q_multimodal_knn" ->

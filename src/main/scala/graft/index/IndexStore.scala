@@ -1656,7 +1656,8 @@ object IndexStore {
     "containment" -> "sizes", "grams" -> "marks", "phrase" -> "marks",
     "windows" -> "marks", "stats" -> "commits", "summary" -> "marks",
     "zorder" -> "marks", "quantile" -> "marks", "gquantile" -> "marks",
-    "wordcount" -> "marks", "wc" -> "marks", "lm" -> "marks")
+    "wordcount" -> "marks", "wc" -> "marks", "lm" -> "marks",
+    "lm3" -> "marks")
 
   def describeFamily(spark: SparkSession, family: String, path: String)
       : FamilyState = {
@@ -1783,7 +1784,7 @@ object IndexStore {
         throw new IllegalArgumentException(
           s"unknown family '$other' — auditable families: ivf, pq, " +
             "prefix, signlsh/sign-lsh, bm25, phrase, windows, " +
-            "containment, quantile, gquantile, wordcount, lm")
+            "containment, quantile, gquantile, wordcount, lm, lm3")
     }
     // the quantile samples are hash-keyed, not id-keyed: an erased id's
     // row may legitimately be absent (never sampled), but a SAMPLED row
@@ -1797,7 +1798,7 @@ object IndexStore {
       .collect().map(_.getLong(0)).toSet
     val rows = families.map { case (family, path) =>
       val residual = family match {
-        case "wordcount" | "wc" | "lm" =>
+        case "wordcount" | "wc" | "lm" | "lm3" =>
           // the wc fold has no id column, so "still visible in the live
           // loader" is not probeable — the certificate is LEDGER-based
           // instead: an erased id is certified iff a COMMITTED delete
@@ -4476,15 +4477,63 @@ object IndexStore {
     * of driver round-trips for ~0 bytes of data). Spark job submission
     * is thread-safe; submitting the loads concurrently collapses the
     * wall-clock to ~the slowest single load. Returns in input order. */
+  /** Per-family timeout for [[loadSummaries]] — each load is a handful
+    * of tiny local sidecar reads, so minutes of slack already means
+    * something is WRONG (a hung FS handle, a dead executor), and an
+    * unbounded await would block the whole report forever with no
+    * diagnostic. */
+  val SummaryLoadTimeout: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(5, "min")
+
+  /** Submission-parallelism cap for [[loadSummaries]] — fleet
+    * cardinality is unbounded while any shared pool is not; 16 in-flight
+    * loads saturate the scheduling-latency win without monopolizing a
+    * pool. */
+  val SummaryLoadParallelism = 16
+
   def loadSummaries(spark: SparkSession, paths: Seq[(String, String)])
       : Seq[(String, SummaryIndex)] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
-      Future.traverse(paths) { case (name, path) =>
-        Future(name -> loadSummary(spark, path))
-      }, Duration.Inf)
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
+    import scala.concurrent.duration.Deadline
+    // a DEDICATED bounded pool: these futures BLOCK on Spark actions, and
+    // parking them on ExecutionContext.global would (a) cap fleet loads
+    // at CPU count for IO-latency-bound work and (b) starve any other
+    // user of the global pool for the duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(SummaryLoadParallelism, math.max(1, paths.size)),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-summary-load-${n.getAndIncrement}")
+          t.setDaemon(true)
+          t
+        }
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val deadline = Deadline.now + SummaryLoadTimeout
+      val futures = paths.map { case (name, path) =>
+        (name, path, Future(blocking { name -> loadSummary(spark, path) }))
+      }
+      // await each under the SHARED deadline, naming the family that hung
+      futures.map { case (name, path, f) =>
+        try Await.result(f, deadline.timeLeft)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new java.util.concurrent.TimeoutException(
+              s"loadSummaries: family '$name' at $path did not load " +
+                s"within $SummaryLoadTimeout — a summary load is " +
+                "milliseconds of sidecar reads; investigate the path/FS " +
+                "instead of waiting")
+          case e: Exception =>
+            // name the family — the underlying read error only names a
+            // path fragment, useless against a 50-source fleet
+            throw new IllegalStateException(
+              s"loadSummaries: family '$name' at $path failed to load: " +
+                s"${e.getMessage}", e)
+        }
+      }
+    } finally pool.shutdownNow()
   }
 
   /** [[loadSummary]] with the STALENESS GUARD: a summary missing an
@@ -5082,6 +5131,196 @@ object IndexStore {
     // asof_floor first — see compactBm25's fail-safe ordering note
     swapStaged(spark, path, staged, Seq("asof_floor", "bg", "uni", "marks")
       ++ (if (hasLedger) Seq("tombstones") else Seq.empty))
+  }
+
+  // --------------------------------------- trigram-LM family (lm3, fold-only)
+  //
+  // The order-3 stupid-backoff quality LM ([[graft.text.LanguageModel
+  // .TrigramLm]]) as the sixteenth persisted family — the [[saveLm]]
+  // discipline at order 3: invertible per-wave count deltas for the
+  // trigram/bigram/unigram tables (n-gram counts subtract exactly like
+  // bigram counts), N and V DERIVED from the unigram fold (never stored,
+  // so the backoff denominators can never drift from the counts), the
+  // shared erased-id ledger, monotonic waves, as-of horizons, and the
+  // staleness fingerprint. Layout: tg/bg/uni/marks(+tombstones,asof_floor).
+
+  private def writeLm3Batch(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, batchId: Long,
+      overwriteAll: Boolean, negate: Boolean): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def writer(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.withColumn("batch", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+      (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
+        .partitionBy("batch")
+    }
+    val sign = if (negate) -1L else 1L
+    // three map-side-combined passes over different explosions of the
+    // same staged token arrays; all three stay vocabulary-bounded
+    val tg = graft.text.LanguageModel.triples(docs, idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg((count(lit(1)) * lit(sign)).as("c3"))
+    writer(tg).parquet(s"$path/tg")
+    val bg = graft.text.LanguageModel.pairs(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg((count(lit(1)) * lit(sign)).as("c2"))
+    writer(bg).parquet(s"$path/bg")
+    val uni = graft.text.Vocab.wordCounts(docs, textCol)
+      .select(col("word"), (col("cnt") * lit(sign)).as("c1"))
+    writer(uni).parquet(s"$path/uni")
+    // marks LAST = commit (doc n + (id, text) fingerprint delta)
+    val (n, fp) = corpusFingerprint(
+      docs.select(col(idCol), col(textCol)), idCol, textCol)
+    val row = Seq((sign * n, new java.math.BigDecimal(sign)
+      .multiply(fp).toString, batchId)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite)
+    (if (overwriteAll) row
+     else row.option("partitionOverwriteMode", "dynamic"))
+      .partitionBy("batch").parquet(s"$path/marks")
+  }
+
+  /** Build and persist the trigram-LM family — Overwrite = S7
+    * `--replace`. */
+  def saveLm3(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    writeLm3Batch(docs, idCol, textCol, path, batchId = -1L,
+      overwriteAll = true, negate = false)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/asof_floor"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
+  /** Accrete one ingest wave — work ∝ wave (one tokenize + three
+    * aggregations); the persisted tables are never rescanned. */
+  def appendBatchLm3(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
+    val committed0 = committedBatches(spark, s"$path/marks")
+    if (committed0.contains(batchId)) return
+    requireMonotonicWave(spark, path, committed0, batchId, "LM3 append")
+    ledgerRefuseReingest(spark, path, committed0, docs, idCol, "LM3",
+      batchId)
+    writeLm3Batch(docs, idCol, textCol, path, batchId,
+      overwriteAll = false, negate = false)
+  }
+
+  /** DELETE one wave — n-gram counts are invertible at every order, so
+    * the wave lands NEGATED and the folded model equals a fresh train
+    * over the survivors. Ledger-deduped; behind-the-clock erasure-queue
+    * ids remap ([[resolveDeleteWave]]). */
+  def deleteBatchLm3(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
+    val committed0 = committedBatches(spark, s"$path/marks")
+    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val mid = deleteMarkerId(wave)
+    if (committed0.contains(mid)) return
+    requireMonotonicWave(spark, path, committed0, wave, "LM3 delete")
+    val fresh = ledgerDedupe(spark, path, committed0, docs, idCol, textCol)
+    ledgerWrite(fresh, path, mid)
+    writeLm3Batch(fresh, "__origid", "__text", path, mid,
+      overwriteAll = false, negate = true)
+  }
+
+  /** Streaming upkeep + streaming erasure — the [[streamIntoBm25]] /
+    * [[streamDeletesIntoWordCounts]] hook family. */
+  def streamIntoLm3(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatchLm3(b, idCol, textCol, path, id)
+      }
+      .start()
+
+  def streamDeletesIntoLm3(deletes: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteStream(deletes, checkpoint)(
+      deleteBatchLm3(_, idCol, textCol, path, _))
+
+  /** The folded order-3 model over the committed waves — equals
+    * [[graft.text.LanguageModel.train3]] over exactly the committed
+    * corpus: three folds (sum, drop ≤ 0), N/V derived from the unigram
+    * fold. Three aggregations over vocabulary-bounded delta tables —
+    * never a corpus scan. */
+  def loadLm3(spark: SparkSession, path: String)
+      : graft.text.LanguageModel.TrigramLm =
+    loadLm3AsOf(spark, path, Long.MaxValue)
+
+  /** TIME-TRAVEL fold — the [[loadLmAsOf]] contract at order 3. */
+  def loadLm3AsOf(spark: SparkSession, path: String, throughWave: Long)
+      : graft.text.LanguageModel.TrigramLm = {
+    if (throughWave != Long.MaxValue) {
+      val floor = asofFloor(spark, path)
+      require(throughWave >= floor,
+        s"LM3 as-of wave $throughWave predates the last compaction " +
+          s"(horizon floor $floor): the folded base no longer carries " +
+          "per-wave deltas.")
+    }
+    val batches = committedBatches(spark, s"$path/marks")
+      .filter(visibleAsOf(_, throughWave))
+    def fold(table: String, keys: Seq[String], cnt: String) =
+      spark.read.parquet(s"$path/$table")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+        .where(col(cnt) > 0)
+    graft.text.LanguageModel.fromCounts3(
+      fold("tg", Seq("w1", "w2", "w3"), "c3"),
+      fold("bg", Seq("w1", "w2"), "c2"),
+      fold("uni", Seq("word"), "c1"))
+  }
+
+  /** [[loadLm3]] with the STALENESS GUARD. */
+  def loadLm3Checked(spark: SparkSession, path: String,
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : graft.text.LanguageModel.TrigramLm = {
+    require(hasDataFiles(spark, s"$path/marks"),
+      s"no LM3 marks under $path — saveLm3 never completed; rebuild")
+    val batches = committedBatches(spark, s"$path/marks")
+    val (recN, recFp) = summedMarks(spark, s"$path/marks", batches)
+    val (n, fp) = corpusFingerprint(
+      docs.select(col(idCol), col(textCol)), idCol, textCol)
+    if (recN != n || recFp.compareTo(fp) != 0)
+      throw new IllegalStateException(
+        s"LM3 at $path is STALE: committed waves cover n=$recN " +
+          s"fp=$recFp, the corpus is now n=$n fp=$fp — scores would come " +
+          "from yesterday's model; appendBatchLm3 the missing wave or " +
+          "re-run saveLm3")
+    loadLm3(spark, path)
+  }
+
+  /** Fold the committed deltas into one base batch; ledger survives;
+    * the usual as-of floor. */
+  def compactLm3(spark: SparkSession, path: String): Unit = {
+    val batches = committedBatches(spark, s"$path/marks")
+    val (n, fp) = summedMarks(spark, s"$path/marks", batches)
+    val floor = (batches.map(originalWave) :+ asofFloor(spark, path)).max
+    val staged = s"$path/.compact"
+    import spark.implicits._
+    def foldTo(table: String, keys: Seq[String], cnt: String): Unit =
+      spark.read.parquet(s"$path/$table")
+        .where(col("batch").cast("long").isin(batches: _*))
+        .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+        .where(col(cnt) > 0)
+        .withColumn("batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).partitionBy("batch")
+        .parquet(s"$staged/$table")
+    foldTo("tg", Seq("w1", "w2", "w3"), "c3")
+    foldTo("bg", Seq("w1", "w2"), "c2")
+    foldTo("uni", Seq("word"), "c1")
+    Seq((n, fp.toString, -1L)).toDF("n", "fp", "batch")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(s"$staged/marks")
+    val hasLedger = ledgerStageForCompaction(spark, path, batches, staged)
+    writeAsofFloor(spark, floor, s"$staged/asof_floor")
+    swapStaged(spark, path, staged,
+      Seq("asof_floor", "tg", "bg", "uni", "marks")
+        ++ (if (hasLedger) Seq("tombstones") else Seq.empty))
   }
 
   // ------------------------------------------------ quantile sample sketch
@@ -5723,7 +5962,7 @@ object IndexStore {
     // sidecar
     val fprintDir =
       if (Set("prefix", "summary", "quantile", "gquantile", "wordcount",
-          "wc", "lm")(family))
+          "wc", "lm", "lm3")(family))
         s"$path/marks"
       else s"$path/fprint"
     require(hasDataFiles(spark, fprintDir),
@@ -5751,10 +5990,11 @@ object IndexStore {
         if (!hasDataFiles(spark, s"$path/wc")) 0L
         else spark.read.parquet(s"$path/wc")
           .where(col("batch").cast("long").isin(batches: _*)).count()
-      } else if (family == "lm") {
-        // same honesty boundary: the fold touches the bigram + unigram
-        // delta tables, not the corpus docs the marks fingerprint counts
-        Seq("bg", "uni").map { d =>
+      } else if (family == "lm" || family == "lm3") {
+        // same honesty boundary: the fold touches the n-gram delta
+        // tables, not the corpus docs the marks fingerprint counts
+        (if (family == "lm3") Seq("tg", "bg", "uni")
+         else Seq("bg", "uni")).map { d =>
           if (!hasDataFiles(spark, s"$path/$d")) 0L
           else spark.read.parquet(s"$path/$d")
             .where(col("batch").cast("long").isin(batches: _*)).count()
@@ -5809,6 +6049,7 @@ object IndexStore {
       case "gquantile" => compactGroupedQuantile(spark, path)
       case "wordcount" | "wc" => compactWordCounts(spark, path)
       case "lm" => compactLm(spark, path)
+      case "lm3" => compactLm3(spark, path)
       case other => throw new IllegalArgumentException(
         s"unknown index family '$other'")
     }
@@ -5907,6 +6148,8 @@ object IndexStore {
           deleteBatchWordCounts(wave, idCol, c(0), t.path, batchId)
         case "lm" =>
           deleteBatchLm(wave, idCol, c(0), t.path, batchId)
+        case "lm3" =>
+          deleteBatchLm3(wave, idCol, c(0), t.path, batchId)
         case "zorder" | "grams" | "summary" | "stats" =>
           throw new IllegalArgumentException(
             s"the ${t.family} family's erasure is not id-addressed and " +
@@ -5921,7 +6164,7 @@ object IndexStore {
         case other => throw new IllegalArgumentException(
           s"unknown family '$other' — id-addressed families: ivf, pq, " +
             "prefix, signlsh/sign-lsh, bm25, phrase, windows, " +
-            "containment, quantile, gquantile, wordcount, lm")
+            "containment, quantile, gquantile, wordcount, lm, lm3")
       }
     }
     targets.foreach(one)

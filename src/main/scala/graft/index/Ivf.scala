@@ -718,18 +718,34 @@ object Ivf {
     import spark.implicits._
     var nPairs = 0L
     var mass = 0L
-    val slices = Seq.newBuilder[DataFrame]
-    pairIt.grouped(maxPairsPerSlice).foreach { slice =>
+    def scoreSlice(slice: Seq[(Long, Int)]): DataFrame = {
       nPairs += slice.size
       slice.foreach { case (_, cid) => mass += index.sizes.getOrElse(cid, 0L) }
-      slices += routedScored(index, qRows, cleanCorpus, cIdCol, cEmbCol, slice)
+      routedScored(index, qRows, cleanCorpus, cIdCol, cEmbCol, slice)
+        .where(col("sim") >= threshold)
     }
-    val built = slices.result()
+    // slice-at-a-time EXECUTION, not just slice-at-a-time planning: the
+    // one-slice normal path stays a lazy plan (zero change), but under
+    // degenerate geometry each further slice is eagerly materialized
+    // (localCheckpoint → executor-resident blocks of the FILTERED output)
+    // and its pair list dropped before the next slice is even pulled from
+    // the iterator — peak driver memory is ONE slice's pairs + broadcast,
+    // never O(total pairs), which is the contract the slicing claims.
+    val grouped = pairIt.grouped(maxPairsPerSlice)
     val out =
-      if (built.isEmpty)
+      if (!grouped.hasNext)
         Seq.empty[(Long, Long, Double)].toDF("query_id", "nbr_id", "sim")
-      else
-        built.reduce(_ unionByName _).where(col("sim") >= threshold)
+      else {
+        val first = scoreSlice(grouped.next())
+        if (!grouped.hasNext) first
+        else {
+          val parts = Seq.newBuilder[DataFrame]
+          parts += first.localCheckpoint(true)
+          while (grouped.hasNext)
+            parts += scoreSlice(grouped.next()).localCheckpoint(true)
+          parts.result().reduce(_ unionByName _)
+        }
+      }
     val stats = RangeJoinStats(
       candidatePairs = math.min(nPairs, Int.MaxValue.toLong).toInt,
       candidateMass = mass,

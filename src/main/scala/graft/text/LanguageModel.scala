@@ -95,6 +95,182 @@ object LanguageModel {
   def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     score(train(docs, idCol, textCol), docs, idCol, textCol)
 
+  // ------------------------------------------- trigram LM (stupid backoff)
+
+  /** Backoff discount α — Brants et al. 2007 ("Large Language Models in
+    * Machine Translation"), who found a FIXED α ≈ 0.4 matches learned
+    * Kneser–Ney weights at corpus scale for filtering/ranking work.
+    * Fixed, not learned: the whole point of stupid backoff is exact
+    * integer-count arithmetic (SQL-expressible, oracle-able) with no
+    * normalization pass. */
+  val BackoffAlpha = 0.4
+
+  /** Order-3 model with deterministic backoff — the CCNet-style quality
+    * gate at an order the add-one bigram can't reach (add-one is a blunt
+    * perplexity gate: it over-penalizes rare-but-clean technical text;
+    * a trigram with backoff separates fluent from shuffled text far more
+    * sharply). Score of a trigram position (w1 w2 w3):
+    *
+    *   S = c(w1w2w3) / c(w1w2)                   if c(w1w2w3) > 0
+    *     = α · c(w2w3) / c(w2)                   else if c(w2w3) > 0
+    *     = α² · (c(w3) + 1) / (N + V)            otherwise
+    *
+    * (denominators are safe by construction: an observed trigram implies
+    * its leading bigram was observed, an observed bigram implies its
+    * leading unigram). The final floor adds one at the unigram level ONLY
+    * — stupid backoff is undefined on never-seen words, and a quality
+    * gate must score any candidate document — keeping S total and exact.
+    * All counts integers; the only floats are the divisions, ln, and the
+    * rounded means (the BM25 determinism discipline).
+    *
+    * @param trigramCounts (w1, w2, w3, c3)
+    * @param bigramCounts  (w1, w2, c2)
+    * @param unigramCounts (word, c1)
+    * @param totalTokens   N — training token count (Σ c1)
+    * @param vocabSize     V — distinct training tokens */
+  final case class TrigramLm(trigramCounts: DataFrame,
+      bigramCounts: DataFrame, unigramCounts: DataFrame,
+      totalTokens: Long, vocabSize: Long)
+
+  /** Per-document trigram positions: (id, w1, w2, w3) — narrow zip of
+    * three shifted slices of the staged token array (no join, no
+    * window). `private[graft]`: the persisted lm3 family builds its
+    * per-wave deltas from this same relation. */
+  private[graft] def triples(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val n2 = greatest(size(col("toks")) - 2, lit(0))
+    docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(zip_with(
+        zip_with(
+          slice(col("toks"), lit(1), n2),
+          slice(col("toks"), lit(2), n2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(col("toks"), lit(3), n2),
+        (ab, c) => struct(ab.getField("w1").as("w1"),
+          ab.getField("w2").as("w2"), c.as("w3")))).as("tg"))
+      .select(col("id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+  }
+
+  /** Train the order-3 model: three map-side-combinable counts over the
+    * staged token arrays plus two scalars DERIVED from the unigram
+    * relation (N = Σ c1, V = |unigrams| — derived so they can never
+    * drift from the counts, the persisted-family discipline). */
+  def train3(docs: DataFrame, idCol: String, textCol: String): TrigramLm = {
+    val tg = triples(docs, idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val bg = pairs(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val uni = docs
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c1"))
+    fromCounts3(tg, bg, uni)
+  }
+
+  /** Assemble a [[TrigramLm]] from already-built count relations (the
+    * persisted-family fold path) — N and V derived from the unigram
+    * fold, never stored. */
+  def fromCounts3(tg: DataFrame, bg: DataFrame, uni: DataFrame)
+      : TrigramLm = {
+    val r = uni.agg(sum(col("c1")), count(lit(1))).head()
+    TrigramLm(tg, bg, uni,
+      if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+  }
+
+  /** Score documents under a trained order-3 model:
+    * (id, lm3_nlp, ppl3, n_trigrams) — docs with fewer than three tokens
+    * have no trigram positions and no row. Four LEFT equi-joins against
+    * count tables (at 100 TB: parquet side tables bucketed by join key,
+    * the postings layout) + one per-doc aggregation; no windows, no
+    * UDFs, no driver collect. */
+  def score3(lm: TrigramLm, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tgc = lm.trigramCounts
+      .select(col("w1"), col("w2"), col("w3"), col("c3"))
+    val ctx2 = lm.bigramCounts
+      .select(col("w1"), col("w2"), col("c2").as("c2_ctx"))
+    val bo2 = lm.bigramCounts
+      .select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2_bo"))
+    val ctx1 = lm.unigramCounts
+      .select(col("word").as("w2"), col("c1").as("c1_ctx"))
+    val bo1 = lm.unigramCounts
+      .select(col("word").as("w3"), col("c1").as("c1_bo"))
+    val a = lit(BackoffAlpha)
+    val s = when(coalesce(col("c3"), lit(0L)) > 0,
+        col("c3").cast("double") / col("c2_ctx").cast("double"))
+      .when(coalesce(col("c2_bo"), lit(0L)) > 0,
+        a * col("c2_bo").cast("double") / col("c1_ctx").cast("double"))
+      .otherwise(a * a * (coalesce(col("c1_bo"), lit(0L)) + lit(1.0)) /
+        lit(lm.totalTokens.toDouble + lm.vocabSize.toDouble))
+    triples(docs, idCol, textCol)
+      .join(tgc, Seq("w1", "w2", "w3"), "left")
+      .join(ctx2, Seq("w1", "w2"), "left")
+      .join(bo2, Seq("w2", "w3"), "left")
+      .join(ctx1, Seq("w2"), "left")
+      .join(bo1, Seq("w3"), "left")
+      .withColumn("x", -log(s))
+      .groupBy(col("id"))
+      .agg(
+        round(avg(col("x")), ScoreDecimals).as("lm3_nlp"),
+        round(exp(avg(col("x"))), ScoreDecimals).as("ppl3"),
+        count(lit(1)).as("n_trigrams"))
+  }
+
+  /** DuckDB rendition of train3+score3 with SEPARATE train and score
+    * corpora, ending in `lm3score(id, lm3_nlp, ppl3, n_trigrams)` —
+    * the same CASE backoff over the same exact counts. Paste after
+    * `WITH `. */
+  def sqlScore3Ctes(trainTable: String, scoreTable: String, idExpr: String,
+      textExpr: String): String =
+    s"""l3toks AS (
+       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS toks FROM $trainTable
+       |), l3tg AS (
+       |  SELECT z[1] AS w1, z[2] AS w2, z[3] AS w3, count(*) AS c3 FROM (
+       |    SELECT unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+       |                           toks[3:len(toks)])) AS z
+       |    FROM l3toks WHERE len(toks) >= 3)
+       |  GROUP BY 1, 2, 3
+       |), l3bg AS (
+       |  SELECT z[1] AS w1, z[2] AS w2, count(*) AS c2 FROM (
+       |    SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+       |    FROM l3toks)
+       |  GROUP BY 1, 2
+       |), l3uni AS (
+       |  SELECT t AS word, count(*) AS c1
+       |  FROM (SELECT unnest(toks) AS t FROM l3toks) GROUP BY 1
+       |), l3nv AS (
+       |  SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS v FROM l3uni
+       |), l3stoks AS (
+       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS toks FROM $scoreTable
+       |), l3spos AS (
+       |  SELECT id, z[1] AS w1, z[2] AS w2, z[3] AS w3 FROM (
+       |    SELECT id, unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
+       |                               toks[3:len(toks)])) AS z
+       |    FROM l3stoks WHERE len(toks) >= 3)
+       |), l3nlp AS (
+       |  SELECT p.id, -ln(CASE
+       |      WHEN coalesce(t.c3, 0) > 0
+       |        THEN t.c3::DOUBLE / cx.c2::DOUBLE
+       |      WHEN coalesce(bo.c2, 0) > 0
+       |        THEN $BackoffAlpha * bo.c2::DOUBLE / u2.c1::DOUBLE
+       |      ELSE $BackoffAlpha * $BackoffAlpha
+       |             * (coalesce(u3.c1, 0) + 1.0) / (l3nv.n + l3nv.v)
+       |    END) AS nlp
+       |  FROM l3spos p
+       |  LEFT JOIN l3tg t USING (w1, w2, w3)
+       |  LEFT JOIN l3bg cx USING (w1, w2)
+       |  LEFT JOIN l3bg bo ON bo.w1 = p.w2 AND bo.w2 = p.w3
+       |  LEFT JOIN l3uni u2 ON u2.word = p.w2
+       |  LEFT JOIN l3uni u3 ON u3.word = p.w3
+       |  CROSS JOIN l3nv
+       |), lm3score AS (
+       |  SELECT id, round(avg(nlp), $ScoreDecimals) AS lm3_nlp,
+       |         round(exp(avg(nlp)), $ScoreDecimals) AS ppl3,
+       |         count(*) AS n_trigrams
+       |  FROM l3nlp GROUP BY 1
+       |)""".stripMargin
+
   /** DuckDB rendition with SEPARATE train and score corpora, ending in a
     * `lmscore(id, lm_nlp, ppl, n_bigrams)` relation — the oracle for the
     * persisted-family queries (fold scoring, as-of scoring), where the

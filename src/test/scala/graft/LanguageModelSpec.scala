@@ -35,6 +35,77 @@ class LanguageModelSpec extends AnyFunSuite with SparkTest {
     assert(got(11L) === r6(math.log(3)))
   }
 
+  test("trigram stupid backoff: every branch matches hand-computed values") {
+    // train: "a b c a b d" — trigrams (a,b,c)(b,c,a)(c,a,b)(a,b,d);
+    // bigrams (a,b)×2 (b,c)(c,a)(a,b→ again)(b,d); unigrams a2 b2 c1 d1;
+    // N=6, V=4
+    val train = Seq((1L, "a b c a b d")).toDF("id", "text")
+    val lm = LanguageModel.train3(train, "id", "text")
+    assert(lm.totalTokens === 6L && lm.vocabSize === 4L)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = LanguageModel.score3(lm,
+        Seq((10L, "a b c"),   // observed trigram: S = c3/c(a,b) = 1/2
+          (11L, "d a b"),     // backoff to bigram: S = 0.4·c(a,b)/c(a) = 0.4·2/2
+          (12L, "b d x"))     // unigram floor, x unseen: S = 0.16·(0+1)/(6+4)
+          .toDF("id", "text"),
+        "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(10L) === ((r6(-math.log(0.5)), r6(2.0), 1L)))
+    assert(got(11L) === ((r6(-math.log(0.4)), r6(2.5), 1L)))
+    assert(got(12L) === ((r6(-math.log(0.016)), r6(62.5), 1L)))
+    // the unigram-floor branch for a SEEN word: (d, b, a) — trigram and
+    // bigram (b,a) unseen, a seen twice → S = 0.16·(2+1)/10 = 0.048
+    val seen = LanguageModel.score3(lm,
+        Seq((13L, "d b a")).toDF("id", "text"), "id", "text")
+      .collect().head
+    assert(seen.getDouble(1) === r6(-math.log(0.048)))
+    // < 3 tokens → no trigram position, no row
+    assert(LanguageModel.score3(lm,
+      Seq((14L, "a b")).toDF("id", "text"), "id", "text").isEmpty)
+  }
+
+  test("lm3 persisted family: fold == fresh train3 through append/delete/compaction/as-of") {
+    import graft.index.IndexStore
+    import graft.util.Tables
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .localCheckpoint(true)
+    val a = docs.where($"doc_id" % 3 === 0)
+    val b = docs.where($"doc_id" % 3 === 1)
+    val c = docs.where($"doc_id" % 3 === 2)
+    val dir = java.nio.file.Files.createTempDirectory("lm3fam").toString
+    def rows(lm: LanguageModel.TrigramLm) =
+      LanguageModel.score3(lm, docs, "doc_id", "text")
+        .as[(Long, Double, Double, Long)].collect().toSet
+    IndexStore.saveLm3(a, "doc_id", "text", dir)
+    IndexStore.appendBatchLm3(b, "doc_id", "text", dir, 0L)
+    val ab = a.unionByName(b)
+    assert(rows(IndexStore.loadLm3Checked(spark, dir, ab, "doc_id", "text"))
+      === rows(LanguageModel.train3(ab, "doc_id", "text")))
+    // staleness refuses a moved-on corpus
+    assert(intercept[IllegalStateException] {
+      IndexStore.loadLm3Checked(spark, dir, docs, "doc_id", "text")
+    }.getMessage.contains("STALE"))
+    IndexStore.appendBatchLm3(c, "doc_id", "text", dir, 1L)
+    // delete wave b: fold equals a fresh train over a∪c
+    IndexStore.deleteBatchLm3(b, "doc_id", "text", dir, 2L)
+    val ac = a.unionByName(c)
+    assert(rows(IndexStore.loadLm3Checked(spark, dir, ac, "doc_id", "text"))
+      === rows(LanguageModel.train3(ac, "doc_id", "text")))
+    // as-of horizon 0 = a∪b (wave 1 and the delete invisible)
+    assert(rows(IndexStore.loadLm3AsOf(spark, dir, 0L))
+      === rows(LanguageModel.train3(ab, "doc_id", "text")))
+    // compaction folds to one base; checked load still accepts a∪c and
+    // pre-floor horizons refuse
+    IndexStore.compactLm3(spark, dir)
+    assert(rows(IndexStore.loadLm3Checked(spark, dir, ac, "doc_id", "text"))
+      === rows(LanguageModel.train3(ac, "doc_id", "text")))
+    assert(intercept[IllegalArgumentException] {
+      IndexStore.loadLm3AsOf(spark, dir, 0L)
+    }.getMessage.contains("compaction"))
+  }
+
   test("docs with < 2 tokens produce no score row; empty corpus trains without error") {
     val docs = Seq((1L, "solo"), (2L, ""), (3L, "two tokens")).toDF("id", "text")
     val scored = LanguageModel.selfScore(docs, "id", "text")

@@ -51,6 +51,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(feats.select("asset_id").as[Long].collect().toSet === (1L to n).toSet)
   }
 
+  test("real decode: an externally-crafted PNG yields exact dims and pixel sums") {
+    // the PNG bytes were produced OUTSIDE this codebase (hand-built
+    // chunks + zlib, not ImageIO) — the decode is checked against a
+    // foreign encoder's output, not our own round-trip. 3x2 RGB:
+    // row0 (255,0,0)(0,255,0)(0,0,255); row1 (10,20,30)(40,50,60)(70,80,90)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAMAAAACCAIAAAASFvFNAAAAF0lEQVR4nGP4z8" +
+        "DAAMFcInIaRjZuAVEAM1kEwOQkmMsAAAAASUVORK5CYII=")
+    val s = Multimodal.decodeImageStats(7L, png)
+    assert(s === Multimodal.ImageStats(7L, 3L, 2L, 375L, 405L, 435L))
+    // planted fixture: encode-through-real-codec round-trips the
+    // construction arithmetic (the q_multimodal_decode contract)
+    val docs = Seq(0L, 1L, 5L, 11L).toDF("doc_id")
+    val stats = Multimodal.imageStats(
+        Multimodal.plantedImageAssets(docs, "doc_id"))
+      .collect().map(st => st.asset_id -> st).toMap
+    for (id <- Seq(0L, 1L, 5L, 11L)) {
+      val w = (3 + id % 4).toInt
+      val h = (2 + id % 3).toInt
+      val px = for (x <- 0 until w; y <- 0 until h) yield (x, y)
+      val expect = Multimodal.ImageStats(id, w.toLong, h.toLong,
+        px.map { case (x, _) => (id + x) % 256 }.sum,
+        px.map { case (_, y) => (id + y) % 256 }.sum,
+        px.map { case (x, y) => (id + x.toLong * y) % 256 }.sum)
+      assert(stats(id) === expect, s"id $id")
+    }
+    // corrupt payloads refuse loudly with the asset id
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeImageStats(42L, Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("42"))
+  }
+
   test("resize stub: stride downsample, deterministic") {
     val px = Array[Byte](0, 1, 2, 3, 4, 5, 6)
     assert(Multimodal.resizeStub(px, 2).toSeq === Seq[Byte](0, 2, 4, 6))

@@ -72,6 +72,34 @@ class OpsWaveSpec extends AnyFunSuite with SparkTest {
       IndexStore.executeErasureWave(doomed, "doc_id", Seq.empty, 3L))
   }
 
+  test("erasure wave spans BOTH id spaces: doc-keyed and embedding-keyed families in one call") {
+    // the real GDPR shape: a user's documents AND their embeddings erase
+    // in one wave — one catalog mixing bm25 (doc text) with ivf (vector),
+    // one certificate covering both
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").localCheckpoint(true)
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val joined = docs.join(embs, docs("doc_id") === embs("vec_id"))
+      .drop("vec_id").localCheckpoint(true)
+    val doomed = joined.where($"doc_id" % 7 === 0).localCheckpoint(true)
+    val bm = Files.createTempDirectory("mixbm").toString
+    val iv = Files.createTempDirectory("mixivf").toString
+    IndexStore.createBm25(docs, "doc_id", "text", bm)
+    IndexStore.createIvf(embs, "vec_id", "embedding", iv, numClusters = 8)
+    val cert = IndexStore.executeErasureWave(doomed, "doc_id", Seq(
+        IndexStore.ErasureTarget("bm25", bm, Seq("text")),
+        IndexStore.ErasureTarget("ivf", iv, Seq("embedding"))), 0L)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val n = doomed.count()
+    assert(cert === Seq(("bm25", n, 0L), ("ivf", n, 0L)))
+    // both id spaces' checked loaders accept exactly the survivors
+    IndexStore.loadBm25Checked(spark, bm,
+      docs.where($"doc_id" % 7 =!= 0), "doc_id", "text")
+    IndexStore.loadIvfChecked(spark, iv,
+      embs.where($"vec_id" % 7 =!= 0), "vec_id", "embedding")
+  }
+
   test("maintenance wave: folds where the arithmetic says so, receipts relation, state resets") {
     val docs = Tables.documents(spark, Sf0001)
       .select("doc_id", "text", "n_chars").localCheckpoint(true)

@@ -145,6 +145,24 @@ class SummarySpec extends AnyFunSuite with SparkTest {
       a.intersectionEstimate(IndexStore.loadSummary(spark, pc)))
   }
 
+  test("fleet load is bounded: a broken family fails fast and is NAMED") {
+    val ok = Files.createTempDirectory("sumfleetok").toString
+    IndexStore.saveSummary((0 until 20).map(i => s"x$i").toDF("item"),
+      "item", kMg = 8, kKmv = 64, ok)
+    // the happy path returns in input order
+    val loaded = IndexStore.loadSummaries(spark,
+      Seq("alpha" -> ok, "beta" -> ok))
+    assert(loaded.map(_._1) === Seq("alpha", "beta"))
+    // a deliberately-missing path fails FAST (no Duration.Inf hang) and
+    // the failure names the family, not just a path fragment — the
+    // 50-source fleet diagnostic contract
+    val e = intercept[IllegalStateException](
+      IndexStore.loadSummaries(spark, Seq("alpha" -> ok,
+        "ghost" -> "/nonexistent/graft-summary-fleet-test")))
+    assert(e.getMessage.contains("ghost"))
+    assert(e.getMessage.contains("/nonexistent/graft-summary-fleet-test"))
+  }
+
   test("streaming summary upkeep commits per-batch deltas") {
     val p = Files.createTempDirectory("sumstream").toString
     val ckpt = Files.createTempDirectory("sumstreamckpt").toString
