@@ -2840,6 +2840,21 @@ object SparkEntry {
       .withColumnRenamed("asset_id", "doc_id")
       .orderBy("doc_id")
 
+  /** REAL audio decode under the gate ([[Multimodal.decodeWavStats]] via
+    * JDK javax.sound): one planted mono 16-bit WAV per document — frame
+    * count and every PCM sample a pure function of doc_id
+    * ([[Multimodal.plantedAudioAssets]]) — encoded and decoded through a
+    * real container parser on executors; the oracle recomputes the exact
+    * integer sample sum from the construction arithmetic. */
+  private def qMultimodalAudio(spark: SparkSession, dir: String)
+      : DataFrame =
+    Multimodal.audioStats(
+        Multimodal.plantedAudioAssets(Tables.documents(spark, dir),
+          "doc_id"))
+      .toDF()
+      .withColumnRenamed("asset_id", "doc_id")
+      .orderBy("doc_id")
+
   /** Query histogram for [[qMultimodalKnn]]: the 4-bin byte histogram of a
     * fixed probe payload, computed through the SAME featurizer the corpus
     * runs ([[Multimodal.extractFeatures]]) so query and corpus features
@@ -3335,6 +3350,22 @@ object SparkEntry {
   private def qBpeMergesLocal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Vocab.learnBpeAutoFromCounts(corpusWordCountsDisk(spark, dir), 3).toDF()
+  }
+
+  /** BPE over a MULTILINGUAL vocabulary: the learn loop on Unicode word
+    * counts ([[Vocab.wordCounts]] under [[Text.UnicodeSplitRe]] over the
+    * planted fixture). The `¬sym·` encoding carries Unicode symbols
+    * unchanged (both wrappers are outside `\p{L}\p{N}` — the object-doc
+    * invariant), the local learner splits by CODE POINT exactly like the
+    * oracle's `regexp_replace(word, '(.)', ...)`, and argmax ties break
+    * in UTF-8 byte order on both engines. Under the frozen alphabet the
+    * planted Cyrillic/CJK words would not exist to learn from. */
+  private def qBpeMergesUnicode(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    Vocab.learnBpeAutoFromCounts(
+      Vocab.wordCounts(multilingualDocs(spark, dir), "text",
+        Text.UnicodeSplitRe), 3).toDF()
   }
 
   /** The composition receipt: BPE merges learned from the vocab AS OF
@@ -3936,6 +3967,7 @@ object SparkEntry {
     "q_ann_asof" -> ((s, dir) => qAnnAsof(s, dir)),
     "q_bpe_merges_inc" -> ((s, dir) => qBpeMergesInc(s, dir)),
     "q_bpe_merges_local" -> ((s, dir) => qBpeMergesLocal(s, dir)),
+    "q_bpe_merges_unicode" -> ((s, dir) => qBpeMergesUnicode(s, dir)),
     "q_bpe_vocab_asof" -> ((s, dir) => qBpeVocabAsof(s, dir)),
     "q_vocab_drift" -> ((s, dir) => qVocabDrift(s, dir)),
     "q_vocab_refresh_plan" -> ((s, dir) => qVocabRefreshPlan(s, dir)),
@@ -3985,6 +4017,7 @@ object SparkEntry {
     "q_mix_sources" -> ((s, dir) => qMixSources(s, dir)),
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_multimodal_decode" -> ((s, dir) => qMultimodalDecode(s, dir)),
+    "q_multimodal_audio" -> ((s, dir) => qMultimodalAudio(s, dir)),
     "q_multimodal_knn" -> ((s, dir) => qMultimodalKnn(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_attribution" -> ((s, dir) => qAttribution(s, dir)),
@@ -5059,6 +5092,22 @@ object SparkEntry {
         |       sum((doc_id + y) % 256)::BIGINT AS sum_g,
         |       sum((doc_id + x * y) % 256)::BIGINT AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the real-audio-codec gate: expected decode output recomputed from
+    // the planted construction arithmetic (n = 20+id%16,
+    // sample(i) = (id*37 + i*11) % 4001 - 2000) — lossless PCM, so the
+    // container parser's output must equal pure arithmetic
+    "q_multimodal_audio" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 20 + doc_id % 16 AS n FROM documents
+        |), sm AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        |  FROM dims
+        |)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       any_value(n)::BIGINT AS n_frames,
+        |       sum((doc_id * 37 + i * 11) % 4001 - 2000)::BIGINT AS sum_samples
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same featurization CTE as q_multimodal; the second stage is the
     // exact-kNN shape every vector oracle uses
     "q_multimodal_knn" ->
@@ -5390,6 +5439,10 @@ object SparkEntry {
     // the driver-local regime is output-identical by construction —
     // same unrolled oracle as the distributed loops
     "q_bpe_merges_local" -> Vocab.sqlLearnBpe("documents", "text", 3),
+    // same unrolled learn, Unicode alphabet, multilingual fixture
+    "q_bpe_merges_unicode" ->
+      Vocab.sqlLearnBpe(multilingualDocsSql, "text", 3,
+        Text.UnicodeSplitRe),
     // time travel x vocab: merges as of wave 0 — the oracle learns from
     // scratch over exactly the horizon corpus
     "q_bpe_vocab_asof" -> Vocab.sqlLearnBpe(

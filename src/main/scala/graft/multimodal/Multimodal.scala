@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
   * typed metadata struct, processed per-partition in fixed-size batches —
   * the Scala/Dataset rendition of a `mapInPandas` decode stage.
   *
-  * The IMAGE decode is REAL — [[decodeImageStats]] via the JDK's
-  * built-in `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with every
-  * JRE), gate-checked over planted in-query PNGs whose pixel sums the
-  * oracle recomputes from the construction arithmetic. Audio/video
-  * decode stays STUBBED (the JDK ships no codecs for them — see
-  * [[decodeImageStub]]/[[frameSampleStub]]): a deterministic pure
-  * function of the payload bytes, so every downstream feature is
-  * reproducible and oracle-checkable either way. The Spark-side
-  * contract is real and tested:
+  * The IMAGE and AUDIO decodes are REAL — [[decodeImageStats]] via the
+  * JDK's built-in `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with
+  * every JRE) and [[decodeWavStats]] via `javax.sound.sampled` (WAV/
+  * AIFF/AU) — both gate-checked over planted in-query payloads whose
+  * decoded statistics the oracle recomputes from the construction
+  * arithmetic. VIDEO decode stays STUBBED (the JDK ships no video
+  * codec — see [[frameSampleStub]]): a deterministic pure function of
+  * the payload bytes, so every downstream feature is reproducible and
+  * oracle-checkable either way. The Spark-side contract is real and
+  * tested:
   *
   *   - schema: (asset_id BIGINT, kind STRING, payload BINARY,
   *     meta STRUCT&lt;format,width,height,channels,sample_rate_hz,duration_ms&gt;);
@@ -201,6 +202,95 @@ object Multimodal {
           ((id + x.toLong * y) % 256).toInt))
       Asset(id, "image", payload,
         AssetMeta("image/png", w, h, 3, 0, 0L))
+    }
+  }
+
+  // ------------------------------------------------------- real audio path
+
+  /** Decoded-audio statistics: format facts + the exact integer sum of
+    * all PCM samples — WAV PCM is lossless, so the sum is a pure
+    * function of the encoded samples and an oracle can recompute it from
+    * planted construction arithmetic. */
+  final case class AudioStats(asset_id: Long, sample_rate: Long,
+      channels: Long, n_frames: Long, sum_samples: Long)
+
+  /** REAL audio decode — `javax.sound.sampled` (the WAV/AIFF/AU readers
+    * ship with every JDK, like ImageIO's image readers): payload bytes →
+    * PCM frames → exact sample sum. 16-bit signed PCM only (the planted
+    * fixture's format and the overwhelmingly common raw-PCM case);
+    * anything else refuses loudly with the asset id. */
+  def decodeWavStats(assetId: Long, payload: Array[Byte]): AudioStats = {
+    require(payload != null && payload.nonEmpty,
+      s"asset $assetId: empty payload is not a decodable audio stream")
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"asset $assetId: no JDK reader for the payload bytes " +
+              "(not a WAV/AIFF/AU stream)", e)
+      }
+    try {
+      val f = in.getFormat
+      require(f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16,
+        s"asset $assetId: expected 16-bit signed PCM, got $f")
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      var n = 0L
+      while (bb.remaining() >= 2) { sum += bb.getShort(); n += 1 }
+      AudioStats(assetId, f.getSampleRate.toLong, f.getChannels.toLong,
+        n / f.getChannels, sum)
+    } finally in.close()
+  }
+
+  /** Lossless 16-bit mono WAV encode — executor-side builder for planted
+    * fixtures. */
+  def encodeWav(sampleRateHz: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRateHz.toFloat, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The decode → stats stage over real WAV payloads — partition-local,
+    * batched, zero shuffle (the [[imageStats]] shape). */
+  def audioStats(assets: Dataset[Asset]): Dataset[AudioStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map(a => decodeWavStats(a.asset_id, a.payload))
+      }
+    }
+  }
+
+  /** Planted REAL-audio fixture: one mono 16-bit 8 kHz WAV per document,
+    * frame count and every sample a pure function of doc_id —
+    *   n = 20 + id%16,  sample(i) = (id·37 + i·11) % 4001 − 2000
+    * — so an oracle recomputes the decoded sample sum from the
+    * arithmetic alone. Encoding happens ON EXECUTORS in a narrow typed
+    * map. */
+  def plantedAudioAssets(docs: DataFrame, idCol: String): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long].map { id =>
+      val n = (20 + id % 16).toInt
+      val samples = Array.tabulate(n)(i =>
+        ((id * 37 + i.toLong * 11) % 4001 - 2000).toShort)
+      Asset(id, "audio", encodeWav(8000, samples),
+        AssetMeta("audio/wav", 0, 0, 1, 8000, n * 1000L / 8000))
     }
   }
 

@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
   *
   * A word's current symbol sequence is ONE string: each symbol wrapped
   * as [[Open]]sym[[Close]] (`¬a·¬b·¬c·` for [a,b,c]). Neither wrapper
-  * can occur inside a symbol ([[Text.tokens]] words are `[a-z0-9]+`),
-  * so applying merge (l, r) is exactly
+  * can occur inside a symbol — `¬` (U+00AC, category Sm) and `·`
+  * (U+00B7, category Po) are outside the frozen `[a-z0-9]+` alphabet
+  * AND outside [[Text.UnicodeSplitRe]]'s `\p{L}\p{N}` classes, so the
+  * encoding carries Unicode vocabularies unchanged — and applying
+  * merge (l, r) is exactly
   * `replace(enc, "¬l·¬r·", "¬lr·")`: both Spark's `replace` and
   * DuckDB's scan left-to-right non-overlapping, which IS greedy BPE
   * application. BOTH operand ends are anchored — `¬` pins each
@@ -549,8 +552,9 @@ object Vocab {
 
   /** DuckDB CTE chain producing the word-count relation `wc(word, cnt)`
     * from `$table.$textExpr`. */
-  private def sqlWordCounts(table: String, textExpr: String): String =
-    s"""w AS (SELECT unnest(${Text.sqlTokens(textExpr)}) AS word FROM $table),
+  private def sqlWordCounts(table: String, textExpr: String,
+      splitRe: String = Text.SplitRe): String =
+    s"""w AS (SELECT unnest(${Text.sqlTokens(textExpr, splitRe)}) AS word FROM $table),
        |wc AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1)""".stripMargin
 
   /** DuckDB twin of [[countsDiff]] over two corpus renditions (fresh
@@ -582,7 +586,7 @@ object Vocab {
     * final SELECT over the `t` CTEs ([[sqlLearnBpe]]) or over the last
     * `e` ([[sqlTokenizeBpe]] recomputes encodings per doc instead). */
   private def sqlLearnCtes(table: String, textExpr: String,
-      nMerges: Int): String = {
+      nMerges: Int, splitRe: String = Text.SplitRe): String = {
     val steps = (1 to nMerges).map { k =>
       val src = if (k == 1) s"""e1 AS (
          |  SELECT regexp_replace(word, '(.)', '$Open\\1$Close', 'g') AS enc, cnt FROM wc)"""
@@ -596,16 +600,17 @@ object Vocab {
          |p$k AS (SELECT s[i] AS l, s[i + 1] AS r, sum(cnt)::BIGINT AS cnt FROM x$k GROUP BY 1, 2),
          |t$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)"""
     }
-    (sqlWordCounts(table, textExpr) +: steps).mkString(",\n")
+    (sqlWordCounts(table, textExpr, splitRe) +: steps).mkString(",\n")
   }
 
   /** DuckDB twin of [[learnBpe]]: (step, l, r, cnt) for `nMerges`
     * unrolled iterations. */
-  def sqlLearnBpe(table: String, textExpr: String, nMerges: Int): String = {
+  def sqlLearnBpe(table: String, textExpr: String, nMerges: Int,
+      splitRe: String = Text.SplitRe): String = {
     val union = (1 to nMerges)
       .map(k => s"SELECT $k AS step, l, r, cnt FROM t$k")
       .mkString("\nUNION ALL ")
-    s"""WITH ${sqlLearnCtes(table, textExpr, nMerges)}
+    s"""WITH ${sqlLearnCtes(table, textExpr, nMerges, splitRe)}
        |$union""".stripMargin
   }
 

@@ -83,6 +83,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("42"))
   }
 
+  test("real audio decode: an externally-crafted WAV yields exact format and sample sum") {
+    // RIFF/fmt/data chunks hand-built outside this codebase (struct
+    // packing, not javax.sound): mono 16-bit 8 kHz, samples
+    // [100, -200, 300, -400, 32767, -32768] → sum −201, 6 frames
+    val wav = java.util.Base64.getDecoder.decode(
+      "UklGRjAAAABXQVZFZm10IBAAAAABAAEAQB8AAIA+AAACABAAZGF0YQwAAABkADj/" +
+        "LAFw/v9/AIA=")
+    assert(Multimodal.decodeWavStats(3L, wav) ===
+      Multimodal.AudioStats(3L, 8000L, 1L, 6L, -201L))
+    // planted fixture round-trips the construction arithmetic through a
+    // real encode+parse (the q_multimodal_audio contract)
+    val docs = Seq(0L, 4L, 9L).toDF("doc_id")
+    val stats = Multimodal.audioStats(
+        Multimodal.plantedAudioAssets(docs, "doc_id"))
+      .collect().map(st => st.asset_id -> st).toMap
+    for (id <- Seq(0L, 4L, 9L)) {
+      val n = (20 + id % 16).toInt
+      val sum = (0 until n).map(i => (id * 37 + i.toLong * 11) % 4001 - 2000).sum
+      assert(stats(id) === Multimodal.AudioStats(id, 8000L, 1L, n.toLong, sum),
+        s"id $id")
+    }
+    // corrupt payloads refuse loudly with the asset id
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeWavStats(42L, Array[Byte](9, 9, 9)))
+    assert(e.getMessage.contains("42"))
+  }
+
   test("resize stub: stride downsample, deterministic") {
     val px = Array[Byte](0, 1, 2, 3, 4, 5, 6)
     assert(Multimodal.resizeStub(px, 2).toSeq === Seq[Byte](0, 2, 4, 6))
