@@ -426,6 +426,22 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Order-3 TIME TRAVEL ([[IndexStore.loadLm3AsOf]], the
+    * [[qLmScoreAsof]] contract one order up): score today's corpus
+    * under the trigram LM the BASE build saw — the oracle trains on
+    * exactly the horizon subset and scores everything, so the bigram-
+    * backoff and unigram-floor branches are exercised on every word the
+    * horizon never saw. */
+  private def qLm3ScoreAsof(spark: SparkSession, dir: String): DataFrame = {
+    corpusLm3Disk(spark, dir) // build fixture + tip freshness
+    LanguageModel.score3(
+        IndexStore.loadLm3AsOf(spark, lm3Built((spark, dir)),
+          throughWave = -1L),
+        Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** North-star cross-document duplicate-n-gram profile: per document, the
     * share of its distinct shingles repeated elsewhere in the corpus — the
     * linear-cost boilerplate read-out pairwise near-dup detection can't
@@ -2855,6 +2871,22 @@ object SparkEntry {
       .withColumnRenamed("asset_id", "doc_id")
       .orderBy("doc_id")
 
+  /** FRAME-SAMPLED video decode under the gate
+    * ([[Multimodal.videoFrameStats]]): per document a planted GVID frame
+    * container (length-prefixed PNG frames — the post-demux shape a real
+    * pipeline hands the engine), every 2nd frame decoded through the
+    * REAL image codec, channel sums aggregated. The oracle recomputes
+    * total/sampled frame counts and the sampled frames' channel sums
+    * from the construction arithmetic alone. */
+  private def qMultimodalFrames(spark: SparkSession, dir: String)
+      : DataFrame =
+    Multimodal.videoFrameStats(
+        Multimodal.plantedVideoAssets(Tables.documents(spark, dir),
+          "doc_id"), everyNth = 2)
+      .toDF()
+      .withColumnRenamed("asset_id", "doc_id")
+      .orderBy("doc_id")
+
   /** Query histogram for [[qMultimodalKnn]]: the 4-bin byte histogram of a
     * fixed probe payload, computed through the SAME featurizer the corpus
     * runs ([[Multimodal.extractFeatures]]) so query and corpus features
@@ -3946,6 +3978,7 @@ object SparkEntry {
     "q_lm_score_asof" -> ((s, dir) => qLmScoreAsof(s, dir)),
     "q_lm3_score" -> ((s, dir) => qLm3Score(s, dir)),
     "q_lm3_score_inc" -> ((s, dir) => qLm3ScoreInc(s, dir)),
+    "q_lm3_score_asof" -> ((s, dir) => qLm3ScoreAsof(s, dir)),
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
     "q_source_overlap" -> ((s, dir) => qSourceOverlap(s, dir)),
     "q_source_overlap_inc" -> ((s, dir) => qSourceOverlapInc(s, dir)),
@@ -4018,6 +4051,7 @@ object SparkEntry {
     "q_multimodal" -> ((s, dir) => qMultimodal(s, dir)),
     "q_multimodal_decode" -> ((s, dir) => qMultimodalDecode(s, dir)),
     "q_multimodal_audio" -> ((s, dir) => qMultimodalAudio(s, dir)),
+    "q_multimodal_frames" -> ((s, dir) => qMultimodalFrames(s, dir)),
     "q_multimodal_knn" -> ((s, dir) => qMultimodalKnn(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_attribution" -> ((s, dir) => qAttribution(s, dir)),
@@ -4198,9 +4232,15 @@ object SparkEntry {
     // fleet-wide delete — the SQL states the certificate the wave must
     // earn. The catalog spans BOTH id spaces: doc-keyed families plus
     // the embedding-keyed ivf (vec_id ≡ doc_id, 1:1), erased in ONE wave
+    // the wave is the docs ⋈ embeddings join (both id spaces must carry
+    // their exact stored bytes), so the oracle counts the SAME join —
+    // at SFs where the two tables differ in row count (sf0.1: 5,000
+    // docs vs 2,000 embeddings) a documents-only count would overstate
+    // the wave
     "q_erasure_wave" ->
       """SELECT family, n AS erased_n, CAST(0 AS BIGINT) AS residual
-        |FROM (SELECT count(DISTINCT doc_id) AS n FROM documents
+        |FROM (SELECT count(DISTINCT doc_id) AS n
+        |      FROM documents JOIN embeddings ON doc_id = vec_id
         |      WHERE doc_id % 6 = 0),
         |     (SELECT unnest(['bm25', 'gquantile', 'ivf', 'lm', 'quantile', 'wordcount']) AS family)
         |ORDER BY family""".stripMargin,
@@ -4428,6 +4468,13 @@ object SparkEntry {
     "q_lm3_score_inc" ->
       s"""WITH ${LanguageModel.sqlScore3Ctes("documents", "documents",
              "doc_id", "text")}
+         |SELECT id AS doc_id, lm3_nlp, ppl3, n_trigrams
+         |FROM lm3score ORDER BY doc_id""".stripMargin,
+    // frozen order-3 LM at the base horizon scoring the moved-on corpus
+    "q_lm3_score_asof" ->
+      s"""WITH ${LanguageModel.sqlScore3Ctes(
+             "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+             "documents", "doc_id", "text")}
          |SELECT id AS doc_id, lm3_nlp, ppl3, n_trigrams
          |FROM lm3score ORDER BY doc_id""".stripMargin,
     "q_dup_ngram_profile" ->
@@ -5108,6 +5155,31 @@ object SparkEntry {
         |       any_value(n)::BIGINT AS n_frames,
         |       sum((doc_id * 37 + i * 11) % 4001 - 2000)::BIGINT AS sum_samples
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // frame-sampled video: container arithmetic (f frames, every 2nd
+    // sampled) × the planted-PNG pixel arithmetic with the frame index
+    // folded in — the codec's aggregated output must equal pure math
+    "q_multimodal_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS f FROM documents
+        |), ks AS (
+        |  SELECT doc_id, f, unnest(generate_series(0, f - 1)) AS k FROM fr
+        |), sk AS (
+        |  SELECT doc_id, f, k, 2 + (doc_id + k) % 3 AS w,
+        |         1 + (doc_id + k) % 2 AS h
+        |  FROM ks WHERE k % 2 = 0
+        |), xs AS (
+        |  SELECT doc_id, f, k, w, h, unnest(generate_series(0, w - 1)) AS x
+        |  FROM sk
+        |), px AS (
+        |  SELECT doc_id, f, k, x, unnest(generate_series(0, h - 1)) AS y
+        |  FROM xs
+        |)
+        |SELECT doc_id, any_value(f)::BIGINT AS n_frames,
+        |       count(DISTINCT k)::BIGINT AS n_sampled,
+        |       sum((doc_id + k + x) % 256)::BIGINT AS sum_r,
+        |       sum((doc_id + k + y) % 256)::BIGINT AS sum_g,
+        |       sum((doc_id + k + x * y) % 256)::BIGINT AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same featurization CTE as q_multimodal; the second stage is the
     // exact-kNN shape every vector oracle uses
     "q_multimodal_knn" ->

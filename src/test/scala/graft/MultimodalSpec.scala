@@ -110,6 +110,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("42"))
   }
 
+  test("video container: round-trip, truncation refuses, sampled decode matches arithmetic") {
+    // container round-trip preserves every frame byte-exactly
+    val frames = Seq(Array[Byte](1, 2, 3), Array.emptyByteArray,
+      Array[Byte](9))
+    val enc = Multimodal.encodeFrames(frames)
+    val dec = Multimodal.decodeFrames(5L, enc)
+    assert(dec.map(_.toSeq) === frames.map(_.toSeq))
+    // bad magic and truncated streams refuse with the asset id
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeFrames(7L, "XXXX????".getBytes))
+      .getMessage.contains("7"))
+    intercept[java.io.EOFException](
+      Multimodal.decodeFrames(7L, enc.dropRight(2)))
+    // planted fixture: every-2nd-frame decode equals the construction
+    // arithmetic (the q_multimodal_frames contract)
+    val docs = Seq(0L, 1L, 5L, 11L).toDF("doc_id")
+    val stats = Multimodal.videoFrameStats(
+        Multimodal.plantedVideoAssets(docs, "doc_id"), everyNth = 2)
+      .collect().map(st => st.asset_id -> st).toMap
+    for (id <- Seq(0L, 1L, 5L, 11L)) {
+      val nF = (2 + id % 3).toInt
+      val sampled = (0 until nF).filter(_ % 2 == 0)
+      val px = for {
+        k <- sampled
+        x <- 0 until (2 + (id + k) % 3).toInt
+        y <- 0 until (1 + (id + k) % 2).toInt
+      } yield (k, x, y)
+      val expect = Multimodal.VideoStats(id, nF.toLong, sampled.size.toLong,
+        px.map { case (k, x, _) => (id + k + x) % 256 }.sum,
+        px.map { case (k, _, y) => (id + k + y) % 256 }.sum,
+        px.map { case (k, x, y) => (id + k + x.toLong * y) % 256 }.sum)
+      assert(stats(id) === expect, s"id $id")
+    }
+  }
+
   test("resize stub: stride downsample, deterministic") {
     val px = Array[Byte](0, 1, 2, 3, 4, 5, 6)
     assert(Multimodal.resizeStub(px, 2).toSeq === Seq[Byte](0, 2, 4, 6))
