@@ -442,6 +442,23 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The order-3 quality gate over a MULTILINGUAL corpus — the alphabet
+    * threaded through [[LanguageModel.train3]]/[[LanguageModel.score3]]:
+    * under the frozen alphabet every planted non-Latin token vanishes
+    * from the model AND the scored positions; under
+    * [[Text.UnicodeSplitRe]] they participate in all three backoff
+    * branches (the per-doc-varying Cyrillic tail makes real unseen-word
+    * floors, not constants). */
+  private def qLm3ScoreUnicode(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = multilingualDocs(spark, dir)
+    LanguageModel.score3(
+        LanguageModel.train3(d, "doc_id", "text", Text.UnicodeSplitRe),
+        d, "doc_id", "text", Text.UnicodeSplitRe)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** North-star cross-document duplicate-n-gram profile: per document, the
     * share of its distinct shingles repeated elsewhere in the corpus — the
     * linear-cost boilerplate read-out pairwise near-dup detection can't
@@ -3979,6 +3996,7 @@ object SparkEntry {
     "q_lm3_score" -> ((s, dir) => qLm3Score(s, dir)),
     "q_lm3_score_inc" -> ((s, dir) => qLm3ScoreInc(s, dir)),
     "q_lm3_score_asof" -> ((s, dir) => qLm3ScoreAsof(s, dir)),
+    "q_lm3_score_unicode" -> ((s, dir) => qLm3ScoreUnicode(s, dir)),
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
     "q_source_overlap" -> ((s, dir) => qSourceOverlap(s, dir)),
     "q_source_overlap_inc" -> ((s, dir) => qSourceOverlapInc(s, dir)),
@@ -4468,6 +4486,12 @@ object SparkEntry {
     "q_lm3_score_inc" ->
       s"""WITH ${LanguageModel.sqlScore3Ctes("documents", "documents",
              "doc_id", "text")}
+         |SELECT id AS doc_id, lm3_nlp, ppl3, n_trigrams
+         |FROM lm3score ORDER BY doc_id""".stripMargin,
+    // the multilingual order-3 gate: same CASE backoff, Unicode alphabet
+    "q_lm3_score_unicode" ->
+      s"""WITH ${LanguageModel.sqlScore3Ctes(multilingualDocsSql,
+             multilingualDocsSql, "doc_id", "text", Text.UnicodeSplitRe)}
          |SELECT id AS doc_id, lm3_nlp, ppl3, n_trigrams
          |FROM lm3score ORDER BY doc_id""".stripMargin,
     // frozen order-3 LM at the base horizon scoring the moved-on corpus

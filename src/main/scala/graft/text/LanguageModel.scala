@@ -53,8 +53,13 @@ object LanguageModel {
     * per-wave count deltas from the same relation, so the two can never
     * disagree about what a bigram is. */
   private[graft] def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    pairs(docs, idCol, textCol, Text.SplitRe)
+
+  private[graft] def pairs(docs: DataFrame, idCol: String, textCol: String,
+      splitRe: String): DataFrame =
     docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(col(textCol), splitRe).as("toks"))
       .select(col("id"), explode(zip_with(
         slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
         slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
@@ -63,12 +68,19 @@ object LanguageModel {
 
   /** Train on a corpus (the offline job — run once on the trusted corpus,
     * persist the two count tables like any index). */
-  def train(docs: DataFrame, idCol: String, textCol: String): BigramLm = {
-    val p = pairs(docs, idCol, textCol)
+  def train(docs: DataFrame, idCol: String, textCol: String): BigramLm =
+    train(docs, idCol, textCol, Text.SplitRe)
+
+  /** [[train]] under an explicit token alphabet ([[Text.UnicodeSplitRe]]
+    * for a multilingual corpus — the frozen default trains an EMPTY
+    * model on non-Latin text). */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      splitRe: String): BigramLm = {
+    val p = pairs(docs, idCol, textCol, splitRe)
     val bigramCounts = p.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val prefixCounts = p.groupBy("w1").agg(count(lit(1)).as("cc"))
     val vocabSize = docs
-      .select(explode(Text.tokens(col(textCol))).as("t"))
+      .select(explode(Text.tokens(col(textCol), splitRe)).as("t"))
       .agg(countDistinct(col("t"))).head().getLong(0)
     BigramLm(bigramCounts, prefixCounts, vocabSize)
   }
@@ -76,8 +88,14 @@ object LanguageModel {
   /** Score documents under a trained model: (id, lm_nlp, ppl, n_bigrams) —
     * docs with fewer than two tokens have no bigrams and no row (a
     * zero-evidence doc has no perplexity; gate it on length instead). */
-  def score(lm: BigramLm, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val nlp = pairs(docs, idCol, textCol)
+  def score(lm: BigramLm, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    score(lm, docs, idCol, textCol, Text.SplitRe)
+
+  /** [[score]] under an explicit token alphabet — must match the one the
+    * model was trained with. */
+  def score(lm: BigramLm, docs: DataFrame, idCol: String, textCol: String,
+      splitRe: String): DataFrame = {
+    val nlp = pairs(docs, idCol, textCol, splitRe)
       .join(lm.bigramCounts, Seq("w1", "w2"), "left")
       .join(lm.prefixCounts, Seq("w1"), "left")
       .withColumn("x", -log(
@@ -137,10 +155,15 @@ object LanguageModel {
     * window). `private[graft]`: the persisted lm3 family builds its
     * per-wave deltas from this same relation. */
   private[graft] def triples(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    triples(docs, idCol, textCol, Text.SplitRe)
+
+  private[graft] def triples(docs: DataFrame, idCol: String,
+      textCol: String, splitRe: String): DataFrame = {
     val n2 = greatest(size(col("toks")) - 2, lit(0))
     docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(col(textCol), splitRe).as("toks"))
       .select(col("id"), explode(zip_with(
         zip_with(
           slice(col("toks"), lit(1), n2),
@@ -156,13 +179,18 @@ object LanguageModel {
     * staged token arrays plus two scalars DERIVED from the unigram
     * relation (N = Σ c1, V = |unigrams| — derived so they can never
     * drift from the counts, the persisted-family discipline). */
-  def train3(docs: DataFrame, idCol: String, textCol: String): TrigramLm = {
-    val tg = triples(docs, idCol, textCol)
+  def train3(docs: DataFrame, idCol: String, textCol: String): TrigramLm =
+    train3(docs, idCol, textCol, Text.SplitRe)
+
+  /** [[train3]] under an explicit token alphabet. */
+  def train3(docs: DataFrame, idCol: String, textCol: String,
+      splitRe: String): TrigramLm = {
+    val tg = triples(docs, idCol, textCol, splitRe)
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
-    val bg = pairs(docs, idCol, textCol)
+    val bg = pairs(docs, idCol, textCol, splitRe)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val uni = docs
-      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .select(explode(Text.tokens(col(textCol), splitRe)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c1"))
     fromCounts3(tg, bg, uni)
   }
@@ -184,7 +212,13 @@ object LanguageModel {
     * the postings layout) + one per-doc aggregation; no windows, no
     * UDFs, no driver collect. */
   def score3(lm: TrigramLm, docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    score3(lm, docs, idCol, textCol, Text.SplitRe)
+
+  /** [[score3]] under an explicit token alphabet — must match the one
+    * the model was trained with. */
+  def score3(lm: TrigramLm, docs: DataFrame, idCol: String,
+      textCol: String, splitRe: String): DataFrame = {
     val tgc = lm.trigramCounts
       .select(col("w1"), col("w2"), col("w3"), col("c3"))
     val ctx2 = lm.bigramCounts
@@ -203,7 +237,7 @@ object LanguageModel {
         a * col("c2_bo").cast("double") / col("c1_ctx").cast("double"))
       .otherwise(a * a * (coalesce(col("c1_bo"), lit(0L)) + lit(1.0)) /
         lit(lm.totalTokens.toDouble + lm.vocabSize.toDouble))
-    triples(docs, idCol, textCol)
+    triples(docs, idCol, textCol, splitRe)
       .join(tgc, Seq("w1", "w2", "w3"), "left")
       .join(ctx2, Seq("w1", "w2"), "left")
       .join(bo2, Seq("w2", "w3"), "left")
@@ -223,8 +257,13 @@ object LanguageModel {
     * `WITH `. */
   def sqlScore3Ctes(trainTable: String, scoreTable: String, idExpr: String,
       textExpr: String): String =
+    sqlScore3Ctes(trainTable, scoreTable, idExpr, textExpr, Text.SplitRe)
+
+  /** [[sqlScore3Ctes]] under an explicit token alphabet. */
+  def sqlScore3Ctes(trainTable: String, scoreTable: String, idExpr: String,
+      textExpr: String, splitRe: String): String =
     s"""l3toks AS (
-       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS toks FROM $trainTable
+       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr, splitRe)} AS toks FROM $trainTable
        |), l3tg AS (
        |  SELECT z[1] AS w1, z[2] AS w2, z[3] AS w3, count(*) AS c3 FROM (
        |    SELECT unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
@@ -242,7 +281,7 @@ object LanguageModel {
        |), l3nv AS (
        |  SELECT sum(c1)::DOUBLE AS n, count(*)::DOUBLE AS v FROM l3uni
        |), l3stoks AS (
-       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS toks FROM $scoreTable
+       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr, splitRe)} AS toks FROM $scoreTable
        |), l3spos AS (
        |  SELECT id, z[1] AS w1, z[2] AS w2, z[3] AS w3 FROM (
        |    SELECT id, unnest(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1],
