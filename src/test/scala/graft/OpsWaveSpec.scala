@@ -85,19 +85,24 @@ class OpsWaveSpec extends AnyFunSuite with SparkTest {
     val doomed = joined.where($"doc_id" % 7 === 0).localCheckpoint(true)
     val bm = Files.createTempDirectory("mixbm").toString
     val iv = Files.createTempDirectory("mixivf").toString
+    val l3 = Files.createTempDirectory("mixlm3").toString
     IndexStore.createBm25(docs, "doc_id", "text", bm)
     IndexStore.createIvf(embs, "vec_id", "embedding", iv, numClusters = 8)
+    IndexStore.saveLm3(docs, "doc_id", "text", l3)
     val cert = IndexStore.executeErasureWave(doomed, "doc_id", Seq(
         IndexStore.ErasureTarget("bm25", bm, Seq("text")),
-        IndexStore.ErasureTarget("ivf", iv, Seq("embedding"))), 0L)
+        IndexStore.ErasureTarget("ivf", iv, Seq("embedding")),
+        IndexStore.ErasureTarget("lm3", l3, Seq("text"))), 0L)
       .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
     val n = doomed.count()
-    assert(cert === Seq(("bm25", n, 0L), ("ivf", n, 0L)))
+    assert(cert === Seq(("bm25", n, 0L), ("ivf", n, 0L), ("lm3", n, 0L)))
     // both id spaces' checked loaders accept exactly the survivors
     IndexStore.loadBm25Checked(spark, bm,
       docs.where($"doc_id" % 7 =!= 0), "doc_id", "text")
     IndexStore.loadIvfChecked(spark, iv,
       embs.where($"vec_id" % 7 =!= 0), "vec_id", "embedding")
+    IndexStore.loadLm3Checked(spark, l3,
+      docs.where($"doc_id" % 7 =!= 0), "doc_id", "text")
   }
 
   test("maintenance wave: folds where the arithmetic says so, receipts relation, state resets") {
