@@ -3733,12 +3733,14 @@ object SparkEntry {
       val wc = s"$tmp/graft_wavewc_$tag"
       val lmp = s"$tmp/graft_wavelm_$tag"
       val iv = s"$tmp/graft_waveivf_$tag"
+      val lm3 = s"$tmp/graft_wavelm3_$tag"
       IndexStore.createBm25(d, "doc_id", "text", bm)
       IndexStore.saveQuantile(d, "doc_id", "n_chars", k = 1024, q)
       IndexStore.saveGroupedQuantile(d, "doc_id", "source", "n_chars",
         1024, gq)
       IndexStore.saveWordCounts(d, "doc_id", "text", wc)
       IndexStore.saveLm(d, "doc_id", "text", lmp)
+      IndexStore.saveLm3(d, "doc_id", "text", lm3)
       // the VECTOR-keyed family: a user's docs AND their embeddings
       // erase in ONE wave — the real GDPR shape spans both id spaces
       // (doc_id ≡ vec_id in the fixture corpus, as in any 1:1 enrich)
@@ -3748,6 +3750,7 @@ object SparkEntry {
       Seq(IndexStore.ErasureTarget("bm25", bm, Seq("text")),
         IndexStore.ErasureTarget("ivf", iv, Seq("embedding")),
         IndexStore.ErasureTarget("lm", lmp, Seq("text")),
+        IndexStore.ErasureTarget("lm3", lm3, Seq("text")),
         IndexStore.ErasureTarget("quantile", q, Seq("n_chars")),
         IndexStore.ErasureTarget("gquantile", gq, Seq("source", "n_chars")),
         IndexStore.ErasureTarget("wordcount", wc, Seq("text")))
@@ -4260,7 +4263,7 @@ object SparkEntry {
         |FROM (SELECT count(DISTINCT doc_id) AS n
         |      FROM documents JOIN embeddings ON doc_id = vec_id
         |      WHERE doc_id % 6 = 0),
-        |     (SELECT unnest(['bm25', 'gquantile', 'ivf', 'lm', 'quantile', 'wordcount']) AS family)
+        |     (SELECT unnest(['bm25', 'gquantile', 'ivf', 'lm', 'lm3', 'quantile', 'wordcount']) AS family)
         |ORDER BY family""".stripMargin,
     // positional-index twin: same phrase, same corpus, same relation as
     // q_phrase_find — only the PLAN differs (bucket probes, no scan)
