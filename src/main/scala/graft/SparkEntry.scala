@@ -442,6 +442,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** SCRIPT-PROFILE language routing ([[TextAnalysis.scriptCount]]) —
+    * the coarse langid a 100 TB multilingual intake runs before any
+    * model-based classifier: per document, token counts attributed by
+    * FIRST-code-point Unicode script (narrow size-of-filter passes over
+    * one staged token array — no explode, no shuffle) plus the majority
+    * non-Latin script (ties break han > cyrillic > greek, declared).
+    * The plant varies script MASS per doc (1+id%3 Cyrillic words,
+    * 1+id%2 Han runs, a Greek token on even ids) so the majority flips
+    * across the corpus, and Java's \p{IsXxx} must agree with RE2's
+    * \p{Xxx} script property on every planted token. */
+  private def qScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val cyr = element_at(array(cyrWords.map(lit): _*),
+      (pmod(id, lit(4L)) + 1L).cast("int"))
+    val cjk = element_at(array(cjkWords.map(lit): _*),
+      (pmod(id, lit(3L)) + 1L).cast("int"))
+    val aug = Tables.documents(spark, dir).select(id,
+      concat(col("text"), lit(" "),
+        array_join(array_repeat(cyr,
+          (pmod(id, lit(3L)) + 1L).cast("int")), " "),
+        lit(" "),
+        array_join(array_repeat(cjk,
+          (pmod(id, lit(2L)) + 1L).cast("int")), " "),
+        when(pmod(id, lit(2L)) === 0, lit(" δξα")).otherwise(lit("")))
+        .as("text"))
+    val Seq(latRe, cyrRe, hanRe, grkRe) = TextAnalysis.Scripts.map(_._2)
+    val toks = Text.tokensUnicode(col("text"))
+    aug.select(col("doc_id"),
+        TextAnalysis.scriptCount(toks, latRe).as("n_latin"),
+        TextAnalysis.scriptCount(toks, cyrRe).as("n_cyrillic"),
+        TextAnalysis.scriptCount(toks, hanRe).as("n_han"),
+        TextAnalysis.scriptCount(toks, grkRe).as("n_greek"))
+      .withColumn("main_nonlatin",
+        when(col("n_han") >= col("n_cyrillic") &&
+            col("n_han") >= col("n_greek"), lit("han"))
+          .when(col("n_cyrillic") >= col("n_greek"), lit("cyrillic"))
+          .otherwise(lit("greek")))
+      .orderBy("doc_id")
+  }
+
   /** The order-3 quality gate over a MULTILINGUAL corpus — the alphabet
     * threaded through [[LanguageModel.train3]]/[[LanguageModel.score3]]:
     * under the frozen alphabet every planted non-Latin token vanishes
@@ -4000,6 +4040,7 @@ object SparkEntry {
     "q_lm3_score_inc" -> ((s, dir) => qLm3ScoreInc(s, dir)),
     "q_lm3_score_asof" -> ((s, dir) => qLm3ScoreAsof(s, dir)),
     "q_lm3_score_unicode" -> ((s, dir) => qLm3ScoreUnicode(s, dir)),
+    "q_script_profile" -> ((s, dir) => qScriptProfile(s, dir)),
     "q_dup_ngram_profile" -> ((s, dir) => qDupNgramProfile(s, dir)),
     "q_source_overlap" -> ((s, dir) => qSourceOverlap(s, dir)),
     "q_source_overlap_inc" -> ((s, dir) => qSourceOverlapInc(s, dir)),
@@ -4491,6 +4532,37 @@ object SparkEntry {
              "doc_id", "text")}
          |SELECT id AS doc_id, lm3_nlp, ppl3, n_trigrams
          |FROM lm3score ORDER BY doc_id""".stripMargin,
+    // script counts via RE2's \p{Xxx} script property (the Java-regex
+    // \p{IsXxx} twin); the majority CASE is the identical declared
+    // tie-break on both engines
+    "q_script_profile" -> {
+      val cyrL = cyrWords.map(w => s"'$w'").mkString(", ")
+      val cjkL = cjkWords.map(w => s"'$w'").mkString(", ")
+      val counts = TextAnalysis.Scripts.map { case (name, _, re2) =>
+        s"${TextAnalysis.sqlScriptCount("tk", re2)} AS n_$name"
+      }.mkString(",\n       ")
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' ' ||
+         |         repeat(([$cyrL])[1 + CAST(doc_id % 4 AS INT)] || ' ',
+         |                1 + CAST(doc_id % 3 AS INT)) ||
+         |         repeat(([$cjkL])[1 + CAST(doc_id % 3 AS INT)] || ' ',
+         |                1 + CAST(doc_id % 2 AS INT)) ||
+         |         CASE WHEN doc_id % 2 = 0 THEN ' δξα' ELSE '' END AS text
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, ${Text.sqlTokensUnicode("text")} AS tk FROM aug
+         |), prof AS (
+         |  SELECT doc_id,
+         |       $counts
+         |  FROM toks
+         |)
+         |SELECT *,
+         |       CASE WHEN n_han >= n_cyrillic AND n_han >= n_greek THEN 'han'
+         |            WHEN n_cyrillic >= n_greek THEN 'cyrillic'
+         |            ELSE 'greek' END AS main_nonlatin
+         |FROM prof ORDER BY doc_id""".stripMargin
+    },
     // the multilingual order-3 gate: same CASE backoff, Unicode alphabet
     "q_lm3_score_unicode" ->
       s"""WITH ${LanguageModel.sqlScore3Ctes(multilingualDocsSql,

@@ -283,6 +283,32 @@ object TextAnalysis {
     */
   val ShingleSize = 3
 
+  // ------------------------------------------------------- script profile
+
+  /** Unicode SCRIPT classes for the multilingual-crawl language-ID
+    * primitive: a token is attributed to the script of its FIRST code
+    * point (deterministic — mixed-script tokens are attributed, never
+    * split; real langid needs no more than script ratios for the coarse
+    * routing a 100 TB intake does before any model-based classifier).
+    * Java regex and DuckDB's RE2 implement the SAME Unicode script
+    * property under different spellings — (name, Java head-anchor, RE2
+    * head-anchor). */
+  val Scripts: Seq[(String, String, String)] = Seq(
+    ("latin", "^\\p{IsLatin}", "^\\p{Latin}"),
+    ("cyrillic", "^\\p{IsCyrillic}", "^\\p{Cyrillic}"),
+    ("han", "^\\p{IsHan}", "^\\p{Han}"),
+    ("greek", "^\\p{IsGreek}", "^\\p{Greek}"))
+
+  /** Count of tokens whose first code point matches `headRe` — a narrow
+    * codegen'd size-of-filter over the staged token array, one per
+    * script class; no explode, no shuffle. */
+  def scriptCount(toks: Column, headRe: String): Column =
+    size(filter(toks, t => t.rlike(headRe))).cast("long")
+
+  /** DuckDB twin of [[scriptCount]] over a token-list expression. */
+  def sqlScriptCount(toksExpr: String, re2Head: String): String =
+    s"len(list_filter($toksExpr, t -> regexp_matches(t, '$re2Head')))::BIGINT"
+
   /** array<string> of k-token shingles (tokens joined by single spaces).
     * Documents shorter than k tokens get one shingle = all tokens.
     *

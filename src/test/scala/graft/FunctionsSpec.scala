@@ -169,6 +169,24 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     assert(wc("данные") === 1L && wc("данных") === 1L && wc("text") === 1L)
   }
 
+  test("script profile: first-code-point attribution, hand-computed") {
+    import graft.text.TextAnalysis
+    val toks = graft.functions.Text.tokensUnicode(col("t"))
+    val got = Seq("Привет мир 你好 abc ref12 δξ7 9x 中文данные")
+      .toDF("t")
+      .select(
+        TextAnalysis.scriptCount(toks, "^\\p{IsLatin}").as("lat"),
+        TextAnalysis.scriptCount(toks, "^\\p{IsCyrillic}").as("cyr"),
+        TextAnalysis.scriptCount(toks, "^\\p{IsHan}").as("han"),
+        TextAnalysis.scriptCount(toks, "^\\p{IsGreek}").as("grk"))
+      .head()
+    // latin: abc, ref12; cyrillic: привет, мир; han: 你好 and the
+    // MIXED token 中文данные (attributed by FIRST code point); greek:
+    // δξ7; "9x" starts with a digit — attributed to no script class
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((2L, 2L, 2L, 1L)))
+  }
+
   test("hash60 is non-negative and stable") {
     val got = Seq("fast key order", "fast key order").toDF("t")
       .select(Text.hash60(col("t"))).collect().map(_.getLong(0))
