@@ -160,6 +160,39 @@ class OpsWaveSpec extends AnyFunSuite with SparkTest {
     assert(plan.foldCost === 300.0)
   }
 
+  test("lm3 family rides the fleet surfaces: inventory, priced fold, post-fold checkability") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").localCheckpoint(true)
+    val dir = Files.createTempDirectory("mwlm3").toString
+    IndexStore.saveLm3(docs.where($"doc_id" % 3 === 0), "doc_id", "text",
+      dir)
+    IndexStore.appendBatchLm3(docs.where($"doc_id" % 3 === 1), "doc_id",
+      "text", dir, 0L)
+    IndexStore.appendBatchLm3(docs.where($"doc_id" % 3 === 2), "doc_id",
+      "text", dir, 1L)
+    // inventoriable like every family
+    val st = IndexStore.describeFamily(spark, "lm3", dir)
+    assert(st.base && st.appends === 2L && st.deletes === 0L)
+    // priceable + foldable through the generic sweep (fold cost reads
+    // the n-gram delta tables, not the corpus docs the marks count)
+    val receipts = IndexStore.maintenanceWave(spark, Seq("lm3" -> dir),
+        queriesPerWave = 50L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(2), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(receipts("lm3") === ((3, true, true)))
+    val st2 = IndexStore.describeFamily(spark, "lm3", dir)
+    assert(st2.base && st2.appends === 0L)
+    // the folded model still scores exactly like a fresh train
+    import graft.text.LanguageModel
+    val fold = IndexStore.loadLm3Checked(spark, dir, docs, "doc_id",
+      "text")
+    val fresh = LanguageModel.train3(docs, "doc_id", "text")
+    assert(LanguageModel.score3(fold, docs, "doc_id", "text")
+        .as[(Long, Double, Double, Long)].collect().toSet
+      === LanguageModel.score3(fresh, docs, "doc_id", "text")
+        .as[(Long, Double, Double, Long)].collect().toSet)
+  }
+
   test("both sign-lsh spellings ride the erasure wave, the audit, and the maintenance sweep") {
     import graft.dedup.Dedup
     val embs = Tables.embeddings(spark, Sf0001)
