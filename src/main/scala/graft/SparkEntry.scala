@@ -467,13 +467,15 @@ object SparkEntry {
           (pmod(id, lit(2L)) + 1L).cast("int")), " "),
         when(pmod(id, lit(2L)) === 0, lit(" δξα")).otherwise(lit("")))
         .as("text"))
-    val Seq(latRe, cyrRe, hanRe, grkRe) = TextAnalysis.Scripts.map(_._2)
+    // the four scripts the fixture plants (Scripts carries more — the
+    // oracle below selects the same four by name)
+    val re = TextAnalysis.Scripts.map { case (n, j, _) => n -> j }.toMap
     val toks = Text.tokensUnicode(col("text"))
     aug.select(col("doc_id"),
-        TextAnalysis.scriptCount(toks, latRe).as("n_latin"),
-        TextAnalysis.scriptCount(toks, cyrRe).as("n_cyrillic"),
-        TextAnalysis.scriptCount(toks, hanRe).as("n_han"),
-        TextAnalysis.scriptCount(toks, grkRe).as("n_greek"))
+        TextAnalysis.scriptCount(toks, re("latin")).as("n_latin"),
+        TextAnalysis.scriptCount(toks, re("cyrillic")).as("n_cyrillic"),
+        TextAnalysis.scriptCount(toks, re("han")).as("n_han"),
+        TextAnalysis.scriptCount(toks, re("greek")).as("n_greek"))
       .withColumn("main_nonlatin",
         when(col("n_han") >= col("n_cyrillic") &&
             col("n_han") >= col("n_greek"), lit("han"))
@@ -4538,9 +4540,12 @@ object SparkEntry {
     "q_script_profile" -> {
       val cyrL = cyrWords.map(w => s"'$w'").mkString(", ")
       val cjkL = cjkWords.map(w => s"'$w'").mkString(", ")
-      val counts = TextAnalysis.Scripts.map { case (name, _, re2) =>
-        s"${TextAnalysis.sqlScriptCount("tk", re2)} AS n_$name"
-      }.mkString(",\n       ")
+      val planted = Set("latin", "cyrillic", "han", "greek")
+      val counts = TextAnalysis.Scripts
+        .filter { case (name, _, _) => planted(name) }
+        .map { case (name, _, re2) =>
+          s"${TextAnalysis.sqlScriptCount("tk", re2)} AS n_$name"
+        }.mkString(",\n       ")
       s"""WITH aug AS (
          |  SELECT doc_id,
          |         text || ' ' ||

@@ -17,17 +17,22 @@ object Text {
     * `string_split_regex`. */
   val SplitRe = "[^a-z0-9]+"
 
-  /** UNICODE split regex — any run of non-letter/non-digit code points
-    * (general categories L and N, which Java regex and DuckDB's RE2
-    * implement identically for the planted fixtures the gate checks).
-    * The frozen [[SplitRe]] silently tokenizes ALL non-Latin text to []
-    * — the majority of a real multilingual crawl would dedup, score and
-    * vocab-learn as EMPTY — so every text consumer accepts an alphabet
-    * parameter defaulting to the frozen rule, with this as the variant a
-    * real corpus run passes. CJK has no word separators, so an ideograph
-    * run is ONE token under this rule (deterministic; real segmentation
-    * is a tokenizer-model concern, not the engine's). */
-  val UnicodeSplitRe = "[^\\p{L}\\p{N}]+"
+  /** UNICODE split regex — any run of code points outside letters,
+    * COMBINING MARKS, and digits (general categories L, M, N, which Java
+    * regex and DuckDB's RE2 implement identically for the planted
+    * fixtures the gate checks). Marks are in the alphabet because Indic
+    * and Arabic-script words are SPELLED with them — under a bare
+    * `\p{L}\p{N}` rule Devanagari "नमस्ते" splits at its virama and vowel
+    * signs into word fragments (caught by the hand-computed spec, not by
+    * the mark-free planted oracles). The frozen [[SplitRe]] silently
+    * tokenizes ALL non-Latin text to [] — the majority of a real
+    * multilingual crawl would dedup, score and vocab-learn as EMPTY — so
+    * every text consumer accepts an alphabet parameter defaulting to the
+    * frozen rule, with this as the variant a real corpus run passes. CJK
+    * has no word separators, so an ideograph run is ONE token under this
+    * rule (deterministic; real segmentation is a tokenizer-model
+    * concern, not the engine's). */
+  val UnicodeSplitRe = "[^\\p{L}\\p{M}\\p{N}]+"
 
   /** tokens(text): array<string> of non-empty lowercase tokens. */
   def tokens(text: Column): Column = tokens(text, SplitRe)

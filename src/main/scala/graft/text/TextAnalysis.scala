@@ -297,7 +297,10 @@ object TextAnalysis {
     ("latin", "^\\p{IsLatin}", "^\\p{Latin}"),
     ("cyrillic", "^\\p{IsCyrillic}", "^\\p{Cyrillic}"),
     ("han", "^\\p{IsHan}", "^\\p{Han}"),
-    ("greek", "^\\p{IsGreek}", "^\\p{Greek}"))
+    ("greek", "^\\p{IsGreek}", "^\\p{Greek}"),
+    ("arabic", "^\\p{IsArabic}", "^\\p{Arabic}"),
+    ("hangul", "^\\p{IsHangul}", "^\\p{Hangul}"),
+    ("devanagari", "^\\p{IsDevanagari}", "^\\p{Devanagari}"))
 
   /** Count of tokens whose first code point matches `headRe` — a narrow
     * codegen'd size-of-filter over the staged token array, one per

@@ -185,6 +185,18 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     // δξ7; "9x" starts with a digit — attributed to no script class
     assert((got.getLong(0), got.getLong(1), got.getLong(2),
       got.getLong(3)) === ((2L, 2L, 2L, 1L)))
+    // the wider script table: arabic/hangul/devanagari attribute too
+    val toks2 = graft.functions.Text.tokensUnicode(col("t"))
+    val re = TextAnalysis.Scripts.map { case (n, j, _) => n -> j }.toMap
+    val got2 = Seq("مرحبا 안녕하세요 नमस्ते hello").toDF("t")
+      .select(
+        TextAnalysis.scriptCount(toks2, re("arabic")).as("ar"),
+        TextAnalysis.scriptCount(toks2, re("hangul")).as("ko"),
+        TextAnalysis.scriptCount(toks2, re("devanagari")).as("hi"),
+        TextAnalysis.scriptCount(toks2, re("latin")).as("la"))
+      .head()
+    assert((got2.getLong(0), got2.getLong(1), got2.getLong(2),
+      got2.getLong(3)) === ((1L, 1L, 1L, 1L)))
   }
 
   test("hash60 is non-negative and stable") {
