@@ -201,22 +201,68 @@ object IndexStore {
     * by wave W itself) and the single-shared-checkpoint topology the
     * existing tests pin keep their exact ids.
     *
-    * Replay safety: the mapping is a pure function of the committed
-    * marker set, which only advances when a wave COMMITS (markers land
-    * last), so a crash-and-replay of an uncommitted micro-batch
-    * recomputes the same effective wave and overwrites its own partial
-    * partitions. The one divergent replay — the function succeeded but
-    * the checkpoint ack was lost — maps the replay to a FRESH wave, and
-    * the per-family erased-id dedupe ([[minusPriorErased]] /
-    * [[ledgerDedupe]]) empties it: the replayed wave commits a zero
-    * marker, never a double subtraction. */
+    * Replay safety: every resolved wave records a PROVENANCE row
+    * ((wave, issuer, src_batch) in `path/delete_prov`, written before any
+    * data lands), and the resolver consults it first — a replay of the
+    * same (issuer, src_batch) maps to the SAME wave, whose committed
+    * marker then short-circuits the caller cleanly (crash-before-commit
+    * replays rewrite their own partial partitions; the
+    * lost-checkpoint-ack replay is a clean skip instead of an emptied
+    * fresh wave). Provenance is also what lets the idempotency guard
+    * tell "this batch replayed" from "a DIFFERENT issuer's wave landed
+    * on this id" (the r14-advice silent-skip hole): a pass-through id
+    * whose delete marker is already committed is only treated as a
+    * replay when the provenance row matches this (issuer, src_batch) —
+    * or predates provenance recording — otherwise the batch remaps past
+    * the colliding marker and its deletions still apply.
+    *
+    * Issuer discipline: the [[streamDeletesIntoBm25]]-family wrappers
+    * pass their CHECKPOINT PATH as the issuer, so independent erasure
+    * streams are automatically distinct. Direct deleteBatch* callers
+    * share the default issuer: run at most one direct-call erasure
+    * issuer per family (or pass distinct issuers), and never reuse a
+    * caller-controlled wave id across issuers — two same-issuer calls
+    * with one id are indistinguishable from a replay by construction. */
   private[graft] def resolveDeleteWave(spark: SparkSession, path: String,
-      committed: Seq[Long], batchId: Long): Long = {
+      committed: Seq[Long], batchId: Long, issuer: String = ""): Long = {
     val floor = asofFloor(spark, path)
     val maxWave = committed.map(originalWave).foldLeft(-1L)(math.max)
     val lo = math.max(maxWave, floor + 1L)
-    if (batchId >= lo) batchId
-    else math.max(maxWave + 1L, floor + 1L)
+    // waves at/below the floor were folded away — their provenance is
+    // stale (a surviving checkpoint must get fresh post-floor waves)
+    val prov = readDeleteProv(spark, path).filter(_._1 > floor)
+    val wave = prov.find(p => p._2 == issuer && p._3 == batchId) match {
+      case Some((w, _, _)) => w // this exact batch, replayed
+      case None =>
+        val collides = committed.contains(deleteMarkerId(batchId)) &&
+          prov.exists(_._1 == batchId) // provenance names another issuer
+        if (batchId >= lo && !collides) batchId
+        else math.max(maxWave + 1L, floor + 1L)
+    }
+    writeDeleteProv(spark, path, wave, issuer, batchId)
+    wave
+  }
+
+  /** (wave, issuer, src_batch) provenance rows under `path/delete_prov`
+    * — tiny (one row per delete wave), read whole. */
+  private def readDeleteProv(spark: SparkSession, path: String)
+      : Seq[(Long, String, Long)] =
+    if (!hasDataFiles(spark, s"$path/delete_prov")) Seq.empty
+    else spark.read.parquet(s"$path/delete_prov")
+      .select(col("wave").cast("long"), col("issuer"),
+        col("src_batch").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  private def writeDeleteProv(spark: SparkSession, path: String,
+      wave: Long, issuer: String, srcBatch: Long): Unit = {
+    import spark.implicits._
+    Seq((issuer, srcBatch, wave)).toDF("issuer", "src_batch", "wave")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("wave")
+      .parquet(s"$path/delete_prov")
   }
 
   /** Apply one micro-batch of NEW documents (R17 skip-existing contract:
@@ -362,7 +408,8 @@ object IndexStore {
     * out first ([[minusPriorErased]]) so a repeated request never
     * double-subtracts df/stats/fingerprint. */
   def deleteBatchBm25(deleted: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+      idCol: String, textCol: String, path: String, batchId: Long,
+      issuer: String = ""): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
@@ -370,7 +417,7 @@ object IndexStore {
     // an independent erasure queue's checkpoint ids start at 0 — remap
     // behind-the-clock ids onto the family's logical clock instead of
     // crash-looping the stream ([[resolveDeleteWave]])
-    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val wave = resolveDeleteWave(spark, path, committed0, batchId, issuer)
     val mid = deleteMarkerId(wave)
     if (committed0.contains(mid)) return
     requireMonotonicWave(spark, path, committed0, wave, "BM25 delete")
@@ -1943,13 +1990,14 @@ object IndexStore {
     * before any delta is computed ([[minusPriorErased]]) — repeated
     * erasure requests are idempotent, never a double decrement. */
   def deleteBatchIvf(deleted: org.apache.spark.sql.DataFrame, idCol: String,
-      embCol: String, path: String, batchId: Long): Unit = {
+      embCol: String, path: String, batchId: Long,
+      issuer: String = ""): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
     val committed0 = committedBatches(spark, s"$path/sizes")
     // remap behind-the-clock erasure-queue ids ([[resolveDeleteWave]])
-    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val wave = resolveDeleteWave(spark, path, committed0, batchId, issuer)
     val mid = deleteMarkerId(wave)
     if (committed0.contains(mid)) return
     requireMonotonicWave(spark, path, committed0, wave, "IVF delete")
@@ -2368,7 +2416,7 @@ object IndexStore {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        deleteBatchIvf(b, idCol, embCol, path, id)
+        deleteBatchIvf(b, idCol, embCol, path, id, issuer = checkpoint)
       }
       .start()
 
@@ -2380,7 +2428,7 @@ object IndexStore {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        deleteBatchBm25(b, idCol, textCol, path, id)
+        deleteBatchBm25(b, idCol, textCol, path, id, issuer = checkpoint)
       }
       .start()
 
@@ -2474,7 +2522,7 @@ object IndexStore {
       idCol: String, textCol: String, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     deleteStream(deletes, checkpoint)(
-      deleteBatchWordCounts(_, idCol, textCol, path, _))
+      deleteBatchWordCounts(_, idCol, textCol, path, _, issuer = checkpoint))
 
   /** Streaming index upkeep for the vector index — the IVF member of the
     * [[streamIntoBm25]]/[[streamIntoSignLsh]] family: incoming vectors are
@@ -4793,13 +4841,14 @@ object IndexStore {
     * certificate is ledger-based: see [[erasureAudit]]'s wordcount
     * case. */
   def deleteBatchWordCounts(docs: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String, path: String, batchId: Long): Unit = {
+      idCol: String, textCol: String, path: String, batchId: Long,
+      issuer: String = ""): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
     val committed0 = committedBatches(spark, s"$path/marks")
     // remap behind-the-clock erasure-queue ids ([[resolveDeleteWave]])
-    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val wave = resolveDeleteWave(spark, path, committed0, batchId, issuer)
     val mid = deleteMarkerId(wave)
     if (committed0.contains(mid)) return
     requireMonotonicWave(spark, path, committed0, wave,
@@ -5004,12 +5053,13 @@ object IndexStore {
     * (fold-only-family discipline); commits under [[deleteMarkerId]];
     * the wave must carry the documents' original text. */
   def deleteBatchLm(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, path: String, batchId: Long): Unit = {
+      textCol: String, path: String, batchId: Long,
+      issuer: String = ""): Unit = {
     val spark = docs.sparkSession
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
     val committed0 = committedBatches(spark, s"$path/marks")
     // remap behind-the-clock erasure-queue ids ([[resolveDeleteWave]])
-    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val wave = resolveDeleteWave(spark, path, committed0, batchId, issuer)
     val mid = deleteMarkerId(wave)
     if (committed0.contains(mid)) return
     requireMonotonicWave(spark, path, committed0, wave, "LM delete")
@@ -5037,7 +5087,7 @@ object IndexStore {
       idCol: String, textCol: String, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     deleteStream(deletes, checkpoint)(
-      deleteBatchLm(_, idCol, textCol, path, _))
+      deleteBatchLm(_, idCol, textCol, path, _, issuer = checkpoint))
 
   /** The folded model over the committed waves — equals
     * [[graft.text.LanguageModel.train]] over exactly the committed
@@ -5210,11 +5260,12 @@ object IndexStore {
     * over the survivors. Ledger-deduped; behind-the-clock erasure-queue
     * ids remap ([[resolveDeleteWave]]). */
   def deleteBatchLm3(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, path: String, batchId: Long): Unit = {
+      textCol: String, path: String, batchId: Long,
+      issuer: String = ""): Unit = {
     val spark = docs.sparkSession
     require(batchId >= 0, s"delete batch ids are non-negative, got $batchId")
     val committed0 = committedBatches(spark, s"$path/marks")
-    val wave = resolveDeleteWave(spark, path, committed0, batchId)
+    val wave = resolveDeleteWave(spark, path, committed0, batchId, issuer)
     val mid = deleteMarkerId(wave)
     if (committed0.contains(mid)) return
     requireMonotonicWave(spark, path, committed0, wave, "LM3 delete")
@@ -5241,7 +5292,7 @@ object IndexStore {
       idCol: String, textCol: String, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     deleteStream(deletes, checkpoint)(
-      deleteBatchLm3(_, idCol, textCol, path, _))
+      deleteBatchLm3(_, idCol, textCol, path, _, issuer = checkpoint))
 
   /** The folded order-3 model over the committed waves — equals
     * [[graft.text.LanguageModel.train3]] over exactly the committed

@@ -117,8 +117,17 @@ object Multimodal {
       sum_r: Long, sum_g: Long, sum_b: Long)
 
   // ImageIO's default stream cache spills to a temp FILE per read — a
-  // pure-CPU decode stage must not pay executor-local disk IO per image
-  javax.imageio.ImageIO.setUseCache(false)
+  // pure-CPU decode stage must not pay executor-local disk IO per image.
+  // Scoped PER CALL (memory-cached image streams built here), NOT via the
+  // process-global ImageIO.setUseCache(false): an object-initializer side
+  // effect would silently reconfigure every other ImageIO user in the JVM.
+  private def readImageInMemory(bytes: Array[Byte])
+      : java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself
+    javax.imageio.ImageIO.read(iis)
+  }
 
   /** REAL image decode — `javax.imageio.ImageIO`, which ships PNG/BMP/
     * GIF/JPEG readers with every JDK (no external codec): payload bytes →
@@ -129,8 +138,7 @@ object Multimodal {
   def decodeImageStats(assetId: Long, payload: Array[Byte]): ImageStats = {
     require(payload != null && payload.nonEmpty,
       s"asset $assetId: empty payload is not a decodable image")
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
+    val img = readImageInMemory(payload)
     require(img != null,
       s"asset $assetId: ImageIO found no reader for the payload bytes " +
         "(not a PNG/BMP/GIF/JPEG stream)")
@@ -170,7 +178,8 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     out.toByteArray
   }
 
@@ -240,6 +249,12 @@ object Multimodal {
           f.getSampleSizeInBits == 16,
         s"asset $assetId: expected 16-bit signed PCM, got $f")
       val bytes = in.readAllBytes()
+      // refuse-loudly discipline (the decodeFrames contract): a trailing
+      // odd byte or a torn multi-channel frame must not pass as a shorter
+      // valid clip
+      require(bytes.length % (2 * f.getChannels) == 0,
+        s"asset $assetId: truncated PCM stream — ${bytes.length} bytes is " +
+          s"not a whole number of ${f.getChannels}-channel 16-bit frames")
       val bb = java.nio.ByteBuffer.wrap(bytes).order(
         if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)

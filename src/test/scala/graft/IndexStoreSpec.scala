@@ -2179,16 +2179,72 @@ class IndexStoreSpec extends AnyFunSuite with SparkTest {
   }
 
   test("resolveDeleteWave: pass-through at/above the clock, remap below, floor respected") {
-    val dir = Files.createTempDirectory("resolvewave").toString
+    // fresh dir per scenario: the resolver records provenance, so one
+    // shared dir would make later calls read earlier calls' rows
+    def fresh() = Files.createTempDirectory("resolvewave").toString
     // no committed markers, no floor: ids pass through
-    assert(IndexStore.resolveDeleteWave(spark, dir, Seq.empty, 0L) === 0L)
-    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L), 3L) === 3L)
-    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L), 9L) === 9L)
+    assert(IndexStore.resolveDeleteWave(spark, fresh(), Seq.empty, 0L) === 0L)
+    assert(IndexStore.resolveDeleteWave(spark, fresh(), Seq(-1L, 3L), 3L) === 3L)
+    assert(IndexStore.resolveDeleteWave(spark, fresh(), Seq(-1L, 3L), 9L) === 9L)
     // behind the clock: first wave past the committed horizon
-    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L), 0L) === 4L)
+    assert(IndexStore.resolveDeleteWave(spark, fresh(), Seq(-1L, 3L), 0L) === 4L)
     // a committed DELETE marker advances the clock too (wave 4's marker)
-    assert(IndexStore.resolveDeleteWave(spark, dir,
+    assert(IndexStore.resolveDeleteWave(spark, fresh(),
       Seq(-1L, 3L, -(3L * 4L + 2L)), 1L) === 5L)
+  }
+
+  test("resolveDeleteWave provenance: replays stick to their wave, colliding issuers remap instead of skipping") {
+    val dir = Files.createTempDirectory("resolveprov").toString
+    // issuer a, src batch 0, clock at wave 3 → remaps to 4
+    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L), 0L,
+      issuer = "a") === 4L)
+    // a's replay of src 0 (marker not yet committed — crash before
+    // commit) resolves to the SAME wave, not a fresh one
+    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L), 0L,
+      issuer = "a") === 4L)
+    // a's replay AFTER the wave-4 marker committed (lost checkpoint ack)
+    // still resolves to 4 — the caller's committed-marker guard then
+    // skips it cleanly
+    val mid4 = -(3L * 4L + 2L)
+    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L, mid4), 0L,
+      issuer = "a") === 4L)
+    // THE r14-advice hole: issuer b's pass-through id 4 equals a's
+    // remapped committed wave — provenance names a different issuer, so
+    // b REMAPS past the collision (5) instead of being silently skipped
+    assert(IndexStore.resolveDeleteWave(spark, dir, Seq(-1L, 3L, mid4), 4L,
+      issuer = "b") === 5L)
+    // a marker with NO provenance row (legacy, pre-provenance commit)
+    // keeps the old treat-as-replay behavior
+    val legacy = Files.createTempDirectory("resolvelegacy").toString
+    val mid2 = -(3L * 2L + 2L)
+    assert(IndexStore.resolveDeleteWave(spark, legacy,
+      Seq(-1L, -(3L * 1L + 2L), mid2), 2L, issuer = "b") === 2L)
+  }
+
+  test("two erasure issuers on one family: the second issuer's deletions apply instead of silently skipping") {
+    // end-to-end rendition of the resolver pin above, word-count family:
+    // issuer A erases a wave (remapped onto the clock), then issuer B
+    // arrives with a caller-controlled id equal to A's landed wave — its
+    // ids must still be erased (pre-fix: the committed-marker guard
+    // swallowed B's whole batch)
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("twoissuers").toString
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").localCheckpoint(true)
+    IndexStore.saveWordCounts(docs.where($"doc_id" % 3 === 0), "doc_id",
+      "text", dir)
+    IndexStore.appendBatchWordCounts(docs.where($"doc_id" % 3 =!= 0),
+      "doc_id", "text", dir, 3L)
+    // issuer A: behind-the-clock src 0 remaps to wave 4
+    IndexStore.deleteBatchWordCounts(docs.where($"doc_id" % 7 === 0),
+      "doc_id", "text", dir, 0L, issuer = "streamA")
+    // issuer B: pass-through id 4 collides with A's landed wave
+    IndexStore.deleteBatchWordCounts(docs.where($"doc_id" % 7 === 1),
+      "doc_id", "text", dir, 4L, issuer = "streamB")
+    val survivors = docs.where($"doc_id" % 7 =!= 0 && $"doc_id" % 7 =!= 1)
+    // the checked load only accepts the fold if BOTH waves subtracted
+    IndexStore.loadWordCountsChecked(spark, dir, survivors, "doc_id",
+      "text")
   }
 
   test("compaction advisor: receipts from sidecars, workload flips the fold, execute folds and preserves checkability") {
