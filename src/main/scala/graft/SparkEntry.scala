@@ -658,6 +658,173 @@ object SparkEntry {
         uniQueryText, 10, Text.UnicodeSplitRe)
       .withColumnRenamed("id", "doc_id")
 
+  /** The n-gram decontamination screen over a MULTILINGUAL corpus under
+    * [[Text.UnicodeSplitRe]] — the r15 round's top verdict item: under
+    * the frozen alphabet the planted non-Latin tokens silently vanish
+    * from BOTH sides' shingles, so a contaminated multilingual benchmark
+    * passes clean with no error; threading the alphabet through
+    * [[Contamination.ngramOverlap]] makes them collide. Eval = the 10%
+    * slice doc_id ≡ 0 (mod 10) of the SAME augmented corpus (the
+    * [[qContamination]] shape on the multilingual fixture). */
+  private def qContaminationUnicode(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = multilingualDocs(spark, dir)
+    Contamination.ngramOverlap(
+        d.where(pmod(col("doc_id"), lit(10L)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(10L)) === 0),
+        "doc_id", "text", Text.UnicodeSplitRe)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Exact substring-span dedup under the Unicode alphabet
+    * ([[SubstringDedup.duplicatedSpans]] threading): the planted
+    * non-Latin tail tokens enter the positional gram stream, so span
+    * extents and gram hashes exercise Unicode tokenization end to end. */
+  private def qSubstringSpansUnicode(spark: SparkSession, dir: String)
+      : DataFrame =
+    SubstringDedup.duplicatedSpans(multilingualDocs(spark, dir), "doc_id",
+        "text", splitRe = Text.UnicodeSplitRe)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+
+  /** Document fingerprint (min/max shingle hash) under the Unicode
+    * alphabet ([[TextAnalysis.fingerprint]] threading) — the planted
+    * non-Latin tokens move every shingle boundary, so both engines must
+    * hash identical Unicode shingles. */
+  private def qFingerprintUnicode(spark: SparkSession, dir: String)
+      : DataFrame =
+    multilingualDocs(spark, dir)
+      .withColumn("__toks", Text.tokensUnicode(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprintFromTokens(col("__toks")))
+      .select(col("doc_id"), col("fp.fp_min").as("fp_min"),
+        col("fp.fp_max").as("fp_max"))
+      .orderBy("doc_id")
+
+  /** Gopher repetition statistics under the Unicode alphabet
+    * ([[CorpusAnalysis.repetitionStats]] threading). */
+  private def qRepetitionUnicode(spark: SparkSession, dir: String)
+      : DataFrame =
+    CorpusAnalysis.repetitionStats(multilingualDocs(spark, dir), "doc_id",
+        "text", Text.UnicodeSplitRe)
+      .orderBy("id")
+
+  /** The source-overlap matrix under the Unicode alphabet
+    * ([[CorpusAnalysis.sourceOverlap]] threading) — the multilingual
+    * augmentation is doc_id-keyed, not source-keyed, so the planted
+    * non-Latin shingles genuinely cross sources. */
+  private def qSourceOverlapUnicode(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val aug = multilingualDocs(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+    CorpusAnalysis.sourceOverlap(aug, "text", "source",
+        splitRe = Text.UnicodeSplitRe)
+      .orderBy("src_a", "src_b")
+  }
+
+  /** PII scrub adjacent to NON-LATIN text — the PORTABLE cases: the
+    * email pattern and the bare digit-run pattern carry no `\b`, so an
+    * address or identifier glued directly to a Cyrillic label redacts
+    * identically in both engines; the IP stands after a space because
+    * [[PiiScrub.Ipv4Re]]'s `\b` is the one declared Java/RE2 divergence
+    * (Unicode- vs ASCII-word boundary — PiiScrub scaladoc, pinned in
+    * PiiScrubSpec), so a Cyrillic-GLUED IP is exactly what this gate
+    * must not claim portable. Tail per doc: a Cyrillic-labelled glued
+    * email, a space-separated IP under a Cyrillic label, and a digit
+    * run glued to Cyrillic. */
+  private def qPiiScrubUnicode(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val augmented = multilingualDocs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" контакт user"), col("doc_id").cast("string"),
+        lit("@example.com ип 10.0.0."),
+        pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(" реф"), (col("doc_id") + lit(100000L)).cast("string"))
+        .as("text"))
+    PiiScrub.scrub(augmented, "doc_id", "text").orderBy("id")
+  }
+
+  /** Exact phrase locate under the Unicode alphabet
+    * ([[TextSearch.phraseOccurrences]] threading, gram width 2): the
+    * phrase ("ΔΞ7 你好世界", engine-tokenized — Greek lowercasing is
+    * load-bearing) occurs exactly in the docs whose planted CJK word is
+    * 你好世界 (doc_id ≡ 0 mod 3), at the position right after the base
+    * ASCII tokens. */
+  private def qPhraseFindUnicode(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val d = multilingualDocs(spark, dir)
+    val phrase = spark.range(1)
+      .select(Text.tokensUnicode(lit("ΔΞ7 你好世界")).as("p"))
+    TextSearch.phraseOccurrences(d, "doc_id", "text", phrase, 2,
+        Text.UnicodeSplitRe)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "pos")
+  }
+
+  /** BM25 with CJK BIGRAM tokenization ([[Text.Tokenizer]] with
+    * `cjkBigrams` — the Lucene CJKAnalyzer rule as an engine-level
+    * option): the two-character Han query 模型 matches INSIDE the longer
+    * planted run 数据模型 — impossible under the r14 one-token-per-run
+    * rule, where an ideograph run only ever matches itself whole. The
+    * oracle rebuilds the whole BM25 arithmetic over the bigram-expanded
+    * token stream. */
+  private val cjkQueryText = "模型"
+  private val CjkTok = Text.Tokenizer(Text.UnicodeSplitRe,
+    cjkBigrams = true)
+  private def qBm25Cjk(spark: SparkSession, dir: String): DataFrame =
+    TextSearch.search(
+        TextSearch.buildIndex(multilingualDocs(spark, dir), "doc_id",
+          "text", CjkTok),
+        cjkQueryText, 10, CjkTok)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Shingle near-dup over PURE-CJK text under the bigram tokenizer
+    * ([[Dedup.shinglePostingsTok]]): the planted fixture builds each doc
+    * from two 4-ideograph words, so docs sharing a word overlap through
+    * the word's bigram shingles (J = 1/7 for one shared word, 1 for both)
+    * — overlap structure that EXISTS only because runs expand to bigrams
+    * (whole-run tokens would make every non-identical doc J ≈ 0 on its
+    * shingles). Quadratic verify on a 30-doc fixture — the oracle-shaped
+    * exercise, not the production path ([[Dedup.minhashPairs]]). */
+  private def qDedupCjk(spark: SparkSession, dir: String): DataFrame = {
+    val cjkArr = array(cjkWords.map(lit): _*)
+    val fx = Tables.documents(spark, dir).where(col("doc_id") < 30)
+      .select(col("doc_id"),
+        concat(
+          element_at(cjkArr, (pmod(col("doc_id"), lit(3L)) + 1L).cast("int")),
+          lit(" "),
+          element_at(cjkArr,
+            (pmod(col("doc_id") + 1L, lit(3L)) + 1L).cast("int")))
+          .as("text"))
+    Dedup.jaccardFromPostings(
+        Dedup.shinglePostingsTok(fx, "doc_id", "text",
+          TextAnalysis.ShingleSize, CjkTok), 0.1)
+      .orderBy("id1", "id2")
+  }
+
+  /** NFC normalization gate ([[Text.Tokenizer]] `nfcNormalize`):
+    * composed café (U+00E9) planted on even ids, decomposed cafe +
+    * U+0301 on odd — visually identical spellings that are DISTINCT
+    * tokens and distinct shingles without normalization (they evade
+    * exact and near dedup and miss BM25 matches). Under the
+    * NFC-normalizing tokenizer both engines must fold them into ONE
+    * vocabulary entry counted across every doc; java.text.Normalizer and
+    * DuckDB nfc_normalize are the agreeing public twins. The literals
+    * are code-point escapes on both sides — no source-encoding
+    * normalization can silently fix the fixture. */
+  private def qNfcUnify(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Text.Tokenizer(Text.UnicodeSplitRe, nfcNormalize = true)
+    val aug = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit(" caf\u00e9"))
+          .otherwise(lit(" cafe\u0301"))).as("text"))
+    aug.select(explode(tok(col("text"))).as("word"))
+      .where(col("word").rlike("[^a-z0-9]"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+  }
+
   /** Per-source corpus statistics through the SKEW-SAFE salted aggregation
     * ([[graft.util.Skew.saltedSumCount]]): phase 1 spreads each source over
     * 16 salted sub-groups, phase 2 merges 16 partials per source — the
@@ -4033,6 +4200,16 @@ object SparkEntry {
     "q_text_unicode" -> ((s, dir) => qTextUnicode(s, dir)),
     "q_wordcounts_unicode" -> ((s, dir) => qWordCountsUnicode(s, dir)),
     "q_bm25_unicode" -> ((s, dir) => qBm25Unicode(s, dir)),
+    "q_contamination_unicode" -> ((s, dir) => qContaminationUnicode(s, dir)),
+    "q_substring_spans_unicode" -> ((s, dir) => qSubstringSpansUnicode(s, dir)),
+    "q_fingerprint_unicode" -> ((s, dir) => qFingerprintUnicode(s, dir)),
+    "q_repetition_unicode" -> ((s, dir) => qRepetitionUnicode(s, dir)),
+    "q_source_overlap_unicode" -> ((s, dir) => qSourceOverlapUnicode(s, dir)),
+    "q_pii_scrub_unicode" -> ((s, dir) => qPiiScrubUnicode(s, dir)),
+    "q_phrase_find_unicode" -> ((s, dir) => qPhraseFindUnicode(s, dir)),
+    "q_bm25_cjk" -> ((s, dir) => qBm25Cjk(s, dir)),
+    "q_dedup_cjk" -> ((s, dir) => qDedupCjk(s, dir)),
+    "q_nfc_unify" -> ((s, dir) => qNfcUnify(s, dir)),
     "q_repetition" -> ((s, dir) => qRepetition(s, dir)),
     "q_vocab_stats" -> ((s, dir) => qVocabStats(s, dir)),
     "q_lm_score" -> ((s, dir) => qLmScore(s, dir)),
@@ -4497,6 +4674,93 @@ object SparkEntry {
              "text", uniQueryText, Text.UnicodeSplitRe)}
          |SELECT id AS doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // the multilingual decontamination gate: same shingle/hash algebra,
+    // Unicode alphabet — the planted non-Latin shingles must collide
+    "q_contamination_unicode" ->
+      s"""SELECT id AS doc_id, n_shingles, n_contaminated, contamination_ratio, contaminated
+         |FROM (${Contamination.sqlNgramOverlap(
+                  s"(SELECT * FROM $multilingualDocsSql m WHERE doc_id % 10 <> 0)",
+                  s"(SELECT * FROM $multilingualDocsSql m WHERE doc_id % 10 = 0)",
+                  "doc_id", "text", Text.UnicodeSplitRe)})
+         |ORDER BY doc_id""".stripMargin,
+    "q_substring_spans_unicode" ->
+      s"""SELECT id AS doc_id, span_start, span_end, n_grams FROM (
+         |${SubstringDedup.sqlDuplicatedSpans(multilingualDocsSql, "doc_id",
+             "text", splitRe = Text.UnicodeSplitRe)}
+         |) ORDER BY doc_id, span_start""".stripMargin,
+    "q_fingerprint_unicode" ->
+      s"""SELECT doc_id,
+         |       ${TextAnalysis.sqlFingerprintMin("text", Text.UnicodeSplitRe)} AS fp_min,
+         |       ${TextAnalysis.sqlFingerprintMax("text", Text.UnicodeSplitRe)} AS fp_max
+         |FROM $multilingualDocsSql ORDER BY doc_id""".stripMargin,
+    "q_repetition_unicode" ->
+      (CorpusAnalysis.sqlRepetitionStats(multilingualDocsSql, "doc_id",
+        "text", Text.UnicodeSplitRe) + "\nORDER BY id"),
+    "q_source_overlap_unicode" ->
+      (CorpusAnalysis.sqlSourceOverlap(
+        s"(SELECT m.doc_id, m.text, d.source FROM $multilingualDocsSql m JOIN documents d USING (doc_id))",
+        "text", "source", Text.UnicodeSplitRe) +
+        "\nORDER BY src_a, src_b"),
+    // NB: single-line subquery — sqlScrub stripMargins its template
+    // (the q_pii_scrub precedent)
+    "q_pii_scrub_unicode" ->
+      (PiiScrub.sqlScrub(
+        s"(SELECT doc_id, text || ' контакт user' || doc_id || " +
+          "'@example.com ип 10.0.0.' || (doc_id % 256) || " +
+          s"' реф' || (doc_id + 100000) AS text FROM $multilingualDocsSql m)",
+        "doc_id", "text") + "\nORDER BY id"),
+    // direct position-verify SQL under the Unicode alphabet (the
+    // q_phrase_find shape; DuckDB lower() must agree on Δ→δ)
+    "q_phrase_find_unicode" ->
+      s"""WITH phrase AS (
+         |  SELECT ${Text.sqlTokensUnicode("'ΔΞ7 你好世界'")} AS p
+         |)
+         |SELECT id AS doc_id, pos
+         |FROM (${TextSearch.sqlPhraseOccurrences(multilingualDocsSql,
+                  "doc_id", "text", "phrase", 2, Text.UnicodeSplitRe)})
+         |ORDER BY doc_id, pos""".stripMargin,
+    // full BM25 arithmetic over the BIGRAM-EXPANDED token stream: the
+    // oracle's tokenizer twin is Tokenizer.sql, so engine and oracle can
+    // only agree if both expand CJK runs identically
+    "q_bm25_cjk" ->
+      s"""WITH ${TextSearch.oracleCtes(multilingualDocsSql, "doc_id",
+             "text", cjkQueryText, CjkTok)}
+         |SELECT id AS doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // quadratic Jaccard verify over bigram-expanded CJK shingles (the
+    // sqlJaccardPairs algebra under Tokenizer.sql; fixture is in-query)
+    "q_dedup_cjk" -> {
+      val cjkL = cjkWords.map(w => s"'$w'").mkString(", ")
+      val fx = s"(SELECT doc_id, ([$cjkL])[1 + CAST(doc_id % 3 AS INT)] " +
+        s"|| ' ' || ([$cjkL])[1 + CAST((doc_id + 1) % 3 AS INT)] AS text " +
+        "FROM documents WHERE doc_id < 30)"
+      val sh = TextAnalysis.sqlShinglesFromToks(CjkTok.sql("text"))
+      s"""WITH p AS (
+         |  SELECT id, ${Text.sqlHash60("sh")} AS h FROM (
+         |    SELECT doc_id AS id, unnest($sh) AS sh FROM $fx)
+         |), sizes AS (SELECT id, count(*) AS sz FROM p GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+         |  FROM p a JOIN p b ON a.h = b.h AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id1, id2,
+         |       round(inter::DOUBLE / (s1.sz + s2.sz - inter), 6) AS jaccard
+         |FROM inter JOIN sizes s1 ON id1 = s1.id JOIN sizes s2 ON id2 = s2.id
+         |WHERE round(inter::DOUBLE / (s1.sz + s2.sz - inter), 6) >= 0.1
+         |ORDER BY id1, id2""".stripMargin
+    },
+    // composed chr(233) vs decomposed chr(769) planted explicitly; the
+    // NFC-normalizing tokenizer twin must fold them to one word
+    "q_nfc_unify" -> {
+      val tokSql = Text.Tokenizer(Text.UnicodeSplitRe,
+        nfcNormalize = true).sql("text")
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest($tokSql) AS word
+         |      FROM (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233) ELSE ' cafe' || chr(769) END AS text FROM documents))
+         |WHERE regexp_matches(word, '[^a-z0-9]')
+         |GROUP BY word ORDER BY word""".stripMargin
+    },
     "q_repetition" ->
       (CorpusAnalysis.sqlRepetitionStats("documents", "doc_id", "text") +
         "\nORDER BY id"),

@@ -142,11 +142,19 @@ object Dedup {
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
       k: Int = TextAnalysis.ShingleSize,
       splitRe: String = Text.SplitRe): DataFrame =
+    shinglePostingsTok(docs, idCol, textCol, k, Text.Tokenizer(splitRe))
+
+  /** [[shinglePostings]] under a full [[Text.Tokenizer]] contract
+    * ([[Text.MultilingualTokenizer]] makes shingle dedup meaningful on
+    * CJK text — without bigram expansion an ideograph run is ONE
+    * near-unique token and boilerplate never pairs). */
+  def shinglePostingsTok(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tok: Text.Tokenizer): DataFrame =
     docs
       // stage tokens as a column so the shingle lambda references an
       // attribute instead of re-tokenizing per position (O(n²) otherwise)
       .select(col(idCol).as("id"),
-        Text.tokens(col(textCol), splitRe).as("toks"))
+        tok(col(textCol)).as("toks"))
       .select(col("id"), explode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as("sh"))
       .select(col("id"), Text.hash60(col("sh")).as("h"))
 

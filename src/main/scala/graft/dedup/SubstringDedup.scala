@@ -71,10 +71,12 @@ object SubstringDedup {
     * two identical short documents still count as duplicated); null/empty
     * text yields no rows. */
   def gramPostings(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = DefaultGramTokens): DataFrame = {
+      k: Int = DefaultGramTokens,
+      splitRe: String = Text.SplitRe): DataFrame = {
     require(k >= 1, s"gram width must be >= 1, got $k")
     docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(col(textCol), splitRe).as("__toks"))
       .where(col("__toks").isNotNull && size(col("__toks")) > 0)
       .select(col("id"), col("__toks"),
         // start indices are 1-based for slice(); pos below is 0-based
@@ -105,13 +107,14 @@ object SubstringDedup {
     *                 included) for a gram to count as duplicated; 2 =
     *                 "appears anywhere else". */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = DefaultGramTokens, minCount: Long = 2L): DataFrame = {
+      k: Int = DefaultGramTokens, minCount: Long = 2L,
+      splitRe: String = Text.SplitRe): DataFrame = {
     require(minCount >= 2, s"minCount < 2 would flag every gram, got $minCount")
-    val grams = gramPostings(docs, idCol, textCol, k)
+    val grams = gramPostings(docs, idCol, textCol, k, splitRe)
     val dup = grams.groupBy("h").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minCount).select("h")
     spansFromMarked(grams.join(dup, Seq("h"), "left_semi"),
-      docs, idCol, textCol, k)
+      docs, idCol, textCol, k, splitRe)
   }
 
   /** The islands → clamp → interval-merge tail shared by
@@ -119,7 +122,7 @@ object SubstringDedup {
     * relation of duplicated gram start positions; `docs` supplies token
     * counts for the end clamp. */
   private def spansFromMarked(marked: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, k: Int): DataFrame = {
+      idCol: String, textCol: String, k: Int, splitRe: String): DataFrame = {
     val isl = marked.withColumn("__grp",
       col("pos") - row_number().over(Window.partitionBy("id").orderBy("pos")))
     val spans = isl.groupBy("id", "__grp")
@@ -127,7 +130,8 @@ object SubstringDedup {
         (max(col("pos")) + lit(k - 1)).cast("long").as("__end_raw"),
         count(lit(1)).as("n_grams"))
     val nTokens = docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(col(textCol), splitRe).as("__toks"))
       .select(col("id"), size(col("__toks")).cast("long").as("__n_toks"))
     val clamped = spans.join(nTokens, "id")
       .select(col("id"), col("span_start"),
@@ -169,6 +173,9 @@ object SubstringDedup {
     * semi-join that small duplicated-hash set. */
   def spansAgainst(batch: DataFrame, idCol: String, textCol: String,
       index: graft.index.IndexStore.GramIndex): DataFrame = {
+    // the persisted gram index is built under the frozen alphabet
+    // (its hashes bake the tokenization in) — alphabet variants need a
+    // matching index build, so no splitRe parameter here
     graft.search.VectorSearch.requireBoundedBatch(
       batch, "SubstringDedup.spansAgainst")
     val grams = gramPostings(batch, idCol, textCol, index.k)
@@ -178,7 +185,7 @@ object SubstringDedup {
       .where(col("__n") >= 2L).select("h")
     val dupH = idxHits.unionByName(batchDup).distinct()
     spansFromMarked(grams.join(broadcast(dupH), Seq("h"), "left_semi"),
-      batch, idCol, textCol, index.k)
+      batch, idCol, textCol, index.k, Text.SplitRe)
   }
 
   /** Per-document duplication coverage — the curation signal built on
@@ -189,12 +196,14 @@ object SubstringDedup {
     * document gets a row (clean docs: 0, 0.0); ratio rounds to 6
     * decimals from an integer-exact quotient. */
   def duplicationCoverage(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = DefaultGramTokens, minCount: Long = 2L): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, k, minCount)
+      k: Int = DefaultGramTokens, minCount: Long = 2L,
+      splitRe: String = Text.SplitRe): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, k, minCount, splitRe)
     val perDoc = spans.groupBy("id")
       .agg(sum(col("span_end") - col("span_start") + 1L).as("dup_tokens"))
     docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(col(textCol), splitRe).as("__toks"))
       // null text → null tokens; the oracle coalesces len() to 0, and the
       // explicit isNull branch is immune to size()'s legacy -1-on-null mode
       .select(col("id"),
@@ -229,10 +238,11 @@ object SubstringDedup {
     * ~n²/2⁶¹ posture shared with every hash-keyed op here). */
   def topDuplicatedPassages(docs: DataFrame, idCol: String, textCol: String,
       k: Int = DefaultGramTokens, minCount: Long = 2L,
-      topN: Int = 20): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, k, minCount)
+      topN: Int = 20, splitRe: String = Text.SplitRe): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, k, minCount, splitRe)
     val toks = docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(col(textCol), splitRe).as("__toks"))
     val renderPassage = (toksCol: Column) => concat_ws(" ", slice(toksCol,
       (col("span_start") + 1).cast("int"),
       (col("span_end") - col("span_start") + 1).cast("int")))
@@ -270,14 +280,17 @@ object SubstringDedup {
     * doc) is bounded by document length, so the position filter is a
     * narrow per-row lambda — no extra shuffle beyond the span join. */
   def cutSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = DefaultGramTokens, minCount: Long = 2L): DataFrame = {
-    val spanLists = duplicatedSpans(docs, idCol, textCol, k, minCount)
+      k: Int = DefaultGramTokens, minCount: Long = 2L,
+      splitRe: String = Text.SplitRe): DataFrame = {
+    val spanLists = duplicatedSpans(docs, idCol, textCol, k, minCount,
+      splitRe)
       .groupBy("id")
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__sl"))
     val emptySpans = array().cast("array<struct<s:long,e:long>>")
     docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"),
+        Text.tokens(col(textCol), splitRe).as("__toks"))
       .join(spanLists, Seq("id"), "left")
       .select(col("id"), col("__toks"),
         coalesce(col("__sl"), emptySpans).as("__sl"))
@@ -296,8 +309,9 @@ object SubstringDedup {
   }
 
   private def sqlGramCtes(docsTable: String, idExpr: String,
-      textExpr: String, k: Int, minCount: Long): String = {
-    val toks = Text.sqlTokens(textExpr)
+      textExpr: String, k: Int, minCount: Long,
+      splitRe: String = Text.SplitRe): String = {
+    val toks = Text.sqlTokens(textExpr, splitRe)
     val gramHash = Text.sqlHash60(s"array_to_string(list_slice(t, i, i + ${k - 1}), ' ')")
     s"""toks AS (
        |  SELECT $idExpr AS id, $toks AS t FROM $docsTable
@@ -361,6 +375,7 @@ object SubstringDedup {
     * restricted to batch ids. */
   def sqlSpansAgainst(docsTable: String, idExpr: String, textExpr: String,
       batchCond: String => String, k: Int = DefaultGramTokens): String = {
+    // frozen alphabet on purpose — the twin of the index-backed path
     val toks = Text.sqlTokens(textExpr)
     val gramHash = Text.sqlHash60(s"array_to_string(list_slice(t, i, i + ${k - 1}), ' ')")
     s"""WITH toks AS (
@@ -387,8 +402,9 @@ object SubstringDedup {
   /** DuckDB twin of [[duplicatedSpans]] — the same grams/dup/islands/clamp
     * algebra spelled as CTEs (integer-only, so the hash compare is exact). */
   def sqlDuplicatedSpans(docsTable: String, idExpr: String, textExpr: String,
-      k: Int = DefaultGramTokens, minCount: Long = 2L): String =
-    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)}
+      k: Int = DefaultGramTokens, minCount: Long = 2L,
+      splitRe: String = Text.SplitRe): String =
+    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount, splitRe)}
        |SELECT id, span_start, span_end, n_grams FROM spans""".stripMargin
 
   /** DuckDB twin of [[topDuplicatedPassages]] — same selection contract:
@@ -397,8 +413,8 @@ object SubstringDedup {
     * presentation sort on the rendered text. */
   def sqlTopDuplicatedPassages(docsTable: String, idExpr: String,
       textExpr: String, k: Int = DefaultGramTokens, minCount: Long = 2L,
-      topN: Int = 20): String =
-    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)},
+      topN: Int = 20, splitRe: String = Text.SplitRe): String =
+    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount, splitRe)},
        |passages AS (
        |  SELECT array_to_string(list_slice(t.t, s.span_start + 1, s.span_end + 1), ' ') AS passage,
        |         s.span_end - s.span_start + 1 AS n_tokens, s.id
@@ -416,8 +432,9 @@ object SubstringDedup {
   /** DuckDB twin of [[cutSpans]] — the kept-token comprehension mirrors
     * the Spark positional filter (0-based positions, inclusive spans). */
   def sqlCutSpans(docsTable: String, idExpr: String, textExpr: String,
-      k: Int = DefaultGramTokens, minCount: Long = 2L): String =
-    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)},
+      k: Int = DefaultGramTokens, minCount: Long = 2L,
+      splitRe: String = Text.SplitRe): String =
+    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount, splitRe)},
        |sps AS (
        |  SELECT id, list({'s': span_start, 'e': span_end}) AS sl
        |  FROM spans GROUP BY id
@@ -434,8 +451,8 @@ object SubstringDedup {
   /** DuckDB twin of [[duplicationCoverage]]. */
   def sqlDuplicationCoverage(docsTable: String, idExpr: String,
       textExpr: String, k: Int = DefaultGramTokens,
-      minCount: Long = 2L): String =
-    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount)},
+      minCount: Long = 2L, splitRe: String = Text.SplitRe): String =
+    s"""WITH ${sqlGramCtes(docsTable, idExpr, textExpr, k, minCount, splitRe)},
        |per_doc AS (
        |  SELECT id, sum(span_end - span_start + 1)::BIGINT AS dup_tokens
        |  FROM spans GROUP BY id

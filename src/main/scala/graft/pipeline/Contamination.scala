@@ -37,9 +37,12 @@ object Contamination {
     * A shingle counts as contaminated if it appears anywhere in the eval
     * set; ratio = contaminated distinct shingles / distinct shingles. */
   def ngramOverlap(train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val trainP = Dedup.shinglePostings(train, idCol, textCol).distinct()
-    val evalShingles = Dedup.shinglePostings(eval, idCol, textCol)
+      idCol: String, textCol: String,
+      splitRe: String = Text.SplitRe): DataFrame = {
+    val trainP = Dedup.shinglePostings(train, idCol, textCol,
+      splitRe = splitRe).distinct()
+    val evalShingles = Dedup.shinglePostings(eval, idCol, textCol,
+        splitRe = splitRe)
       .select("h").distinct()
     val perDoc = trainP
       .join(broadcast(evalShingles.withColumn("hit", lit(1))), Seq("h"), "left")
@@ -89,12 +92,15 @@ object Contamination {
     * corpus-sized exploded relation, and branch 2's scan carries the bloom
     * filter straight into the scan's codegen stage. */
   def ngramOverlapBloom(train: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, fpp: Double = 0.01): DataFrame = {
+      idCol: String, textCol: String, fpp: Double = 0.01,
+      splitRe: String = Text.SplitRe): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftshim.GraftShim
     import org.apache.spark.sql.types.BinaryType
-    val trainP = Dedup.shinglePostings(train, idCol, textCol).distinct()
-    val evalShingles = Dedup.shinglePostings(eval, idCol, textCol)
+    val trainP = Dedup.shinglePostings(train, idCol, textCol,
+      splitRe = splitRe).distinct()
+    val evalShingles = Dedup.shinglePostings(eval, idCol, textCol,
+        splitRe = splitRe)
       .select("h").distinct()
     val nEval = evalShingles.count()
     val bloomBytes = {
@@ -126,14 +132,17 @@ object Contamination {
   /** Oracle rendition; `trainTable`/`evalTable` may be table names or
     * parenthesized subqueries producing ($idExpr, $textExpr). */
   def sqlNgramOverlap(trainTable: String, evalTable: String,
-      idExpr: String, textExpr: String): String =
+      idExpr: String, textExpr: String,
+      splitRe: String = Text.SplitRe): String =
     s"""WITH train_p AS (
        |  SELECT DISTINCT id, ${Text.sqlHash60("sh")} AS h FROM (
-       |    SELECT $idExpr AS id, unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
+       |    SELECT $idExpr AS id, unnest(${TextAnalysis.sqlShingles(textExpr,
+             TextAnalysis.ShingleSize, splitRe)}) AS sh
        |    FROM $trainTable)
        |), eval_s AS (
        |  SELECT DISTINCT ${Text.sqlHash60("sh")} AS h FROM (
-       |    SELECT unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
+       |    SELECT unnest(${TextAnalysis.sqlShingles(textExpr,
+             TextAnalysis.ShingleSize, splitRe)}) AS sh
        |    FROM $evalTable)
        |), per_doc AS (
        |  SELECT t.id, count(*) AS n_shingles,

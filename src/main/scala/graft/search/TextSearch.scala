@@ -52,9 +52,18 @@ object TextSearch {
     * [[Text.UnicodeSplitRe]] for a multilingual corpus — the frozen
     * default indexes non-Latin documents as EMPTY). */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-      splitRe: String): Bm25Index = {
+      splitRe: String): Bm25Index =
+    buildIndex(docs, idCol, textCol, Text.Tokenizer(splitRe))
+
+  /** [[buildIndex]] under a full [[Text.Tokenizer]] contract —
+    * [[Text.MultilingualTokenizer]] adds NFC normalization and CJK
+    * bigram expansion on top of the Unicode alphabet (without the
+    * bigrams, an ideograph run is ONE token and a two-character Han
+    * query can never match inside a longer run). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      tok: Text.Tokenizer): Bm25Index = {
     val toks = docs.select(col(idCol).as("id"),
-      explode(Text.tokens(col(textCol), splitRe)).as("term"))
+      explode(tok(col(textCol))).as("term"))
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     val postings = tf.join(dl, "id")
@@ -72,8 +81,11 @@ object TextSearch {
   /** [[queryTerms]] under an explicit token alphabet (ROOT-locale
     * lowercase — the engine-side `lower` is locale-independent too). */
   def queryTerms(queryText: String, splitRe: String): Seq[String] =
-    queryText.toLowerCase(java.util.Locale.ROOT)
-      .split(splitRe).filter(_.nonEmpty).distinct.toSeq
+    queryTerms(queryText, Text.Tokenizer(splitRe))
+
+  /** [[queryTerms]] under a full [[Text.Tokenizer]] contract. */
+  def queryTerms(queryText: String, tok: Text.Tokenizer): Seq[String] =
+    tok.local(queryText).distinct
 
   /** Scored matches (id, score). With a finite `k`: ranked score DESC,
     * id ASC, top k (a TakeOrderedAndProject — no full sort). With
@@ -90,8 +102,14 @@ object TextSearch {
     * index was built with (a Unicode query against a frozen-alphabet
     * index finds nothing, and vice versa). */
   def search(index: Bm25Index, queryText: String, k: Int,
-      splitRe: String): DataFrame = {
-    val terms = queryTerms(queryText, splitRe)
+      splitRe: String): DataFrame =
+    search(index, queryText, k, Text.Tokenizer(splitRe))
+
+  /** [[search]] under a full [[Text.Tokenizer]] contract (must match the
+    * index build's). */
+  def search(index: Bm25Index, queryText: String, k: Int,
+      tok: Text.Tokenizer): DataFrame = {
+    val terms = queryTerms(queryText, tok)
     if (terms.isEmpty)
       return index.postings.select(col("id"), lit(0.0).as("score")).where(lit(false))
     // a persisted index exposes the bucket partition column — pruning it
@@ -229,10 +247,16 @@ object TextSearch {
   /** [[oracleCtes]] under an explicit token alphabet (must match the
     * alphabet the Spark-side [[buildIndex]] was given). */
   def oracleCtes(docsTable: String, idExpr: String, textExpr: String,
-      queryText: String, splitRe: String): String = {
-    val terms = queryTerms(queryText, splitRe).map(t => s"'$t'").mkString(", ")
+      queryText: String, splitRe: String): String =
+    oracleCtes(docsTable, idExpr, textExpr, queryText,
+      Text.Tokenizer(splitRe))
+
+  /** [[oracleCtes]] under a full [[Text.Tokenizer]] contract. */
+  def oracleCtes(docsTable: String, idExpr: String, textExpr: String,
+      queryText: String, tok: Text.Tokenizer): String = {
+    val terms = queryTerms(queryText, tok).map(t => s"'$t'").mkString(", ")
     s"""toks AS (
-       |  SELECT $idExpr AS id, unnest(${Text.sqlTokens(textExpr, splitRe)}) AS term FROM $docsTable
+       |  SELECT $idExpr AS id, unnest(${tok.sql(textExpr)}) AS term FROM $docsTable
        |), tf AS (
        |  SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2
        |), dl AS (
@@ -279,7 +303,8 @@ object TextSearch {
     * is all it stores; the locate itself is this scan. */
   def phraseOccurrences(docs: DataFrame, idCol: String, textCol: String,
       phrase: DataFrame,
-      k: Int = graft.dedup.SubstringDedup.DefaultGramTokens): DataFrame = {
+      k: Int = graft.dedup.SubstringDedup.DefaultGramTokens,
+      splitRe: String = Text.SplitRe): DataFrame = {
     require(phrase.columns.contains("p"),
       "phrase must be a one-row relation with column `p` (array<string>)")
     // loud, not silently empty: a phrase shorter than the gram width has
@@ -302,10 +327,11 @@ object TextSearch {
     val key = phrase.select(
       Text.hash60(concat_ws(" ", slice(col("p"), 1, k))).as("__ph"),
       col("p").as("__p"))
-    val cands = graft.dedup.SubstringDedup.gramPostings(docs, idCol, textCol, k)
+    val cands = graft.dedup.SubstringDedup.gramPostings(docs, idCol,
+        textCol, k, splitRe)
       .join(broadcast(key), col("h") === col("__ph"))
     val toks = docs.select(col(idCol).as("id"),
-      Text.tokens(col(textCol)).as("__toks"))
+      Text.tokens(col(textCol), splitRe).as("__toks"))
     cands
       .join(toks, "id")
       .where(size(col("__p")) >= k &&
@@ -434,7 +460,8 @@ object TextSearch {
     * removed by the slice comparison. */
   def phrasesOccurrences(docs: DataFrame, idCol: String, textCol: String,
       phrases: DataFrame,
-      k: Int = graft.dedup.SubstringDedup.DefaultGramTokens): DataFrame = {
+      k: Int = graft.dedup.SubstringDedup.DefaultGramTokens,
+      splitRe: String = Text.SplitRe): DataFrame = {
     require(phrases.columns.contains("phrase_id") &&
         phrases.columns.contains("p"),
       "phrases must be a (phrase_id, p) relation with p = array<string>")
@@ -449,10 +476,11 @@ object TextSearch {
     val keys = phrases.select(col("phrase_id"),
       Text.hash60(concat_ws(" ", slice(col("p"), 1, k))).as("__ph"),
       col("p").as("__p"))
-    val cands = graft.dedup.SubstringDedup.gramPostings(docs, idCol, textCol, k)
+    val cands = graft.dedup.SubstringDedup.gramPostings(docs, idCol,
+        textCol, k, splitRe)
       .join(broadcast(keys), col("h") === col("__ph"))
     val toks = docs.select(col(idCol).as("id"),
-      Text.tokens(col(textCol)).as("__toks"))
+      Text.tokens(col(textCol), splitRe).as("__toks"))
     cands
       .join(toks, "id")
       .where(slice(col("__toks"), col("pos") + 1, size(col("__p"))) === col("__p"))
@@ -526,9 +554,10 @@ object TextSearch {
     * with 0-based token positions, positions verified directly (the hash
     * prefilter is a plan optimization, not a semantic). */
   def sqlPhrasesOccurrences(docsTable: String, idExpr: String,
-      textExpr: String, phrasesRel: String, k: Int): String =
+      textExpr: String, phrasesRel: String, k: Int,
+      splitRe: String = Text.SplitRe): String =
     s"""SELECT ph.phrase_id, tk.id, (u.pos - 1)::INT AS pos
-       |FROM (SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS t
+       |FROM (SELECT $idExpr AS id, ${Text.sqlTokens(textExpr, splitRe)} AS t
        |      FROM $docsTable) tk
        |CROSS JOIN ($phrasesRel) ph,
        |     UNNEST(range(1, greatest(len(tk.t) - len(ph.p) + 1, 0) + 1)) AS u(pos)
@@ -540,9 +569,10 @@ object TextSearch {
     * positions. The SQL verifies every start position directly (no hash
     * stage — the hash prefilter is a plan optimization, not a semantic). */
   def sqlPhraseOccurrences(docsTable: String, idExpr: String,
-      textExpr: String, phraseTable: String, k: Int): String =
+      textExpr: String, phraseTable: String, k: Int,
+      splitRe: String = Text.SplitRe): String =
     s"""SELECT tk.id, (u.pos - 1)::INT AS pos
-       |FROM (SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS t
+       |FROM (SELECT $idExpr AS id, ${Text.sqlTokens(textExpr, splitRe)} AS t
        |      FROM $docsTable) tk
        |CROSS JOIN $phraseTable ph,
        |     UNNEST(range(1, greatest(len(tk.t) - len(ph.p) + 1, 0) + 1)) AS u(pos)

@@ -40,12 +40,13 @@ object CorpusAnalysis {
   /** Per-document repetition statistics:
     * (id, n_tokens, top_bigram_frac, dup_trigram_frac, max_run). Every
     * input doc gets a row (null/empty text → zeros). */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      splitRe: String = Text.SplitRe): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-      posexplode(Text.tokens(col(textCol))).as(Seq("pos", "term")))
+      posexplode(Text.tokens(col(textCol), splitRe)).as(Seq("pos", "term")))
     // greatest(…, 0): size(null array) is -1 in Spark — null text = 0 tokens
     val nTok = docs.select(col(idCol).as("id"),
-      greatest(size(Text.tokens(col(textCol))), lit(0)).cast("long").as("n_tokens"))
+      greatest(size(Text.tokens(col(textCol), splitRe)), lit(0)).cast("long").as("n_tokens"))
 
     // bigram/trigram at each position via lead() over the doc's token order
     val wPos = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -88,9 +89,10 @@ object CorpusAnalysis {
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
 
-  def sqlRepetitionStats(docsTable: String, idExpr: String, textExpr: String): String =
+  def sqlRepetitionStats(docsTable: String, idExpr: String, textExpr: String,
+      splitRe: String = Text.SplitRe): String =
     s"""WITH base AS (
-       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr)} AS toks FROM $docsTable
+       |  SELECT $idExpr AS id, ${Text.sqlTokens(textExpr, splitRe)} AS toks FROM $docsTable
        |), toks AS (
        |  -- parallel unnests zip positionally in DuckDB (lateral
        |  -- generate_series over a column is not supported)
@@ -188,9 +190,11 @@ object CorpusAnalysis {
     * Docs with no shingles (null/empty text) get a clean row:
     * (0, 0, 0.0) — the [[graft.pipeline.Contamination.ngramOverlap]]
     * contract. */
-  def dupNgramProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def dupNgramProfile(docs: DataFrame, idCol: String, textCol: String,
+      splitRe: String = Text.SplitRe): DataFrame = {
     import graft.dedup.Dedup
-    val postings = Dedup.shinglePostings(docs, idCol, textCol).distinct()
+    val postings = Dedup.shinglePostings(docs, idCol, textCol,
+      splitRe = splitRe).distinct()
     val docFreq = postings.groupBy("h").agg(count(lit(1)).as("ndocs"))
     val perDoc = postings.join(docFreq, "h")
       .groupBy("id")
@@ -207,10 +211,12 @@ object CorpusAnalysis {
           .otherwise(lit(0.0)))
   }
 
-  def sqlDupNgramProfile(docsTable: String, idExpr: String, textExpr: String): String =
+  def sqlDupNgramProfile(docsTable: String, idExpr: String, textExpr: String,
+      splitRe: String = Text.SplitRe): String =
     s"""WITH postings AS (
        |  SELECT DISTINCT id, ${Text.sqlHash60("sh")} AS h FROM (
-       |    SELECT $idExpr AS id, unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
+       |    SELECT $idExpr AS id, unnest(${TextAnalysis.sqlShingles(textExpr,
+             TextAnalysis.ShingleSize, splitRe)}) AS sh
        |    FROM $docsTable)
        |), doc_freq AS (
        |  SELECT h, count(*) AS ndocs FROM postings GROUP BY 1
@@ -276,19 +282,20 @@ object CorpusAnalysis {
     * they name no dataset, and the sketched path would otherwise carry
     * a null key to the driver. */
   private def srcShingleHashes(docs: DataFrame, textCol: String,
-      srcCol: String, k: Int): DataFrame =
+      srcCol: String, k: Int, splitRe: String): DataFrame =
     docs
       .where(col(srcCol).isNotNull)
       .select(col(srcCol).cast("string").as("src"),
-        Text.tokens(col(textCol)).as("toks"))
+        Text.tokens(col(textCol), splitRe).as("toks"))
       .select(col("src"),
         explode(TextAnalysis.shinglesFromTokens(col("toks"), k)).as("sh"))
       .select(col("src"), Text.hash60(col("sh")).as("h"))
       .distinct()
 
   def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
-      k: Int = TextAnalysis.ShingleSize): DataFrame = {
-    val p = srcShingleHashes(docs, textCol, srcCol, k)
+      k: Int = TextAnalysis.ShingleSize,
+      splitRe: String = Text.SplitRe): DataFrame = {
+    val p = srcShingleHashes(docs, textCol, srcCol, k, splitRe)
     val sizes = p.groupBy("src").agg(count(lit(1)).as("sz"))
     // per-shingle source set, sorted so pair explosion emits src_a < src_b
     // exactly once — the same lexicographic order the SQL twin's
@@ -316,10 +323,11 @@ object CorpusAnalysis {
   }
 
   def sqlSourceOverlap(docsTable: String, textExpr: String,
-      srcExpr: String): String =
+      srcExpr: String, splitRe: String = Text.SplitRe): String =
     s"""WITH p AS (
        |  SELECT DISTINCT src, ${Text.sqlHash60("sh")} AS h FROM (
-       |    SELECT $srcExpr AS src, unnest(${TextAnalysis.sqlShingles(textExpr)}) AS sh
+       |    SELECT $srcExpr AS src, unnest(${TextAnalysis.sqlShingles(textExpr,
+             TextAnalysis.ShingleSize, splitRe)}) AS sh
        |    FROM $docsTable)
        |), sizes AS (SELECT src, count(*) AS sz FROM p GROUP BY 1),
        |inter AS (
@@ -352,9 +360,10 @@ object CorpusAnalysis {
     * disjointness. */
   def sourceOverlapSketched(docs: DataFrame, textCol: String,
       srcCol: String, sketchK: Int = graft.operators.Sketches.DefaultK,
-      k: Int = TextAnalysis.ShingleSize): DataFrame = {
+      k: Int = TextAnalysis.ShingleSize,
+      splitRe: String = Text.SplitRe): DataFrame = {
     val spark = docs.sparkSession
-    val p = srcShingleHashes(docs, textCol, srcCol, k)
+    val p = srcShingleHashes(docs, textCol, srcCol, k, splitRe)
     val w = Window.partitionBy("src").orderBy("h")
     val mins: Map[String, Array[Long]] = p
       .withColumn("__rk", row_number().over(w))
@@ -400,8 +409,9 @@ object CorpusAnalysis {
     * minima and [[sourceOverlapSketched]]'s are byte-comparable). KMV
     * keeps distinct minima, so occurrence multiplicity costs nothing. */
   def shingleItems(docs: DataFrame, textCol: String,
-      k: Int = TextAnalysis.ShingleSize): DataFrame =
-    docs.select(Text.tokens(col(textCol)).as("toks"))
+      k: Int = TextAnalysis.ShingleSize,
+      splitRe: String = Text.SplitRe): DataFrame =
+    docs.select(Text.tokens(col(textCol), splitRe).as("toks"))
       .select(explode(TextAnalysis.shinglesFromTokens(col("toks"), k))
         .as("sh"))
 

@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   *
   * Pattern discipline: every regex stays inside the Java-regex ∩ RE2
   * common subset (no backreferences, no lookaround) so the DuckDB oracle
-  * executes the IDENTICAL pattern, and redaction is SEQUENCED —
+  * executes the IDENTICAL pattern — with ONE declared boundary caveat:
+  * `\b` in [[Ipv4Re]] is Unicode-aware in Java (a Cyrillic letter is a
+  * word character, so "ип10.0.0.5" has NO boundary before the digits and
+  * the IP is NOT redacted) but ASCII-only in RE2 (which WOULD redact
+  * it). The engine semantic is Java's — an IP glued into a non-Latin
+  * word is left alone, conservatively — and the multilingual gate row
+  * exercises only the portable cases (space-separated IPs; digit runs
+  * and emails glued to Cyrillic, whose patterns carry no `\b`). Pinned
+  * in PiiScrubSpec. Redaction is SEQUENCED —
   * email → IPv4 → phone → digit-run — with each count taken on the
   * previous stage's output, so a token never double-counts (an email's
   * digits are gone before the digit-run pass looks). */

@@ -320,8 +320,9 @@ object TextAnalysis {
     * are interpreted) — O(tokens²) per row when `text` is raw text. Stage
     * tokenization first and call [[shinglesFromTokens]] on the materialized
     * column instead. */
-  def shingles(text: Column, k: Int = ShingleSize): Column =
-    shinglesFromTokens(Text.tokens(text), k)
+  def shingles(text: Column, k: Int = ShingleSize,
+      splitRe: String = Text.SplitRe): Column =
+    shinglesFromTokens(Text.tokens(text, splitRe), k)
 
   /** [[shingles]] over an already-computed token array column. NULL input
     * → empty (a null-text doc has no shingles — without the explicit guard
@@ -334,21 +335,27 @@ object TextAnalysis {
       array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
-  def sqlShingles(expr: String, k: Int = ShingleSize): String = {
-    val toks = Text.sqlTokens(expr)
+  def sqlShingles(expr: String, k: Int = ShingleSize,
+      splitRe: String = Text.SplitRe): String =
+    sqlShinglesFromToks(Text.sqlTokens(expr, splitRe), k)
+
+  /** [[sqlShingles]] over a token-LIST expression (the DuckDB twin of
+    * [[shinglesFromTokens]]) — what lets an oracle shingle under a full
+    * [[Text.Tokenizer]] (`sqlShinglesFromToks(tok.sql(expr))`), not just
+    * a split alphabet. */
+  def sqlShinglesFromToks(toks: String, k: Int = ShingleSize): String =
     // DuckDB list comprehension over generate_series; slice via list[i:i+k-1]
     s"""(CASE WHEN $toks IS NULL OR len($toks) = 0 THEN []::VARCHAR[]
        | ELSE list_distinct([array_to_string(list_slice($toks, i, i + ${k - 1}), ' ')
        |   for i in generate_series(1, greatest(len($toks) - ${k - 1}, 1))]) END)""".stripMargin.replace("\n", "")
-  }
 
   /** (minHash, maxHash) fingerprint struct of the shingle set.
     * Hot paths: stage tokenization and use [[fingerprintFromTokens]]
     * (see the [[shingles]] NOTE — inlined text re-evaluates per
     * position, O(tokens²) regex splits per row; measured 9.6 s vs 1-2 s
     * on the 50k-doc bench corpus). */
-  def fingerprint(text: Column): Column =
-    fingerprintFromTokens(Text.tokens(text))
+  def fingerprint(text: Column, splitRe: String = Text.SplitRe): Column =
+    fingerprintFromTokens(Text.tokens(text, splitRe))
 
   /** [[fingerprint]] over a pre-tokenized array column. */
   def fingerprintFromTokens(toks: Column): Column = {
@@ -358,8 +365,10 @@ object TextAnalysis {
       array_max(hashes).as("fp_max"))
   }
 
-  def sqlFingerprintMin(expr: String): String =
-    s"list_min(list_transform(${sqlShingles(expr)}, s -> ${Text.sqlHash60("s")}))"
-  def sqlFingerprintMax(expr: String): String =
-    s"list_max(list_transform(${sqlShingles(expr)}, s -> ${Text.sqlHash60("s")}))"
+  def sqlFingerprintMin(expr: String,
+      splitRe: String = Text.SplitRe): String =
+    s"list_min(list_transform(${sqlShingles(expr, ShingleSize, splitRe)}, s -> ${Text.sqlHash60("s")}))"
+  def sqlFingerprintMax(expr: String,
+      splitRe: String = Text.SplitRe): String =
+    s"list_max(list_transform(${sqlShingles(expr, ShingleSize, splitRe)}, s -> ${Text.sqlHash60("s")}))"
 }

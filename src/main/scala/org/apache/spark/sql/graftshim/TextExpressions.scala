@@ -90,4 +90,38 @@ object TextExpressions {
     override protected def withNewChildInternal(newChild: Expression): TokenSetStats =
       copy(child = newChild)
   }
+
+  /** Unicode NFC normalization (java.text.Normalizer) as a codegen'd
+    * scalar — the engine half of the tokenizer's normalization contract
+    * ([[graft.functions.Text.Tokenizer]]): composed vs decomposed
+    * spellings ("é" U+00E9 vs e + U+0301) are distinct strings, so
+    * without a normalization pass they are distinct tokens and distinct
+    * shingles — visually identical duplicates evade exact AND near
+    * dedup, and BM25 misses matches. DuckDB's `nfc_normalize` is the
+    * agreeing public oracle twin. The already-normalized fast path (the
+    * overwhelming case — ASCII is NFC-invariant) allocates nothing
+    * beyond the check. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc"
+
+    override def nullSafeEval(s: Any): Any =
+      TextExpressions.nfc(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graftshim.TextExpressions.nfc($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+  }
 }

@@ -169,6 +169,61 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
     assert(wc("данные") === 1L && wc("данных") === 1L && wc("text") === 1L)
   }
 
+  test("tokenizer contract: CJK bigrams and NFC, hand-computed truth") {
+    // hand-computed, NOT oracle-mirrored — the gate rows only prove the
+    // two engines AGREE on whatever encoding both implement
+    def toks(tok: Text.Tokenizer, s: String): Seq[String] =
+      Seq(s).toDF("t").select(tok(col("t"))).head().getSeq[String](0)
+    val cjk = Text.Tokenizer(Text.UnicodeSplitRe, cjkBigrams = true)
+    // a 4-ideograph run → 3 overlapping bigrams (the Lucene CJKAnalyzer
+    // rule); a single ideograph stays; Latin stays whole
+    assert(toks(cjk, "你好世界 hello 猫") ===
+      Seq("你好", "好世", "世界", "hello", "猫"))
+    // hiragana expands; KOREAN does NOT (Hangul writes word spaces —
+    // bigramming real words would destroy information)
+    assert(toks(cjk, "ひらがな 한국어") === Seq("ひら", "らが", "がな", "한국어"))
+    // a mixed-script token is attributed, never split (Scripts posture)
+    assert(toks(cjk, "abc你好") === Seq("abc你好"))
+    // without the option, an ideograph run is ONE token (r14 contract)
+    assert(toks(Text.Tokenizer(Text.UnicodeSplitRe), "你好世界") ===
+      Seq("你好世界"))
+    // NFC: composed é (U+00E9) and decomposed e+U+0301 unify BEFORE
+    // splitting; without nfc they are distinct tokens
+    val nfcTok = Text.Tokenizer(Text.UnicodeSplitRe, nfcNormalize = true)
+    val composed = "café"
+    val decomposed = "café"
+    assert(toks(nfcTok, s"$composed $decomposed") ===
+      Seq(composed, composed))
+    assert(toks(Text.Tokenizer(Text.UnicodeSplitRe),
+      s"$composed $decomposed").distinct.size === 2)
+    // ASCII is NFC-invariant: the default tokenizer path is unaffected
+    assert(toks(Text.Tokenizer(nfcNormalize = true), "Fast, FAST 2x") ===
+      Seq("fast", "fast", "2x"))
+    // local ≡ engine on every case above plus a SUPPLEMENTARY-plane run
+    // (U+20000..): both sides must count code points, not UTF-16 units —
+    // a String.substring bigrammer would tear the surrogate pairs
+    val supp = new String(Array(0x20000, 0x20001, 0x20002), 0, 3)
+    for (s <- Seq("你好世界 hello 猫", "ひらがな 한국어", "abc你好",
+        s"$composed $decomposed", s"$supp ok", "Привет МИР")) {
+      assert(Text.MultilingualTokenizer.local(s) ===
+        toks(Text.MultilingualTokenizer, s), s"local vs engine on '$s'")
+    }
+    assert(toks(cjk, supp).length === 2) // 3 code points → 2 bigrams
+    // the verdict's done-criterion at spec level: a two-character Han
+    // query matches INSIDE a longer planted run only under the bigram
+    // tokenizer (one-token-per-run can never match a sub-run)
+    val docs = Seq((1L, "数据模型训练 corpus"), (2L, "plain text"))
+      .toDF("id", "text")
+    val hitsBi = TextSearch.search(
+        TextSearch.buildIndex(docs, "id", "text", cjk), "模型", 10, cjk)
+      .select("id").as[Long].collect().toSet
+    assert(hitsBi === Set(1L))
+    val uni = Text.Tokenizer(Text.UnicodeSplitRe)
+    assert(TextSearch.search(
+      TextSearch.buildIndex(docs, "id", "text", uni), "模型", 10,
+      uni).isEmpty)
+  }
+
   test("script profile: first-code-point attribution, hand-computed") {
     import graft.text.TextAnalysis
     val toks = graft.functions.Text.tokensUnicode(col("t"))

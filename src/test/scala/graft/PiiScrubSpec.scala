@@ -34,6 +34,28 @@ class PiiScrubSpec extends AnyFunSuite with SparkTest {
     assert(got(8L) === ((None, 0L, 0L, 0L, 0L)))
   }
 
+  test("scrub next to non-Latin text: portable patterns redact, the \\b caveat holds") {
+    // the declared Java/RE2 divergence (PiiScrub scaladoc): Java's \b is
+    // Unicode-aware, so a Cyrillic letter IS a word character and an IP
+    // glued to it has no boundary — the ENGINE leaves it alone (RE2
+    // would redact it; the gate row only exercises portable shapes).
+    // Email and bare-digit-run patterns carry no \b and redact glued.
+    val docs = Seq(
+      (1L, "контакт user7@example.com от нас"),
+      (2L, "ип10.0.0.5 glued"), // NOT redacted: п is a Java word char
+      (3L, "ип 10.0.0.5 spaced"),
+      (4L, "реф123456789 glued digits"),
+    ).toDF("id", "text")
+    val got = PiiScrub.scrub(docs, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) === (("контакт <EMAIL> от нас", 1L, 0L, 0L, 0L)))
+    assert(got(2L) === (("ип10.0.0.5 glued", 0L, 0L, 0L, 0L)))
+    assert(got(3L) === (("ип <IP> spaced", 0L, 1L, 0L, 0L)))
+    assert(got(4L) === (("реф<NUM> glued digits", 0L, 0L, 0L, 1L)))
+  }
+
   test("scrub is one narrow projection: no shuffle, no join in the plan") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     val plan = PiiScrub.scrub(docs, "id", "text")
