@@ -144,6 +144,20 @@ object ScaleProbe {
         graft.search.TextSearch.phraseOccurrences(
           d, "doc_id", "text", Seq(Tuple1(probeToks)).toDF("p"))
       }
+      // lm3 scoring join regimes (r14 verdict item 4): the count tables
+      // grow with the replicated corpus (shifted ids keep texts identical
+      // so vocabulary is constant but COUNTS tables still carry the same
+      // rows; what scales is the corpus-side triples relation), and the
+      // two regimes must stay result-identical while their plans differ —
+      // broadcast hashes the count tables per executor, bucketed
+      // shuffle-hashes them on the join keys (the shape whose count-side
+      // shuffle a 100 TB deployment pre-pays with bucketed layout). The
+      // measured crossover backs LanguageModel.Lm3BroadcastMaxCountRows.
+      val lm3 = graft.text.LanguageModel.train3(d, "doc_id", "text")
+      t(s"lm3_bcast_x$n")(graft.text.LanguageModel.score3Join(
+        lm3, d, "doc_id", "text", Text.SplitRe, "broadcast"))
+      t(s"lm3_bucketed_x$n")(graft.text.LanguageModel.score3Join(
+        lm3, d, "doc_id", "text", Text.SplitRe, "bucketed"))
       liQueries.unpersist()
       d.unpersist(); e.unpersist(); pq.codes.unpersist()
       queries.unpersist(); cands.unpersist()

@@ -1598,6 +1598,15 @@ object IndexStore {
     val spark = src.sparkSession
     import spark.implicits._
     val (n, fp) = corpusFingerprint(src, idCol, contentCol)
+    // overwriteAll ⟺ drop/recreate: a replaced family must not carry a
+    // previous incarnation's delete-wave PROVENANCE either — stale
+    // (issuer, src→wave) rows would re-seat a fresh issuer's ids on the
+    // dead incarnation's clock (the tombstone-purge discipline, applied
+    // to the resolveDeleteWave sidecar)
+    if (overwriteAll)
+      org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$path/delete_prov"), true)
     val w = Seq((n, fp.toString, batchId)).toDF("n", "fp", "batch")
       .write.mode(SaveMode.Overwrite)
     (if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic"))
@@ -4790,7 +4799,9 @@ object IndexStore {
       docs.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/asof_floor"), true)
     // a replaced vocab must not carry a previous run's erased-id ledger
+    // nor its delete-wave provenance
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/delete_prov"), true)
   }
 
   /** Accrete one ingest wave — work ∝ wave (one tokenize + aggregate);
@@ -5027,7 +5038,9 @@ object IndexStore {
       docs.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/asof_floor"), true)
     // a replaced LM must not carry a previous run's erased-id ledger
+    // nor its delete-wave provenance
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/delete_prov"), true)
   }
 
   /** Accrete one ingest wave — work ∝ wave (one tokenize + two
@@ -5238,6 +5251,7 @@ object IndexStore {
       docs.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/asof_floor"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/delete_prov"), true)
   }
 
   /** Accrete one ingest wave — work ∝ wave (one tokenize + three
@@ -6161,12 +6175,12 @@ object IndexStore {
     // upstream query (join/filter over the master corpus), and without
     // the checkpoint it would re-execute for the NULL gate, per family
     // delete, and the audit — ~(targets + 2) times
-    val wave = erased.localCheckpoint(true)
+    val fullWave = erased.localCheckpoint(true)
     // refuse BEFORE any family mutates: the per-family delete waves
     // silently isNotNull-filter a NULL id, so without this gate a bad
     // wave would commit fleet-wide and only THEN fail in the audit —
     // mutations done, certificate never produced.
-    require(wave.where(col(idCol).isNull).isEmpty,
+    require(fullWave.where(col(idCol).isNull).isEmpty,
       s"executeErasureWave: NULL values in erased id column '$idCol' — " +
         "a NULL id addresses no row; refusing before any family's " +
         "delete wave commits")
@@ -6176,6 +6190,17 @@ object IndexStore {
           s"needs ${i + 1} data column(s), got ${t.cols}")
         t.cols(i)
       }
+      // PER-FAMILY narrowing — what makes ONE wave span id spaces with
+      // different coverage (the production GDPR shape: every doomed user
+      // has documents, only some have embeddings): rows whose data
+      // column for THIS family is NULL have nothing to subtract from it
+      // and are dropped from its delete only. This narrowing is NOT
+      // silent — the audit below probes the FULL wave against every
+      // family, so an id narrowed away that the family actually still
+      // holds (a vector lost upstream of the wave join) surfaces as a
+      // positive residual and fails the certificate.
+      val wave = fullWave.where(t.cols.map(col(_).isNotNull)
+        .foldLeft(lit(true))(_ && _))
       t.family match {
         case "ivf" => deleteBatchIvf(wave, idCol, c(0), t.path, batchId)
         case "pq" => deleteBatchPq(wave, idCol, c(0), t.path, batchId)
@@ -6219,7 +6244,7 @@ object IndexStore {
       }
     }
     targets.foreach(one)
-    erasureAudit(spark, wave, idCol,
+    erasureAudit(spark, fullWave, idCol,
       targets.map(t => t.family -> t.path))
   }
 

@@ -218,7 +218,47 @@ object LanguageModel {
   /** [[score3]] under an explicit token alphabet — must match the one
     * the model was trained with. */
   def score3(lm: TrigramLm, docs: DataFrame, idCol: String,
-      textCol: String, splitRe: String): DataFrame = {
+      textCol: String, splitRe: String): DataFrame =
+    score3Join(lm, docs, idCol, textCol, splitRe, "auto")
+
+  /** Max total count-table rows (trigram + bigram + unigram) for the
+    * BROADCAST scoring regime: a count row hashes at ~100 B (three short
+    * words + a long + relation overhead), so 2M rows is a ~200 MB hash
+    * relation per executor — comfortable inside a 4 GB executor, and an
+    * order of magnitude before the driver-side collect/serialize stall
+    * becomes the bottleneck. Beyond it [[adviseScore3Join]] flips to the
+    * BUCKETED regime: the count tables shuffle-hash on their join keys
+    * (at 100 TB, persisted count tables are bucketed on those keys so
+    * their shuffle is pre-paid by layout and only the corpus-side
+    * triples move). The crossover is measured, not guessed —
+    * ScaleProbe's `lm3_bcast`/`lm3_bucketed` ladder (SCALE.md round-15
+    * table): at gate scale broadcast wins (~1.5× — the count tables are
+    * tiny), and the bucketed plan's flat per-point cost is what survives
+    * when the vocabulary outgrows a hash relation. */
+  val Lm3BroadcastMaxCountRows: Long = 2000000L
+
+  /** "broadcast" | "bucketed" — the regime [[score3Join]] should run,
+    * from the model's total count-table row count (cheap: three
+    * vocabulary-bounded counts, or sidecar stats on a persisted fold). */
+  def adviseScore3Join(countRows: Long): String =
+    if (countRows <= Lm3BroadcastMaxCountRows) "broadcast" else "bucketed"
+
+  /** [[score3]] with the count-table JOIN REGIME explicit: "auto" (the
+    * planner decides — gate default), "broadcast" (count tables hashed
+    * per executor, zero corpus shuffle), "bucketed" (shuffle-hash on the
+    * join keys — the 100 TB regime where count tables outgrow a
+    * broadcast; see [[Lm3BroadcastMaxCountRows]]). All three produce
+    * IDENTICAL rows — the regime is a physical-plan choice, never a
+    * semantics choice (LanguageModelSpec pins equality). */
+  def score3Join(lm: TrigramLm, docs: DataFrame, idCol: String,
+      textCol: String, splitRe: String, mode: String): DataFrame = {
+    require(Seq("auto", "broadcast", "bucketed").contains(mode),
+      s"unknown lm3 join mode '$mode' — auto | broadcast | bucketed")
+    def side(df: DataFrame): DataFrame = mode match {
+      case "broadcast" => broadcast(df)
+      case "bucketed" => df.hint("shuffle_hash")
+      case _ => df
+    }
     val tgc = lm.trigramCounts
       .select(col("w1"), col("w2"), col("w3"), col("c3"))
     val ctx2 = lm.bigramCounts
@@ -238,11 +278,11 @@ object LanguageModel {
       .otherwise(a * a * (coalesce(col("c1_bo"), lit(0L)) + lit(1.0)) /
         lit(lm.totalTokens.toDouble + lm.vocabSize.toDouble))
     triples(docs, idCol, textCol, splitRe)
-      .join(tgc, Seq("w1", "w2", "w3"), "left")
-      .join(ctx2, Seq("w1", "w2"), "left")
-      .join(bo2, Seq("w2", "w3"), "left")
-      .join(ctx1, Seq("w2"), "left")
-      .join(bo1, Seq("w3"), "left")
+      .join(side(tgc), Seq("w1", "w2", "w3"), "left")
+      .join(side(ctx2), Seq("w1", "w2"), "left")
+      .join(side(bo2), Seq("w2", "w3"), "left")
+      .join(side(ctx1), Seq("w2"), "left")
+      .join(side(bo1), Seq("w3"), "left")
       .withColumn("x", -log(s))
       .groupBy(col("id"))
       .agg(

@@ -106,6 +106,38 @@ class LanguageModelSpec extends AnyFunSuite with SparkTest {
     }.getMessage.contains("compaction"))
   }
 
+  test("lm3 join regimes: broadcast/bucketed/auto identical rows, distinct plans, advise flips at the constant") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.util.Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text").localCheckpoint(true)
+    val lm = LanguageModel.train3(docs, "doc_id", "text")
+    def rows(mode: String) = LanguageModel.score3Join(lm, docs, "doc_id",
+        "text", graft.functions.Text.SplitRe, mode)
+      .orderBy("id").collect().toSeq
+    val auto = rows("auto")
+    // the regime is a physical-plan choice, never a semantics choice
+    assert(rows("broadcast") === auto)
+    assert(rows("bucketed") === auto)
+    // and the plans genuinely differ: broadcast builds hash relations,
+    // bucketed shuffle-hashes the count tables (zero broadcast joins)
+    def plan(mode: String) = LanguageModel.score3Join(lm, docs, "doc_id",
+      "text", graft.functions.Text.SplitRe, mode)
+      .queryExecution.executedPlan.toString
+    assert(plan("broadcast").contains("BroadcastHashJoin"))
+    val bucketed = plan("bucketed")
+    assert(!bucketed.contains("BroadcastHashJoin"),
+      s"bucketed regime must not broadcast:\n$bucketed")
+    assert(bucketed.contains("ShuffledHashJoin"),
+      s"bucketed regime should shuffle-hash the count tables:\n$bucketed")
+    // the advice constant is the declared crossover
+    assert(LanguageModel.adviseScore3Join(
+      LanguageModel.Lm3BroadcastMaxCountRows) === "broadcast")
+    assert(LanguageModel.adviseScore3Join(
+      LanguageModel.Lm3BroadcastMaxCountRows + 1) === "bucketed")
+    intercept[IllegalArgumentException](LanguageModel.score3Join(
+      lm, docs, "doc_id", "text", graft.functions.Text.SplitRe, "bogus"))
+  }
+
   test("docs with < 2 tokens produce no score row; empty corpus trains without error") {
     val docs = Seq((1L, "solo"), (2L, ""), (3L, "two tokens")).toDF("id", "text")
     val scored = LanguageModel.selfScore(docs, "id", "text")

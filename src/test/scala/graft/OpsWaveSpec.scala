@@ -105,6 +105,46 @@ class OpsWaveSpec extends AnyFunSuite with SparkTest {
       docs.where($"doc_id" % 7 =!= 0), "doc_id", "text")
   }
 
+  test("erasure wave with DIVERGENT coverage: left-join wave erases every doomed doc, ivf narrows to embedded rows") {
+    // the r14-advice production shape: not every user has an embedding
+    // (sf0.1 ships 5,000 docs vs 2,000 embeddings) — a wave built with
+    // an INNER join silently skips the unembedded users for the
+    // doc-keyed families. The left-join wave + executeErasureWave's
+    // per-family narrowing must erase EVERY doomed doc from bm25 while
+    // ivf deletes only the rows that carry a vector; the certificate's
+    // erased_n counts the full request for both and residual 0 certifies
+    // both.
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").localCheckpoint(true)
+    // only half the docs are embedded — the divergent-cardinality corpus
+    val embs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").where($"vec_id" % 2 === 0)
+      .localCheckpoint(true)
+    val doomed = docs
+      .join(embs, docs("doc_id") === embs("vec_id"), "left").drop("vec_id")
+      .where($"doc_id" % 7 === 0).localCheckpoint(true)
+    // the wave genuinely mixes coverage: some doomed rows carry vectors,
+    // some don't
+    assert(doomed.where($"embedding".isNull).count() > 0)
+    assert(doomed.where($"embedding".isNotNull).count() > 0)
+    val bm = Files.createTempDirectory("divbm").toString
+    val iv = Files.createTempDirectory("divivf").toString
+    IndexStore.createBm25(docs, "doc_id", "text", bm)
+    IndexStore.createIvf(embs, "vec_id", "embedding", iv, numClusters = 8)
+    val cert = IndexStore.executeErasureWave(doomed, "doc_id", Seq(
+        IndexStore.ErasureTarget("bm25", bm, Seq("text")),
+        IndexStore.ErasureTarget("ivf", iv, Seq("embedding"))), 0L)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val n = doomed.count()
+    assert(cert === Seq(("bm25", n, 0L), ("ivf", n, 0L)))
+    // bm25 erased EVERY doomed doc (incl. unembedded ones); ivf holds
+    // exactly the surviving embedded rows
+    IndexStore.loadBm25Checked(spark, bm,
+      docs.where($"doc_id" % 7 =!= 0), "doc_id", "text")
+    IndexStore.loadIvfChecked(spark, iv,
+      embs.where($"vec_id" % 7 =!= 0), "vec_id", "embedding")
+  }
+
   test("maintenance wave: folds where the arithmetic says so, receipts relation, state resets") {
     val docs = Tables.documents(spark, Sf0001)
       .select("doc_id", "text", "n_chars").localCheckpoint(true)
