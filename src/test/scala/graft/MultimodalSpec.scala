@@ -145,6 +145,78 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("AVI demux: a HAND-ASSEMBLED container parses; round-trip; truncation and count mismatch refuse") {
+    // truth pin (the externally-crafted-PNG discipline): the container
+    // bytes here are assembled by hand from the public AVI spec,
+    // independent of encodeAviMjpeg, so parser and writer cannot share
+    // a wrong layout
+    def le32(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    val f0 = Array[Byte](10, 20, 30) // 3 bytes → odd, needs pad
+    val f1 = Array[Byte](40, 50, 60, 70)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(bs: Array[Byte]*): Unit = bs.foreach(bos.write)
+    // avih: 56 bytes, dwTotalFrames (5th dword) = 2
+    val avih = new java.io.ByteArrayOutputStream()
+    avih.write(fcc("avih")); avih.write(le32(56))
+    Seq(100000, 0, 0, 0x10, 2, 0, 1, 4, 4, 3, 0, 0, 0, 0)
+      .foreach(v => avih.write(le32(v)))
+    val hdrlBody = avih.toByteArray
+    val moviBody = new java.io.ByteArrayOutputStream()
+    moviBody.write(fcc("00dc")); moviBody.write(le32(3)); moviBody.write(f0)
+    moviBody.write(0) // even pad
+    moviBody.write(fcc("00dc")); moviBody.write(le32(4)); moviBody.write(f1)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(fcc("AVI "))
+    body.write(fcc("LIST")); body.write(le32(hdrlBody.length + 4))
+    body.write(fcc("hdrl")); body.write(hdrlBody)
+    body.write(fcc("LIST")); body.write(le32(moviBody.size() + 4))
+    body.write(fcc("movi")); body.write(moviBody.toByteArray)
+    w(fcc("RIFF"), le32(body.size()), body.toByteArray)
+    val handMade = bos.toByteArray
+    val parsed = Multimodal.decodeAviFrames(1L, handMade)
+    assert(parsed.map(_.toSeq) === IndexedSeq(f0.toSeq, f1.toSeq))
+    // writer → parser round-trip with real JPEG frames
+    val j0 = Multimodal.encodeJpeg(5, 4, (x, y) => (x * 40) << 16 | y * 60)
+    val j1 = Multimodal.encodeJpeg(6, 3, (x, y) => (x + y) * 20)
+    val avi = Multimodal.encodeAviMjpeg(Seq(j0, j1), 5, 4)
+    val rt = Multimodal.decodeAviFrames(2L, avi)
+    assert(rt.map(_.toSeq) === IndexedSeq(j0.toSeq, j1.toSeq))
+    // and the frames decode through the real JPEG codec with exact dims
+    val img0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rt(0)))
+    assert(img0.getWidth === 5 && img0.getHeight === 4)
+    // truncation refuses loudly (RIFF size now overruns the buffer)
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeAviFrames(3L, avi.dropRight(6)))
+    // a frame chunk torn out (declared frame count ≠ movi content)
+    // refuses: rebuild the hand-made container with dwTotalFrames = 3
+    val tampered = handMade.clone()
+    // avih dwTotalFrames sits at: 12 (RIFF hdr) + 12 (LIST/hdrl) +
+    // 8 (avih hdr) + 16 = offset 48
+    tampered(48) = 3
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeAviFrames(4L, tampered))
+    // not a RIFF stream at all
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeAviFrames(5L, "GVID junk bytes".getBytes))
+  }
+
+  test("avi frame stats: demux + sampled real JPEG decode matches plant arithmetic") {
+    val docs = Seq(0L, 1L, 5L, 11L).toDF("doc_id")
+    val stats = Multimodal.aviFrameStats(
+        Multimodal.plantedAviAssets(docs, "doc_id"), everyNth = 2)
+      .collect().map(st => st.asset_id -> st).toMap
+    for (id <- Seq(0L, 1L, 5L, 11L)) {
+      val nF = (2 + id % 3).toInt
+      val sampled = (0 until nF).filter(_ % 2 == 0)
+      val expect = Multimodal.AviStats(id, nF.toLong, sampled.size.toLong,
+        sampled.map(k => 4 + (id + k) % 5).sum,
+        sampled.map(k => 3 + (id + k) % 4).sum)
+      assert(stats(id) === expect, s"id $id")
+    }
+  }
+
   test("resize stub: stride downsample, deterministic") {
     val px = Array[Byte](0, 1, 2, 3, 4, 5, 6)
     assert(Multimodal.resizeStub(px, 2).toSeq === Seq[Byte](0, 2, 4, 6))
