@@ -141,16 +141,26 @@ object Dedup {
     * Jaccard and MinHash. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
       k: Int = TextAnalysis.ShingleSize,
-      splitRe: String = Text.SplitRe): DataFrame =
-    shinglePostingsTok(docs, idCol, textCol, k, Text.Tokenizer(splitRe))
+      splitRe: String = Text.SplitRe, spread: Boolean = true): DataFrame =
+    shinglePostingsTok(docs, idCol, textCol, k, Text.Tokenizer(splitRe),
+      spread)
 
   /** [[shinglePostings]] under a full [[Text.Tokenizer]] contract
     * ([[Text.MultilingualTokenizer]] makes shingle dedup meaningful on
     * CJK text — without bigram expansion an ideograph run is ONE
     * near-unique token and boilerplate never pairs). */
   def shinglePostingsTok(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, tok: Text.Tokenizer): DataFrame =
-    docs
+      k: Int, tok: Text.Tokenizer, spread: Boolean = true): DataFrame =
+    // tokenize + shingle + the downstream pair joins do far more CPU per
+    // input byte than the scan — give them the cluster's parallelism when
+    // the input's split count can't (Par.spread is a no-op at corpus
+    // scale). `spread = false` for batch-bounded screen inputs that are
+    // checkpointed immediately ([[containmentScreen]]): there the extra
+    // partitions flipped downstream index-join build sides and cost more
+    // than the tokenize parallelism bought (measured r15:
+    // q_dedup_containment_inc 1.8 s → 4.4 s exec with the batch side
+    // spread; the self-screen paths moved the other way, 3.6 s → 0.7 s).
+    (if (spread) graft.util.Par.spread(docs, Seq(col(idCol))) else docs)
       // stage tokens as a column so the shingle lambda references an
       // attribute instead of re-tokenizing per position (O(n²) otherwise)
       .select(col(idCol).as("id"),
@@ -344,12 +354,22 @@ object Dedup {
       threshold: Double): DataFrame = {
     val p = shinglePostings(docs, idCol, textCol)
     val cands = containmentCandidates(p, threshold)
+    // ROW-LOCAL exact verify (the [[jaccardPairsViaContainment]] shape):
+    // each doc's distinct shingle set travels as one array and the
+    // intersection is a per-candidate array_intersect — the former
+    // join-and-count verify re-exploded every candidate by its shingle
+    // count and shuffled candidates × shingles rows into a pair groupBy;
+    // this shuffles |docs| set rows + |cands| pairs and counts locally.
+    // Intersection counts are identical (postings are distinct per doc),
+    // so the emit below is definitionally unchanged.
+    val sets = p.groupBy("id").agg(collect_list(col("h")).as("hs"),
+      count(lit(1)).as("sz"))
     val inter = cands
-      .join(p.select(col("id").as("id1"), col("h")), "id1")
-      .join(p.select(col("id").as("id2"), col("h")), Seq("id2", "h"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    directedContainment(inter, p.groupBy("id").agg(count(lit(1)).as("sz")),
-      threshold)
+      .join(sets.select(col("id").as("id1"), col("hs").as("h1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("hs").as("h2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("h1"), col("h2"))).cast("long").as("inter"))
+    directedContainment(inter, sets.select(col("id"), col("sz")), threshold)
   }
 
   /** Exact Jaccard pairs via the CONTAINMENT prefix screen — the
@@ -508,7 +528,10 @@ object Dedup {
         s"prefixes are too short to guarantee recall at $threshold — " +
         "rebuild the index at (or below) the query threshold")
     // batch-bounded and reused by every stage below — materialize once
-    val bp = shinglePostings(batch, idCol, textCol).localCheckpoint(true)
+    // (spread = false: see shinglePostingsTok — the batch side is
+    // checkpointed here and spreading it flipped index-join build sides)
+    val bp = shinglePostings(batch, idCol, textCol, spread = false)
+      .localCheckpoint(true)
     val buckets = bp
       .select(pmod(col("h"), lit(ShingleBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0))
@@ -732,7 +755,10 @@ object Dedup {
   val SimhashBits = 32
 
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    // tokenize/explode parallelism floor — no-op when the scan already
+    // feeds every core (see Par.spread)
+    val toks = graft.util.Par.spread(docs, Seq(col(idCol)))
+      .select(col(idCol).as("id"),
         explode(Text.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("h", Text.hash60(col("term")))
@@ -780,11 +806,18 @@ object Dedup {
       val len = base + (if (c < extra) 1 else 0)
       (c, off, len)
     }
-    val banded = bounds.map { case (c, off, len) =>
-      val mask = (1L << len) - 1L
-      sigs.select(col("id"), col("simhash"), lit(c).as("chunk"),
-        shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("ckey"))
-    }.reduce(_ union _)
+    // ONE posexplode over the chunk-key array instead of a chunks-way
+    // union of per-chunk selects: the union form re-evaluated the whole
+    // signature subtree (tokenize → explode → tf agg → 32-bit sums) once
+    // per branch per join side — 2·chunks full passes; posexplode keeps
+    // one subtree per join side and the signature pass is paid twice,
+    // not 2·chunks times (r15 measurement: 4.0 s → 1.3 s at sf0.1 after
+    // the shingle-parallelism floor exposed the recompute)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array(bounds.map { case (_, off, len) =>
+        val mask = (1L << len) - 1L
+        shiftright(col("simhash"), off).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk", "ckey")))
     val l = banded.select(col("id").as("id1"), col("simhash").as("sh1"), col("chunk"), col("ckey"))
     val r = banded.select(col("id").as("id2"), col("simhash").as("sh2"), col("chunk"), col("ckey"))
     l.join(r, Seq("chunk", "ckey")).where(col("id1") < col("id2"))
@@ -818,8 +851,68 @@ object Dedup {
     * families where each doc matches only its nearest revisions). Each
     * round is two equi-joins + one map-side-combinable min agg.
     * Output: (id, component = min reachable id), nodes that appear in
-    * ≥1 pair only. */
+    * ≥1 pair only.
+    *
+    * REGIME DISPATCH (r15, the [[graft.text.Vocab.learnBpeLocalFromCounts]]
+    * precedent): a near-dup pair list is usually orders of magnitude
+    * smaller than the corpus that produced it — when it is provably
+    * bounded (≤ [[ComponentsLocalMaxEdges]] edges, probed with an
+    * early-stopping limit count) and long-keyed, the fixpoint collapses
+    * to ONE collect + a driver-local union-find: zero rounds, zero
+    * per-round scheduler latency, identical output (pinned in DedupSpec
+    * local == distributed). Larger or non-long-keyed graphs take the
+    * distributed fixpoint unchanged — at 100 TB the pair list of a
+    * boilerplate-heavy corpus can exceed any driver, which is exactly
+    * what the probe guards. */
   def components(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sel = pairs.select(col("id1"), col("id2"))
+    val longKeyed = sel.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longKeyed) {
+      // checkpoint so probe + collect (or probe + fixpoint, if the probe
+      // overflows) never re-run the upstream near-dup join
+      val ck = sel.localCheckpoint(false)
+      val n = ck.limit(ComponentsLocalMaxEdges + 1).count()
+      if (n <= ComponentsLocalMaxEdges) {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val edges = ck.collect().map(r => (r.getLong(0), r.getLong(1)))
+        componentsLocal(edges).toSeq.toDF("id", "comp")
+      } else componentsDistributed(ck, maxIter)
+    } else componentsDistributed(sel, maxIter)
+  }
+
+  /** Driver-bound for the local union-find regime: 4M edges ≈ 64 MB of
+    * longs collected — comfortably driver-sized, far above any wave's
+    * relabel graph, far below a corpus-scale pair list. */
+  val ComponentsLocalMaxEdges = 1 << 22
+
+  /** Union-find with the MIN id as every set's root (union attaches the
+    * larger root under the smaller, find path-compresses), so root(x) IS
+    * the component label the distributed fixpoint computes: min reachable
+    * id. Output covers exactly the ids appearing in ≥1 pair. */
+  private[graft] def componentsLocal(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    parent.keysIterator.map(k => (k, find(k))).toArray
+  }
+
+  private[graft] def componentsDistributed(pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
     // localCheckpoint (not cache): an un-truncated logical plan doubles per
     // iteration and planning cost explodes — checkpointing resets the
     // lineage to the materialized result (the standard iterative pattern).
@@ -831,16 +924,22 @@ object Dedup {
     // only ever decrease), so comparing one DECIMAL sum per round replaces
     // any old-vs-new comparison — the round's single action, which also
     // materializes the lazy checkpoint.
-    // materialize the (possibly expensive) pair computation ONCE before the
+    // checkpoint the (possibly expensive) pair computation ONCE before the
     // union fan-out — each union branch re-references its logical subtree,
-    // so an un-checkpointed 3-way union would re-run the whole near-dup
-    // join three times
-    val base = pairs.select(col("id1").as("a"), col("id2").as("b")).localCheckpoint()
+    // so an UN-checkpointed 3-way union would re-run the whole near-dup
+    // join three times. LAZY checkpoints (eager = false): branches share
+    // the checkpointed RDD either way (it materializes once, at the first
+    // action), but lazy lets base/edges/labels all materialize inside the
+    // initial Σcomp job below instead of costing three scheduler
+    // round-trips of their own (r15: −3 driver jobs per components call —
+    // every fixpoint caller pays this, pipeline/components/incremental)
+    val base = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .localCheckpoint(false)
     val sym = base.union(base.select(col("b").as("a"), col("a").as("b")))
     val edges = sym.union(sym.select(col("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).localCheckpoint(false)
     // decimal(38,0): Σ of 2^63-scale labels over arbitrarily many nodes
     var prevSum = {
       val r = labels.agg(sum(col("comp").cast("decimal(38,0)"))).head()
@@ -903,7 +1002,10 @@ object Dedup {
     * with only affected rows changing. */
   def componentsIncremental(oldMap: DataFrame, newPairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val pairs = newPairs.select(col("id1"), col("id2")).localCheckpoint()
+    // lazy for the same reason as the [[components]] header checkpoints:
+    // consumers share the checkpointed RDD, and materialization rides the
+    // first downstream action instead of a dedicated job
+    val pairs = newPairs.select(col("id1"), col("id2")).localCheckpoint(false)
     val repEdges = pairs
       .join(oldMap.select(col("id").as("id1"), col("comp").as("__c1")),
         Seq("id1"), "left")
@@ -1145,7 +1247,10 @@ object Dedup {
     def sketch(v: Column): Column =
       GraftShim.column(VectorExpressions.SignSketch(GraftShim.expression(v), planes, nBits, dim))
     val bandMasks = (0 until bands).map(b => ((1L << rows) - 1) << (b * rows))
-    embs
+    // the sketch AND every downstream broadcast-joined candidate/verify
+    // stage inherit this frame's partitioning — floor it at the core
+    // count when the scan can't (no-op at corpus scale, see Par.spread)
+    graft.util.Par.spread(embs, Seq(col(idCol)))
       .select(col(idCol).as("id"), sketch(col(embCol)).as("sk"))
       .select(col("id"), col("sk"),
         posexplode(array(bandMasks.map(m =>

@@ -74,7 +74,10 @@ object SubstringDedup {
       k: Int = DefaultGramTokens,
       splitRe: String = Text.SplitRe): DataFrame = {
     require(k >= 1, s"gram width must be >= 1, got $k")
-    docs
+    // positional gram explosion is the engine's biggest per-byte fan-out
+    // (one row per token position) — floor its parallelism at the core
+    // count when the scan's split count can't (no-op at corpus scale)
+    graft.util.Par.spread(docs, Seq(col(idCol)))
       .select(col(idCol).as("id"),
         Text.tokens(col(textCol), splitRe).as("__toks"))
       .where(col("__toks").isNotNull && size(col("__toks")) > 0)

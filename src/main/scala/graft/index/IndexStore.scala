@@ -24,6 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
+  /** Cluster rows by their directory-partition column before a
+    * `partitionBy` write. Without it the writer emits one file per
+    * (write-task × partition value) — the small-files anti-pattern
+    * (optimization guide §6): every later scan pays per-file open cost
+    * and the driver pays listing time. Measured r15: the containment
+    * index ballooned 131 → 4,130 files once its input carried the
+    * [[graft.util.Par.spread]] parallelism floor, and the incremental
+    * screen's scans went from ~3 to ~40 CPU-seconds on file opens alone.
+    * One hash exchange of the written rows (AQE sizes the reducer count);
+    * each write task then holds whole partition values and emits one
+    * file per value it owns. */
+  private def clusterBy(df: org.apache.spark.sql.DataFrame,
+      c: String): org.apache.spark.sql.DataFrame =
+    df.repartition(col(c))
+
+  /** Run independent per-family actions from a small thread pool
+    * (optimization guide §2.6 — overlap independent jobs): Spark's
+    * scheduler happily runs several jobs at once inside one application;
+    * the fleet loops were only sequential because the driver called them
+    * sequentially, so each family's job tail idled the whole cluster
+    * before the next family started. A few actions in flight lets the
+    * next family's tasks back-fill freed executors. Results keep input
+    * order; the first failure is rethrown (its cause, not the
+    * ExecutionException wrapper) after pending work is cancelled —
+    * per-family idempotency (commit markers) already makes a partially
+    * applied fleet re-runnable, which is the same property that makes
+    * concurrent submission safe. */
+  private def inParallel[A, B](xs: Seq[A], maxInFlight: Int = 8)(
+      f: A => B): Seq[B] =
+    if (xs.lengthCompare(1) <= 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(xs.size, maxInFlight))
+      try {
+        val futs = xs.map(x => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(x) }))
+        futs.map(fu => try fu.get() catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        })
+      } finally pool.shutdownNow()
+    }
+
   // ------------------------------------------------------------------ BM25
   //
   // On-disk layout — three tables, each partitioned by `batch` (base build
@@ -75,9 +117,10 @@ object IndexStore {
     * replacing whatever was there (S7 `--replace` semantics). */
   private def writeBase(index: Bm25Index, path: String): Unit = {
     import graft.functions.Text
-    index.postings
+    clusterBy(index.postings
       .withColumn("batch", lit(-1L))
-      .withColumn("bucket", pmod(Text.hash60(col("term")), lit(TextSearch.TermBuckets.toLong)))
+      .withColumn("bucket", pmod(Text.hash60(col("term")), lit(TextSearch.TermBuckets.toLong))),
+      "bucket")
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "bucket")
       .parquet(s"$path/postings")
     index.termDf.withColumn("batch", lit(-1L))
@@ -286,9 +329,10 @@ object IndexStore {
     if (committed0.contains(batchId)) return
     requireMonotonicWave(spark, path, committed0, batchId, "BM25 append")
     val delta = TextSearch.buildIndex(batch, idCol, textCol)
-    delta.postings
+    clusterBy(delta.postings
       .withColumn("batch", lit(batchId))
-      .withColumn("bucket", pmod(Text.hash60(col("term")), lit(TextSearch.TermBuckets.toLong)))
+      .withColumn("bucket", pmod(Text.hash60(col("term")), lit(TextSearch.TermBuckets.toLong))),
+      "bucket")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "bucket")
@@ -563,7 +607,7 @@ object IndexStore {
       : Unit = {
     val spark = banded.sparkSession
     import spark.implicits._
-    banded.withColumn("batch", lit(-1L))
+    clusterBy(banded.withColumn("batch", lit(-1L)), "band")
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "band")
       .parquet(s"$path/sketches")
     // source = the (embs, idCol, embCol) the sketches derive from: records
@@ -589,8 +633,8 @@ object IndexStore {
     import spark.implicits._
     require(batchId >= 0, s"stream batch ids are non-negative, got $batchId")
     if (committedBatches(spark, s"$path/commits").contains(batchId)) return
-    graft.dedup.Dedup.signLshSketches(batch, idCol, embCol, dim)
-      .withColumn("batch", lit(batchId))
+    clusterBy(graft.dedup.Dedup.signLshSketches(batch, idCol, embCol, dim)
+      .withColumn("batch", lit(batchId)), "band")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "band")
@@ -735,13 +779,13 @@ object IndexStore {
       val w = df.write.mode(SaveMode.Overwrite)
       if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic")
     }
-    writer(p.withColumn("batch", lit(batchId))
-        .withColumn("bucket", pmod(col("h"), lit(nBuckets))))
+    writer(clusterBy(p.withColumn("batch", lit(batchId))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets))), "bucket"))
       .partitionBy("batch", "bucket").parquet(s"$path/postings")
-    writer(graft.dedup.Dedup.containmentPrefix(p, threshold)
+    writer(clusterBy(graft.dedup.Dedup.containmentPrefix(p, threshold)
         .select(col("qid").as("id"), col("h"))
         .withColumn("batch", lit(batchId))
-        .withColumn("bucket", pmod(col("h"), lit(nBuckets))))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets))), "bucket"))
       .partitionBy("batch", "bucket").parquet(s"$path/prefixes")
     if (overwriteAll)
       Seq(threshold).toDF("threshold")
@@ -924,8 +968,8 @@ object IndexStore {
       if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic")
     }
     val hd = h.distinct()
-    writer(hd.withColumn("batch", lit(batchId))
-        .withColumn("bucket", pmod(col("h"), lit(nBuckets))))
+    writer(clusterBy(hd.withColumn("batch", lit(batchId))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets))), "bucket"))
       .partitionBy("batch", "bucket").parquet(s"$path/hashes")
     if (overwriteAll)
       Seq(k).toDF("k").write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
@@ -1094,8 +1138,8 @@ object IndexStore {
       val w = df.write.mode(SaveMode.Overwrite)
       if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic")
     }
-    writer(p.withColumn("batch", lit(batchId))
-        .withColumn("bucket", pmod(col("h"), lit(nBuckets))))
+    writer(clusterBy(p.withColumn("batch", lit(batchId))
+        .withColumn("bucket", pmod(col("h"), lit(nBuckets))), "bucket"))
       .partitionBy("batch", "bucket").parquet(s"$path/postings")
     if (overwriteAll)
       Seq(k).toDF("k").write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
@@ -1277,8 +1321,8 @@ object IndexStore {
       val w = df.write.mode(SaveMode.Overwrite)
       if (overwriteAll) w else w.option("partitionOverwriteMode", "dynamic")
     }
-    writer(wv.withColumn("batch", lit(batchId))
-        .withColumn("bucket", windowBucket(col("id"))))
+    writer(clusterBy(wv.withColumn("batch", lit(batchId))
+        .withColumn("bucket", windowBucket(col("id"))), "bucket"))
       .partitionBy("batch", "bucket").parquet(s"$path/windows")
     if (overwriteAll) {
       // meta carries the window width (the DDL) AND the loaded-shape
@@ -1480,8 +1524,8 @@ object IndexStore {
       : Unit = {
     val spark = index.assignments.sparkSession
     import spark.implicits._
-    index.assignments
-      .withColumn("batch", lit(-1L))
+    clusterBy(index.assignments
+      .withColumn("batch", lit(-1L)), "cluster")
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "cluster")
       .parquet(s"$path/assignments")
     val driftFs = org.apache.hadoop.fs.FileSystem.get(
@@ -1852,7 +1896,11 @@ object IndexStore {
     lazy val erasedHashes: Set[Long] = ids
       .select(graft.functions.Text.hash60(col("__erased")))
       .collect().map(_.getLong(0)).toSet
-    val rows = families.map { case (family, path) =>
+    // §2.6: per-family residual probes are independent count jobs —
+    // overlapped. `erasedHashes` stays correct under concurrency: lazy
+    // val initialization is synchronized, so the first quantile probe
+    // collects it once and the rest read the memo.
+    val rows = inParallel(families) { case (family, path) =>
       val residual = family match {
         case "wordcount" | "wc" | "lm" | "lm3" =>
           // the wc fold has no id column, so "still visible in the live
@@ -6243,7 +6291,9 @@ object IndexStore {
             "containment, quantile, gquantile, wordcount, lm, lm3")
       }
     }
-    targets.foreach(one)
+    // §2.6: family waves touch disjoint paths and commit their own
+    // markers — independent jobs, overlapped instead of serialized
+    inParallel(targets)(one)
     erasureAudit(spark, fullWave, idCol,
       targets.map(t => t.family -> t.path))
   }
